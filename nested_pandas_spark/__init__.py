@@ -1,0 +1,44 @@
+"""nested-pandas-spark: a PySpark-native engine with the query and
+data-processing capabilities of lincc-frameworks/nested-pandas.
+
+A nested column is a Spark ``array<struct<...>>`` column; all operators are
+declarative DataFrame/SQL expressions (higher-order functions, collect_list
+packing, inline/posexplode unpacking) so Catalyst + Tungsten handle
+optimization and execution at any scale.
+"""
+
+from .nestedframe.core import NestedFrame
+from .nestedframe.expr import QueryCompileError, compile_expr
+from .nestedframe.io import read_parquet
+from .operators.packer import from_flat, from_lists, join_nested, pack
+from .operators.restructure import frame_explode, split, to_flat, to_flatten_inner, to_lists
+from .operators.aggregates import count_nested, describe, minmax, nest_agg
+from .operators.cleaning import dropna, fillna
+from .operators.sorting import sort_values
+from .session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "NestedFrame",
+    "QueryCompileError",
+    "compile_expr",
+    "read_parquet",
+    "pack",
+    "join_nested",
+    "from_flat",
+    "from_lists",
+    "to_flat",
+    "to_lists",
+    "frame_explode",
+    "split",
+    "to_flatten_inner",
+    "count_nested",
+    "describe",
+    "minmax",
+    "nest_agg",
+    "dropna",
+    "fillna",
+    "sort_values",
+    "get_spark",
+]

@@ -1,0 +1,393 @@
+"""NestedFrame: a thin facade over a Spark DataFrame with nested columns.
+
+A nested column IS a Spark ``array<struct<...>>`` column — no wrapper type,
+no custom storage (the reference needs a pandas ExtensionArray + three Arrow
+storage views, ``src/nested_pandas/series/ext_array.py:222``; Spark's native
+columnar format subsumes all three). The facade only adds the reference's
+API surface: dotted-name access, query/eval strings, layer-targeted verbs.
+
+Every method returns a new NestedFrame (immutable, like Spark). The wrapped
+DataFrame is always available as ``.df`` — users can drop to raw Spark at any
+point and come back with ``NestedFrame(df)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.nested import (
+    base_columns,
+    empty_to_null,
+    is_nested_type,
+    nest_drop_fields,
+    nest_select_fields,
+    nested_columns,
+    nested_field_names,
+    quote,
+    rebuild_struct_sql,
+)
+from ..operators import aggregates, cleaning, packer, restructure, sorting
+from . import expr as expr_mod
+from .expr import QueryCompileError, compile_expr, split_assignment
+
+__all__ = ["NestedFrame"]
+
+
+class NestedFrame:
+    """Spark-backed analogue of ``nested_pandas.NestedFrame``
+    (reference ``src/nested_pandas/nestedframe/core.py:35``)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- plumbing ---------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def _wrap(self, df: DataFrame) -> "NestedFrame":
+        return NestedFrame(df)
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    @property
+    def nested_columns(self) -> list[str]:
+        """Reference ``core.py:97-105``."""
+        return nested_columns(self._df)
+
+    @property
+    def base_columns(self) -> list[str]:
+        return base_columns(self._df)
+
+    @property
+    def all_columns(self) -> dict[str, list[str]]:
+        """{'base': [...], nest: [fields...]} (reference ``core.py:86-95``)."""
+        out = {"base": self.base_columns}
+        for n in self.nested_columns:
+            out[n] = nested_field_names(self._df, n)
+        return out
+
+    def nested_fields(self, nest: str) -> list[str]:
+        return nested_field_names(self._df, nest)
+
+    def _nested_field_map(self) -> dict[str, set[str]]:
+        return {n: set(nested_field_names(self._df, n)) for n in self.nested_columns}
+
+    def __repr__(self) -> str:
+        return f"NestedFrame[{self._df.schema.simpleString()}]"
+
+    def show(self, *a: Any, **kw: Any) -> None:
+        self._df.show(*a, **kw)
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def collect(self):
+        return self._df.collect()
+
+    def toPandas(self):
+        return self._df.toPandas()
+
+    def explain(self, *a: Any, **kw: Any) -> None:
+        self._df.explain(*a, **kw)
+
+    def limit(self, n: int) -> "NestedFrame":
+        return self._wrap(self._df.limit(n))
+
+    def select(self, *cols: Any) -> "NestedFrame":
+        return self._wrap(self._df.select(*cols))
+
+    def withColumn(self, name: str, col: Column) -> "NestedFrame":
+        return self._wrap(self._df.withColumn(name, col))
+
+    def filter(self, cond: Any) -> "NestedFrame":
+        return self._wrap(self._df.filter(cond))
+
+    # -- dotted access ----------------------------------------------------
+    def __getitem__(self, key: str | list[str]) -> "NestedFrame | Column":
+        """``ndf["nested.t"]`` -> flat sub-column reference (a Column usable
+        on the exploded view); ``ndf[["a", "b"]]`` -> projected frame.
+        Reference ``core.py:251-282``."""
+        if isinstance(key, list):
+            cols: list[Column] = []
+            for k in key:
+                cols.append(self._dotted_col(k).alias(k) if "." in k else F.col(quote(k)))
+            return self._wrap(self._df.select(*cols))
+        if "." in key:
+            nest, fld = key.split(".", 1)
+            if nest in self.nested_columns:
+                # flat series view: explode the single sub-column
+                return self._wrap(
+                    self._df.select(
+                        F.explode(
+                            F.expr(f"transform({quote(nest)}, __x -> __x.{quote(fld)})")
+                        ).alias(fld)
+                    )
+                )
+        return self._wrap(self._df.select(quote(key)))
+
+    def _dotted_col(self, key: str) -> Column:
+        nest, fld = key.split(".", 1)
+        if nest not in self.nested_columns:
+            raise KeyError(f"'{nest}' is not a nested column")
+        return F.expr(f"transform({quote(nest)}, __x -> __x.{quote(fld)})")
+
+    def set_nested_field(self, target: str, value: Column | str) -> "NestedFrame":
+        """Dotted assignment ``ndf["nested.c"] = expr`` — add/replace a
+        sub-column. ``value`` may be a SQL string in eval syntax (supports
+        ``nested.x`` refs and base broadcast) or a Column producing an
+        ``array<T>`` aligned per row. Reference ``core.py:284-340`` and
+        ``nest.set_flat/list/filled_column`` (``accessor.py:305-491``)."""
+        if "." not in target:
+            raise ValueError("set_nested_field target must be 'nest.field'")
+        nest, fld = target.split(".", 1)
+        if target.count(".") > 1:
+            raise ValueError("Only one level of nesting is supported")  # core.py:317-318
+        if isinstance(value, str):
+            return self.eval(f"{target} = {value}")
+        # Column of array<T>: zip into the struct by position
+        if nest not in self.nested_columns:
+            raise KeyError(f"'{nest}' is not a nested column")
+        fields = nested_field_names(self._df, nest)
+        tmp = "__newvals"
+        df = self._df.withColumn(tmp, value)
+        body = rebuild_struct_sql(
+            fields,
+            "__x",
+            override={fld: f"try_element_at({quote(tmp)}, __i + 1)"} if fld in fields else None,
+            extra=None if fld in fields else {fld: f"try_element_at({quote(tmp)}, __i + 1)"},
+        )
+        sql = f"transform({quote(nest)}, (__x, __i) -> {body})"
+        return self._wrap(df.withColumn(nest, F.expr(sql)).drop(tmp))
+
+    def drop(self, columns: str | list[str]) -> "NestedFrame":
+        """Drop base columns or dotted sub-columns (reference
+        ``core.py:745-858``)."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        df = self._df
+        nested = set(self.nested_columns)
+        per_nest: dict[str, list[str]] = {}
+        flat: list[str] = []
+        for c in cols:
+            if "." in c and c.split(".", 1)[0] in nested:
+                nest, fld = c.split(".", 1)
+                per_nest.setdefault(nest, []).append(fld)
+            else:
+                flat.append(c)
+        for nest, flds in per_nest.items():
+            df = df.withColumn(nest, nest_drop_fields(df, nest, flds))
+        if flat:
+            missing = [c for c in flat if c not in df.columns]
+            if missing:
+                raise KeyError(f"No such columns: {missing}")
+            df = df.drop(*flat)
+        return self._wrap(df)
+
+    # -- restructuring ----------------------------------------------------
+    def join_nested(
+        self,
+        child: "NestedFrame | DataFrame",
+        name: str,
+        on: str | list[str],
+        how: str = "left",
+        columns: list[str] | None = None,
+        sort_within: list[str | tuple[str, bool]] | None = None,
+        broadcast_packed: bool = False,
+    ) -> "NestedFrame":
+        cdf = child.df if isinstance(child, NestedFrame) else child
+        return self._wrap(
+            packer.join_nested(
+                self._df, cdf, name, on=on, how=how, columns=columns,
+                sort_within=sort_within, broadcast_packed=broadcast_packed,
+            )
+        )
+
+    # deprecated alias kept for API parity (reference core.py:385-467)
+    add_nested = join_nested
+
+    @staticmethod
+    def from_flat(
+        df: DataFrame,
+        base_columns: list[str],
+        on: str | list[str],
+        nested_columns: list[str] | None = None,
+        name: str = "nested",
+    ) -> "NestedFrame":
+        return NestedFrame(packer.from_flat(df, base_columns, on, nested_columns, name))
+
+    @staticmethod
+    def from_lists(
+        df: DataFrame,
+        list_columns: list[str] | None = None,
+        base_columns: list[str] | None = None,
+        name: str = "nested",
+    ) -> "NestedFrame":
+        return NestedFrame(packer.from_lists(df, list_columns, base_columns, name))
+
+    def nest_lists(self, columns: list[str], name: str = "nested") -> "NestedFrame":
+        return self._wrap(packer.nest_lists(self._df, columns, name))
+
+    def explode(self, columns: str | list[str], validate_lengths: bool = True) -> "NestedFrame":
+        return self._wrap(restructure.frame_explode(self._df, columns, validate_lengths))
+
+    def to_flat(self, nest: str, columns: list[str] | None = None,
+                keys: list[str] | None = None) -> "NestedFrame":
+        return self._wrap(restructure.to_flat(self._df, nest, columns, keys))
+
+    def to_lists(self, nest: str, columns: list[str] | None = None) -> "NestedFrame":
+        return self._wrap(restructure.to_lists(self._df, nest, columns))
+
+    def split(self, nest: str, by: str, values: list[str] | None = None,
+              drop_by_col: bool = False, drop_nested: bool = True) -> "NestedFrame":
+        return self._wrap(restructure.split(self._df, nest, by, values, drop_by_col, drop_nested))
+
+    def to_flatten_inner(self, nest: str, inner: str) -> "NestedFrame":
+        return self._wrap(restructure.to_flatten_inner(self._df, nest, inner))
+
+    def select_nested_fields(self, nest: str, fields: list[str]) -> "NestedFrame":
+        return self._wrap(self._df.withColumn(nest, nest_select_fields(self._df, nest, fields)))
+
+    # -- query / eval -----------------------------------------------------
+    def query(self, expr: str, env: dict[str, object] | None = None) -> "NestedFrame":
+        """Row filter (base expression) or element filter (nested expression).
+
+        Nested semantics match the reference frame-level ``query``
+        (``core.py:1526-1636``): base rows are KEPT, cells that become empty
+        become NULL. Expressions may mix sub-columns of ONE nest with base
+        columns (base values broadcast into the lambda — they are in scope as
+        outer references).
+        """
+        compiled = compile_expr(expr, self._nested_field_map(), set(self.base_columns)
+                                | set(self.nested_columns), env)
+        if not compiled.nests:
+            return self._wrap(self._df.filter(F.expr(compiled.render())))
+        nest = compiled.nest
+        assert nest is not None
+        pred = compiled.render("__x")
+        filtered = F.expr(f"filter({quote(nest)}, __x -> {pred})")
+        return self._wrap(self._df.withColumn(nest, empty_to_null(filtered)))
+
+    def query_drop_empty(self, expr: str, env: dict[str, object] | None = None) -> "NestedFrame":
+        """Series-level query semantics: rows whose cell becomes empty are
+        DROPPED (reference ``accessor.py:600-638``)."""
+        out = self.query(expr, env)
+        compiled = compile_expr(expr, self._nested_field_map(), set(self.base_columns)
+                                | set(self.nested_columns), env)
+        if compiled.nests:
+            nest = compiled.nest
+            return out._wrap(out._df.where(F.size(F.col(quote(nest))) > 0))
+        return out
+
+    def eval(self, expr: str, env: dict[str, object] | None = None) -> "NestedFrame":
+        """Evaluate an expression, with assignment support.
+
+        * ``"c = a + b"``            -> new base column
+        * ``"nested.c = nested.a*2"``-> new sub-column inside ``nested``
+        * ``"newnest.c = nested.a+b"``-> new nested column packed like
+          ``nested`` (reference ``core.py:1436-1491``)
+        * no assignment              -> projected result column ``__result``
+        """
+        target, rhs = split_assignment(expr)
+        fieldmap = self._nested_field_map()
+        compiled = compile_expr(rhs, fieldmap, set(self.base_columns) | set(self.nested_columns), env)
+
+        if target is None:
+            if compiled.nests:
+                nest = compiled.nest
+                body = compiled.render("__x")
+                return self._wrap(
+                    self._df.select(
+                        F.expr(f"transform({quote(nest)}, __x -> {body})").alias("__result")
+                    )
+                )
+            return self._wrap(self._df.select(F.expr(compiled.render()).alias("__result")))
+
+        if "." not in target:
+            if compiled.nests:
+                raise QueryCompileError(
+                    f"Cannot assign nested-layer expression to base column '{target}'"
+                )
+            return self._wrap(self._df.withColumn(target, F.expr(compiled.render())))
+
+        tgt_nest, tgt_field = target.split(".", 1)
+        if "." in tgt_field:
+            raise QueryCompileError("Only one level of nesting is supported")  # core.py:317
+        if compiled.nests and compiled.nest != tgt_nest and tgt_nest in fieldmap:
+            raise QueryCompileError(
+                "Queries cannot target multiple structs/layers"
+            )
+        if tgt_nest in fieldmap:
+            # add/replace field inside existing nest
+            src = compiled.nest or tgt_nest
+            fields = nested_field_names(self._df, tgt_nest)
+            body = rebuild_struct_sql(
+                fields, "__x",
+                override={tgt_field: compiled.render("__x")} if tgt_field in fields else None,
+                extra=None if tgt_field in fields else {tgt_field: compiled.render("__x")},
+            )
+            return self._wrap(
+                self._df.withColumn(tgt_nest, F.expr(f"transform({quote(tgt_nest)}, __x -> {body})"))
+            )
+        # brand-new nest: RHS must reference exactly one existing nest to
+        # define the packing (reference behavior: new nests align to source)
+        if not compiled.nests:
+            raise QueryCompileError(
+                f"Cannot create new nested column '{tgt_nest}' from a base-only expression"
+            )
+        src = compiled.nest
+        body = f"struct({compiled.render('__x')} AS {quote(tgt_field)})"
+        return self._wrap(
+            self._df.withColumn(tgt_nest, F.expr(f"transform({quote(src)}, __x -> {body})"))
+        )
+
+    # -- cleaning ---------------------------------------------------------
+    def dropna(self, subset: str | list[str] | None = None, how: str = "any",
+               on_nested: str | None = None, drop_empty_cells: bool = False) -> "NestedFrame":
+        return self._wrap(cleaning.dropna(self._df, subset, how, on_nested, drop_empty_cells))
+
+    def fillna(self, value: object | dict[str, object]) -> "NestedFrame":
+        return self._wrap(cleaning.fillna(self._df, value))
+
+    # -- aggregation ------------------------------------------------------
+    def count_nested(self, nest: str, by: str | None = None,
+                     values: list[str] | None = None, join: bool = True) -> "NestedFrame":
+        return self._wrap(aggregates.count_nested(self._df, nest, by, values, join))
+
+    def min(self, columns: list[str] | None = None) -> DataFrame:
+        return aggregates.minmax(self._df, "min", columns)
+
+    def max(self, columns: list[str] | None = None) -> DataFrame:
+        return aggregates.minmax(self._df, "max", columns)
+
+    def describe(self, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
+        return aggregates.describe(self._df, columns, exact)
+
+    def nest_agg(self, nest: str, field: str, how: str, alias: str | None = None) -> "NestedFrame":
+        col = aggregates.nest_agg(self._df, nest, field, how, alias)
+        return self._wrap(self._df.withColumn(alias or f"{how}_{nest}_{field}", col))
+
+    # -- sorting ----------------------------------------------------------
+    def sort_values(self, by: str | list[str], ascending: bool | list[bool] = True,
+                    na_position: str = "last") -> "NestedFrame":
+        return self._wrap(sorting.sort_values(self._df, by, ascending, na_position))
+
+    # -- UDF --------------------------------------------------------------
+    def map_rows(self, func: Callable, columns: list[str], *args: Any, **kwargs: Any):
+        from ..operators.map_rows import map_rows as _map_rows
+
+        return NestedFrame(_map_rows(self._df, func, columns, *args, **kwargs))
+
+    reduce = map_rows  # deprecated alias (reference core.py:1981)
+
+    # -- I/O ----------------------------------------------------------------
+    def to_parquet(self, path: str, mode: str = "overwrite", **options: Any) -> None:
+        """Write parquet; nested columns store natively as list-of-structs
+        (reference writes struct-of-lists, ``core.py:2586-2631`` — both are
+        legal parquet nesting and both read back)."""
+        self._df.write.mode(mode).options(**options).parquet(path)

@@ -1,0 +1,113 @@
+"""Nested-aware parquet I/O.
+
+Reference: ``read_parquet`` (``src/nested_pandas/nestedframe/io.py:36-212``)
+with nested-column pruning (``columns=["nested.a"]`` reads only that parquet
+leaf) and struct-of-lists auto-casting (``io.py:498-606``).
+
+Spark-first: parquet nested-leaf pruning is NATIVE — with
+``spark.sql.optimizer.nestedSchemaPruning.enabled`` (default on), a
+``select("nested.a")`` prunes the scan's ReadSchema down to the referenced
+leaf; no re-packing code needed. What we add:
+
+* ``columns=`` handling that keeps dotted selections nested (re-packs the
+  selected sub-fields under the original column name, like the reference's
+  partial-load rebuild ``io.py:156-205``) — expressed as ``transform``
+  projections so pruning still pushes to the scan;
+* struct-of-lists -> list-of-structs auto-cast (the reference's storage
+  layout, written by nested-pandas ``to_parquet``) via ``arrays_zip``;
+* opt-in cast of bare ``array<T>`` columns into single-field nests
+  (``autocast_list``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.nested import is_nested_type, quote
+
+__all__ = ["read_parquet", "from_struct_of_lists"]
+
+
+def _struct_of_lists_cols(df: DataFrame, reject: set[str]) -> list[str]:
+    """Columns typed struct<a: array<...>, b: array<...>> (all fields lists)."""
+    out = []
+    for f in df.schema.fields:
+        if f.name in reject:
+            continue
+        if isinstance(f.dataType, T.StructType) and f.dataType.fields and all(
+            isinstance(sf.dataType, T.ArrayType) for sf in f.dataType.fields
+        ):
+            out.append(f.name)
+    return out
+
+
+def from_struct_of_lists(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Cast struct-of-lists columns (nested-pandas' parquet layout,
+    reference ``core.py:2586-2631``) to list-of-structs via ``arrays_zip``."""
+    targets = columns if columns is not None else _struct_of_lists_cols(df, set())
+    for c in targets:
+        dt = df.schema[c].dataType
+        assert isinstance(dt, T.StructType)
+        fields = [sf.name for sf in dt.fields]
+        zipped = F.arrays_zip(
+            *[F.col(f"{quote(c)}.{quote(f)}").alias(f) for f in fields]
+        )
+        df = df.withColumn(c, zipped)
+    return df
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str | list[str],
+    columns: list[str] | None = None,
+    reject_nesting: str | list[str] | None = None,
+    autocast_list: bool = False,
+) -> DataFrame:
+    """Read parquet with nested-column selection and auto-casting.
+
+    ``columns`` may mix base names and dotted ``"nested.field"`` selections;
+    dotted selections are re-packed under their nest (partial load,
+    reference ``io.py:107-205``). Column pruning reaches the parquet
+    footer either way — check ``.explain`` ReadSchema.
+    """
+    reject = set([reject_nesting] if isinstance(reject_nesting, str) else reject_nesting or [])
+    df = spark.read.parquet(*([path] if isinstance(path, str) else path))
+
+    # auto-cast nested-pandas struct-of-lists layout
+    sol = _struct_of_lists_cols(df, reject)
+    if sol:
+        df = from_struct_of_lists(df, sol)
+
+    if autocast_list:
+        for f in df.schema.fields:
+            if (
+                f.name not in reject
+                and isinstance(f.dataType, T.ArrayType)
+                and not isinstance(f.dataType.elementType, T.StructType)
+            ):
+                df = df.withColumn(
+                    f.name,
+                    F.expr(
+                        f"transform({quote(f.name)}, __x -> struct(__x AS {quote(f.name)}))"
+                    ),
+                )
+
+    if columns is None:
+        return df
+
+    nested = {f.name for f in df.schema.fields if is_nested_type(f.dataType)}
+    base_sel: list[str] = []
+    per_nest: dict[str, list[str]] = {}
+    for c in columns:
+        if "." in c and c.split(".", 1)[0] in nested:
+            nest, fld = c.split(".", 1)
+            per_nest.setdefault(nest, []).append(fld)
+        else:
+            base_sel.append(c)
+    proj = [F.col(quote(c)) for c in base_sel]
+    for nest, flds in per_nest.items():
+        inner = ", ".join(f"__x.{quote(f)} AS {quote(f)}" for f in flds)
+        proj.append(F.expr(f"transform({quote(nest)}, __x -> struct({inner}))").alias(nest))
+    return df.select(*proj)

@@ -1,0 +1,186 @@
+"""Aggregations over base + nested layers.
+
+Reference: ``NestedFrame.min/max`` (``core.py:949-1097``), ``describe``
+(``core.py:1099-1219``), ``count_nested`` (``utils/utils.py:8-102``).
+
+Design notes for scale:
+
+* per-cell reductions (count_nested, per-row mean) are higher-order
+  ``size`` / ``aggregate`` calls — per-row, zero shuffle, codegen'd. This is
+  the Spark analogue of the reference's njit offset-kernels.
+* global min/max/describe are single-pass partial aggregations (map-side
+  combine), one tiny shuffle to the final reducer.
+* ``describe`` uses EXACT ``percentile`` (not ``percentile_approx``) for
+  oracle parity, as the reference uses pandas' exact quantiles. At 100 TB
+  swap in ``percentile_approx`` via ``exact=False``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.nested import is_nested_type, nested_field_names, quote
+
+__all__ = ["count_nested", "nest_lengths", "minmax", "describe", "nest_agg"]
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+            T.DecimalType)
+
+
+def count_nested(
+    df: DataFrame,
+    nest: str,
+    by: str | None = None,
+    values: list[str] | None = None,
+    join: bool = True,
+) -> DataFrame:
+    """Per-row element count of a nested column, optionally split by a
+    categorical sub-column (one zero-filled count column per category).
+
+    ``n_{nest}`` or ``n_{nest}_{value}`` columns, appended when ``join=True``
+    (reference ``utils/utils.py:8-102``). All per-row expressions — no shuffle
+    except the optional distinct-value discovery when ``values`` is None.
+    """
+    fields = nested_field_names(df, nest)
+    out = df if join else df.select(quote(nest))
+    if by is None:
+        return out.withColumn(f"n_{nest}", F.coalesce(F.size(quote(nest)), F.lit(0)))
+    if by not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{by}'")
+    if values is None:
+        values = sorted(
+            r[0]
+            for r in df.select(
+                F.explode(F.expr(f"transform({quote(nest)}, __x -> __x.{quote(by)})"))
+            ).distinct().collect()
+            if r[0] is not None
+        )
+    for v in values:
+        lit = "'" + str(v).replace("'", "\\'") + "'"
+        out = out.withColumn(
+            f"n_{nest}_{v}",
+            F.coalesce(
+                F.size(F.expr(f"filter({quote(nest)}, __x -> __x.{quote(by)} = {lit})")),
+                F.lit(0),
+            ),
+        )
+    return out
+
+
+def nest_lengths(df: DataFrame, nest: str, alias: str | None = None) -> Column:
+    """Per-row element count (``nest.len`` / ``list_lengths``,
+    reference ``accessor.py:168-175``)."""
+    return F.size(F.col(quote(nest))).alias(alias or f"n_{nest}")
+
+
+def _numeric_targets(df: DataFrame, include_nested: bool = True) -> list[tuple[str, Column, str]]:
+    """(label, column-or-flattened-expr, kind) for every numeric base column and
+    nested numeric sub-column. kind is 'base' | 'nested'."""
+    out: list[tuple[str, Column, str]] = []
+    for f in df.schema.fields:
+        if is_nested_type(f.dataType):
+            if not include_nested:
+                continue
+            for sf in f.dataType.elementType.fields:
+                if isinstance(sf.dataType, _NUMERIC):
+                    label = f"{f.name}.{sf.name}"
+                    arr = F.expr(f"transform({quote(f.name)}, __x -> __x.{quote(sf.name)})")
+                    out.append((label, arr, "nested"))
+        elif isinstance(f.dataType, _NUMERIC):
+            out.append((f.name, F.col(quote(f.name)), "base"))
+    return out
+
+
+def minmax(df: DataFrame, kind: str = "min", columns: list[str] | None = None) -> DataFrame:
+    """Column-wise min/max across base and nested sub-columns, one output row
+    with ``nested.col``-prefixed labels (reference ``core.py:949-1097``).
+
+    Nested columns reduce per-row with ``array_min``/``array_max`` first, then
+    globally — a single partial-agg pass, no explode.
+    """
+    assert kind in ("min", "max")
+    aggs: list[Column] = []
+    for label, col, knd in _numeric_targets(df):
+        if columns is not None and label not in columns:
+            continue
+        if knd == "nested":
+            per_row = F.array_min(col) if kind == "min" else F.array_max(col)
+        else:
+            per_row = col
+        agg = F.min(per_row) if kind == "min" else F.max(per_row)
+        aggs.append(agg.alias(label))
+    if not aggs:
+        raise ValueError("No numeric columns to aggregate")
+    return df.agg(*aggs)
+
+
+def describe(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """count/mean/std/min/25%/50%/75%/max over base + nested numeric columns.
+
+    Output: one row per target column: (column, count, mean, std, min, p25,
+    p50, p75, max). Exact percentiles by default for pandas/duckdb parity
+    (``percentile``); pass ``exact=False`` for ``percentile_approx`` at scale.
+    """
+    frames: list[DataFrame] = []
+    for label, col, knd in _numeric_targets(df):
+        if columns is not None and label not in columns:
+            continue
+        if knd == "nested":
+            vals = df.select(F.explode(col).alias("__v"))
+        else:
+            vals = df.select(col.alias("__v"))
+        pct = "percentile" if exact else "percentile_approx"
+        frames.append(
+            vals.agg(
+                F.lit(label).alias("column"),
+                F.count("__v").alias("count"),
+                F.avg("__v").alias("mean"),
+                F.stddev("__v").alias("std"),
+                F.min("__v").alias("min"),
+                F.expr(f"{pct}(__v, 0.25)").alias("p25"),
+                F.expr(f"{pct}(__v, 0.5)").alias("p50"),
+                F.expr(f"{pct}(__v, 0.75)").alias("p75"),
+                F.max("__v").alias("max"),
+            )
+        )
+    if not frames:
+        raise ValueError("No numeric columns to describe")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def nest_agg(df: DataFrame, nest: str, field: str, how: str, alias: str | None = None) -> Column:
+    """Per-row reduction of one nested sub-column via higher-order functions.
+
+    ``how`` in {sum, mean, min, max, count}. This is the fast path the
+    reference reaches with numba kernels (``njit_funcs.py``) — here it's a
+    codegen'd ``aggregate``/``array_min``/``array_max`` over the cell.
+    """
+    arr = f"transform({quote(nest)}, __x -> __x.{quote(field)})"
+    name = alias or f"{how}_{nest}_{field}"
+    if how == "count":
+        return F.size(F.expr(arr)).alias(name)
+    if how == "min":
+        return F.array_min(F.expr(arr)).alias(name)
+    if how == "max":
+        return F.array_max(F.expr(arr)).alias(name)
+    if how == "sum":
+        return F.expr(
+            f"aggregate({arr}, CAST(0.0 AS DOUBLE), (__a, __v) -> __a + coalesce(__v, 0.0))"
+        ).alias(name)
+    if how == "mean":
+        notnull = f"filter({arr}, __v -> __v IS NOT NULL)"
+        return F.expr(
+            f"CASE WHEN size({notnull}) > 0 THEN "
+            f"aggregate({notnull}, CAST(0.0 AS DOUBLE), (__a, __v) -> __a + __v)"
+            f" / size({notnull}) END"
+        ).alias(name)
+    raise ValueError(f"Unsupported reduction: {how}")

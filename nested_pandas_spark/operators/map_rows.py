@@ -1,0 +1,207 @@
+"""map_rows: apply a Python function per top-level row.
+
+Reference: ``NestedFrame.map_rows`` (``core.py:2207-2545``): base columns
+arrive as scalars, nested sub-columns as 1-D numpy arrays per row; outputs
+become new columns; dotted output names re-pack into new nested columns
+(``infer_nesting``).
+
+Spark-first: this is the ONE place Python runs per row, so it uses
+``mapInPandas`` (Arrow-batched — each nested sub-column cell arrives as a
+numpy array, the exact shape the reference's ``iter_field_lists`` produces,
+``ext_array.py:1029-1046``). The JVM->Python hop happens once per batch,
+not per row; batches flow partition-parallel across executors, so throughput
+scales with cores, not driver speed.
+
+Schema handling: Spark needs the output schema up front. Either pass
+``output_schema`` (a DDL string or StructType), or we infer it by running
+``func`` on the first row driver-side (cheap: ``limit(1)`` collect).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.nested import is_nested_type, quote
+
+__all__ = ["map_rows"]
+
+
+def _classify(df: DataFrame, columns: list[str]) -> list[tuple[str, str | None, str]]:
+    """[(select_alias, nest_or_None, field_or_base_name)] for each requested col."""
+    nested = {f.name for f in df.schema.fields if is_nested_type(f.dataType)}
+    out = []
+    for c in columns:
+        if "." in c and c.split(".", 1)[0] in nested:
+            nest, fld = c.split(".", 1)
+            out.append((c.replace(".", "__"), nest, fld))
+        else:
+            out.append((c, None, c))
+    return out
+
+
+def _projection(df: DataFrame, spec: list[tuple[str, str | None, str]]) -> DataFrame:
+    cols = []
+    for alias, nest, name in spec:
+        if nest is None:
+            cols.append(F.col(quote(name)).alias(alias))
+        else:
+            cols.append(
+                F.expr(f"transform({quote(nest)}, __x -> __x.{quote(name)})").alias(alias)
+            )
+    return df.select(*cols)
+
+
+def _infer_spark_type(value: Any) -> T.DataType:
+    if isinstance(value, (np.floating, float)):
+        return T.DoubleType()
+    if isinstance(value, (bool, np.bool_)):
+        return T.BooleanType()
+    if isinstance(value, (np.integer, int)):
+        return T.LongType()
+    if isinstance(value, str):
+        return T.StringType()
+    if isinstance(value, (list, tuple, np.ndarray)):
+        inner = value[0] if len(value) else 0.0
+        return T.ArrayType(_infer_spark_type(inner))
+    raise TypeError(f"Cannot infer Spark type for map_rows output {value!r}")
+
+
+def _row_values(pdf: pd.DataFrame, spec: list[tuple[str, str | None, str]], i: int) -> list[Any]:
+    vals = []
+    for alias, nest, _ in spec:
+        v = pdf[alias].iloc[i]
+        if nest is not None and v is not None and not isinstance(v, np.ndarray):
+            v = np.asarray(v)
+        vals.append(v)
+    return vals
+
+
+def map_rows(
+    df: DataFrame,
+    func: Callable,
+    columns: list[str],
+    output_names: list[str] | None = None,
+    output_schema: str | T.StructType | None = None,
+    row_container: str = "args",
+    infer_nesting: bool = True,
+    append_columns: bool = False,
+    key_columns: list[str] | None = None,
+    **kwargs: Any,
+) -> DataFrame:
+    """Apply ``func`` once per top-level row.
+
+    ``columns`` selects inputs: base names give scalars, ``"nest.field"``
+    gives a numpy array of that cell's values. Outputs (scalar or tuple)
+    become columns named by ``output_names`` (or ``out0..``). Dotted output
+    names like ``"res.x"`` pack into new nested columns when
+    ``infer_nesting=True``. ``append_columns=True`` keeps the input columns
+    alongside (requires ``key_columns`` unique to re-join? no — we carry all
+    original columns through the same mapInPandas pass, zero join).
+    """
+    spec = _classify(df, columns)
+    carried = df.columns if append_columns else []
+
+    # build a single projection carrying originals + UDF inputs
+    sel = [F.col(quote(c)) for c in carried]
+    seen = set(carried)
+    for alias, nest, name in spec:
+        if nest is None:
+            if alias not in seen:
+                sel.append(F.col(quote(name)).alias(alias))
+                seen.add(alias)
+        else:
+            if alias not in seen:
+                sel.append(
+                    F.expr(f"transform({quote(nest)}, __x -> __x.{quote(name)})").alias(alias)
+                )
+                seen.add(alias)
+    src = df.select(*sel)
+
+    # -- determine outputs ------------------------------------------------
+    sample = src.limit(1).toPandas()
+    if len(sample) == 0 and output_schema is None:
+        raise ValueError("map_rows on empty frame requires explicit output_schema")
+
+    def call(vals: list[Any]) -> Any:
+        if row_container == "dict":
+            return func({c: v for c, v in zip(columns, vals)}, **kwargs)
+        return func(*vals, **kwargs)
+
+    if output_schema is None:
+        out0 = call(_row_values(sample, spec, 0))
+        if not isinstance(out0, tuple):
+            out0 = (out0,)
+        n_out = len(out0)
+        names = output_names or [f"out{i}" for i in range(n_out)]
+        out_fields = [
+            T.StructField(nm.replace(".", "__"), _infer_spark_type(v), True)
+            for nm, v in zip(names, out0)
+        ]
+    else:
+        if isinstance(output_schema, str):
+            output_schema = T._parse_datatype_string(output_schema)  # type: ignore[attr-defined]
+        names = output_names or [f.name for f in output_schema.fields]
+        out_fields = [
+            T.StructField(nm.replace(".", "__"), f.dataType, True)
+            for nm, f in zip(names, output_schema.fields)
+        ]
+
+    carried_fields = [src.schema[c] for c in carried] if carried else []
+    result_schema = T.StructType(list(carried_fields) + out_fields)
+    out_aliases = [f.name for f in out_fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                res = call(_row_values(pdf, spec, i))
+                if not isinstance(res, tuple):
+                    res = (res,)
+                rows.append(
+                    [_to_py(v) for v in res]
+                )
+            out_pdf = pd.DataFrame(rows, columns=out_aliases)
+            if carried:
+                out_pdf = pd.concat(
+                    [pdf[list(carried)].reset_index(drop=True), out_pdf], axis=1
+                )
+            yield out_pdf
+
+    result = src.mapInPandas(gen, schema=result_schema)
+
+    # -- infer_nesting: dotted output names repack into nested columns -----
+    if infer_nesting:
+        nests: dict[str, list[tuple[str, str]]] = {}
+        for nm in names:
+            if "." in nm:
+                nest, fld = nm.split(".", 1)
+                nests.setdefault(nest, []).append((nm.replace(".", "__"), fld))
+        for nest, pairs in nests.items():
+            zipped = F.arrays_zip(*[F.col(quote(a)).alias(f) for a, f in pairs]).alias(nest)
+            keep = [c for c in result.columns if c not in {a for a, _ in pairs}]
+            result = result.select(*[F.col(quote(c)) for c in keep], zipped)
+        # rename non-dotted aliased outputs back
+        for nm in names:
+            if "." not in nm and nm.replace(".", "__") != nm:
+                result = result.withColumnRenamed(nm.replace(".", "__"), nm)
+    else:
+        for nm in names:
+            alias = nm.replace(".", "__")
+            if alias != nm:
+                result = result.withColumnRenamed(alias, nm)
+    return result
+
+
+def _to_py(v: Any) -> Any:
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    return v

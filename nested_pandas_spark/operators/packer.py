@@ -1,0 +1,179 @@
+"""Pack / unpack operators: flat child table <-> nested column.
+
+The reference's central operator is ``join_nested`` (pack a flat child table
+into one ``array<struct>`` cell per base row, then join;
+``src/nested_pandas/nestedframe/core.py:469-557``, ``series/packer.py:26-117``).
+
+Spark-first design:
+
+* pack       = ``child.groupBy(keys).agg(collect_list(struct(payload)))``
+               -- ONE shuffle on the join key; partial aggregation
+               (ObjectHashAggregate) combines map-side.
+* join       = plain equi-join; Catalyst chooses broadcast vs sort-merge.
+               When the packed child and the base share the grouping key the
+               shuffle from the aggregation is REUSED for the join (same
+               hash partitioning), so pack+join costs a single shuffle of the
+               child table -- the minimum possible at any scale.
+* from_lists = ``arrays_zip`` (zero shuffle: struct-of-arrays ->
+               array-of-structs per row, the transposition the reference does
+               with offset surgery in ``series/utils.py:236-301``).
+
+Determinism: ``collect_list`` order after a shuffle is not deterministic.
+The reference stable-sorts children by key, preserving input order within a
+group (``packer.py:99``). For reproducible results pass ``sort_within=[cols]``
+and we sort each cell's elements with an ``array_sort`` comparator after
+collection (per-row, no extra shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.nested import quote
+
+__all__ = ["pack", "join_nested", "from_flat", "from_lists", "nest_lists", "sort_comparator_sql"]
+
+
+def sort_comparator_sql(
+    sort_keys: list[str | tuple[str, bool]], left: str = "__l", right: str = "__r"
+) -> str:
+    """Build an ``array_sort`` comparator lambda body for multi-key struct sort.
+
+    ``sort_keys``: field names, or ``(field, ascending)`` tuples. NULLs sort
+    first on ascending keys (matching pandas ``na_position`` default is
+    'last'; we use nulls-last to match pandas sort_values default).
+    """
+    terms: list[str] = []
+    for key in sort_keys:
+        fld, asc = (key, True) if isinstance(key, str) else key
+        lf, rf = f"{left}.{quote(fld)}", f"{right}.{quote(fld)}"
+        lt, gt = ("-1", "1") if asc else ("1", "-1")
+        terms.append(
+            f"WHEN {lf} IS NULL AND {rf} IS NULL THEN 0 "
+            f"WHEN {lf} IS NULL THEN 1 "
+            f"WHEN {rf} IS NULL THEN -1 "
+            f"WHEN {lf} < {rf} THEN {lt} WHEN {lf} > {rf} THEN {gt}"
+        )
+    chain = " ".join(terms)
+    return f"CASE {chain} ELSE 0 END"
+
+
+def _normalize_keys(on: str | list[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def pack(
+    child: DataFrame,
+    name: str,
+    on: str | list[str],
+    columns: list[str] | None = None,
+    sort_within: list[str | tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """Pack a flat child table into one nested cell per key.
+
+    Returns a DataFrame ``(*keys, name: array<struct<payload>>)``.
+    NULL join keys are rejected, matching the reference
+    (``series/packer.py:104-116`` raises on NaN index values).
+    """
+    keys = _normalize_keys(on)
+    payload = columns or [c for c in child.columns if c not in keys]
+    null_key = " OR ".join(f"{quote(k)} IS NULL" for k in keys)
+    child = child.where(f"NOT ({null_key})")
+    packed = child.groupBy(*keys).agg(
+        F.collect_list(F.struct(*[F.col(quote(c)) for c in payload])).alias(name)
+    )
+    if sort_within:
+        cmp = sort_comparator_sql(sort_within)
+        packed = packed.withColumn(
+            name, F.expr(f"array_sort({quote(name)}, (__l, __r) -> {cmp})")
+        )
+    return packed
+
+
+def join_nested(
+    base: DataFrame,
+    child: DataFrame,
+    name: str,
+    on: str | list[str],
+    how: str = "left",
+    columns: list[str] | None = None,
+    sort_within: list[str | tuple[str, bool]] | None = None,
+    broadcast_packed: bool = False,
+) -> DataFrame:
+    """Pack ``child`` rows sharing a key into a nested column joined to ``base``.
+
+    ``how`` in {left, inner, right, outer} as in the reference
+    (``core.py:469-557``). Base rows with no children get a NULL cell on
+    left/outer (same as the reference's missing-cell semantics).
+
+    Scale notes: the aggregation and the join hash-partition on the same key,
+    so Spark reuses the exchange — one shuffle of the child total. Set
+    ``broadcast_packed=True`` when the packed child is small (dimension-sized)
+    to skip shuffling the base entirely.
+    """
+    packed = pack(child, name, on=on, columns=columns, sort_within=sort_within)
+    if broadcast_packed:
+        packed = F.broadcast(packed)
+    keys = _normalize_keys(on)
+    return base.join(packed, on=keys, how=how)
+
+
+def from_flat(
+    df: DataFrame,
+    base_columns: list[str],
+    on: str | list[str],
+    nested_columns: list[str] | None = None,
+    name: str = "nested",
+) -> DataFrame:
+    """Split a single flat table into base columns + a packed nested column.
+
+    Reference: ``NestedFrame.from_flat`` (``core.py:595-658``): base columns
+    are deduplicated per key (first value), remaining columns pack under
+    ``name``. One shuffle (the groupBy).
+    """
+    keys = _normalize_keys(on)
+    nested_cols = nested_columns or [
+        c for c in df.columns if c not in set(base_columns) | set(keys)
+    ]
+    aggs: list[Column] = [F.first(F.col(quote(c)), ignorenulls=False).alias(c) for c in base_columns]
+    aggs.append(F.collect_list(F.struct(*[F.col(quote(c)) for c in nested_cols])).alias(name))
+    null_key = " OR ".join(f"{quote(k)} IS NULL" for k in keys)
+    return df.where(f"NOT ({null_key})").groupBy(*keys).agg(*aggs)
+
+
+def from_lists(
+    df: DataFrame,
+    list_columns: list[str] | None = None,
+    base_columns: list[str] | None = None,
+    name: str = "nested",
+) -> DataFrame:
+    """Zip list-valued columns into one nested column.
+
+    Reference: ``NestedFrame.from_lists`` (``core.py:660-743``). Spark's
+    ``arrays_zip`` is the exact list-of-structs transposition — per-row, zero
+    shuffle. Shorter arrays are padded with NULL structs by arrays_zip; the
+    reference requires equal lengths, so validation is up to the caller (see
+    ``frame_explode`` for the validating path).
+    """
+    from pyspark.sql import types as T
+
+    if list_columns is None:
+        list_columns = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.ArrayType)
+            and (base_columns is None or f.name not in set(base_columns))
+        ]
+    if not list_columns:
+        raise ValueError("No list columns to pack")
+    keep = base_columns if base_columns is not None else [
+        c for c in df.columns if c not in set(list_columns)
+    ]
+    zipped = F.arrays_zip(*[F.col(quote(c)) for c in list_columns]).alias(name)
+    return df.select(*[F.col(quote(c)) for c in keep], zipped)
+
+
+def nest_lists(df: DataFrame, columns: list[str], name: str = "nested") -> DataFrame:
+    """Method-form of :func:`from_lists` (reference ``core.py:559-593``)."""
+    return from_lists(df, list_columns=columns, name=name)
