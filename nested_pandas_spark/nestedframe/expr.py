@@ -306,6 +306,9 @@ def split_assignment(expr: str) -> tuple[str | None, str]:
             holder = alias_map.get(tgt.value.id, tgt.value.id)
             fld = alias_map.get(tgt.attr, tgt.attr)
             target = f"{holder}.{fld}"
+        elif isinstance(tgt, ast.Attribute):
+            # a.b.c = ... — same restriction as the reference (core.py:317-318)
+            raise QueryCompileError("Only one level of nesting is supported")
         else:
             raise QueryCompileError("Unsupported assignment target")
         rhs = ast.get_source_segment(processed.strip(), assign.value)

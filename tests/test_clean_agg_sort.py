@@ -1,0 +1,141 @@
+"""dropna / fillna / count_nested / min-max / describe / sort_values tests
+(reference core.py:1699 dropna, :1351 fillna, utils.py:8 count_nested,
+core.py:949 min/max, :1099 describe, :1851 sort_values)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark import NestedFrame
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    """F6: nulls + empties."""
+    df = spark.createDataFrame(
+        [
+            (0, 1.0, [(1.0, 2.0), (None, 3.0)]),
+            (1, None, [(4.0, None)]),
+            (2, 3.0, []),
+            (3, 4.0, None),
+        ],
+        "id long, a double, nested array<struct<d double, e double>>",
+    )
+    return NestedFrame(df)
+
+
+def test_dropna_base(dirty):
+    out = dirty.dropna(subset="a")
+    assert sorted(r["id"] for r in out.collect()) == [0, 2, 3]
+
+
+def test_dropna_nested_elements(dirty):
+    out = dirty.dropna(subset="nested.d")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert len(rows) == 4  # base rows kept
+    assert len(rows[0]) == 1  # (None, 3.0) element removed
+    assert rows[0][0]["d"] == 1.0
+    assert len(rows[1]) == 1  # d=4.0 kept (e is null but not targeted)
+    assert rows[2] == []
+    assert rows[3] is None
+
+
+def test_dropna_whole_nest_any(dirty):
+    out = dirty.dropna(on_nested="nested")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert len(rows[0]) == 1  # both elements with any-null dropped
+    assert len(rows[1]) == 0
+
+
+def test_dropna_single_layer_rule(dirty):
+    with pytest.raises(ValueError, match="one layer"):
+        dirty.dropna(subset=["a", "nested.d"])
+
+
+def test_fillna_dict(dirty):
+    out = dirty.fillna({"a": -1.0, "nested.d": 0.0})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["a"] == -1.0
+    assert rows[0]["nested"][1]["d"] == 0.0
+    assert rows[0]["nested"][1]["e"] == 3.0
+
+
+def test_fillna_scalar(dirty):
+    out = dirty.fillna(0.0)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["nested"][0]["e"] == 0.0
+
+
+def test_count_nested(packed):
+    out = packed.count_nested("nested")
+    assert all(r["n_nested"] == 3 for r in out.collect())
+
+
+def test_count_nested_by(packed):
+    out = packed.count_nested("nested", by="band")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[0]["n_nested_r"] == 2
+    assert rows[0]["n_nested_g"] == 1
+
+
+def test_count_nested_null_cell(spark, sources):
+    base = spark.createDataFrame([(0, 1.0, 1.0), (99, 1.0, 1.0)], "id long, a double, b double")
+    ndf = NestedFrame(base).join_nested(sources, "nested", on="id")
+    out = ndf.count_nested("nested", by="band", values=["r", "g"])
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[99]["n_nested_r"] == 0  # zero-filled, not NULL
+
+
+def test_minmax(packed):
+    mx = packed.max().collect()[0]
+    assert mx["b"] == 1.8
+    assert mx["nested.flux"] == 22.0
+    mn = packed.min().collect()[0]
+    assert mn["nested.t"] == 0.0
+
+
+def test_describe_exact_quantiles(packed):
+    out = packed.describe(columns=["nested.flux"]).collect()[0]
+    assert out["count"] == 9
+    assert out["mean"] == pytest.approx(11.0)
+    assert out["p50"] == pytest.approx(11.0)
+    assert out["min"] == 0.0 and out["max"] == 22.0
+
+
+def test_sort_values_base(packed):
+    out = packed.sort_values("a", ascending=False)
+    assert [r["id"] for r in out.collect()] == [2, 1, 0]
+
+
+def test_sort_values_nested(packed):
+    out = packed.sort_values("nested.flux", ascending=False)
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert [e["flux"] for e in rows[0]] == [2.0, 1.0, 0.0]
+
+
+def test_sort_values_nested_multikey(packed):
+    out = packed.sort_values(["nested.band", "nested.t"], ascending=[True, False])
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert [(e["band"], e["t"]) for e in rows[0]] == [("g", 1.0), ("r", 2.0), ("r", 0.0)]
+
+
+def test_sort_values_cross_layer_rejected(packed):
+    with pytest.raises(ValueError, match="same layer"):
+        packed.sort_values(["a", "nested.t"])
+
+
+def test_sort_nulls_last(spark):
+    df = spark.createDataFrame(
+        [(0, [(None,), (2.0,), (1.0,)])], "id long, n array<struct<v double>>"
+    )
+    out = NestedFrame(df).sort_values("n.v")
+    vals = [e["v"] for e in out.collect()[0]["n"]]
+    assert vals == [1.0, 2.0, None]
+
+
+def test_nest_agg(packed):
+    out = packed.nest_agg("nested", "flux", "mean", alias="mean_flux")
+    rows = {r["id"]: r["mean_flux"] for r in out.collect()}
+    assert rows[0] == pytest.approx(1.0)
+    assert rows[2] == pytest.approx(21.0)

@@ -1,0 +1,125 @@
+"""map_rows (reference core.py:2207) and nested parquet I/O
+(reference io.py:36-212) tests."""
+
+import numpy as np
+import pytest
+
+from nested_pandas_spark import NestedFrame, read_parquet
+
+
+def test_map_rows_scalar_output(packed):
+    out = packed.map_rows(
+        lambda a, flux: float(np.mean(flux) + a),
+        columns=["a", "nested.flux"],
+        output_names=["score"],
+        append_columns=True,
+    )
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert rows[0] == pytest.approx(1.0 + 0.1)
+    assert rows[2] == pytest.approx(21.0 + 0.9)
+
+
+def test_map_rows_multi_output(packed):
+    def amplitude(flux):
+        return float(np.max(flux) - np.min(flux)), float(np.mean(flux))
+
+    out = packed.map_rows(
+        amplitude, columns=["nested.flux"], output_names=["amp", "mean_flux"],
+        append_columns=True,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["amp"] == pytest.approx(2.0)
+    assert rows[1]["mean_flux"] == pytest.approx(11.0)
+
+
+def test_map_rows_dict_container(packed):
+    out = packed.map_rows(
+        lambda row: float(np.sum(row["nested.flux"])),
+        columns=["nested.flux"],
+        row_container="dict",
+        output_names=["total"],
+        append_columns=True,
+    )
+    rows = {r["id"]: r["total"] for r in out.collect()}
+    assert rows[0] == pytest.approx(3.0)
+
+
+def test_map_rows_infer_nesting(packed):
+    def normalize(flux):
+        m = np.mean(flux)
+        return (flux - m, flux * 0 + m)
+
+    out = packed.map_rows(
+        normalize,
+        columns=["nested.flux"],
+        output_names=["res.centered", "res.mean"],
+        append_columns=True,
+    )
+    assert "res" in out.nested_columns
+    rows = {r["id"]: r["res"] for r in out.collect()}
+    assert [e["centered"] for e in rows[0]] == pytest.approx([-1.0, 0.0, 1.0])
+
+
+def test_map_rows_array_output(packed):
+    out = packed.map_rows(
+        lambda t: (t * 2).tolist(),
+        columns=["nested.t"],
+        output_names=["t2"],
+        append_columns=True,
+    )
+    row = {r["id"]: r["t2"] for r in out.collect()}
+    assert row[0] == [0.0, 2.0, 4.0]
+
+
+def test_parquet_roundtrip(tmp_path, packed):
+    p = str(tmp_path / "packed.parquet")
+    packed.to_parquet(p)
+    spark = packed.df.sparkSession
+    back = NestedFrame(read_parquet(spark, p))
+    assert sorted(back.columns) == sorted(packed.columns)
+    assert back.count() == 3
+    assert set(back.nested_fields("nested")) == set(packed.nested_fields("nested"))
+
+
+def test_read_parquet_dotted_columns(tmp_path, packed):
+    p = str(tmp_path / "packed2.parquet")
+    packed.to_parquet(p)
+    spark = packed.df.sparkSession
+    out = read_parquet(spark, p, columns=["id", "nested.flux"])
+    assert out.columns == ["id", "nested"]
+    ndf = NestedFrame(out)
+    assert ndf.nested_fields("nested") == ["flux"]
+
+
+def test_read_struct_of_lists_autocast(tmp_path, spark):
+    """nested-pandas writes struct-of-lists parquet; we must auto-cast."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "id": pa.array([0, 1], pa.int64()),
+            "nested": pa.array(
+                [{"t": [1.0, 2.0], "flux": [5.0, 6.0]}, {"t": [3.0], "flux": [7.0]}],
+                pa.struct({"t": pa.list_(pa.float64()), "flux": pa.list_(pa.float64())}),
+            ),
+        }
+    )
+    p = str(tmp_path / "sol.parquet")
+    pq.write_table(tbl, p)
+    out = NestedFrame(read_parquet(spark, p))
+    assert out.nested_columns == ["nested"]
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert [e["t"] for e in rows[0]] == [1.0, 2.0]
+    assert [e["flux"] for e in rows[1]] == [7.0]
+
+
+def test_generate_data(spark):
+    from nested_pandas_spark.datasets import generate_data
+
+    df = generate_data(spark, n_base=5, n_layer=4, seed=1)
+    ndf = NestedFrame(df)
+    assert ndf.count() == 5
+    assert ndf.nested_columns == ["nested"]
+    assert all(len(r["nested"]) == 4 for r in ndf.collect())

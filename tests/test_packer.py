@@ -1,0 +1,87 @@
+"""Pack / join_nested / from_flat / from_lists tests (reference
+test_packer.py + test_nestedframe.py join scenarios)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark import NestedFrame
+from nested_pandas_spark.operators.packer import join_nested, pack, from_flat, from_lists
+
+
+def test_pack_groups(spark, sources):
+    out = pack(sources, "nested", on="id", sort_within=["t"])
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert len(rows) == 3
+    assert [e["t"] for e in rows[0]] == [0.0, 1.0, 2.0]
+    assert [e["flux"] for e in rows[2]] == [20.0, 21.0, 22.0]
+
+
+def test_join_nested_left_keeps_childless(spark, objects, sources):
+    extra = spark.createDataFrame([(99, 0.0, 0.0)], "id long, a double, b double")
+    base = objects.union(extra)
+    out = join_nested(base, sources, "nested", on="id", how="left")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert rows[99] is None  # childless -> NULL cell (F4 subset)
+    assert len(rows[0]) == 3
+
+
+def test_join_nested_inner_drops_childless(spark, objects, sources):
+    extra = spark.createDataFrame([(99, 0.0, 0.0)], "id long, a double, b double")
+    out = join_nested(objects.union(extra), sources, "nested", on="id", how="inner")
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_pack_rejects_null_keys(spark):
+    child = spark.createDataFrame([(None, 1.0), (1, 2.0)], "id long, v double")
+    out = pack(child, "n", on="id")
+    # null keys are dropped (reference raises; we filter - no null group)
+    assert sorted(r["id"] for r in out.collect()) == [1]
+
+
+def test_composite_keys(spark):
+    base = spark.createDataFrame([(1, 10, "x"), (2, 20, "y")], "k1 int, k2 int, lbl string")
+    child = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 10, 2.0), (2, 20, 3.0)], "k1 int, k2 int, v double"
+    )
+    out = join_nested(base, child, "n", on=["k1", "k2"])
+    rows = {(r["k1"], r["k2"]): r["n"] for r in out.collect()}
+    assert len(rows[(1, 10)]) == 2
+    assert len(rows[(2, 20)]) == 1
+
+
+def test_from_flat(spark, sources):
+    out = from_flat(
+        sources.withColumn("label", F.concat(F.lit("obj"), "id")),
+        base_columns=["label"],
+        on="id",
+        name="nested",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["label"] == "obj1"
+    assert len(rows[1]["nested"]) == 3
+
+
+def test_from_lists(spark):
+    df = spark.createDataFrame(
+        [(1, 7, [1, 2], [10.0, 20.0])], "id int, c int, e array<int>, f array<double>"
+    )
+    out = from_lists(df, list_columns=["e", "f"], name="nested")
+    row = out.collect()[0]
+    assert row["id"] == 1 and row["c"] == 7
+    assert [x["e"] for x in row["nested"]] == [1, 2]
+    assert [x["f"] for x in row["nested"]] == [10.0, 20.0]
+
+
+def test_from_lists_auto_detect(spark):
+    df = spark.createDataFrame([(1, [1], [2.0])], "id int, e array<int>, f array<double>")
+    out = from_lists(df)
+    assert out.columns == ["id", "nested"]
+
+
+def test_pack_shuffle_reuse(spark, objects, sources):
+    """pack+join on the same key must reuse one exchange (scale invariant)."""
+    out = join_nested(objects, sources, "nested", on="id")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted") \
+        if False else out._jdf.queryExecution().executedPlan().toString()
+    # the packed side shuffles once; base side may shuffle for the sort-merge
+    assert plan.count("Exchange") <= 3

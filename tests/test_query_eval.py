@@ -1,0 +1,114 @@
+"""query / eval semantics (reference test_nestedframe.py:883 test_query,
+:2448 test_eval_assignment, test_accessor.py:549/:575 element-filter +
+drop-empty semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark import NestedFrame
+from nested_pandas_spark.nestedframe.expr import QueryCompileError
+
+
+def test_base_query(packed):
+    out = packed.query("a > 0.3")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_nested_query_keeps_rows(packed):
+    """Frame-level query keeps ALL base rows; emptied cells become NULL."""
+    out = packed.query("nested.flux > 100")  # nothing matches
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["nested"] is None for r in rows)
+
+
+def test_nested_query_filters_elements(packed):
+    out = packed.query("nested.t >= 1")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert all(len(v) == 2 for v in rows.values())
+    assert [e["t"] for e in rows[0]] == [1.0, 2.0]
+
+
+def test_nested_query_mixed_subcolumns(packed):
+    out = packed.query("nested.t + nested.flux > 21")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert rows[0] is None
+    assert len(rows[2]) == 2  # 21+1=22>21? t=1,flux=21 -> 22>21 yes; t=2,flux=22 -> 24
+
+
+def test_nested_query_base_broadcast(packed):
+    """Base columns are in scope inside the element predicate."""
+    out = packed.query("nested.flux > 10 * b")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    # id0: b=1.0, flux {0,1,2} -> none survive -> NULL cell
+    # id1: b=0.2, flux {10,11,12} all > 2 -> 3 survive
+    # id2: b=1.8, flux {20,21,22} all > 18 -> 3 survive
+    assert rows[0] is None
+    assert len(rows[1]) == 3 and len(rows[2]) == 3
+
+
+def test_query_drop_empty(packed):
+    out = packed.query_drop_empty("nested.flux > 15")
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [2]
+
+
+def test_query_env_and_in(packed):
+    out = packed.query("nested.band in ['r'] and nested.t >= @lo", env={"lo": 2})
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert all(v is not None and all(e["band"] == "r" for e in v) for v in rows.values())
+
+
+def test_eval_new_base_column(packed):
+    out = packed.eval("c = a + b")
+    row = {r["id"]: r["c"] for r in out.collect()}
+    assert row[0] == pytest.approx(1.1)
+
+
+def test_eval_new_subcolumn(packed):
+    out = packed.eval("nested.double_t = nested.t * 2")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert [e["double_t"] for e in rows[0]] == [0.0, 2.0, 4.0]
+    assert "double_t" in out.nested_fields("nested")
+
+
+def test_eval_base_broadcast_into_nest(packed):
+    out = packed.eval("nested.scaled = nested.flux + a")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert rows[1][0]["scaled"] == pytest.approx(10.0 + 0.5)
+
+
+def test_eval_new_nest(packed):
+    out = packed.eval("mynest.c = nested.t + 1")
+    assert "mynest" in out.nested_columns
+    rows = {r["id"]: r["mynest"] for r in out.collect()}
+    assert [e["c"] for e in rows[0]] == [1.0, 2.0, 3.0]
+
+
+def test_eval_replace_existing_subcolumn(packed):
+    out = packed.eval("nested.t = nested.t + 100")
+    rows = {r["id"]: r["nested"] for r in out.collect()}
+    assert [e["t"] for e in rows[0]] == [100.0, 101.0, 102.0]
+
+
+def test_eval_rejects_deep_nesting(packed):
+    with pytest.raises(QueryCompileError, match="one level"):
+        packed.eval("nested.a.b = 1")
+
+
+def test_eval_rejects_nested_to_base(packed):
+    with pytest.raises(QueryCompileError):
+        packed.eval("c = nested.t + 1")
+
+
+def test_query_multi_layer_rejected(packed, sources):
+    two = packed.join_nested(sources, "n2", on="id")
+    with pytest.raises(QueryCompileError, match="multiple structs"):
+        two.query("nested.t > n2.t")
+
+
+def test_nest_len_in_query(packed):
+    out = packed.query("nested.len() > 2")
+    assert out.count() == 3
+    out2 = packed.query("nested.t > 0").query("nested.len() >= 2")
+    assert out2.count() == 3

@@ -1,0 +1,106 @@
+"""explode / split / to_flat / to_lists / to_flatten_inner tests
+(reference test_nestedframe.py:2176 explode, :1760 split,
+test_accessor.py:177 to_flat, :1153 to_flatten_inner)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from nested_pandas_spark import NestedFrame
+
+
+def test_to_flat(packed):
+    flat = packed.to_flat("nested")
+    assert flat.count() == 9
+    assert set(flat.columns) == {"id", "a", "b", "t", "flux", "flux_error", "band"}
+
+
+def test_to_flat_column_subset(packed):
+    flat = packed.to_flat("nested", columns=["flux"])
+    assert set(flat.columns) == {"id", "a", "b", "flux"}
+
+
+def test_to_flat_skips_null_cells(packed, spark, sources):
+    base = spark.createDataFrame([(0, 0.0, 0.0), (99, 0.0, 0.0)], "id long, a double, b double")
+    ndf = NestedFrame(base).join_nested(sources, "nested", on="id")
+    assert ndf.to_flat("nested").count() == 3  # id 99 contributes nothing
+
+
+def test_to_lists(packed):
+    out = packed.to_lists("nested")
+    row = {r["id"]: r for r in out.collect()}[0]
+    assert row["t"] == [0.0, 1.0, 2.0]
+    assert row["band"] == ["r", "g", "r"]
+
+
+def test_frame_explode_nested(packed):
+    out = packed.explode("nested")
+    assert out.count() == 9
+    assert "t" in out.columns and "a" in out.columns
+
+
+def test_frame_explode_multi_aligned(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2], [10.0, 20.0]), (2, [3], [30.0])],
+        "id int, e array<int>, f array<double>",
+    )
+    out = NestedFrame(df).explode(["e", "f"])
+    rows = sorted((r["id"], r["e"], r["f"]) for r in out.collect())
+    assert rows == [(1, 1, 10.0), (1, 2, 20.0), (2, 3, 30.0)]
+
+
+def test_frame_explode_mismatch_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2], [10.0])], "id int, e array<int>, f array<double>"
+    )
+    with pytest.raises(Exception, match="lengths"):
+        NestedFrame(df).explode(["e", "f"]).df.collect()
+
+
+def test_split(packed):
+    out = packed.split("nested", by="band")
+    assert "nested_r" in out.columns and "nested_g" in out.columns
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows[0]["nested_r"]) == 2
+    assert len(rows[0]["nested_g"]) == 1
+    assert "nested" not in out.columns
+
+
+def test_split_drop_by_col(packed):
+    out = packed.split("nested", by="band", values=["r"], drop_by_col=True)
+    fields = out.nested_fields("nested_r")
+    assert "band" not in fields
+
+
+def test_double_nesting_and_flatten_inner(spark, objects, sources):
+    inner = NestedFrame(objects).join_nested(sources, "inner_n", on="id", sort_within=["t"])
+    # pack the already-packed frame again under a coarser key (F7 fixture)
+    grouped = NestedFrame(
+        spark.createDataFrame([(1,)], "g int")
+    ).join_nested(inner.df.withColumn("g", F.lit(1)), "outer_n", on="g")
+    assert "outer_n" in grouped.nested_columns
+    flattened = grouped.to_flatten_inner("outer_n", "inner_n")
+    row = flattened.collect()[0]
+    assert len(row["outer_n"]) == 9  # 3 objects x 3 inner each
+    fields = flattened.nested_fields("outer_n")
+    assert "t" in fields and "a" in fields and "inner_n" not in fields
+
+
+def test_sub_column_selection(packed):
+    out = packed.select_nested_fields("nested", ["t", "band"])
+    assert out.nested_fields("nested") == ["t", "band"]
+
+
+def test_drop_subcolumn(packed):
+    out = packed.drop("nested.flux_error")
+    assert "flux_error" not in out.nested_fields("nested")
+
+
+def test_drop_all_fields_raises(packed):
+    with pytest.raises(ValueError, match="all fields"):
+        packed.drop(["nested.t", "nested.flux", "nested.flux_error", "nested.band"])
+
+
+def test_set_nested_field_from_sql(packed):
+    out = packed.set_nested_field("nested.mag", "22.5 - 2.5 * log10(nested.flux + 1)")
+    assert "mag" in out.nested_fields("nested")
