@@ -1,0 +1,135 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, document
+fingerprinting. All pure built-in expressions (regexp / split / aggregate
+HOFs) — JVM-side, codegen'd, zero Python in the hot path, so they scan at
+parquet speed on any cluster. Patterns are kept RE2-safe so a DuckDB oracle
+can mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "bpe_ish_token_count",
+    "words",
+    "word_ngrams",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "add_text_stats",
+    "STOPWORDS",
+]
+
+# Tiny stopword lists per language. Deliberately small and hard-coded: the
+# heuristic needs only a handful of very high-frequency function words.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "den", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "des", "un", "une", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "de", "y", "en", "que", "por"],
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols.
+# (RE2-compatible: no lookarounds.)
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens (empty strings removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), "\\s+"), lambda w: w != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE-style regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), F.lit(0)))
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Word n-gram shingles (space-joined), per document. Built with a
+    transform over token positions — no UDF."""
+    # positions 0 .. size-n ; slice(arr, i+1, n) is 1-based
+    return _ngrams_from_words(words(text), n)
+
+
+def _ngrams_from_words(w: Column, n: int) -> Column:
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - F.lit(n), F.lit(-1))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.when(F.size(w) >= n, joined).otherwise(F.array().cast("array<string>"))
+
+
+def _stopword_hits(w: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column | str, alias: str = "lang_pred") -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts.
+
+    Returns 'und' when no language scores a hit. Deterministic tie-break by
+    language code order (en < de < fr < es resolved by greatest-first scan).
+    """
+    w = words(text)
+    scores = [(lang, _stopword_hits(w, lang)) for lang in STOPWORDS]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties
+    for lang, score in reversed(scores):
+        take = score >= best_score
+        # strictly-greater for later langs, >= for earlier => earlier wins ties
+        best = F.when(score >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(score >= best_score, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und")).alias(alias)
+
+
+def quality_score(text: Column | str, alias: str = "quality") -> Column:
+    """Composite quality in [0,1]: length band + punctuation ratio +
+    stopword presence + mean word length band. The usual cheap pre-filter
+    before expensive dedup/model scoring."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = words(c)
+    n_chars = F.length(c)
+    n_words = F.size(w)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit("[,.!?;:]"), F.lit(0)))
+    sw = F.size(F.filter(w, lambda t: F.array_contains(
+        F.array(*[F.lit(s) for s in STOPWORDS["en"]]), t)))
+    mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 200) & (n_chars <= 50000), 1.0).otherwise(0.0)
+    punct_ok = F.when((n_chars > 0) & (n_punct / n_chars <= 0.1), 1.0).otherwise(0.0)
+    sw_ok = F.when((n_words > 0) & (sw / n_words >= 0.05), 1.0).otherwise(0.0)
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.0)
+    return ((len_ok + punct_ok + sw_ok + wlen_ok) / 4.0).alias(alias)
+
+
+def fingerprint(text: Column | str, alias: str = "fingerprint") -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lower-cased text. Stable across engines (md5 is bit-identical in Spark
+    and DuckDB), suitable as an exact-dup grouping key."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    return F.md5(normalized).alias(alias)
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: append token_count, bpe token count, lang_pred, quality,
+    fingerprint columns in one pass (single projection, one scan)."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        lang_id(text_col),
+        quality_score(text_col),
+        fingerprint(text_col),
+    )
