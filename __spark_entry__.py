@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises engine operators from SURVEY.md §2 (or a
+beyond-reference pipeline operator) and returns a FLAT result frame; the
+matching ``oracle_sql()`` entry is the same computation in DuckDB SQL.
+
+Float policy for hash-stable comparison: money aggregates are emitted as
+``ROUND(sum * 10^k)`` BIGINTs (exact: inputs have <=4 decimal digits, sums
+stay far below 2^53); dates as 'yyyy-MM-dd' strings; timestamps as epoch
+seconds; unavoidable floats rounded to a tolerant number of digits.
 """
 
 from __future__ import annotations
@@ -12,27 +15,649 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from nested_pandas_spark import NestedFrame
+from nested_pandas_spark.pipeline import dedup as dd
+from nested_pandas_spark.pipeline import similarity as sim
+from nested_pandas_spark.pipeline import text as tx
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
+        # read as raw int64 nanos (runtime-settable legacy conf).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _orders_items(spark: SparkSession, sf_dir: str, sort_within=None) -> NestedFrame:
+    """orders with lineitem packed under 'items' (the engine's central op)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    return NestedFrame(orders).join_nested(li, "items", on="o_orderkey", how="left",
+                                           sort_within=sort_within)
+
+
+def _e(col: str, k: int = 2) -> F.Column:
+    """ROUND(col * 10^k) as BIGINT — exact for fixed-decimal money values."""
+    return F.expr(f"CAST(ROUND(({col}) * {10**k}) AS BIGINT)")
+
+
+# --------------------------------------------------------------------------
+# reference-surface queries
+# --------------------------------------------------------------------------
+
+def q01_pack_count(spark, sf):
+    ndf = _orders_items(spark, sf)
+    out = ndf.count_nested("items")
+    return out.df.select("o_orderkey", F.col("n_items").cast("long").alias("n_items"))
+
+
+def q02_nested_filter(spark, sf):
+    ndf = _orders_items(spark, sf).query("items.l_quantity > 30")
+    return ndf.df.select("o_orderkey", F.size("items").cast("long").alias("n_hi"))
+
+
+def q03_explode_roundtrip(spark, sf):
+    ndf = _orders_items(spark, sf)
+    flat = ndf.to_flat("items", keys=["o_orderkey"])
+    return flat.df.select(
+        "o_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_quantity",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+def q04_count_by(spark, sf):
+    ndf = _orders_items(spark, sf).count_nested("items", by="l_returnflag",
+                                                values=["A", "N", "R"])
+    return ndf.df.select(
+        "o_orderkey",
+        F.col("n_items_A").cast("long").alias("n_a"),
+        F.col("n_items_N").cast("long").alias("n_n"),
+        F.col("n_items_R").cast("long").alias("n_r"),
+    )
+
+
+def q05_reduce_sum(spark, sf):
+    ndf = _orders_items(spark, sf)
+    ndf = ndf.nest_agg("items", "l_extendedprice", "sum", alias="sum_price")
+    ndf = ndf.count_nested("items")
+    return ndf.df.select(
+        "o_orderkey",
+        _e("sum_price").alias("sum_price_e2"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+def q06_sort_first(spark, sf):
+    ndf = _orders_items(spark, sf)
+    ndf = NestedFrame(ndf.df.where(F.size("items") > 0))
+    ndf = ndf.sort_values(["items.l_shipdate", "items.l_linenumber"])
+    return ndf.df.select(
+        "o_orderkey",
+        F.expr("items[0].l_linenumber").cast("long").alias("first_ln"),
+        F.date_format(F.expr("items[0].l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+    )
+
+
+def q07_eval_revenue(spark, sf):
+    ndf = _orders_items(spark, sf)
+    ndf = ndf.eval("items.revenue = items.l_extendedprice * (1 - items.l_discount)")
+    ndf = ndf.nest_agg("items", "revenue", "sum", alias="rev")
+    return ndf.df.select("o_orderkey", _e("rev", 4).alias("revenue_e4"))
+
+
+def q08_split(spark, sf):
+    ndf = _orders_items(spark, sf).split("items", by="l_returnflag",
+                                         values=["A", "N", "R"])
+    df = ndf.df
+    out = df.select(
+        "o_orderkey",
+        F.coalesce(F.size("items_A"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.size("items_N"), F.lit(0)).cast("long").alias("n_n"),
+        F.coalesce(F.size("items_R"), F.lit(0)).cast("long").alias("n_r"),
+        F.when(
+            F.size("items_A") > 0,
+            F.expr(
+                "CAST(ROUND(aggregate(transform(items_A, x -> x.l_quantity), "
+                "CAST(0.0 AS DOUBLE), (a, v) -> a + v) * 100) AS BIGINT)"
+            ),
+        ).alias("sum_qty_a_e2"),
+    )
+    return out
+
+
+def q09_dropna(spark, sf):
+    orders = _t(spark, sf, "orders")
+    li = (
+        _t(spark, sf, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .withColumn("q30", F.when(F.col("l_quantity") > 30, F.col("l_quantity")))
+    )
+    ndf = NestedFrame(orders).join_nested(li, "items", on="o_orderkey", how="left")
+    ndf = ndf.dropna(subset="items.q30")
+    ndf = ndf.nest_agg("items", "q30", "sum", alias="sum_q30")
+    return ndf.df.select(
+        "o_orderkey",
+        F.coalesce(F.size("items"), F.lit(0)).cast("long").alias("n_hi"),
+        F.when(F.size("items") > 0, _e("sum_q30")).alias("sum_q30_e2"),
+    )
+
+
+def q10_fillna(spark, sf):
+    orders = _t(spark, sf, "orders")
+    li = (
+        _t(spark, sf, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .withColumn("d_or_null", F.when(F.col("l_discount") > 0, F.col("l_discount")))
+    )
+    ndf = NestedFrame(orders).join_nested(li, "items", on="o_orderkey", how="left")
+    ndf = ndf.fillna({"items.d_or_null": 0.99})
+    ndf = ndf.nest_agg("items", "d_or_null", "sum", alias="sum_d")
+    return ndf.df.select("o_orderkey", _e("sum_d").alias("sum_d_e2"))
+
+
+def q11_lists_roundtrip(spark, sf):
+    ndf = _orders_items(spark, sf)
+    lists = ndf.to_lists("items", columns=["l_quantity", "l_linenumber"])
+    back = NestedFrame.from_lists(lists.df, list_columns=["l_quantity", "l_linenumber"],
+                                  name="items")
+    flat = back.explode("items")
+    out = (
+        flat.df.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT)").alias("sum_qty_e2"),
+        )
+    )
+    return out
+
+
+def q12_minmax(spark, sf):
+    ndf = _orders_items(spark, sf)
+    mx = ndf.max(columns=["o_totalprice", "items.l_quantity", "items.l_extendedprice"])
+    mn = ndf.min(columns=["o_totalprice", "items.l_quantity", "items.l_extendedprice"])
+    mxr = mx.select(
+        F.expr("CAST(ROUND(`o_totalprice` * 100) AS BIGINT)").alias("max_total_e2"),
+        F.expr("CAST(ROUND(`items.l_quantity` * 100) AS BIGINT)").alias("max_qty_e2"),
+        F.expr("CAST(ROUND(`items.l_extendedprice` * 100) AS BIGINT)").alias("max_price_e2"),
+    )
+    mnr = mn.select(
+        F.expr("CAST(ROUND(`o_totalprice` * 100) AS BIGINT)").alias("min_total_e2"),
+        F.expr("CAST(ROUND(`items.l_quantity` * 100) AS BIGINT)").alias("min_qty_e2"),
+        F.expr("CAST(ROUND(`items.l_extendedprice` * 100) AS BIGINT)").alias("min_price_e2"),
+    )
+    return mxr.crossJoin(mnr)
+
+
+def q13_describe(spark, sf):
+    ndf = _orders_items(spark, sf)
+    d = ndf.describe(columns=["items.l_extendedprice"], exact=True)
+    return d.select(
+        F.col("count").cast("long").alias("n"),
+        _e("mean").alias("mean_e2"),
+        F.round("std", 2).alias("std_r2"),
+        _e("min").alias("min_e2"),
+        _e("p25", 4).alias("p25_e4"),
+        _e("p50", 4).alias("p50_e4"),
+        _e("p75", 4).alias("p75_e4"),
+        _e("max").alias("max_e2"),
+    )
+
+
+def q14_double_nested(spark, sf):
+    cust = _t(spark, sf, "customer")
+    inner = _orders_items(spark, sf)
+    two = NestedFrame(cust).join_nested(
+        inner.df.withColumnRenamed("o_custkey", "c_custkey"), "orders",
+        on="c_custkey", how="left",
+    )
+    flat = two.to_flatten_inner("orders", "items")
+    return flat.df.select(
+        "c_custkey",
+        F.coalesce(F.size("orders"), F.lit(0)).cast("long").alias("n_li"),
+        F.when(
+            F.size("orders") > 0,
+            F.expr(
+                "CAST(ROUND(aggregate(transform(orders, x -> x.l_quantity), "
+                "CAST(0.0 AS DOUBLE), (a, v) -> a + v) * 100) AS BIGINT)"
+            ),
+        ).alias("sum_qty_e2"),
+    )
+
+
+def q15_query_base(spark, sf):
+    ndf = NestedFrame(_t(spark, sf, "orders"))
+    out = ndf.query("o_totalprice > @thr and o_orderstatus != @st",
+                    env={"thr": 300000.0, "st": "X"})
+    return out.df.select("o_orderkey", "o_orderstatus",
+                         _e("o_totalprice").alias("total_e2"))
+
+
+def q16_sort_limit(spark, sf):
+    ndf = NestedFrame(_t(spark, sf, "orders"))
+    out = ndf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).limit(10)
+    return out.df.select("o_orderkey", _e("o_totalprice").alias("total_e2"))
+
+
+# --------------------------------------------------------------------------
+# beyond-reference pipeline queries
+# --------------------------------------------------------------------------
+
+def q17_text_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = tx.add_text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe"),
+        "lang_pred",
+        "quality",
+        "fingerprint",
+    )
+
+
+def q18_exact_dedup(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = dd.exact_dedup(docs, "doc_id")
+    return out.select("fp", F.col("doc_id").cast("long").alias("keep_id"),
+                      F.col("n_dups").cast("long").alias("n_dups"))
+
+
+def q19_minhash_lsh(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dd.lsh_candidate_pairs(docs, "doc_id", num_hashes=8, bands=4, shingle_n=3)
+
+
+def q20_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = dd.ngram_jaccard_pairs(docs, "doc_id", shingle_n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
+
+
+def q21_simhash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", dd.simhash("text", bits=32, shingle_n=2).alias("simhash32")
+    )
+
+
+def q22_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = sim.brute_force_topk(emb, queries, k=3)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def q23_events_hourly(spark, sf):
+    ev = _t(spark, sf, "events")  # ts arrives as int64 nanoseconds
+    hour_epoch = F.expr("(ts DIV 3600000000000) * 3600")  # exact integer division
+    return (
+        ev.groupBy("event_type", hour_epoch.alias("hour_epoch"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def q24_sessionize(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")  # ts arrives as int64 nanoseconds
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = F.col("ts") - F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap_ns > 1800 * 1_000_000_000, 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum("new_sess") + 1).cast("long").alias("n_sessions"),
+    )
+
+
+def q25_srp_bucket(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.select("vec_id", sim.srp_bucket(F.col("embedding"), 8).alias("bucket"))
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pack lineitem under orders, element-filter, per-flag counts,
+    revenue eval — the engine's central operators in one plan."""
+    ndf = _orders_items(spark, SF_DEFAULT)
+    ndf = ndf.query("items.l_quantity > 30")
+    ndf = ndf.eval("items.revenue = items.l_extendedprice * (1 - items.l_discount)")
+    ndf = ndf.count_nested("items", by="l_returnflag", values=["A", "N", "R"])
+    ndf = ndf.nest_agg("items", "revenue", "sum", alias="hi_revenue")
+    return ndf.df.select(
+        "o_orderkey", "n_items_A", "n_items_N", "n_items_R",
+        F.round("hi_revenue", 2).alias("hi_revenue"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pack_count": q01_pack_count,
+        "q02_nested_filter": q02_nested_filter,
+        "q03_explode_roundtrip": q03_explode_roundtrip,
+        "q04_count_by": q04_count_by,
+        "q05_reduce_sum": q05_reduce_sum,
+        "q06_sort_first": q06_sort_first,
+        "q07_eval_revenue": q07_eval_revenue,
+        "q08_split": q08_split,
+        "q09_dropna": q09_dropna,
+        "q10_fillna": q10_fillna,
+        "q11_lists_roundtrip": q11_lists_roundtrip,
+        "q12_minmax": q12_minmax,
+        "q13_describe": q13_describe,
+        "q14_double_nested": q14_double_nested,
+        "q15_query_base": q15_query_base,
+        "q16_sort_limit": q16_sort_limit,
+        "q17_text_stats": q17_text_stats,
+        "q18_exact_dedup": q18_exact_dedup,
+        "q19_minhash_lsh": q19_minhash_lsh,
+        "q20_ngram_jaccard": q20_ngram_jaccard,
+        "q21_simhash": q21_simhash,
+        "q22_topk": q22_topk,
+        "q23_events_hourly": q23_events_hourly,
+        "q24_sessionize": q24_sessionize,
+        "q25_srp_bucket": q25_srp_bucket,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB fragments shared by several oracles -------------------------------
+
+_WORDS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+)
+
+
+def _shingles(n: int) -> str:
+    w = _WORDS
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(0, len({w}) - {n} + 1), "
+        f"i -> array_to_string(({w})[i + 1 : i + {n}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sh3 = _shingles(3)
+    sh2 = _shingles(2)
+    w = _WORDS
+    h32 = _H32
+
+    def stopword_hits(lang_words: list[str]) -> str:
+        lst = ", ".join(f"'{s}'" for s in lang_words)
+        return f"len(list_filter({w}, t -> t IN ({lst})))"
+
+    from nested_pandas_spark.pipeline.text import STOPWORDS
+
+    hits = {lang: stopword_hits(ws) for lang, ws in STOPWORDS.items()}
+
+    return {
+        "q01_pack_count": """
+            SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_items
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q02_nested_filter": """
+            SELECT o_orderkey,
+                   CAST(NULLIF(count(CASE WHEN l_quantity > 30 THEN 1 END), 0) AS BIGINT) AS n_hi
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q03_explode_roundtrip": """
+            SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        """,
+        "q04_count_by": """
+            SELECT o_orderkey,
+                   CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS n_a,
+                   CAST(count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT) AS n_n,
+                   CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_r
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q05_reduce_sum": """
+            SELECT o_orderkey,
+                   CAST(ROUND(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_e2,
+                   CAST(count(l_orderkey) AS BIGINT) AS n_items
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q06_sort_first": """
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS first_ln,
+                   strftime(l_shipdate, '%Y-%m-%d') AS first_ship
+            FROM lineitem
+            QUALIFY row_number() OVER (
+                PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) = 1
+        """,
+        "q07_eval_revenue": """
+            SELECT o_orderkey,
+                   CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                       AS revenue_e4
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q08_split": """
+            SELECT o_orderkey,
+                   CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS n_a,
+                   CAST(count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT) AS n_n,
+                   CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_r,
+                   CAST(ROUND(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) * 100)
+                        AS BIGINT) AS sum_qty_a_e2
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q09_dropna": """
+            SELECT o_orderkey,
+                   CAST(count(CASE WHEN l_quantity > 30 THEN 1 END) AS BIGINT) AS n_hi,
+                   CAST(ROUND(sum(CASE WHEN l_quantity > 30 THEN l_quantity END) * 100)
+                        AS BIGINT) AS sum_q30_e2
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q10_fillna": """
+            SELECT o_orderkey,
+                   CAST(ROUND(sum(CASE WHEN l_orderkey IS NOT NULL THEN
+                        coalesce(CASE WHEN l_discount > 0 THEN l_discount END, 0.99)
+                        END) * 100) AS BIGINT) AS sum_d_e2
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q11_lists_roundtrip": """
+            SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n,
+                   CAST(ROUND(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+        """,
+        "q12_minmax": """
+            SELECT
+              (SELECT CAST(ROUND(max(o_totalprice) * 100) AS BIGINT) FROM orders) AS max_total_e2,
+              (SELECT CAST(ROUND(max(l_quantity) * 100) AS BIGINT) FROM lineitem) AS max_qty_e2,
+              (SELECT CAST(ROUND(max(l_extendedprice) * 100) AS BIGINT) FROM lineitem) AS max_price_e2,
+              (SELECT CAST(ROUND(min(o_totalprice) * 100) AS BIGINT) FROM orders) AS min_total_e2,
+              (SELECT CAST(ROUND(min(l_quantity) * 100) AS BIGINT) FROM lineitem) AS min_qty_e2,
+              (SELECT CAST(ROUND(min(l_extendedprice) * 100) AS BIGINT) FROM lineitem) AS min_price_e2
+        """,
+        "q13_describe": """
+            SELECT CAST(count(l_extendedprice) AS BIGINT) AS n,
+                   CAST(ROUND(avg(l_extendedprice) * 100) AS BIGINT) AS mean_e2,
+                   ROUND(stddev_samp(l_extendedprice), 2) AS std_r2,
+                   CAST(ROUND(min(l_extendedprice) * 100) AS BIGINT) AS min_e2,
+                   CAST(ROUND(quantile_cont(l_extendedprice, 0.25) * 10000) AS BIGINT) AS p25_e4,
+                   CAST(ROUND(quantile_cont(l_extendedprice, 0.50) * 10000) AS BIGINT) AS p50_e4,
+                   CAST(ROUND(quantile_cont(l_extendedprice, 0.75) * 10000) AS BIGINT) AS p75_e4,
+                   CAST(ROUND(max(l_extendedprice) * 100) AS BIGINT) AS max_e2
+            FROM lineitem
+        """,
+        "q14_double_nested": """
+            SELECT c_custkey,
+                   CAST(count(l_linenumber) AS BIGINT) AS n_li,
+                   CAST(ROUND(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+            FROM customer
+            LEFT JOIN orders ON o_custkey = c_custkey
+            LEFT JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY c_custkey
+        """,
+        "q15_query_base": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_e2
+            FROM orders WHERE o_totalprice > 300000.0 AND o_orderstatus <> 'X'
+        """,
+        "q16_sort_limit": """
+            SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_e2
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q17_text_stats": f"""
+            SELECT doc_id,
+                   CAST(len({w}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+                   CASE WHEN greatest({hits['en']}, {hits['de']}, {hits['fr']},
+                                      {hits['es']}) = 0 THEN 'und'
+                        WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']}
+                             AND {hits['en']} >= {hits['es']} THEN 'en'
+                        WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']}
+                             THEN 'de'
+                        WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   ((CASE WHEN length(text) >= 200 AND length(text) <= 50000
+                          THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN length(text) > 0 AND
+                            len(regexp_extract_all(text, '[,.!?;:]')) / length(text) <= 0.1
+                            THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN len({w}) > 0 AND {hits['en']} / len({w}) >= 0.05
+                            THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN len({w}) > 0
+                            AND length(text) / len({w}) >= 3
+                            AND length(text) / len({w}) <= 12
+                            THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "q18_exact_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "q19_minhash_lsh": f"""
+            WITH sh AS (
+                SELECT doc_id, {sh3} AS s FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), i -> list_min(list_transform(
+                           s, g -> ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 8))::BIGINT
+                       ))) AS sig
+                FROM sh WHERE len(s) > 0
+            ), bands AS (
+                SELECT doc_id, b.b AS band_idx,
+                       md5(array_to_string(sig[b.b * 2 + 1 : b.b * 2 + 2], ',')) AS band_key
+                FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+        """,
+        "q20_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id, list_distinct({sh3}) AS s FROM documents
+            ), nz AS (
+                SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM nz
+            ), shared AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+                FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter / (na.n + nb.n - inter), 6) AS jaccard_r6
+            FROM shared
+            JOIN nz na ON na.doc_id = id_a
+            JOIN nz nb ON nb.doc_id = id_b
+            WHERE inter / (na.n + nb.n - inter) >= 0.5
+        """,
+        "q21_simhash": f"""
+            WITH sh AS (
+                SELECT doc_id, {sh2} AS s FROM documents
+            ), hs AS (
+                SELECT doc_id,
+                       list_transform(s, g ->
+                           ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hashes,
+                       len(s) AS n
+                FROM sh
+            )
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN CAST(list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN list_sum(list_transform(hashes, h ->
+                                CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                            THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+                   END AS simhash32
+            FROM hs
+        """,
+        "q22_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS cs
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cs DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "q23_events_hourly": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q24_sessionize": """
+            WITH flagged AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
+            FROM flagged GROUP BY user_id
+        """,
+        "q25_srp_bucket": """
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(0, 8), p ->
+                       CASE WHEN list_sum(list_transform(range(0, len(embedding)), i ->
+                                embedding[i + 1] *
+                                (CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' ||
+                                      i::VARCHAR), 1, 4))::BIGINT % 2 = 0
+                                      THEN 1.0 ELSE -1.0 END))) > 0
+                            THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+            FROM embeddings
+        """,
+    }

@@ -195,8 +195,10 @@ def to_flatten_inner(df: DataFrame, nest: str, inner: str) -> DataFrame:
         # inner fields shadow outer ones on collision, like a join suffix-free merge
         body_fields[f] = f"__i.{quote(f)}"
     body = struct_sql(body_fields)
+    # outer elements with a NULL inner cell are skipped (a NULL element from
+    # the inner transform would null the whole flatten result)
     sql = (
-        f"flatten(transform({quote(nest)}, __o -> "
-        f"transform(__o.{quote(inner)}, __i -> {body})))"
+        f"flatten(transform(filter({quote(nest)}, __o -> __o.{quote(inner)} IS NOT NULL), "
+        f"__o -> transform(__o.{quote(inner)}, __i -> {body})))"
     )
     return df.withColumn(nest, F.expr(sql))

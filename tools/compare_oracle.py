@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate: run each __spark_entry__
+query on Spark AND its oracle SQL on DuckDB over the same parquet dir;
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
+        # decimals etc -> float
+        elif str(df[c].dtype) == "object":
+            pass
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns spark={sc} oracle={oc}")
+        return problems
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    if len(s) == len(o):
+        for c in s.columns:
+            a, b = s[c], o[c]
+            try:
+                if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+                    af = a.astype(float)
+                    bf = b.astype(float)
+                    bad = ~(np.isclose(af, bf, rtol=1e-9, atol=1e-9, equal_nan=True))
+                else:
+                    bad = ~((a == b) | (a.isna() & b.isna()))
+            except Exception as exc:
+                problems.append(f"col {c}: compare error {exc}")
+                continue
+            bad = np.asarray(bad)
+            nbad = int(bad.sum())
+            if nbad:
+                i = int(np.argmax(bad))
+                problems.append(
+                    f"col {c}: {nbad} mismatches, first at {i}: "
+                    f"spark={a.iloc[i]!r} oracle={b.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from nested_pandas_spark import get_spark
+
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(exc).splitlines()[0][:200]}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(spark_pdf)})")
+            continue
+        try:
+            oracle_pdf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {str(exc).splitlines()[0][:200]}")
+            continue
+        problems = compare(name, spark_pdf, oracle_pdf)
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems[:4]))
+        else:
+            print(f"OK   {name} ({len(spark_pdf)} rows)")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("ALL MATCH")
+
+
+if __name__ == "__main__":
+    main()
