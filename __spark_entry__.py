@@ -282,9 +282,8 @@ def q20_ngram_jaccard(spark, sf):
 
 def q21_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
-    return docs.select(
-        "doc_id", dd.simhash("text", bits=32, shingle_n=2).alias("simhash32")
-    )
+    return dd.simhash_df(docs, "doc_id", "text", bits=32, shingle_n=2,
+                         alias="simhash32")
 
 
 def q22_topk(spark, sf):
@@ -393,6 +392,38 @@ def _shingles(n: int) -> str:
 
 
 _H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int) -> str:
+    """DuckDB replica of dedup.lsh_candidate_pairs (same hash constants)."""
+    from nested_pandas_spark.pipeline.dedup import _MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a}::BIGINT * x + {b}) % {_MINHASH_P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, {shingles_sql} AS s FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   list_transform(s, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+            FROM sh WHERE len(s) > 0
+        ), sig AS (
+            SELECT doc_id, [{sig_items}] AS sig FROM hashed
+        ), bands AS (
+            SELECT doc_id, b.b AS band_idx,
+                   md5(array_to_string(
+                       sig[b.b * {rows_per_band} + 1 : (b.b + 1) * {rows_per_band}],
+                       ',')) AS band_key
+            FROM sig, (SELECT unnest(range(0, {bands})) AS b) b
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -559,25 +590,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY 1
         """,
-        "q19_minhash_lsh": f"""
-            WITH sh AS (
-                SELECT doc_id, {sh3} AS s FROM documents
-            ), sig AS (
-                SELECT doc_id,
-                       list_transform(range(0, 8), i -> list_min(list_transform(
-                           s, g -> ('0x' || substr(md5(i::VARCHAR || ':' || g), 1, 8))::BIGINT
-                       ))) AS sig
-                FROM sh WHERE len(s) > 0
-            ), bands AS (
-                SELECT doc_id, b.b AS band_idx,
-                       md5(array_to_string(sig[b.b * 2 + 1 : b.b * 2 + 2], ',')) AS band_key
-                FROM sig, (SELECT unnest(range(0, 4)) AS b) b
-            )
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM bands l JOIN bands r
-              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
-             AND l.doc_id < r.doc_id
-        """,
+        "q19_minhash_lsh": _minhash_oracle(sh3, num_hashes=8, bands=4),
         "q20_ngram_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id, list_distinct({sh3}) AS s FROM documents

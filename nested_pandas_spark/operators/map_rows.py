@@ -93,6 +93,7 @@ def map_rows(
     infer_nesting: bool = True,
     append_columns: bool = False,
     key_columns: list[str] | None = None,
+    repartition: bool | int | None = None,
     **kwargs: Any,
 ) -> DataFrame:
     """Apply ``func`` once per top-level row.
@@ -123,18 +124,28 @@ def map_rows(
                 )
                 seen.add(alias)
     src = df.select(*sel)
+    # the Python stage is CPU-bound per row; if the upstream plan collapsed
+    # to a few partitions (small scan + broadcast join), pass ``repartition=``
+    # to fan the batches across every core. Left off by default: at real
+    # scale the input is already wide and the extra shuffle would be waste.
+    if repartition:
+        src = src.repartition(
+            src.sparkSession.sparkContext.defaultParallelism
+            if repartition is True
+            else int(repartition)
+        )
 
     # -- determine outputs ------------------------------------------------
-    sample = src.limit(1).toPandas()
-    if len(sample) == 0 and output_schema is None:
-        raise ValueError("map_rows on empty frame requires explicit output_schema")
-
     def call(vals: list[Any]) -> Any:
         if row_container == "dict":
             return func({c: v for c, v in zip(columns, vals)}, **kwargs)
         return func(*vals, **kwargs)
 
     if output_schema is None:
+        # infer by running func on the first row driver-side
+        sample = src.limit(1).toPandas()
+        if len(sample) == 0:
+            raise ValueError("map_rows on empty frame requires explicit output_schema")
         out0 = call(_row_values(sample, spec, 0))
         if not isinstance(out0, tuple):
             out0 = (out0,)
@@ -159,14 +170,23 @@ def map_rows(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # pull each input column out as a numpy object array once —
+            # per-row .iloc access is ~10x slower than array indexing
+            col_arrays = []
+            for alias, nest, _ in spec:
+                vals = pdf[alias].to_numpy()
+                if nest is not None:
+                    vals = [
+                        v if (v is None or isinstance(v, np.ndarray)) else np.asarray(v)
+                        for v in vals
+                    ]
+                col_arrays.append(vals)
             rows = []
-            for i in range(len(pdf)):
-                res = call(_row_values(pdf, spec, i))
+            for tup in zip(*col_arrays):
+                res = call(list(tup))
                 if not isinstance(res, tuple):
                     res = (res,)
-                rows.append(
-                    [_to_py(v) for v in res]
-                )
+                rows.append([_to_py(v) for v in res])
             out_pdf = pd.DataFrame(rows, columns=out_aliases)
             if carried:
                 out_pdf = pd.concat(

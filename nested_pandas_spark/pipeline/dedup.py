@@ -55,23 +55,93 @@ def exact_dedup(
     )
 
 
+# MinHash universal-hash family: h_i(x) = (a_i * x + b_i) mod P over the
+# 32-bit base hash. P is the smallest prime > 2^32; a_i is capped to 31 bits
+# so a*h < 2^63 never overflows (Spark ANSI mode would error on overflow).
+_MINHASH_P = 4294967311
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants, identical in the DuckDB oracle."""
+    out = []
+    for i in range(num_hashes):
+        a = ((i * 2654435761 + 1013904223) & 0x7FFFFFFF) | 1
+        b = (i * 40503 * 65537 + 12345) & 0xFFFFFFFF
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
+    """One 32-bit md5-derived hash per word-shingle (``array<bigint>``).
+
+    Materialize this ONCE as a column, then derive the k minhashes
+    arithmetically — one md5 per shingle total, not per (shingle, hashfunc).
+    """
+    return F.transform(word_ngrams(text, shingle_n), lambda s: _h32(s))
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan yields fewer partitions than
+    cores. Hash/shingle stages are CPU-bound per row; a small parquet file
+    arrives as ONE split and would run single-threaded. At real scale files
+    exceed maxPartitionBytes and split naturally — this only rescues the
+    small-input case, at the cost of one cheap shuffle of raw text.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def staged_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int,
+    keep_empty: bool = False,
+) -> DataFrame:
+    """(id, shingle-hash array) with each pipeline step bound to a column.
+
+    Binding matters: an expression referenced inside a higher-order lambda is
+    re-evaluated PER ELEMENT (the tokenizer would re-split the text once per
+    shingle position — O(words^2)); a projected column is evaluated once per
+    row. ~10x faster than the single-expression form on real documents.
+    """
+    from .text import _ngrams_from_words, words
+
+    df = _ensure_parallelism(df)
+    out = (
+        df.select(F.col(id_col).alias("__id"), words(F.col(text_col)).alias("__w"))
+        .select("__id", _ngrams_from_words(F.col("__w"), shingle_n).alias("__sh"))
+        .select(
+            "__id", F.transform(F.col("__sh"), lambda s: _h32(s)).alias("__h")
+        )
+    )
+    return out if keep_empty else out.where(F.size("__h") > 0)
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 16, shingle_n: int = 3
 ) -> Column:
     """k-minhash signature over word-shingles as ``array<bigint>`` (length k).
 
-    hash_i(s) = h32(i || ':' || s); signature[i] = min over shingles.
+    signature[i] = min over shingles of (a_i * h32(shingle) + b_i) mod P.
     Documents with fewer than ``shingle_n`` words get NULL (can't shingle).
-    Pure HOF expression — per row, no shuffle, no UDF.
+    Pure HOF expression — per row, no shuffle, no UDF. For hot paths prefer
+    projecting :func:`shingle_hashes` into a column first so the md5 pass
+    isn't re-evaluated per reference.
     """
-    sh = word_ngrams(text, shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: _h32(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
+    h = shingle_hashes(text, shingle_n)
+    return minhash_from_hashes(h, num_hashes)
+
+
+def minhash_from_hashes(h: Column, num_hashes: int) -> Column:
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+            )
+            for a, b in minhash_params(num_hashes)
+        ]
     )
-    return F.when(F.size(sh) > 0, sig)
+    return F.when(F.size(h) > 0, sig)
 
 
 def lsh_candidate_pairs(
@@ -90,10 +160,12 @@ def lsh_candidate_pairs(
     with bucket sizes, not n^2.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("__sig"),
-    ).where(F.col("__sig").isNotNull())
+    # staged projections: shingle md5 hashes once -> signature -> bands, so
+    # the expensive string pass is evaluated exactly once per document
+    hashed = staged_shingle_hashes(df, id_col, text_col, shingle_n)
+    sig = hashed.select(
+        "__id", minhash_from_hashes(F.col("__h"), num_hashes).alias("__sig")
+    )
     banded = sig.select(
         "__id",
         F.posexplode(
@@ -139,10 +211,17 @@ def ngram_jaccard_pairs(
     feed ``candidates`` from :func:`lsh_candidate_pairs` to verify only
     bucketed pairs.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("__sh"),
-    ).where(F.size("__sh") > 0)
+    from .text import _ngrams_from_words, words
+
+    sh = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), words(F.col(text_col)).alias("__w"))
+        .select(
+            "__id",
+            F.array_distinct(_ngrams_from_words(F.col("__w"), shingle_n)).alias("__sh"),
+        )
+        .where(F.size("__sh") > 0)
+    )
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     exploded = sh.select("__id", F.explode("__sh").alias("s"))
     shared = (
@@ -168,42 +247,47 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash(text: Column | str, bits: int = 32, shingle_n: int = 2) -> Column:
-    """SimHash over word-shingles: bit j of the hash is the sign of
-    sum(+1/-1 votes of each shingle's hash bit j). Returns BIGINT.
+def simhash_from_hashes(h: Column, bits: int = 32) -> Column:
+    """SimHash from a shingle-hash array: bit j is set when more than half
+    the shingle hashes have bit j set (equivalent to the classic +1/-1 vote
+    sum being positive). ``bits`` passes of a cheap ``filter``+``size`` —
+    no per-shingle array allocation."""
+    terms = [
+        F.when(
+            F.size(F.filter(h, lambda x: x.bitwiseAND(F.lit(1 << j)) != 0)) * 2
+            > F.size(h),
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return F.when(F.size(h) > 0, total)
 
-    Expressed as aggregate-over-shingles of a per-bit vote array, then a
-    bit-reassembly — all HOFs, engine-portable.
+
+def simhash(text: Column | str, bits: int = 32, shingle_n: int = 2) -> Column:
+    """SimHash over word-shingles. Returns BIGINT (NULL if unshingleable).
+
+    Column-expression form; for hot paths prefer :func:`simhash_df`, which
+    stages the tokenizer into bound columns (see staged_shingle_hashes).
     """
     sh = word_ngrams(text, shingle_n)
-    hashes = F.transform(sh, lambda s: _h32(s))
-    # votes[j] = sum over shingles of (bit_j ? 1 : -1)
-    votes = F.aggregate(
-        hashes,
-        F.expr(f"array_repeat(0L, {bits})"),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.when(h.bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), j)) != 0, 1)
-                .otherwise(-1)
-                .cast("long"),
-            ),
-            lambda a, v: a + v,
-        ),
+    return simhash_from_hashes(F.transform(sh, lambda s: _h32(s)), bits)
+
+
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32,
+    shingle_n: int = 2, alias: str = "simhash",
+) -> DataFrame:
+    """(id, simhash) with staged tokenize/hash columns — the fast path.
+
+    Rows that cannot shingle (short/NULL text) get a NULL simhash.
+    """
+    hashed = staged_shingle_hashes(df, id_col, text_col, shingle_n, keep_empty=True)
+    return hashed.select(
+        F.col("__id").alias(id_col), simhash_from_hashes(F.col("__h"), bits).alias(alias)
     )
-    assembled = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, j: F.when(v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc + b,
-    )
-    return F.when(F.size(sh) > 0, assembled)
 
 
 def simhash_near_pairs(
@@ -225,9 +309,11 @@ def simhash_near_pairs(
     n_blocks = bits // block_bits
     if max_hamming >= n_blocks:
         raise ValueError("need max_hamming < number of blocks for pigeonhole blocking")
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash(text_col, bits, shingle_n).alias("__sh")
-    ).where(F.col("__sh").isNotNull())
+    sh = (
+        simhash_df(df, id_col, text_col, bits, shingle_n, alias="__sh")
+        .withColumnRenamed(id_col, "__id")
+        .where(F.col("__sh").isNotNull())
+    )
     mask = (1 << block_bits) - 1
     blocked = sh.select(
         "__id",

@@ -1,0 +1,157 @@
+"""Tests for dedup / similarity / text / multimodal pipeline operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark.pipeline import dedup as dd
+from nested_pandas_spark.pipeline import multimodal as mm
+from nested_pandas_spark.pipeline import similarity as sim
+from nested_pandas_spark.pipeline import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+        (4, "der hund läuft und das ist von dem haus nicht weit zu gehen"),
+        (5, "completely different content about spark engines and data pipelines here"),
+        (6, "tiny"),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(docs):
+    out = docs.select("doc_id", tx.token_count("text").alias("n")).collect()
+    d = {r["doc_id"]: r["n"] for r in out}
+    assert d[1] == 13
+    assert d[6] == 1
+    assert d[7] is None
+
+
+def test_lang_id(docs):
+    out = docs.select("doc_id", tx.lang_id("text")).collect()
+    d = {r["doc_id"]: r["lang_pred"] for r in out}
+    assert d[1] == "en"
+    assert d[4] == "de"
+    assert d[6] == "und"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " hello   WORLD ")],
+        "id int, text string",
+    )
+    fps = [r[0] for r in df.select(tx.fingerprint("text")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_exact_dedup(docs):
+    out = dd.exact_dedup(docs, "doc_id")
+    groups = {r["doc_id"]: r["n_dups"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1 & 2 identical, keep min id
+    assert 2 not in groups
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sigs = docs.select(
+        "doc_id", dd.minhash_signature("text", 8, 3).alias("sig")
+    ).collect()
+    d = {r["doc_id"]: r["sig"] for r in sigs}
+    assert d[1] == d[2]
+    assert d[1] != d[5]
+    assert d[6] is None and d[7] is None
+
+
+def test_lsh_finds_dup_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.lsh_candidate_pairs(docs, "doc_id", num_hashes=8, bands=4).collect()}
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dd.ngram_jaccard_pairs(docs, "doc_id", shingle_n=3, threshold=0.3).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in out  # near dup above 0.3
+    assert all(v >= 0.3 for v in out.values())
+
+
+def test_simhash_near_pairs(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash_df(docs, "doc_id").collect()}
+    assert sh[1] == sh[2]
+    assert sh[7] is None
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dd.simhash_near_pairs(docs, "doc_id", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.9, 0.1]),   # closest to 3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.brute_force_topk(emb, emb, k=1)
+    nn = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert nn[1] == 2 and nn[2] == 1
+    assert nn[3] == 4 and nn[4] == 3
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3)
+    approx = sim.lsh_topk(emb, q, k=3, num_planes=2)
+    rows_a = approx.collect()
+    assert len(rows_a) > 0
+    # every approx neighbor must share the query's bucket by construction;
+    # ranks are 1..k
+    assert all(1 <= r["rank"] <= 3 for r in rows_a)
+
+
+def test_srp_bucket_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1.0, 0.1])], "vec_id long, embedding array<float>"
+    )
+    b1 = emb.select(sim.srp_bucket(F.col("embedding"), 8).alias("b")).collect()[0]["b"]
+    b2 = emb.select(sim.srp_bucket(F.col("embedding"), 8).alias("b")).collect()[0]["b"]
+    assert b1 == b2
+    assert 0 <= b1 < 256
+
+
+def test_multimodal_decode_and_features(spark):
+    bdf = spark.createDataFrame(
+        [(1, bytearray(b"payload-a")), (2, None)], "id int, payload binary"
+    )
+    meta = mm.attach_media_meta(bdf, "payload", "image", "png")
+    m = {r["id"]: r["payload_meta"] for r in meta.collect()}
+    assert m[1]["size_bytes"] == 9 and m[1]["media_type"] == "image"
+    decoded = mm.decode_image(bdf, height=2, width=2, channels=1)
+    rows = {r["id"]: r["pixels"] for r in decoded.collect()}
+    assert len(rows[1]) == 4 and rows[2] is None
+    feats = mm.image_features(decoded.where("pixels IS NOT NULL"))
+    f = feats.collect()[0]
+    assert f["feat_min"] <= f["feat_mean"] <= f["feat_max"]
+
+
+def test_multimodal_strict_raises(spark):
+    bdf = spark.createDataFrame([(1, bytearray(b"x"))], "id int, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.decode_image(bdf, strict=True).collect()
+
+
+def test_video_frames_nested_contract(spark):
+    bdf = spark.createDataFrame([(1, bytearray(b"vid"))], "id int, payload binary")
+    out = mm.sample_video_frames(bdf, n_frames=3)
+    from nested_pandas_spark import NestedFrame
+
+    ndf = NestedFrame(out)
+    assert "frames" in ndf.nested_columns  # plugs into every nested operator
+    assert ndf.count_nested("frames").collect()[0]["n_frames"] == 3
