@@ -323,7 +323,7 @@ def q24_sessionize(spark, sf):
 
 def q25_srp_bucket(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return emb.select("vec_id", sim.srp_bucket(F.col("embedding"), 8).alias("bucket"))
+    return emb.select("vec_id", sim.srp_bucket(F.col("embedding"), 8, dim=64).alias("bucket"))
 
 
 # --------------------------------------------------------------------------

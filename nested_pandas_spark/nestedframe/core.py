@@ -37,6 +37,16 @@ from .expr import QueryCompileError, compile_expr, split_assignment
 __all__ = ["NestedFrame"]
 
 
+def _infer_ddl(value: Any) -> str:
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "bigint"
+    if isinstance(value, float):
+        return "double"
+    return "string"
+
+
 class NestedFrame:
     """Spark-backed analogue of ``nested_pandas.NestedFrame``
     (reference ``src/nested_pandas/nestedframe/core.py:35``)."""
@@ -99,6 +109,45 @@ class NestedFrame:
 
     def limit(self, n: int) -> "NestedFrame":
         return self._wrap(self._df.limit(n))
+
+    def head(self, n: int = 5) -> "NestedFrame":
+        return self.limit(n)
+
+    # set operations (reference relies on pd.concat; Spark natives)
+    def union(self, other: "NestedFrame | DataFrame") -> "NestedFrame":
+        o = other.df if isinstance(other, NestedFrame) else other
+        return self._wrap(self._df.unionByName(o))
+
+    def intersect(self, other: "NestedFrame | DataFrame") -> "NestedFrame":
+        o = other.df if isinstance(other, NestedFrame) else other
+        return self._wrap(self._df.intersect(o))
+
+    def except_all(self, other: "NestedFrame | DataFrame") -> "NestedFrame":
+        o = other.df if isinstance(other, NestedFrame) else other
+        return self._wrap(self._df.exceptAll(o))
+
+    @staticmethod
+    def from_seq(spark, seq, name: str = "nested", key: str = "id"):
+        """Build a frame with one nested cell per element of ``seq`` — the
+        analogue of the reference's ``pack_seq`` (``packer.py:120-154``).
+
+        ``seq``: iterable of (key, rows) where rows is a list of dicts (or
+        None for a NULL cell). Driver-side literals; meant for small inputs
+        and tests, not bulk data.
+        """
+        import pandas as pd
+
+        records = []
+        for k, rows in seq:
+            if rows is None:
+                records.append({key: k, name: None})
+            else:
+                records.append({key: k, name: [tuple(r.values()) for r in rows]})
+        first_rows = next(rows for _, rows in seq if rows)
+        fields = list(first_rows[0].keys())
+        inner = ", ".join(f"{f}: {_infer_ddl(first_rows[0][f])}" for f in fields)
+        schema = f"{key} bigint, {name} array<struct<{inner}>>"
+        return NestedFrame(spark.createDataFrame(pd.DataFrame(records), schema=schema))
 
     def select(self, *cols: Any) -> "NestedFrame":
         return self._wrap(self._df.select(*cols))

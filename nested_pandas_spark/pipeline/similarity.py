@@ -69,39 +69,43 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _plane_component(plane: Column | int, dim_idx: Column) -> Column:
-    """Deterministic ±1 hyperplane entry from md5(plane:dim)."""
-    p = F.lit(plane) if isinstance(plane, int) else plane
-    h = F.conv(
-        F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), dim_idx.cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def plane_component(plane: int, dim_idx: int) -> float:
+    """Deterministic ±1 hyperplane entry from md5('plane:dim') parity.
+
+    Computed driver-side once per (plane, dim) — NOT per row. The DuckDB
+    oracle reproduces the identical value from the same md5 formula.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim_idx}".encode()).hexdigest()[:4], 16)
+    return 1.0 if h % 2 == 0 else -1.0
 
 
-def srp_bucket(vec: Column, num_planes: int = 8) -> Column:
+def srp_bucket(vec: Column, num_planes: int = 8, dim: int | None = None) -> Column:
     """Sign-random-projection bucket id (0 .. 2^num_planes - 1).
 
-    bit p = sign(dot(vec, plane_p)) with ±1 pseudo-random planes. Pure HOFs.
+    bit p = sign(dot(vec, plane_p)). Planes are ±1 literals baked into the
+    plan (an 8x64 constant matrix costs nothing per row); without ``dim``
+    the plane entry is looked up positionally from a literal array, handling
+    any vector length up to 256 (pass ``dim`` for larger or exact sizing).
     """
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda v, i: v.cast("double") * _plane_component(p, i),
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.call_function("shiftleft", F.lit(1).cast("long"), p),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+    n_dims = dim or 256
+    bits = []
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(plane_component(p, i)) for i in range(n_dims)])
+        d = F.aggregate(
+            F.zip_with(vec, F.slice(plane, 1, F.size(vec)),
+                       lambda v, c: v.cast("double") * c),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
 
 
 def lsh_topk(

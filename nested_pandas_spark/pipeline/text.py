@@ -75,31 +75,33 @@ def _stopword_hits(w: Column, lang: str) -> Column:
     return F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
 
 
-def lang_id(text: Column | str, alias: str = "lang_pred") -> Column:
+def lang_id(text: Column | str, alias: str = "lang_pred",
+            words_col: Column | None = None) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts.
 
     Returns 'und' when no language scores a hit. Deterministic tie-break by
     language code order (en < de < fr < es resolved by greatest-first scan).
+    Pass ``words_col`` (a bound column from :func:`words`) to avoid
+    re-tokenizing per language.
     """
-    w = words(text)
+    w = words_col if words_col is not None else words(text)
     scores = [(lang, _stopword_hits(w, lang)) for lang in STOPWORDS]
     best = F.lit("und")
     best_score = F.lit(0)
     # iterate in reverse so earlier languages win ties
     for lang, score in reversed(scores):
-        take = score >= best_score
-        # strictly-greater for later langs, >= for earlier => earlier wins ties
         best = F.when(score >= best_score, F.lit(lang)).otherwise(best)
         best_score = F.when(score >= best_score, score).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("und")).alias(alias)
 
 
-def quality_score(text: Column | str, alias: str = "quality") -> Column:
+def quality_score(text: Column | str, alias: str = "quality",
+                  words_col: Column | None = None) -> Column:
     """Composite quality in [0,1]: length band + punctuation ratio +
     stopword presence + mean word length band. The usual cheap pre-filter
     before expensive dedup/model scoring."""
     c = F.col(text) if isinstance(text, str) else text
-    w = words(c)
+    w = words_col if words_col is not None else words(c)
     n_chars = F.length(c)
     n_words = F.size(w)
     n_punct = F.size(F.regexp_extract_all(c, F.lit("[,.!?;:]"), F.lit(0)))
@@ -124,12 +126,17 @@ def fingerprint(text: Column | str, alias: str = "fingerprint") -> Column:
 
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append token_count, bpe token count, lang_pred, quality,
-    fingerprint columns in one pass (single projection, one scan)."""
-    return df.select(
-        "*",
-        token_count(text_col).alias("n_tokens"),
+    fingerprint columns. The tokenizer output is staged into a bound column
+    first so each stat reads it instead of re-splitting the text (an
+    expression repeated across stats would re-tokenize once per stat)."""
+    from pyspark.sql.functions import col
+
+    staged = df.select("*", words(text_col).alias("__w"))
+    return staged.select(
+        *[col(c) for c in df.columns],
+        F.size("__w").alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
-        lang_id(text_col),
-        quality_score(text_col),
+        lang_id(text_col, words_col=col("__w")),
+        quality_score(text_col, words_col=col("__w")),
         fingerprint(text_col),
     )

@@ -1,0 +1,144 @@
+"""Structured Streaming operators over event streams.
+
+The reference library is batch-only (SURVEY.md §2.6) — this module is the
+beyond-reference streaming surface, built the Spark-native way:
+
+* the SAME transformation functions serve batch DataFrames and streaming
+  DataFrames (write once, run either mode);
+* event-time windows + watermarks bound state for late data;
+* sessionization uses the built-in ``session_window`` (state-store backed,
+  scales horizontally); a custom stateful operator example uses
+  ``applyInPandasWithState`` for logic windows can't express.
+
+At scale: watermark delay bounds state size; shuffle partitions shard the
+state store; ``trigger(availableNow=True)`` gives incremental backfill over
+historical data with the same code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_event_stream",
+    "with_event_time",
+    "hourly_rollup",
+    "sessionize",
+    "running_user_totals",
+]
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # int64 nanoseconds (driver layout)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Stream a directory of event parquet files (nanosecond int64 ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """int64-nanos -> TIMESTAMP event_time column (micros precision)."""
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    )
+
+
+def hourly_rollup(df: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts + value stats per event_type.
+
+    Works identically on batch and streaming input; on a stream the
+    watermark lets Spark emit finalized windows and drop their state.
+    """
+    src = with_event_time(df)
+    if src.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return src.groupBy(
+        F.window("event_time", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).select(
+        F.col("win.start").alias("hour_start"), "event_type", "n",
+        "min_value", "max_value",
+    )
+
+
+def sessionize(df: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: built-in ``session_window`` (gap-based).
+
+    Batch or streaming; emits one row per (user, session) with event count
+    and value sum.
+    """
+    src = with_event_time(df)
+    if src.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return src.groupBy(
+        F.session_window("event_time", gap).alias("sess"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        "user_id",
+        F.col("sess.start").alias("session_start"),
+        F.col("sess.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def running_user_totals(df: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value total
+    via ``applyInPandasWithState`` — the escape hatch for stateful logic that
+    windows can't express (the streaming analogue of map_rows).
+
+    State is one (count, total) pair per user; state for idle users expires
+    after ``timeout_minutes`` of processing time.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -63,7 +63,6 @@ def test_chained_comparison():
 
 
 def test_in_list():
-    assert c("band in ['r', 'g']", None) if False else True
     out = c("nested.band in ['r', 'g']")
     assert out.render("x") == "(x.`band` IN ('r', 'g'))"
 
@@ -112,5 +111,5 @@ def test_split_assignment():
 
 
 def test_string_literal_escaping():
-    out = c("nested.band == 'it''s'") if False else c("nested.band == @v", env={"v": "it's"})
+    out = c("nested.band == @v", env={"v": "it's"})
     assert "\\'" in out.render("x")

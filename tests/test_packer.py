@@ -81,7 +81,18 @@ def test_from_lists_auto_detect(spark):
 def test_pack_shuffle_reuse(spark, objects, sources):
     """pack+join on the same key must reuse one exchange (scale invariant)."""
     out = join_nested(objects, sources, "nested", on="id")
-    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted") \
-        if False else out._jdf.queryExecution().executedPlan().toString()
+    plan = out._jdf.queryExecution().executedPlan().toString()
     # the packed side shuffles once; base side may shuffle for the sort-merge
     assert plan.count("Exchange") <= 3
+
+
+def test_from_seq(spark):
+    from nested_pandas_spark import NestedFrame
+
+    ndf = NestedFrame.from_seq(
+        spark,
+        [(0, [{"t": 1.0, "b": "x"}, {"t": 2.0, "b": "y"}]), (1, None)],
+    )
+    rows = {r["id"]: r["nested"] for r in ndf.collect()}
+    assert [e["t"] for e in rows[0]] == [1.0, 2.0]
+    assert rows[1] is None

@@ -1,0 +1,87 @@
+"""Streaming operators: batch/stream parity and stateful ops.
+
+Strategy: copy the driver's events parquet into a stream-source dir, run
+each operator once as a stream (trigger=availableNow -> memory sink) and
+once as plain batch on the same data, and require identical results.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark.streaming import events as ev
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(SRC, d / "part-0.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(SRC)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, stream_dir, batch_events):
+    stream = ev.read_event_stream(spark, stream_dir)
+    got = _run_stream(spark, ev.hourly_rollup(stream), "hourly").toPandas()
+    want = ev.hourly_rollup(batch_events).toPandas()
+    key = ["hour_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["n"].values == want["n"].values).all()
+    assert (got["max_value"].values == want["max_value"].values).all()
+
+
+def test_sessionize_stream_matches_batch(spark, stream_dir, batch_events):
+    stream = ev.read_event_stream(spark, stream_dir)
+    got = _run_stream(spark, ev.sessionize(stream), "sessions").toPandas()
+    want = ev.sessionize(batch_events).toPandas()
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["n_events"].values == want["n_events"].values).all()
+
+
+def test_running_user_totals_stateful(spark, stream_dir, batch_events):
+    stream = ev.read_event_stream(spark, stream_dir)
+    q = (
+        ev.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("totals").toPandas()
+    # final state per user must equal the batch totals
+    want = (
+        batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .toPandas()
+    )
+    got_last = got.groupby("user_id").last()
+    want = want.set_index("user_id")
+    for uid in want.index:
+        assert got_last.loc[uid, "n_events"] == want.loc[uid, "n_events"]
