@@ -47,17 +47,74 @@ def _infer_ddl(value: Any) -> str:
     return "string"
 
 
+class _PendingPack:
+    """A not-yet-materialized ``join_nested``: child table + keys + any
+    element predicates accumulated from subsequent ``query()`` calls.
+
+    Deferring the pack until the plan is actually needed lets an element
+    filter that immediately follows packing be applied to the FLAT child
+    *before* the ``collect_list`` shuffle — the predicate then pushes down
+    to the parquet scan and the shuffle moves only surviving rows. The two
+    orders are semantically identical for left joins: an order whose
+    elements all fail yields an empty group -> NULL cell either way.
+    """
+
+    __slots__ = ("child", "keys", "columns", "sort_within", "broadcast_packed", "preds")
+
+    def __init__(self, child, keys, columns, sort_within, broadcast_packed,
+                 preds=()):
+        self.child = child
+        self.keys = keys
+        self.columns = columns
+        self.sort_within = sort_within
+        self.broadcast_packed = broadcast_packed
+        self.preds = tuple(preds)
+
+    def with_pred(self, pred_sql: str) -> "_PendingPack":
+        return _PendingPack(self.child, self.keys, self.columns,
+                            self.sort_within, self.broadcast_packed,
+                            self.preds + (pred_sql,))
+
+    def fields(self) -> list[str]:
+        if self.columns is not None:
+            return list(self.columns)
+        return [c for c in self.child.columns if c not in set(self.keys)]
+
+
 class NestedFrame:
     """Spark-backed analogue of ``nested_pandas.NestedFrame``
     (reference ``src/nested_pandas/nestedframe/core.py:35``)."""
 
-    def __init__(self, df: DataFrame):
-        self._df = df
+    def __init__(self, df: DataFrame, _pending: dict[str, _PendingPack] | None = None):
+        self._base_df = df
+        self._pending: dict[str, _PendingPack] = _pending or {}
+        self._materialized: DataFrame | None = None
 
     # -- plumbing ---------------------------------------------------------
     @property
     def df(self) -> DataFrame:
-        return self._df
+        """The wrapped DataFrame, with any pending packs materialized
+        (plan construction only — nothing executes until an action)."""
+        if not self._pending:
+            return self._base_df
+        if self._materialized is None:
+            out = self._base_df
+            for name, spec in self._pending.items():
+                child = spec.child
+                if spec.preds:
+                    child = child.where(" AND ".join(f"({p})" for p in spec.preds))
+                packed_nf = packer.join_nested(
+                    out, child, name, on=spec.keys, how="left",
+                    columns=spec.columns, sort_within=spec.sort_within,
+                    broadcast_packed=spec.broadcast_packed,
+                )
+                out = packed_nf
+            self._materialized = out
+        return self._materialized
+
+    @property
+    def _df(self) -> DataFrame:  # backward-compat internal alias
+        return self.df
 
     def _wrap(self, df: DataFrame) -> "NestedFrame":
         return NestedFrame(df)
@@ -68,26 +125,28 @@ class NestedFrame:
 
     @property
     def nested_columns(self) -> list[str]:
-        """Reference ``core.py:97-105``."""
-        return nested_columns(self._df)
+        """Reference ``core.py:97-105``. Includes pending (lazy) packs."""
+        return nested_columns(self._base_df) + list(self._pending)
 
     @property
     def base_columns(self) -> list[str]:
-        return base_columns(self._df)
+        return base_columns(self._base_df)
 
     @property
     def all_columns(self) -> dict[str, list[str]]:
         """{'base': [...], nest: [fields...]} (reference ``core.py:86-95``)."""
         out = {"base": self.base_columns}
         for n in self.nested_columns:
-            out[n] = nested_field_names(self._df, n)
+            out[n] = self.nested_fields(n)
         return out
 
     def nested_fields(self, nest: str) -> list[str]:
-        return nested_field_names(self._df, nest)
+        if nest in self._pending:
+            return self._pending[nest].fields()
+        return nested_field_names(self._base_df, nest)
 
     def _nested_field_map(self) -> dict[str, set[str]]:
-        return {n: set(nested_field_names(self._df, n)) for n in self.nested_columns}
+        return {n: set(self.nested_fields(n)) for n in self.nested_columns}
 
     def __repr__(self) -> str:
         return f"NestedFrame[{self._df.schema.simpleString()}]"
@@ -250,9 +309,15 @@ class NestedFrame:
         broadcast_packed: bool = False,
     ) -> "NestedFrame":
         cdf = child.df if isinstance(child, NestedFrame) else child
+        if how == "left":
+            # defer the pack: element predicates from subsequent query()
+            # calls then push down to the child scan (see _PendingPack)
+            keys = [on] if isinstance(on, str) else list(on)
+            spec = _PendingPack(cdf, keys, columns, sort_within, broadcast_packed)
+            return NestedFrame(self.df, {**self._pending, name: spec})
         return self._wrap(
             packer.join_nested(
-                self._df, cdf, name, on=on, how=how, columns=columns,
+                self.df, cdf, name, on=on, how=how, columns=columns,
                 sort_within=sort_within, broadcast_packed=broadcast_packed,
             )
         )
@@ -315,12 +380,24 @@ class NestedFrame:
         compiled = compile_expr(expr, self._nested_field_map(), set(self.base_columns)
                                 | set(self.nested_columns), env)
         if not compiled.nests:
-            return self._wrap(self._df.filter(F.expr(compiled.render())))
+            # base predicate: with only pending left-packs outstanding it is
+            # safe (and cheaper) to filter the base BEFORE the joins
+            if self._pending and not (compiled.base_cols & set(self._pending)):
+                return NestedFrame(
+                    self._base_df.filter(F.expr(compiled.render())),
+                    dict(self._pending),
+                )
+            return self._wrap(self.df.filter(F.expr(compiled.render())))
         nest = compiled.nest
         assert nest is not None
+        if nest in self._pending and not compiled.base_cols:
+            # pushdown: apply the element predicate to the flat child before
+            # packing — it reaches the parquet scan and shrinks the shuffle
+            spec = self._pending[nest].with_pred(compiled.render_flat())
+            return NestedFrame(self._base_df, {**self._pending, nest: spec})
         pred = compiled.render("__x")
         filtered = F.expr(f"filter({quote(nest)}, __x -> {pred})")
-        return self._wrap(self._df.withColumn(nest, empty_to_null(filtered)))
+        return self._wrap(self.df.withColumn(nest, empty_to_null(filtered)))
 
     def query_drop_empty(self, expr: str, env: dict[str, object] | None = None) -> "NestedFrame":
         """Series-level query semantics: rows whose cell becomes empty are

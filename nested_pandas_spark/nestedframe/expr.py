@@ -94,6 +94,11 @@ class CompiledExpr:
     def render(self, lambda_var: str = "__x") -> str:
         return self.sql.replace("\x00VAR\x00", lambda_var)
 
+    def render_flat(self) -> str:
+        """Render nested refs as bare column names (``x.f`` -> ```f```) —
+        for pushing an element predicate down onto the flat child table."""
+        return self.sql.replace("\x00VAR\x00.", "")
+
 
 class _Compiler(ast.NodeVisitor):
     def __init__(

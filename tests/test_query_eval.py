@@ -112,3 +112,33 @@ def test_nest_len_in_query(packed):
     assert out.count() == 3
     out2 = packed.query("nested.t > 0").query("nested.len() >= 2")
     assert out2.count() == 3
+
+
+def test_query_pushdown_through_pack(spark, objects, sources):
+    """An element filter right after join_nested must reach the child scan
+    (the pack is deferred so the predicate applies before the shuffle)."""
+    ndf = NestedFrame(objects).join_nested(sources, "nested", on="id")
+    q = ndf.query("nested.flux > 11.0")
+    import re
+
+    plan = q.df._jdf.queryExecution().executedPlan().toString()
+    # the predicate must appear as a flat-child Filter (below the pack),
+    # not as a post-pack HOF lambda
+    assert re.search(r"flux#\d+ > 11\.0", plan)
+    assert "lambdafunction" not in plan
+    # and the results are identical to the post-pack filter path
+    eager = NestedFrame(objects).join_nested(sources, "nested", on="id", how="inner")
+    eager = NestedFrame(eager.df).query("nested.flux > 11.0")
+    got = {r["id"]: (None if r["nested"] is None else len(r["nested"]))
+           for r in q.collect()}
+    want = {r["id"]: (None if r["nested"] is None else len(r["nested"]))
+            for r in eager.collect()}
+    assert got == want
+
+
+def test_query_pushdown_skipped_for_base_broadcast(spark, objects, sources):
+    """Predicates that reference base columns cannot push below the join."""
+    ndf = NestedFrame(objects).join_nested(sources, "nested", on="id")
+    q = ndf.query("nested.flux > 10 * b")  # must fall back to post-pack HOF
+    rows = {r["id"]: r["nested"] for r in q.collect()}
+    assert rows[0] is None and len(rows[1]) == 3
