@@ -69,20 +69,38 @@ def pack(
     on: str | list[str],
     columns: list[str] | None = None,
     sort_within: list[str | tuple[str, bool]] | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Pack a flat child table into one nested cell per key.
 
     Returns a DataFrame ``(*keys, name: array<struct<payload>>)``.
     NULL join keys are rejected, matching the reference
     (``series/packer.py:104-116`` raises on NaN index values).
+
+    ``salt``: two-stage aggregation for skewed keys. Stage 1 groups on
+    (key, random salt in [0, salt)) — a hot key's rows spread over ``salt``
+    reducers — stage 2 flattens the partial lists per key. Total work is
+    the same; the per-task maximum drops by ~``salt``x. Use when one key owns
+    a disproportionate share of the child rows (AQE's skew handling does not
+    split aggregations, only joins).
     """
     keys = _normalize_keys(on)
     payload = columns or [c for c in child.columns if c not in keys]
     null_key = " OR ".join(f"{quote(k)} IS NULL" for k in keys)
     child = child.where(f"NOT ({null_key})")
-    packed = child.groupBy(*keys).agg(
-        F.collect_list(F.struct(*[F.col(quote(c)) for c in payload])).alias(name)
-    )
+    struct_col = F.struct(*[F.col(quote(c)) for c in payload])
+    if salt and salt > 1:
+        partial = (
+            child.withColumn("__salt", (F.rand() * salt).cast("int"))
+            .groupBy(*keys, "__salt")
+            .agg(F.collect_list(struct_col).alias("__part"))
+        )
+        packed = (
+            partial.groupBy(*keys)
+            .agg(F.flatten(F.collect_list("__part")).alias(name))
+        )
+    else:
+        packed = child.groupBy(*keys).agg(F.collect_list(struct_col).alias(name))
     if sort_within:
         cmp = sort_comparator_sql(sort_within)
         packed = packed.withColumn(

@@ -96,3 +96,25 @@ def test_from_seq(spark):
     rows = {r["id"]: r["nested"] for r in ndf.collect()}
     assert [e["t"] for e in rows[0]] == [1.0, 2.0]
     assert rows[1] is None
+
+
+def test_salted_pack_same_result(spark, sources):
+    plain = pack(sources, "nested", on="id", sort_within=["t"])
+    salted = pack(sources, "nested", on="id", sort_within=["t"], salt=4)
+    a = {r["id"]: [e["t"] for e in r["nested"]] for r in plain.collect()}
+    b = {r["id"]: [e["t"] for e in r["nested"]] for r in salted.collect()}
+    assert a == b
+
+
+def test_bucketed_pack_no_exchange(spark, tmp_path, sources):
+    """Packing a bucketed table on its bucket key must not shuffle."""
+    from nested_pandas_spark.sources import read_bucketed, write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS bucketed_sources")
+    write_bucketed(sources, "bucketed_sources", bucket_by="id", num_buckets=4,
+                   sort_by="id", path=str(tmp_path / "bucketed_sources"))
+    src = read_bucketed(spark, "bucketed_sources")
+    packed_df = pack(src, "nested", on="id")
+    plan = packed_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert packed_df.count() == 3

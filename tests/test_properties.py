@@ -1,0 +1,107 @@
+"""Property-based tests: pack/unpack roundtrip invariants under arbitrary
+small inputs (hypothesis). Few examples, deterministic seeds — each example
+runs real Spark jobs, so we trade example count for input diversity.
+"""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nested_pandas_spark import NestedFrame
+from nested_pandas_spark.operators.packer import pack
+
+child_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),                      # key
+        st.floats(min_value=-100, max_value=100, allow_nan=False),  # value
+        st.sampled_from(["r", "g", "b"]),                           # band
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=child_rows)
+@SETTINGS
+def test_pack_explode_roundtrip(spark, rows):
+    """explode(pack(child)) == child, as multisets."""
+    df = spark.createDataFrame(rows, "id long, v double, band string") if rows else None
+    if df is None:
+        return
+    packed = pack(df, "nested", on="id")
+    back = NestedFrame(packed).to_flat("nested", keys=["id"])
+    got = sorted((r["id"], round(r["v"], 9), r["band"]) for r in back.collect())
+    want = sorted((k, round(v, 9), b) for k, v, b in rows)
+    assert got == want
+
+
+@given(rows=child_rows, threshold=st.floats(min_value=-50, max_value=50, allow_nan=False))
+@SETTINGS
+def test_query_equals_prefilter(spark, rows, threshold):
+    """Element filter after pack == filtering the flat child before pack."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, v double, band string")
+    base = df.select("id").distinct()
+    ndf = NestedFrame(base).join_nested(df, "nested", on="id")
+    q = NestedFrame(ndf.df).query(f"nested.v > {threshold!r}")  # eager path
+    got = {
+        r["id"]: sorted(round(e["v"], 9) for e in r["nested"]) if r["nested"] else None
+        for r in q.collect()
+    }
+    want: dict = {}
+    for k, v, b in rows:
+        want.setdefault(k, [])
+    for k, v, b in rows:
+        if v > threshold:
+            want[k].append(round(v, 9))
+    want = {k: sorted(vs) if vs else None for k, vs in want.items()}
+    assert got == want
+
+
+@given(rows=child_rows)
+@SETTINGS
+def test_to_lists_from_lists_identity(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, v double, band string")
+    packed = NestedFrame(pack(df, "nested", on="id"))
+    lists = packed.to_lists("nested")
+    back = NestedFrame.from_lists(lists.df, list_columns=["v", "band"], name="nested")
+    a = {r["id"]: sorted((round(e["v"], 9), e["band"]) for e in r["nested"])
+         for r in packed.collect()}
+    b = {r["id"]: sorted((round(e["v"], 9), e["band"]) for e in r["nested"])
+         for r in back.collect()}
+    assert a == b
+
+
+@given(rows=child_rows, keys=st.lists(st.sampled_from(["v", "band"]),
+                                      min_size=1, max_size=2, unique=True))
+@SETTINGS
+def test_nested_sort_matches_python_sort(spark, rows, keys):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, v double, band string")
+    packed = NestedFrame(pack(df, "nested", on="id"))
+    out = packed.sort_values([f"nested.{k}" for k in keys])
+    got = {r["id"]: [(e["v"], e["band"]) for e in r["nested"]] for r in out.collect()}
+    import collections
+
+    groups = collections.defaultdict(list)
+    for k, v, b in rows:
+        groups[k].append((v, b))
+    idx = {"v": 0, "band": 1}
+    for k, vals in groups.items():
+        vals.sort(key=lambda t: tuple(t[idx[s]] for s in keys))
+        # compare the sort-key projection only: ties may legally appear in
+        # any order (array_sort comparators make no stability promise)
+        proj = lambda seq: [tuple(t[idx[s]] for s in keys) for t in seq]
+        assert proj(got[k]) == proj(vals)
