@@ -348,11 +348,53 @@ class NestedFrame:
         return self._wrap(packer.nest_lists(self._df, columns, name))
 
     def explode(self, columns: str | list[str], validate_lengths: bool = True) -> "NestedFrame":
+        if isinstance(columns, str) and columns in self._pending:
+            return self._flat_from_pending(columns, None, None)
         return self._wrap(restructure.frame_explode(self._df, columns, validate_lengths))
 
     def to_flat(self, nest: str, columns: list[str] | None = None,
                 keys: list[str] | None = None) -> "NestedFrame":
+        if nest in self._pending:
+            return self._flat_from_pending(nest, columns, keys)
         return self._wrap(restructure.to_flat(self._df, nest, columns, keys))
+
+    def _flat_from_pending(self, nest: str, columns: list[str] | None,
+                           keys: list[str] | None) -> "NestedFrame":
+        """pack-then-explode collapses to a plain inner join: rows that share
+        a key ARE the exploded view, and NULL/empty cells contribute nothing
+        either way. Skips the collect_list aggregation entirely — the single
+        biggest rewrite at scale (no shuffle when the join broadcasts or the
+        tables are co-partitioned)."""
+        spec = self._pending[nest]
+        child = spec.child
+        if spec.preds:
+            child = child.where(" AND ".join(f"({p})" for p in spec.preds))
+        fields = [c for c in spec.fields() if columns is None or c in columns]
+        base = self._base_df
+        # materialize any OTHER pending packs first
+        others = {k: v for k, v in self._pending.items() if k != nest}
+        if others:
+            base = NestedFrame(base, others).df
+        key_cols = keys if keys is not None else [
+            c for c in base.columns
+            if not is_nested_type(dict((f.name, f.dataType) for f in base.schema.fields)[c])
+        ]
+        joined = base.join(child.select(*spec.keys, *fields), on=spec.keys, how="inner")
+        out_keys = [k for k in key_cols]
+        return self._wrap(joined.select(*[F.col(quote(c)) for c in out_keys],
+                                        *[F.col(quote(f)) for f in fields
+                                          if f not in out_keys]))
+
+    def select_nested_fields(self, nest: str, fields: list[str]) -> "NestedFrame":
+        if nest in self._pending:
+            spec = self._pending[nest]
+            missing = [f for f in fields if f not in spec.fields()]
+            if missing:
+                raise KeyError(f"Nested column '{nest}' has no fields {missing}")
+            narrowed = _PendingPack(spec.child, spec.keys, list(fields),
+                                    spec.sort_within, spec.broadcast_packed, spec.preds)
+            return NestedFrame(self._base_df, {**self._pending, nest: narrowed})
+        return self._wrap(self._df.withColumn(nest, nest_select_fields(self._df, nest, fields)))
 
     def to_lists(self, nest: str, columns: list[str] | None = None) -> "NestedFrame":
         return self._wrap(restructure.to_lists(self._df, nest, columns))
@@ -363,9 +405,6 @@ class NestedFrame:
 
     def to_flatten_inner(self, nest: str, inner: str) -> "NestedFrame":
         return self._wrap(restructure.to_flatten_inner(self._df, nest, inner))
-
-    def select_nested_fields(self, nest: str, fields: list[str]) -> "NestedFrame":
-        return self._wrap(self._df.withColumn(nest, nest_select_fields(self._df, nest, fields)))
 
     # -- query / eval -----------------------------------------------------
     def query(self, expr: str, env: dict[str, object] | None = None) -> "NestedFrame":

@@ -104,3 +104,39 @@ def test_drop_all_fields_raises(packed):
 def test_set_nested_field_from_sql(packed):
     out = packed.set_nested_field("nested.mag", "22.5 - 2.5 * log10(nested.flux + 1)")
     assert "mag" in out.nested_fields("nested")
+
+
+def test_to_flat_pending_skips_aggregation(spark, objects, sources):
+    """pack->to_flat on a fresh join_nested must compile to a plain join
+    (no collect_list) and produce identical rows."""
+    ndf = NestedFrame(objects).join_nested(sources, "nested", on="id")
+    flat = ndf.to_flat("nested")
+    plan = flat.df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    got = sorted((r["id"], r["t"], r["flux"]) for r in flat.select("id", "t", "flux").collect())
+    # eager path for comparison
+    eager = NestedFrame(
+        NestedFrame(objects).join_nested(sources, "nested", on="id").df
+    ).to_flat("nested")
+    want = sorted((r["id"], r["t"], r["flux"]) for r in eager.select("id", "t", "flux").collect())
+    assert got == want
+
+
+def test_to_flat_pending_with_query_pushdown(spark, objects, sources):
+    ndf = NestedFrame(objects).join_nested(sources, "nested", on="id")
+    flat = ndf.query("nested.flux >= 20").to_flat("nested")
+    rows = flat.collect()
+    assert all(r["flux"] >= 20 for r in rows)
+    assert len(rows) == 3  # only object 2's fluxes are >= 20
+
+
+def test_select_nested_fields_pending_narrows_pack(spark, objects, sources):
+    ndf = NestedFrame(objects).join_nested(sources, "nested", on="id")
+    narrow = ndf.select_nested_fields("nested", ["t"])
+    assert narrow.nested_fields("nested") == ["t"]
+    plan = narrow.df._jdf.queryExecution().executedPlan().toString()
+    # the collect_list struct must carry only the selected field (with a
+    # parquet source the scan ReadSchema would prune too; the in-memory test
+    # source always lists every column in its scan line)
+    agg_lines = [l for l in plan.splitlines() if "collect_list" in l]
+    assert agg_lines and all("flux" not in l for l in agg_lines)
