@@ -326,6 +326,68 @@ def q25_srp_bucket(spark, sf):
     return emb.select("vec_id", sim.srp_bucket(F.col("embedding"), 8, dim=64).alias("bucket"))
 
 
+def q26_asof_join(spark, sf):
+    """For each click, the most recent signup by the same user at-or-before
+    it (union + carry-forward as-of join — one shuffle, no theta join)."""
+    from nested_pandas_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")  # ts: int64 nanos
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(clicks, signups, on="user_id", ts="ts",
+                    right_cols=["signup_event"])
+    return out.select(
+        "event_id",
+        F.col("signup_event_right").alias("signup_event"),
+        F.col("ts_right").alias("signup_ts_ns"),
+    )
+
+
+def q27_rollup(spark, sf):
+    """Grouping-set aggregation over the flattened view (rollup)."""
+    flat = _orders_items(spark, sf).to_flat("items", keys=["o_orderkey"])
+    return (
+        flat.df.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT)").alias("sum_qty_e2"),
+        )
+    )
+
+
+def q28_window_topk(spark, sf):
+    """Top-2 lineitems per order by price (window rank over flat view)."""
+    from pyspark.sql import Window as W
+
+    flat = _orders_items(spark, sf).to_flat("items", keys=["o_orderkey"])
+    w = W.partitionBy("o_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        flat.df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "o_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            _e("l_extendedprice").alias("price_e2"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q29_clean_corpus(spark, sf):
+    """Full corpus-clean composition: quality filter -> exact dedup ->
+    MinHash-LSH candidates -> Jaccard verify -> drop losers."""
+    from nested_pandas_spark.pipeline.corpus import clean_corpus
+
+    docs = _t(spark, sf, "documents")
+    out = clean_corpus(docs, min_quality=0.25, near_dup_threshold=0.8,
+                       num_hashes=8, bands=4, shingle_n=3)
+    return out.select("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -371,6 +433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_events_hourly": q23_events_hourly,
         "q24_sessionize": q24_sessionize,
         "q25_srp_bucket": q25_srp_bucket,
+        "q26_asof_join": q26_asof_join,
+        "q27_rollup": q27_rollup,
+        "q28_window_topk": q28_window_topk,
+        "q29_clean_corpus": q29_clean_corpus,
     }
 
 
@@ -394,7 +460,8 @@ def _shingles(n: int) -> str:
 _H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 
-def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int) -> str:
+def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int,
+                    source: str = "documents") -> str:
     """DuckDB replica of dedup.lsh_candidate_pairs (same hash constants)."""
     from nested_pandas_spark.pipeline.dedup import _MINHASH_P, minhash_params
 
@@ -405,7 +472,7 @@ def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int) -> str:
     )
     return f"""
         WITH sh AS (
-            SELECT doc_id, {shingles_sql} AS s FROM documents
+            SELECT doc_id, {shingles_sql} AS s FROM {source}
         ), hashed AS (
             SELECT doc_id,
                    list_transform(s, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
@@ -423,6 +490,67 @@ def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int) -> str:
         FROM bands l JOIN bands r
           ON l.band_idx = r.band_idx AND l.band_key = r.band_key
          AND l.doc_id < r.doc_id
+    """
+
+
+def _clean_corpus_oracle(sh3: str, w: str, hits_en: str) -> str:
+    """DuckDB replica of pipeline.corpus.clean_corpus (quality>=0.25, no
+    language filter, minhash 8/4 shingle 3, jaccard>=0.8)."""
+    from nested_pandas_spark.pipeline.dedup import _MINHASH_P, minhash_params
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a}::BIGINT * x + {b}) % {_MINHASH_P}))"
+        for a, b in minhash_params(8)
+    )
+    quality = f"""
+        ((CASE WHEN length(text) >= 200 AND length(text) <= 50000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN length(text) > 0 AND
+                 len(regexp_extract_all(text, '[,.!?;:]')) / length(text) <= 0.1
+                 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN len({w}) > 0 AND {hits_en} / len({w}) >= 0.05 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN len({w}) > 0 AND length(text) / len({w}) >= 3
+                 AND length(text) / len({w}) <= 12 THEN 1.0 ELSE 0.0 END)) / 4.0
+    """
+    return f"""
+        WITH stats AS (
+            SELECT doc_id, text, {quality} AS quality,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ), kept1 AS (
+            SELECT * FROM stats WHERE quality >= 0.25
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY fp
+        ), kept2 AS (
+            SELECT k.doc_id, k.text FROM kept1 k JOIN keepers USING (doc_id)
+        ), sh AS (
+            SELECT doc_id, {sh3} AS s FROM kept2
+        ), hashed AS (
+            SELECT doc_id,
+                   list_transform(s, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+            FROM sh WHERE len(s) > 0
+        ), sig AS (
+            SELECT doc_id, [{sig_items}] AS sig FROM hashed
+        ), bands AS (
+            SELECT doc_id, b.b AS band_idx,
+                   md5(array_to_string(sig[b.b * 2 + 1 : (b.b + 1) * 2], ',')) AS band_key
+            FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+        ), sets AS (
+            SELECT doc_id, list_distinct(s) AS ds FROM sh WHERE len(s) > 0
+        ), ver AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN sets a ON a.doc_id = id_a
+            JOIN sets b ON b.doc_id = id_b
+            WHERE len(list_intersect(a.ds, b.ds))
+                  / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) >= 0.8
+        )
+        SELECT doc_id FROM kept2
+        WHERE doc_id NOT IN (SELECT id_b FROM ver)
     """
 
 
@@ -662,6 +790,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
             FROM flagged GROUP BY user_id
         """,
+        "q26_asof_join": """
+            SELECT c.event_id, s.event_id AS signup_event,
+                   epoch_ns(s.ts) AS signup_ts_ns
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id AND c.ts >= s.ts
+        """,
+        "q27_rollup": """
+            SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q28_window_topk": """
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_e2,
+                   CAST(row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_extendedprice DESC, l_linenumber ASC) AS BIGINT) AS rn
+            FROM lineitem
+            QUALIFY rn <= 2
+        """,
+        "q29_clean_corpus": _clean_corpus_oracle(sh3, w, hits["en"]),
         "q25_srp_bucket": """
             SELECT vec_id,
                    CAST(list_sum(list_transform(range(0, 8), p ->

@@ -1,0 +1,64 @@
+"""End-to-end corpus cleaning: the composition a training-data pipeline
+actually runs, built from the dedup/text primitives.
+
+    raw documents
+      -> text stats (tokens, language, quality, fingerprint)   [one scan]
+      -> drop low-quality / wrong-language docs                [no shuffle]
+      -> exact dedup on fingerprint                            [1 shuffle]
+      -> near-dup candidates (MinHash-LSH)                     [bucket join]
+      -> verify candidates (n-gram Jaccard)                    [candidate-only]
+      -> drop the higher-id doc of each verified pair
+
+Everything stays declarative; at 100 TB each stage is a bounded shuffle of
+ids/hashes, never of full documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup, lsh_candidate_pairs, ngram_jaccard_pairs
+from .text import add_text_stats
+
+__all__ = ["clean_corpus"]
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.25,
+    languages: list[str] | None = None,
+    near_dup_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Return the cleaned corpus (stats columns attached), with exact and
+    verified near-duplicates removed (the lowest id of each group survives).
+    """
+    stats = add_text_stats(docs, text_col)
+    kept = stats.where(F.col("quality") >= min_quality)
+    if languages:
+        kept = kept.where(F.col("lang_pred").isin(languages))
+
+    # exact dedup: keep min id per fingerprint
+    survivors = exact_dedup(kept, id_col, text_col).select(
+        F.col(id_col).alias("__keep_id")
+    )
+    kept = kept.join(
+        survivors, on=kept[id_col] == survivors["__keep_id"], how="left_semi"
+    )
+
+    # near-dup: LSH candidates -> exact Jaccard verify -> drop higher ids
+    candidates = lsh_candidate_pairs(
+        kept, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
+    verified = ngram_jaccard_pairs(
+        kept, id_col, text_col, shingle_n=shingle_n,
+        threshold=near_dup_threshold, candidates=candidates,
+    )
+    losers = verified.select(F.col("id_b").alias("__loser")).distinct()
+    return kept.join(losers, on=kept[id_col] == losers["__loser"], how="left_anti")

@@ -222,6 +222,22 @@ def ngram_jaccard_pairs(
         )
         .where(F.size("__sh") > 0)
     )
+
+    if candidates is not None:
+        # verify-only mode: join each candidate pair to its two shingle sets
+        # and compute the exact Jaccard per pair with array_intersect — work
+        # is O(|candidates| * shingles), never an all-pairs or index join.
+        a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+        b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+        paired = candidates.select("id_a", "id_b").join(a, on="id_a").join(b, on="id_b")
+        inter = F.size(F.array_intersect("__sa", "__sb"))
+        jac = inter / (F.size("__sa") + F.size("__sb") - inter)
+        return (
+            paired.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     exploded = sh.select("__id", F.explode("__sh").alias("s"))
     shared = (
@@ -231,10 +247,6 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .agg(F.count("*").alias("__inter"))
     )
-    if candidates is not None:
-        shared = shared.join(candidates, on=["id_a", "id_b"], how="left_semi") if set(
-            candidates.columns
-        ) >= {"id_a", "id_b"} else shared
     out = (
         shared.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"),
                     on="id_a")

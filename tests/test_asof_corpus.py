@@ -1,0 +1,87 @@
+"""as-of join, range join, and corpus-cleaning composition tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark.operators.asof import asof_join, range_join
+from nested_pandas_spark.pipeline.corpus import clean_corpus
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 205), (3, "B", 150), (4, "B", 90)],
+        "trade_id long, sym string, ts long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 50, 10.0), ("A", 200, 11.0), ("B", 100, 20.0), ("B", 150, 21.0)],
+        "sym string, ts long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_basic(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"])
+    d = {r["trade_id"]: (r["px_right"], r["ts_right"]) for r in out.collect()}
+    assert d[1] == (10.0, 50)    # A@100 -> quote@50
+    assert d[2] == (11.0, 200)   # A@205 -> quote@200
+    assert d[3] == (21.0, 150)   # B@150 -> quote@150 (inclusive)
+    assert d[4] == (None, None)  # B@90: no quote at-or-before 90
+
+
+def test_asof_join_no_match_is_null(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"])
+    d = {r["trade_id"]: r["px_right"] for r in out.collect()}
+    assert d[4] is None  # B@90 has no earlier quote
+
+
+def test_asof_join_strict(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"], strict=True)
+    d = {r["trade_id"]: r["px_right"] for r in out.collect()}
+    assert d[3] == 20.0  # B@150 must NOT see the equal-ts quote
+
+
+def test_asof_join_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"], tolerance=10)
+    d = {r["trade_id"]: r["px_right"] for r in out.collect()}
+    assert d[1] is None   # gap 50 > 10
+    assert d[2] == 11.0   # gap 5 <= 10
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, "A", 105), (2, "A", 250), (3, "A", 400)], "pid long, k string, ts long"
+    )
+    intervals = spark.createDataFrame(
+        [("A", 100, 200, "i1"), ("A", 240, 260, "i2")],
+        "k string, s long, e long, label string",
+    )
+    out = range_join(points, intervals, on="k", left_ts="ts",
+                     right_start="s", right_end="e", bucket=50)
+    d = {r["pid"]: r["label"] for r in out.collect()}
+    assert d == {1: "i1", 2: "i2"}  # pid 3 matches nothing
+
+
+def test_clean_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs far away "
+        "into the woods where it was seen for a long time by many other animals "
+    ) * 3
+    rows = [
+        (1, base),
+        (2, base),                          # exact dup of 1 -> dropped
+        (3, base + "with one tiny change"), # near dup of 1 -> dropped
+        (4, "zz!!"),                        # low quality -> dropped
+        (5, ("completely different text about engines and data processing that is "
+             "long enough to pass the quality gate and it is full of the usual "
+             "english stopwords so that it scores well on that axis too ") * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(docs, min_quality=0.5, near_dup_threshold=0.6,
+                       num_hashes=8, bands=4, shingle_n=3)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 5]
