@@ -59,21 +59,32 @@ class _PendingPack:
     elements all fail yields an empty group -> NULL cell either way.
     """
 
-    __slots__ = ("child", "keys", "columns", "sort_within", "broadcast_packed", "preds")
+    __slots__ = ("child", "keys", "columns", "sort_within", "broadcast_packed",
+                 "preds", "aggs")
 
     def __init__(self, child, keys, columns, sort_within, broadcast_packed,
-                 preds=()):
+                 preds=(), aggs=()):
         self.child = child
         self.keys = keys
         self.columns = columns
         self.sort_within = sort_within
         self.broadcast_packed = broadcast_packed
         self.preds = tuple(preds)
+        # (alias, aggregate-SQL over child cols, zero_fill) — computed in the
+        # SAME groupBy as the collect_list, so if downstream never touches the
+        # packed array Catalyst prunes the collect_list from the aggregate,
+        # and a count/sum query never materializes a single array.
+        self.aggs = tuple(aggs)
 
     def with_pred(self, pred_sql: str) -> "_PendingPack":
         return _PendingPack(self.child, self.keys, self.columns,
                             self.sort_within, self.broadcast_packed,
-                            self.preds + (pred_sql,))
+                            self.preds + (pred_sql,), self.aggs)
+
+    def with_agg(self, alias: str, agg_sql: str, zero_fill: bool) -> "_PendingPack":
+        return _PendingPack(self.child, self.keys, self.columns,
+                            self.sort_within, self.broadcast_packed,
+                            self.preds, self.aggs + ((alias, agg_sql, zero_fill),))
 
     def fields(self) -> list[str]:
         if self.columns is not None:
@@ -103,12 +114,19 @@ class NestedFrame:
                 child = spec.child
                 if spec.preds:
                     child = child.where(" AND ".join(f"({p})" for p in spec.preds))
-                packed_nf = packer.join_nested(
-                    out, child, name, on=spec.keys, how="left",
-                    columns=spec.columns, sort_within=spec.sort_within,
-                    broadcast_packed=spec.broadcast_packed,
+                packed = packer.pack(
+                    child, name, on=spec.keys, columns=spec.columns,
+                    sort_within=spec.sort_within,
+                    extra_aggs=[(a, sql) for a, sql, _ in spec.aggs],
                 )
-                out = packed_nf
+                if spec.broadcast_packed:
+                    packed = F.broadcast(packed)
+                out = out.join(packed, on=spec.keys, how="left")
+                for alias, _, zero_fill in spec.aggs:
+                    if zero_fill:
+                        out = out.withColumn(
+                            alias, F.coalesce(F.col(quote(alias)), F.lit(0))
+                        )
             self._materialized = out
         return self._materialized
 
@@ -522,6 +540,28 @@ class NestedFrame:
     # -- aggregation ------------------------------------------------------
     def count_nested(self, nest: str, by: str | None = None,
                      values: list[str] | None = None, join: bool = True) -> "NestedFrame":
+        if nest in self._pending and join:
+            # compute counts in the pack's own groupBy (collect_list prunes
+            # away if the array itself is never consumed downstream)
+            spec = self._pending[nest]
+            if by is None:
+                spec = spec.with_agg(f"n_{nest}", "count(*)", True)
+            else:
+                if by not in spec.fields():
+                    raise KeyError(f"Nested column '{nest}' has no field '{by}'")
+                if values is None:
+                    values = sorted(
+                        r[0] for r in spec.child.select(quote(by)).distinct().collect()
+                        if r[0] is not None
+                    )
+                for v in values:
+                    lit = "'" + str(v).replace("'", "\\'") + "'"
+                    spec = spec.with_agg(
+                        f"n_{nest}_{v}",
+                        f"count(CASE WHEN {quote(by)} = {lit} THEN 1 END)",
+                        True,
+                    )
+            return NestedFrame(self._base_df, {**self._pending, nest: spec})
         return self._wrap(aggregates.count_nested(self._df, nest, by, values, join))
 
     def min(self, columns: list[str] | None = None) -> DataFrame:
@@ -534,8 +574,28 @@ class NestedFrame:
         return aggregates.describe(self._df, columns, exact)
 
     def nest_agg(self, nest: str, field: str, how: str, alias: str | None = None) -> "NestedFrame":
+        name = alias or f"{how}_{nest}_{field}"
+        if nest in self._pending:
+            spec = self._pending[nest]
+            if field not in spec.fields():
+                raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+            # child-side aggregate semantics matched to the post-pack HOFs:
+            # HOF sum treats an existing cell's nulls as 0 (coalesce inside
+            # the group); missing groups stay NULL via the left join.
+            agg_sql = {
+                "sum": f"coalesce(sum({quote(field)}), CAST(0.0 AS DOUBLE))",
+                "mean": f"avg({quote(field)})",
+                "min": f"min({quote(field)})",
+                "max": f"max({quote(field)})",
+                "count": "count(*)",
+            }.get(how)
+            if agg_sql is None:
+                raise ValueError(f"Unsupported reduction: {how}")
+            # no zero-fill: the eager path's size(NULL cell) is NULL too
+            spec = spec.with_agg(name, agg_sql, False)
+            return NestedFrame(self._base_df, {**self._pending, nest: spec})
         col = aggregates.nest_agg(self._df, nest, field, how, alias)
-        return self._wrap(self._df.withColumn(alias or f"{how}_{nest}_{field}", col))
+        return self._wrap(self._df.withColumn(name, col))
 
     # -- sorting ----------------------------------------------------------
     def sort_values(self, by: str | list[str], ascending: bool | list[bool] = True,

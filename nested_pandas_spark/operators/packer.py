@@ -70,8 +70,13 @@ def pack(
     columns: list[str] | None = None,
     sort_within: list[str | tuple[str, bool]] | None = None,
     salt: int | None = None,
+    extra_aggs: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Pack a flat child table into one nested cell per key.
+
+    ``extra_aggs``: (alias, aggregate-SQL) pairs computed alongside the
+    collect_list in the same groupBy — lets Catalyst prune the collect_list
+    when only the aggregates are consumed downstream.
 
     Returns a DataFrame ``(*keys, name: array<struct<payload>>)``.
     NULL join keys are rejected, matching the reference
@@ -89,6 +94,7 @@ def pack(
     null_key = " OR ".join(f"{quote(k)} IS NULL" for k in keys)
     child = child.where(f"NOT ({null_key})")
     struct_col = F.struct(*[F.col(quote(c)) for c in payload])
+    agg_cols = [F.expr(sql).alias(alias) for alias, sql in (extra_aggs or [])]
     if salt and salt > 1:
         partial = (
             child.withColumn("__salt", (F.rand() * salt).cast("int"))
@@ -99,8 +105,12 @@ def pack(
             partial.groupBy(*keys)
             .agg(F.flatten(F.collect_list("__part")).alias(name))
         )
+        if agg_cols:
+            raise ValueError("extra_aggs is not supported with salt")
     else:
-        packed = child.groupBy(*keys).agg(F.collect_list(struct_col).alias(name))
+        packed = child.groupBy(*keys).agg(
+            F.collect_list(struct_col).alias(name), *agg_cols
+        )
     if sort_within:
         cmp = sort_comparator_sql(sort_within)
         packed = packed.withColumn(
