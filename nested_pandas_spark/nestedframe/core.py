@@ -33,6 +33,7 @@ from ..functions.nested import (
 from ..operators import aggregates, cleaning, packer, restructure, sorting
 from . import expr as expr_mod
 from .expr import QueryCompileError, compile_expr, split_assignment
+from ..plans.lazy_pack import PendingPack as _PendingPack
 
 __all__ = ["NestedFrame"]
 
@@ -46,50 +47,6 @@ def _infer_ddl(value: Any) -> str:
         return "double"
     return "string"
 
-
-class _PendingPack:
-    """A not-yet-materialized ``join_nested``: child table + keys + any
-    element predicates accumulated from subsequent ``query()`` calls.
-
-    Deferring the pack until the plan is actually needed lets an element
-    filter that immediately follows packing be applied to the FLAT child
-    *before* the ``collect_list`` shuffle — the predicate then pushes down
-    to the parquet scan and the shuffle moves only surviving rows. The two
-    orders are semantically identical for left joins: an order whose
-    elements all fail yields an empty group -> NULL cell either way.
-    """
-
-    __slots__ = ("child", "keys", "columns", "sort_within", "broadcast_packed",
-                 "preds", "aggs")
-
-    def __init__(self, child, keys, columns, sort_within, broadcast_packed,
-                 preds=(), aggs=()):
-        self.child = child
-        self.keys = keys
-        self.columns = columns
-        self.sort_within = sort_within
-        self.broadcast_packed = broadcast_packed
-        self.preds = tuple(preds)
-        # (alias, aggregate-SQL over child cols, zero_fill) — computed in the
-        # SAME groupBy as the collect_list, so if downstream never touches the
-        # packed array Catalyst prunes the collect_list from the aggregate,
-        # and a count/sum query never materializes a single array.
-        self.aggs = tuple(aggs)
-
-    def with_pred(self, pred_sql: str) -> "_PendingPack":
-        return _PendingPack(self.child, self.keys, self.columns,
-                            self.sort_within, self.broadcast_packed,
-                            self.preds + (pred_sql,), self.aggs)
-
-    def with_agg(self, alias: str, agg_sql: str, zero_fill: bool) -> "_PendingPack":
-        return _PendingPack(self.child, self.keys, self.columns,
-                            self.sort_within, self.broadcast_packed,
-                            self.preds, self.aggs + ((alias, agg_sql, zero_fill),))
-
-    def fields(self) -> list[str]:
-        if self.columns is not None:
-            return list(self.columns)
-        return [c for c in self.child.columns if c not in set(self.keys)]
 
 
 class NestedFrame:

@@ -27,7 +27,8 @@ from pyspark.sql import types as T
 
 from ..functions.nested import is_nested_type, quote
 
-__all__ = ["read_parquet", "from_struct_of_lists"]
+__all__ = ["read_parquet", "from_struct_of_lists", "read_json", "read_csv",
+           "write_parquet"]
 
 
 def _struct_of_lists_cols(df: DataFrame, reject: set[str]) -> list[str]:
@@ -111,3 +112,73 @@ def read_parquet(
         inner = ", ".join(f"__x.{quote(f)} AS {quote(f)}" for f in flds)
         proj.append(F.expr(f"transform({quote(nest)}, __x -> struct({inner}))").alias(nest))
     return df.select(*proj)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str | T.StructType | None = None,
+    autocast_list: bool = False,
+    **options,
+) -> DataFrame:
+    """Read JSON(L) with nested-column autocasting (beyond the reference,
+    which is parquet-only). JSON arrays of objects arrive natively as
+    ``array<struct>``; ``autocast_list`` wraps bare arrays into single-field
+    nests like :func:`read_parquet`.
+
+    Always pass ``schema`` at scale — schema inference scans the data twice.
+    """
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(*([path] if isinstance(path, str) else path))
+    if autocast_list:
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.ArrayType) and not isinstance(
+                f.dataType.elementType, T.StructType
+            ):
+                df = df.withColumn(
+                    f.name,
+                    F.expr(
+                        f"transform({quote(f.name)}, __x -> struct(__x AS {quote(f.name)}))"
+                    ),
+                )
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str | T.StructType | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """Read CSV (flat — CSV has no nested representation; pack afterwards
+    with ``join_nested``/``from_flat``)."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(*([path] if isinstance(path, str) else path))
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    max_records_per_file: int | None = None,
+    **options,
+) -> None:
+    """Parquet writer with the scale knobs surfaced: hive-style partitioning
+    (prunes whole directories at read time) and per-file row caps (keeps
+    files splittable-friendly and small enough for object-store ranged
+    reads)."""
+    writer = df.write.mode(mode).options(**options)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)

@@ -123,3 +123,32 @@ def test_generate_data(spark):
     assert ndf.count() == 5
     assert ndf.nested_columns == ["nested"]
     assert all(len(r["nested"]) == 4 for r in ndf.collect())
+
+
+def test_read_json_nested(tmp_path, spark):
+    from nested_pandas_spark.nestedframe.io import read_json
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(
+        '{"id": 1, "nested": [{"t": 1.0, "b": "x"}, {"t": 2.0, "b": "y"}]}\n'
+        '{"id": 2, "nested": []}\n'
+    )
+    df = read_json(spark, str(p),
+                   schema="id bigint, nested array<struct<t double, b string>>")
+    ndf = NestedFrame(df)
+    assert ndf.nested_columns == ["nested"]
+    rows = {r["id"]: r["nested"] for r in ndf.collect()}
+    assert [e["t"] for e in rows[1]] == [1.0, 2.0]
+
+
+def test_write_parquet_partitioned(tmp_path, spark, packed):
+    from nested_pandas_spark.nestedframe.io import write_parquet
+
+    out = str(tmp_path / "part")
+    write_parquet(packed.df.withColumn("bucket", packed.df.id % 2), out,
+                  partition_by="bucket")
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == 3

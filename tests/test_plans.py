@@ -1,0 +1,77 @@
+"""Plan-shape assertions: the optimizations this engine promises must be
+visible in the physical plan, not just fast by accident.
+
+These tests guard the PendingPack rewrite rules (plans/lazy_pack.py) and the
+Catalyst behaviors the design relies on.
+"""
+
+import pytest
+
+from nested_pandas_spark import NestedFrame
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def pending(spark, objects, sources):
+    return NestedFrame(objects).join_nested(sources, "nested", on="id")
+
+
+def test_count_only_prunes_collect_list(pending):
+    out = pending.count_nested("nested").df.select("id", "n_nested")
+    assert "collect_list" not in _plan(out)
+
+
+def test_agg_only_prunes_collect_list(pending):
+    out = pending.nest_agg("nested", "flux", "mean", alias="m").df.select("id", "m")
+    plan = _plan(out)
+    assert "collect_list" not in plan
+    assert "avg(flux" in plan
+
+
+def test_array_use_keeps_collect_list(pending):
+    out = pending.count_nested("nested").df.select("id", "n_nested", F.size("nested"))
+    assert "collect_list" in _plan(out)
+
+
+def test_element_filter_below_aggregate(pending):
+    import re
+
+    out = pending.query("nested.flux > 5.0")
+    assert re.search(r"flux#\d+ > 5\.0", _plan(out.df))
+
+
+def test_base_filter_before_join(pending):
+    plan = _plan(pending.query("a > 0.5").df)
+    # the base filter must appear on the scan side, not above the join:
+    # locate the Filter on column `a` and check it sits under the join
+    lines = plan.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    filt_idx = next(i for i, l in enumerate(lines) if "Filter" in l and "a#" in l)
+    assert filt_idx > join_idx  # deeper in the printed tree = below the join
+
+
+def test_flatten_skips_aggregation(pending):
+    out = pending.to_flat("nested")
+    plan = _plan(out.df)
+    assert "collect_list" not in plan
+    assert "Join" in plan
+
+
+def test_narrowed_fields_not_packed(pending):
+    out = pending.select_nested_fields("nested", ["t"])
+    agg_lines = [l for l in _plan(out.df).splitlines() if "collect_list" in l]
+    assert agg_lines and all("flux" not in l for l in agg_lines)
+
+
+def test_single_shuffle_for_pack(spark, objects, sources):
+    """The child shuffles exactly once: aggregation exchange; join reuses it
+    (or broadcasts)."""
+    out = NestedFrame(objects).join_nested(sources, "nested", on="id").df
+    plan = _plan(out)
+    # at most: one child exchange + one base exchange (sort-merge) or a
+    # broadcast exchange; never two child-side hash exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2
