@@ -31,7 +31,6 @@ from ..functions.nested import (
     rebuild_struct_sql,
 )
 from ..operators import aggregates, cleaning, packer, restructure, sorting
-from . import expr as expr_mod
 from .expr import QueryCompileError, compile_expr, split_assignment
 from ..plans.lazy_pack import PendingPack as _PendingPack
 

@@ -152,3 +152,14 @@ def test_write_parquet_partitioned(tmp_path, spark, packed):
     assert any(d.startswith("bucket=") for d in os.listdir(out))
     back = spark.read.parquet(out)
     assert back.count() == 3
+
+
+def test_map_batches(packed):
+    from nested_pandas_spark.operators.map_rows import map_batches
+    import pandas as pd
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": pdf["id"], "n": [len(x) for x in pdf["nested"]]})
+
+    out = map_batches(packed.df, f, "id long, n long")
+    assert {r["id"]: r["n"] for r in out.collect()} == {0: 3, 1: 3, 2: 3}

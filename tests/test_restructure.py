@@ -140,3 +140,20 @@ def test_select_nested_fields_pending_narrows_pack(spark, objects, sources):
     # source always lists every column in its scan line)
     agg_lines = [l for l in plan.splitlines() if "collect_list" in l]
     assert agg_lines and all("flux" not in l for l in agg_lines)
+
+
+def test_non_identifier_columns_end_to_end(spark):
+    """F8: spaces/punctuation in base and nested sub-column names survive
+    pack -> query (backticked) -> explode (reference test_nestedframe.py:939)."""
+    base = spark.createDataFrame([(0, 1.0), (1, 5.0)], ["id", "a a"])
+    child = spark.createDataFrame(
+        [(0, 1.0, "x"), (0, 9.0, "y"), (1, 2.0, "z")], ["id", "t t", "b-b"]
+    )
+    ndf = NestedFrame(base).join_nested(child, "nested", on="id")
+    q = ndf.query("nested.`t t` > 1.5 and `a a` < 99")
+    rows = {r["id"]: r["nested"] for r in q.df.collect()}
+    assert [e["t t"] for e in rows[0]] == [9.0]
+    flat = q.to_flat("nested")
+    assert set(flat.columns) == {"id", "a a", "t t", "b-b"}
+    q2 = ndf.eval("nested.`t2 x` = nested.`t t` * 2")
+    assert "t2 x" in q2.nested_fields("nested")
