@@ -160,38 +160,58 @@ def lsh_candidate_pairs(
     with bucket sizes, not n^2.
     """
     rows_per_band = num_hashes // bands
-    # staged projections: shingle md5 hashes once -> signature -> bands, so
-    # the expensive string pass is evaluated exactly once per document
-    hashed = staged_shingle_hashes(df, id_col, text_col, shingle_n)
-    sig = hashed.select(
-        "__id", minhash_from_hashes(F.col("__h"), num_hashes).alias("__sig")
+    # exploded formulation: explode shingles, hash each once, take the k
+    # minima as grouped aggregates. Robust against Catalyst's projection
+    # collapse, which re-inlines array expressions into downstream lambdas
+    # and silently re-tokenizes per element; here the tokenizer output feeds
+    # a generator (evaluated once per row) and everything after is per-
+    # shingle scalar work + one narrow shuffle of (id, hash).
+    from .text import _ngrams_from_words, words
+
+    exploded = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(_ngrams_from_words(words(F.col(text_col)), shingle_n)).alias("__g"),
     )
-    banded = sig.select(
-        "__id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
-                ),
+    hashed = exploded.select("__id", _h32(F.col("__g")).alias("__h"))
+    params = minhash_params(num_hashes)
+    sig = hashed.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"__m{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
             )
-        ).alias("band_idx", "band_key"),
-    )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_idx") == F.col("r.band_idx"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "__id", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")
+    )
+    # group-and-enumerate instead of a self-join: a self-join would scan and
+    # re-hash the corpus twice (no exchange reuse across the sides); one
+    # aggregation per bucket + in-array pair enumeration computes signatures
+    # exactly once. Bucket sizes are small by construction (that's the point
+    # of LSH), so the quadratic enumeration stays per-bucket-tiny.
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs_sql = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pairs_sql)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -238,25 +258,34 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    sizes = sh.select("__id", F.size("__sh").alias("__n"))
-    exploded = sh.select("__id", F.explode("__sh").alias("s"))
+    # inverted index by group-and-enumerate: carry each doc's set size with
+    # it so no extra sizes join is needed; shared-shingle pair counts are the
+    # intersection sizes. One scan, one shuffle on the shingle, one on pairs.
+    exploded = sh.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("s")
+    )
+    groups = (
+        exploded.groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("__id", "__n"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pairs_sql = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "y -> struct(x.__id AS id_a, y.__id AS id_b, x.__n AS na, y.__n AS nb))))"
+    )
     shared = (
-        exploded.alias("l")
-        .join(exploded.alias("r"), on=[F.col("l.s") == F.col("r.s"),
-                                       F.col("l.__id") < F.col("r.__id")])
-        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        groups.select(F.explode(F.expr(pairs_sql)).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.na", "p.nb")
         .agg(F.count("*").alias("__inter"))
     )
-    out = (
-        shared.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"),
-                    on="id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"),
-              on="id_b")
-        .withColumn("jaccard", F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")))
+    return (
+        shared.withColumn(
+            "jaccard", F.col("__inter") / (F.col("na") + F.col("nb") - F.col("__inter"))
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def simhash_from_hashes(h: Column, bits: int = 32) -> Column:
@@ -292,13 +321,44 @@ def simhash_df(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32,
     shingle_n: int = 2, alias: str = "simhash",
 ) -> DataFrame:
-    """(id, simhash) with staged tokenize/hash columns — the fast path.
+    """(id, simhash) — exploded-aggregation fast path.
 
+    Per-bit set counts as grouped conditional sums over exploded shingle
+    hashes (same rationale as lsh_candidate_pairs: generator input evaluates
+    once per row, so the tokenizer can't be re-inlined per element).
     Rows that cannot shingle (short/NULL text) get a NULL simhash.
     """
-    hashed = staged_shingle_hashes(df, id_col, text_col, shingle_n, keep_empty=True)
-    return hashed.select(
-        F.col("__id").alias(id_col), simhash_from_hashes(F.col("__h"), bits).alias(alias)
+    from .text import _ngrams_from_words, words
+
+    exploded = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(_ngrams_from_words(words(F.col(text_col)), shingle_n)).alias("__g"),
+    )
+    hashed = exploded.select("__id", _h32(F.col("__g")).alias("__h"))
+    bit_counts = hashed.groupBy("__id").agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(
+                F.when(
+                    F.call_function(
+                        "shiftright", F.col("__h"), F.lit(j)
+                    ).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(0)
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ],
+    )
+    total = F.lit(0).cast("long")
+    for j in range(bits):
+        total = total + F.when(
+            F.col(f"__b{j}") * 2 > F.col("__n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sig = bit_counts.select("__id", total.alias(alias))
+    # reinstate unshingleable rows with NULL simhash
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return ids.join(sig, on="__id", how="left").select(
+        F.col("__id").alias(id_col), F.col(alias)
     )
 
 
@@ -337,22 +397,26 @@ def simhash_near_pairs(
             )
         ).alias("blk_idx", "blk_key"),
     )
-    pairs = (
-        blocked.alias("l")
-        .join(
-            blocked.alias("r"),
-            on=[
-                F.col("l.blk_idx") == F.col("r.blk_idx"),
-                F.col("l.blk_key") == F.col("r.blk_key"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
-        )
+    # group-and-enumerate (see lsh_candidate_pairs): one aggregation per
+    # block bucket, simhashes computed once, pairs enumerated in-array
+    buckets = (
+        blocked.groupBy("blk_idx", "blk_key")
+        .agg(F.sort_array(F.collect_list(F.struct("__id", "__sh"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pairs_sql = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "y -> struct(x.__id AS id_a, y.__id AS id_b, "
+        "x.__sh AS sha, y.__sh AS shb))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pairs_sql)).alias("p"))
         .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.bit_count(F.col("l.__sh").bitwiseXOR(F.col("r.__sh"))).alias("hamming"),
+            "p.id_a",
+            "p.id_b",
+            F.bit_count(F.col("p.sha").bitwiseXOR(F.col("p.shb"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
