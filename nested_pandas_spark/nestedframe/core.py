@@ -461,6 +461,34 @@ class NestedFrame:
             raise QueryCompileError(
                 "Queries cannot target multiple structs/layers"
             )
+        if (
+            tgt_nest in self._pending
+            and (not compiled.nests or compiled.nest == tgt_nest)
+            and not compiled.base_cols
+            # REPLACING a field is only safe when no earlier pushed
+            # predicate/aggregate/sort could see the old value (they apply
+            # to the final child at materialization, i.e. after this eval)
+            and (
+                tgt_field not in self._pending[tgt_nest].fields()
+                or not (
+                    self._pending[tgt_nest].preds
+                    or self._pending[tgt_nest].aggs
+                    or self._pending[tgt_nest].sort_within
+                )
+            )
+        ):
+            # pushdown: add/replace the field on the FLAT child before the
+            # pack — keeps the pack pending so later query/agg pushdowns
+            # still compose (e.g. eval -> nest_agg never builds an array)
+            spec = self._pending[tgt_nest]
+            new_child = spec.child.withColumn(tgt_field, F.expr(compiled.render_flat()))
+            new_columns = spec.columns
+            if new_columns is not None and tgt_field not in new_columns:
+                new_columns = list(new_columns) + [tgt_field]
+            new_spec = _PendingPack(new_child, spec.keys, new_columns,
+                                    spec.sort_within, spec.broadcast_packed,
+                                    spec.preds, spec.aggs)
+            return NestedFrame(self._base_df, {**self._pending, tgt_nest: new_spec})
         if tgt_nest in fieldmap:
             # add/replace field inside existing nest
             src = compiled.nest or tgt_nest
@@ -556,6 +584,25 @@ class NestedFrame:
     # -- sorting ----------------------------------------------------------
     def sort_values(self, by: str | list[str], ascending: bool | list[bool] = True,
                     na_position: str = "last") -> "NestedFrame":
+        keys = [by] if isinstance(by, str) else list(by)
+        ascs = [ascending] * len(keys) if isinstance(ascending, bool) else list(ascending)
+        nests = {k.split(".", 1)[0] for k in keys if "." in k}
+        if len(nests) == 1 and (nest := next(iter(nests))) in self._pending and all(
+            "." in k and k.split(".", 1)[0] == nest for k in keys
+        ):
+            # push the element sort into the pack's own sort_within
+            spec = self._pending[nest]
+            fields = spec.fields()
+            sort_keys = []
+            for k, asc in zip(keys, ascs):
+                fld = k.split(".", 1)[1]
+                if fld not in fields:
+                    raise KeyError(f"Nested column '{nest}' has no field '{fld}'")
+                sort_keys.append((fld, asc))
+            new_spec = _PendingPack(spec.child, spec.keys, spec.columns,
+                                    sort_keys, spec.broadcast_packed,
+                                    spec.preds, spec.aggs)
+            return NestedFrame(self._base_df, {**self._pending, nest: new_spec})
         return self._wrap(sorting.sort_values(self._df, by, ascending, na_position))
 
     # -- UDF --------------------------------------------------------------

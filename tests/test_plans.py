@@ -75,3 +75,34 @@ def test_single_shuffle_for_pack(spark, objects, sources):
     # at most: one child exchange + one base exchange (sort-merge) or a
     # broadcast exchange; never two child-side hash exchanges
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_eval_pushdown_keeps_pack_pending(pending):
+    """eval on a pending nest adds the field to the flat child; a following
+    reduce then computes in the pack's groupBy with collect_list pruned."""
+    out = pending.eval("nested.double_flux = nested.flux * 2")
+    reduced = out.nest_agg("nested", "double_flux", "sum", alias="s")
+    plan = _plan(reduced.df.select("id", "s"))
+    assert "collect_list" not in plan
+    rows = {r["id"]: r["s"] for r in reduced.df.select("id", "s").collect()}
+    assert rows[0] == pytest.approx(2 * (0.0 + 1.0 + 2.0))
+
+
+def test_eval_replace_guard(pending):
+    """Replacing a field after a pushed predicate must NOT reorder: the
+    eager path takes over and results stay correct."""
+    q = pending.query("nested.flux > 1.0")
+    replaced = q.eval("nested.flux = nested.flux * 0")
+    rows = {r["id"]: r["nested"] for r in replaced.df.collect()}
+    # elements were filtered on the ORIGINAL flux, then zeroed
+    assert rows[0] is not None and len(rows[0]) == 1
+    assert rows[0][0]["flux"] == 0.0
+
+
+def test_sort_pushdown_into_pack(pending):
+    out = pending.sort_values("nested.flux", ascending=False)
+    # the sort landed in the pending spec (applied inside the pack), and the
+    # pack stays deferred for further pushdowns
+    assert out._pending["nested"].sort_within == [("flux", False)]
+    rows = {r["id"]: [e["flux"] for e in r["nested"]] for r in out.df.collect()}
+    assert rows[0] == [2.0, 1.0, 0.0]
