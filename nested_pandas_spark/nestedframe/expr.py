@@ -244,10 +244,16 @@ class _Compiler(ast.NodeVisitor):
         return parts[0] if len(parts) == 1 else "(" + " AND ".join(parts) + ")"
 
     def visit_Call(self, node: ast.Call) -> str:
-        # method-style: nested.len(), nested.field.isna() etc.
+        # method-style: nested.len(), nested.field.isna(), str methods
         if isinstance(node.func, ast.Attribute):
             meth = node.func.attr
             target = node.func.value
+            # pandas-style `.str.xxx(...)`: unwrap the `.str` accessor
+            if (
+                isinstance(target, ast.Attribute)
+                and target.attr == "str"
+            ):
+                target = target.value
             if meth == "len" and isinstance(target, ast.Name):
                 holder = self.alias_map.get(target.id, target.id)
                 if holder in self.nested_fields:
@@ -259,6 +265,25 @@ class _Compiler(ast.NodeVisitor):
                 return f"({self.visit(target)} IS NULL)"
             if meth in ("notna", "notnull"):
                 return f"({self.visit(target)} IS NOT NULL)"
+            # string methods (subset of pandas .str / str semantics)
+            tgt_sql = None
+            if meth in ("lower", "upper", "strip", "len", "startswith", "endswith",
+                        "contains"):
+                tgt_sql = self.visit(target)
+            if tgt_sql is not None:
+                if meth in ("lower", "upper"):
+                    return f"{meth}({tgt_sql})"
+                if meth == "strip":
+                    return f"trim({tgt_sql})"
+                if meth == "len":
+                    return f"length({tgt_sql})"
+                args = [self.visit(a) for a in node.args]
+                if meth == "startswith":
+                    return f"startswith({tgt_sql}, {args[0]})"
+                if meth == "endswith":
+                    return f"endswith({tgt_sql}, {args[0]})"
+                if meth == "contains":
+                    return f"contains({tgt_sql}, {args[0]})"
             raise QueryCompileError(f"Unsupported method call: {meth}")
         if isinstance(node.func, ast.Name):
             fname = node.func.id

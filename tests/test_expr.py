@@ -113,3 +113,11 @@ def test_split_assignment():
 def test_string_literal_escaping():
     out = c("nested.band == @v", env={"v": "it's"})
     assert "\\'" in out.render("x")
+
+
+def test_string_methods():
+    assert c("nested.band.lower() == 'r'").render("x") == "(lower(x.`band`) = 'r')"
+    assert c("nested.band.startswith('r')").render("x") == "startswith(x.`band`, 'r')"
+    assert c("nested.band.str.contains('g')").render("x") == "contains(x.`band`, 'g')"
+    out = c("nested.band.len() >= 1")
+    assert out.render("x") == "(length(x.`band`) >= 1)"

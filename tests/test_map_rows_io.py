@@ -163,3 +163,28 @@ def test_map_batches(packed):
 
     out = map_batches(packed.df, f, "id long, n long")
     assert {r["id"]: r["n"] for r in out.collect()} == {0: 3, 1: 3, 2: 3}
+
+
+def test_read_parquet_reject_nesting(tmp_path, spark):
+    """reject_nesting keeps a struct-of-lists column raw (reference
+    test_io.py:138)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from nested_pandas_spark import read_parquet
+
+    tbl = pa.table(
+        {
+            "id": pa.array([0], pa.int64()),
+            "sol": pa.array(
+                [{"t": [1.0], "f": [2.0]}],
+                pa.struct({"t": pa.list_(pa.float64()), "f": pa.list_(pa.float64())}),
+            ),
+        }
+    )
+    p = str(tmp_path / "rej.parquet")
+    pq.write_table(tbl, p)
+    auto = read_parquet(spark, p)
+    assert isinstance(auto.schema["sol"].dataType, T.ArrayType)  # autocast on
+    raw = read_parquet(spark, p, reject_nesting="sol")
+    assert isinstance(raw.schema["sol"].dataType, T.StructType)  # kept raw

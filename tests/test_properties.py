@@ -105,3 +105,47 @@ def test_nested_sort_matches_python_sort(spark, rows, keys):
         # any order (array_sort comparators make no stability promise)
         proj = lambda seq: [tuple(t[idx[s]] for s in keys) for t in seq]
         assert proj(got[k]) == proj(vals)
+
+
+from hypothesis import assume
+
+
+@st.composite
+def simple_exprs(draw):
+    """Random boolean expressions over columns v (float) and band (str)."""
+    def comparison():
+        col = draw(st.sampled_from(["v", "band"]))
+        if col == "v":
+            op = draw(st.sampled_from([">", "<", ">=", "<=", "==", "!="]))
+            val = draw(st.integers(min_value=-20, max_value=20))
+            return f"v {op} {val}"
+        val = draw(st.sampled_from(["r", "g", "b"]))
+        op = draw(st.sampled_from(["==", "!="]))
+        return f"band {op} '{val}'"
+
+    parts = [comparison() for _ in range(draw(st.integers(1, 3)))]
+    joiners = [draw(st.sampled_from(["and", "or"])) for _ in range(len(parts) - 1)]
+    out = parts[0]
+    for j, p in zip(joiners, parts[1:]):
+        out = f"({out}) {j} ({p})"
+    return out
+
+
+@given(rows=child_rows, expr=simple_exprs())
+@SETTINGS
+def test_query_matches_pandas_query(spark, rows, expr):
+    """The base-expression compiler agrees with pandas.DataFrame.query."""
+    import pandas as pd
+
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["id", "v", "band"])
+    want = sorted(pdf.query(expr).itertuples(index=False, name=None))
+    from nested_pandas_spark import NestedFrame
+
+    df = spark.createDataFrame(rows, "id long, v double, band string")
+    got = sorted(
+        (r["id"], r["v"], r["band"])
+        for r in NestedFrame(df).query(expr).collect()
+    )
+    assert [(a, pytest.approx(b), c) for a, b, c in got] == want
