@@ -129,12 +129,14 @@ def split(
     values: list[str] | None = None,
     drop_by_col: bool = False,
     drop_nested: bool = True,
-    empty_as_null: bool = False,
+    empty_as_null: bool = True,
 ) -> DataFrame:
     """Split one nested column into several by a categorical sub-column.
 
     Reference: ``NestedFrame.split`` (``core.py:860-947``): one new nested
-    column ``{nest}_{value}`` per distinct value of ``nest.by``.
+    column ``{nest}_{value}`` per distinct value of ``nest.by``. Cells with
+    no matching elements become NULL, matching the reference (verified in
+    test_reference_parity.py); pass ``empty_as_null=False`` for empty arrays.
 
     ``values=None`` discovers distinct values with one extra (cheap, pushed
     down to the single sub-column) pass — at 100 TB prefer passing ``values``

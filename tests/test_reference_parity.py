@@ -1,0 +1,235 @@
+"""Golden parity: run the ACTUAL reference library (nested-pandas, imported
+from /root/reference/src with import-time stubs for its absent optional deps)
+and this engine on identical inputs, and require identical observable
+behavior — including the empty-vs-NULL cell conventions.
+
+This is the strongest form of the 'a user of the reference could switch'
+guarantee: the oracle here is the reference itself, not a re-derivation.
+"""
+
+import math
+import shutil
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    """Import the reference library with shims for deps not in this env."""
+    shim = tmp_path_factory.mktemp("refshim")
+    shutil.copytree("/root/reference/src/nested_pandas", shim / "nested_pandas")
+    (shim / "nested_pandas" / "_version.py").write_text(
+        '__version__ = version = "0.0.0-local"\n__version_tuple__ = version_tuple = (0,0,0)\n'
+    )
+    (shim / "deprecated").mkdir()
+    (shim / "deprecated" / "__init__.py").write_text(
+        "def deprecated(*dargs, **dkwargs):\n"
+        "    if len(dargs) == 1 and callable(dargs[0]) and not dkwargs:\n"
+        "        return dargs[0]\n"
+        "    def wrap(fn):\n"
+        "        return fn\n"
+        "    return wrap\n"
+    )
+    (shim / "fsspec").mkdir()
+    (shim / "fsspec" / "__init__.py").write_text(
+        "class AbstractFileSystem: ...\n"
+        "def filesystem(*a, **k):\n    raise NotImplementedError\n"
+        "from . import parquet\n"
+    )
+    (shim / "fsspec" / "parquet.py").write_text(
+        "def open_parquet_file(*a, **k):\n    raise NotImplementedError\n"
+    )
+    (shim / "upath").mkdir()
+    (shim / "upath" / "__init__.py").write_text("from pathlib import Path as UPath\n")
+    sys.path.insert(0, str(shim))
+    try:
+        import nested_pandas as npd  # noqa
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference library not importable here: {exc}")
+    yield npd
+    sys.path.remove(str(shim))
+
+
+@pytest.fixture(scope="module")
+def pair(ref, spark):
+    """The same base+child data in both engines, packed under 'nested'."""
+    import pandas as pd
+
+    from nested_pandas_spark import NestedFrame
+
+    base_rows = [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)]
+    child_rows = [
+        (0, 1.0, 5.0, "r"),
+        (0, 2.0, 6.0, "g"),
+        (1, 3.0, 7.0, "r"),
+        (1, 4.0, None, "g"),
+        (2, 5.0, 9.0, "r"),
+        # key 3 has no children
+    ]
+    ref_base = ref.NestedFrame(
+        {"a": [r[1] for r in base_rows]}, index=[r[0] for r in base_rows]
+    )
+    ref_child = pd.DataFrame(
+        {
+            "t": [r[1] for r in child_rows],
+            "f": [r[2] for r in child_rows],
+            "band": [r[3] for r in child_rows],
+        },
+        index=[r[0] for r in child_rows],
+    )
+    ref_packed = ref_base.join_nested(ref_child, "nested")
+
+    sp_base = spark.createDataFrame(base_rows, "id long, a double")
+    sp_child = spark.createDataFrame(child_rows, "id long, t double, f double, band string")
+    sp_packed = NestedFrame(sp_base).join_nested(
+        sp_child, "nested", on="id", sort_within=["t"]
+    )
+    return ref_packed, sp_packed
+
+
+def _ref_cells(ref_frame, col="nested"):
+    """{key: None | sorted list of element tuples} from the reference frame."""
+    out = {}
+    for key, cell in ref_frame[col].items():
+        if cell is None or (isinstance(cell, float) and math.isnan(cell)):
+            out[key] = None
+        else:
+            rows = []
+            for _, r in cell.iterrows():
+                rows.append(tuple(None if pd.isna_scalar(v) else v for v in r))
+            out[key] = sorted(rows, key=lambda x: tuple((e is None, e) for e in x))
+    return out
+
+
+# small helper usable inside _ref_cells
+import pandas as pd
+
+
+def _isna(v):
+    try:
+        return pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+
+
+pd.isna_scalar = _isna
+
+
+def _sp_cells(sp_frame, col="nested", key="id"):
+    out = {}
+    for r in sp_frame.df.select(key, col).collect():
+        cell = r[col]
+        if cell is None:
+            out[r[key]] = None
+        else:
+            rows = [tuple(e[f] for f in e.__fields__) for e in cell]
+            out[r[key]] = sorted(rows, key=lambda x: tuple((e is None, e) for e in x))
+    return out
+
+
+def test_pack_parity(pair):
+    ref_packed, sp_packed = pair
+    assert _ref_cells(ref_packed) == _sp_cells(sp_packed)
+
+
+def test_nested_query_parity(pair):
+    """Element filter: kept rows, emptied cells -> None, in BOTH engines."""
+    ref_packed, sp_packed = pair
+    r = _ref_cells(ref_packed.query("nested.t > 2"))
+    s = _sp_cells(sp_packed.query("nested.t > 2"))
+    assert r == s
+    # key 0 empties out; the reference nullifies it — so must we
+    assert r[0] is None
+
+
+def test_eval_assignment_parity(pair):
+    # note: base-broadcast RHS ("nested.t + a") raises a length-mismatch
+    # inside the REFERENCE itself when any cell is NULL, so parity is
+    # checked on a nested-only expression here
+    ref_packed, sp_packed = pair
+    r = _ref_cells(ref_packed.eval("nested.u = nested.t * 2"))
+    s = _sp_cells(sp_packed.eval("nested.u = nested.t * 2"))
+    # DOCUMENTED DEVIATION: the reference's assignment repack turns a NULL
+    # cell into an EMPTY cell (side effect of its flatten->repack); we keep
+    # NULL in -> NULL out (consistent with every other operator here).
+    # Normalize that one edge for the comparison.
+    norm = lambda d: {k: (v or None) for k, v in d.items()}
+    assert norm(r) == norm(s)
+
+
+def test_dropna_parity(pair):
+    ref_packed, sp_packed = pair
+    r = _ref_cells(ref_packed.dropna(subset="nested.f"))
+    s = _sp_cells(sp_packed.dropna(subset="nested.f"))
+    assert r == s
+
+
+def test_fillna_parity(pair):
+    ref_packed, sp_packed = pair
+    r = _ref_cells(ref_packed.fillna({"nested.f": -1.0}))
+    s = _sp_cells(sp_packed.fillna({"nested.f": -1.0}))
+    assert r == s
+
+
+def test_sort_values_parity(pair):
+    ref_packed, sp_packed = pair
+    rf = ref_packed.sort_values(by="nested.t", ascending=False)
+    sf = sp_packed.sort_values("nested.t", ascending=False)
+    # compare ORDER inside cells here (not sorted multisets)
+    r = {
+        k: (None if c is None or (isinstance(c, float) and math.isnan(c))
+            else [tuple(None if _isna(v) else v for v in row) for _, row in c.iterrows()])
+        for k, c in rf["nested"].items()
+    }
+    s = {}
+    for row in sf.df.select("id", "nested").collect():
+        cell = row["nested"]
+        s[row["id"]] = None if cell is None else [
+            tuple(e[f] for f in e.__fields__) for e in cell
+        ]
+    assert r == s
+
+
+def test_count_nested_parity(ref, pair):
+    from nested_pandas.utils import count_nested
+
+    ref_packed, sp_packed = pair
+    rf = count_nested(ref_packed.dropna(subset="nested"), "nested", by="band", join=True)
+    sp = sp_packed.df.where("nested IS NOT NULL")
+    from nested_pandas_spark import NestedFrame
+
+    sf = NestedFrame(sp).count_nested("nested", by="band", values=["g", "r"])
+    r = {k: (int(rf["n_nested_r"][k]), int(rf["n_nested_g"][k])) for k in rf.index}
+    s = {
+        row["id"]: (row["n_nested_r"], row["n_nested_g"])
+        for row in sf.df.select("id", "n_nested_r", "n_nested_g").collect()
+    }
+    assert r == s
+
+
+def test_to_flat_parity(pair):
+    ref_packed, sp_packed = pair
+    rflat = ref_packed["nested"].nest.to_flat()
+    r = sorted(
+        (idx, row["t"], None if _isna(row["f"]) else row["f"], row["band"])
+        for idx, row in rflat.iterrows()
+    )
+    s = sorted(
+        (row["id"], row["t"], row["f"], row["band"])
+        for row in sp_packed.to_flat("nested", keys=["id"]).collect()
+    )
+    assert r == s
+
+
+def test_split_parity(pair):
+    ref_packed, sp_packed = pair
+    rf = ref_packed.split("nested", by="band")
+    sf = sp_packed.split("nested", by="band", values=["g", "r"])
+    for col in ("nested_r", "nested_g"):
+        r = _ref_cells(rf, col)
+        s = _sp_cells(sf, col)
+        # the reference may produce empty cells where we produce empty arrays;
+        # normalize both to element lists ([] == [])
+        norm = lambda d: {k: (v if v else []) if v is not None else None for k, v in d.items()}
+        assert norm(r) == norm(s)
