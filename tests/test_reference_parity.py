@@ -233,3 +233,88 @@ def test_split_parity(pair):
         # normalize both to element lists ([] == [])
         norm = lambda d: {k: (v if v else []) if v is not None else None for k, v in d.items()}
         assert norm(r) == norm(s)
+
+
+def test_reduce_map_rows_parity(pair):
+    import numpy as np
+
+    ref_packed, sp_packed = pair
+    rf = ref_packed.dropna(subset="nested").reduce(np.mean, "nested.t")
+    r = {k: float(v) for k, v in rf.iloc[:, 0].items()}
+    out = sp_packed.df.where("nested IS NOT NULL")
+    from nested_pandas_spark import NestedFrame
+
+    sf = NestedFrame(out).map_rows(
+        lambda t: float(np.mean(t)), columns=["nested.t"],
+        output_names=["m"], append_columns=True,
+    )
+    s = {row["id"]: row["m"] for row in sf.df.select("id", "m").collect()}
+    assert set(r) == set(s)
+    for k in r:
+        assert s[k] == pytest.approx(r[k])
+
+
+def test_minmax_parity(pair):
+    ref_packed, sp_packed = pair
+    rmax = ref_packed.max()
+    smax = sp_packed.max().collect()[0]
+    assert smax["a"] == pytest.approx(float(rmax["a"]))
+    assert smax["nested.t"] == pytest.approx(float(rmax["nested.t"]))
+    assert smax["nested.f"] == pytest.approx(float(rmax["nested.f"]))
+
+
+def test_describe_parity(pair):
+    ref_packed, sp_packed = pair
+    rdesc = ref_packed.describe()
+    # reference columns are labeled 'nested.t' etc; compare t's stats
+    rt = rdesc["nested.t"]
+    sd = {row["column"]: row for row in sp_packed.describe().collect()}["nested.t"]
+    assert sd["count"] == int(rt["count"])
+    assert sd["mean"] == pytest.approx(float(rt["mean"]))
+    assert sd["std"] == pytest.approx(float(rt["std"]))
+    assert sd["p25"] == pytest.approx(float(rt["25%"]))
+    assert sd["p50"] == pytest.approx(float(rt["50%"]))
+    assert sd["p75"] == pytest.approx(float(rt["75%"]))
+
+
+def test_to_lists_parity(pair):
+    ref_packed, sp_packed = pair
+    rl = ref_packed["nested"].nest.to_lists()
+    r = {}
+    for k, v in rl["t"].items():
+        try:
+            r[k] = [float(x) for x in v]
+        except TypeError:
+            pass  # NULL cell (scalar NA) — skipped on both sides
+    sl = sp_packed.to_lists("nested")
+    s = {row["id"]: row["t"] for row in sl.df.select("id", "t").collect()
+         if row["t"] is not None}
+    # compare as multisets per key (reference preserves input order; ours is
+    # sorted by t via sort_within)
+    assert {k: sorted(v) for k, v in r.items()} == {k: sorted(v) for k, v in s.items()}
+
+
+def test_from_flat_parity(ref, spark):
+    import pandas as pd
+
+    from nested_pandas_spark import NestedFrame
+
+    flat_rows = [(0, "x", 1.0), (0, "x", 2.0), (1, "y", 3.0)]
+    rff = ref.NestedFrame.from_flat(
+        ref.NestedFrame(
+            {"label": [r[1] for r in flat_rows], "v": [r[2] for r in flat_rows]},
+            index=[r[0] for r in flat_rows],
+        ),
+        base_columns=["label"],
+    )
+    r = {
+        k: (row["label"], sorted(e["v"] for _, e in row["nested"].iterrows()))
+        for k, row in rff.iterrows()
+    }
+    sdf = spark.createDataFrame(flat_rows, "id long, label string, v double")
+    sff = NestedFrame.from_flat(sdf, base_columns=["label"], on="id")
+    s = {
+        row["id"]: (row["label"], sorted(e["v"] for e in row["nested"]))
+        for row in sff.df.collect()
+    }
+    assert r == s
