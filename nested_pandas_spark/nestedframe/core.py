@@ -114,6 +114,12 @@ class NestedFrame:
             out[n] = self.nested_fields(n)
         return out
 
+    def nest(self, column: str):
+        """Series-level ``.nest`` accessor (reference accessor.py surface)."""
+        from .accessor import NestAccessor
+
+        return NestAccessor(self, column)
+
     def nested_fields(self, nest: str) -> list[str]:
         if nest in self._pending:
             return self._pending[nest].fields()

@@ -65,8 +65,12 @@ def read_parquet(
     columns: list[str] | None = None,
     reject_nesting: str | list[str] | None = None,
     autocast_list: bool = False,
+    filters: str | None = None,
 ) -> DataFrame:
     """Read parquet with nested-column selection and auto-casting.
+
+    ``filters``: SQL predicate applied right after the scan (reference
+    ``io.py:344`` filters kwarg); Catalyst pushes it into the parquet read.
 
     ``columns`` may mix base names and dotted ``"nested.field"`` selections;
     dotted selections are re-packed under their nest (partial load,
@@ -75,6 +79,8 @@ def read_parquet(
     """
     reject = set([reject_nesting] if isinstance(reject_nesting, str) else reject_nesting or [])
     df = spark.read.parquet(*([path] if isinstance(path, str) else path))
+    if filters:
+        df = df.where(filters)
 
     # auto-cast nested-pandas struct-of-lists layout
     sol = _struct_of_lists_cols(df, reject)

@@ -157,3 +157,16 @@ def test_non_identifier_columns_end_to_end(spark):
     assert set(flat.columns) == {"id", "a a", "t t", "b-b"}
     q2 = ndf.eval("nested.`t2 x` = nested.`t t` * 2")
     assert "t2 x" in q2.nested_fields("nested")
+
+
+def test_nest_accessor(packed):
+    acc = packed.nest("nested")
+    assert acc.fields == ["t", "flux", "flux_error", "band"]
+    assert acc.to_flat().count() == 9
+    assert acc.flat_length() == 9
+    q = acc.query("nested.flux > 100")
+    assert q.count() == 0  # drop-empty semantics
+    wf = acc.with_field("mag", "nested.flux * 2")
+    assert "mag" in wf.nested_fields("nested")
+    dropped = acc.drop("flux_error")
+    assert "flux_error" not in dropped.nested_fields("nested")
