@@ -1,0 +1,75 @@
+"""End-to-end walkthrough of nested_pandas_spark on the test star schema.
+
+Run: python examples/walkthrough.py [sf_dir]
+
+Covers the reference workflow (pack -> query -> eval -> reduce -> unpack)
+and the beyond-reference pipeline (text stats, dedup, similarity, as-of).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from nested_pandas_spark import NestedFrame, get_spark
+    from nested_pandas_spark.operators.asof import asof_join
+    from nested_pandas_spark.pipeline import dedup, similarity, text
+
+    spark = get_spark("walkthrough")
+
+    # -- 1. pack: lineitem rows become one nested cell per order ----------
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    items = spark.read.parquet(f"{sf}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    ndf = NestedFrame(orders).join_nested(items, "items", on="o_orderkey")
+    print("packed:", ndf.all_columns)
+
+    # -- 2. element-level query (pushes to the lineitem scan) -------------
+    hi = ndf.query("items.l_quantity > 30 and o_totalprice > 50000.0")
+
+    # -- 3. eval a derived sub-column, reduce per row ---------------------
+    hi = hi.eval("items.revenue = items.l_extendedprice * (1 - items.l_discount)")
+    hi = hi.nest_agg("items", "revenue", "sum", alias="hi_rev")
+    hi.df.select("o_orderkey", "hi_rev").show(5)
+
+    # -- 4. unpack back to flat -------------------------------------------
+    flat = hi.to_flat("items", keys=["o_orderkey"])
+    print("flat rows:", flat.count())
+
+    # -- 5. text pipeline on documents ------------------------------------
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stats = text.add_text_stats(docs)
+    stats.select("doc_id", "n_tokens", "lang_pred", "quality").show(5)
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", num_hashes=8, bands=4)
+    print("near-dup candidate pairs:", pairs.count())
+
+    # -- 6. similarity search over embeddings ------------------------------
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    topk = similarity.brute_force_topk(emb, emb.limit(3), k=2)
+    topk.show()
+
+    # -- 7. as-of join over the event stream -------------------------------
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    signups = ev.where("event_type = 'signup'").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    matched = asof_join(clicks, signups, on="user_id", ts="ts", right_cols=["signup_id"])
+    print("clicks with a prior signup:",
+          matched.where("signup_id_right IS NOT NULL").count())
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,12 @@ def pack(
     the same; the per-task maximum drops by ~``salt``x. Use when one key owns
     a disproportionate share of the child rows (AQE's skew handling does not
     split aggregations, only joins).
+
+    Measured guidance: at 3M rows with a 1M-row hot key on local[32], plain
+    pack still wins (1.1s vs 1.4s) — the second shuffle costs more than the
+    straggler saves. Salting is a STRAGGLER/MEMORY mitigation for when a
+    single key's group approaches executor memory or one task runs minutes;
+    leave it off until a stage summary shows that task.
     """
     keys = _normalize_keys(on)
     payload = columns or [c for c in child.columns if c not in keys]
