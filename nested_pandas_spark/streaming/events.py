@@ -142,3 +142,21 @@ def running_user_totals(df: DataFrame, timeout_minutes: int = 60) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``keys`` repeat within the
+    watermark horizon (state-store backed, bounded by the watermark — the
+    streaming twin of pipeline.dedup.exact_dedup).
+
+    On a batch DataFrame this degrades to a plain dropDuplicates.
+    """
+    src = with_event_time(df, ts_col)
+    if src.isStreaming:
+        return src.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates(keys)

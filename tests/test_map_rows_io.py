@@ -3,6 +3,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from nested_pandas_spark import NestedFrame, read_parquet
 
@@ -188,3 +189,17 @@ def test_read_parquet_reject_nesting(tmp_path, spark):
     assert isinstance(auto.schema["sol"].dataType, T.ArrayType)  # autocast on
     raw = read_parquet(spark, p, reject_nesting="sol")
     assert isinstance(raw.schema["sol"].dataType, T.StructType)  # kept raw
+
+
+def test_double_nested_parquet_roundtrip(tmp_path, spark, objects, sources):
+    """F7: a doubly-nested column survives a parquet round trip."""
+    inner = NestedFrame(objects).join_nested(sources, "inner_n", on="id")
+    grouped = NestedFrame(
+        spark.createDataFrame([(1,)], "g int")
+    ).join_nested(inner.df.withColumn("g", F.lit(1)), "outer_n", on="g")
+    p = str(tmp_path / "double.parquet")
+    grouped.to_parquet(p)
+    back = NestedFrame(spark.read.parquet(p))
+    assert "outer_n" in back.nested_columns
+    flat = back.to_flatten_inner("outer_n", "inner_n")
+    assert len(flat.collect()[0]["outer_n"]) == 9

@@ -85,3 +85,26 @@ def test_running_user_totals_stateful(spark, stream_dir, batch_events):
     want = want.set_index("user_id")
     for uid in want.index:
         assert got_last.loc[uid, "n_events"] == want.loc[uid, "n_events"]
+
+
+def test_stream_dedup(spark, stream_dir, batch_events, tmp_path):
+    import shutil
+
+    # duplicate the stream source so every event appears twice
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(SRC, d / "a.parquet")
+    shutil.copy(SRC, d / "b.parquet")
+    stream = ev.read_event_stream(spark, str(d))
+    q = (
+        ev.stream_dedup(stream, keys=["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup").count()
+    want = batch_events.count()
+    assert got == want  # each duplicated event emitted once
