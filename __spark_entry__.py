@@ -388,6 +388,18 @@ def q29_clean_corpus(spark, sf):
     return out.select("doc_id")
 
 
+def q30_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
+    pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
+    so the demo threshold sits where real pairs exist; production would use
+    ~0.9 with more planes)."""
+    emb = _t(spark, sf, "embeddings")
+    return dd.embedding_neardup(
+        emb, "vec_id", "embedding",
+        threshold=0.35, num_planes=4, num_tables=2, dim=64,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -437,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_rollup": q27_rollup,
         "q28_window_topk": q28_window_topk,
         "q29_clean_corpus": q29_clean_corpus,
+        "q30_embedding_neardup": q30_embedding_neardup,
     }
 
 
@@ -813,6 +826,40 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rn <= 2
         """,
         "q29_clean_corpus": _clean_corpus_oracle(sh3, w, hits["en"]),
+        "q30_embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (
+                SELECT vec_id, tt.t,
+                       CAST(list_sum(list_transform(range(0, 4), p ->
+                           CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                                    v[i + 1] *
+                                    (CASE WHEN ('0x' || substr(md5((tt.t * 4 + p)::VARCHAR
+                                          || ':' || i::VARCHAR), 1, 4))::BIGINT % 2 = 0
+                                          THEN 1.0 ELSE -1.0 END))) > 0
+                                THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+                       AS bucket
+                FROM e, range(0, 2) tt(t)
+            ),
+            cand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket
+                                 AND x.vec_id < y.vec_id
+            ),
+            scored AS (
+                SELECT id_a, id_b,
+                       list_sum(list_transform(range(0, 64),
+                           i -> ea.v[i + 1] * eb.v[i + 1])) /
+                       (sqrt(list_sum(list_transform(range(0, 64),
+                            i -> ea.v[i + 1] * ea.v[i + 1]))) *
+                        sqrt(list_sum(list_transform(range(0, 64),
+                            i -> eb.v[i + 1] * eb.v[i + 1])))) AS cs
+                FROM cand
+                JOIN e ea ON ea.vec_id = id_a
+                JOIN e eb ON eb.vec_id = id_b
+            )
+            SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+            FROM scored WHERE cs >= 0.35
+        """,
         "q25_srp_bucket": """
             SELECT vec_id,
                    CAST(list_sum(list_transform(range(0, 8), p ->

@@ -8,8 +8,8 @@
 * simhash          — 32-bit sign-aggregated token hashes; near-dups are pairs
                      within a small Hamming radius (bit_count(xor)).
 * n-gram Jaccard   — exact Jaccard on shingle sets for candidate verification.
-* embedding cosine — see pipeline.similarity (near-dup = cosine above a
-                     threshold).
+* embedding cosine — angular LSH: multi-table SRP buckets -> candidate pairs
+                     -> exact cosine verify (``embedding_neardup``).
 
 Hashing is md5-derived everywhere: bit-identical in Spark and DuckDB, so every
 operator here is oracle-checkable. At 100 TB you'd swap md5 for xxhash64 (also
@@ -30,6 +30,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
+    "embedding_neardup",
 ]
 
 
@@ -285,6 +286,72 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    num_planes: int = 8,
+    num_tables: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Angular LSH: each of ``num_tables`` hash tables buckets every vector by
+    the signs of ``num_planes`` random projections (disjoint plane sets per
+    table — see :func:`~nested_pandas_spark.pipeline.similarity.srp_bucket`);
+    only same-bucket pairs are candidates, then an exact cosine pass keeps
+    real near-dups. P[bucket match] = (1 - theta/pi)^planes per table, so
+    more planes => smaller buckets (cheaper verify, lower recall) and more
+    tables => recall back up — the standard knobs. Candidate pairs come from
+    group-and-enumerate (one aggregation per bucket, vectors carried in the
+    bucket array) rather than a self-join, so the corpus is scanned and
+    bucketed exactly once.
+
+    Output: (id_a, id_b, cos_sim) with cos_sim rounded to 6 digits; the
+    threshold is applied to the unrounded double.
+    """
+    from .similarity import cosine, srp_bucket
+
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    tables = F.array(
+        *[
+            srp_bucket(F.col("__v"), num_planes, dim=dim,
+                       plane_offset=t * num_planes)
+            for t in range(num_tables)
+        ]
+    )
+    blocked = v.select("__id", "__v", F.posexplode(tables).alias("tbl", "bucket"))
+    buckets = (
+        blocked.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("__id", "__v"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pairs_sql = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "y -> struct(x.__id AS id_a, y.__id AS id_b, "
+        "x.__v AS va, y.__v AS vb))))"
+    )
+    scored = (
+        buckets.select(F.explode(F.expr(pairs_sql)).alias("p"))
+        .select(
+            "p.id_a",
+            "p.id_b",
+            cosine(F.col("p.va"), F.col("p.vb")).alias("__cs"),
+        )
+        # the same pair found in several tables scores identically, so a
+        # plain distinct dedupes across tables
+        .distinct()
+    )
+    return scored.where(F.col("__cs") >= threshold).select(
+        "id_a", "id_b", F.round("__cs", 6).alias("cos_sim")
     )
 
 

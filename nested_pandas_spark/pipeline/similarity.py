@@ -81,18 +81,26 @@ def plane_component(plane: int, dim_idx: int) -> float:
     return 1.0 if h % 2 == 0 else -1.0
 
 
-def srp_bucket(vec: Column, num_planes: int = 8, dim: int | None = None) -> Column:
+def srp_bucket(
+    vec: Column, num_planes: int = 8, dim: int | None = None,
+    plane_offset: int = 0,
+) -> Column:
     """Sign-random-projection bucket id (0 .. 2^num_planes - 1).
 
     bit p = sign(dot(vec, plane_p)). Planes are ±1 literals baked into the
     plan (an 8x64 constant matrix costs nothing per row); without ``dim``
     the plane entry is looked up positionally from a literal array, handling
     any vector length up to 256 (pass ``dim`` for larger or exact sizing).
+    ``plane_offset`` shifts into a disjoint plane set — table t of a
+    multi-table LSH uses ``plane_offset=t*num_planes`` so its buckets are
+    independent of table t-1's.
     """
     n_dims = dim or 256
     bits = []
     for p in range(num_planes):
-        plane = F.array(*[F.lit(plane_component(p, i)) for i in range(n_dims)])
+        plane = F.array(
+            *[F.lit(plane_component(plane_offset + p, i)) for i in range(n_dims)]
+        )
         d = F.aggregate(
             F.zip_with(vec, F.slice(plane, 1, F.size(vec)),
                        lambda v, c: v.cast("double") * c),

@@ -126,6 +126,32 @@ def test_srp_bucket_deterministic(spark):
     assert 0 <= b1 < 256
 
 
+def test_embedding_neardup_finds_planted_dup(spark):
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(40)]
+    # vec 100 is a scaled copy of vec 0: cosine exactly 1, identical
+    # projection signs, so it collides in EVERY hash table — guaranteed hit
+    rows.append((100, [2.0 * x for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dd.embedding_neardup(
+        emb, threshold=0.95, num_planes=4, num_tables=2, dim=16
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+    assert pairs == {(0, 100): 1.0}
+
+
+def test_embedding_neardup_multi_table_dedupes(spark):
+    # two identical vectors land in the same bucket of BOTH tables; the pair
+    # must still come out exactly once
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]),
+            (3, [-1.0, 5.0, -2.0, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dd.embedding_neardup(
+        emb, threshold=0.99, num_planes=2, num_tables=3, dim=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
 def test_multimodal_decode_and_features(spark):
     bdf = spark.createDataFrame(
         [(1, bytearray(b"payload-a")), (2, None)], "id int, payload binary"
