@@ -115,8 +115,19 @@ def read_parquet(
             base_sel.append(c)
     proj = [F.col(quote(c)) for c in base_sel]
     for nest, flds in per_nest.items():
-        inner = ", ".join(f"__x.{quote(f)} AS {quote(f)}" for f in flds)
-        proj.append(F.expr(f"transform({quote(nest)}, __x -> struct({inner}))").alias(nest))
+        # arrays_zip over per-leaf extractions, NOT a transform(...struct...)
+        # lambda: Catalyst's nested-schema pruning sees GetArrayStructFields
+        # and narrows the parquet ReadSchema to the requested leaves, but it
+        # cannot see through a lambda body — the transform form silently
+        # reads every field of the struct (tools/plan_audit.py guards this).
+        proj.append(
+            F.arrays_zip(
+                *[
+                    F.expr(f"{quote(nest)}.{quote(f)}").alias(f)
+                    for f in flds
+                ]
+            ).alias(nest)
+        )
     return df.select(*proj)
 
 
