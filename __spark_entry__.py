@@ -400,6 +400,15 @@ def q30_embedding_neardup(spark, sf):
     )
 
 
+def q31_ivf_topk(spark, sf):
+    """IVF ANN: 8 md5-seeded centroids, 3-probe search, exact rerank, top-3
+    per query (rank-only output — float policy as q22)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    out = sim.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -450,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_window_topk": q28_window_topk,
         "q29_clean_corpus": q29_clean_corpus,
         "q30_embedding_neardup": q30_embedding_neardup,
+        "q31_ivf_topk": q31_ivf_topk,
     }
 
 
@@ -859,6 +869,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
             FROM scored WHERE cs >= 0.35
+        """,
+        "q31_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1
+                           AS cid, v AS cv
+                FROM e
+                QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= 8
+            ),
+            assign AS (
+                SELECT e.vec_id, e.v, cent.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(range(0, 64),
+                               i -> e.v[i + 1] * cent.cv[i + 1])) /
+                           (sqrt(list_sum(list_transform(range(0, 64),
+                                i -> e.v[i + 1] * e.v[i + 1]))) *
+                            sqrt(list_sum(list_transform(range(0, 64),
+                                i -> cent.cv[i + 1] * cent.cv[i + 1]))))
+                           DESC, cent.cid ASC) AS rn
+                FROM e, cent
+            ),
+            cvec AS (SELECT vec_id AS neighbor_id, v AS nv, cid
+                     FROM assign WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, v AS qv, cid
+                       FROM assign WHERE rn <= 3 AND vec_id < 10),
+            cand AS (
+                SELECT p.query_id, c.neighbor_id,
+                       list_sum(list_transform(range(0, 64),
+                           i -> p.qv[i + 1] * c.nv[i + 1])) /
+                       (sqrt(list_sum(list_transform(range(0, 64),
+                            i -> p.qv[i + 1] * p.qv[i + 1]))) *
+                        sqrt(list_sum(list_transform(range(0, 64),
+                            i -> c.nv[i + 1] * c.nv[i + 1])))) AS cs
+                FROM probes p JOIN cvec c USING (cid)
+                WHERE c.neighbor_id <> p.query_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cs DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM cand
+            QUALIFY rank <= 3
         """,
         "q25_srp_bucket": """
             SELECT vec_id,

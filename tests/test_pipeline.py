@@ -126,6 +126,32 @@ def test_srp_bucket_deterministic(spark):
     assert 0 <= b1 < 256
 
 
+def test_ivf_topk_matches_bruteforce_at_full_probe(spark):
+    """Probing EVERY centroid makes IVF exhaustive: it must equal the
+    brute-force top-k exactly."""
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.ivf_topk(emb, q, k=3, n_centroids=4, n_probe=4).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_centroids_deterministic(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = sim.ivf_centroids(emb, n_centroids=3)
+    c2 = sim.ivf_centroids(emb, n_centroids=3)
+    assert c1 == c2 and len(c1) == 3
+
+
 def test_embedding_neardup_finds_planted_dup(spark):
     rng = np.random.RandomState(7)
     rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(40)]
