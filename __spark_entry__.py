@@ -409,6 +409,28 @@ def q31_ivf_topk(spark, sf):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q32_multimodal_features(spark, sf):
+    """Multimodal plumbing end-to-end on real driver data: documents.text
+    bytes stand in for an image payload -> typed media metadata -> Arrow-
+    batched mapInPandas decode (deterministic stub codec) -> HOF feature
+    extraction. No oracle_sql entry: the stub decode is numpy-seeded, not
+    SQL-expressible — the driver records the weaker rows-only check."""
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
+    )
+    tagged = mm.attach_media_meta(docs, "payload", "image", fmt="fake")
+    decoded = mm.decode_image(tagged, "payload", height=4, width=4, channels=1)
+    feats = mm.image_features(decoded, "pixels")
+    return feats.select(
+        "doc_id",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        F.col("feat_min").cast("long").alias("feat_min"),
+        F.col("feat_max").cast("long").alias("feat_max"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -460,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_clean_corpus": q29_clean_corpus,
         "q30_embedding_neardup": q30_embedding_neardup,
         "q31_ivf_topk": q31_ivf_topk,
+        "q32_multimodal_features": q32_multimodal_features,
     }
 
 
