@@ -431,6 +431,26 @@ def q32_multimodal_features(spark, sf):
     )
 
 
+def q33_set_ops(spark, sf):
+    """Set operators end-to-end at (user, hour) grain: engagement user-hours
+    (click UNION view) INTERSECT conversion user-hours (signup UNION
+    purchase), EXCEPT ALL error user-hours — native Spark set ops."""
+    ev = _t(spark, sf, "events")
+
+    def uh(t):
+        return ev.where(F.col("event_type") == t).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.expr("ts DIV 3600000000000").alias("hr"),
+        )
+
+    out = (
+        uh("click").union(uh("view")).distinct()
+        .intersect(uh("signup").union(uh("purchase")))
+        .exceptAll(uh("error").distinct())
+    )
+    return out
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -483,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_embedding_neardup": q30_embedding_neardup,
         "q31_ivf_topk": q31_ivf_topk,
         "q32_multimodal_features": q32_multimodal_features,
+        "q33_set_ops": q33_set_ops,
     }
 
 
@@ -933,6 +954,24 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cs DESC, neighbor_id ASC) AS BIGINT) AS rank
             FROM cand
             QUALIFY rank <= 3
+        """,
+        "q33_set_ops": """
+            WITH uh AS (
+                SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                       epoch_ns(ts) // 3600000000000 AS hr
+                FROM events
+            )
+            SELECT user_id, hr FROM (
+                (SELECT user_id, hr FROM uh WHERE event_type = 'click'
+                 UNION
+                 SELECT user_id, hr FROM uh WHERE event_type = 'view')
+                INTERSECT
+                (SELECT user_id, hr FROM uh WHERE event_type = 'signup'
+                 UNION
+                 SELECT user_id, hr FROM uh WHERE event_type = 'purchase')
+            )
+            EXCEPT ALL
+            SELECT DISTINCT user_id, hr FROM uh WHERE event_type = 'error'
         """,
         "q25_srp_bucket": """
             SELECT vec_id,
