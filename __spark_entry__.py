@@ -26,6 +26,9 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may run these in a VANILLA session: every conf this contract
+    # depends on must be runtime-set here, not assumed from get_spark()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle TZ parity
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
         # read as raw int64 nanos (runtime-settable legacy conf).

@@ -42,20 +42,6 @@ def explain_str(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
-def trim(plan: str, keep: tuple[str, ...], max_lines: int = 40) -> str:
-    """Keep the operator-tree header plus the detail blocks named in keep."""
-    lines = plan.splitlines()
-    out, taking = [], True
-    for ln in lines:
-        m = re.match(r"^\(\d+\) (\w+)", ln)
-        if m:
-            taking = any(k in ln for k in keep) or not keep
-        if ln.startswith("== Physical Plan =="):
-            taking = True
-        out.append(ln) if taking or not ln.startswith(" ") else None
-    return "\n".join(out[:max_lines])
-
-
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from nested_pandas_spark import NestedFrame, get_spark, read_parquet
