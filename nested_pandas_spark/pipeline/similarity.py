@@ -221,26 +221,37 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     num_planes: int = 8,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: SRP bucket equi-join then exact cosine re-rank.
 
-    Recall improves with fewer planes (bigger buckets) or multiple tables;
-    this single-table variant is the building block. The bucket column is a
-    precomputable corpus-side key — at scale, write it at ingest and bucket
-    the table by it so queries touch only matching buckets (partition
-    pruning instead of a full scan).
+    Recall improves with fewer planes (bigger buckets) or more hash tables
+    (``num_tables`` disjoint plane sets — a candidate only needs to collide
+    in ONE). The bucket columns are precomputable corpus-side keys — at
+    scale, write them at ingest and bucket/partition the table by them so
+    queries touch only matching buckets (partition pruning instead of a
+    full scan).
     """
+
+    def buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                srp_bucket(vec, num_planes, plane_offset=t * num_planes)
+                for t in range(num_tables)
+            ]
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        srp_bucket(F.col(vec_col), num_planes).alias("__bucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        srp_bucket(F.col(vec_col), num_planes).alias("__bucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
     )
-    scored = c.join(F.broadcast(q), on="__bucket").where(
+    scored = c.join(F.broadcast(q), on=["__tbl", "__bucket"]).where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
@@ -249,6 +260,8 @@ def lsh_topk(
             F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>")
         ).alias("cos_sim"),
     )
+    # the same pair can collide in several tables; identical score → distinct
+    scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -116,6 +116,23 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     assert all(1 <= r["rank"] <= 3 for r in rows_a)
 
 
+def test_lsh_topk_multi_table_recall(spark):
+    """More tables can only widen the candidate set: every single-table
+    result pair must appear among the multi-table candidates, and ranks
+    stay valid with no duplicate (query, neighbor) pairs."""
+    rng = np.random.RandomState(1)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3)
+    multi = sim.lsh_topk(emb, q, k=50, num_planes=4, num_tables=3).collect()
+    single = sim.lsh_topk(emb, q, k=50, num_planes=4, num_tables=1).collect()
+    mpairs = {(r["query_id"], r["neighbor_id"]) for r in multi}
+    spairs = {(r["query_id"], r["neighbor_id"]) for r in single}
+    assert spairs <= mpairs
+    assert len(mpairs) == len(multi)  # no duplicate pairs
+    assert all(1 <= r["rank"] <= 50 for r in multi)
+
+
 def test_srp_bucket_deterministic(spark):
     emb = spark.createDataFrame(
         [(1, [0.5, -0.25, 1.0, 0.1])], "vec_id long, embedding array<float>"
