@@ -142,3 +142,21 @@ def test_query_pushdown_skipped_for_base_broadcast(spark, objects, sources):
     q = ndf.query("nested.flux > 10 * b")  # must fall back to post-pack HOF
     rows = {r["id"]: r["nested"] for r in q.collect()}
     assert rows[0] is None and len(rows[1]) == 3
+
+
+def test_query_scientific_notation(spark):
+    """Reference issue #59: constants in scientific notation compile."""
+    nf = NestedFrame(spark.createDataFrame([(1.0,), (1e-2,), (3.0,)], "a double"))
+    got = sorted(r["a"] for r in nf.query("a > 1e-1").collect())
+    assert got == [1.0, 3.0]
+
+
+def test_from_flat_empty_child(spark):
+    """Reference issue #348: packing an empty flat frame yields an empty
+    NestedFrame (no error, stable schema)."""
+    from nested_pandas_spark.operators.packer import from_flat
+
+    empty = spark.createDataFrame([], "x double, k long")
+    nf = NestedFrame(from_flat(empty, base_columns=[], on=["k"], name="new"))
+    assert nf.count() == 0
+    assert "new" in nf.nested_columns
