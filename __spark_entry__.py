@@ -334,17 +334,22 @@ def q26_asof_join(spark, sf):
     it (union + carry-forward as-of join — one shuffle, no theta join)."""
     from nested_pandas_spark.operators.asof import asof_join
 
+    # join at MICROsecond grain on both engines: DuckDB reads the
+    # TIMESTAMP(NANOS) parquet column as microsecond TIMESTAMP, so the
+    # oracle can only see micros — truncate before the join (not just in
+    # the output) so the two engines match exactly even for sub-µs gaps
     ev = _t(spark, sf, "events")  # ts: int64 nanos
-    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    ts_us = F.expr("ts DIV 1000").alias("ts")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", ts_us)
     signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", "ts", F.col("event_id").alias("signup_event")
+        "user_id", ts_us, F.col("event_id").alias("signup_event")
     )
     out = asof_join(clicks, signups, on="user_id", ts="ts",
                     right_cols=["signup_event"])
     return out.select(
         "event_id",
         F.col("signup_event_right").alias("signup_event"),
-        F.col("ts_right").alias("signup_ts_ns"),
+        F.col("ts_right").alias("signup_ts_us"),
     )
 
 
@@ -861,11 +866,13 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged GROUP BY user_id
         """,
         "q26_asof_join": """
-            SELECT c.event_id, s.event_id AS signup_event,
-                   epoch_ns(s.ts) AS signup_ts_ns
-            FROM (SELECT * FROM events WHERE event_type = 'click') c
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-              ON c.user_id = s.user_id AND c.ts >= s.ts
+            SELECT c.event_id, s.signup_event, s.ts_us AS signup_ts_us
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us,
+                                   event_id AS signup_event
+                            FROM events WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
         """,
         "q27_rollup": """
             SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,

@@ -31,7 +31,7 @@ from ..functions.nested import (
     rebuild_struct_sql,
 )
 from ..operators import aggregates, cleaning, packer, restructure, sorting
-from .expr import QueryCompileError, compile_expr, split_assignment
+from .expr import QueryCompileError, _sql_literal, compile_expr, split_assignment
 from ..plans.lazy_pack import PendingPack as _PendingPack
 
 __all__ = ["NestedFrame"]
@@ -127,6 +127,16 @@ class NestedFrame:
 
     def _nested_field_map(self) -> dict[str, set[str]]:
         return {n: set(self.nested_fields(n)) for n in self.nested_columns}
+
+    def _pending_agg_aliases(self) -> set[str]:
+        """Aliases of aggregates registered on pending packs (e.g. ``n_items``
+        from a lazy ``count_nested``). Visible columns of ``.df`` but not of
+        ``self._base_df`` — query/eval compile must know them."""
+        return {a for spec in self._pending.values() for (a, _, _) in spec.aggs}
+
+    def _known_columns(self) -> set[str]:
+        return (set(self.base_columns) | set(self.nested_columns)
+                | self._pending_agg_aliases())
 
     def __repr__(self) -> str:
         return f"NestedFrame[{self._df.schema.simpleString()}]"
@@ -355,6 +365,19 @@ class NestedFrame:
         others = {k: v for k, v in self._pending.items() if k != nest}
         if others:
             base = NestedFrame(base, others).df
+        if spec.aggs:
+            # registered aggregates (count_nested/nest_agg) become base
+            # columns on the eager path, so to_flat/explode must keep them:
+            # compute them in a narrow agg (no collect_list) and join first
+            agg_df = child.groupBy(*[F.col(quote(k)) for k in spec.keys]).agg(
+                *[F.expr(sql).alias(a) for a, sql, _ in spec.aggs]
+            )
+            base = base.join(agg_df, on=spec.keys, how="left")
+            for alias, _, zero_fill in spec.aggs:
+                if zero_fill:
+                    base = base.withColumn(
+                        alias, F.coalesce(F.col(quote(alias)), F.lit(0))
+                    )
         key_cols = keys if keys is not None else [
             c for c in base.columns
             if not is_nested_type(dict((f.name, f.dataType) for f in base.schema.fields)[c])
@@ -396,12 +419,16 @@ class NestedFrame:
         columns (base values broadcast into the lambda — they are in scope as
         outer references).
         """
-        compiled = compile_expr(expr, self._nested_field_map(), set(self.base_columns)
-                                | set(self.nested_columns), env)
+        compiled = compile_expr(expr, self._nested_field_map(), self._known_columns(), env)
         if not compiled.nests:
             # base predicate: with only pending left-packs outstanding it is
-            # safe (and cheaper) to filter the base BEFORE the joins
-            if self._pending and not (compiled.base_cols & set(self._pending)):
+            # safe (and cheaper) to filter the base BEFORE the joins — unless
+            # the predicate references a pending nest or a pending agg alias,
+            # neither of which exists on the base yet
+            refs_pending = compiled.base_cols & (
+                set(self._pending) | self._pending_agg_aliases()
+            )
+            if self._pending and not refs_pending:
                 return NestedFrame(
                     self._base_df.filter(F.expr(compiled.render())),
                     dict(self._pending),
@@ -409,7 +436,13 @@ class NestedFrame:
             return self._wrap(self.df.filter(F.expr(compiled.render())))
         nest = compiled.nest
         assert nest is not None
-        if nest in self._pending and not compiled.base_cols:
+        if (nest in self._pending and not compiled.base_cols
+                and not self._pending[nest].aggs):
+            # NOTE: refuse pushdown once aggregates are registered — at
+            # materialization preds filter the child BEFORE the aggs run, so
+            # pushing a later query() under an earlier count_nested/nest_agg
+            # would violate program order (counts would see post-filter
+            # elements). Mirrors the replace guard in eval().
             # pushdown: apply the element predicate to the flat child before
             # packing — it reaches the parquet scan and shrinks the shuffle
             spec = self._pending[nest].with_pred(compiled.render_flat())
@@ -422,8 +455,7 @@ class NestedFrame:
         """Series-level query semantics: rows whose cell becomes empty are
         DROPPED (reference ``accessor.py:600-638``)."""
         out = self.query(expr, env)
-        compiled = compile_expr(expr, self._nested_field_map(), set(self.base_columns)
-                                | set(self.nested_columns), env)
+        compiled = compile_expr(expr, self._nested_field_map(), self._known_columns(), env)
         if compiled.nests:
             nest = compiled.nest
             return out._wrap(out._df.where(F.size(F.col(quote(nest))) > 0))
@@ -440,7 +472,7 @@ class NestedFrame:
         """
         target, rhs = split_assignment(expr)
         fieldmap = self._nested_field_map()
-        compiled = compile_expr(rhs, fieldmap, set(self.base_columns) | set(self.nested_columns), env)
+        compiled = compile_expr(rhs, fieldmap, self._known_columns(), env)
 
         if target is None:
             if compiled.nests:
@@ -540,12 +572,17 @@ class NestedFrame:
                 if by not in spec.fields():
                     raise KeyError(f"Nested column '{nest}' has no field '{by}'")
                 if values is None:
+                    # discover on the pred-filtered child so the zero-filled
+                    # column set matches the eager (post-filter) path
+                    disc = spec.child
+                    if spec.preds:
+                        disc = disc.where(" AND ".join(f"({p})" for p in spec.preds))
                     values = sorted(
-                        r[0] for r in spec.child.select(quote(by)).distinct().collect()
+                        r[0] for r in disc.select(quote(by)).distinct().collect()
                         if r[0] is not None
                     )
                 for v in values:
-                    lit = "'" + str(v).replace("'", "\\'") + "'"
+                    lit = _sql_literal(str(v))
                     spec = spec.with_agg(
                         f"n_{nest}_{v}",
                         f"count(CASE WHEN {quote(by)} = {lit} THEN 1 END)",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.nested import is_nested_type, nested_field_names, quote
+from ..nestedframe.expr import _sql_literal
 
 __all__ = ["count_nested", "nest_lengths", "minmax", "describe", "nest_agg"]
 
@@ -58,7 +59,7 @@ def count_nested(
             if r[0] is not None
         )
     for v in values:
-        lit = "'" + str(v).replace("'", "\\'") + "'"
+        lit = _sql_literal(str(v))
         out = out.withColumn(
             f"n_{nest}_{v}",
             F.coalesce(

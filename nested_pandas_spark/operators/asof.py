@@ -71,9 +71,19 @@ def asof_join(
     # inclusive: right rows sort BEFORE left rows at equal ts so the carry
     # includes them; strict: left first so an equal-ts right is never seen
     tie = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
+    # deterministic tie-break among right rows sharing a ts: order by the
+    # (orderable) payload columns so the same row wins on every run/partition
+    from pyspark.sql.types import AtomicType
+
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    payload_tie = [
+        F.col(f"__r_{c}").asc_nulls_first()
+        for c in rcols
+        if isinstance(rtypes[c], AtomicType)
+    ]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts).asc(), tie)
+        .orderBy(F.col(ts).asc(), tie, *payload_tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -20,6 +20,7 @@ from ..functions.nested import (
     quote,
     struct_sql,
 )
+from ..nestedframe.expr import _sql_literal
 
 __all__ = ["to_flat", "to_lists", "frame_explode", "split", "to_flatten_inner"]
 
@@ -156,7 +157,7 @@ def split(
         values = sorted(values)
     out = df
     for v in values:
-        lit = "'" + str(v).replace("'", "\\'") + "'"
+        lit = _sql_literal(str(v))
         filtered = f"filter({quote(nest)}, __x -> __x.{quote(by)} = {lit})"
         if drop_by_col:
             keep = [f for f in fields if f != by]

@@ -85,3 +85,16 @@ def test_clean_corpus(spark):
                        num_hashes=8, bands=4, shingle_n=3)
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 5]
+
+
+def test_asof_join_equal_ts_deterministic(spark):
+    # two right rows at the SAME ts: the tie-break (payload ascending, last
+    # wins) must pick the max payload, identically on every run
+    trades = spark.createDataFrame([(1, "A", 100)], "trade_id long, sym string, ts long")
+    quotes = spark.createDataFrame(
+        [("A", 100, 10.0), ("A", 100, 30.0), ("A", 100, 20.0)],
+        "sym string, ts long, px double",
+    )
+    for _ in range(3):
+        out = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"])
+        assert out.collect()[0]["px_right"] == 30.0
