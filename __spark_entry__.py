@@ -421,8 +421,9 @@ def q32_multimodal_features(spark, sf):
     """Multimodal plumbing end-to-end on real driver data: documents.text
     bytes stand in for an image payload -> typed media metadata -> Arrow-
     batched mapInPandas decode (deterministic stub codec) -> HOF feature
-    extraction. No oracle_sql entry: the stub decode is numpy-seeded, not
-    SQL-expressible — the driver records the weaker rows-only check."""
+    extraction. The stub codec is md5-derived (pixel j = first byte of
+    md5(md5(payload) || ':' || j)) so the oracle reproduces the whole
+    decode path in SQL."""
     from nested_pandas_spark.pipeline import multimodal as mm
 
     docs = _t(spark, sf, "documents").select(
@@ -964,6 +965,22 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cs DESC, neighbor_id ASC) AS BIGINT) AS rank
             FROM cand
             QUALIFY rank <= 3
+        """,
+        "q32_multimodal_features": """
+            WITH px AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16),
+                           j -> CAST(('0x' || substr(md5(md5(coalesce(text, ''))
+                                      || ':' || CAST(j AS VARCHAR)), 1, 2))
+                                     AS BIGINT)) AS pixels
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(list_sum(list_transform(pixels, v -> CAST(v AS DOUBLE)))
+                         / 16.0, 6) AS feat_mean,
+                   CAST(list_min(pixels) AS BIGINT) AS feat_min,
+                   CAST(list_max(pixels) AS BIGINT) AS feat_max
+            FROM px
         """,
         "q33_set_ops": """
             WITH uh AS (

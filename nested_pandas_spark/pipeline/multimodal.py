@@ -69,13 +69,22 @@ def attach_media_meta(
 
 
 def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
-    """Deterministic fake decode: pixels derived from payload bytes.
+    """Deterministic fake decode: pixel ``j`` is the first byte of
+    ``md5(md5(payload).hexdigest() + ':' + str(j))``.
 
-    STUB — replace with a real codec (PIL/cv2) where available.
+    STUB — replace with a real codec (PIL/cv2) where available. The md5
+    formulation (same trick as ``similarity.plane_component``) makes the
+    stub SQL-expressible, so oracle engines can verify the full mapInPandas
+    decode path value-for-value.
     """
-    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0] % (2**32)
-    rng = np.random.RandomState(int(seed))
-    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    import hashlib
+
+    base = hashlib.md5(payload).hexdigest()
+    vals = [
+        int(hashlib.md5(f"{base}:{j}".encode()).hexdigest()[:2], 16)
+        for j in range(h * w * c)
+    ]
+    return np.asarray(vals, dtype=np.uint8).reshape(h, w, c)
 
 
 def decode_image(
