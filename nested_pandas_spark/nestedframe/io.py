@@ -21,6 +21,12 @@ leaf; no re-packing code needed. What we add:
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+import urllib.parse
+import urllib.request
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,7 +34,89 @@ from pyspark.sql import types as T
 from ..functions.nested import is_nested_type, quote
 
 __all__ = ["read_parquet", "from_struct_of_lists", "read_json", "read_csv",
-           "write_parquet"]
+           "write_parquet", "stage_remote"]
+
+# Schemes Spark's Hadoop FileSystem layer serves directly (given the right
+# jars on the cluster classpath); everything else goes through driver-side
+# staging when fsspec can reach it.
+_HADOOP_SCHEMES = {"", "file", "hdfs", "s3a", "gs", "abfs", "abfss", "wasb",
+                   "wasbs", "viewfs", "o3fs", "ofs"}
+
+
+def _cache_path(url: str, cache_dir: str | None) -> str:
+    root = cache_dir or os.path.join(tempfile.gettempdir(), "nps_remote_cache")
+    os.makedirs(root, exist_ok=True)
+    name = os.path.basename(urllib.parse.urlparse(url).path) or "remote.parquet"
+    return os.path.join(root, hashlib.md5(url.encode()).hexdigest()[:16] + "_" + name)
+
+
+def stage_remote(url: str, cache_dir: str | None = None) -> str:
+    """Download a remote file to a local cache, once, and return its path.
+
+    The reference's ``read_parquet`` accepts fsspec URIs (s3/https) with
+    byte-range precaching (reference ``io.py:36-212``, precache
+    ``io.py:248-255``); Spark's analogue for cluster-scale data is a
+    Hadoop-native filesystem (``s3a://`` with hadoop-aws on the classpath),
+    which streams splits straight to executors. This helper covers the
+    OTHER reference use case — a laptop-sized remote file (an HTTPS release
+    artifact, a public S3 object) — by staging it onto the driver's disk so
+    any Spark deployment can read it without extra jars.
+
+    Uses fsspec when importable (covers s3/gs/... with credentials),
+    stdlib urllib otherwise (http/https only). Cached by URL hash —
+    repeated reads don't re-download.
+    """
+    dest = _cache_path(url, cache_dir)
+    if os.path.exists(dest):
+        return dest
+    tmp = dest + ".tmp"
+    try:
+        import fsspec  # optional: widens scheme support beyond http(s)
+
+        with fsspec.open(url, "rb") as src, open(tmp, "wb") as out:
+            while chunk := src.read(1 << 20):
+                out.write(chunk)
+    except ImportError:
+        scheme = urllib.parse.urlparse(url).scheme
+        if scheme not in ("http", "https"):
+            raise RuntimeError(
+                f"Reading '{url}' needs either the fsspec package (driver-side "
+                f"staging) or a Hadoop filesystem for scheme '{scheme}' on the "
+                "Spark classpath"
+            ) from None
+        urllib.request.urlretrieve(url, tmp)
+    os.replace(tmp, dest)  # atomic: concurrent readers never see partials
+    return dest
+
+
+def _resolve_paths(paths: list[str], cache_dir: str | None) -> list[str]:
+    out = []
+    for p in paths:
+        scheme = urllib.parse.urlparse(p).scheme.lower()
+        # Windows drive letters parse as single-char schemes; treat as local
+        if len(scheme) <= 1 or scheme in _HADOOP_SCHEMES:
+            out.append(p)
+        else:
+            out.append(stage_remote(p, cache_dir))
+    return out
+
+
+def _read_with_fs_hint(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """spark.read.parquet with a actionable error for missing FS connectors."""
+    try:
+        return spark.read.parquet(*paths)
+    except Exception as exc:  # noqa: BLE001 - re-raise with packaging hint
+        msg = str(exc)
+        if "S3AFileSystem" in msg or "No FileSystem for scheme" in msg:
+            raise RuntimeError(
+                "Spark has no filesystem connector for this URI. For s3a:// "
+                "add hadoop-aws to the session, e.g. "
+                "spark.jars.packages=org.apache.hadoop:hadoop-aws:3.4.1 "
+                "(match your Hadoop version) plus credentials via "
+                "spark.hadoop.fs.s3a.*; for small remote files use an "
+                "https:// URI, which stages via the driver instead."
+            ) from exc
+        raise
 
 
 def _struct_of_lists_cols(df: DataFrame, reject: set[str]) -> list[str]:
@@ -66,6 +154,7 @@ def read_parquet(
     reject_nesting: str | list[str] | None = None,
     autocast_list: bool = False,
     filters: str | None = None,
+    cache_dir: str | None = None,
 ) -> DataFrame:
     """Read parquet with nested-column selection and auto-casting.
 
@@ -76,9 +165,17 @@ def read_parquet(
     dotted selections are re-packed under their nest (partial load,
     reference ``io.py:107-205``). Column pruning reaches the parquet
     footer either way — check ``.explain`` ReadSchema.
+
+    Remote URIs (reference ``io.py:36-212`` takes fsspec URIs): Hadoop-native
+    schemes (``hdfs://``, ``s3a://``, ``gs://``, ...) stream straight to
+    executors — the scale path, needs the connector jar on the classpath
+    (actionable error otherwise). ``http(s)://`` and other fsspec schemes
+    stage onto the driver disk first (:func:`stage_remote`, cached in
+    ``cache_dir``) — the laptop path for release artifacts and public files.
     """
     reject = set([reject_nesting] if isinstance(reject_nesting, str) else reject_nesting or [])
-    df = spark.read.parquet(*([path] if isinstance(path, str) else path))
+    paths = _resolve_paths([path] if isinstance(path, str) else list(path), cache_dir)
+    df = _read_with_fs_hint(spark, paths)
     if filters:
         df = df.where(filters)
 
