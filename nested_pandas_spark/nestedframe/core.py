@@ -153,6 +153,42 @@ class NestedFrame:
     def toPandas(self):
         return self._df.toPandas()
 
+    def to_pandas(self, list_struct: bool = False, large_list: bool = False):
+        """Convert to pandas with reference-compatible nested cells
+        (reference ``core.py:2547-2584``).
+
+        Nested columns become ``pd.ArrowDtype`` series: struct-of-lists cells
+        (``{'t': array([...]), ...}``) by default — the layout the reference's
+        ``NestedFrame`` constructor re-casts to NestedDtype — or
+        list-of-structs with ``list_struct=True``. ``large_list`` switches to
+        int64 offsets (needed past ~2.1B total elements).
+
+        Collects through Arrow in one pass; ``toPandas()`` stays the
+        Spark-native (list-of-Row cells) variant.
+        """
+        import pandas as pd
+        import pyarrow as pa
+
+        from .io import list_struct_to_struct_of_lists
+
+        df = self.df
+        table = df.toArrow()
+        nests = nested_columns(df)
+        base_cols = [c for c in table.column_names if c not in nests]
+        pdf = table.select(base_cols).to_pandas() if base_cols else pd.DataFrame(
+            index=range(table.num_rows)
+        )
+        for c in nests:
+            col = table.column(c)
+            if list_struct:
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                if large_list:
+                    arr = arr.cast(pa.large_list(arr.type.value_type))
+            else:
+                arr = list_struct_to_struct_of_lists(col, large_list=large_list)
+            pdf[c] = pd.arrays.ArrowExtensionArray(arr)
+        return pdf[list(table.column_names)]
+
     def explain(self, *a: Any, **kw: Any) -> None:
         self._df.explain(*a, **kw)
 

@@ -33,7 +33,8 @@ from pyspark.sql import types as T
 
 from ..functions.nested import is_nested_type, quote
 
-__all__ = ["read_parquet", "from_struct_of_lists", "read_json", "read_csv",
+__all__ = ["read_parquet", "from_struct_of_lists", "from_pyarrow",
+           "list_struct_to_struct_of_lists", "read_json", "read_csv",
            "write_parquet", "stage_remote"]
 
 # Schemes Spark's Hadoop FileSystem layer serves directly (given the right
@@ -226,6 +227,94 @@ def read_parquet(
             ).alias(nest)
         )
     return df.select(*proj)
+
+
+def list_struct_to_struct_of_lists(col, large_list: bool = False):
+    """Convert an Arrow ``list<struct<...>>`` column to
+    ``struct<f: list<...>, ...>`` (the reference's NestedDtype storage,
+    reference ``series/ext_array.py:929-945``). Null cells stay null.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.list_value_length(col).fill_null(0).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+    flat = pc.list_flatten(col)  # skips null cells, aligned with lens==0
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    mk = pa.LargeListArray.from_arrays if large_list else pa.ListArray.from_arrays
+    off_arr = pa.array(offsets, type=pa.int64() if large_list else pa.int32())
+    names = [f.name for f in col.type.value_type]
+    fields = [mk(off_arr, flat.field(n)) for n in names]
+    return pa.StructArray.from_arrays(fields, names, mask=pc.is_null(col))
+
+
+def from_pyarrow(
+    spark: SparkSession,
+    table,
+    reject_nesting: str | list[str] | None = None,
+    autocast_list: bool = False,
+) -> DataFrame:
+    """Load a ``pyarrow.Table`` as a nested DataFrame (reference
+    ``io.py:498-572``).
+
+    Struct-of-lists columns (the reference's NestedDtype storage, written by
+    its ``to_parquet``) are cast to this engine's native ``array<struct>``
+    via ``arrays_zip`` unless listed in ``reject_nesting``; with
+    ``autocast_list`` bare ``array<T>`` columns become single-field nests.
+
+    Note on mismatched lengths: the reference raises when a struct-of-lists
+    cell has fields of different lengths; ``arrays_zip`` instead pads the
+    shorter lists with NULLs (no driver-side validation pass at scale).
+    Reject such columns explicitly if pad semantics are wrong for them.
+    """
+    import pyarrow as pa
+
+    reject = set([reject_nesting] if isinstance(reject_nesting, str)
+                 else reject_nesting or [])
+    # large_list/large_string aren't accepted by Spark's Arrow ingest — downcast
+    casts = {}
+    for f in table.schema:
+        if pa.types.is_large_list(f.type):
+            casts[f.name] = pa.list_(f.type.value_type)
+        elif pa.types.is_large_string(f.type):
+            casts[f.name] = pa.string()
+        elif pa.types.is_struct(f.type) and any(
+            pa.types.is_large_list(sf.type) for sf in f.type
+        ):
+            casts[f.name] = pa.struct(
+                [
+                    pa.field(sf.name, pa.list_(sf.type.value_type))
+                    if pa.types.is_large_list(sf.type) else sf
+                    for sf in f.type
+                ]
+            )
+    if casts:
+        table = table.cast(
+            pa.schema([pa.field(f.name, casts.get(f.name, f.type))
+                       for f in table.schema])
+        )
+    df = spark.createDataFrame(table)
+    sol = _struct_of_lists_cols(df, reject)
+    if sol:
+        df = from_struct_of_lists(df, sol)
+    if autocast_list:
+        for f in df.schema.fields:
+            if (
+                f.name not in reject
+                and isinstance(f.dataType, T.ArrayType)
+                and not isinstance(f.dataType.elementType, T.StructType)
+            ):
+                df = df.withColumn(
+                    f.name,
+                    F.expr(
+                        f"transform({quote(f.name)}, __x -> struct(__x AS {quote(f.name)}))"
+                    ),
+                )
+    return df
 
 
 def read_json(
