@@ -74,6 +74,8 @@ def stage_remote(url: str, cache_dir: str | None = None) -> str:
     try:
         import fsspec  # optional: widens scheme support beyond http(s)
 
+        if not hasattr(fsspec, "open"):  # stub/partial install
+            raise ImportError("fsspec lacks open()")
         with fsspec.open(url, "rb") as src, open(tmp, "wb") as out:
             while chunk := src.read(1 << 20):
                 out.write(chunk)

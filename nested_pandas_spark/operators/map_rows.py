@@ -83,6 +83,43 @@ def _row_values(pdf: pd.DataFrame, spec: list[tuple[str, str | None, str]], i: i
     return vals
 
 
+# numpy reducers with a pure-JVM higher-order-function equivalent: passing
+# one of these (the function object itself) as ``func`` over a single nested
+# column skips Python entirely. Empty-cell semantics are matched to numpy
+# where sane: mean([]) -> NaN, sum([]) -> 0.0; min/max of an empty cell give
+# NULL (numpy raises there, which a distributed engine shouldn't).
+_NUMPY_HOF_REDUCERS: dict[int, tuple[str, str]] = {}
+
+
+def _register_numpy_reducers() -> None:
+    for fn, how in [
+        (np.mean, "mean"), (np.nanmean, "mean"),
+        (np.sum, "sum"), (np.nansum, "sum"),
+        (np.min, "min"), (np.nanmin, "min"),
+        (np.max, "max"), (np.nanmax, "max"),
+    ]:
+        _NUMPY_HOF_REDUCERS[id(fn)] = (how, fn.__name__)
+
+
+_register_numpy_reducers()
+
+
+def _hof_reduce_sql(arr_sql: str, how: str) -> str:
+    """JVM-side reduction over an ``array<numeric>`` SQL expression."""
+    dbl = f"transform({arr_sql}, __v -> CAST(__v AS DOUBLE))"
+    total = f"aggregate({dbl}, CAST(0.0 AS DOUBLE), (__a, __v) -> __a + __v)"
+    if how == "sum":
+        return f"CASE WHEN {arr_sql} IS NULL THEN NULL ELSE {total} END"
+    if how == "mean":
+        # 0/0 -> NaN matches np.mean([]) (ANSI mode: use try_divide)
+        return (
+            f"CASE WHEN {arr_sql} IS NULL THEN NULL "
+            f"WHEN size({arr_sql}) = 0 THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE {total} / size({arr_sql}) END"
+        )
+    return f"array_{how}({dbl})"
+
+
 def map_rows(
     df: DataFrame,
     func: Callable,
@@ -108,6 +145,27 @@ def map_rows(
     """
     spec = _classify(df, columns)
     carried = df.columns if append_columns else []
+
+    # fast path: a bare numpy reducer over ONE nested sub-column compiles to
+    # a higher-order function — no Python workers, no Arrow transfer. The
+    # reference's njit fast path fills this role on its side (SURVEY §2.8).
+    hof = _NUMPY_HOF_REDUCERS.get(id(func))
+    if (
+        hof is not None
+        and not kwargs
+        and row_container == "args"
+        and len(spec) == 1
+        and spec[0][1] is not None
+    ):
+        how, _ = hof
+        _, nest, fld = spec[0]
+        name = (output_names or ["out0"])[0]
+        if "." not in name:  # dotted outputs (infer_nesting) use the UDF path
+            arr_sql = f"transform({quote(nest)}, __x -> __x.{quote(fld)})"
+            col = F.expr(_hof_reduce_sql(arr_sql, how))
+            if append_columns:
+                return df.withColumn(name, col)
+            return df.select(col.alias(name))
 
     # build a single projection carrying originals + UDF inputs
     sel = [F.col(quote(c)) for c in carried]

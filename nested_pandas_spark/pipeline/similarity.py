@@ -39,19 +39,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _per_query_topk(
+    scored: DataFrame, k: int, partial_buckets: int | None = None
+) -> DataFrame:
+    """Two-stage tournament top-k over (query_id, neighbor_id, cos_sim).
+
+    A single ``Window.partitionBy("query_id")`` would funnel EVERY scored row
+    for a query through one task — with 10 queries over a 100 TB corpus that
+    is 10 tasks holding the world. Stage 1 ranks within (query_id, salt)
+    slices — the full scored volume shuffles once but spreads over
+    ``queries x partial_buckets`` tasks, and only k rows survive per slice.
+    Stage 2 ranks the <= k*partial_buckets survivors per query — a tiny
+    shuffle. Exact top-k is invariant under the tournament, so results are
+    identical to the single-window plan.
+    """
+    if partial_buckets is None:
+        partial_buckets = scored.sparkSession.sparkContext.defaultParallelism * 4
+    order = [F.col("cos_sim").desc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(*order)
+    pre = (
+        scored.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(partial_buckets)),
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pre.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    partial_buckets: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus rows.
 
     Output: (query_id, neighbor_id, cos_sim, rank). The query side is
     broadcast (it's the small side by construction); the corpus streams
-    through map-side — total cost one corpus scan, no corpus shuffle except
-    the final per-query top-k, which is a partial ``rank <= k`` window.
+    through map-side — total cost one corpus scan, then the two-stage
+    tournament top-k (:func:`_per_query_topk`, no per-query hotspot task).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -66,10 +98,7 @@ def brute_force_topk(
             F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>")
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _per_query_topk(scored, k, partial_buckets)
 
 
 def plane_component(plane: int, dim_idx: int) -> float:
@@ -208,10 +237,7 @@ def ivf_topk(
             cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _per_query_topk(scored, k)
 
 
 def lsh_topk(
@@ -262,7 +288,4 @@ def lsh_topk(
     )
     # the same pair can collide in several tables; identical score → distinct
     scored = scored.distinct()
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _per_query_topk(scored, k)

@@ -203,3 +203,49 @@ def test_double_nested_parquet_roundtrip(tmp_path, spark, objects, sources):
     assert "outer_n" in back.nested_columns
     flat = back.to_flatten_inner("outer_n", "inner_n")
     assert len(flat.collect()[0]["outer_n"]) == 9
+
+
+def test_numpy_reducer_routes_to_hof(spark, packed):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out = packed.map_rows(np.mean, columns=["nested.flux"], output_names=["m"],
+                          append_columns=True)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # pure JVM higher-order function
+    got = {r["id"]: r["m"] for r in out.df.collect()}
+    # UDF path on the same input must agree
+    udf = packed.map_rows(
+        lambda a: float(np.mean(a)), columns=["nested.flux"],
+        output_names=["m"], output_schema="m double", append_columns=True)
+    want = {r["id"]: r["m"] for r in udf.df.collect()}
+    assert got == pytest.approx(want)
+
+
+def test_numpy_reducer_empty_and_null_cells(spark):
+    import math
+
+    import numpy as np
+
+    from nested_pandas_spark import NestedFrame
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (1, []), (2, None)],
+        "id long, vals array<double>",
+    )
+    ndf = NestedFrame(df.withColumn(
+        "nested", F.expr("transform(vals, v -> struct(v AS flux))")).drop("vals"))
+    mean = {r["id"]: r["m"] for r in ndf.map_rows(
+        np.mean, ["nested.flux"], output_names=["m"], append_columns=True
+    ).df.collect()}
+    assert mean[0] == 2.0
+    assert math.isnan(mean[1])  # np.mean([]) -> NaN
+    assert mean[2] is None      # missing cell -> NULL
+    total = {r["id"]: r["s"] for r in ndf.map_rows(
+        np.sum, ["nested.flux"], output_names=["s"], append_columns=True
+    ).df.collect()}
+    assert total[0] == 4.0 and total[1] == 0.0 and total[2] is None
+    mx = {r["id"]: r["x"] for r in ndf.map_rows(
+        np.max, ["nested.flux"], output_names=["x"], append_columns=True
+    ).df.collect()}
+    assert mx[0] == 3.0 and mx[1] is None and mx[2] is None

@@ -224,3 +224,18 @@ def test_video_frames_nested_contract(spark):
     ndf = NestedFrame(out)
     assert "frames" in ndf.nested_columns  # plugs into every nested operator
     assert ndf.count_nested("frames").collect()[0]["n_frames"] == 3
+
+
+def test_topk_two_stage_tournament(spark):
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3)
+    out = sim.brute_force_topk(emb, q, k=5, partial_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # stage-1 window partitions by (query_id, salt); stage-2 by query_id only
+    assert plan.count("Window") >= 2
+    assert "__salt" in plan
+    # tournament must equal the single-window exact top-k
+    single = sim.brute_force_topk(emb, q, k=5, partial_buckets=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, single.collect()))

@@ -49,6 +49,12 @@ def ref(tmp_path_factory):
         pytest.skip(f"reference library not importable here: {exc}")
     yield npd
     sys.path.remove(str(shim))
+    # evict everything imported from the shim (incl. the fake fsspec/upath)
+    # so later test modules see the real environment again
+    for name in list(sys.modules):
+        root = name.split(".", 1)[0]
+        if root in ("nested_pandas", "fsspec", "upath", "deprecated"):
+            del sys.modules[name]
 
 
 @pytest.fixture(scope="module")
