@@ -74,6 +74,7 @@ class NestedFrame:
                     child, name, on=spec.keys, columns=spec.columns,
                     sort_within=spec.sort_within,
                     extra_aggs=[(a, sql) for a, sql, _ in spec.aggs],
+                    drop_null_keys=spec.drop_null_keys,
                 )
                 if spec.broadcast_packed:
                     packed = F.broadcast(packed)
@@ -333,18 +334,21 @@ class NestedFrame:
         columns: list[str] | None = None,
         sort_within: list[str | tuple[str, bool]] | None = None,
         broadcast_packed: bool = False,
+        drop_null_keys: bool = False,
     ) -> "NestedFrame":
         cdf = child.df if isinstance(child, NestedFrame) else child
         if how == "left":
             # defer the pack: element predicates from subsequent query()
             # calls then push down to the child scan (see _PendingPack)
             keys = [on] if isinstance(on, str) else list(on)
-            spec = _PendingPack(cdf, keys, columns, sort_within, broadcast_packed)
+            spec = _PendingPack(cdf, keys, columns, sort_within, broadcast_packed,
+                                drop_null_keys=drop_null_keys)
             return NestedFrame(self.df, {**self._pending, name: spec})
         return self._wrap(
             packer.join_nested(
                 self.df, cdf, name, on=on, how=how, columns=columns,
                 sort_within=sort_within, broadcast_packed=broadcast_packed,
+                drop_null_keys=drop_null_keys,
             )
         )
 
@@ -358,8 +362,10 @@ class NestedFrame:
         on: str | list[str],
         nested_columns: list[str] | None = None,
         name: str = "nested",
+        drop_null_keys: bool = False,
     ) -> "NestedFrame":
-        return NestedFrame(packer.from_flat(df, base_columns, on, nested_columns, name))
+        return NestedFrame(packer.from_flat(df, base_columns, on, nested_columns,
+                                            name, drop_null_keys))
 
     @staticmethod
     def from_lists(
@@ -418,7 +424,12 @@ class NestedFrame:
             c for c in base.columns
             if not is_nested_type(dict((f.name, f.dataType) for f in base.schema.fields)[c])
         ]
-        joined = base.join(child.select(*spec.keys, *fields), on=spec.keys, how="inner")
+        # keep the pack NULL-key contract through the rewrite: the join itself
+        # would silently drop NULL-key child rows where pack would raise
+        child_sel = packer.null_key_guard(
+            child, spec.keys, spec.drop_null_keys
+        ).select(*spec.keys, *fields)
+        joined = base.join(child_sel, on=spec.keys, how="inner")
         out_keys = [k for k in key_cols]
         return self._wrap(joined.select(*[F.col(quote(c)) for c in out_keys],
                                         *[F.col(quote(f)) for f in fields
@@ -430,8 +441,7 @@ class NestedFrame:
             missing = [f for f in fields if f not in spec.fields()]
             if missing:
                 raise KeyError(f"Nested column '{nest}' has no fields {missing}")
-            narrowed = _PendingPack(spec.child, spec.keys, list(fields),
-                                    spec.sort_within, spec.broadcast_packed, spec.preds)
+            narrowed = spec.replace(columns=list(fields))
             return NestedFrame(self._base_df, {**self._pending, nest: narrowed})
         return self._wrap(self._df.withColumn(nest, nest_select_fields(self._df, nest, fields)))
 
@@ -559,9 +569,7 @@ class NestedFrame:
             new_columns = spec.columns
             if new_columns is not None and tgt_field not in new_columns:
                 new_columns = list(new_columns) + [tgt_field]
-            new_spec = _PendingPack(new_child, spec.keys, new_columns,
-                                    spec.sort_within, spec.broadcast_packed,
-                                    spec.preds, spec.aggs)
+            new_spec = spec.replace(child=new_child, columns=new_columns)
             return NestedFrame(self._base_df, {**self._pending, tgt_nest: new_spec})
         if tgt_nest in fieldmap:
             # add/replace field inside existing nest
@@ -590,9 +598,78 @@ class NestedFrame:
     # -- cleaning ---------------------------------------------------------
     def dropna(self, subset: str | list[str] | None = None, how: str = "any",
                on_nested: str | None = None, drop_empty_cells: bool = False) -> "NestedFrame":
+        """Nested-target dropna always materializes pending packs first, BY
+        DESIGN: pushing the element filter onto the flat child would turn a
+        cell whose elements all drop into a NULL cell (vanished group),
+        where the eager path leaves an EMPTY array — and telling those
+        apart afterwards would need a pre-drop presence aggregate (an extra
+        shuffle) that costs more than the rewrite saves. Base-subset dropna
+        with pending left-packs filters the base early like query()."""
+        if self._pending and subset is not None and on_nested is None:
+            subset_list = [subset] if isinstance(subset, str) else list(subset)
+            pending_names = set(self._pending) | self._pending_agg_aliases()
+            base_only = all(
+                "." not in s and s not in pending_names and s in self.base_columns
+                for s in subset_list
+            )
+            if base_only:
+                return NestedFrame(
+                    self._base_df.na.drop(how=how, subset=subset_list),
+                    dict(self._pending),
+                )
         return self._wrap(cleaning.dropna(self._df, subset, how, on_nested, drop_empty_cells))
 
+    def _fill_pushable(self, spec: _PendingPack) -> bool:
+        # a fill rewrites existing child values; anything registered earlier
+        # (preds/aggs/sort) must have seen the UNfilled values — mirror the
+        # eval() replace guard
+        return not (spec.preds or spec.aggs or spec.sort_within)
+
     def fillna(self, value: object | dict[str, object]) -> "NestedFrame":
+        if not self._pending:
+            return self._wrap(cleaning.fillna(self._df, value))
+        if isinstance(value, dict):
+            per_pending: dict[str, dict[str, object]] = {}
+            rest: dict[str, object] = {}
+            for k, v in value.items():
+                nest = k.split(".", 1)[0] if "." in k else None
+                if nest is not None and nest in self._pending:
+                    per_pending.setdefault(nest, {})[k.split(".", 1)[1]] = v
+                else:
+                    rest[k] = v
+            if (
+                per_pending
+                and not (set(rest) & self._pending_agg_aliases())
+                and all(self._fill_pushable(self._pending[n]) for n in per_pending)
+            ):
+                # push fills onto the flat children: value-level rewrite
+                # before the pack, keeps every later pushdown composing
+                pending = dict(self._pending)
+                for nest, fills in per_pending.items():
+                    spec = pending[nest]
+                    child = spec.child
+                    for f, v in fills.items():
+                        if f in spec.fields():
+                            child = child.withColumn(
+                                f,
+                                F.expr(f"coalesce({quote(f)}, {_sql_literal(v)})"),
+                            )
+                    pending[nest] = spec.replace(child=child)
+                base = cleaning.fillna(self._base_df, rest) if rest else self._base_df
+                return NestedFrame(base, pending)
+            return self._wrap(cleaning.fillna(self._df, value))
+        # scalar fill targets every layer; push into each pending child when
+        # program order allows, else materialize
+        if all(self._fill_pushable(s) for s in self._pending.values()):
+            pending = {}
+            for nest, spec in self._pending.items():
+                child = spec.child
+                for f in spec.fields():
+                    child = child.withColumn(
+                        f, F.expr(f"coalesce({quote(f)}, {_sql_literal(value)})")
+                    )
+                pending[nest] = spec.replace(child=child)
+            return NestedFrame(cleaning.fillna(self._base_df, value), pending)
         return self._wrap(cleaning.fillna(self._df, value))
 
     # -- aggregation ------------------------------------------------------
@@ -678,9 +755,7 @@ class NestedFrame:
                 if fld not in fields:
                     raise KeyError(f"Nested column '{nest}' has no field '{fld}'")
                 sort_keys.append((fld, asc))
-            new_spec = _PendingPack(spec.child, spec.keys, spec.columns,
-                                    sort_keys, spec.broadcast_packed,
-                                    spec.preds, spec.aggs)
+            new_spec = spec.replace(sort_within=sort_keys)
             return NestedFrame(self._base_df, {**self._pending, nest: new_spec})
         return self._wrap(sorting.sort_values(self._df, by, ascending, na_position))
 

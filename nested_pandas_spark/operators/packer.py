@@ -63,6 +63,37 @@ def _normalize_keys(on: str | list[str]) -> list[str]:
     return [on] if isinstance(on, str) else list(on)
 
 
+def null_key_guard(df: DataFrame, keys: list[str], drop_null_keys: bool) -> DataFrame:
+    """Apply the NULL-key contract to a child table about to be packed.
+
+    The reference raises on NULL pack keys (``series/packer.py:104-116``:
+    "NaN values ... cannot be used for grouping rows"). A driver-side check
+    would cost an extra scan, so the raise lives in a filter predicate —
+    evaluated per packed row, surfacing (lazily, at action time like all
+    Spark errors) as USER_RAISED_EXCEPTION. A filter, not a rewritten group
+    key: grouping must stay on the raw columns so bucketed tables keep their
+    shuffle-free pack, and filters already sitting below (pushed-down query
+    predicates) still evaluate first, so rows the user filtered away never
+    raise. Pass ``drop_null_keys=True`` to silently exclude NULL keys
+    instead (SQL equi-join semantics).
+    """
+    if drop_null_keys:
+        pred = " AND ".join(f"{quote(k)} IS NOT NULL" for k in keys)
+        return df.where(pred)
+    for k in keys:
+        msg = (
+            f"Pack key '{k}' contains NULL values, which cannot be used for "
+            "grouping rows. Drop or fill them, or pass drop_null_keys=True."
+        ).replace("'", "\\'")
+        df = df.where(
+            F.expr(
+                f"CASE WHEN {quote(k)} IS NOT NULL THEN TRUE "
+                f"ELSE CAST(raise_error('{msg}') AS BOOLEAN) END"
+            )
+        )
+    return df
+
+
 def pack(
     child: DataFrame,
     name: str,
@@ -71,6 +102,7 @@ def pack(
     sort_within: list[str | tuple[str, bool]] | None = None,
     salt: int | None = None,
     extra_aggs: list[tuple[str, str]] | None = None,
+    drop_null_keys: bool = False,
 ) -> DataFrame:
     """Pack a flat child table into one nested cell per key.
 
@@ -79,8 +111,9 @@ def pack(
     when only the aggregates are consumed downstream.
 
     Returns a DataFrame ``(*keys, name: array<struct<payload>>)``.
-    NULL join keys are rejected, matching the reference
-    (``series/packer.py:104-116`` raises on NaN index values).
+    NULL join keys raise at execution, matching the reference
+    (``series/packer.py:104-116`` raises on NaN index values); pass
+    ``drop_null_keys=True`` to silently exclude them instead.
 
     ``salt``: two-stage aggregation for skewed keys. Stage 1 groups on
     (key, random salt in [0, salt)) — a hot key's rows spread over ``salt``
@@ -97,8 +130,7 @@ def pack(
     """
     keys = _normalize_keys(on)
     payload = columns or [c for c in child.columns if c not in keys]
-    null_key = " OR ".join(f"{quote(k)} IS NULL" for k in keys)
-    child = child.where(f"NOT ({null_key})")
+    child = null_key_guard(child, keys, drop_null_keys)
     struct_col = F.struct(*[F.col(quote(c)) for c in payload])
     agg_cols = [F.expr(sql).alias(alias) for alias, sql in (extra_aggs or [])]
     if salt and salt > 1:
@@ -134,6 +166,7 @@ def join_nested(
     columns: list[str] | None = None,
     sort_within: list[str | tuple[str, bool]] | None = None,
     broadcast_packed: bool = False,
+    drop_null_keys: bool = False,
 ) -> DataFrame:
     """Pack ``child`` rows sharing a key into a nested column joined to ``base``.
 
@@ -141,12 +174,18 @@ def join_nested(
     (``core.py:469-557``). Base rows with no children get a NULL cell on
     left/outer (same as the reference's missing-cell semantics).
 
+    NULL-key child rows follow SQL join semantics here (silently excluded):
+    Catalyst infers ``isnotnull(key)`` on the join's child side and prunes
+    them before the pack-level guard could fire. For the reference's strict
+    raise-on-NULL behavior, validate with a bare :func:`pack` or pre-filter.
+
     Scale notes: the aggregation and the join hash-partition on the same key,
     so Spark reuses the exchange — one shuffle of the child total. Set
     ``broadcast_packed=True`` when the packed child is small (dimension-sized)
     to skip shuffling the base entirely.
     """
-    packed = pack(child, name, on=on, columns=columns, sort_within=sort_within)
+    packed = pack(child, name, on=on, columns=columns, sort_within=sort_within,
+                  drop_null_keys=drop_null_keys)
     if broadcast_packed:
         packed = F.broadcast(packed)
     keys = _normalize_keys(on)
@@ -159,12 +198,14 @@ def from_flat(
     on: str | list[str],
     nested_columns: list[str] | None = None,
     name: str = "nested",
+    drop_null_keys: bool = False,
 ) -> DataFrame:
     """Split a single flat table into base columns + a packed nested column.
 
     Reference: ``NestedFrame.from_flat`` (``core.py:595-658``): base columns
     are deduplicated per key (first value), remaining columns pack under
-    ``name``. One shuffle (the groupBy).
+    ``name``. One shuffle (the groupBy). NULL keys follow the pack contract
+    (raise at execution; ``drop_null_keys=True`` to exclude silently).
     """
     keys = _normalize_keys(on)
     nested_cols = nested_columns or [
@@ -172,8 +213,7 @@ def from_flat(
     ]
     aggs: list[Column] = [F.first(F.col(quote(c)), ignorenulls=False).alias(c) for c in base_columns]
     aggs.append(F.collect_list(F.struct(*[F.col(quote(c)) for c in nested_cols])).alias(name))
-    null_key = " OR ".join(f"{quote(k)} IS NULL" for k in keys)
-    return df.where(f"NOT ({null_key})").groupBy(*keys).agg(*aggs)
+    return null_key_guard(df, keys, drop_null_keys).groupBy(*keys).agg(*aggs)
 
 
 def from_lists(

@@ -34,10 +34,10 @@ class PendingPack:
     """
 
     __slots__ = ("child", "keys", "columns", "sort_within", "broadcast_packed",
-                 "preds", "aggs")
+                 "preds", "aggs", "drop_null_keys")
 
     def __init__(self, child, keys, columns, sort_within, broadcast_packed,
-                 preds=(), aggs=()):
+                 preds=(), aggs=(), drop_null_keys=False):
         self.child = child
         self.keys = keys
         self.columns = columns
@@ -49,16 +49,23 @@ class PendingPack:
         # packed array Catalyst prunes the collect_list from the aggregate,
         # and a count/sum query never materializes a single array.
         self.aggs = tuple(aggs)
+        self.drop_null_keys = drop_null_keys
+
+    def replace(self, **kw) -> "PendingPack":
+        """Copy with the given fields replaced."""
+        vals = {s: getattr(self, s) for s in self.__slots__}
+        vals.update(kw)
+        return PendingPack(
+            vals["child"], vals["keys"], vals["columns"], vals["sort_within"],
+            vals["broadcast_packed"], vals["preds"], vals["aggs"],
+            vals["drop_null_keys"],
+        )
 
     def with_pred(self, pred_sql: str) -> "PendingPack":
-        return PendingPack(self.child, self.keys, self.columns,
-                            self.sort_within, self.broadcast_packed,
-                            self.preds + (pred_sql,), self.aggs)
+        return self.replace(preds=self.preds + (pred_sql,))
 
     def with_agg(self, alias: str, agg_sql: str, zero_fill: bool) -> "PendingPack":
-        return PendingPack(self.child, self.keys, self.columns,
-                            self.sort_within, self.broadcast_packed,
-                            self.preds, self.aggs + ((alias, agg_sql, zero_fill),))
+        return self.replace(aggs=self.aggs + ((alias, agg_sql, zero_fill),))
 
     def fields(self) -> list[str]:
         if self.columns is not None:

@@ -102,3 +102,56 @@ def test_backslash_category_literal(spark):
     sp = split(ndf.df, "nested", by="band")
     srow = sp.collect()[0]
     assert len(srow["nested_r\\"]) == 1
+
+
+def test_fillna_pushdown_keeps_pack_pending(spark, objects):
+    child = spark.createDataFrame(
+        [(0, 1.0), (0, None), (1, None), (2, 5.0)], "id long, flux double"
+    )
+    ndf = NestedFrame(objects).join_nested(child, "nested", on="id")
+    filled = ndf.fillna({"nested.flux": -1.0})
+    # still lazy: a subsequent count prunes the collect_list entirely
+    out = filled.count_nested("nested").df.select("id", "n_nested")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    # values match the eager path
+    lazy_cells = {r["id"]: r["nested"] for r in filled.df.collect()}
+    eager = NestedFrame(ndf.df).fillna({"nested.flux": -1.0})
+    eager_cells = {r["id"]: r["nested"] for r in eager.df.collect()}
+    assert lazy_cells == eager_cells
+    assert [e["flux"] for e in lazy_cells[0]] == [1.0, -1.0]
+
+
+def test_fillna_scalar_pushdown_matches_eager(spark, objects):
+    child = spark.createDataFrame(
+        [(0, 1.0), (0, None), (2, None)], "id long, flux double"
+    )
+    ndf = NestedFrame(objects).join_nested(child, "nested", on="id")
+    lazy = ndf.fillna(0.0)
+    eager = NestedFrame(ndf.df).fillna(0.0)
+    assert _rows(lazy) == _rows(eager)
+
+
+def test_fillna_after_query_materializes_correctly(spark, objects):
+    # preds registered before the fill: unfilled values must drive the filter
+    child = spark.createDataFrame(
+        [(0, 1.0), (0, None), (2, 5.0)], "id long, flux double"
+    )
+    ndf = NestedFrame(objects).join_nested(child, "nested", on="id")
+    lazy = ndf.query("nested.flux > 0.5").fillna({"nested.flux": -1.0})
+    eager = NestedFrame(ndf.df).query("nested.flux > 0.5").fillna({"nested.flux": -1.0})
+    assert _rows(lazy) == _rows(eager)
+    # the NULL element was filtered out BEFORE the fill on both paths
+    cells = {r["id"]: r["nested"] for r in lazy.df.collect()}
+    assert [e["flux"] for e in cells[0]] == [1.0]
+
+
+def test_base_dropna_stays_lazy(spark, sources):
+    base = spark.createDataFrame([(0, 1.0), (1, None), (2, 3.0)], "id long, a double")
+    ndf = NestedFrame(base).join_nested(sources, "nested", on="id")
+    out = ndf.dropna(subset="a")
+    # count through the pending agg path still prunes collect_list
+    counted = out.count_nested("nested").df.select("id", "n_nested")
+    plan = counted._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert sorted(r["id"] for r in out.df.collect()) == [0, 2]

@@ -33,8 +33,11 @@ def test_join_nested_inner_drops_childless(spark, objects, sources):
 
 def test_pack_rejects_null_keys(spark):
     child = spark.createDataFrame([(None, 1.0), (1, 2.0)], "id long, v double")
-    out = pack(child, "n", on="id")
-    # null keys are dropped (reference raises; we filter - no null group)
+    # default: raise at execution, matching the reference's NaN-index error
+    with pytest.raises(Exception, match="cannot be used for grouping"):
+        pack(child, "n", on="id").collect()
+    # opt-out: silently exclude NULL-key rows (SQL equi-join semantics)
+    out = pack(child, "n", on="id", drop_null_keys=True)
     assert sorted(r["id"] for r in out.collect()) == [1]
 
 
@@ -118,3 +121,25 @@ def test_bucketed_pack_no_exchange(spark, tmp_path, sources):
     plan = packed_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert packed_df.count() == 3
+
+
+def test_null_key_contract(spark):
+    from nested_pandas_spark import NestedFrame
+
+    base = spark.createDataFrame([(1,)], "id long")
+    child = spark.createDataFrame([(1, 5.0), (None, 1.0)], "id long, v double")
+    # bare pack raises (reference parity); guard sits above pushed filters,
+    # so a predicate that removes the NULL-key row first suppresses it
+    with pytest.raises(Exception, match="cannot be used for grouping"):
+        pack(child, "n", on="id").collect()
+    assert pack(child.where("v > 2.0"), "n", on="id").count() == 1
+    with pytest.raises(Exception, match="cannot be used for grouping"):
+        from_flat(child.withColumnRenamed("v", "w"), [], on="id").collect()
+    # join_nested follows SQL join semantics instead: Catalyst infers
+    # isnotnull(key) on the child side of the join and prunes NULL-key rows
+    # before any pack-level guard could fire, so they drop silently
+    ndf = NestedFrame(base).join_nested(child, "n", on="id")
+    assert ndf.count() == 1
+    assert ndf.query("n.v > 2.0").count() == 1
+    lax = NestedFrame(base).join_nested(child, "n", on="id", drop_null_keys=True)
+    assert lax.count() == 1
