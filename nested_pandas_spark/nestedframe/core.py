@@ -334,7 +334,7 @@ class NestedFrame:
         columns: list[str] | None = None,
         sort_within: list[str | tuple[str, bool]] | None = None,
         broadcast_packed: bool = False,
-        drop_null_keys: bool = False,
+        drop_null_keys: bool = True,
     ) -> "NestedFrame":
         cdf = child.df if isinstance(child, NestedFrame) else child
         if how == "left":

@@ -226,33 +226,60 @@ def map_rows(
     result_schema = T.StructType(list(carried_fields) + out_fields)
     out_aliases = [f.name for f in out_fields]
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # pull each input column out as a numpy object array once —
-            # per-row .iloc access is ~10x slower than array indexing
-            col_arrays = []
-            for alias, nest, _ in spec:
-                vals = pdf[alias].to_numpy()
-                if nest is not None:
-                    vals = [
-                        v if (v is None or isinstance(v, np.ndarray)) else np.asarray(v)
-                        for v in vals
-                    ]
-                col_arrays.append(vals)
-            rows = []
-            for tup in zip(*col_arrays):
-                res = call(list(tup))
-                if not isinstance(res, tuple):
-                    res = (res,)
-                rows.append([_to_py(v) for v in res])
-            out_pdf = pd.DataFrame(rows, columns=out_aliases)
-            if carried:
-                out_pdf = pd.concat(
-                    [pdf[list(carried)].reset_index(drop=True), out_pdf], axis=1
-                )
-            yield out_pdf
+    import pyarrow as pa
 
-    result = src.mapInPandas(gen, schema=result_schema)
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    out_pa_types = [to_arrow_type(f.dataType) for f in out_fields]
+    alias_list = [alias for alias, _, _ in spec]
+    nest_flags = [nest is not None for _, nest, _ in spec]
+
+    def _cells(arr: "pa.Array", is_nested: bool) -> list:
+        """Per-row values: numpy views over the Arrow buffers for nested
+        cells (the reference's ``iter_field_lists`` shape,
+        ``ext_array.py:1029-1046``), plain scalars for base columns."""
+        if not is_nested:
+            return arr.to_pylist()
+        try:
+            # list<primitive>: slice the flat values buffer by offsets —
+            # zero-copy views, no pandas, no per-cell allocation beyond them
+            offsets = np.asarray(arr.offsets)
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            nulls = arr.is_null().to_numpy(zero_copy_only=False)
+            return [
+                None if nulls[i] else flat[offsets[i]:offsets[i + 1]]
+                for i in range(len(arr))
+            ]
+        except (pa.ArrowInvalid, ValueError, AttributeError):
+            # non-primitive children (double nesting, structs): generic path
+            return [
+                None if v is None else np.asarray(v, dtype=object)
+                for v in arr.to_pylist()
+            ]
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            cols = [
+                _cells(rb.column(alias), is_n)
+                for alias, is_n in zip(alias_list, nest_flags)
+            ]
+            n_out = len(out_aliases)
+            out_cols: list[list] = [[] for _ in range(n_out)]
+            appends = [c.append for c in out_cols]
+            for tup in zip(*cols):
+                res = call(list(tup))
+                if isinstance(res, tuple):
+                    for j in range(n_out):
+                        appends[j](_to_py(res[j]))
+                else:
+                    appends[0](_to_py(res))
+            arrays = [rb.column(c) for c in carried]
+            arrays += [
+                pa.array(vals, type=t) for vals, t in zip(out_cols, out_pa_types)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, list(carried) + out_aliases)
+
+    result = src.mapInArrow(gen, schema=result_schema)
 
     # -- infer_nesting: dotted output names repack into nested columns -----
     if infer_nesting:
