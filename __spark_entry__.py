@@ -460,6 +460,31 @@ def q33_set_ops(spark, sf):
     return out
 
 
+def q34_range_join(spark, sf):
+    """Interval-containment join: each click matched to the signup windows
+    [signup_ts, signup_ts + 1h) of the same user that contain it. Bucketized
+    equi-join (operators/asof.py:108): intervals explode to hour buckets so
+    Catalyst hashes on (user_id, bucket) instead of running a theta join —
+    the explode factor is <= 2 with bucket == interval length."""
+    from nested_pandas_spark.operators.asof import range_join
+
+    ev = _t(spark, sf, "events")  # ts: int64 nanos
+    us = F.expr("ts DIV 1000")  # microsecond grain (DuckDB timestamp grain)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("ts")
+    )
+    hour_us = 3600 * 1_000_000
+    windows = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        us.alias("w_start"),
+        (us + hour_us).alias("w_end"),
+        F.col("event_id").alias("signup_event"),
+    )
+    out = range_join(clicks, windows, on="user_id", left_ts="ts",
+                     right_start="w_start", right_end="w_end", bucket=hour_us)
+    return out.select("event_id", "signup_event")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -513,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_ivf_topk": q31_ivf_topk,
         "q32_multimodal_features": q32_multimodal_features,
         "q33_set_ops": q33_set_ops,
+        "q34_range_join": q34_range_join,
     }
 
 
@@ -999,6 +1025,14 @@ def oracle_sql() -> dict[str, str]:
             )
             EXCEPT ALL
             SELECT DISTINCT user_id, hr FROM uh WHERE event_type = 'error'
+        """,
+        "q34_range_join": """
+            SELECT c.event_id, s.event_id AS signup_event
+            FROM events c JOIN events s
+              ON c.user_id = s.user_id
+             AND c.event_type = 'click' AND s.event_type = 'signup'
+             AND epoch_us(s.ts) <= epoch_us(c.ts)
+             AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
         """,
         "q25_srp_bucket": """
             SELECT vec_id,

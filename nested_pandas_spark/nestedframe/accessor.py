@@ -64,6 +64,20 @@ class NestAccessor:
         ).collect()[0]
         return int(row[0] or 0)
 
+    def flat_index(self, keys: list[str] | None = None) -> DataFrame:
+        """The parent identity repeated once per nested element (reference
+        ``accessor.py:192-197`` ``nest.flat_index``, a ``pd.Index``).
+
+        In the keys-as-index model the "index" is the base key column(s), so
+        this returns a DataFrame of those columns with one row per element.
+        ``keys`` defaults to every base (non-nested) column; pass the actual
+        key subset for a narrower result. NULL/empty cells contribute no
+        rows, exactly like the reference's flattened index.
+        """
+        key_cols = keys if keys is not None else self._frame.base_columns
+        df = self._frame.to_flat(self._col, columns=self.fields[:1], keys=key_cols).df
+        return df.select(*[F.col(c) for c in key_cols])
+
     def to_flatten_inner(self, inner: str):
         """Reference ``accessor.py:859-986``."""
         return self._frame.to_flatten_inner(self._col, inner)

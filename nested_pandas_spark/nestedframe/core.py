@@ -379,10 +379,18 @@ class NestedFrame:
     def nest_lists(self, columns: list[str], name: str = "nested") -> "NestedFrame":
         return self._wrap(packer.nest_lists(self._df, columns, name))
 
-    def explode(self, columns: str | list[str], validate_lengths: bool = True) -> "NestedFrame":
+    def explode(self, columns: str | list[str], validate_lengths: bool = True,
+                ignore_index: bool = False) -> "NestedFrame":
         if isinstance(columns, str) and columns in self._pending:
-            return self._flat_from_pending(columns, None, None)
-        return self._wrap(restructure.frame_explode(self._df, columns, validate_lengths))
+            out = self._flat_from_pending(columns, None, None)
+            if ignore_index:
+                out = self._wrap(
+                    out.df.withColumn("index", F.monotonically_increasing_id())
+                )
+            return out
+        return self._wrap(
+            restructure.frame_explode(self._df, columns, validate_lengths, ignore_index)
+        )
 
     def to_flat(self, nest: str, columns: list[str] | None = None,
                 keys: list[str] | None = None) -> "NestedFrame":

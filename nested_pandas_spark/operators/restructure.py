@@ -67,7 +67,8 @@ def to_lists(df: DataFrame, nest: str, columns: list[str] | None = None) -> Data
 
 
 def frame_explode(df: DataFrame, columns: str | list[str],
-                  validate_lengths: bool = True) -> DataFrame:
+                  validate_lengths: bool = True,
+                  ignore_index: bool = False) -> DataFrame:
     """Frame-level explode of one or more nested/list columns in lockstep.
 
     Reference: ``NestedFrame.explode`` (``core.py:1221-1349``). Multiple
@@ -78,6 +79,15 @@ def frame_explode(df: DataFrame, columns: str | list[str],
 
     Single nested column uses ``inline`` (struct fields become columns);
     list (non-struct) columns keep their name.
+
+    ``ignore_index=True`` mirrors the reference's RangeIndex reset
+    (``core.py:1221``): the result gains an ``index`` column of unique,
+    ascending int64 ids (``monotonically_increasing_id``). They are NOT
+    contiguous — contiguity requires a global total order, which is a full
+    -data shuffle at scale; the reference's own use of ``ignore_index`` only
+    needs row identity, which this provides shuffle-free. The default
+    (``False``) keeps the key columns as row identity, matching the
+    reference's repeated parent index.
     """
     cols = [columns] if isinstance(columns, str) else list(columns)
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -120,7 +130,10 @@ def frame_explode(df: DataFrame, columns: str | list[str],
                 final_cols.append(col.getField(sf.name).alias(sf.name))
         else:
             final_cols.append(col.alias(name))
-    return out.select(*final_cols)
+    result = out.select(*final_cols)
+    if ignore_index:
+        result = result.withColumn("index", F.monotonically_increasing_id())
+    return result
 
 
 def split(

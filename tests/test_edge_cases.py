@@ -1,0 +1,98 @@
+"""Reference edge-case scenarios (SURVEY §5): empty frames, all-null cells,
+duplicate/non-unique keys, composite (MultiIndex-analogue) keys.
+
+Reference models: test_nestedframe.py empty/edge regressions
+(test_issue193:2551, test_issue294:2680), packer MultiIndex round-trips
+(series/test_packer.py), duplicate-index explode (core.py:1301-1349).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark import NestedFrame
+
+
+def test_join_nested_empty_child(spark, objects):
+    child = spark.createDataFrame([], "id long, flux double")
+    ndf = NestedFrame(objects).join_nested(child, "nested", on="id")
+    rows = {r["id"]: r["nested"] for r in ndf.df.collect()}
+    assert len(rows) == 3
+    assert all(v is None for v in rows.values())
+    # count_nested zero-fills missing cells
+    counted = ndf.count_nested("nested")
+    assert {r["n_nested"] for r in counted.df.collect()} == {0}
+
+
+def test_query_on_all_null_cells(spark, objects):
+    child = spark.createDataFrame([], "id long, flux double")
+    ndf = NestedFrame(objects).join_nested(child, "nested", on="id")
+    out = ndf.query("nested.flux > 1.0")
+    rows = {r["id"]: r["nested"] for r in out.df.collect()}
+    # keep-rows convention: base rows survive, cells stay NULL
+    assert len(rows) == 3
+    assert all(v is None for v in rows.values())
+
+
+def test_explode_empty_frame(spark):
+    base = spark.createDataFrame([], "id long, nested array<struct<t:double>>")
+    out = NestedFrame(base).explode("nested")
+    assert out.df.count() == 0
+    assert set(out.columns) == {"id", "t"}
+
+
+def test_sort_values_empty_frame(spark):
+    base = spark.createDataFrame([], "id long, a double")
+    out = NestedFrame(base).sort_values("a")
+    assert out.df.count() == 0
+
+
+def test_join_nested_composite_keys(spark):
+    base = spark.createDataFrame(
+        [(0, "x", 1.0), (0, "y", 2.0), (1, "x", 3.0)], "k1 long, k2 string, val double"
+    )
+    child = spark.createDataFrame(
+        [(0, "x", 10.0), (0, "x", 11.0), (0, "y", 20.0), (1, "z", 99.0)],
+        "k1 long, k2 string, m double",
+    )
+    ndf = NestedFrame(base).join_nested(child, "nested", on=["k1", "k2"],
+                                        sort_within=["m"])
+    cells = {(r["k1"], r["k2"]): r["nested"] for r in ndf.df.collect()}
+    assert [e["m"] for e in cells[(0, "x")]] == [10.0, 11.0]
+    assert [e["m"] for e in cells[(0, "y")]] == [20.0]
+    assert cells[(1, "x")] is None  # (1,'z') child matches nothing
+
+
+def test_duplicate_base_keys_share_cells(spark, sources):
+    # non-unique index analogue: both base rows with id=0 get the same cell
+    base = spark.createDataFrame(
+        [(0, "first"), (0, "second"), (1, "third")], "id long, tag string"
+    )
+    ndf = NestedFrame(base).join_nested(sources, "nested", on="id",
+                                        sort_within=["t"])
+    rows = ndf.df.collect()
+    assert len(rows) == 3
+    by_tag = {r["tag"]: r["nested"] for r in rows}
+    assert by_tag["first"] == by_tag["second"]
+    assert len(by_tag["first"]) == 3
+
+
+def test_count_nested_on_duplicate_keys(spark, sources):
+    base = spark.createDataFrame([(0,), (0,), (2,)], "id long")
+    counted = NestedFrame(base).join_nested(sources, "nested", on="id").count_nested("nested")
+    vals = sorted(r["n_nested"] for r in counted.df.collect())
+    assert vals == [3, 3, 3]
+
+
+def test_eval_on_empty_frame(spark):
+    base = spark.createDataFrame([], "id long, nested array<struct<t:double>>")
+    out = NestedFrame(base).eval("nested.u = nested.t * 2")
+    assert out.df.count() == 0
+    assert "u" in out.nested_fields("nested")
+
+
+def test_fillna_all_null_cells(spark, objects):
+    child = spark.createDataFrame([], "id long, flux double")
+    ndf = NestedFrame(objects).join_nested(child, "nested", on="id")
+    out = ndf.fillna({"nested.flux": 0.0})
+    # NULL cells stay NULL (fill rewrites element values, not missing cells)
+    assert all(r["nested"] is None for r in out.df.collect())

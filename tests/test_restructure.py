@@ -170,3 +170,37 @@ def test_nest_accessor(packed):
     assert "mag" in wf.nested_fields("nested")
     dropped = acc.drop("flux_error")
     assert "flux_error" not in dropped.nested_fields("nested")
+
+
+def test_explode_ignore_index(packed):
+    out = packed.explode("nested", ignore_index=True)
+    rows = out.df.collect()
+    assert len(rows) == 9
+    ids = [r["index"] for r in rows]
+    # unique ascending int64 identity, reference RangeIndex analogue
+    assert len(set(ids)) == 9
+    assert ids == sorted(ids)
+    assert "flux" in out.columns
+
+
+def test_explode_ignore_index_pending(spark, objects, sources):
+    # pending-pack path: explode collapses to a join, index still appended
+    ndf = NestedFrame(objects).join_nested(sources, "nested", on="id")
+    out = ndf.explode("nested", ignore_index=True)
+    rows = out.df.collect()
+    assert len(rows) == 9
+    assert len({r["index"] for r in rows}) == 9
+
+
+def test_flat_index(packed):
+    fi = packed.nest("nested").flat_index(keys=["id"])
+    vals = sorted(r["id"] for r in fi.collect())
+    assert vals == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert fi.columns == ["id"]
+
+
+def test_flat_index_skips_null_cells(spark, sources):
+    base = spark.createDataFrame([(0,), (99,)], "id long")
+    ndf = NestedFrame(base).join_nested(sources, "nested", on="id")
+    fi = ndf.nest("nested").flat_index(keys=["id"])
+    assert sorted(r["id"] for r in fi.collect()) == [0, 0, 0]
