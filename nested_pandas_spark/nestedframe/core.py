@@ -776,8 +776,22 @@ class NestedFrame:
     reduce = map_rows  # deprecated alias (reference core.py:1981)
 
     # -- I/O ----------------------------------------------------------------
-    def to_parquet(self, path: str, mode: str = "overwrite", **options: Any) -> None:
+    def to_parquet(self, path: str, mode: str = "overwrite",
+                   partition_by: str | list[str] | None = None,
+                   **options: Any) -> None:
         """Write parquet; nested columns store natively as list-of-structs
         (reference writes struct-of-lists, ``core.py:2586-2631`` — both are
-        legal parquet nesting and both read back)."""
-        self._df.write.mode(mode).options(**options).parquet(path)
+        legal parquet nesting and both read back).
+
+        ``partition_by``: hive-style directory partitioning — reads that
+        filter on these columns prune whole directories before any I/O
+        (``PartitionFilters`` in the scan), the first lever for 100 TB
+        layouts. For shuffle-free repacking on the join key, use
+        ``sources.bucketing`` (bucketBy needs a table catalog, not a bare
+        path).
+        """
+        writer = self._df.write.mode(mode).options(**options)
+        if partition_by is not None:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*cols)
+        writer.parquet(path)

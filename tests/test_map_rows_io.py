@@ -249,3 +249,13 @@ def test_numpy_reducer_empty_and_null_cells(spark):
         np.max, ["nested.flux"], output_names=["x"], append_columns=True
     ).df.collect()}
     assert mx[0] == 3.0 and mx[1] is None and mx[2] is None
+
+
+def test_to_parquet_partition_by_prunes(tmp_path, packed):
+    p = str(tmp_path / "partitioned.parquet")
+    packed.to_parquet(p, partition_by="id")
+    spark = packed.df.sparkSession
+    back = read_parquet(spark, p).where("id = 1")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "id" in plan.split("PartitionFilters")[1][:80]
+    assert back.count() == 1
