@@ -460,6 +460,29 @@ def q33_set_ops(spark, sf):
     return out
 
 
+def q35_multimodal_resize(spark, sf):
+    """q32's decode pipeline plus the pure-JVM nearest-neighbor resize
+    (pipeline/multimodal.py resize_image): decode 4x4 -> resize 2x2 ->
+    features. The resize is integer index arithmetic in a transform()
+    HOF, so the oracle replays it as a literal index list."""
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload")
+    )
+    tagged = mm.attach_media_meta(docs, "payload", "image", fmt="fake")
+    decoded = mm.decode_image(tagged, "payload", height=4, width=4, channels=1)
+    small = mm.resize_image(decoded, "pixels", in_height=4, in_width=4,
+                            channels=1, out_height=2, out_width=2)
+    feats = mm.image_features(small, "pixels")
+    return feats.select(
+        "doc_id",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        F.col("feat_min").cast("long").alias("feat_min"),
+        F.col("feat_max").cast("long").alias("feat_max"),
+    )
+
+
 def q34_range_join(spark, sf):
     """Interval-containment join: each click matched to the signup windows
     [signup_ts, signup_ts + 1h) of the same user that contain it. Bucketized
@@ -539,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_multimodal_features": q32_multimodal_features,
         "q33_set_ops": q33_set_ops,
         "q34_range_join": q34_range_join,
+        "q35_multimodal_resize": q35_multimodal_resize,
     }
 
 
@@ -1033,6 +1057,22 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND s.event_type = 'signup'
              AND epoch_us(s.ts) <= epoch_us(c.ts)
              AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        """,
+        "q35_multimodal_resize": """
+            WITH px AS (
+                SELECT doc_id,
+                       list_transform([0, 2, 8, 10],
+                           j -> CAST(('0x' || substr(md5(md5(coalesce(text, ''))
+                                      || ':' || CAST(j AS VARCHAR)), 1, 2))
+                                     AS BIGINT)) AS pixels
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(list_sum(list_transform(pixels, v -> CAST(v AS DOUBLE)))
+                         / 4.0, 6) AS feat_mean,
+                   CAST(list_min(pixels) AS BIGINT) AS feat_min,
+                   CAST(list_max(pixels) AS BIGINT) AS feat_max
+            FROM px
         """,
         "q25_srp_bucket": """
             SELECT vec_id,

