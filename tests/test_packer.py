@@ -143,3 +143,23 @@ def test_null_key_contract(spark):
     assert ndf.query("n.v > 2.0").count() == 1
     lax = NestedFrame(base).join_nested(child, "n", on="id", drop_null_keys=True)
     assert lax.count() == 1
+
+
+def test_join_nested_right_outer(spark, objects, sources):
+    from nested_pandas_spark import NestedFrame
+
+    extra = spark.createDataFrame([(99, 0.0, 99.0, 1.0, "r")], sources.schema)
+    src = sources.union(extra)  # child key 99 has no base row
+    right = NestedFrame(objects).join_nested(src, "nested", on="id", how="right")
+    rows = {r["id"]: r for r in right.df.collect()}
+    assert set(rows) == {0, 1, 2, 99}  # all child keys survive
+    assert rows[99]["a"] is None  # base cols NULL for unmatched child key
+    assert len(rows[99]["nested"]) == 1
+
+    base_extra = spark.createDataFrame([(7, 0.0, 0.0)], objects.schema)
+    outer = NestedFrame(objects.union(base_extra)).join_nested(
+        src, "nested", on="id", how="outer"
+    )
+    orows = {r["id"]: r for r in outer.df.collect()}
+    assert set(orows) == {0, 1, 2, 7, 99}
+    assert orows[7]["nested"] is None  # childless base row keeps NULL cell

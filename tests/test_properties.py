@@ -149,3 +149,98 @@ def test_query_matches_pandas_query(spark, rows, expr):
         for r in NestedFrame(df).query(expr).collect()
     )
     assert [(a, pytest.approx(b), c) for a, b, c in got] == want
+
+
+# -- optimizer: lazy pending-pack path == eager materialized path ----------
+
+child_rows_nullable = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.floats(min_value=-50, max_value=50, allow_nan=False)),
+        st.sampled_from(["r", "g"]),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@st.composite
+def op_sequences(draw):
+    """A random order of distinct verbs, each with random parameters."""
+    ops = draw(
+        st.permutations(
+            ["query_nested", "query_base", "eval_new", "eval_replace",
+             "fillna", "count", "agg", "sort"]
+        )
+    )
+    n = draw(st.integers(min_value=1, max_value=4))
+    out = []
+    for name in ops[:n]:
+        if name == "query_nested":
+            out.append((name, draw(st.integers(-20, 20))))
+        elif name == "query_base":
+            out.append((name, draw(st.integers(0, 3))))
+        elif name in ("eval_new", "eval_replace", "fillna"):
+            out.append((name, draw(st.integers(-5, 5))))
+        else:
+            out.append((name, None))
+    return out
+
+
+def _apply_ops(ndf, ops):
+    for name, arg in ops:
+        if name == "query_nested":
+            ndf = ndf.query(f"nested.v > {arg}")
+        elif name == "query_base":
+            ndf = ndf.query(f"id <= {arg}")
+        elif name == "eval_new":
+            ndf = ndf.eval(f"nested.w = nested.v * {arg}")
+        elif name == "eval_replace":
+            ndf = ndf.eval(f"nested.v = nested.v + {arg}")
+        elif name == "fillna":
+            ndf = ndf.fillna({"nested.v": float(arg)})
+        elif name == "count":
+            ndf = ndf.count_nested("nested")
+        elif name == "agg":
+            ndf = ndf.nest_agg("nested", "v", "sum", alias="v_sum")
+        elif name == "sort":
+            ndf = ndf.sort_values("nested.v")
+    return ndf
+
+
+def _canon(ndf):
+    """Rows as comparable values; nested cells as element multisets."""
+    out = []
+    for row in ndf.df.collect():
+        d = row.asDict(recursive=True)
+        vals = []
+        for k in sorted(d):
+            v = d[k]
+            if isinstance(v, list):
+                v = sorted(
+                    tuple(
+                        round(x, 6) if isinstance(x, float) else x
+                        for _, x in sorted(e.items())
+                    )
+                    for e in v
+                )
+            elif isinstance(v, float):
+                v = round(v, 6)
+            vals.append((k, v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@given(rows=child_rows_nullable, ops=op_sequences())
+@SETTINGS
+def test_lazy_pipeline_equals_eager(spark, rows, ops):
+    """Any verb sequence on a pending pack == the same sequence applied
+    after eager materialization (the optimizer's core contract)."""
+    child = spark.createDataFrame(rows, "id long, v double, band string")
+    base = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    lazy = _apply_ops(NestedFrame(base).join_nested(child, "nested", on="id"), ops)
+    eager_start = NestedFrame(
+        NestedFrame(base).join_nested(child, "nested", on="id").df
+    )
+    eager = _apply_ops(eager_start, ops)
+    assert _canon(lazy) == _canon(eager)
