@@ -605,7 +605,8 @@ class NestedFrame:
 
     # -- cleaning ---------------------------------------------------------
     def dropna(self, subset: str | list[str] | None = None, how: str = "any",
-               on_nested: str | None = None, drop_empty_cells: bool = False) -> "NestedFrame":
+               on_nested: str | None = None, drop_empty_cells: bool = False,
+               thresh: int | None = None) -> "NestedFrame":
         """Nested-target dropna always materializes pending packs first, BY
         DESIGN: pushing the element filter onto the flat child would turn a
         cell whose elements all drop into a NULL cell (vanished group),
@@ -621,11 +622,15 @@ class NestedFrame:
                 for s in subset_list
             )
             if base_only:
-                return NestedFrame(
-                    self._base_df.na.drop(how=how, subset=subset_list),
-                    dict(self._pending),
+                dropped = (
+                    self._base_df.na.drop(thresh=thresh, subset=subset_list)
+                    if thresh is not None
+                    else self._base_df.na.drop(how=how, subset=subset_list)
                 )
-        return self._wrap(cleaning.dropna(self._df, subset, how, on_nested, drop_empty_cells))
+                return NestedFrame(dropped, dict(self._pending))
+        return self._wrap(
+            cleaning.dropna(self._df, subset, how, on_nested, drop_empty_cells, thresh)
+        )
 
     def _fill_pushable(self, spec: _PendingPack) -> bool:
         # a fill rewrites existing child values; anything registered earlier
@@ -718,8 +723,9 @@ class NestedFrame:
     def max(self, columns: list[str] | None = None) -> DataFrame:
         return aggregates.minmax(self._df, "max", columns)
 
-    def describe(self, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
-        return aggregates.describe(self._df, columns, exact)
+    def describe(self, columns: list[str] | None = None, exact: bool = True,
+                 percentiles: list[float] | None = None) -> DataFrame:
+        return aggregates.describe(self._df, columns, exact, percentiles)
 
     def nest_agg(self, nest: str, field: str, how: str, alias: str | None = None) -> "NestedFrame":
         name = alias or f"{how}_{nest}_{field}"

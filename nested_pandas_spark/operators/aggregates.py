@@ -121,13 +121,20 @@ def describe(
     df: DataFrame,
     columns: list[str] | None = None,
     exact: bool = True,
+    percentiles: list[float] | None = None,
 ) -> DataFrame:
-    """count/mean/std/min/25%/50%/75%/max over base + nested numeric columns.
+    """count/mean/std/min/percentiles/max over base + nested numeric columns.
 
-    Output: one row per target column: (column, count, mean, std, min, p25,
-    p50, p75, max). Exact percentiles by default for pandas/duckdb parity
-    (``percentile``); pass ``exact=False`` for ``percentile_approx`` at scale.
+    Output: one row per target column: (column, count, mean, std, min,
+    p25, p50, p75, max) — or ``p{int(q*100)}`` columns for custom
+    ``percentiles`` (pandas ``describe(percentiles=)`` parity). Exact
+    percentiles by default for pandas/duckdb parity (``percentile``); pass
+    ``exact=False`` for ``percentile_approx`` at scale.
     """
+    qs = percentiles if percentiles is not None else [0.25, 0.5, 0.75]
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"percentile {q} outside [0, 1]")
     frames: list[DataFrame] = []
     for label, col, knd in _numeric_targets(df):
         if columns is not None and label not in columns:
@@ -144,9 +151,10 @@ def describe(
                 F.avg("__v").alias("mean"),
                 F.stddev("__v").alias("std"),
                 F.min("__v").alias("min"),
-                F.expr(f"{pct}(__v, 0.25)").alias("p25"),
-                F.expr(f"{pct}(__v, 0.5)").alias("p50"),
-                F.expr(f"{pct}(__v, 0.75)").alias("p75"),
+                *[
+                    F.expr(f"{pct}(__v, {q!r})").alias(f"p{round(q * 100) :d}")
+                    for q in qs
+                ],
                 F.max("__v").alias("max"),
             )
         )

@@ -42,16 +42,21 @@ def dropna(
     how: str = "any",
     on_nested: str | None = None,
     drop_empty_cells: bool = False,
+    thresh: int | None = None,
 ) -> DataFrame:
     """Drop NA rows at the base layer or NA *elements* inside one nested layer.
 
     * base subset -> ``df.na.drop`` (row removal);
     * ``subset="nested.t"`` or ``on_nested="nested"`` -> remove elements whose
       targeted fields are NULL inside each cell (base rows are kept);
+    * ``thresh=N`` (pandas semantics, overrides ``how``): keep rows/elements
+      with at least N non-null values among the targeted columns;
     * the reference enforces a single target layer per call
       (``core.py:1650-1697``) — so do we.
     """
     if subset is None and on_nested is None:
+        if thresh is not None:
+            return df.na.drop(thresh=thresh)
         return df.na.drop(how=how)
     subset_list = [subset] if isinstance(subset, str) else list(subset or [])
     base, per_nest = _split_subset(df, subset_list)
@@ -62,12 +67,21 @@ def dropna(
     if len(per_nest) > 1:
         raise ValueError("dropna can only target one nested column per call")
     if base:
+        if thresh is not None:
+            return df.na.drop(thresh=thresh, subset=base)
         return df.na.drop(how=how, subset=base)
     nest, flds = next(iter(per_nest.items()))
     fields = flds or nested_field_names(df, nest)
-    joiner = " OR " if how == "any" else " AND "
-    null_pred = joiner.join(f"__x.{quote(f)} IS NULL" for f in fields)
-    out = df.withColumn(nest, F.expr(f"filter({quote(nest)}, __x -> NOT ({null_pred}))"))
+    if thresh is not None:
+        notnull_count = " + ".join(
+            f"(CASE WHEN __x.{quote(f)} IS NOT NULL THEN 1 ELSE 0 END)" for f in fields
+        )
+        keep_pred = f"({notnull_count}) >= {int(thresh)}"
+    else:
+        joiner = " OR " if how == "any" else " AND "
+        null_pred = joiner.join(f"__x.{quote(f)} IS NULL" for f in fields)
+        keep_pred = f"NOT ({null_pred})"
+    out = df.withColumn(nest, F.expr(f"filter({quote(nest)}, __x -> {keep_pred})"))
     if drop_empty_cells:
         out = out.where(F.size(F.col(quote(nest))) > 0)
     return out

@@ -139,3 +139,36 @@ def test_nest_agg(packed):
     rows = {r["id"]: r["mean_flux"] for r in out.collect()}
     assert rows[0] == pytest.approx(1.0)
     assert rows[2] == pytest.approx(21.0)
+
+
+def test_dropna_thresh_base(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, None), (None, None)], "a double, b double"
+    )
+    out = NestedFrame(df).dropna(subset=["a", "b"], thresh=1)
+    assert out.count() == 2
+    assert NestedFrame(df).dropna(subset=["a", "b"], thresh=2).count() == 1
+
+
+def test_dropna_thresh_nested(spark, objects):
+    child = spark.createDataFrame(
+        [(0, 1.0, 2.0), (0, None, 3.0), (0, None, None)],
+        "id long, x double, y double",
+    )
+    ndf = NestedFrame(objects).join_nested(child, "nested", on="id")
+    # thresh=1: keep elements with >=1 non-null among (x, y)
+    out = ndf.dropna(subset=["nested.x", "nested.y"], thresh=1)
+    cells = {r["id"]: r["nested"] for r in out.df.collect()}
+    assert len(cells[0]) == 2
+    out2 = ndf.dropna(subset=["nested.x", "nested.y"], thresh=2)
+    cells2 = {r["id"]: r["nested"] for r in out2.df.collect()}
+    assert len(cells2[0]) == 1
+
+
+def test_describe_custom_percentiles(packed):
+    out = packed.describe(columns=["nested.flux"], percentiles=[0.1, 0.9])
+    row = out.collect()[0]
+    assert "p10" in out.columns and "p90" in out.columns
+    assert row["p10"] <= row["p90"]
+    with pytest.raises(ValueError):
+        packed.describe(percentiles=[1.5])
