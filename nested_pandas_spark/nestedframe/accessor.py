@@ -29,6 +29,11 @@ class NestAccessor:
         """Sub-column names (reference ``accessor.py`` ``.nest.fields``)."""
         return self._frame.nested_fields(self._col)
 
+    @property
+    def columns(self) -> list[str]:
+        """Alias of :attr:`fields` (reference ``accessor.py:186-189``)."""
+        return self.fields
+
     def to_flat(self, columns: list[str] | None = None):
         """Reference ``accessor.py:93-157``."""
         return self._frame.to_flat(self._col, columns=columns)
@@ -42,15 +47,53 @@ class NestAccessor:
         (reference ``accessor.py:600-638``)."""
         return self._frame.query_drop_empty(expr, env=env)
 
+    def query_flat(self, expr: str, env: dict | None = None):
+        """Alias of :meth:`query` (reference ``accessor.py:568-598``)."""
+        return self.query(expr, env=env)
+
     def with_field(self, name: str, expr: str):
-        """``set_flat_column``-style sub-column add/replace
-        (reference ``accessor.py:305-491``)."""
+        """Sub-column add/replace from an expression over this nest's fields
+        and base columns (reference ``accessor.py:203-491`` ``with_field`` /
+        ``with_flat_field`` / ``with_filled_field`` — in the expression-based
+        model a flat value, a broadcast base value, and a computed value are
+        all the same ``transform`` rebuild, so one method covers the family)."""
         return self._frame.set_nested_field(f"{self._col}.{name}", expr)
+
+    # reference with_*/set_* family: identical semantics here (see with_field)
+    with_flat_field = with_field
+    with_filled_field = with_field
+    set_column = with_field
+    set_flat_column = with_field
+    set_filled_column = with_field
+
+    def get_flat_series(self, field: str, keys: list[str] | None = None) -> DataFrame:
+        """One field's flat values with the parent keys repeated (reference
+        ``accessor.py:669-724`` returns an index-repeated pd.Series; the
+        keys-as-index model returns the (keys, field) DataFrame)."""
+        if field not in self.fields:
+            raise KeyError(f"'{self._col}' has no field '{field}'")
+        return self._frame.to_flat(self._col, columns=[field], keys=keys).df
+
+    def get_list_series(self, field: str) -> DataFrame:
+        """One field as a per-row list column (reference
+        ``accessor.py:726-780``)."""
+        if field not in self.fields:
+            raise KeyError(f"'{self._col}' has no field '{field}'")
+        return self._frame.to_lists(self._col, columns=[field]).df
 
     def drop(self, fields: str | list[str]):
         """Reference ``accessor.py:528-562``."""
         flds = [fields] if isinstance(fields, str) else list(fields)
         return self._frame.drop([f"{self._col}.{f}" for f in flds])
+
+    def without_field(self, fields: str | list[str]):
+        """Alias of :meth:`drop` (reference ``accessor.py:497-526``)."""
+        return self.drop(fields)
+
+    def clear(self) -> None:
+        """Reference parity (``accessor.py:852-857``): deleting every field
+        of a nested column is not a meaningful operation — always raises."""
+        raise NotImplementedError("Cannot delete fields from nested series")
 
     def len(self) -> Column:
         """Per-row element count (reference ``accessor.py:168-175``)."""

@@ -115,6 +115,17 @@ class NestedFrame:
             out[n] = self.nested_fields(n)
         return out
 
+    def get_subcolumns(self, nested_columns: str | list[str] = "all") -> list[str]:
+        """Dotted sub-column names of the given (default: all) nested columns
+        (reference ``core.py:346-381``)."""
+        if nested_columns == "all":
+            nested_columns = self.nested_columns
+        elif isinstance(nested_columns, str):
+            nested_columns = [nested_columns]
+        return [
+            f"{n}.{f}" for n in nested_columns for f in self.nested_fields(n)
+        ]
+
     def nest(self, column: str):
         """Series-level ``.nest`` accessor (reference accessor.py surface)."""
         from .accessor import NestAccessor
@@ -717,15 +728,18 @@ class NestedFrame:
             return NestedFrame(self._base_df, {**self._pending, nest: spec})
         return self._wrap(aggregates.count_nested(self._df, nest, by, values, join))
 
-    def min(self, columns: list[str] | None = None) -> DataFrame:
-        return aggregates.minmax(self._df, "min", columns)
+    def min(self, columns: list[str] | None = None,
+            exclude_nest: bool = False) -> DataFrame:
+        return aggregates.minmax(self._df, "min", columns, exclude_nest)
 
-    def max(self, columns: list[str] | None = None) -> DataFrame:
-        return aggregates.minmax(self._df, "max", columns)
+    def max(self, columns: list[str] | None = None,
+            exclude_nest: bool = False) -> DataFrame:
+        return aggregates.minmax(self._df, "max", columns, exclude_nest)
 
     def describe(self, columns: list[str] | None = None, exact: bool = True,
-                 percentiles: list[float] | None = None) -> DataFrame:
-        return aggregates.describe(self._df, columns, exact, percentiles)
+                 percentiles: list[float] | None = None,
+                 exclude_nest: bool = False) -> DataFrame:
+        return aggregates.describe(self._df, columns, exact, percentiles, exclude_nest)
 
     def nest_agg(self, nest: str, field: str, how: str, alias: str | None = None) -> "NestedFrame":
         name = alias or f"{how}_{nest}_{field}"

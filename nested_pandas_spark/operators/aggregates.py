@@ -94,9 +94,11 @@ def _numeric_targets(df: DataFrame, include_nested: bool = True) -> list[tuple[s
     return out
 
 
-def minmax(df: DataFrame, kind: str = "min", columns: list[str] | None = None) -> DataFrame:
+def minmax(df: DataFrame, kind: str = "min", columns: list[str] | None = None,
+           exclude_nest: bool = False) -> DataFrame:
     """Column-wise min/max across base and nested sub-columns, one output row
-    with ``nested.col``-prefixed labels (reference ``core.py:949-1097``).
+    with ``nested.col``-prefixed labels (reference ``core.py:949-1097``;
+    ``exclude_nest=True`` restricts to base columns as there).
 
     Nested columns reduce per-row with ``array_min``/``array_max`` first, then
     globally — a single partial-agg pass, no explode.
@@ -105,6 +107,8 @@ def minmax(df: DataFrame, kind: str = "min", columns: list[str] | None = None) -
     aggs: list[Column] = []
     for label, col, knd in _numeric_targets(df):
         if columns is not None and label not in columns:
+            continue
+        if exclude_nest and knd == "nested":
             continue
         if knd == "nested":
             per_row = F.array_min(col) if kind == "min" else F.array_max(col)
@@ -122,6 +126,7 @@ def describe(
     columns: list[str] | None = None,
     exact: bool = True,
     percentiles: list[float] | None = None,
+    exclude_nest: bool = False,
 ) -> DataFrame:
     """count/mean/std/min/percentiles/max over base + nested numeric columns.
 
@@ -138,6 +143,8 @@ def describe(
     frames: list[DataFrame] = []
     for label, col, knd in _numeric_targets(df):
         if columns is not None and label not in columns:
+            continue
+        if exclude_nest and knd == "nested":
             continue
         if knd == "nested":
             vals = df.select(F.explode(col).alias("__v"))

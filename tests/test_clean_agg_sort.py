@@ -172,3 +172,40 @@ def test_describe_custom_percentiles(packed):
     assert row["p10"] <= row["p90"]
     with pytest.raises(ValueError):
         packed.describe(percentiles=[1.5])
+
+
+def test_exclude_nest(packed):
+    m = packed.min(exclude_nest=True).collect()[0].asDict()
+    assert all(not k.startswith("nested.") for k in m)
+    d = packed.describe(exclude_nest=True)
+    assert all(not r["column"].startswith("nested.") for r in d.collect())
+
+
+def test_get_subcolumns(packed):
+    subs = packed.get_subcolumns()
+    assert "nested.flux" in subs and "nested.band" in subs
+    assert packed.get_subcolumns("nested") == subs
+
+
+def test_accessor_aliases(packed):
+    acc = packed.nest("nested")
+    assert acc.columns == acc.fields
+    # query_flat == query (drop-empty semantics)
+    a = sorted(r["id"] for r in acc.query("nested.flux > 10").collect())
+    b = sorted(r["id"] for r in acc.query_flat("nested.flux > 10").collect())
+    assert a == b
+    flat = acc.get_flat_series("flux")
+    assert set(flat.columns) == {"id", "a", "b", "flux"}
+    assert flat.count() == 9
+    lst = acc.get_list_series("flux")
+    assert "flux" in lst.columns
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        acc.clear()
+    with _pytest.raises(KeyError):
+        acc.get_flat_series("nope")
+    dropped = acc.without_field("flux_error")
+    assert "flux_error" not in dropped.nested_fields("nested")
+    added = acc.set_flat_column("flux2", "nested.flux * 2")
+    assert "flux2" in added.nested_fields("nested")
