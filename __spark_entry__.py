@@ -508,6 +508,61 @@ def q34_range_join(spark, sf):
     return out.select("event_id", "signup_event")
 
 
+def q36_stream_hourly(spark, sf):
+    """The STREAMING engine through the oracle gate: events flow through
+    readStream -> watermark -> tumbling-window aggregate -> availableNow
+    trigger -> memory sink, and the finalized windows must hash-match the
+    plain-SQL oracle. Proves the streaming twin computes exactly the batch
+    answer (streaming/events.py:57-88)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nested_pandas_spark.streaming import events as evs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tempfile.mkdtemp(prefix="q36_stream_")
+    shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+    stream = evs.read_event_stream(spark, d)
+    name = "q36_mem_" + uuid.uuid4().hex[:8]
+    q = (
+        evs.hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        F.unix_timestamp("hour_start").alias("hour_epoch"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "min_value",
+        "max_value",
+    )
+
+
+def q37_salted_pack(spark, sf):
+    """Skew-safe pack: two-stage salted aggregation (operators/packer.py
+    salt=) must produce exactly the plain groupBy answer. Salt spreads a hot
+    key over 8 partial groups, then merges — the per-key result is
+    order-insensitive, so counts and sums hash-match."""
+    from nested_pandas_spark.operators.packer import pack
+
+    li = _t(spark, sf, "lineitem")
+    packed = pack(li, "items", on="l_orderkey", salt=8)
+    return packed.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.size("items").cast("long").alias("n_items"),
+        F.expr(
+            "CAST(ROUND(aggregate(items, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x.l_quantity) * 100) AS BIGINT)"
+        ).alias("sum_qty_e2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -563,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_set_ops": q33_set_ops,
         "q34_range_join": q34_range_join,
         "q35_multimodal_resize": q35_multimodal_resize,
+        "q36_stream_hourly": q36_stream_hourly,
+        "q37_salted_pack": q37_salted_pack,
     }
 
 
@@ -1057,6 +1114,22 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND s.event_type = 'signup'
              AND epoch_us(s.ts) <= epoch_us(c.ts)
              AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        """,
+        "q36_stream_hourly": """
+            SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q37_salted_pack": """
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
+            FROM lineitem
+            GROUP BY 1
         """,
         "q35_multimodal_resize": """
             WITH px AS (
