@@ -508,6 +508,19 @@ def q34_range_join(spark, sf):
     return out.select("event_id", "signup_event")
 
 
+def q38_text_scrub(spark, sf):
+    """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
+    identical in both engines) + repetition-ratio quality signal
+    (pipeline/text.py). md5 of the redacted text keeps the compared
+    payload small."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(tx.redact_pii(F.coalesce("text", F.lit("")), alias="t")).alias("redacted_md5"),
+        F.round(tx.repetition_ratio(F.coalesce("text", F.lit(""))), 6).alias("repetition"),
+    )
+
+
 def q36_stream_hourly(spark, sf):
     """The STREAMING engine through the oracle gate: events flow through
     readStream -> watermark -> tumbling-window aggregate -> availableNow
@@ -620,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_multimodal_resize": q35_multimodal_resize,
         "q36_stream_hourly": q36_stream_hourly,
         "q37_salted_pack": q37_salted_pack,
+        "q38_text_scrub": q38_text_scrub,
     }
 
 
@@ -1114,6 +1128,35 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND s.event_type = 'signup'
              AND epoch_us(s.ts) <= epoch_us(c.ts)
              AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        """,
+        "q38_text_scrub": """
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS x FROM documents),
+            red AS (
+                SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(x,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                             '<IP>', 'g'),
+                           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
+                         '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g') AS r,
+                       x
+                FROM t
+            ),
+            w AS (
+                SELECT doc_id, r,
+                       list_filter(string_split_regex(lower(x), '\\s+'),
+                                   w -> w <> '') AS ws
+                FROM red
+            )
+            SELECT doc_id, md5(r) AS redacted_md5,
+                   ROUND(CASE WHEN len(ws) > 0
+                         THEN 1.0 - len(list_distinct(ws)) / len(ws)
+                         ELSE 0.0 END, 6) AS repetition
+            FROM w
         """,
         "q36_stream_hourly": """
             SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch,

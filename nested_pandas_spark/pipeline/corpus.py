@@ -21,7 +21,32 @@ from pyspark.sql import functions as F
 from .dedup import exact_dedup, lsh_candidate_pairs, ngram_jaccard_pairs
 from .text import add_text_stats
 
-__all__ = ["clean_corpus"]
+__all__ = ["clean_corpus", "stratified_sample"]
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling — corpus rebalancing (e.g. cap the
+    over-represented language) without a shuffle: ``sampleBy`` filters rows
+    at scan time using only the stratum value and the seed.
+
+    Strata missing from ``fractions`` get ``default_fraction`` (0 drops
+    them, 1.0 keeps all). Exact per-stratum counts would need a window —
+    at corpus scale Bernoulli fractions are the right tool.
+    """
+    fr = dict(fractions)
+    if default_fraction:
+        present = {
+            r[0] for r in docs.select(strata_col).distinct().collect()
+        }
+        for v in present - set(fr):
+            fr[v] = default_fraction
+    return docs.sampleBy(strata_col, fractions=fr, seed=seed)
 
 
 def clean_corpus(

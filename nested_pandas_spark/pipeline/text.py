@@ -19,6 +19,9 @@ __all__ = [
     "word_ngrams",
     "lang_id",
     "quality_score",
+    "redact_pii",
+    "repetition_ratio",
+    "REDACTION_PATTERNS",
     "fingerprint",
     "add_text_stats",
     "STOPWORDS",
@@ -113,6 +116,49 @@ def quality_score(text: Column | str, alias: str = "quality",
     sw_ok = F.when((n_words > 0) & (sw / n_words >= 0.05), 1.0).otherwise(0.0)
     wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.0)
     return ((len_ok + punct_ok + sw_ok + wlen_ok) / 4.0).alias(alias)
+
+
+REDACTION_PATTERNS: dict[str, tuple[str, str]] = {
+    # pattern -> replacement; RE2-compatible (no backrefs/lookaround) so the
+    # same regex runs identically in Spark (Java regex) and DuckDB (RE2),
+    # and stays linear-time on adversarial inputs at corpus scale.
+    # insertion order is application order: specific shapes (email, ip, id)
+    # must run before the greedy phone pattern, which would otherwise eat
+    # any digits-and-dashes run (e.g. an SSN) as a phone number
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "ssn_like": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def redact_pii(text: Column | str, kinds: list[str] | None = None,
+               alias: str = "text_redacted") -> Column:
+    """Replace common PII shapes with typed placeholders — the standard
+    pre-training scrub pass. Pure ``regexp_replace`` chain: JVM-side,
+    single pass over the corpus, no shuffle.
+
+    Order matters (see ``REDACTION_PATTERNS``): specific shapes run before
+    the greedy phone pattern.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or list(REDACTION_PATTERNS):
+        pat, repl = REDACTION_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, repl)
+    return c.alias(alias)
+
+
+def repetition_ratio(text: Column | str, alias: str = "repetition",
+                     words_col: Column | None = None) -> Column:
+    """1 - distinct_words/words: near 0 for natural text, near 1 for
+    degenerate repetition (boilerplate, keyword stuffing) — a standard
+    cheap quality signal. Per-row HOF arithmetic, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = words_col if words_col is not None else words(c)
+    n = F.size(w)
+    return (
+        F.when(n > 0, 1.0 - F.size(F.array_distinct(w)) / n).otherwise(0.0)
+    ).alias(alias)
 
 
 def fingerprint(text: Column | str, alias: str = "fingerprint") -> Column:

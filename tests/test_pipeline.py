@@ -268,3 +268,50 @@ def test_resize_image_is_jvm_only(spark):
                           out_height=2, out_width=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_redact_pii(spark):
+    from nested_pandas_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@corp.example.org or call +1 (555) 123-4567"),
+         (2, "server 10.0.42.1 holds 123-45-6789"),
+         (3, "clean text, nothing to scrub")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["t"] for r in df.select("id", redact_pii("text", alias="t")).collect()}
+    assert "<EMAIL>" in out[1] and "<PHONE>" in out[1]
+    assert "jane" not in out[1] and "555" not in out[1]
+    assert "<IP>" in out[2] and "<ID>" in out[2]
+    assert out[3] == "clean text, nothing to scrub"
+
+
+def test_repetition_ratio(spark):
+    from nested_pandas_spark.pipeline.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now"),
+         (2, "each word here is completely different"),
+         (3, "")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["rep"] for r in
+           df.select("id", repetition_ratio("text", alias="rep")).collect()}
+    assert out[1] > 0.7
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_stratified_sample(spark):
+    from nested_pandas_spark.pipeline.corpus import stratified_sample
+
+    rows = [(i, "en" if i % 10 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.1, "fr": 1.0}, seed=7)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 100  # fraction 1.0 keeps every row
+    assert 40 <= counts.get("en", 0) <= 180  # ~10% of 900, Bernoulli spread
+    # default_fraction=0 drops unlisted strata
+    dropped = stratified_sample(df, "lang", {"fr": 1.0})
+    assert dropped.where("lang = 'en'").count() == 0
