@@ -508,6 +508,16 @@ def q34_range_join(spark, sf):
     return out.select("event_id", "signup_event")
 
 
+def q39_pq_topk(spark, sf):
+    """Product-quantization ANN: md5-seeded codebooks (4 subspaces x 8
+    centroids over dim 64), vectors compressed to 4 codes, ADC scan against
+    reconstructions, exact re-rank of 4*k candidates
+    (pipeline/similarity.py pq_*). Rank-only output (float policy as q22)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return sim.pq_topk(emb, q, k=3, n_sub=4, n_centroids=8, refine=4)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -634,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_stream_hourly": q36_stream_hourly,
         "q37_salted_pack": q37_salted_pack,
         "q38_text_scrub": q38_text_scrub,
+        "q39_pq_topk": q39_pq_topk,
     }
 
 
@@ -1128,6 +1139,60 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND s.event_type = 'signup'
              AND epoch_us(s.ts) <= epoch_us(c.ts)
              AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        """,
+        "q39_pq_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            seeds AS (
+                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1
+                           AS cid, v AS cv
+                FROM e
+                QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= 8
+            ),
+            codes AS (
+                SELECT ev.vec_id, ss.s, sd.cid,
+                       row_number() OVER (PARTITION BY ev.vec_id, ss.s
+                           ORDER BY list_sum(list_transform(range(0, 16), i ->
+                               (ev.v[ss.s * 16 + i + 1] - sd.cv[ss.s * 16 + i + 1])
+                               * (ev.v[ss.s * 16 + i + 1] - sd.cv[ss.s * 16 + i + 1])))
+                               ASC, sd.cid ASC) AS rn
+                FROM e ev, range(0, 4) ss(s), seeds sd
+                QUALIFY rn = 1
+            ),
+            recon AS (
+                SELECT c.vec_id,
+                       flatten(list(sd.cv[c.s * 16 + 1 : c.s * 16 + 16]
+                                    ORDER BY c.s)) AS rv
+                FROM codes c JOIN seeds sd USING (cid)
+                GROUP BY c.vec_id
+            ),
+            adc AS (
+                SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(0, 64), i ->
+                           (q.v[i + 1] - r.rv[i + 1]) * (q.v[i + 1] - r.rv[i + 1])))
+                           AS d2
+                FROM e q JOIN recon r ON r.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            ),
+            cand AS (
+                SELECT query_id, neighbor_id
+                FROM adc
+                QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY d2 ASC, neighbor_id ASC) <= 12
+            ),
+            exact AS (
+                SELECT c.query_id, c.neighbor_id,
+                       list_sum(list_transform(range(0, 64), i ->
+                           (eq.v[i + 1] - en.v[i + 1]) * (eq.v[i + 1] - en.v[i + 1])))
+                           AS d2
+                FROM cand c
+                JOIN e eq ON eq.vec_id = c.query_id
+                JOIN e en ON en.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM exact
+            QUALIFY rank <= 3
         """,
         "q38_text_scrub": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS x FROM documents),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine", "dot", "norm", "brute_force_topk", "srp_bucket", "lsh_topk",
     "ivf_centroids", "ivf_topk",
+    "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
 ]
 
 
@@ -238,6 +239,165 @@ def ivf_topk(
         )
     )
     return _per_query_topk(scored, k)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    n_centroids: int = 8,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: ``codebooks[s][c]`` is
+    the subspace-``s`` slice of the ``c``-th seed vector (the ``n_centroids``
+    corpus vectors with the smallest md5(id), exactly the IVF seeding rule —
+    reproducible in any engine, no RNG state). Production PQ would refine
+    each subspace codebook with k-means; the code layout is unchanged.
+    """
+    seeds = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    dim = len(seeds[0][1])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    return [
+        [vec[s * d_sub:(s + 1) * d_sub] for _, vec in seeds]
+        for s in range(n_sub)
+    ]
+
+
+def _pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of per-subspace nearest-centroid ids (squared-L2,
+    ties to the smaller id). Codebooks are plan literals — pure per-row
+    projection, zero shuffle at any corpus size."""
+    n_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(vec, s * d_sub + 1, d_sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub, F.array(*[F.lit(x) for x in cvec]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, cvec in enumerate(cb)
+            ]
+        )
+        codes.append(F.array_sort(scored)[0]["cid"].cast("int"))
+    return F.array(*codes)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Compress each vector to ``n_sub`` small ints — the 100 TB storage
+    story: a 64-dim float vector (256 B) becomes 4-16 code bytes, and search
+    runs against codes + codebooks without touching raw vectors."""
+    return corpus.withColumn(
+        code_col, _pq_code_expr(F.col(vec_col).cast("array<double>"), codebooks)
+    )
+
+
+def pq_decode(
+    codes: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Reconstruction vector from PQ codes: concatenate each subspace's
+    selected centroid. Codebook is a plan-literal nested array; the lookup
+    is ``element_at`` per subspace — per-row, JVM-side."""
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in cvec]) for cvec in cb])
+            for cb in codebooks
+        ]
+    )
+    n_sub = len(codebooks)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda s: F.element_at(
+                F.element_at(cb_lit, (s + 1).cast("int")),
+                (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
+            ),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_sub: int = 4,
+    n_centroids: int = 8,
+    refine: int = 4,
+    partial_buckets: int | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with exact re-rank (asymmetric distance via the
+    reconstruction): score queries against per-row reconstructions (codes +
+    plan-literal codebooks — the raw corpus vectors are NOT read in the
+    scan phase), keep ``refine * k`` ADC candidates per query, then re-rank
+    those few exactly. Output (query_id, neighbor_id, rank) by ascending
+    exact squared-L2.
+
+    At scale the corpus stores ``pq_code`` at ingest (pq_encode) and this
+    search touches ~n_sub bytes/row instead of the full vector — the
+    standard memory-bound ANN formulation alongside IVF's compute-bound one.
+    """
+    cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, n_centroids)
+    encoded = pq_encode(corpus, cbs, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_decode(F.col("pq_code"), cbs).alias("__recon"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    adc = encoded.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (-l2sq(F.col("__qv"), F.col("__recon"))).alias("cos_sim"),
+    )
+    cand = _per_query_topk(adc, refine * k, partial_buckets).select(
+        "query_id", "neighbor_id"
+    )
+    exact = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("__cv"),
+            ),
+            on="neighbor_id",
+        )
+        .join(F.broadcast(q), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-l2sq(F.col("__qv"), F.col("__cv"))).alias("cos_sim"),
+        )
+    )
+    out = _per_query_topk(exact, k)
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def lsh_topk(

@@ -315,3 +315,53 @@ def test_stratified_sample(spark):
     # default_fraction=0 drops unlisted strata
     dropped = stratified_sample(df, "lang", {"fr": 1.0})
     assert dropped.where("lang = 'en'").count() == 0
+
+
+def test_pq_roundtrip_and_topk(spark):
+    import math
+    import random
+
+    from nested_pandas_spark.pipeline import similarity as sim
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = sim.pq_codebooks(emb, n_sub=4, n_centroids=4)
+    assert len(cbs) == 4 and len(cbs[0]) == 4 and len(cbs[0][0]) == 4
+
+    enc = sim.pq_encode(emb, cbs)
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in codes.values())
+
+    # decode(encode(seed_vector)) == the seed vector exactly: a codebook
+    # vector's nearest centroid in every subspace is itself
+    recon = enc.select("vec_id", sim.pq_decode(F.col("pq_code"), cbs).alias("r"))
+    rec = {r["vec_id"]: r["r"] for r in recon.collect()}
+    seeds = sim.ivf_centroids(emb, n_centroids=4)
+    seed_vecs = {tuple(v) for _, v in seeds}
+    exact_hits = sum(1 for i, v in rows if tuple(rec[i]) == tuple(v))
+    assert exact_hits >= 4  # at least the 4 seed vectors reconstruct exactly
+    assert all(len(r) == 16 for r in rec.values())
+
+    out = sim.pq_topk(emb, emb.where("vec_id < 3"), k=3, n_sub=4,
+                      n_centroids=4, refine=4)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    assert len(got) == 9  # 3 queries x top-3
+    # determinism
+    out2 = sim.pq_topk(emb, emb.where("vec_id < 3"), k=3, n_sub=4,
+                       n_centroids=4, refine=4)
+    got2 = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out2.collect()}
+    assert got == got2
+    # with refine covering the whole corpus, PQ == exact L2 top-k
+    full = sim.pq_topk(emb, emb.where("vec_id < 3"), k=3, n_sub=4,
+                       n_centroids=4, refine=14)
+    brute = {}
+    for qi, qv in rows[:3]:
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), ci)
+            for ci, cv in rows if ci != qi
+        )
+        for rk, (_, ci) in enumerate(d[:3], 1):
+            brute[(qi, rk)] = ci
+    gotf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in full.collect()}
+    assert gotf == brute

@@ -218,11 +218,15 @@ def _canon(ndf):
             v = d[k]
             if isinstance(v, list):
                 v = sorted(
-                    tuple(
-                        round(x, 6) if isinstance(x, float) else x
-                        for _, x in sorted(e.items())
-                    )
-                    for e in v
+                    (
+                        tuple(
+                            round(x, 6) if isinstance(x, float) else x
+                            for _, x in sorted(e.items())
+                        )
+                        for e in v
+                    ),
+                    # None sorts before any value; mixed types sort by repr
+                    key=lambda t: tuple((x is None, repr(x)) for x in t),
                 )
             elif isinstance(v, float):
                 v = round(v, 6)
