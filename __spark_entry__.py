@@ -518,6 +518,40 @@ def q39_pq_topk(spark, sf):
     return sim.pq_topk(emb, q, k=3, n_sub=4, n_centroids=8, refine=4)
 
 
+def q40_stream_state(spark, sf):
+    """The CUSTOM stateful streaming operator through the gate:
+    applyInPandasWithState keeps one (count, total) state per user
+    (streaming/events.py:102-144); the final per-user counts must equal the
+    plain GROUP BY oracle. Counts only — float totals are addition-order-
+    sensitive across engines and are covered by the pytest parity suite."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nested_pandas_spark.streaming import events as evs
+
+    d = tempfile.mkdtemp(prefix="q40_stream_")
+    shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+    stream = evs.read_event_stream(spark, d)
+    name = "q40_mem_" + uuid.uuid4().hex[:8]
+    q = (
+        evs.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode emits one row per user per micro-batch; counts are
+    # monotone, so the final state is the max
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").cast("long").alias("n_events"))
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -645,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_salted_pack": q37_salted_pack,
         "q38_text_scrub": q38_text_scrub,
         "q39_pq_topk": q39_pq_topk,
+        "q40_stream_state": q40_stream_state,
     }
 
 
@@ -1139,6 +1174,12 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND s.event_type = 'signup'
              AND epoch_us(s.ts) <= epoch_us(c.ts)
              AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        """,
+        "q40_stream_state": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1
         """,
         "q39_pq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
