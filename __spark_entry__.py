@@ -552,6 +552,22 @@ def q40_stream_state(spark, sf):
     )
 
 
+def q41_dup_clusters(spark, sf):
+    """Duplicate-group resolution: verified n-gram-Jaccard pairs -> connected
+    components (min-label propagation with pointer doubling,
+    pipeline/dedup.py connected_components) -> (node, component) where
+    component = smallest doc id in the group. The oracle replays the pair
+    chain and computes components with a recursive CTE — transitive
+    closure must agree with the iterative label propagation."""
+    docs = _t(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", shingle_n=3, threshold=0.5)
+    cc = dd.connected_components(pairs)
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -680,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_text_scrub": q38_text_scrub,
         "q39_pq_topk": q39_pq_topk,
         "q40_stream_state": q40_stream_state,
+        "q41_dup_clusters": q41_dup_clusters,
     }
 
 
@@ -736,9 +753,29 @@ def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int,
     """
 
 
+def _cc_sql(pairs_cte: str) -> str:
+    """Recursive-CTE connected components over a pair CTE named
+    ``{pairs_cte}`` with columns (id_a, id_b): yields ``comp(u, c)`` where
+    c = min node id reachable. Mirrors dedup.connected_components."""
+    return f"""
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM {pairs_cte}
+            UNION
+            SELECT id_b AS u, id_a AS v FROM {pairs_cte}
+        ), reach(u, r) AS (
+            SELECT DISTINCT u, u AS r FROM edges
+            UNION
+            SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v
+        ), comp AS (
+            SELECT u, min(r) AS c FROM reach GROUP BY u
+        )
+    """
+
+
 def _clean_corpus_oracle(sh3: str, w: str, hits_en: str) -> str:
     """DuckDB replica of pipeline.corpus.clean_corpus (quality>=0.25, no
-    language filter, minhash 8/4 shingle 3, jaccard>=0.8)."""
+    language filter, minhash 8/4 shingle 3, jaccard>=0.8, connected-
+    component duplicate resolution)."""
     from nested_pandas_spark.pipeline.dedup import _MINHASH_P, minhash_params
 
     sig_items = ", ".join(
@@ -755,7 +792,7 @@ def _clean_corpus_oracle(sh3: str, w: str, hits_en: str) -> str:
                  AND length(text) / len({w}) <= 12 THEN 1.0 ELSE 0.0 END)) / 4.0
     """
     return f"""
-        WITH stats AS (
+        WITH RECURSIVE stats AS (
             SELECT doc_id, text, {quality} AS quality,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
@@ -791,9 +828,9 @@ def _clean_corpus_oracle(sh3: str, w: str, hits_en: str) -> str:
             JOIN sets b ON b.doc_id = id_b
             WHERE len(list_intersect(a.ds, b.ds))
                   / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) >= 0.8
-        )
+        ), {_cc_sql("ver")}
         SELECT doc_id FROM kept2
-        WHERE doc_id NOT IN (SELECT id_b FROM ver)
+        WHERE doc_id NOT IN (SELECT u FROM comp WHERE u <> c)
     """
 
 
@@ -1180,6 +1217,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY 1
+        """,
+        "q41_dup_clusters": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, list_distinct({sh3}) AS s FROM documents
+            ), nz AS (
+                SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM nz
+            ), shared AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+                FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            ), ver AS (
+                SELECT id_a, id_b
+                FROM shared
+                JOIN nz na ON na.doc_id = id_a
+                JOIN nz nb ON nb.doc_id = id_b
+                WHERE inter / (na.n + nb.n - inter) >= 0.5
+            ), {_cc_sql("ver")}
+            SELECT u AS node, c AS component FROM comp
         """,
         "q39_pq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

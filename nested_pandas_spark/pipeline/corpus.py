@@ -7,7 +7,8 @@ actually runs, built from the dedup/text primitives.
       -> exact dedup on fingerprint                            [1 shuffle]
       -> near-dup candidates (MinHash-LSH)                     [bucket join]
       -> verify candidates (n-gram Jaccard)                    [candidate-only]
-      -> drop the higher-id doc of each verified pair
+      -> cluster verified pairs (connected components)         [id-only shuffles]
+      -> keep the smallest id of each duplicate group
 
 Everything stays declarative; at 100 TB each stage is a bounded shuffle of
 ids/hashes, never of full documents.
@@ -18,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup, lsh_candidate_pairs, ngram_jaccard_pairs
+from .dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    resolve_duplicates,
+)
 from .text import add_text_stats
 
 __all__ = ["clean_corpus", "stratified_sample"]
@@ -76,7 +82,11 @@ def clean_corpus(
         survivors, on=kept[id_col] == survivors["__keep_id"], how="left_semi"
     )
 
-    # near-dup: LSH candidates -> exact Jaccard verify -> drop higher ids
+    # near-dup: LSH candidates -> exact Jaccard verify -> connected
+    # components -> keep the smallest id per duplicate group. Pairwise
+    # "drop id_b" would over-keep under transitivity (pairs (2,3),(1,3)
+    # keep both 1 and 2); component-min resolves each group to exactly
+    # one representative.
     candidates = lsh_candidate_pairs(
         kept, id_col, text_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n,
@@ -85,5 +95,4 @@ def clean_corpus(
         kept, id_col, text_col, shingle_n=shingle_n,
         threshold=near_dup_threshold, candidates=candidates,
     )
-    losers = verified.select(F.col("id_b").alias("__loser")).distinct()
-    return kept.join(losers, on=kept[id_col] == losers["__loser"], how="left_anti")
+    return resolve_duplicates(kept, verified, id_col)

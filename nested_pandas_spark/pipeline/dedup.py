@@ -31,6 +31,8 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "embedding_neardup",
+    "connected_components",
+    "resolve_duplicates",
 ]
 
 
@@ -486,4 +488,104 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of a duplicate-pair graph: ``(node, component)``
+    where ``component`` is the SMALLEST node id reachable via pairs.
+
+    Pairwise drop-the-loser is wrong under transitivity — with verified
+    pairs (2,3) and (1,3), dropping only ``id_b`` keeps both 1 and 2 even
+    though 2~3~1 makes them one duplicate group. Component-min is the
+    standard resolution (one representative per group).
+
+    Algorithm: min-label propagation with pointer doubling. Each round a
+    node adopts the smallest of (its label, its neighbors' labels, its
+    label's label); the label-of-label hop halves chain lengths, so rounds
+    are O(log diameter) — and dedup clusters have tiny diameters, so this
+    converges in 2-3 rounds in practice. Every round shuffles only
+    ``(bigint, bigint)`` label rows, never documents; each round's result
+    is persisted and the previous unpersisted, keeping lineage flat (the
+    same structure the large-star/small-star map-reduce CC algorithm uses).
+
+    Nodes appearing in no pair are absent from the output (they are their
+    own singleton components; ``resolve_duplicates`` treats missing as
+    keep).
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.persist()
+
+    # initial label: min(self, min neighbor) — one round for free
+    lbl = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select("u", F.least(F.col("u"), F.col("nmin")).alias("lbl"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                lbl.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        stepped = (
+            lbl.join(nbr, "u", "left")
+            .select("u", F.least("lbl", "nlbl").alias("lbl"))
+        )
+        # pointer doubling: lbl(u) <- min(lbl(u), lbl(lbl(u)))
+        doubled = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("u").alias("pu"), F.col("lbl").alias("plbl")
+                ).alias("y"),
+                F.col("x.lbl") == F.col("y.pu"),
+                "left",
+            )
+            .select(F.col("x.u").alias("u"), F.least("x.lbl", "plbl").alias("lbl"))
+            .persist()
+        )
+        converged = (
+            doubled.join(lbl.select("u", F.col("lbl").alias("old")), "u")
+            .where(F.col("lbl") < F.col("old"))
+            .isEmpty()
+        )
+        lbl.unpersist()
+        lbl = doubled
+        if converged:
+            break
+    edges.unpersist()
+    return lbl.select(F.col("u").alias("node"), F.col("lbl").alias("component"))
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (the smallest id) per duplicate group, where
+    groups are CONNECTED COMPONENTS of the verified-pair graph — the
+    transitively-correct version of "drop id_b of every pair".
+
+    The anti-join side carries only loser ids (bigint), so at corpus scale
+    it is a bounded shuffle (or a broadcast when the dup fraction is small).
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__loser")
+    )
+    return docs.join(
+        losers, on=docs[id_col] == losers["__loser"], how="left_anti"
     )

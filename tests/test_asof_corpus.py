@@ -98,3 +98,43 @@ def test_asof_join_equal_ts_deterministic(spark):
     for _ in range(3):
         out = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"])
         assert out.collect()[0]["px_right"] == 30.0
+
+
+def test_connected_components(spark):
+    from nested_pandas_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r["node"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    from nested_pandas_spark.pipeline.dedup import connected_components
+
+    # a 16-node path: needs real propagation, not just one neighbor hop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {i: 1 for i in range(1, 17)}
+
+
+def test_resolve_duplicates_transitive(spark):
+    from nested_pandas_spark.pipeline.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "unrelated")],
+        "doc_id long, text string",
+    )
+    # pairwise drop-id_b would keep {1, 2, 9}: 2 never appears as id_b even
+    # though 2~3~1 makes {1,2,3} one group. Component-min keeps {1, 9}.
+    pairs = spark.createDataFrame([(2, 3), (1, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in resolve_duplicates(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 9]
