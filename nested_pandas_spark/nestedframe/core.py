@@ -278,6 +278,29 @@ class NestedFrame:
                 )
         return self._wrap(self._df.select(quote(key)))
 
+    def __setitem__(self, key: str, value: Any) -> None:
+        """Bracket assignment, reference ``core.py:284-340``: dotted keys
+        set/replace a nested sub-column (strings are eval expressions, a
+        Column must be a per-row ``array<T>``); plain keys set a base column
+        (a Column is used as-is, a string is an eval expression, any other
+        scalar broadcasts). The wrapper mutates in place — the underlying
+        plan is still immutable, we just rebind it."""
+        if isinstance(value, NestedFrame):
+            raise TypeError(
+                "assigning a frame packs it — use join_nested(child, name, on=...)"
+            )
+        if "." in key:
+            nf = self.set_nested_field(key, value)
+        elif isinstance(value, str):
+            nf = self.eval(f"{key} = {value}")
+        elif isinstance(value, Column):
+            nf = self._wrap(self._df.withColumn(key, value))
+        else:
+            nf = self._wrap(self._df.withColumn(key, F.lit(value)))
+        self._base_df = nf._base_df
+        self._pending = nf._pending
+        self._materialized = None
+
     def _dotted_col(self, key: str) -> Column:
         nest, fld = key.split(".", 1)
         if nest not in self.nested_columns:
@@ -793,7 +816,29 @@ class NestedFrame:
 
         return NestedFrame(_map_rows(self._df, func, columns, *args, **kwargs))
 
-    reduce = map_rows  # deprecated alias (reference core.py:1981)
+    def reduce(
+        self,
+        func: Callable,
+        *args: str,
+        infer_nesting: bool = True,
+        append_columns: bool = False,
+        **kwargs: Any,
+    ) -> "NestedFrame":
+        """Reference-signature UDF verb (reference ``core.py:1981-2008``):
+        positional args are COLUMN NAMES (base name -> scalar per row,
+        ``"nest.field"`` -> numpy array per cell); extra function arguments
+        go as keywords. Thin shim over :meth:`map_rows`, which takes the
+        same selectors as a list."""
+        bad = [a for a in args if not isinstance(a, str)]
+        if bad:
+            raise TypeError(
+                "reduce positional arguments must be column-name strings "
+                f"(got {bad[0]!r}); pass function arguments as keywords"
+            )
+        return self.map_rows(
+            func, list(args), infer_nesting=infer_nesting,
+            append_columns=append_columns, **kwargs,
+        )
 
     # -- I/O ----------------------------------------------------------------
     def to_parquet(self, path: str, mode: str = "overwrite",

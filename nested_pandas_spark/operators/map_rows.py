@@ -205,10 +205,17 @@ def map_rows(
         if len(sample) == 0:
             raise ValueError("map_rows on empty frame requires explicit output_schema")
         out0 = call(_row_values(sample, spec, 0))
-        if not isinstance(out0, tuple):
+        if isinstance(out0, dict):
+            # dict outputs name their own columns (reference core.py:2024-2031
+            # infers names — dotted keys included — from the returned dict)
+            names = output_names or list(out0.keys())
+            out0 = tuple(out0.values())
+        elif not isinstance(out0, tuple):
             out0 = (out0,)
+            names = output_names or ["out0"]
+        else:
+            names = output_names or [f"out{i}" for i in range(len(out0))]
         n_out = len(out0)
-        names = output_names or [f"out{i}" for i in range(n_out)]
         out_fields = [
             T.StructField(nm.replace(".", "__"), _infer_spark_type(v), True)
             for nm, v in zip(names, out0)
@@ -268,7 +275,10 @@ def map_rows(
             appends = [c.append for c in out_cols]
             for tup in zip(*cols):
                 res = call(list(tup))
-                if isinstance(res, tuple):
+                if isinstance(res, dict):
+                    for j, nm in enumerate(names):
+                        appends[j](_to_py(res.get(nm)))
+                elif isinstance(res, tuple):
                     for j in range(n_out):
                         appends[j](_to_py(res[j]))
                 else:

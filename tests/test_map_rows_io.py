@@ -259,3 +259,45 @@ def test_to_parquet_partition_by_prunes(tmp_path, packed):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "id" in plan.split("PartitionFilters")[1][:80]
     assert back.count() == 1
+
+
+def test_reduce_reference_signature(packed):
+    # reference core.py:1981: columns as positional strings, dict output
+    # names the columns
+    def example_func(a, flux):
+        return {"mean": float(np.mean(flux)), "mean_minus_a": float(np.mean(flux) - a)}
+
+    out = packed.reduce(example_func, "a", "nested.flux", append_columns=True)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[0]["mean"] == pytest.approx(1.0)
+    assert rows[0]["mean_minus_a"] == pytest.approx(1.0 - 0.1)
+    with pytest.raises(TypeError, match="column-name strings"):
+        packed.reduce(example_func, 3)
+
+
+def test_reduce_dict_dotted_nesting(packed):
+    # dotted dict keys pack into a nested output column (infer_nesting);
+    # dotted outputs are array-valued, one element per nested row
+    def f(flux):
+        return {"res.lo": flux - np.min(flux), "res.hi": flux - np.max(flux)}
+
+    out = packed.reduce(f, "nested.flux", append_columns=True)
+    assert "res" in out.nested_columns
+    row = {r["id"]: r for r in out.collect()}[1]
+    assert [x["lo"] for x in row["res"]] == pytest.approx([0.0, 1.0, 2.0])
+    assert [x["hi"] for x in row["res"]] == pytest.approx([-2.0, -1.0, 0.0])
+
+
+def test_setitem_variants(packed):
+    nf = packed
+    nf["doubled"] = F.col("a") * 2          # Column -> base column
+    nf["flag"] = 7                           # scalar broadcast
+    nf["b2"] = "a + 1"                       # string -> eval expression
+    nf["nested.flux2"] = "nested.flux * 10"  # dotted -> sub-column
+    row = {r["id"]: r for r in nf.collect()}[0]
+    assert row["doubled"] == pytest.approx(0.2)
+    assert row["flag"] == 7
+    assert row["b2"] == pytest.approx(1.1)
+    assert [x["flux2"] for x in row["nested"]] == pytest.approx(
+        [10.0 * x["flux"] for x in row["nested"]]
+    )
