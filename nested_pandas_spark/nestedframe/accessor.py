@@ -60,11 +60,16 @@ class NestAccessor:
         return self._frame.set_nested_field(f"{self._col}.{name}", expr)
 
     # reference with_*/set_* family: identical semantics here (see with_field)
+    # — including the list variants (accessor.py:343-411 with_list_field /
+    # set_list_column): a Column value is a per-row array<T> zipped in by
+    # position, which IS the list-field contract.
     with_flat_field = with_field
     with_filled_field = with_field
+    with_list_field = with_field
     set_column = with_field
     set_flat_column = with_field
     set_filled_column = with_field
+    set_list_column = with_field
 
     def get_flat_series(self, field: str, keys: list[str] | None = None) -> DataFrame:
         """One field's flat values with the parent keys repeated (reference
@@ -99,6 +104,9 @@ class NestAccessor:
         """Per-row element count (reference ``accessor.py:168-175``)."""
         return F.size(F.col(self._col)).alias(f"n_{self._col}")
 
+    # reference accessor.py:164-175 ``list_lengths``: same per-row counts
+    list_lengths = len
+
     def flat_length(self) -> int:
         """Total element count across all rows (reference
         ``ext_array.py:1002-1014``)."""
@@ -121,6 +129,9 @@ class NestAccessor:
         df = self._frame.to_flat(self._col, columns=self.fields[:1], keys=key_cols).df
         return df.select(*[F.col(c) for c in key_cols])
 
+    # reference accessor.py:644-650 ``get_flat_index()``: method form
+    get_flat_index = flat_index
+
     def to_flatten_inner(self, inner: str):
         """Reference ``accessor.py:859-986``."""
         return self._frame.to_flatten_inner(self._col, inner)
@@ -129,3 +140,8 @@ class NestAccessor:
         if isinstance(fields, str):
             return self._frame[f"{self._col}.{fields}"]
         return self._frame.select_nested_fields(self._col, fields)
+
+    def __setitem__(self, field: str, value) -> None:
+        """``ndf.nest("n")["x"] = ...`` — in-place sub-column assignment
+        (reference ``accessor.py:803-851``); mutates the bound frame."""
+        self._frame[f"{self._col}.{field}"] = value

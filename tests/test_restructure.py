@@ -204,3 +204,20 @@ def test_flat_index_skips_null_cells(spark, sources):
     ndf = NestedFrame(base).join_nested(sources, "nested", on="id")
     fi = ndf.nest("nested").flat_index(keys=["id"])
     assert sorted(r["id"] for r in fi.collect()) == [0, 0, 0]
+
+
+def test_accessor_setitem_and_aliases(spark, objects, sources):
+    ndf = NestedFrame(objects).join_nested(sources, "nested", on="id")
+    acc = ndf.nest("nested")
+    acc["mag"] = "nested.flux * 2"            # __setitem__ mutates the frame
+    assert "mag" in ndf.nested_fields("nested")
+    row = {r["id"]: r for r in ndf.collect()}[1]
+    assert [x["mag"] for x in row["nested"]] == [20.0, 22.0, 24.0]
+    # alias family resolves and returns frames
+    wf = acc.with_list_field("m2", "nested.flux + 1")
+    assert "m2" in wf.nested_fields("nested")
+    # list_lengths / get_flat_index aliases
+    n = ndf.df.select(acc.list_lengths()).collect()
+    assert sorted(r[0] for r in n) == [3, 3, 3]
+    fi = acc.get_flat_index(keys=["id"])
+    assert fi.count() == 9
