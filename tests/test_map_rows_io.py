@@ -288,8 +288,9 @@ def test_reduce_dict_dotted_nesting(packed):
     assert [x["hi"] for x in row["res"]] == pytest.approx([-2.0, -1.0, 0.0])
 
 
-def test_setitem_variants(packed):
-    nf = packed
+def test_setitem_variants(objects, sources):
+    # fresh frame: __setitem__ mutates in place, so don't touch the shared fixture
+    nf = NestedFrame(objects).join_nested(sources, "nested", on="id", sort_within=["t"])
     nf["doubled"] = F.col("a") * 2          # Column -> base column
     nf["flag"] = 7                           # scalar broadcast
     nf["b2"] = "a + 1"                       # string -> eval expression
