@@ -843,10 +843,14 @@ class NestedFrame:
     # -- I/O ----------------------------------------------------------------
     def to_parquet(self, path: str, mode: str = "overwrite",
                    partition_by: str | list[str] | None = None,
+                   layout: str = "list_struct",
                    **options: Any) -> None:
-        """Write parquet; nested columns store natively as list-of-structs
-        (reference writes struct-of-lists, ``core.py:2586-2631`` — both are
-        legal parquet nesting and both read back).
+        """Write parquet; nested columns store natively as list-of-structs by
+        default. ``layout="struct_of_lists"`` writes the reference's on-disk
+        layout instead (``core.py:2586-2631``) — the file then loads directly
+        into a reference ``NestedFrame`` via its ``read_parquet``, and this
+        engine's ``read_parquet`` auto-casts it back, so either engine reads
+        either layout.
 
         ``partition_by``: hive-style directory partitioning — reads that
         filter on these columns prune whole directories before any I/O
@@ -855,8 +859,7 @@ class NestedFrame:
         ``sources.bucketing`` (bucketBy needs a table catalog, not a bare
         path).
         """
-        writer = self._df.write.mode(mode).options(**options)
-        if partition_by is not None:
-            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-            writer = writer.partitionBy(*cols)
-        writer.parquet(path)
+        from .io import write_parquet as _write_parquet
+
+        _write_parquet(self._df, path, mode=mode, partition_by=partition_by,
+                       layout=layout, **options)

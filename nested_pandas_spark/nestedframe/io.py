@@ -33,9 +33,9 @@ from pyspark.sql import types as T
 
 from ..functions.nested import is_nested_type, quote
 
-__all__ = ["read_parquet", "from_struct_of_lists", "from_pyarrow",
-           "list_struct_to_struct_of_lists", "read_json", "read_csv",
-           "write_parquet", "stage_remote"]
+__all__ = ["read_parquet", "from_struct_of_lists", "to_struct_of_lists",
+           "from_pyarrow", "list_struct_to_struct_of_lists", "read_json",
+           "read_csv", "write_parquet", "stage_remote"]
 
 # Schemes Spark's Hadoop FileSystem layer serves directly (given the right
 # jars on the cluster classpath); everything else goes through driver-side
@@ -147,6 +147,34 @@ def from_struct_of_lists(df: DataFrame, columns: list[str] | None = None) -> Dat
             *[F.col(f"{quote(c)}.{quote(f)}").alias(f) for f in fields]
         )
         df = df.withColumn(c, zipped)
+    return df
+
+
+def to_struct_of_lists(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Cast list-of-structs nested columns to ``struct<f: array<...>, ...>``
+    — the layout the reference's ``to_parquet`` writes to disk (reference
+    ``core.py:2586-2631``, storage ``series/ext_array.py:929-945``).
+
+    Inverse of :func:`from_struct_of_lists`. Pure ``transform`` projections,
+    one per field — JVM-side and fully distributed (no Arrow driver pass),
+    so it holds at any scale. NULL cells stay NULL.
+    """
+    from ..functions.nested import nested_field_names
+
+    targets = columns if columns is not None else [
+        f.name for f in df.schema.fields if is_nested_type(f.dataType)
+    ]
+    for c in targets:
+        fields = nested_field_names(df, c)
+        sol = F.struct(
+            *[
+                F.expr(f"transform({quote(c)}, __x -> __x.{quote(f)})").alias(f)
+                for f in fields
+            ]
+        )
+        df = df.withColumn(
+            c, F.when(F.col(quote(c)).isNotNull(), sol)
+        )
     return df
 
 
@@ -374,12 +402,24 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: str | list[str] | None = None,
     max_records_per_file: int | None = None,
+    layout: str = "list_struct",
     **options,
 ) -> None:
     """Parquet writer with the scale knobs surfaced: hive-style partitioning
     (prunes whole directories at read time) and per-file row caps (keeps
     files splittable-friendly and small enough for object-store ranged
-    reads)."""
+    reads).
+
+    ``layout``: ``"list_struct"`` (native — what this engine reads fastest)
+    or ``"struct_of_lists"`` — the byte layout the reference's ``to_parquet``
+    writes (reference ``core.py:2586-2631``), so the written file loads
+    directly into a reference ``NestedFrame``; our ``read_parquet``
+    auto-casts it back on read either way.
+    """
+    if layout not in ("list_struct", "struct_of_lists"):
+        raise ValueError(f"Unknown parquet layout: {layout!r}")
+    if layout == "struct_of_lists":
+        df = to_struct_of_lists(df)
     writer = df.write.mode(mode).options(**options)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

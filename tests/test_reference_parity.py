@@ -38,10 +38,20 @@ def ref(tmp_path_factory):
         "from . import parquet\n"
     )
     (shim / "fsspec" / "parquet.py").write_text(
-        "def open_parquet_file(*a, **k):\n    raise NotImplementedError\n"
+        # local-file support is enough for the parity tests; the real fsspec
+        # only adds remote byte-range caching on top of this
+        "def open_parquet_file(path, **k):\n    return open(path, 'rb')\n"
     )
     (shim / "upath").mkdir()
-    (shim / "upath" / "__init__.py").write_text("from pathlib import Path as UPath\n")
+    (shim / "upath" / "__init__.py").write_text(
+        "import pathlib\n"
+        "class UPath(type(pathlib.Path())):\n"
+        "    protocol = ''\n"
+        "    fs = None  # pyarrow treats filesystem=None as local\n"
+        "    @property\n"
+        "    def path(self):\n"
+        "        return str(self)\n"
+    )
     sys.path.insert(0, str(shim))
     try:
         import nested_pandas as npd  # noqa
@@ -420,5 +430,42 @@ def test_from_pyarrow_struct_of_lists_roundtrip(ref, pair, spark):
     ref_packed, sp_packed = pair
     table = pa.Table.from_pandas(ref_packed.to_pandas().reset_index(names="id"))
     sp_rt = NestedFrame(from_pyarrow(spark, table))
+    assert "nested" in sp_rt.nested_columns
+    assert _sp_cells(sp_rt) == _sp_cells(sp_packed)
+
+
+def test_struct_of_lists_parquet_reads_into_reference(ref, pair, tmp_path):
+    """to_parquet(layout='struct_of_lists') writes the reference's on-disk
+    byte layout (reference core.py:2586-2631): the file must load straight
+    into a reference NestedFrame via its own read_parquet, AND read back
+    through our read_parquet with identical cells."""
+    from nested_pandas_spark import NestedFrame, read_parquet
+
+    ref_packed, sp_packed = pair
+    spark = sp_packed.df.sparkSession
+    path = str(tmp_path / "sol_layout")
+    sp_packed.to_parquet(path, layout="struct_of_lists")
+
+    # on-disk schema is struct<t: list, f: list, band: list>, one file part
+    import glob
+
+    import pyarrow.parquet as pq
+
+    part = glob.glob(path + "/*.parquet")[0]
+    arrow_type = pq.read_schema(part).field("nested").type
+    import pyarrow as pa
+
+    assert pa.types.is_struct(arrow_type)
+    assert all(pa.types.is_list(f.type) for f in arrow_type)
+
+    # the reference's own reader accepts it and sees a nested column
+    ref_rt = ref.read_parquet(part)
+    assert "nested" in ref_rt.nested_columns
+    want = _ref_cells(ref_packed)
+    got = _ref_cells(ref_rt.set_index("id").rename_axis(None))
+    assert got == want
+
+    # and our reader auto-casts it back to array<struct>
+    sp_rt = NestedFrame(read_parquet(spark, path))
     assert "nested" in sp_rt.nested_columns
     assert _sp_cells(sp_rt) == _sp_cells(sp_packed)
