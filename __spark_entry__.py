@@ -568,6 +568,20 @@ def q41_dup_clusters(spark, sf):
     )
 
 
+def q42_decontaminate(spark, sf):
+    """Benchmark decontamination (pipeline/corpus.py decontaminate): docs
+    sharing >=1 distinct word 8-gram with a held-out eval slice (doc_id %
+    19 == 0) are flagged. The eval side's hashed n-gram set broadcasts;
+    the corpus side is scan -> shingle-hash -> explode -> broadcast join
+    -> one id-keyed count shuffle — document text never shuffles."""
+    from nested_pandas_spark.pipeline.corpus import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    train = docs.where(F.col("doc_id") % 19 != 0)
+    return decontaminate(train, bench, ngram_n=8)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -697,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_pq_topk": q39_pq_topk,
         "q40_stream_state": q40_stream_state,
         "q41_dup_clusters": q41_dup_clusters,
+        "q42_decontaminate": q42_decontaminate,
     }
 
 
@@ -1237,6 +1252,25 @@ def oracle_sql() -> dict[str, str]:
                 WHERE inter / (na.n + nb.n - inter) >= 0.5
             ), {_cc_sql("ver")}
             SELECT u AS node, c AS component FROM comp
+        """,
+        "q42_decontaminate": f"""
+            WITH bench AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                    {_shingles(8)}, x -> {_H32.format(x="x")}))) AS g
+                FROM documents WHERE doc_id % 19 = 0
+            ), dg AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    {_shingles(8)}, x -> {_H32.format(x="x")}))) AS g
+                FROM documents WHERE doc_id % 19 <> 0
+            ), hits AS (
+                SELECT dg.doc_id, count(*) AS n_hits
+                FROM dg JOIN bench USING (g) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_bench_ngrams,
+                   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 19 <> 0
         """,
         "q39_pq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

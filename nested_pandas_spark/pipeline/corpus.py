@@ -20,14 +20,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (
+    _h32,
     exact_dedup,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     resolve_duplicates,
+    staged_shingle_hashes,
 )
-from .text import add_text_stats
+from .text import add_text_stats, word_ngrams
 
-__all__ = ["clean_corpus", "stratified_sample"]
+__all__ = ["clean_corpus", "decontaminate", "stratified_sample"]
 
 
 def stratified_sample(
@@ -53,6 +55,65 @@ def stratified_sample(
         for v in present - set(fr):
             fr[v] = default_fraction
     return docs.sampleBy(strata_col, fractions=fr, seed=seed)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    ngram_n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    at least ``min_hits`` distinct word ``ngram_n``-grams with an evaluation
+    set — the standard train/test-overlap scrub run before pretraining.
+
+    Returns ``(id_col, n_bench_ngrams, contaminated)`` with one row per
+    input document (clean docs get ``n_bench_ngrams = 0``).
+
+    Scale shape: eval benchmarks are small by construction (thousands of
+    documents, not billions), so their distinct n-gram hash set broadcasts
+    — the corpus side is one scan -> shingle-hash -> explode -> broadcast
+    semi-join -> per-doc count (a single shuffle keyed on the doc id).
+    Document text itself never shuffles; only (id, 8-byte hash) pairs do,
+    and the broadcast join means the 100 TB side is never repartitioned by
+    n-gram. N-grams are compared by the same md5-derived 32-bit hash the
+    dedup family uses (engine-portable; collisions only ever ADD a flag,
+    which is the conservative direction for decontamination).
+    """
+    bt = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_ngrams(F.col(bt), ngram_n), _h32)
+                )
+            ).alias("__g")
+        ).distinct()
+    )
+    doc_grams = staged_shingle_hashes(docs, id_col, text_col, ngram_n)
+    hits = (
+        doc_grams.select(
+            "__id", F.explode(F.array_distinct("__h")).alias("__g")
+        )
+        .join(F.broadcast(bench_grams), "__g")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_bench_ngrams"))
+        .withColumnRenamed("__id", id_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bench_ngrams", F.lit(0)).alias("n_bench_ngrams"),
+            (F.coalesce("n_bench_ngrams", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
 
 
 def clean_corpus(

@@ -87,6 +87,48 @@ def test_clean_corpus(spark):
     assert kept == [1, 5]
 
 
+def test_decontaminate(spark):
+    from nested_pandas_spark.pipeline.corpus import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words = one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words here {leak} and a suffix tail"),  # contaminated
+            (2, "totally unrelated text about engines and parquet data files"),
+            (3, "short"),                                        # < n words
+            (4, f"{leak} {leak}"),                               # multiple hits
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"question: {leak} answer: irrelevant")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_bench_ngrams"], r["contaminated"])
+        for r in decontaminate(docs, bench, ngram_n=8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1][1] and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4][1]
+
+
+def test_decontaminate_min_hits(spark):
+    from nested_pandas_spark.pipeline.corpus import decontaminate
+
+    leak = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, f"{leak} unrelated trailing words follow here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    # exactly one shared distinct 5-gram -> below a min_hits=2 bar
+    out = decontaminate(docs, bench, ngram_n=5, min_hits=2).collect()[0]
+    assert out["n_bench_ngrams"] == 1 and not out["contaminated"]
+
+
 def test_asof_join_equal_ts_deterministic(spark):
     # two right rows at the SAME ts: the tie-break (payload ascending, last
     # wins) must pick the max payload, identically on every run
