@@ -582,6 +582,32 @@ def q42_decontaminate(spark, sf):
     return decontaminate(train, bench, ngram_n=8)
 
 
+def q43_pack_sequences(spark, sf):
+    """Sequence packing (pipeline/corpus.py pack_sequences): the corpus as
+    one token stream in doc_id order, each doc assigned the 1024-token
+    context-window bin where it starts. The engine computes the global
+    running sum with a two-stage prefix sum (range partition -> per-
+    partition window -> broadcast partition offsets) — no single-task
+    global window; the oracle is the naive SUM() OVER (ORDER BY doc_id)."""
+    from nested_pandas_spark.pipeline.corpus import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(docs, capacity=1024)
+
+
+def q44_mixture_weights(spark, sf):
+    """Source-mixture reweighting (pipeline/corpus.py mixture_weights):
+    per-source Bernoulli fractions that reshape token shares toward a
+    target mixture without upsampling (most over-demanded source keeps
+    1.0). One partial-agg shuffle of (source, token-count) pairs."""
+    from nested_pandas_spark.pipeline.corpus import mixture_weights
+
+    docs = _t(spark, sf, "documents")
+    return mixture_weights(
+        docs, {"src0": 0.3, "src1": 0.2, "src2": 0.1}, by="source"
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -712,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_stream_state": q40_stream_state,
         "q41_dup_clusters": q41_dup_clusters,
         "q42_decontaminate": q42_decontaminate,
+        "q43_pack_sequences": q43_pack_sequences,
+        "q44_mixture_weights": q44_mixture_weights,
     }
 
 
@@ -1271,6 +1299,45 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 19 <> 0
+        """,
+        "q43_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(len({w}) AS BIGINT) AS tok FROM documents
+            ), c AS (
+                SELECT doc_id, tok,
+                       sum(tok) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS e
+                FROM t
+            )
+            SELECT doc_id, tok AS n_tokens,
+                   CAST((e - tok) // 1024 AS BIGINT) AS bin_id,
+                   CAST((e - tok) % 1024 AS BIGINT) AS bin_offset
+            FROM c
+        """,
+        "q44_mixture_weights": f"""
+            WITH per AS (
+                SELECT source, CAST(sum(len({w})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
+            d AS (
+                SELECT source, n_tokens,
+                       n_tokens / tot.t AS share,
+                       CASE source WHEN 'src0' THEN 0.3::DOUBLE
+                                   WHEN 'src1' THEN 0.2::DOUBLE
+                                   WHEN 'src2' THEN 0.1::DOUBLE
+                                   ELSE 0.0::DOUBLE END AS tgt
+                FROM per, tot
+            ), d2 AS (
+                SELECT *, CASE WHEN share > 0 THEN tgt / share
+                               ELSE 0.0::DOUBLE END AS demand
+                FROM d
+            ), m AS (SELECT max(demand) AS md FROM d2)
+            SELECT source, n_tokens,
+                   ROUND(share, 9) AS share,
+                   ROUND(tgt, 9) AS target_share,
+                   ROUND(CASE WHEN m.md > 0 THEN demand / m.md
+                              ELSE 0.0::DOUBLE END, 9) AS fraction
+            FROM d2, m
         """,
         "q39_pq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -16,7 +16,7 @@ ids/hashes, never of full documents.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import (
@@ -27,9 +27,131 @@ from .dedup import (
     resolve_duplicates,
     staged_shingle_hashes,
 )
-from .text import add_text_stats, word_ngrams
+from .text import add_text_stats, token_count, word_ngrams
 
-__all__ = ["clean_corpus", "decontaminate", "stratified_sample"]
+__all__ = [
+    "clean_corpus",
+    "decontaminate",
+    "mixture_weights",
+    "pack_sequences",
+    "stratified_sample",
+]
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: treat the corpus as one
+    token stream in ``id_col`` order and assign each document the
+    ``capacity``-token context-window bin where it starts.
+
+    Returns ``(id_col, n_tokens, bin_id, bin_offset)``: ``bin_id =
+    floor(start / capacity)`` and ``bin_offset = start % capacity`` where
+    ``start`` is the document's position in the concatenated stream. A
+    document longer than ``capacity`` simply spans bins (standard
+    GPT-style packing: the chunker, not this planner, splits it).
+
+    Scale shape — a global running sum WITHOUT a global single-task
+    window: range-partition by id, compute the running sum per partition
+    (window keyed on partition id: a shuffle of 16-byte (id, count) rows,
+    never text), then lift per-partition totals (one tiny row per
+    partition) into exclusive prefix offsets and broadcast them back.
+    Equivalent to ``sum() OVER (ORDER BY id)`` but every stage stays
+    parallel at any corpus size.
+
+    ``tokens_col``: use a precomputed token count instead of whitespace
+    tokenization of ``text_col``.
+    """
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    base = (
+        docs.select(F.col(id_col), tok.alias("n_tokens"))
+        .repartitionByRange(max(par, 2), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = base.withColumn("__end_local", F.sum("n_tokens").over(w))
+
+    # tiny: one row per partition — exclusive prefix offsets driver-side.
+    # (repartitionByRange makes partition ids follow the id ranges, so
+    # cumulating totals in __pid order IS the global stream order.)
+    totals = base.groupBy("__pid").agg(F.sum("n_tokens").alias("__t")).collect()
+    run, offs = 0, []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], run))
+        run += r["__t"]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+
+    start = F.col("__off") + F.col("__end_local") - F.col("n_tokens")
+    return (
+        base.join(F.broadcast(off_df), "__pid")
+        .withColumn("__start", start)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            # integer DIV: exact at any stream length (float division
+            # would lose ULPs past 2^53 tokens)
+            F.expr(f"__start DIV {int(capacity)}").alias("bin_id"),
+            (F.col("__start") % capacity).alias("bin_offset"),
+        )
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    target: dict[str, float],
+    by: str = "source",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-source sampling fractions that reshape the corpus toward a
+    target token-share mixture (e.g. ``{"web": 0.5, "code": 0.3,
+    "books": 0.2}``) without upsampling: the most over-demanded source
+    keeps fraction 1.0 and every other source is scaled down relative
+    to it, so all fractions are valid Bernoulli rates for
+    :func:`stratified_sample`.
+
+    Returns one row per ``by`` value: ``(by, n_tokens, share, target_share,
+    fraction)``. One partial-agg shuffle over (source, token-count) pairs —
+    never text. Sources absent from ``target`` get fraction 0.0.
+    """
+    tok = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    per = docs.groupBy(by).agg(F.sum(tok).alias("n_tokens"))
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.col("n_tokens") / total
+    tgt = F.coalesce(
+        *(
+            [
+                F.when(F.col(by) == k, F.lit(float(v)))
+                for k, v in target.items()
+            ]
+            + [F.lit(0.0)]
+        )
+    )
+    # demand_s = target_s / share_s; scale so max demand -> fraction 1.0
+    demand = F.when(share > 0, tgt / share).otherwise(F.lit(0.0))
+    max_demand = F.max(demand).over(Window.partitionBy())
+    frac = F.when(max_demand > 0, demand / max_demand).otherwise(F.lit(0.0))
+    return per.select(
+        F.col(by),
+        F.col("n_tokens"),
+        F.round(share, 9).alias("share"),
+        F.round(tgt, 9).alias("target_share"),
+        F.round(frac, 9).alias("fraction"),
+    )
 
 
 def stratified_sample(

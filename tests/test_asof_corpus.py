@@ -129,6 +129,78 @@ def test_decontaminate_min_hits(spark):
     assert out["n_bench_ngrams"] == 1 and not out["contaminated"]
 
 
+def test_pack_sequences(spark):
+    from nested_pandas_spark.pipeline.corpus import pack_sequences
+
+    # token counts: 3, 4, 5, 2  -> starts 0, 3, 7, 12 at capacity 5
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "d e f g"),
+            (3, "h i j k l"),
+            (4, "m n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(docs, capacity=5).collect()
+    }
+    assert out == {1: (3, 0, 0), 2: (4, 0, 3), 3: (5, 1, 2), 4: (2, 2, 2)}
+
+
+def test_pack_sequences_matches_single_window(spark):
+    """The two-stage prefix sum must equal the naive global-window cumsum."""
+    from pyspark.sql import Window
+
+    from nested_pandas_spark.pipeline.corpus import pack_sequences
+    from nested_pandas_spark.pipeline.text import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(docs, capacity=256).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        docs.select("doc_id", token_count("text").cast("long").alias("t"))
+        .withColumn("e", F.sum("t").over(w))
+        .collect()
+    )
+    want = {
+        r["doc_id"]: (r["t"], (r["e"] - r["t"]) // 256, (r["e"] - r["t"]) % 256)
+        for r in naive
+    }
+    assert got == want
+
+
+def test_mixture_weights(spark):
+    from nested_pandas_spark.pipeline.corpus import mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "a b c d e f g h"),     # web: 8 tokens
+            (2, "code", "x y"),                # code: 2 tokens
+            (3, "books", "p q r s t u"),       # books: 6 tokens
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            docs, {"web": 0.25, "code": 0.25, "books": 0.5}
+        ).collect()
+    }
+    # demand: web .25/.5=.5, code .25/.125=2.0, books .5/.375=1.333..
+    # code is most over-demanded -> fraction 1.0; others scale down
+    assert out["code"]["fraction"] == 1.0
+    assert abs(out["web"]["fraction"] - 0.25) < 1e-6
+    assert abs(out["books"]["fraction"] - 0.666666667) < 1e-6
+    # a source missing from the target mixture is dropped outright
+    out2 = mixture_weights(docs, {"web": 1.0}).collect()
+    assert {r["source"]: r["fraction"] for r in out2}["code"] == 0.0
+
+
 def test_asof_join_equal_ts_deterministic(spark):
     # two right rows at the SAME ts: the tie-break (payload ascending, last
     # wins) must pick the max payload, identically on every run
