@@ -608,6 +608,28 @@ def q44_mixture_weights(spark, sf):
     )
 
 
+def q45_bm25_search(spark, sf):
+    """Keyword search (pipeline/search.py bm25_topk): inverted-index BM25
+    top-10 for three query strings. Postings shuffle once on (term,
+    doc); the query side and per-term document frequencies broadcast;
+    the per-query top-k is the two-stage tournament (no single-task
+    window). Scores rounded to 6 for cross-engine float comparison."""
+    from nested_pandas_spark.pipeline.search import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    queries = spark.createDataFrame(
+        [(1, "spark join"), (2, "customer query table"),
+         (3, "vector stream batch")],
+        "query_id long, query string",
+    )
+    out = bm25_topk(docs, queries, k=10)
+    return out.select(
+        "query_id", "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -740,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_decontaminate": q42_decontaminate,
         "q43_pack_sequences": q43_pack_sequences,
         "q44_mixture_weights": q44_mixture_weights,
+        "q45_bm25_search": q45_bm25_search,
     }
 
 
@@ -1338,6 +1361,53 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN m.md > 0 THEN demand / m.md
                               ELSE 0.0::DOUBLE END, 9) AS fraction
             FROM d2, m
+        """,
+        "q45_bm25_search": f"""
+            WITH d AS (
+                SELECT doc_id, {w} AS ws FROM documents
+            ), dl AS (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
+            ), stats AS (
+                SELECT count(*)::DOUBLE AS n, avg(len(ws)) AS avgdl FROM d
+            ), tf AS (
+                SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+                GROUP BY 1, 2
+            ), q(query_id, query) AS (
+                VALUES (1, 'spark join'), (2, 'customer query table'),
+                       (3, 'vector stream batch')
+            ), qt AS (
+                SELECT query_id, unnest(list_distinct(list_filter(
+                    string_split_regex(lower(query), '\\s+'),
+                    x -> x <> ''))) AS term
+                FROM q
+            ), matched AS (
+                SELECT qt.query_id, tf.term, tf.doc_id, tf.tf
+                FROM tf JOIN qt USING (term)
+            ), dft AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM matched GROUP BY 1
+            ), scored AS (
+                SELECT m.query_id, m.doc_id,
+                       sum(ln(1.0::DOUBLE + (s.n - f.df + 0.5::DOUBLE)
+                                / (f.df + 0.5::DOUBLE))
+                           * (m.tf * 2.2::DOUBLE)
+                           / (m.tf + 1.2::DOUBLE *
+                              (0.25::DOUBLE
+                               + 0.75::DOUBLE * l.dl / s.avgdl))) AS score
+                FROM matched m
+                JOIN dft f USING (term)
+                JOIN dl l USING (doc_id), stats s
+                GROUP BY 1, 2
+            ), ranked AS (
+                SELECT query_id, doc_id, score,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   ROUND(score, 6) AS score, rank
+            FROM ranked WHERE rank <= 10
         """,
         "q39_pq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

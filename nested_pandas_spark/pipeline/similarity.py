@@ -41,9 +41,13 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _per_query_topk(
-    scored: DataFrame, k: int, partial_buckets: int | None = None
+    scored: DataFrame,
+    k: int,
+    partial_buckets: int | None = None,
+    score_col: str = "cos_sim",
+    id_col: str = "neighbor_id",
 ) -> DataFrame:
-    """Two-stage tournament top-k over (query_id, neighbor_id, cos_sim).
+    """Two-stage tournament top-k over (query_id, ``id_col``, ``score_col``).
 
     A single ``Window.partitionBy("query_id")`` would funnel EVERY scored row
     for a query through one task — with 10 queries over a 100 TB corpus that
@@ -56,12 +60,12 @@ def _per_query_topk(
     """
     if partial_buckets is None:
         partial_buckets = scored.sparkSession.sparkContext.defaultParallelism * 4
-    order = [F.col("cos_sim").desc(), F.col("neighbor_id").asc()]
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
     w1 = Window.partitionBy("query_id", "__salt").orderBy(*order)
     pre = (
         scored.withColumn(
             "__salt",
-            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(partial_buckets)),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_buckets)),
         )
         .withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= k)

@@ -365,3 +365,41 @@ def test_pq_roundtrip_and_topk(spark):
             brute[(qi, rk)] = ci
     gotf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in full.collect()}
     assert gotf == brute
+
+
+def test_bm25_topk(spark):
+    import math
+
+    from nested_pandas_spark.pipeline.search import bm25_topk, build_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark join spark"),
+            (2, "spark filter scan"),
+            (3, "window sort order by window"),
+            (4, "join the customer table with the orders table"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(10, "spark join"), (20, "window")], "query_id long, query string"
+    )
+    out = bm25_topk(docs, queries, k=2)
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in out.collect()}
+    # q10: doc1 mentions both terms, repeatedly -> first; docs 2 & 4 have one
+    # term each; q20: only doc3 matches at all
+    assert got[(10, 1)][0] == 1
+    assert got[(20, 1)][0] == 3
+    assert (20, 2) not in got  # no other doc contains 'window'
+
+    # hand-computed BM25 for the single-term query (N=4, df=1, doc3: tf=2, dl=5)
+    avgdl = (5 + 3 + 5 + 8) / 4
+    idf = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    tfc = 2 * (1.2 + 1) / (2 + 1.2 * (1 - 0.75 + 0.75 * 5 / avgdl))
+    assert abs(got[(20, 1)][1] - idf * tfc) < 1e-9
+
+    # precomputed-postings path gives identical results
+    pre = build_postings(docs)
+    out2 = bm25_topk(docs, queries, k=2, postings=pre)
+    got2 = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in out2.collect()}
+    assert got == got2
