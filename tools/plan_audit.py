@@ -176,6 +176,81 @@ def main() -> int:
         + "\n".join(ln for ln in p7.splitlines() if ln.startswith("*("))[:400],
     ))
 
+    # -- 8. decontaminate: bench set broadcasts, text never shuffles --------
+    from nested_pandas_spark.pipeline.corpus import decontaminate, pack_sequences
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p8 = explain_str(
+        decontaminate(
+            docs.where(F.col("doc_id") % 19 != 0),
+            docs.where(F.col("doc_id") % 19 == 0),
+            ngram_n=8,
+        )
+    )
+    check(
+        "decontaminate broadcast",
+        "BroadcastHashJoin" in p8,
+        "benchmark n-gram set not broadcast",
+    )
+    sections.append((
+        "Decontamination: eval-set broadcast, id/hash-only shuffles",
+        "decontaminate(train, bench): the benchmark's hashed n-gram set is "
+        "the build side of a BroadcastHashJoin; the corpus side contributes "
+        "only (id, 8-byte hash) pairs to the one count shuffle — document "
+        "text never leaves its scan stage.",
+        next(ln for ln in p8.splitlines() if "BroadcastHashJoin" in ln).strip(),
+    ))
+
+    # -- 9. pack_sequences: no single-task global window --------------------
+    p9 = explain_str(pack_sequences(docs, capacity=1024))
+    check(
+        "pack_sequences parallel prefix sum",
+        "Exchange SinglePartition" not in p9
+        and "SinglePartition" not in p9,
+        "global window funnels through one task",
+    )
+    sections.append((
+        "Sequence packing: two-stage prefix sum, no SinglePartition exchange",
+        "pack_sequences computes a global running token sum with range "
+        "partitioning + per-partition windows + broadcast partition offsets. "
+        "The naive `SUM() OVER (ORDER BY id)` plan would contain `Exchange "
+        "SinglePartition` — this plan must not (and the oracle for q43 IS "
+        "the naive form, so equivalence is hash-checked).",
+        "\n".join(
+            ln.strip()
+            for ln in p9.splitlines()
+            if "Exchange" in ln or "Window" in ln
+        )[:600],
+    ))
+
+    # -- 10. BM25: query terms + df broadcast, postings shuffle once --------
+    from nested_pandas_spark.pipeline.search import bm25_topk
+
+    queries_df = spark.createDataFrame(
+        [(1, "spark join"), (2, "vector stream")], "query_id long, query string"
+    )
+    p10 = explain_str(bm25_topk(docs, queries_df, k=10))
+    n_bhj = p10.count("BroadcastHashJoin")
+    check(
+        "bm25 broadcast sides",
+        n_bhj >= 2 and "BroadcastNestedLoopJoin" in p10,
+        f"expected query-term + df broadcasts and 1-row stats cross join, "
+        f"got {n_bhj} BroadcastHashJoin",
+    )
+    sections.append((
+        "BM25 search: broadcast query terms / document frequencies / stats",
+        "bm25_topk: the query-term table and the per-term document "
+        "frequencies both broadcast (BroadcastHashJoin); the 1-row corpus "
+        "stats aggregate joins as a BroadcastNestedLoopJoin. The only wide "
+        "exchanges are the postings groupBy and the per-(query, doc) score "
+        "sum — both carry ids and counts, never text.",
+        "\n".join(
+            ln.strip()
+            for ln in p10.splitlines()
+            if "Broadcast" in ln and "Join" in ln
+        )[:600],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
