@@ -630,6 +630,22 @@ def q45_bm25_search(spark, sf):
     )
 
 
+def q46_zorder_key(spark, sf):
+    """Z-order clustering key (sources/zorder.py): the Morton interleave
+    of (user_id, event-second) that write_zordered sorts the file layout
+    by — pure bit arithmetic, whole-stage-codegen'd, identical in any
+    engine. The oracle runs the zorder_sql() rendering of the very same
+    expression."""
+    from nested_pandas_spark.sources.zorder import zorder_value
+
+    ev = _t(spark, sf, "events")
+    sec = F.expr("ts DIV 1000000000")
+    return ev.select(
+        "event_id",
+        zorder_value([F.col("user_id"), sec], bits=16).alias("zval"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -763,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_pack_sequences": q43_pack_sequences,
         "q44_mixture_weights": q44_mixture_weights,
         "q45_bm25_search": q45_bm25_search,
+        "q46_zorder_key": q46_zorder_key,
     }
 
 
@@ -784,6 +801,18 @@ def _shingles(n: int) -> str:
 
 
 _H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def _zorder_oracle() -> str:
+    from nested_pandas_spark.sources.zorder import zorder_sql
+
+    return f"""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+            FROM events
+        )
+        SELECT event_id, {zorder_sql(["user_id", "sec"], 16)} AS zval FROM e
+    """
 
 
 def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int,
@@ -1409,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(score, 6) AS score, rank
             FROM ranked WHERE rank <= 10
         """,
+        "q46_zorder_key": _zorder_oracle(),
         "q39_pq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             seeds AS (

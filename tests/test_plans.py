@@ -106,3 +106,75 @@ def test_sort_pushdown_into_pack(pending):
     assert out._pending["nested"].sort_within == [("flux", False)]
     rows = {r["id"]: [e["flux"] for e in r["nested"]] for r in out.df.collect()}
     assert rows[0] == [2.0, 1.0, 0.0]
+
+
+def test_zorder_value_matches_python_morton(spark):
+    from nested_pandas_spark.sources.zorder import zorder_sql, zorder_value
+
+    def morton(x, y, bits=16):
+        m = (1 << bits) - 1
+        x, y = x & m, y & m
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (-1, 7), (40000, 123)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [
+        r["z"]
+        for r in df.select(zorder_value(["x", "y"]).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    want = [morton(x, y) for x, y in sorted(rows)]
+    assert got == want
+    # the SQL-string form computes the identical value
+    got_sql = [
+        r["z"]
+        for r in df.selectExpr(f"{zorder_sql(['x', 'y'])} AS z", "x", "y")
+        .orderBy("x", "y")
+        .collect()
+    ]
+    assert got_sql == want
+
+
+def test_write_zordered_skips_row_groups(spark, tmp_path):
+    """Z-ordered layout: a point filter on either interleaved column must
+    touch a minority of parquet row groups (min/max pruning evidence)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nested_pandas_spark.sources.zorder import write_zordered
+
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("a"),
+        (F.col("id") / 200).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(
+        df, path, ["a", "b"], bits=8,
+        **{"parquet.block.size": "65536"},
+    )
+    spans = []  # (a_min, a_max, b_min, b_max) per row group
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            cols = {
+                md.row_group(rg).column(i).path_in_schema:
+                    md.row_group(rg).column(i).statistics
+                for i in range(md.row_group(rg).num_columns)
+            }
+            spans.append(
+                (cols["a"].min, cols["a"].max, cols["b"].min, cols["b"].max)
+            )
+    assert len(spans) >= 8, f"need multiple row groups, got {len(spans)}"
+    hit_a = sum(1 for lo, hi, _, _ in spans if lo <= 7 <= hi)
+    hit_b = sum(1 for _, _, lo, hi in spans if lo <= 7 <= hi)
+    assert hit_a <= len(spans) / 2, (hit_a, len(spans))
+    assert hit_b <= len(spans) / 2, (hit_b, len(spans))
+    # and the data itself round-trips
+    assert spark.read.parquet(path).count() == 40000
