@@ -30,9 +30,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # depends on must be runtime-set here, not assumed from get_spark()
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle TZ parity
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 rejects it unless
-        # read as raw int64 nanos (runtime-settable legacy conf).
+        # events.ts has shipped as TIMESTAMP(NANOS) in one testdata drop and
+        # TIMESTAMP(MICROS) in another. Normalize to one canonical layout —
+        # int64 epoch nanoseconds — so every downstream query is layout-free.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        dt = dict(df.dtypes).get("ts", "")
+        if dt != "bigint":
+            # micros file: TIMESTAMP/TIMESTAMP_NTZ -> epoch nanos (UTC session
+            # tz makes the NTZ->TZ cast wall-clock-exact; *1000 is lossless)
+            df = df.withColumn(
+                "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -42,16 +42,32 @@ EVENT_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Stream a directory of event parquet files (nanosecond int64 ts)."""
+    """Stream a directory of event parquet files.
+
+    Streaming reads need an explicit schema; take it from the batch reader's
+    footer inference so the stream tracks whatever physical ts layout the
+    files use (int64 nanos in one testdata drop, TIMESTAMP(MICROS) in
+    another). A driver-side footer read, not a data scan.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
 
 
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """int64-nanos -> TIMESTAMP event_time column (micros precision)."""
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    )
+    """Normalize the event timestamp to a TIMESTAMP ``event_time`` column.
+
+    Accepts either physical layout: int64 epoch-nanoseconds (truncated to
+    Spark's microsecond TIMESTAMP grain) or a native TIMESTAMP /
+    TIMESTAMP_NTZ column (cast; wall-clock-exact under the engine's UTC
+    session timezone).
+    """
+    dt = dict(df.dtypes).get(ts_col, "")
+    if dt == "bigint":
+        col = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    else:
+        col = F.col(ts_col).cast("timestamp")
+    return df.withColumn("event_time", col)
 
 
 def hourly_rollup(df: DataFrame, watermark: str = "2 hours") -> DataFrame:
