@@ -656,6 +656,59 @@ def q46_zorder_key(spark, sf):
     )
 
 
+def q47_stream_join(spark, sf):
+    """STREAM-STREAM join through the oracle gate: clicks and signups flow
+    as two watermarked streams, joined on user within a (t-1h, t] interval
+    (streaming/events.py stream_interval_join — state bounded by
+    watermark+lookback), and the emitted matches must hash-match the plain
+    batch interval-join oracle. Same relational answer as q34's bucketized
+    batch range join, via the state-store execution path."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.streaming import events as evs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tempfile.mkdtemp(prefix="q47_stream_")
+    shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+    clicks = evs.read_event_stream(spark, d).where(F.col("event_type") == "click")
+    signups = evs.read_event_stream(spark, d).where(
+        F.col("event_type") == "signup"
+    ).select("user_id", "ts", F.col("event_id").alias("signup_event"))
+    joined = evs.stream_interval_join(
+        clicks, signups, on="user_id", right_cols=["signup_event"],
+        lookback="1 hour",
+    )
+    import uuid
+
+    name = "q47_mem_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", F.col("signup_event_right").alias("signup_event")
+    )
+
+
+def q48_token_shards(spark, sf):
+    """Balanced output sharding (pipeline/corpus.py assign_shards): greedy
+    sequential fill of ~64 kB shards over the md5-shuffled document stream —
+    a distributed prefix sum (range partition -> per-partition window ->
+    tiny driver offset lift), never a global single-task window. The oracle
+    is the equivalent global window cumsum."""
+    from nested_pandas_spark.pipeline.corpus import assign_shards
+
+    docs = _t(spark, sf, "documents")
+    return assign_shards(
+        docs, target_tokens=64000, tokens_col="n_chars", shuffle=True
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -790,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_mixture_weights": q44_mixture_weights,
         "q45_bm25_search": q45_bm25_search,
         "q46_zorder_key": q46_zorder_key,
+        "q47_stream_join": q47_stream_join,
+        "q48_token_shards": q48_token_shards,
     }
 
 
@@ -1449,6 +1504,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "q46_zorder_key": _zorder_oracle(),
+        # q47: identical relational answer to q34 — intentionally; q34 runs
+        # the bucketized batch range join, q47 the stream-stream state join.
+        "q47_stream_join": """
+            SELECT c.event_id, s.event_id AS signup_event
+            FROM events c JOIN events s
+              ON c.user_id = s.user_id
+             AND c.event_type = 'click' AND s.event_type = 'signup'
+             AND epoch_us(s.ts) <= epoch_us(c.ts)
+             AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        """,
+        "q48_token_shards": """
+            WITH s AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+                       md5(CAST(doc_id AS VARCHAR)) AS k
+                FROM documents
+            ), c AS (
+                SELECT doc_id, sz,
+                       sum(sz) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS e
+                FROM s
+            )
+            SELECT doc_id, sz AS n_tokens,
+                   CAST((e - sz) // 64000 AS BIGINT) AS shard_id
+            FROM c
+        """,
         "q39_pq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             seeds AS (

@@ -30,12 +30,57 @@ from .dedup import (
 from .text import add_text_stats, token_count, word_ngrams
 
 __all__ = [
+    "assign_shards",
     "clean_corpus",
     "decontaminate",
     "mixture_weights",
     "pack_sequences",
     "stratified_sample",
+    "write_sharded",
 ]
+
+
+def _stream_starts(
+    docs: DataFrame, id_col: str, size_expr, order_expr
+) -> DataFrame:
+    """(id, __sz, __start): each row's exclusive running-sum position in the
+    ``order_expr``-ordered stream of ``size_expr`` weights.
+
+    The distributed prefix sum shared by :func:`pack_sequences` and
+    :func:`assign_shards` — a global ``sum() OVER (ORDER BY k)`` WITHOUT a
+    global single-task window: range-partition by the order key, run the
+    running sum per partition (window keyed on partition id: a shuffle of
+    small (id, size) rows, never text), then lift per-partition totals (one
+    tiny row per partition) into exclusive prefix offsets driver-side and
+    broadcast them back. Every stage stays parallel at any corpus size.
+    """
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        docs.select(F.col(id_col), size_expr.cast("long").alias("__sz"),
+                    order_expr.alias("__k"))
+        .repartitionByRange(max(par, 2), F.col("__k"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = base.withColumn("__end_local", F.sum("__sz").over(w))
+
+    # tiny: one row per partition — exclusive prefix offsets driver-side.
+    # (repartitionByRange makes partition ids follow the key ranges, so
+    # cumulating totals in __pid order IS the global stream order.)
+    totals = base.groupBy("__pid").agg(F.sum("__sz").alias("__t")).collect()
+    run, offs = 0, []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], run))
+        run += r["__t"]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+    return base.join(F.broadcast(off_df), "__pid").withColumn(
+        "__start", F.col("__off") + F.col("__end_local") - F.col("__sz")
+    )
 
 
 def pack_sequences(
@@ -66,45 +111,86 @@ def pack_sequences(
     ``tokens_col``: use a precomputed token count instead of whitespace
     tokenization of ``text_col``.
     """
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
     tok = (
         F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
     ).cast("long")
-    base = (
-        docs.select(F.col(id_col), tok.alias("n_tokens"))
-        .repartitionByRange(max(par, 2), F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
+    base = _stream_starts(docs, id_col, tok, F.col(id_col))
+    return base.select(
+        F.col(id_col),
+        F.col("__sz").alias("n_tokens"),
+        # integer DIV: exact at any stream length (float division
+        # would lose ULPs past 2^53 tokens)
+        F.expr(f"__start DIV {int(capacity)}").alias("bin_id"),
+        (F.col("__start") % capacity).alias("bin_offset"),
     )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+
+
+def assign_shards(
+    docs: DataFrame,
+    target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    shuffle: bool = True,
+) -> DataFrame:
+    """Balanced output sharding: assign each document a ``shard_id`` so
+    every shard carries ~``target_tokens`` of payload (greedy sequential
+    fill: ``shard_id = floor(start / target)`` over the running sum of
+    document sizes).
+
+    ``shuffle=True`` (the default) orders the stream by ``md5(id)`` — a
+    deterministic, engine-portable corpus shuffle, so shards are also an
+    unbiased sample of the corpus (what a training run wants from its input
+    files: no time/source clustering within a shard). ``shuffle=False``
+    preserves ``id_col`` order for locality-preserving layouts.
+
+    Same distributed prefix-sum shape as :func:`pack_sequences` — no global
+    single-task window, sizes only (never text) through the shuffles.
+    Returns ``(id_col, n_tokens, shard_id)``.
+    """
+    tok = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    order = (
+        F.md5(F.col(id_col).cast("string")) if shuffle else F.col(id_col)
     )
-    base = base.withColumn("__end_local", F.sum("n_tokens").over(w))
+    base = _stream_starts(docs, id_col, tok, order)
+    return base.select(
+        F.col(id_col),
+        F.col("__sz").alias("n_tokens"),
+        F.expr(f"__start DIV {int(target_tokens)}").alias("shard_id"),
+    )
 
-    # tiny: one row per partition — exclusive prefix offsets driver-side.
-    # (repartitionByRange makes partition ids follow the id ranges, so
-    # cumulating totals in __pid order IS the global stream order.)
-    totals = base.groupBy("__pid").agg(F.sum("n_tokens").alias("__t")).collect()
-    run, offs = 0, []
-    for r in sorted(totals, key=lambda r: r["__pid"]):
-        offs.append((r["__pid"], run))
-        run += r["__t"]
-    off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
 
-    start = F.col("__off") + F.col("__end_local") - F.col("n_tokens")
-    return (
-        base.join(F.broadcast(off_df), "__pid")
-        .withColumn("__start", start)
-        .select(
-            F.col(id_col),
-            F.col("n_tokens"),
-            # integer DIV: exact at any stream length (float division
-            # would lose ULPs past 2^53 tokens)
-            F.expr(f"__start DIV {int(capacity)}").alias("bin_id"),
-            (F.col("__start") % capacity).alias("bin_offset"),
-        )
+def write_sharded(
+    docs: DataFrame,
+    path: str,
+    target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    shuffle: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus as size-balanced parquet shards:
+    ``path/shard_id=N/`` directories each holding ~``target_tokens`` of
+    documents, internally ordered by the deterministic shuffle key.
+
+    One extra shuffle (hash on shard_id) co-locates each shard into a
+    single task before the partitioned write, so each shard directory is
+    one file of the target size — the layout a training-data loader
+    streams directly.
+    """
+    shards = assign_shards(
+        docs, target_tokens, id_col=id_col, text_col=text_col,
+        tokens_col=tokens_col, shuffle=shuffle,
+    ).select(id_col, "shard_id")
+    out = docs.join(shards, id_col)
+    (
+        out.repartition(F.col("shard_id"))
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
     )
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "hourly_rollup",
     "sessionize",
     "running_user_totals",
+    "stream_interval_join",
 ]
 
 EVENT_SCHEMA = T.StructType(
@@ -158,6 +159,49 @@ def running_user_totals(df: DataFrame, timeout_minutes: int = 60) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_cols: list[str],
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream join: each left event matched to the right events with
+    the same ``on`` key whose event time falls in ``(t - lookback, t]`` of
+    the left event's time ``t`` (the streaming twin of the batch
+    ``operators.asof.range_join`` interval semantics, q34).
+
+    On streams, both sides carry watermarks and the time-range predicate —
+    exactly what Spark needs to bound the join state: each side buffers only
+    ``watermark + lookback`` of history, evicted as the watermark advances.
+    Inner joins emit matches in the microbatch they are found, so
+    ``trigger(availableNow=True)`` over historical files yields the complete
+    batch answer. On batch DataFrames the same code is a plain equi-join
+    with a range filter (Catalyst hashes on ``on``).
+
+    Output: all left columns plus ``event_time``, and each of ``right_cols``
+    suffixed ``_right``.
+    """
+    lw = with_event_time(left, ts_col)
+    rw = with_event_time(right, ts_col)
+    if lw.isStreaming:
+        lw = lw.withWatermark("event_time", watermark)
+    if rw.isStreaming:
+        rw = rw.withWatermark("event_time", watermark)
+    la, ra = lw.alias("l"), rw.alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("r.event_time") > F.col("l.event_time") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r.event_time") <= F.col("l.event_time"))
+    )
+    keep = [F.col(f"l.{c}") for c in lw.columns] + [
+        F.col(f"r.{c}").alias(f"{c}_right") for c in right_cols
+    ]
+    return la.join(ra, cond, "inner").select(*keep)
 
 
 def stream_dedup(

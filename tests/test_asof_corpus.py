@@ -174,6 +174,71 @@ def test_pack_sequences_matches_single_window(spark):
     assert got == want
 
 
+def test_assign_shards_matches_single_window(spark):
+    """The hash-shuffled distributed prefix sum must equal the naive
+    global-window cumsum over the same md5 order."""
+    from pyspark.sql import Window
+
+    from nested_pandas_spark.pipeline.corpus import assign_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in assign_shards(docs, 8000, tokens_col="n_chars").collect()
+    }
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string"))).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("t"))
+        .withColumn("e", F.sum("t").over(w))
+        .collect()
+    )
+    want = {r["doc_id"]: (r["t"], (r["e"] - r["t"]) // 8000) for r in naive}
+    assert got == want
+
+
+def test_assign_shards_balanced(spark):
+    """Every shard except the last must land within one max-doc-size of the
+    target (greedy fill property), and unshuffled order follows doc_id."""
+    from nested_pandas_spark.pipeline.corpus import assign_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = 8000
+    out = assign_shards(docs, target, tokens_col="n_chars").collect()
+    sizes = {}
+    for r in out:
+        sizes[r["shard_id"]] = sizes.get(r["shard_id"], 0) + r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in out)
+    last = max(sizes)
+    for sid, sz in sizes.items():
+        if sid != last:
+            # a shard stops filling only once it crosses target; the doc
+            # that crossed it contributes at most max_doc overshoot
+            assert target <= sz + max_doc
+            assert sz <= target + max_doc
+
+    seq = assign_shards(docs, target, tokens_col="n_chars", shuffle=False)
+    rows = sorted(
+        ((r["doc_id"], r["shard_id"]) for r in seq.collect())
+    )
+    shard_seq = [s for _, s in rows]
+    assert shard_seq == sorted(shard_seq)  # monotone in id order
+
+
+def test_write_sharded_roundtrip(spark, tmp_path):
+    from nested_pandas_spark.pipeline.corpus import write_sharded
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "shards")
+    write_sharded(docs, path, 16000, tokens_col="n_chars")
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert "shard_id" in back.columns
+    # no document lost or duplicated across shard directories
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
 def test_mixture_weights(spark):
     from nested_pandas_spark.pipeline.corpus import mixture_weights
 

@@ -87,6 +87,38 @@ def test_running_user_totals_stateful(spark, stream_dir, batch_events):
         assert got_last.loc[uid, "n_events"] == want.loc[uid, "n_events"]
 
 
+def test_stream_interval_join_matches_batch(spark, stream_dir, batch_events):
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click")
+        signups = df.where(F.col("event_type") == "signup").select(
+            "user_id", "ts", F.col("event_id").alias("signup_event")
+        )
+        return clicks, signups
+
+    sc, ss = split(ev.read_event_stream(spark, stream_dir))
+    joined = ev.stream_interval_join(sc, ss, on="user_id",
+                                     right_cols=["signup_event"])
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ivj").select("event_id", "signup_event_right").toPandas()
+
+    bc, bs = split(batch_events)
+    want = ev.stream_interval_join(bc, bs, on="user_id",
+                                   right_cols=["signup_event"]) \
+        .select("event_id", "signup_event_right").toPandas()
+    key = ["event_id", "signup_event_right"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got.values == want.values).all()
+
+
 def test_stream_dedup(spark, stream_dir, batch_events, tmp_path):
     import shutil
 
