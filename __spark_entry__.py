@@ -709,6 +709,20 @@ def q48_token_shards(spark, sf):
     )
 
 
+def q49_incremental_dedup(spark, sf):
+    """Incremental ingest dedup (pipeline/dedup.py dedup_against): the
+    documents table split into an accepted corpus (doc_id % 4 == 0) and an
+    incoming batch (the rest); the batch is deduped against the corpus's
+    DISTINCT fingerprints (LEFT ANTI on hashes, never text) and then
+    within itself (keep min id per fingerprint)."""
+    from nested_pandas_spark.pipeline.dedup import dedup_against
+
+    docs = _t(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    new = docs.where(F.col("doc_id") % 4 != 0)
+    return dedup_against(new, ref).select("doc_id")
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -845,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_zorder_key": q46_zorder_key,
         "q47_stream_join": q47_stream_join,
         "q48_token_shards": q48_token_shards,
+        "q49_incremental_dedup": q49_incremental_dedup,
     }
 
 
@@ -1527,6 +1542,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sz AS n_tokens,
                    CAST((e - sz) // 64000 AS BIGINT) AS shard_id
             FROM c
+        """,
+        "q49_incremental_dedup": """
+            WITH f AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            ref AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 = 0),
+            batch AS (SELECT * FROM f WHERE doc_id % 4 <> 0),
+            survivors AS (
+                SELECT b.doc_id, b.fp FROM batch b
+                LEFT JOIN ref r ON b.fp = r.fp
+                WHERE r.fp IS NULL
+            )
+            SELECT doc_id FROM survivors
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         """,
         "q39_pq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .text import fingerprint, word_ngrams, words
 
 __all__ = [
+    "dedup_against",
     "exact_dedup",
     "minhash_signature",
     "lsh_candidate_pairs",
@@ -56,6 +57,48 @@ def exact_dedup(
         .groupBy("fp")
         .agg(agg.alias(id_col), F.count("*").alias("n_dups"))
     )
+
+
+def dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    within_batch: bool = True,
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup: drop rows of ``new`` whose normalized
+    fingerprint already exists in the ``ref`` corpus — the every-ingest op
+    of a continuously-growing training corpus (dedup each incoming batch
+    against everything already accepted).
+
+    Scale shape: ``ref`` collapses to DISTINCT fingerprints (32-hex-char
+    rows, never text) before the LEFT ANTI join, so the join shuffles
+    hashes, not documents; set ``broadcast_ref=True`` when the accepted-
+    fingerprint set fits in executor memory (typical when ingesting small
+    increments against a precomputed fingerprint table). ``within_batch``
+    additionally keeps only the min-``id_col`` row of each fingerprint
+    group inside ``new`` itself (one more hash-keyed shuffle).
+
+    Returns the surviving rows of ``new`` with their original columns.
+    """
+    from pyspark.sql import Window
+
+    from .text import fingerprint
+
+    ref_fp = ref.select(fingerprint(text_col).alias("__fp")).distinct()
+    if broadcast_ref:
+        ref_fp = F.broadcast(ref_fp)
+    out = new.withColumn("__fp", fingerprint(text_col))
+    out = out.join(ref_fp, "__fp", "left_anti")
+    if within_batch:
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out.drop("__fp")
 
 
 # MinHash universal-hash family: h_i(x) = (a_i * x + b_i) mod P over the

@@ -56,6 +56,37 @@ def test_exact_dedup(docs):
     assert 2 not in groups
 
 
+def test_dedup_against(spark, docs):
+    # ref corpus holds doc 1's text; the new batch re-submits it (id 11,
+    # and whitespace-variant id 12), plus an internal dup pair (13/14)
+    ref = docs.where(F.col("doc_id").isin(1, 4, 5))
+    new = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog and runs away fast"),
+            (12, "  The quick   brown fox jumps over the lazy dog and runs away FAST "),
+            (13, "fresh unseen content one"),
+            (14, "fresh   unseen CONTENT one"),
+            (15, "another novel document"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dd.dedup_against(new, ref).collect()
+    )
+    assert kept == [13, 15]  # 11/12 match ref; 14 loses within-batch to 13
+    kept_nb = sorted(
+        r["doc_id"]
+        for r in dd.dedup_against(new, ref, within_batch=False).collect()
+    )
+    assert kept_nb == [13, 14, 15]
+    # broadcast path must agree
+    kept_bc = sorted(
+        r["doc_id"]
+        for r in dd.dedup_against(new, ref, broadcast_ref=True).collect()
+    )
+    assert kept_bc == kept
+
+
 def test_minhash_identical_docs_same_signature(docs):
     sigs = docs.select(
         "doc_id", dd.minhash_signature("text", 8, 3).alias("sig")
