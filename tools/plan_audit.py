@@ -251,6 +251,56 @@ def main() -> int:
         )[:600],
     ))
 
+    # -- 11. assign_shards: prefix sum stays parallel -----------------------
+    from nested_pandas_spark.pipeline.corpus import assign_shards
+
+    p11 = explain_str(assign_shards(docs, 64000, tokens_col="n_chars"))
+    check(
+        "assign_shards parallel prefix sum",
+        "SinglePartition" not in p11,
+        "global window funnels through one task",
+    )
+    sections.append((
+        "Balanced sharding: hash-shuffled prefix sum, no SinglePartition",
+        "assign_shards orders the corpus by md5(id) (a deterministic "
+        "shuffle) and reuses the pack_sequences two-stage prefix sum; the "
+        "plan must stay free of `Exchange SinglePartition` — shard "
+        "assignment at 100 TB is a fully parallel pass over (id, size) "
+        "pairs (q48's oracle is the naive single-window form; equivalence "
+        "is hash-checked).",
+        "\n".join(
+            ln.strip()
+            for ln in p11.splitlines()
+            if "Exchange" in ln or "Window" in ln
+        )[:600],
+    ))
+
+    # -- 12. dedup_against: hash-only anti join, broadcastable ref ----------
+    from nested_pandas_spark.pipeline.dedup import dedup_against
+
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    new = docs.where(F.col("doc_id") % 4 != 0)
+    p12 = explain_str(dedup_against(new, ref, broadcast_ref=True))
+    check(
+        "dedup_against broadcast anti join",
+        "BroadcastHashJoin" in p12 and "LeftAnti" in p12,
+        "accepted-fingerprint set not broadcast for the anti join",
+    )
+    sections.append((
+        "Incremental dedup: LEFT ANTI on fingerprints, broadcastable ref",
+        "dedup_against collapses the accepted corpus to DISTINCT md5 "
+        "fingerprints before a LEFT ANTI join — the join moves 32-hex-char "
+        "hashes, never text. With broadcast_ref=True the fingerprint set "
+        "ships to executors (BroadcastHashJoin LeftAnti): the incoming "
+        "batch is deduped with ZERO shuffle of its own rows until the "
+        "within-batch window.",
+        "\n".join(
+            ln.strip()
+            for ln in p12.splitlines()
+            if "Join" in ln or "Exchange" in ln or "HashAggregate" in ln
+        )[:600],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
