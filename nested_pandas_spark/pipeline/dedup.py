@@ -78,12 +78,15 @@ def dedup_against(
     fingerprint set fits in executor memory (typical when ingesting small
     increments against a precomputed fingerprint table). ``within_batch``
     additionally keeps only the min-``id_col`` row of each fingerprint
-    group inside ``new`` itself (one more hash-keyed shuffle).
+    group inside ``new`` itself — as a map-side-combined ``min`` aggregate
+    plus a semi-join on the unique ``(fp, id)`` pair, NOT a window: a
+    window partitioned by fingerprint funnels each mega-duplicate group
+    (the boilerplate doc with millions of copies) through one task, while
+    the aggregate partial-combines it and the semi-join key is skew-free
+    by construction.
 
     Returns the surviving rows of ``new`` with their original columns.
     """
-    from pyspark.sql import Window
-
     from .text import fingerprint
 
     ref_fp = ref.select(fingerprint(text_col).alias("__fp")).distinct()
@@ -92,12 +95,15 @@ def dedup_against(
     out = new.withColumn("__fp", fingerprint(text_col))
     out = out.join(ref_fp, "__fp", "left_anti")
     if within_batch:
-        w = Window.partitionBy("__fp").orderBy(id_col)
-        out = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
+        # null-safe fp equality: NULL-text rows form one group too (matching
+        # the window/QUALIFY semantics), instead of vanishing from an
+        # equi-join that NULL keys never satisfy
+        keep = out.groupBy("__fp").agg(F.min(id_col).alias("__keep_id"))
+        o, k = out.alias("o"), keep.alias("k")
+        cond = F.col("o.__fp").eqNullSafe(F.col("k.__fp")) & (
+            F.col(f"o.{id_col}") == F.col("k.__keep_id")
         )
+        out = o.join(k, cond, "left_semi")
     return out.drop("__fp")
 
 

@@ -67,18 +67,22 @@ def test_dedup_against(spark, docs):
             (13, "fresh unseen content one"),
             (14, "fresh   unseen CONTENT one"),
             (15, "another novel document"),
+            (16, None),
+            (17, None),
         ],
         "doc_id long, text string",
     )
     kept = sorted(
         r["doc_id"] for r in dd.dedup_against(new, ref).collect()
     )
-    assert kept == [13, 15]  # 11/12 match ref; 14 loses within-batch to 13
+    # 11/12 match ref; 14 loses within-batch to 13; NULL texts form one
+    # within-batch group (16 kept, 17 dropped) and never match the ref side
+    assert kept == [13, 15, 16]
     kept_nb = sorted(
         r["doc_id"]
         for r in dd.dedup_against(new, ref, within_batch=False).collect()
     )
-    assert kept_nb == [13, 14, 15]
+    assert kept_nb == [13, 14, 15, 16, 17]
     # broadcast path must agree
     kept_bc = sorted(
         r["doc_id"]
