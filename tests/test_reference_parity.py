@@ -469,3 +469,49 @@ def test_struct_of_lists_parquet_reads_into_reference(ref, pair, tmp_path):
     sp_rt = NestedFrame(read_parquet(spark, path))
     assert "nested" in sp_rt.nested_columns
     assert _sp_cells(sp_rt) == _sp_cells(sp_packed)
+
+
+def test_accessor_query_parity(ref, pair):
+    """Series-level .nest.query: drops rows whose cell empties (unlike the
+    frame-level query, which nullifies them) — in BOTH engines."""
+    ref_packed, sp_packed = pair
+    ref_q = ref_packed["nested"].nest.query("t > 2")
+    # reference returns a NestedSeries of surviving keys only
+    ref_cells = {}
+    for key, cell in ref_q.items():
+        rows = [
+            tuple(None if pd.isna_scalar(v) else v for v in r)
+            for _, r in cell.iterrows()
+        ]
+        ref_cells[key] = sorted(
+            rows, key=lambda x: tuple((e is None, e) for e in x)
+        )
+    sp_q = sp_packed.nest("nested").query("nested.t > 2")
+    assert _sp_cells(sp_q) == ref_cells
+    assert 0 not in ref_cells  # key 0 empties out and is DROPPED here
+
+
+def test_accessor_without_field_parity(pair):
+    ref_packed, sp_packed = pair
+    ref_dropped = ref_packed["nested"].nest.without_field("f")
+    ref_cells = {}
+    for key, cell in ref_dropped.items():
+        if cell is None:
+            ref_cells[key] = None
+            continue
+        rows = [
+            tuple(None if pd.isna_scalar(v) else v for v in r)
+            for _, r in cell.iterrows()
+        ]
+        ref_cells[key] = sorted(
+            rows, key=lambda x: tuple((e is None, e) for e in x)
+        )
+    sp_dropped = sp_packed.nest("nested").without_field("f")
+    assert list(ref_dropped.nest.fields) == sp_dropped.nested_fields("nested")
+    got = _sp_cells(sp_dropped)
+    # documented deviation (same class as eval-assignment repack): the
+    # reference's storage rebuild turns a NULL cell into an EMPTY cell
+    # (key 3 -> []); we preserve NULL. Normalize both to None to compare
+    # the rows that exist.
+    norm = lambda cells: {k: (v or None) for k, v in cells.items()}  # noqa: E731
+    assert norm(got) == norm(ref_cells)
