@@ -723,6 +723,33 @@ def q49_incremental_dedup(spark, sf):
     return dedup_against(new, ref).select("doc_id")
 
 
+def q50_crosscorpus_lsh(spark, sf):
+    """Cross-corpus MinHash-LSH near-dup candidates (pipeline/dedup.py
+    lsh_candidate_pairs_between): incoming batch (doc_id % 4 != 0) vs
+    accepted corpus (doc_id % 4 == 0), one union scan-and-hash pass, pairs
+    enumerated only across the side tag within each LSH bucket."""
+    from nested_pandas_spark.pipeline.dedup import lsh_candidate_pairs_between
+
+    docs = _t(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    new = docs.where(F.col("doc_id") % 4 != 0)
+    return lsh_candidate_pairs_between(
+        new, ref, num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def q51_quality_model(spark, sf):
+    """Model-based quality filtering (pipeline/text.py quality_model_score):
+    logistic regression over cheap text features with the weight vector
+    folded into the plan as literals — scoring is one codegen'd projection,
+    no UDF, no model server. Floats rounded per the hash policy."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.quality_model_score("text"), 6).alias("q_model"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -860,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_stream_join": q47_stream_join,
         "q48_token_shards": q48_token_shards,
         "q49_incremental_dedup": q49_incremental_dedup,
+        "q50_crosscorpus_lsh": q50_crosscorpus_lsh,
+        "q51_quality_model": q51_quality_model,
     }
 
 
@@ -896,8 +925,12 @@ def _zorder_oracle() -> str:
 
 
 def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int,
-                    source: str = "documents") -> str:
-    """DuckDB replica of dedup.lsh_candidate_pairs (same hash constants)."""
+                    source: str = "documents",
+                    final_select: str | None = None) -> str:
+    """DuckDB replica of dedup.lsh_candidate_pairs (same hash constants).
+
+    ``final_select`` overrides the pair-enumeration select over the
+    ``bands`` CTE (used by the cross-corpus variant)."""
     from nested_pandas_spark.pipeline.dedup import _MINHASH_P, minhash_params
 
     rows_per_band = num_hashes // bands
@@ -905,6 +938,12 @@ def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int,
         f"list_min(list_transform(hs, x -> ({a}::BIGINT * x + {b}) % {_MINHASH_P}))"
         for a, b in minhash_params(num_hashes)
     )
+    final = final_select or """
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    """
     return f"""
         WITH sh AS (
             SELECT doc_id, {shingles_sql} AS s FROM {source}
@@ -921,10 +960,34 @@ def _minhash_oracle(shingles_sql: str, num_hashes: int, bands: int,
                        ',')) AS band_key
             FROM sig, (SELECT unnest(range(0, {bands})) AS b) b
         )
-        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        FROM bands l JOIN bands r
-          ON l.band_idx = r.band_idx AND l.band_key = r.band_key
-         AND l.doc_id < r.doc_id
+        {final}
+    """
+
+
+def _qmodel_oracle() -> str:
+    """DuckDB replica of text.quality_model_score at the default weights
+    (pulled from the module so the two can't drift)."""
+    from nested_pandas_spark.pipeline.text import QMODEL_WEIGHTS, STOPWORDS
+
+    w = QMODEL_WEIGHTS
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS DOUBLE) AS t,
+                   CAST(length(text) AS DOUBLE) AS c,
+                   CAST(len(regexp_extract_all(text, '[,.!?;:]')) AS DOUBLE) AS np,
+                   CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''), w -> w IN ({stop}))) AS DOUBLE) AS sw
+            FROM documents
+        ), z AS (
+            SELECT doc_id,
+                   {w['bias']} + {w['log_tokens']} * ln(1 + t)
+                       + {w['avg_word_len']} * (CASE WHEN t > 0 THEN c / t ELSE 0 END)
+                       + ({w['punct_ratio']}) * (CASE WHEN c > 0 THEN np / c ELSE 0 END)
+                       + {w['stopword_ratio']} * (CASE WHEN t > 0 THEN sw / t ELSE 0 END) AS z
+            FROM f
+        )
+        SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS q_model FROM z
     """
 
 
@@ -1174,6 +1237,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "q19_minhash_lsh": _minhash_oracle(sh3, num_hashes=8, bands=4),
+        "q50_crosscorpus_lsh": _minhash_oracle(
+            sh3, num_hashes=8, bands=4,
+            final_select="""
+            SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS ref_id
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc_id % 4 <> 0 AND r.doc_id % 4 = 0
+            """,
+        ),
+        "q51_quality_model": _qmodel_oracle(),
         "q20_ngram_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id, list_distinct({sh3}) AS s FROM documents

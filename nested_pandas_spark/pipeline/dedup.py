@@ -28,6 +28,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signature",
     "lsh_candidate_pairs",
+    "lsh_candidate_pairs_between",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
@@ -262,6 +263,88 @@ def lsh_candidate_pairs(
     return (
         buckets.select(F.explode(F.expr(pairs_sql)).alias("p"))
         .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_between(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH: candidate near-duplicate pairs between an
+    incoming batch and an accepted corpus — the near-dup complement of
+    :func:`dedup_against` (which is exact-only). Returns ``(new_id,
+    ref_id)`` with one row per candidate pair.
+
+    Same group-and-enumerate shape as :func:`lsh_candidate_pairs`: both
+    corpora union into ONE scan-and-hash pass (each document's signature is
+    computed exactly once), band keys bucket the union, and pairs enumerate
+    only ACROSS the side tag within a bucket — never new×new or ref×ref, so
+    the output is exactly the cross-corpus candidates.
+    """
+    rows_per_band = num_hashes // bands
+    from .text import _ngrams_from_words, words
+
+    tagged = _ensure_parallelism(
+        new.select(
+            F.col(id_col).alias("__id"), F.lit(0).alias("__side"),
+            F.col(text_col).alias("__text"),
+        ).unionByName(
+            ref.select(
+                F.col(id_col).alias("__id"), F.lit(1).alias("__side"),
+                F.col(text_col).alias("__text"),
+            )
+        )
+    )
+    exploded = tagged.select(
+        "__id", "__side",
+        F.explode(_ngrams_from_words(words(F.col("__text")), shingle_n)).alias("__g"),
+    )
+    hashed = exploded.select("__id", "__side", _h32(F.col("__g")).alias("__h"))
+    params = minhash_params(num_hashes)
+    sig = hashed.groupBy("__side", "__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"__m{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "__id", "__side",
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__side") == 0, F.col("__id")))
+            ).alias("new_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__side") == 1, F.col("__id")))
+            ).alias("ref_ids"),
+        )
+        .where((F.size("new_ids") > 0) & (F.size("ref_ids") > 0))
+    )
+    pairs_sql = (
+        "flatten(transform(new_ids, a -> "
+        "transform(ref_ids, b -> struct(a AS new_id, b AS ref_id))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pairs_sql)).alias("p"))
+        .select("p.new_id", "p.ref_id")
         .distinct()
     )
 

@@ -19,6 +19,8 @@ __all__ = [
     "word_ngrams",
     "lang_id",
     "quality_score",
+    "quality_model_score",
+    "QMODEL_WEIGHTS",
     "redact_pii",
     "repetition_ratio",
     "REDACTION_PATTERNS",
@@ -116,6 +118,53 @@ def quality_score(text: Column | str, alias: str = "quality",
     sw_ok = F.when((n_words > 0) & (sw / n_words >= 0.05), 1.0).otherwise(0.0)
     wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.0)
     return ((len_ok + punct_ok + sw_ok + wlen_ok) / 4.0).alias(alias)
+
+
+# Default coefficients for the logistic quality model below. The shape is
+# what production pipelines learn with a fasttext/linear classifier on
+# labeled pages; the NUMBERS here are just a plausible hand-set instance
+# (favor stopword-dense prose of moderate word length, penalize punctuation
+# soup). Swap in trained weights without touching the plan.
+QMODEL_WEIGHTS: dict[str, float] = {
+    "bias": -1.5,
+    "log_tokens": 0.35,
+    "avg_word_len": 0.12,
+    "punct_ratio": -4.0,
+    "stopword_ratio": 2.5,
+}
+
+
+def quality_model_score(text: Column | str, weights: dict[str, float] | None = None,
+                        alias: str = "q_model",
+                        words_col: Column | None = None) -> Column:
+    """Model-based quality score: a logistic regression over cheap text
+    features, evaluated entirely JVM-side (the classifier-filtering stage of
+    an LLM data pipeline, with the weight vector folded into the plan as
+    literals — scoring 100 TB is one codegen'd projection, no model server,
+    no UDF).
+
+    ``score = sigmoid(b + w1*ln(1+tokens) + w2*avg_word_len +
+    w3*punct_ratio + w4*stopword_ratio)``; NULL text scores NULL.
+    """
+    wts = dict(QMODEL_WEIGHTS, **(weights or {}))
+    c = F.col(text) if isinstance(text, str) else text
+    w = words_col if words_col is not None else words(c)
+    t = F.size(w).cast("double")
+    n_chars = F.length(c).cast("double")
+    awl = F.when(t > 0, n_chars / t).otherwise(F.lit(0.0))
+    punct = F.when(
+        n_chars > 0,
+        F.size(F.regexp_extract_all(c, F.lit("[,.!?;:]"), F.lit(0))) / n_chars,
+    ).otherwise(F.lit(0.0))
+    stop = F.when(t > 0, _stopword_hits(w, "en") / t).otherwise(F.lit(0.0))
+    z = (
+        F.lit(wts["bias"])
+        + F.lit(wts["log_tokens"]) * F.log1p(t)
+        + F.lit(wts["avg_word_len"]) * awl
+        + F.lit(wts["punct_ratio"]) * punct
+        + F.lit(wts["stopword_ratio"]) * stop
+    )
+    return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(alias)
 
 
 REDACTION_PATTERNS: dict[str, tuple[str, str]] = {

@@ -91,6 +91,47 @@ def test_dedup_against(spark, docs):
     assert kept_bc == kept
 
 
+def test_lsh_candidate_pairs_between(spark, docs):
+    ref = docs.where(F.col("doc_id").isin(1, 4))
+    new = docs.where(F.col("doc_id").isin(2, 3, 5))
+    pairs = sorted(
+        (r["new_id"], r["ref_id"])
+        for r in dd.lsh_candidate_pairs_between(
+            new, ref, num_hashes=8, bands=4
+        ).collect()
+    )
+    assert (2, 1) in pairs          # exact dup across the corpora
+    assert (3, 1) in pairs          # near dup shares a band
+    assert all(r == 1 for _, r in pairs)  # never ref x ref or new x new
+    assert (5, 1) not in pairs      # unrelated content
+
+
+def test_quality_model_score(spark):
+    import math
+
+    rows = [
+        (1, "the cat sat on the mat and it was good for the day"),
+        (2, "!!! ??? ;;; ,,, ... !!!"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", tx.quality_model_score("text", alias="q")
+        ).collect()
+    }
+    # hand-computed for doc 1: t=12, c=51, sw=6 ('the' x3,'and','it','was','for'->7?)
+    text = rows[0][1]
+    w = text.split()
+    t, c = float(len(w)), float(len(text))
+    sw = float(sum(1 for x in w if x in tx.STOPWORDS["en"]))
+    z = -1.5 + 0.35 * math.log1p(t) + 0.12 * (c / t) + 2.5 * (sw / t)
+    assert abs(out[1] - 1.0 / (1.0 + math.exp(-z))) < 1e-9
+    assert out[2] < out[1]  # punctuation soup scores lower
+    assert out[3] is None   # NULL text -> NULL score
+
+
 def test_minhash_identical_docs_same_signature(docs):
     sigs = docs.select(
         "doc_id", dd.minhash_signature("text", 8, 3).alias("sig")
