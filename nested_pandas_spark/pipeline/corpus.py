@@ -334,12 +334,26 @@ def clean_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    model_threshold: float | None = None,
+    model_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus (stats columns attached), with exact and
     verified near-duplicates removed (the lowest id of each group survives).
+
+    ``model_threshold`` adds the classifier-filtering stage: rows must also
+    score ``quality_model_score(...) >= model_threshold`` (a logistic model
+    evaluated JVM-side in the same scan as the heuristic stats — no extra
+    pass over the text).
     """
+    from .text import quality_model_score
+
     stats = add_text_stats(docs, text_col)
     kept = stats.where(F.col("quality") >= min_quality)
+    if model_threshold is not None:
+        kept = kept.where(
+            quality_model_score(text_col, weights=model_weights)
+            >= model_threshold
+        )
     if languages:
         kept = kept.where(F.col("lang_pred").isin(languages))
 

@@ -86,6 +86,17 @@ def test_clean_corpus(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 5]
 
+    # classifier stage: an impossible threshold empties the corpus, a
+    # trivial one changes nothing
+    none_kept = clean_corpus(docs, min_quality=0.5, near_dup_threshold=0.6,
+                             num_hashes=8, bands=4, shingle_n=3,
+                             model_threshold=1.1)
+    assert none_kept.count() == 0
+    same = clean_corpus(docs, min_quality=0.5, near_dup_threshold=0.6,
+                        num_hashes=8, bands=4, shingle_n=3,
+                        model_threshold=0.0)
+    assert sorted(r["doc_id"] for r in same.collect()) == [1, 5]
+
 
 def test_decontaminate(spark):
     from nested_pandas_spark.pipeline.corpus import decontaminate
