@@ -750,6 +750,17 @@ def q51_quality_model(spark, sf):
     )
 
 
+def q52_pack_segments(spark, sf):
+    """Per-bin segment expansion of GPT-style packing (pipeline/corpus.py
+    pack_segments): the distributed prefix sum of q43 plus a per-row
+    sequence+explode over the bins each document overlaps — the chunker's
+    exact work list. Oracle: window cumsum + LATERAL range unnest."""
+    from nested_pandas_spark.pipeline.corpus import pack_segments
+
+    docs = _t(spark, sf, "documents")
+    return pack_segments(docs, capacity=1024)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -889,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_incremental_dedup": q49_incremental_dedup,
         "q50_crosscorpus_lsh": q50_crosscorpus_lsh,
         "q51_quality_model": q51_quality_model,
+        "q52_pack_segments": q52_pack_segments,
     }
 
 
@@ -1247,6 +1259,25 @@ def oracle_sql() -> dict[str, str]:
             """,
         ),
         "q51_quality_model": _qmodel_oracle(),
+        "q52_pack_segments": """
+            WITH t AS (
+                SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS BIGINT) AS tok FROM documents
+            ), c AS (
+                SELECT doc_id, tok,
+                       CAST(sum(tok) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS s
+                FROM t
+            ), b AS (
+                SELECT doc_id, tok, s FROM c WHERE tok > 0
+            )
+            SELECT b.doc_id,
+                   g.bin_id,
+                   greatest(b.s, g.bin_id * 1024) - b.s AS doc_offset,
+                   greatest(b.s, g.bin_id * 1024) - g.bin_id * 1024 AS bin_offset,
+                   least(b.s + b.tok, (g.bin_id + 1) * 1024)
+                       - greatest(b.s, g.bin_id * 1024) AS seg_tokens
+            FROM b, LATERAL unnest(range(b.s // 1024, (b.s + b.tok - 1) // 1024 + 1)) AS g(bin_id)
+        """,
         "q20_ngram_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id, list_distinct({sh3}) AS s FROM documents

@@ -34,6 +34,7 @@ __all__ = [
     "clean_corpus",
     "decontaminate",
     "mixture_weights",
+    "pack_segments",
     "pack_sequences",
     "stratified_sample",
     "write_sharded",
@@ -122,6 +123,55 @@ def pack_sequences(
         # would lose ULPs past 2^53 tokens)
         F.expr(f"__start DIV {int(capacity)}").alias("bin_id"),
         (F.col("__start") % capacity).alias("bin_offset"),
+    )
+
+
+def pack_segments(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The chunker's view of :func:`pack_sequences`: one row per
+    (document, context-window bin) the document OVERLAPS, with the exact
+    segment bounds — what a GPT-style packer materializes when a document
+    spans bins.
+
+    Returns ``(id_col, bin_id, doc_offset, bin_offset, seg_tokens)``:
+    the segment covers tokens ``[doc_offset, doc_offset + seg_tokens)`` of
+    the document and lands at ``bin_offset`` inside ``bin_id``. A document
+    fully inside one bin yields one row; a ``capacity``-spanning document
+    yields ``ceil`` rows. Zero-token documents yield none.
+
+    Same distributed prefix sum as :func:`pack_sequences`; the bin
+    expansion is a per-row ``sequence``+``explode`` (factor ≈ 1 + tokens/
+    capacity — the theoretical minimum number of segments), so the whole
+    operator stays a narrow pass after the prefix-sum shuffle.
+    """
+    tok = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    cap = int(capacity)
+    base = _stream_starts(docs, id_col, tok, F.col(id_col)).where(
+        F.col("__sz") > 0
+    )
+    first = F.expr(f"__start DIV {cap}")
+    last = F.expr(f"(__start + __sz - 1) DIV {cap}")
+    out = base.select(
+        F.col(id_col),
+        F.col("__start"),
+        F.col("__sz"),
+        F.explode(F.sequence(first, last)).alias("bin_id"),
+    )
+    seg_start = F.greatest(F.col("__start"), F.col("bin_id") * cap)
+    seg_end = F.least(F.col("__start") + F.col("__sz"), (F.col("bin_id") + 1) * cap)
+    return out.select(
+        F.col(id_col),
+        F.col("bin_id"),
+        (seg_start - F.col("__start")).alias("doc_offset"),
+        (seg_start - F.col("bin_id") * cap).alias("bin_offset"),
+        (seg_end - seg_start).alias("seg_tokens"),
     )
 
 

@@ -185,6 +185,43 @@ def test_pack_sequences_matches_single_window(spark):
     assert got == want
 
 
+def test_pack_segments(spark):
+    from nested_pandas_spark.pipeline.corpus import pack_segments
+
+    # token counts 3, 4, 5, 2 -> starts 0, 3, 7, 12 at capacity 5:
+    # doc 2 spans bins 0-1 (seg 2+2), doc 3 spans bins 1-2 (seg 3+2)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "d e f g"),
+            (3, "h i j k l"),
+            (4, "m n"),
+            (5, ""),  # zero tokens -> no segments
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["bin_id"], r["doc_offset"], r["bin_offset"], r["seg_tokens"])
+        for r in pack_segments(docs, capacity=5).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 0, 3),
+        (2, 0, 0, 3, 2),
+        (2, 1, 2, 0, 2),
+        (3, 1, 0, 2, 3),
+        (3, 2, 3, 0, 2),
+        (4, 2, 0, 2, 2),
+    ]
+    # segment bookkeeping: per-doc segments cover the doc exactly; per-bin
+    # loads never exceed capacity
+    per_doc, per_bin = {}, {}
+    for d, b, _, _, s in rows:
+        per_doc[d] = per_doc.get(d, 0) + s
+        per_bin[b] = per_bin.get(b, 0) + s
+    assert per_doc == {1: 3, 2: 4, 3: 5, 4: 2}
+    assert all(v <= 5 for v in per_bin.values())
+
+
 def test_assign_shards_matches_single_window(spark):
     """The hash-shuffled distributed prefix sum must equal the naive
     global-window cumsum over the same md5 order."""
