@@ -31,14 +31,25 @@ def asof_join(
     suffix: str = "_right",
     tolerance: int | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` (or ``<`` when ``strict``) within the same key.
+    """For each left row, attach the as-of matching right row within the
+    same key — ``pandas.merge_asof`` semantics at Spark scale.
+
+    ``direction``: ``'backward'`` (default) matches the most recent right
+    row with ``right.ts <= left.ts``; ``'forward'`` the earliest with
+    ``right.ts >= left.ts``; ``'nearest'`` whichever of the two is closer
+    in ``ts`` (ties -> the backward match, as in pandas). ``strict``
+    excludes equal timestamps. ``tolerance``: maximum allowed ``|left.ts -
+    right.ts|`` (same units as ``ts``); farther matches are nulled out.
 
     ``ts`` must be a numeric/orderable column present in both inputs.
-    ``tolerance``: maximum allowed ``left.ts - right.ts`` (same units as
-    ``ts``); older matches are nulled out.
+    ``'nearest'`` costs one extra within-partition sort (the reversed
+    window), NOT an extra shuffle — both carries share the one key
+    partitioning.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rcols = right_cols or [c for c in right.columns if c not in set(keys) | {ts}]
 
@@ -81,27 +92,60 @@ def asof_join(
         for c in rcols
         if isinstance(rtypes[c], AtomicType)
     ]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts).asc(), tie, *payload_tie)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.select(
-        "*",
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in rcols
-        ],
-    )
+
+    def _carry(prefix: str, backward: bool) -> list:
+        """last-non-null carry over the key partition in one time order."""
+        order_ts = F.col(ts).asc() if backward else F.col(ts).desc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(order_ts, tie, *payload_tie)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return [
+            F.last("__r_ts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+                for c in rcols
+            ],
+        ]
+
+    dirs = {"backward": [True], "forward": [False], "nearest": [True, False]}[direction]
+    carry_cols = []
+    for backward in dirs:
+        carry_cols += _carry("__b_" if backward else "__f_", backward)
+    carried = unioned.select("*", *carry_cols)
     out = carried.where(F.col("__is_left") == 1)
-    if tolerance is not None:
-        in_range = (F.col(ts) - F.col("__m_ts")) <= tolerance
-        sel = [F.when(in_range, F.col(f"__m_{c}")).alias(f"{c}{suffix}") for c in rcols]
-        sel.append(F.when(in_range, F.col("__m_ts")).alias(f"{ts}{suffix}"))
+
+    def _valid(prefix: str, backward: bool):
+        mts = F.col(f"{prefix}ts")
+        v = mts.isNotNull()
+        if tolerance is not None:
+            diff = (F.col(ts) - mts) if backward else (mts - F.col(ts))
+            v = v & (diff <= tolerance)
+        return v
+
+    if direction == "nearest":
+        use_b = _valid("__b_", True) & (
+            ~_valid("__f_", False)
+            | ((F.col(ts) - F.col("__b_ts")) <= (F.col("__f_ts") - F.col(ts)))
+        )
+        use_f = _valid("__f_", False) & ~use_b
+        sel = [
+            F.when(use_b, F.col(f"__b_{c}")).when(use_f, F.col(f"__f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in rcols
+        ]
+        sel.append(
+            F.when(use_b, F.col("__b_ts")).when(use_f, F.col("__f_ts"))
+            .alias(f"{ts}{suffix}")
+        )
     else:
-        sel = [F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in rcols]
-        sel.append(F.col("__m_ts").alias(f"{ts}{suffix}"))
+        prefix = "__b_" if direction == "backward" else "__f_"
+        ok = _valid(prefix, direction == "backward")
+        sel = [
+            F.when(ok, F.col(f"{prefix}{c}")).alias(f"{c}{suffix}") for c in rcols
+        ]
+        sel.append(F.when(ok, F.col(f"{prefix}ts")).alias(f"{ts}{suffix}"))
     return out.select(*[F.col(c) for c in left_cols], *sel)
 
 

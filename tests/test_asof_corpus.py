@@ -20,6 +20,66 @@ def trades_quotes(spark):
     return trades, quotes
 
 
+def test_asof_join_directions(trades_quotes):
+    trades, quotes = trades_quotes
+    fwd = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"],
+                    direction="forward")
+    d = {r["trade_id"]: (r["px_right"], r["ts_right"]) for r in fwd.collect()}
+    assert d[1] == (11.0, 200)   # A@100 -> next quote@200
+    assert d[2] == (None, None)  # A@205: nothing at-or-after
+    assert d[3] == (21.0, 150)   # inclusive
+    assert d[4] == (20.0, 100)   # B@90 -> quote@100
+    near = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"],
+                     direction="nearest")
+    n = {r["trade_id"]: r["ts_right"] for r in near.collect()}
+    assert n[1] == 50     # |100-50| = 50 < |200-100|
+    assert n[2] == 200
+    assert n[3] == 150
+    assert n[4] == 100
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Golden parity with pandas.merge_asof on randomized data, across all
+    directions x strict x tolerance."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    left_rows = sorted(
+        (rng.choice("AB"), rng.randrange(0, 1000)) for _ in range(60)
+    )
+    # unique right ts per key: merge_asof's pick among equal-ts duplicates
+    # is positional, not value-deterministic
+    right_ts = {k: rng.sample(range(0, 1000), 25) for k in "AB"}
+    right_rows = [(k, t, float(t) / 10) for k in "AB" for t in right_ts[k]]
+    lp = pd.DataFrame(left_rows, columns=["sym", "ts"]).sort_values("ts")
+    lp["lid"] = range(len(lp))
+    rp = pd.DataFrame(right_rows, columns=["sym", "ts", "px"]).sort_values("ts")
+    ls = spark.createDataFrame(lp, "sym string, ts long, lid long")
+    rs = spark.createDataFrame(rp, "sym string, ts long, px double")
+
+    for direction in ("backward", "forward", "nearest"):
+        for strict in (False, True):
+            for tol in (None, 50):
+                if direction == "nearest" and strict:
+                    continue  # merge_asof forbids this combination
+                want_df = pd.merge_asof(
+                    lp, rp, on="ts", by="sym", direction=direction,
+                    allow_exact_matches=not strict, tolerance=tol,
+                )
+                want = {
+                    int(r.lid): (None if pd.isna(r.px) else r.px)
+                    for r in want_df.itertuples()
+                }
+                got_df = asof_join(
+                    ls, rs, on="sym", ts="ts", right_cols=["px"],
+                    direction=direction, strict=strict, tolerance=tol,
+                )
+                got = {r["lid"]: r["px_right"] for r in got_df.collect()}
+                assert got == want, (direction, strict, tol)
+
+
 def test_asof_join_basic(trades_quotes):
     trades, quotes = trades_quotes
     out = asof_join(trades, quotes, on="sym", ts="ts", right_cols=["px"])
