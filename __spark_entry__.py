@@ -761,6 +761,30 @@ def q52_pack_segments(spark, sf):
     return pack_segments(docs, capacity=1024)
 
 
+def q53_asof_nearest(spark, sf):
+    """Nearest-direction as-of join (operators/asof.py direction='nearest'):
+    each click matched to the time-closest signup of the same user, ties to
+    the backward match (pandas.merge_asof semantics). Both carries share
+    one key-partition shuffle. Oracle: LEFT JOIN + QUALIFY min-distance."""
+    from nested_pandas_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")  # canonical int64 nanos
+    ts_us = F.expr("ts DIV 1000").alias("ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_us
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", ts_us, F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(clicks, signups, on="user_id", ts="ts",
+                    right_cols=["signup_event"], direction="nearest")
+    return out.select(
+        "event_id",
+        F.col("signup_event_right").alias("signup_event"),
+        F.col("ts_right").alias("signup_ts_us"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -901,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_crosscorpus_lsh": q50_crosscorpus_lsh,
         "q51_quality_model": q51_quality_model,
         "q52_pack_segments": q52_pack_segments,
+        "q53_asof_nearest": q53_asof_nearest,
     }
 
 
@@ -1259,6 +1284,26 @@ def oracle_sql() -> dict[str, str]:
             """,
         ),
         "q51_quality_model": _qmodel_oracle(),
+        "q53_asof_nearest": """
+            WITH c AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'click'
+            ), s AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       event_id AS signup_event
+                FROM events WHERE event_type = 'signup'
+            ), pairs AS (
+                SELECT c.event_id, s.signup_event, s.ts_us AS signup_ts_us,
+                       abs(c.ts_us - s.ts_us) AS d,
+                       CASE WHEN s.ts_us <= c.ts_us THEN 0 ELSE 1 END AS fwd
+                FROM c LEFT JOIN s ON c.user_id = s.user_id
+            )
+            SELECT event_id, signup_event, signup_ts_us FROM pairs
+            QUALIFY row_number() OVER (
+                PARTITION BY event_id
+                ORDER BY d NULLS LAST, fwd, signup_event DESC
+            ) = 1
+        """,
         "q52_pack_segments": """
             WITH t AS (
                 SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS BIGINT) AS tok FROM documents
