@@ -168,13 +168,16 @@ def range_join(
     becoming a cartesian theta join.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    l = left.withColumn("__bk", (F.col(left_ts) / bucket).cast("long"))
+    # floor division, not truncation: cast("long") rounds toward zero, which
+    # mis-buckets negative timestamps (-1 and +1 would share bucket 0 and
+    # boundary intervals would miss their matches)
+    l = left.withColumn("__bk", F.floor(F.col(left_ts) / bucket).cast("long"))
     r = right.withColumn(
         "__bk",
         F.explode(
             F.sequence(
-                (F.col(right_start) / bucket).cast("long"),
-                (F.col(right_end) / bucket).cast("long"),
+                F.floor(F.col(right_start) / bucket).cast("long"),
+                F.floor(F.col(right_end) / bucket).cast("long"),
             )
         ),
     )

@@ -126,6 +126,22 @@ def test_range_join(spark):
     assert d == {1: "i1", 2: "i2"}  # pid 3 matches nothing
 
 
+def test_range_join_negative_ts(spark):
+    """Bucket assignment must floor-divide: truncation toward zero would
+    put -1 and +1 in the same bucket and miss boundary intervals."""
+    points = spark.createDataFrame(
+        [(1, "A", -105), (2, "A", -1), (3, "A", 1)], "pid long, k string, ts long"
+    )
+    intervals = spark.createDataFrame(
+        [("A", -150, -100, "neg"), ("A", -10, 10, "cross")],
+        "k string, s long, e long, label string",
+    )
+    out = range_join(points, intervals, on="k", left_ts="ts",
+                     right_start="s", right_end="e", bucket=50)
+    d = {r["pid"]: r["label"] for r in out.collect()}
+    assert d == {1: "neg", 2: "cross", 3: "cross"}
+
+
 def test_clean_corpus(spark):
     base = (
         "the quick brown fox jumps over the lazy dog and then it runs far away "
