@@ -515,3 +515,74 @@ def test_accessor_without_field_parity(pair):
     # the rows that exist.
     norm = lambda cells: {k: (v or None) for k, v in cells.items()}  # noqa: E731
     assert norm(got) == norm(ref_cells)
+
+
+def test_from_lists_parity(ref, spark):
+    """NestedFrame.from_lists: list columns zip into one nested column with
+    identical cells in both engines."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from nested_pandas_spark import NestedFrame
+    from nested_pandas_spark.operators.packer import from_lists
+
+    data = [
+        (0, "x", [1.0, 2.0], [10.0, 20.0]),
+        (1, "y", [3.0], [30.0]),
+        (2, "z", [], []),
+    ]
+    ref_df = ref.NestedFrame(
+        {
+            "label": [r[1] for r in data],
+            "t": pd.Series([r[2] for r in data], dtype=pd.ArrowDtype(pa.list_(pa.float64()))),
+            "f": pd.Series([r[3] for r in data], dtype=pd.ArrowDtype(pa.list_(pa.float64()))),
+        },
+        index=[r[0] for r in data],
+    )
+    rff = ref_df.nest_lists(columns=["t", "f"], name="nested")
+    r = {
+        k: sorted(
+            (e["t"], e["f"]) for _, e in row["nested"].iterrows()
+        )
+        for k, row in rff.iterrows()
+        if row["nested"] is not None
+    }
+    sdf = spark.createDataFrame(
+        data, "id long, label string, t array<double>, f array<double>"
+    )
+    sff = NestedFrame(from_lists(sdf, list_columns=["t", "f"]))
+    s = {
+        row["id"]: sorted((e["t"], e["f"]) for e in row["nested"])
+        for row in sff.df.collect()
+        if row["nested"] is not None
+    }
+    assert r == s
+
+
+def test_accessor_with_field_parity(ref, pair):
+    """with_field/with_flat_field: adding a computed sub-column yields the
+    same cells in both engines (the reference takes flat values; ours takes
+    the expression that computes them — observable results must agree)."""
+    import numpy as np
+
+    ref_packed, sp_packed = pair
+    flat = ref_packed["nested"].nest.to_flat()
+    doubled = ref_packed["nested"].nest.with_flat_field(
+        "t2", (flat["t"] * 2).to_numpy(dtype=np.float64)
+    )
+    ref_cells = {}
+    for key, cell in doubled.items():
+        if cell is None:
+            ref_cells[key] = None
+            continue
+        rows = [
+            tuple(None if pd.isna_scalar(v) else v for v in r)
+            for _, r in cell.iterrows()
+        ]
+        ref_cells[key] = sorted(
+            rows, key=lambda x: tuple((e is None, e) for e in x)
+        )
+    sp_doubled = sp_packed.nest("nested").with_field("t2", "nested.t * 2")
+    got = _sp_cells(sp_doubled)
+    norm = lambda cells: {k: (v or None) for k, v in cells.items()}  # noqa: E731
+    assert norm(got) == norm(ref_cells)
