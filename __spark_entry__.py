@@ -419,11 +419,14 @@ def q30_embedding_neardup(spark, sf):
 
 
 def q31_ivf_topk(spark, sf):
-    """IVF ANN: 8 md5-seeded centroids, 3-probe search, exact rerank, top-3
-    per query (rank-only output — float policy as q22)."""
+    """IVF ANN: 8 md5-seeded centroids refined by 2 deterministic Lloyd
+    k-means rounds (pipeline/similarity.py kmeans_refine — HALF_UP-rounded
+    means so the oracle replays the refinement to the digit), 3-probe
+    search, exact rerank, top-3 per query (rank-only output — float policy
+    as q22)."""
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    out = sim.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3)
+    out = sim.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3, n_iters=2)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -520,12 +523,15 @@ def q34_range_join(spark, sf):
 
 def q39_pq_topk(spark, sf):
     """Product-quantization ANN: md5-seeded codebooks (4 subspaces x 8
-    centroids over dim 64), vectors compressed to 4 codes, ADC scan against
-    reconstructions, exact re-rank of 4*k candidates
-    (pipeline/similarity.py pq_*). Rank-only output (float policy as q22)."""
+    centroids over dim 64) refined per-subspace by 2 deterministic Lloyd
+    k-means rounds (squared-L2 — the code-assignment metric; HALF_UP-
+    rounded means so the oracle replays the refinement), vectors compressed
+    to 4 codes, ADC scan against reconstructions, exact re-rank of 4*k
+    candidates (pipeline/similarity.py pq_*). Rank-only output (float
+    policy as q22)."""
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return sim.pq_topk(emb, q, k=3, n_sub=4, n_centroids=8, refine=4)
+    return sim.pq_topk(emb, q, k=3, n_sub=4, n_centroids=8, refine=4, n_iters=2)
 
 
 def q40_stream_state(spark, sf):
@@ -540,19 +546,26 @@ def q40_stream_state(spark, sf):
 
     from nested_pandas_spark.streaming import events as evs
 
+    # entry contract: driver may use a vanilla session; nano-layout
+    # events.parquet needs this set BEFORE the footer read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = tempfile.mkdtemp(prefix="q40_stream_")
-    shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
-    stream = evs.read_event_stream(spark, d)
-    name = "q40_mem_" + uuid.uuid4().hex[:8]
-    q = (
-        evs.running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        stream = evs.read_event_stream(spark, d)
+        name = "q40_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            evs.running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # memory sink rows live in the session, not these staged files
+        shutil.rmtree(d, ignore_errors=True)
     # update mode emits one row per user per micro-batch; counts are
     # monotone, so the final state is the max
     return (
@@ -669,27 +682,34 @@ def q47_stream_join(spark, sf):
     from nested_pandas_spark.streaming import events as evs
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # entry contract: driver may use a vanilla session; nano-layout
+    # events.parquet needs this set BEFORE the footer read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = tempfile.mkdtemp(prefix="q47_stream_")
-    shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
-    clicks = evs.read_event_stream(spark, d).where(F.col("event_type") == "click")
-    signups = evs.read_event_stream(spark, d).where(
-        F.col("event_type") == "signup"
-    ).select("user_id", "ts", F.col("event_id").alias("signup_event"))
-    joined = evs.stream_interval_join(
-        clicks, signups, on="user_id", right_cols=["signup_event"],
-        lookback="1 hour",
-    )
-    import uuid
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        clicks = evs.read_event_stream(spark, d).where(F.col("event_type") == "click")
+        signups = evs.read_event_stream(spark, d).where(
+            F.col("event_type") == "signup"
+        ).select("user_id", "ts", F.col("event_id").alias("signup_event"))
+        joined = evs.stream_interval_join(
+            clicks, signups, on="user_id", right_cols=["signup_event"],
+            lookback="1 hour",
+        )
+        import uuid
 
-    name = "q47_mem_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        name = "q47_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # memory sink rows live in the session, not these staged files
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         "event_id", F.col("signup_event_right").alias("signup_event")
     )
@@ -811,19 +831,26 @@ def q36_stream_hourly(spark, sf):
     from nested_pandas_spark.streaming import events as evs
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # entry contract: driver may use a vanilla session; nano-layout
+    # events.parquet needs this set BEFORE the footer read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = tempfile.mkdtemp(prefix="q36_stream_")
-    shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
-    stream = evs.read_event_stream(spark, d)
-    name = "q36_mem_" + uuid.uuid4().hex[:8]
-    q = (
-        evs.hourly_rollup(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        stream = evs.read_event_stream(spark, d)
+        name = "q36_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            evs.hourly_rollup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # memory sink rows live in the session, not these staged files
+        shutil.rmtree(d, ignore_errors=True)
     out = spark.table(name)
     return out.select(
         F.unix_timestamp("hour_start").alias("hour_epoch"),
@@ -1109,7 +1136,99 @@ def _clean_corpus_oracle(sh3: str, w: str, hits_en: str) -> str:
     """
 
 
+def _dd_cos(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine(a, b) over DOUBLE[] columns — sequential index-order
+    sums, bit-identical to Spark's zip_with/aggregate HOF evaluation."""
+    return (
+        f"list_sum(list_transform(range(0, {dim}), i -> {a}[i + 1] * {b}[i + 1])) / "
+        f"(sqrt(list_sum(list_transform(range(0, {dim}), i -> {a}[i + 1] * {a}[i + 1]))) * "
+        f"sqrt(list_sum(list_transform(range(0, {dim}), i -> {b}[i + 1] * {b}[i + 1]))))"
+    )
+
+
+def _kmeans_cos_ctes(n_iters: int, n_cent: int, dim: int = 64) -> tuple[str, str]:
+    """Unrolled Lloyd k-means (cosine assignment, HALF_UP-rounded means) as
+    a DuckDB CTE chain over ``e(vec_id, v)`` — the oracle replica of
+    pipeline/similarity.py kmeans_refine(metric='cosine'). Returns
+    (cte_sql, final_centroid_cte_name). Means are round(avg, 6): double-sum
+    ordering differences between engines vanish at 1e-6 granularity, and
+    every later assignment uses the identical rounded literals, so the
+    whole refinement replays to the digit."""
+    parts = [f"""cent0 AS (
+                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1
+                           AS cid, v AS cv
+                FROM e
+                QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {n_cent}
+            )"""]
+    for it in range(1, n_iters + 1):
+        prev = f"cent{it - 1}"
+        parts.append(f"""kasg{it} AS (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           {_dd_cos('e.v', 'c.cv', dim)} DESC, c.cid ASC) AS rn
+                FROM e, {prev} c
+            )""")
+        parts.append(f"""kmean{it} AS (
+                SELECT cid, list(m ORDER BY i) AS cv
+                FROM (SELECT cid, i, round(avg(v[i + 1]), 6) AS m
+                      FROM kasg{it}, range(0, {dim}) t(i)
+                      WHERE rn = 1 GROUP BY cid, i) d
+                GROUP BY cid
+            )""")
+        parts.append(f"""cent{it} AS (
+                SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+                FROM {prev} p LEFT JOIN kmean{it} m USING (cid)
+            )""")
+    return ",\n            ".join(parts), f"cent{n_iters}"
+
+
+def _pq_kmeans_ctes(n_iters: int, n_cent: int, n_sub: int, d_sub: int) -> tuple[str, str]:
+    """Unrolled per-subspace Lloyd k-means (squared-L2 assignment — the PQ
+    code metric) as a DuckDB CTE chain: the oracle replica of
+    pipeline/similarity.py pq_codebooks(n_iters>0). Books CTEs hold
+    (s, cid, cv) with cv the d_sub-dim subspace centroid. Returns
+    (cte_sql, final_books_cte_name); assumes CTE ``e(vec_id, v)``."""
+    l2 = (
+        f"list_sum(list_transform(range(0, {d_sub}), i -> "
+        f"(e.v[b.s * {d_sub} + i + 1] - b.cv[i + 1]) * "
+        f"(e.v[b.s * {d_sub} + i + 1] - b.cv[i + 1])))"
+    )
+    parts = [f"""seeds AS (
+                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1
+                           AS cid, v AS cv
+                FROM e
+                QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {n_cent}
+            )""", f"""books0 AS (
+                SELECT ss.s, sd.cid,
+                       sd.cv[ss.s * {d_sub} + 1 : ss.s * {d_sub} + {d_sub}] AS cv
+                FROM seeds sd, range(0, {n_sub}) ss(s)
+            )"""]
+    for it in range(1, n_iters + 1):
+        prev = f"books{it - 1}"
+        parts.append(f"""pasg{it} AS (
+                SELECT e.vec_id, e.v, b.s, b.cid,
+                       row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+                           {l2} ASC, b.cid ASC) AS rn
+                FROM e, {prev} b
+            )""")
+        parts.append(f"""pmean{it} AS (
+                SELECT s, cid, list(m ORDER BY i) AS cv
+                FROM (SELECT s, cid, i, round(avg(v[s * {d_sub} + i + 1]), 6) AS m
+                      FROM pasg{it}, range(0, {d_sub}) t(i)
+                      WHERE rn = 1 GROUP BY s, cid, i) d
+                GROUP BY s, cid
+            )""")
+        parts.append(f"""books{it} AS (
+                SELECT p.s, p.cid, COALESCE(m.cv, p.cv) AS cv
+                FROM {prev} p LEFT JOIN pmean{it} m USING (s, cid)
+            )""")
+    return ",\n            ".join(parts), f"books{n_iters}"
+
+
 def oracle_sql() -> dict[str, str]:
+    # unrolled deterministic k-means refinements (q31 IVF / q39 PQ)
+    ivf_km, ivf_cent = _kmeans_cos_ctes(2, 8)
+    pq_km, pq_books = _pq_kmeans_ctes(2, 8, 4, 16)
     sh3 = _shingles(3)
     sh2 = _shingles(2)
     w = _WORDS
@@ -1453,25 +1572,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
             FROM scored WHERE cs >= 0.35
         """,
-        "q31_ivf_topk": """
+        "q31_ivf_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent AS (
-                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1
-                           AS cid, v AS cv
-                FROM e
-                QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= 8
-            ),
+            {ivf_km},
             assign AS (
-                SELECT e.vec_id, e.v, cent.cid,
+                SELECT e.vec_id, e.v, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                           list_sum(list_transform(range(0, 64),
-                               i -> e.v[i + 1] * cent.cv[i + 1])) /
-                           (sqrt(list_sum(list_transform(range(0, 64),
-                                i -> e.v[i + 1] * e.v[i + 1]))) *
-                            sqrt(list_sum(list_transform(range(0, 64),
-                                i -> cent.cv[i + 1] * cent.cv[i + 1]))))
-                           DESC, cent.cid ASC) AS rn
-                FROM e, cent
+                           {_dd_cos('e.v', 'c.cv')} DESC, c.cid ASC) AS rn
+                FROM e, {ivf_cent} c
             ),
             cvec AS (SELECT vec_id AS neighbor_id, v AS nv, cid
                      FROM assign WHERE rn = 1),
@@ -1479,12 +1587,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM assign WHERE rn <= 3 AND vec_id < 10),
             cand AS (
                 SELECT p.query_id, c.neighbor_id,
-                       list_sum(list_transform(range(0, 64),
-                           i -> p.qv[i + 1] * c.nv[i + 1])) /
-                       (sqrt(list_sum(list_transform(range(0, 64),
-                            i -> p.qv[i + 1] * p.qv[i + 1]))) *
-                        sqrt(list_sum(list_transform(range(0, 64),
-                            i -> c.nv[i + 1] * c.nv[i + 1])))) AS cs
+                       {_dd_cos('p.qv', 'c.nv')} AS cs
                 FROM probes p JOIN cvec c USING (cid)
                 WHERE c.neighbor_id <> p.query_id
             )
@@ -1708,29 +1811,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM survivors
             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         """,
-        "q39_pq_topk": """
+        "q39_pq_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            seeds AS (
-                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1
-                           AS cid, v AS cv
-                FROM e
-                QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= 8
-            ),
+            {pq_km},
             codes AS (
-                SELECT ev.vec_id, ss.s, sd.cid,
-                       row_number() OVER (PARTITION BY ev.vec_id, ss.s
+                SELECT e.vec_id, b.s, b.cid,
+                       row_number() OVER (PARTITION BY e.vec_id, b.s
                            ORDER BY list_sum(list_transform(range(0, 16), i ->
-                               (ev.v[ss.s * 16 + i + 1] - sd.cv[ss.s * 16 + i + 1])
-                               * (ev.v[ss.s * 16 + i + 1] - sd.cv[ss.s * 16 + i + 1])))
-                               ASC, sd.cid ASC) AS rn
-                FROM e ev, range(0, 4) ss(s), seeds sd
+                               (e.v[b.s * 16 + i + 1] - b.cv[i + 1])
+                               * (e.v[b.s * 16 + i + 1] - b.cv[i + 1])))
+                               ASC, b.cid ASC) AS rn
+                FROM e, {pq_books} b
                 QUALIFY rn = 1
             ),
             recon AS (
                 SELECT c.vec_id,
-                       flatten(list(sd.cv[c.s * 16 + 1 : c.s * 16 + 16]
-                                    ORDER BY c.s)) AS rv
-                FROM codes c JOIN seeds sd USING (cid)
+                       flatten(list(b.cv ORDER BY c.s)) AS rv
+                FROM codes c JOIN {pq_books} b ON b.s = c.s AND b.cid = c.cid
                 GROUP BY c.vec_id
             ),
             adc AS (

@@ -54,7 +54,21 @@ def _stream_starts(
     small (id, size) rows, never text), then lift per-partition totals (one
     tiny row per partition) into exclusive prefix offsets driver-side and
     broadcast them back. Every stage stays parallel at any corpus size.
+
+    Determinism: ``repartitionByRange`` picks its range boundaries by
+    seeded sampling, and the seed differs per physical execution — so the
+    per-partition totals job and the downstream join MUST observe the same
+    physical partitioning or rows near a boundary could land in a
+    different ``__pid`` on recomputation and silently corrupt every
+    ``__start``. The partitioned projection (id, size, key — never text)
+    is therefore persisted (memory, spilling to local disk) before the
+    totals collect materializes it; the returned plan reads the same
+    cached partitions. At 100 TB the cached slice is ~24 bytes/doc spread
+    across the cluster's local disks; pin it with a reliable checkpoint
+    instead if executor loss must also be survivable.
     """
+    from pyspark import StorageLevel
+
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     base = (
@@ -69,10 +83,12 @@ def _stream_starts(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     base = base.withColumn("__end_local", F.sum("__sz").over(w))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # tiny: one row per partition — exclusive prefix offsets driver-side.
     # (repartitionByRange makes partition ids follow the key ranges, so
     # cumulating totals in __pid order IS the global stream order.)
+    # This collect is also what materializes the cache above.
     totals = base.groupBy("__pid").agg(F.sum("__sz").alias("__t")).collect()
     run, offs = 0, []
     for r in sorted(totals, key=lambda r: r["__pid"]):
@@ -229,15 +245,21 @@ def write_sharded(
     One extra shuffle (hash on shard_id) co-locates each shard into a
     single task before the partitioned write, so each shard directory is
     one file of the target size — the layout a training-data loader
-    streams directly.
+    streams directly. ``sortWithinPartitions`` on the same stream key that
+    ordered the shard assignment makes each file internally ordered by it
+    (a task-local sort — no extra shuffle).
     """
     shards = assign_shards(
         docs, target_tokens, id_col=id_col, text_col=text_col,
         tokens_col=tokens_col, shuffle=shuffle,
     ).select(id_col, "shard_id")
     out = docs.join(shards, id_col)
+    order = (
+        F.md5(F.col(id_col).cast("string")) if shuffle else F.col(id_col)
+    )
     (
         out.repartition(F.col("shard_id"))
+        .sortWithinPartitions(order)
         .write.mode(mode)
         .partitionBy("shard_id")
         .parquet(path)

@@ -133,17 +133,56 @@ def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
     return F.transform(word_ngrams(text, shingle_n), lambda s: _h32(s))
 
 
+def _conf_bytes(raw: str) -> int:
+    """Parse a Spark size conf ('134217728', '128m', '1g') to bytes."""
+    s = raw.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the scan yields fewer partitions than
-    cores. Hash/shingle stages are CPU-bound per row; a small parquet file
-    arrives as ONE split and would run single-threaded. At real scale files
-    exceed maxPartitionBytes and split naturally — this only rescues the
-    small-input case, at the cost of one cheap shuffle of raw text.
+    """Round-robin repartition when the scan would yield fewer partitions
+    than cores. Hash/shingle stages are CPU-bound per row; a small parquet
+    file arrives as ONE split and would run single-threaded. At real scale
+    files exceed maxPartitionBytes and split naturally — this only rescues
+    the small-input case, at the cost of one cheap shuffle of raw text.
+
+    Connect-safe: estimates the scan's split count from ``df.inputFiles()``
+    + driver-visible file sizes instead of probing ``df.rdd`` (which forces
+    a plan->RDD conversion and does not exist under Spark Connect).
+    Non-local URIs and in-memory relations are assumed already parallel —
+    at scale that is the case this heuristic exists to NOT touch.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    import os
+
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect session: no sparkContext
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    files = df.inputFiles()
+    if not files:
+        return df  # in-memory relation: creator already chose partitioning
+    max_pb = _conf_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_splits = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        if "://" in f and not f.startswith("file:"):
+            return df  # remote store: big-data layout, splits naturally
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = max_pb
+        est_splits += max(1, -(-size // max_pb))
+        if est_splits >= max(2, target // 2):
+            return df
+    return df.repartition(target)
 
 
 def staged_shingle_hashes(

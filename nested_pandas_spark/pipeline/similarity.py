@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine", "dot", "norm", "brute_force_topk", "srp_bucket", "lsh_topk",
-    "ivf_centroids", "ivf_topk",
+    "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
 ]
 
@@ -158,14 +158,19 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    n_iters: int = 0,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF seed centroids: the ``n_centroids`` corpus vectors
-    with the smallest md5(id) — a reproducible pseudo-random sample (no RNG
-    state, identical in any engine). ``orderBy(md5).limit(n)`` plans as a
-    map-side partial top-k (TakeOrderedAndProject): no full sort, no extra
-    shuffle, even over a 100 TB corpus. Production IVF would refine these
-    seeds with a few k-means rounds (each round = one broadcast join + one
-    groupBy-avg); the seed selection and the index layout are unchanged.
+    """Deterministic IVF centroids: seeds are the ``n_centroids`` corpus
+    vectors with the smallest md5(id) — a reproducible pseudo-random sample
+    (no RNG state, identical in any engine). ``orderBy(md5).limit(n)``
+    plans as a map-side partial top-k (TakeOrderedAndProject): no full
+    sort, no extra shuffle, even over a 100 TB corpus.
+
+    ``n_iters>0`` refines the seeds with that many Lloyd k-means rounds
+    (:func:`kmeans_refine`, cosine assignment — the search metric): each
+    round is one plan-literal assignment projection + one partial-agg
+    shuffle of per-centroid dimension sums. Deterministic (HALF_UP-rounded
+    means), so oracles can replay the refinement exactly.
     """
     rows = (
         corpus.select(
@@ -176,7 +181,110 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
-    return [(cid, r["__v"]) for cid, r in enumerate(rows)]
+    seeds = [(cid, r["__v"]) for cid, r in enumerate(rows)]
+    return kmeans_refine(
+        corpus, seeds, n_iters, vec_expr=vec_col, metric="cosine"
+    )
+
+
+def _round_half_up(x: float, decimals: int) -> float:
+    """Engine-portable HALF_UP rounding (Spark ROUND / DuckDB round both
+    round halves away from zero; Python's built-in ``round`` is banker's and
+    would disagree at exact halves)."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-decimals)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _nearest_l2(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Id of the centroid nearest to ``vec`` by squared L2 (ties to the
+    smaller id) — the classic k-means assignment, matching the PQ code
+    metric. Centroids are plan literals: pure projection, zero shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec, F.array(*[F.lit(x) for x in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return F.array_sort(scored)[0]["cid"]
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    n_iters: int = 2,
+    vec_expr: Column | str = "embedding",
+    metric: str = "cosine",
+    decimals: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means refinement of seed centroids, the Spark-native way.
+
+    Each round is (a) nearest-centroid assignment as a plan-literal
+    projection — zero shuffle at any corpus size — and (b) per-centroid
+    means via ONE partial-aggregated shuffle: ``groupBy(cid).agg(count,
+    sum(v[0]) .. sum(v[dim-1]))`` combines map-side, so only
+    ``n_centroids x (dim+1)`` doubles per input partition cross the wire,
+    never vectors. The n_centroids result rows collect to the driver and
+    become the next round's plan literals.
+
+    Determinism contract: means are rounded HALF_UP to ``decimals`` places
+    each round, so the refinement is reproducible to the digit in any
+    engine (the DuckDB oracles replay it; double-sum ordering differences
+    across engines vanish at 1e-6 granularity). Empty clusters keep their
+    previous centroid. ``metric`` is ``cosine`` (IVF's search metric) or
+    ``l2`` (classic k-means / PQ's code metric).
+
+    Production note (reference parity): the reference library has no ANN
+    index at all — this is the beyond-reference scale path, and with
+    ``n_iters>0`` the docstring promise of "production would refine with
+    k-means" is now the shipped behavior.
+    """
+    if not seeds or n_iters <= 0:
+        return seeds
+    dim = len(seeds[0][1])
+    vec = F.col(vec_expr) if isinstance(vec_expr, str) else vec_expr
+    base = corpus.select(vec.cast("array<double>").alias("__v"))
+    cents = seeds
+    for _ in range(n_iters):
+        if metric == "l2":
+            cid = _nearest_l2(F.col("__v"), cents)
+        else:
+            cid = _nearest_centroids(F.col("__v"), cents, 1)[0]
+        rows = (
+            base.withColumn("__cid", cid)
+            .groupBy("__cid")
+            .agg(
+                F.count("*").alias("__n"),
+                *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        by_cid = {r["__cid"]: r for r in rows}
+        nxt = []
+        for c, old in cents:
+            r = by_cid.get(c)
+            if r and r["__n"]:
+                nxt.append(
+                    (c, [_round_half_up(r[f"s{i}"] / r["__n"], decimals)
+                         for i in range(dim)])
+                )
+            else:
+                nxt.append((c, old))
+        cents = nxt
+    return cents
 
 
 def _nearest_centroids(
@@ -207,10 +315,14 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_iters: int = 0,
 ) -> DataFrame:
-    """IVF approximate top-k: assign every corpus vector to its nearest seed
+    """IVF approximate top-k: assign every corpus vector to its nearest
     centroid (the inverted file); each query probes only its ``n_probe``
     nearest centroids' lists and exact-reranks those candidates.
+    ``n_iters`` Lloyd rounds refine the md5-seeded centroids first
+    (:func:`kmeans_refine`) — tighter clusters, better recall at the same
+    probe budget.
 
     Scan cost per query drops from |corpus| to ~|corpus| * n_probe /
     n_centroids. The probe lists explode to (query, centroid) rows so the
@@ -218,7 +330,7 @@ def ivf_topk(
     broadcastable when the query set is small, and prunable at the storage
     layer if the corpus is written partitioned/bucketed by ``centroid_id``.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
@@ -251,22 +363,40 @@ def pq_codebooks(
     vec_col: str = "embedding",
     n_sub: int = 4,
     n_centroids: int = 8,
+    n_iters: int = 0,
 ) -> list[list[list[float]]]:
-    """Deterministic product-quantization codebooks: ``codebooks[s][c]`` is
-    the subspace-``s`` slice of the ``c``-th seed vector (the ``n_centroids``
-    corpus vectors with the smallest md5(id), exactly the IVF seeding rule —
-    reproducible in any engine, no RNG state). Production PQ would refine
-    each subspace codebook with k-means; the code layout is unchanged.
+    """Deterministic product-quantization codebooks: ``codebooks[s][c]``
+    starts as the subspace-``s`` slice of the ``c``-th seed vector (the
+    ``n_centroids`` corpus vectors with the smallest md5(id), exactly the
+    IVF seeding rule — reproducible in any engine, no RNG state).
+
+    ``n_iters>0`` then refines EACH subspace codebook independently with
+    that many Lloyd rounds over the corpus' subvector slices
+    (:func:`kmeans_refine`, squared-L2 assignment — the same metric
+    ``pq_encode`` uses for code assignment). Each subspace round is one
+    partial-agg shuffle of ``n_centroids x (d_sub+1)`` doubles per input
+    partition; the code layout is unchanged.
     """
     seeds = ivf_centroids(corpus, id_col, vec_col, n_centroids)
     dim = len(seeds[0][1])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     d_sub = dim // n_sub
-    return [
+    books = [
         [vec[s * d_sub:(s + 1) * d_sub] for _, vec in seeds]
         for s in range(n_sub)
     ]
+    if n_iters > 0:
+        vec = F.col(vec_col).cast("array<double>")
+        for s in range(n_sub):
+            sub_seeds = list(enumerate(books[s]))
+            refined = kmeans_refine(
+                corpus, sub_seeds, n_iters,
+                vec_expr=F.slice(vec, s * d_sub + 1, d_sub),
+                metric="l2",
+            )
+            books[s] = [cv for _, cv in refined]
+    return books
 
 
 def _pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -346,6 +476,7 @@ def pq_topk(
     n_centroids: int = 8,
     refine: int = 4,
     partial_buckets: int | None = None,
+    n_iters: int = 0,
 ) -> DataFrame:
     """PQ approximate top-k with exact re-rank (asymmetric distance via the
     reconstruction): score queries against per-row reconstructions (codes +
@@ -358,7 +489,7 @@ def pq_topk(
     search touches ~n_sub bytes/row instead of the full vector — the
     standard memory-bound ANN formulation alongside IVF's compute-bound one.
     """
-    cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, n_centroids)
+    cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, n_centroids, n_iters)
     encoded = pq_encode(corpus, cbs, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         pq_decode(F.col("pq_code"), cbs).alias("__recon"),

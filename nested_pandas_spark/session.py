@@ -35,6 +35,11 @@ def get_spark(app_name: str = "nested-pandas-spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # session contract: parquet TIMESTAMP(NANOS) columns (one testdata
+        # layout of events.ts) read as int64 nanos instead of erroring.
+        # Set HERE, at session build, never inside an operator — flipping it
+        # mid-session would retype every later parquet read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -49,8 +49,14 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     footer inference so the stream tracks whatever physical ts layout the
     files use (int64 nanos in one testdata drop, TIMESTAMP(MICROS) in
     another). A driver-side footer read, not a data scan.
+
+    Session contract: if the files carry parquet TIMESTAMP(NANOS), the
+    session must already have ``spark.sql.legacy.parquet.nanosAsLong=true``
+    (set by :func:`nested_pandas_spark.session.get_spark` and the entry
+    contract). This function deliberately does NOT set it here — a conf
+    mutation inside an operator would silently retype int64-nano timestamps
+    for every later parquet read in the session.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(path)
 
@@ -65,7 +71,11 @@ def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """
     dt = dict(df.dtypes).get(ts_col, "")
     if dt == "bigint":
-        col = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        # Integer `div`, not float `/`: epoch-nanos (~1.7e18) exceed
+        # double's 2^53 exact range, so (ts / 1000).cast("long") truncates
+        # ~1.5% of microsecond-grain values to micros-1. `div` stays in
+        # 64-bit integer arithmetic and is exact for any epoch value.
+        col = F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
     else:
         col = F.col(ts_col).cast("timestamp")
     return df.withColumn("event_time", col)

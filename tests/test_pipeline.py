@@ -245,6 +245,77 @@ def test_ivf_centroids_deterministic(spark):
     assert c1 == c2 and len(c1) == 3
 
 
+def _clustered_embeddings(spark, n_clusters=4, per_cluster=25, dim=8, seed=5):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 4
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, (c + rng.randn(dim) * 0.5).astype(float).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_refine_reduces_quantization_error(spark):
+    """Lloyd rounds monotonically reduce within-cluster SSE (up to the 1e-6
+    rounding) — the property k-means optimizes, checked on the L2 path that
+    backs PQ codebook refinement."""
+    emb = _clustered_embeddings(spark)
+    data = np.array([r["embedding"] for r in emb.collect()], dtype=float)
+
+    def sse(cents):
+        c = np.array([v for _, v in cents])
+        d2 = ((data[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    seeds = sim.ivf_centroids(emb, n_centroids=4)
+    refined = sim.kmeans_refine(emb, seeds, n_iters=3, metric="l2")
+    assert sse(refined) <= sse(seeds) + 1e-6
+
+
+def test_kmeans_refine_deterministic_and_empty_cluster_keeps_seed(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    seeds = [(0, [1.0, 0.0]), (1, [-50.0, 0.0])]
+    r1 = sim.kmeans_refine(emb, seeds, n_iters=2, metric="l2")
+    r2 = sim.kmeans_refine(emb, seeds, n_iters=2, metric="l2")
+    assert r1 == r2
+    # every point assigns to centroid 0; the empty cluster keeps its seed
+    assert r1[0] == (0, [1.0, 0.0])
+    assert r1[1] == (1, [-50.0, 0.0])
+
+
+def test_ivf_refined_recall_not_worse(spark):
+    """With clustered data and a limited probe budget, k-means-refined
+    centroids must recall at least as much of the exact top-k as the raw
+    md5 seeds (the production claim behind n_iters)."""
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 8)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+
+    def recall(n_iters):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivf_topk(
+                emb, q, k=3, n_centroids=4, n_probe=1, n_iters=n_iters
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(2) >= recall(0)
+
+
+def test_pq_codebooks_refined_deterministic(spark):
+    emb = _clustered_embeddings(spark)
+    b1 = sim.pq_codebooks(emb, n_sub=2, n_centroids=4, n_iters=2)
+    b2 = sim.pq_codebooks(emb, n_sub=2, n_centroids=4, n_iters=2)
+    assert b1 == b2
+    assert len(b1) == 2 and len(b1[0]) == 4 and len(b1[0][0]) == 4
+
+
 def test_embedding_neardup_finds_planted_dup(spark):
     rng = np.random.RandomState(7)
     rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(40)]
