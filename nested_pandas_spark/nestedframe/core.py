@@ -549,7 +549,8 @@ class NestedFrame:
             return out._wrap(out._df.where(F.size(F.col(quote(nest))) > 0))
         return out
 
-    def eval(self, expr: str, env: dict[str, object] | None = None) -> "NestedFrame":
+    def eval(self, expr: str, env: dict[str, object] | None = None,
+             empty_cells: str = "null") -> "NestedFrame":
         """Evaluate an expression, with assignment support.
 
         * ``"c = a + b"``            -> new base column
@@ -557,7 +558,18 @@ class NestedFrame:
         * ``"newnest.c = nested.a+b"``-> new nested column packed like
           ``nested`` (reference ``core.py:1436-1491``)
         * no assignment              -> projected result column ``__result``
+
+        ``empty_cells``: what a NULL nested cell becomes when an assignment
+        repacks its nest. ``"null"`` (default) keeps NULL — consistent with
+        every other operator here; ``"reference"`` converts it to an EMPTY
+        cell, matching the side effect of the reference's flatten->repack
+        (reference ``core.py:1436-1491``) so migrated workloads can keep
+        bit-identical cell conventions.
         """
+        if empty_cells not in ("null", "reference"):
+            raise ValueError(
+                f"empty_cells must be 'null' or 'reference', got {empty_cells!r}"
+            )
         target, rhs = split_assignment(expr)
         fieldmap = self._nested_field_map()
         compiled = compile_expr(rhs, fieldmap, self._known_columns(), env)
@@ -591,6 +603,9 @@ class NestedFrame:
             tgt_nest in self._pending
             and (not compiled.nests or compiled.nest == tgt_nest)
             and not compiled.base_cols
+            # reference empty-cell conversion needs the materialized array
+            # form; skip the flat-child pushdown for that mode
+            and empty_cells == "null"
             # REPLACING a field is only safe when no earlier pushed
             # predicate/aggregate/sort could see the old value (they apply
             # to the final child at materialization, i.e. after this eval)
@@ -622,9 +637,13 @@ class NestedFrame:
                 override={tgt_field: compiled.render("__x")} if tgt_field in fields else None,
                 extra=None if tgt_field in fields else {tgt_field: compiled.render("__x")},
             )
-            return self._wrap(
-                self._df.withColumn(tgt_nest, F.expr(f"transform({quote(tgt_nest)}, __x -> {body})"))
-            )
+            tx = f"transform({quote(tgt_nest)}, __x -> {body})"
+            if empty_cells == "reference":
+                # NULL cell -> empty cell, as the reference's repack does;
+                # coalesce coerces the untyped array() literal to the
+                # transform's element type
+                tx = f"coalesce({tx}, array())"
+            return self._wrap(self._df.withColumn(tgt_nest, F.expr(tx)))
         # brand-new nest: RHS must reference exactly one existing nest to
         # define the packing (reference behavior: new nests align to source)
         if not compiled.nests:
@@ -633,9 +652,10 @@ class NestedFrame:
             )
         src = compiled.nest
         body = f"struct({compiled.render('__x')} AS {quote(tgt_field)})"
-        return self._wrap(
-            self._df.withColumn(tgt_nest, F.expr(f"transform({quote(src)}, __x -> {body})"))
-        )
+        tx = f"transform({quote(src)}, __x -> {body})"
+        if empty_cells == "reference":
+            tx = f"coalesce({tx}, array())"
+        return self._wrap(self._df.withColumn(tgt_nest, F.expr(tx)))
 
     # -- cleaning ---------------------------------------------------------
     def dropna(self, subset: str | list[str] | None = None, how: str = "any",

@@ -44,33 +44,141 @@ _HADOOP_SCHEMES = {"", "file", "hdfs", "s3a", "gs", "abfs", "abfss", "wasb",
                    "wasbs", "viewfs", "o3fs", "ofs"}
 
 
-def _cache_path(url: str, cache_dir: str | None) -> str:
+def _cache_path(url: str, cache_dir: str | None, key_extra: str = "") -> str:
     root = cache_dir or os.path.join(tempfile.gettempdir(), "nps_remote_cache")
     os.makedirs(root, exist_ok=True)
     name = os.path.basename(urllib.parse.urlparse(url).path) or "remote.parquet"
-    return os.path.join(root, hashlib.md5(url.encode()).hexdigest()[:16] + "_" + name)
+    key = hashlib.md5((url + key_extra).encode()).hexdigest()[:16]
+    return os.path.join(root, key + "_" + name)
 
 
-def stage_remote(url: str, cache_dir: str | None = None) -> str:
+# Observability for tests/tuning: url -> {"bytes_fetched", "file_size",
+# "mode"} of the most recent staging transfer for that url.
+STAGE_STATS: dict[str, dict] = {}
+
+
+class _HttpRangeFile:
+    """Minimal random-access read-only file over HTTP Range requests —
+    exactly the surface pyarrow's ParquetFile needs (seek/tell/read), so the
+    footer and only the selected column chunks transfer, never the whole
+    object. Counts fetched bytes for observability.
+
+    Raises ``OSError`` if the server doesn't honor Range (no 206) — callers
+    fall back to a full download.
+    """
+
+    def __init__(self, url: str):
+        self.url = url
+        self.pos = 0
+        self.bytes_fetched = 0
+        req = urllib.request.Request(url, method="HEAD")
+        with urllib.request.urlopen(req) as r:
+            length = r.headers.get("Content-Length")
+        if length is None:
+            raise OSError(f"no Content-Length from {url}")
+        self.size = int(length)
+
+    # file-object protocol (what pyarrow.PythonFile consumes) -------------
+    def seekable(self):
+        return True
+
+    def readable(self):
+        return True
+
+    @property
+    def closed(self) -> bool:  # pyarrow probes the attribute, not a call
+        return False
+
+    def seek(self, off: int, whence: int = 0) -> int:
+        if whence == 0:
+            self.pos = off
+        elif whence == 1:
+            self.pos += off
+        elif whence == 2:
+            self.pos = self.size + off
+        return self.pos
+
+    def tell(self) -> int:
+        return self.pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self.size - self.pos
+        if n == 0 or self.pos >= self.size:
+            return b""
+        end = min(self.pos + n, self.size) - 1
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={self.pos}-{end}"}
+        )
+        with urllib.request.urlopen(req) as r:
+            if r.status != 206:
+                raise OSError(f"server ignored Range request ({r.status})")
+            data = r.read()
+        self.pos += len(data)
+        self.bytes_fetched += len(data)
+        return data
+
+    def close(self):
+        pass
+
+
+def _stage_columns_ranged(url: str, columns: list[str], tmp: str) -> dict:
+    """Fetch footer + selected top-level column chunks via HTTP ranges and
+    write them as a local parquet file. Returns transfer stats."""
+    import pyarrow.parquet as pq
+
+    src = _HttpRangeFile(url)
+    pf = pq.ParquetFile(src)
+    table = pf.read(columns=columns)
+    pq.write_table(table, tmp)
+    return {
+        "bytes_fetched": src.bytes_fetched,
+        "file_size": src.size,
+        "mode": "ranged",
+    }
+
+
+def stage_remote(
+    url: str, cache_dir: str | None = None, columns: list[str] | None = None
+) -> str:
     """Download a remote file to a local cache, once, and return its path.
 
     The reference's ``read_parquet`` accepts fsspec URIs (s3/https) with
-    byte-range precaching (reference ``io.py:36-212``, precache
-    ``io.py:248-255``); Spark's analogue for cluster-scale data is a
-    Hadoop-native filesystem (``s3a://`` with hadoop-aws on the classpath),
-    which streams splits straight to executors. This helper covers the
-    OTHER reference use case — a laptop-sized remote file (an HTTPS release
-    artifact, a public S3 object) — by staging it onto the driver's disk so
-    any Spark deployment can read it without extra jars.
+    byte-range precaching — only the parquet footer and the SELECTED column
+    byte ranges transfer (reference ``io.py:36-212``, precache
+    ``io.py:248-255``, exercised by ``benchmarks/benchmarks.py:218-257``);
+    Spark's analogue for cluster-scale data is a Hadoop-native filesystem
+    (``s3a://`` with hadoop-aws on the classpath), which streams splits
+    straight to executors. This helper covers the OTHER reference use case
+    — a laptop-sized remote file (an HTTPS release artifact, a public S3
+    object) — by staging it onto the driver's disk so any Spark deployment
+    can read it without extra jars.
+
+    ``columns`` (top-level names) enables the reference's byte-range
+    behavior: the footer plus only those columns' chunks are fetched via
+    HTTP Range requests (pyarrow over a ranged reader) and written as a
+    pruned local file — a wide remote file with a narrow projection
+    transfers a fraction of its size. Falls back to a full download when
+    the server doesn't honor Range. Transfer accounting lands in
+    :data:`STAGE_STATS`.
 
     Uses fsspec when importable (covers s3/gs/... with credentials),
-    stdlib urllib otherwise (http/https only). Cached by URL hash —
-    repeated reads don't re-download.
+    stdlib urllib otherwise (http/https only). Cached by URL (+ column
+    set) hash — repeated reads don't re-download.
     """
-    dest = _cache_path(url, cache_dir)
+    scheme = urllib.parse.urlparse(url).scheme
+    col_key = "|cols:" + ",".join(sorted(columns)) if columns else ""
+    dest = _cache_path(url, cache_dir, col_key)
     if os.path.exists(dest):
         return dest
     tmp = dest + ".tmp"
+    if columns and scheme in ("http", "https"):
+        try:
+            STAGE_STATS[url] = _stage_columns_ranged(url, columns, tmp)
+            os.replace(tmp, dest)
+            return dest
+        except Exception:  # noqa: BLE001 - no Range support etc: full fetch
+            pass
     try:
         import fsspec  # optional: widens scheme support beyond http(s)
 
@@ -80,7 +188,6 @@ def stage_remote(url: str, cache_dir: str | None = None) -> str:
             while chunk := src.read(1 << 20):
                 out.write(chunk)
     except ImportError:
-        scheme = urllib.parse.urlparse(url).scheme
         if scheme not in ("http", "https"):
             raise RuntimeError(
                 f"Reading '{url}' needs either the fsspec package (driver-side "
@@ -88,11 +195,19 @@ def stage_remote(url: str, cache_dir: str | None = None) -> str:
                 "Spark classpath"
             ) from None
         urllib.request.urlretrieve(url, tmp)
+    STAGE_STATS[url] = {
+        "bytes_fetched": os.path.getsize(tmp),
+        "file_size": os.path.getsize(tmp),
+        "mode": "full",
+    }
     os.replace(tmp, dest)  # atomic: concurrent readers never see partials
     return dest
 
 
-def _resolve_paths(paths: list[str], cache_dir: str | None) -> list[str]:
+def _resolve_paths(
+    paths: list[str], cache_dir: str | None,
+    columns: list[str] | None = None,
+) -> list[str]:
     out = []
     for p in paths:
         scheme = urllib.parse.urlparse(p).scheme.lower()
@@ -100,7 +215,7 @@ def _resolve_paths(paths: list[str], cache_dir: str | None) -> list[str]:
         if len(scheme) <= 1 or scheme in _HADOOP_SCHEMES:
             out.append(p)
         else:
-            out.append(stage_remote(p, cache_dir))
+            out.append(stage_remote(p, cache_dir, columns=columns))
     return out
 
 
@@ -135,14 +250,28 @@ def _struct_of_lists_cols(df: DataFrame, reject: set[str]) -> list[str]:
     return out
 
 
-def from_struct_of_lists(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def from_struct_of_lists(
+    df: DataFrame, columns: list[str] | None = None, validate: bool = False
+) -> DataFrame:
     """Cast struct-of-lists columns (nested-pandas' parquet layout,
-    reference ``core.py:2586-2631``) to list-of-structs via ``arrays_zip``."""
+    reference ``core.py:2586-2631``) to list-of-structs via ``arrays_zip``.
+
+    ``validate=True`` raises at execution when a cell's field lists have
+    different lengths (the reference's contract, ``io.py:588-597``) instead
+    of arrays_zip's silent NULL padding.
+    """
+    from ..operators.packer import equal_length_guard
+
     targets = columns if columns is not None else _struct_of_lists_cols(df, set())
     for c in targets:
         dt = df.schema[c].dataType
         assert isinstance(dt, T.StructType)
         fields = [sf.name for sf in dt.fields]
+        if validate and len(fields) > 1:
+            df = equal_length_guard(
+                df, fields, f"from_struct_of_lists('{c}')",
+                extract=lambda f: F.col(f"{quote(c)}.{quote(f)}"),
+            )
         zipped = F.arrays_zip(
             *[F.col(f"{quote(c)}.{quote(f)}").alias(f) for f in fields]
         )
@@ -205,7 +334,15 @@ def read_parquet(
     ``cache_dir``) — the laptop path for release artifacts and public files.
     """
     reject = set([reject_nesting] if isinstance(reject_nesting, str) else reject_nesting or [])
-    paths = _resolve_paths([path] if isinstance(path, str) else list(path), cache_dir)
+    # staged (non-Hadoop) remote reads fetch only the selected top-level
+    # columns' byte ranges; dotted "nest.field" selections prune to their
+    # nest's column chunk (leaf-level pruning then happens at the scan)
+    top_cols = (
+        sorted({c.split(".", 1)[0] for c in columns}) if columns else None
+    )
+    paths = _resolve_paths(
+        [path] if isinstance(path, str) else list(path), cache_dir, top_cols
+    )
     df = _read_with_fs_hint(spark, paths)
     if filters:
         df = df.where(filters)
@@ -287,6 +424,7 @@ def from_pyarrow(
     table,
     reject_nesting: str | list[str] | None = None,
     autocast_list: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """Load a ``pyarrow.Table`` as a nested DataFrame (reference
     ``io.py:498-572``).
@@ -296,10 +434,11 @@ def from_pyarrow(
     via ``arrays_zip`` unless listed in ``reject_nesting``; with
     ``autocast_list`` bare ``array<T>`` columns become single-field nests.
 
-    Note on mismatched lengths: the reference raises when a struct-of-lists
-    cell has fields of different lengths; ``arrays_zip`` instead pads the
-    shorter lists with NULLs (no driver-side validation pass at scale).
-    Reject such columns explicitly if pad semantics are wrong for them.
+    Mismatched lengths: the reference raises when a struct-of-lists cell
+    has fields of different lengths (``io.py:588-597``); by default
+    ``arrays_zip`` pads the shorter lists with NULLs. ``validate=True``
+    restores the reference's raise — at execution, via an ``assert_true``
+    predicate inside the same scan (distributed; no driver-side pass).
     """
     import pyarrow as pa
 
@@ -330,7 +469,7 @@ def from_pyarrow(
     df = spark.createDataFrame(table)
     sol = _struct_of_lists_cols(df, reject)
     if sol:
-        df = from_struct_of_lists(df, sol)
+        df = from_struct_of_lists(df, sol, validate=validate)
     if autocast_list:
         for f in df.schema.fields:
             if (

@@ -219,19 +219,45 @@ def from_flat(
     return null_key_guard(df, keys, drop_null_keys).groupBy(*keys).agg(*aggs)
 
 
+def equal_length_guard(
+    df: DataFrame, columns: list[str], context: str,
+    extract: "Callable[[str], Column] | None" = None,
+) -> DataFrame:
+    """Raise at execution when per-row lengths of ``columns`` differ —
+    the reference's equal-length contract (``io.py:588-597``) expressed as
+    a codegen'd predicate: ``assert_true`` lives inside a ``where`` so
+    Catalyst can't prune it away, and the check rides the existing scan
+    (no extra pass, no driver-side validation). NULL lists compare as
+    length -1: all-NULL rows pass, NULL-vs-list rows raise — exactly the
+    reference's ragged-input rejection.
+    """
+    get = extract or (lambda c: F.col(quote(c)))
+    first = columns[0]
+    for c in columns[1:]:
+        check = F.assert_true(
+            F.coalesce(F.size(get(c)), F.lit(-1))
+            == F.coalesce(F.size(get(first)), F.lit(-1)),
+            F.lit(f"{context}: per-row lengths of '{c}' and '{first}' differ"),
+        )
+        df = df.where(check.isNull())
+    return df
+
+
 def from_lists(
     df: DataFrame,
     list_columns: list[str] | None = None,
     base_columns: list[str] | None = None,
     name: str = "nested",
+    validate: bool = False,
 ) -> DataFrame:
     """Zip list-valued columns into one nested column.
 
     Reference: ``NestedFrame.from_lists`` (``core.py:660-743``). Spark's
     ``arrays_zip`` is the exact list-of-structs transposition — per-row, zero
     shuffle. Shorter arrays are padded with NULL structs by arrays_zip; the
-    reference requires equal lengths, so validation is up to the caller (see
-    ``frame_explode`` for the validating path).
+    reference instead raises on mismatched lengths (``io.py:588-597``) —
+    opt in with ``validate=True``, which raises at execution via an
+    ``assert_true`` predicate riding the same scan (no extra pass).
     """
     from pyspark.sql import types as T
 
@@ -244,6 +270,8 @@ def from_lists(
         ]
     if not list_columns:
         raise ValueError("No list columns to pack")
+    if validate and len(list_columns) > 1:
+        df = equal_length_guard(df, list_columns, "from_lists")
     keep = base_columns if base_columns is not None else [
         c for c in df.columns if c not in set(list_columns)
     ]
@@ -251,6 +279,7 @@ def from_lists(
     return df.select(*[F.col(quote(c)) for c in keep], zipped)
 
 
-def nest_lists(df: DataFrame, columns: list[str], name: str = "nested") -> DataFrame:
+def nest_lists(df: DataFrame, columns: list[str], name: str = "nested",
+               validate: bool = False) -> DataFrame:
     """Method-form of :func:`from_lists` (reference ``core.py:559-593``)."""
-    return from_lists(df, list_columns=columns, name=name)
+    return from_lists(df, list_columns=columns, name=name, validate=validate)

@@ -166,12 +166,24 @@ def test_eval_assignment_parity(pair):
     ref_packed, sp_packed = pair
     r = _ref_cells(ref_packed.eval("nested.u = nested.t * 2"))
     s = _sp_cells(sp_packed.eval("nested.u = nested.t * 2"))
-    # DOCUMENTED DEVIATION: the reference's assignment repack turns a NULL
-    # cell into an EMPTY cell (side effect of its flatten->repack); we keep
-    # NULL in -> NULL out (consistent with every other operator here).
-    # Normalize that one edge for the comparison.
+    # Default mode keeps NULL in -> NULL out (consistent with every other
+    # operator here); the reference's assignment repack instead turns a
+    # NULL cell into an EMPTY cell. Normalize that edge for the default...
     norm = lambda d: {k: (v or None) for k, v in d.items()}
     assert norm(r) == norm(s)
+
+
+def test_eval_assignment_reference_empty_cells_parity(pair):
+    """...and empty_cells='reference' reproduces the reference's NULL->empty
+    conversion EXACTLY — no normalization: cell conventions are
+    bit-identical, closing the one documented deviation."""
+    ref_packed, sp_packed = pair
+    r = _ref_cells(ref_packed.eval("nested.u = nested.t * 2"))
+    s = _sp_cells(sp_packed.eval("nested.u = nested.t * 2",
+                                 empty_cells="reference"))
+    assert r == s
+    # the childless key really is an EMPTY cell in both engines
+    assert r[3] == [] and s[3] == []
 
 
 def test_dropna_parity(pair):
@@ -557,6 +569,71 @@ def test_from_lists_parity(ref, spark):
         if row["nested"] is not None
     }
     assert r == s
+
+
+def test_from_lists_ragged_raises_parity(ref, spark):
+    """The reference raises on mismatched per-row list lengths; with
+    validate=True so do we (at execution, via the assert_true predicate) —
+    closing the documented arrays_zip NULL-padding deviation."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from nested_pandas_spark.operators.packer import from_lists
+
+    ragged = {
+        "t": pd.Series([[1.0, 2.0]], dtype=pd.ArrowDtype(pa.list_(pa.float64()))),
+        "f": pd.Series([[10.0]], dtype=pd.ArrowDtype(pa.list_(pa.float64()))),
+    }
+    with pytest.raises(ValueError):
+        ref.NestedFrame(ragged).nest_lists(columns=["t", "f"], name="nested")
+
+    sdf = spark.createDataFrame(
+        [(0, [1.0, 2.0], [10.0])], "id long, t array<double>, f array<double>"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        from_lists(sdf, list_columns=["t", "f"], validate=True).collect()
+    # aligned rows still pass under validate
+    ok = spark.createDataFrame(
+        [(0, [1.0, 2.0], [10.0, 20.0])], "id long, t array<double>, f array<double>"
+    )
+    assert from_lists(ok, list_columns=["t", "f"], validate=True).count() == 1
+
+
+def test_from_pyarrow_ragged_raises_parity(ref, spark):
+    """Struct-of-lists ingest: the reference refuses a struct whose fields
+    have unequal lengths; from_pyarrow(validate=True) raises on the same
+    table at execution."""
+    import pyarrow as pa
+
+    from nested_pandas_spark.nestedframe.io import from_pyarrow
+
+    def mk_table():
+        # fresh table per engine: the reference's from_pyarrow consumes the
+        # table's buffers (to_pandas(self_destruct=True)) even when raising
+        return pa.table(
+            {
+                "id": pa.array([0], pa.int64()),
+                "nest": pa.array(
+                    [{"a": [1.0, 2.0], "b": [3.0]}],
+                    pa.struct([("a", pa.list_(pa.float64())),
+                               ("b", pa.list_(pa.float64()))]),
+                ),
+            }
+        )
+
+    with pytest.raises(ValueError):
+        ref.from_pyarrow(mk_table())
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        from_pyarrow(spark, mk_table(), validate=True).collect()
+    # and the default stays the documented NULL-pad (no raise)
+    assert from_pyarrow(spark, mk_table()).count() == 1
 
 
 def test_accessor_with_field_parity(ref, pair):
