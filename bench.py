@@ -31,6 +31,123 @@ import time
 
 from pyspark.sql import functions as F
 
+REF_SRC = "/root/reference/src/nested_pandas"
+
+
+def _time_reference(sf_dir: str) -> dict | None:
+    """Time the reference library (nested-pandas, imported from the local
+    reference checkout with shims for its absent optional deps) on the SAME
+    parquet tables, per matched microbenchmark — so every BENCH_r{N}.json
+    carries the ours-vs-reference ratio instead of relying on a one-off
+    manual measurement. Returns {query: best_sec} or None when the
+    reference isn't importable here. Tables are pre-loaded into pandas
+    untimed (the reference is an in-memory engine; its yardstick is
+    operator time, not parquet decode)."""
+    if not os.path.isdir(REF_SRC):
+        return None
+    import shutil
+    import sys
+    import tempfile
+
+    shim = tempfile.mkdtemp(prefix="bench_refshim_")
+    try:
+        shutil.copytree(REF_SRC, os.path.join(shim, "nested_pandas"))
+        with open(os.path.join(shim, "nested_pandas", "_version.py"), "w") as f:
+            f.write('__version__ = version = "0.0.0-local"\n'
+                    "__version_tuple__ = version_tuple = (0, 0, 0)\n")
+        os.makedirs(os.path.join(shim, "deprecated"))
+        with open(os.path.join(shim, "deprecated", "__init__.py"), "w") as f:
+            f.write(
+                "def deprecated(*dargs, **dkwargs):\n"
+                "    if len(dargs) == 1 and callable(dargs[0]) and not dkwargs:\n"
+                "        return dargs[0]\n"
+                "    def wrap(fn):\n"
+                "        return fn\n"
+                "    return wrap\n"
+            )
+        os.makedirs(os.path.join(shim, "fsspec"))
+        with open(os.path.join(shim, "fsspec", "__init__.py"), "w") as f:
+            f.write("class AbstractFileSystem: ...\n"
+                    "def filesystem(*a, **k):\n    raise NotImplementedError\n"
+                    "from . import parquet\n")
+        with open(os.path.join(shim, "fsspec", "parquet.py"), "w") as f:
+            f.write("def open_parquet_file(path, **k):\n"
+                    "    return open(path, 'rb')\n")
+        os.makedirs(os.path.join(shim, "upath"))
+        with open(os.path.join(shim, "upath", "__init__.py"), "w") as f:
+            f.write("import pathlib\n"
+                    "class UPath(type(pathlib.Path())):\n"
+                    "    protocol = ''\n"
+                    "    fs = None\n"
+                    "    @property\n"
+                    "    def path(self):\n"
+                    "        return str(self)\n")
+        sys.path.insert(0, shim)
+        try:
+            import warnings
+
+            import numpy as np
+            import pandas as pd
+
+            import nested_pandas as npd
+            from nested_pandas.utils import count_nested
+
+            # np.mean over the reference's empty cells warns; keep the
+            # bench stream clean
+            warnings.simplefilter("ignore", RuntimeWarning)
+
+            orders = pd.read_parquet(f"{sf_dir}/orders.parquet").set_index(
+                "o_orderkey"
+            )
+            li = (
+                pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+                .rename(columns={"l_orderkey": "o_orderkey"})
+                .set_index("o_orderkey")
+            )
+
+            out = {}
+
+            def bench(name, fn, runs=3):
+                best = float("inf")
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    fn()
+                    best = min(best, time.perf_counter() - t0)
+                out[name] = round(best, 4)
+
+            def pack():
+                return npd.NestedFrame(orders).join_nested(li, "items")
+
+            bench("add_nested", lambda: pack()["items"].nest.flat_length)
+            bench("query_nested", lambda: pack()
+                  .query("items.l_quantity > 30")["items"].nest.flat_length)
+            bench("count_by", lambda: count_nested(
+                pack(), "items", by="l_returnflag")[
+                    ["n_items_A", "n_items_N", "n_items_R"]].sum())
+            bench("reduce", lambda: pack()
+                  .reduce(np.mean, "items.l_extendedprice").mean())
+            bench("explode_roundtrip", lambda: pack()["items"]
+                  .nest.to_flat()["l_quantity"].sum())
+
+            def ztf():
+                ndf = pack().query("o_totalprice > 100000.0")
+                ndf = ndf.query("items.l_quantity > 5")
+                ndf = count_nested(ndf, "items", by="l_returnflag", join=True)
+                ndf = ndf[ndf["n_items_A"] >= 1]
+                mx = ndf.reduce(np.max, "items.l_extendedprice")
+                mn = ndf.reduce(np.min, "items.l_extendedprice")
+                return float((mx[0] - mn[0]).mean())
+
+            bench("ztf_workflow", ztf)
+            return out
+        finally:
+            sys.path.remove(shim)
+            sys.modules.pop("nested_pandas", None)
+    except Exception:  # noqa: BLE001 - ratio is best-effort observability
+        return None
+    finally:
+        shutil.rmtree(shim, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,6 +278,27 @@ def main() -> None:
 
     total = round(sum(queries.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # ours-vs-reference on the same tables, recorded every run (the
+    # reference has no counterpart for the dedup/ANN queries; the matched
+    # suite is the apples-to-apples subset). ratio < 1 means we're faster.
+    reference = None if os.environ.get("SPARK_GRAFT_BENCH_NOREF") else \
+        _time_reference(sf_dir)
+    ratios = None
+    if reference:
+        matched = ["add_nested", "query_nested", "count_by",
+                   "explode_roundtrip", "ztf_workflow"]
+        ours_m = sum(queries[m] for m in matched)
+        ref_m = sum(reference[m] for m in matched)
+        ratios = {
+            "matched_with_hof_reduce": round(
+                (ours_m + queries["reduce_hof"])
+                / (ref_m + reference["reduce"]), 4),
+            "matched_with_udf_reduce": round(
+                (ours_m + queries["reduce_udf"])
+                / (ref_m + reference["reduce"]), 4),
+        }
+
     print(json.dumps({
         "metric": "bench_total_runtime",
         "value": total,
@@ -168,6 +306,8 @@ def main() -> None:
         "queries": queries,
         "rows": rows,
         "checksums": checksums,
+        "reference": reference,
+        "ratio": ratios,
         "sf": float(sf),
     }))
 

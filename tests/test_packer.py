@@ -163,3 +163,75 @@ def test_join_nested_right_outer(spark, objects, sources):
     orows = {r["id"]: r for r in outer.df.collect()}
     assert set(orows) == {0, 1, 2, 7, 99}
     assert orows[7]["nested"] is None  # childless base row keeps NULL cell
+
+
+def test_salted_pack_spreads_hot_key_across_tasks(spark):
+    """CI evidence for the docstring's skew claim (pack salt=): on a
+    hot-key child, the salted stage-1 aggregation's per-task input must
+    drop by roughly the salt factor.
+
+    Per-task input is measured from the aggregation's own physical
+    partitioning: spark_partition_id() AFTER the groupBy shuffle tells us
+    which task owned each group, so summing group sizes per partition is
+    exactly the rows each reduce task aggregated."""
+    from pyspark.sql import functions as F
+
+    # AQE would coalesce this toy shuffle into one partition and hide the
+    # physical spread; at real scale the partitions it's balancing are far
+    # above the advisory size and stay separate. Scope the observation.
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # enough reduce tasks that salt groups rarely collide on one task (the
+    # test session runs with 4; a real cluster has hundreds)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    salt = 8
+    hot = spark.range(16000).select(
+        F.lit(0).alias("id"), F.col("id").cast("double").alias("v")
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") % 10 + 1).alias("id"), F.col("id").cast("double").alias("v")
+    )
+    child = hot.union(cold).repartition(8)
+
+    def max_task_rows(grouped):
+        return (
+            grouped.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(F.sum("n").alias("rows"))
+            .agg(F.max("rows"))
+            .collect()[0][0]
+        )
+
+    # plain pack stage: one group per key -> the hot key's task sees all
+    # 16000 rows
+    plain = max_task_rows(child.groupBy("id").agg(F.count("*").alias("n")))
+    assert plain >= 16000
+
+    # salted stage 1 (the shape pack(salt=) builds): (key, salt) groups
+    # spread the hot key over ~salt tasks
+    salted = max_task_rows(
+        child.withColumn("__salt", (F.rand(seed=7) * salt).cast("int"))
+        .groupBy("id", "__salt")
+        .agg(F.count("*").alias("n"))
+    )
+    # ~16000/8 = 2000 per task; allow generous slack for hash collisions
+    # (several salt groups can land on one reduce task) while still
+    # proving a >=2x spread
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert salted <= plain / 2, (plain, salted)
+
+    # and the salted operator's RESULT is identical to the plain pack
+    from nested_pandas_spark.operators.packer import pack
+
+    a = {
+        r["id"]: sorted(e["v"] for e in r["nested"])
+        for r in pack(child, "nested", on="id", salt=salt).collect()
+    }
+    b = {
+        r["id"]: sorted(e["v"] for e in r["nested"])
+        for r in pack(child, "nested", on="id").collect()
+    }
+    assert a == b
