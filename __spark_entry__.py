@@ -805,6 +805,52 @@ def q53_asof_nearest(spark, sf):
     )
 
 
+def q54_kmeans_centroids(spark, sf):
+    """kmeans_refine gated DIRECTLY (pipeline/similarity.py): the refined
+    centroid VECTORS themselves — 8 md5-seeded centroids, 2 Lloyd rounds,
+    cosine assignment, HALF_UP-rounded means — exploded to (cid, dim, val)
+    rows. The oracle replays the identical refinement as an unrolled CTE
+    chain; hash-matching every coordinate proves the distributed
+    assignment + per-centroid mean shuffle computes exactly the
+    deterministic k-means it claims."""
+    emb = _t(spark, sf, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8, n_iters=2)
+    rows = [
+        (cid, i, float(v)) for cid, vec in cents for i, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cid long, dim long, val double"
+    ).select("cid", "dim", F.round("val", 6).alias("val"))
+
+
+def q55_eval_empty_cells(spark, sf):
+    """eval(empty_cells='reference') gated: orders packed with only their
+    high-quantity lineitems (childless orders get NULL cells), then an
+    assignment repack in reference mode converts NULL -> EMPTY cells.
+    Output proves the conversion (n_items = 0, rev_cents = 0 for childless
+    orders, not NULL) and the computed field's values."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_quantity") > 49
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    ndf = NestedFrame(orders).join_nested(li, "items", on="o_orderkey",
+                                          how="left")
+    ndf = ndf.eval(
+        "items.rev = items.l_extendedprice * (1 - items.l_discount)",
+        empty_cells="reference",
+    )
+    return ndf.df.select(
+        "o_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        # per-element integer cents, then an integer sum: no float
+        # addition-order ambiguity between engines
+        F.expr(
+            "aggregate(items, CAST(0 AS BIGINT),"
+            " (a, x) -> a + CAST(ROUND(x.rev * 100) AS BIGINT))"
+        ).alias("rev_cents"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -953,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_quality_model": q51_quality_model,
         "q52_pack_segments": q52_pack_segments,
         "q53_asof_nearest": q53_asof_nearest,
+        "q54_kmeans_centroids": q54_kmeans_centroids,
+        "q55_eval_empty_cells": q55_eval_empty_cells,
     }
 
 
@@ -1403,6 +1451,23 @@ def oracle_sql() -> dict[str, str]:
             """,
         ),
         "q51_quality_model": _qmodel_oracle(),
+        "q54_kmeans_centroids": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            {ivf_km}
+            SELECT c.cid, CAST(t.i AS BIGINT) AS dim,
+                   round(c.cv[t.i + 1], 6) AS val
+            FROM {ivf_cent} c, range(0, 64) t(i)
+        """,
+        "q55_eval_empty_cells": """
+            SELECT o.o_orderkey,
+                   CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+                   coalesce(sum(CAST(ROUND(
+                       l.l_extendedprice * (1 - l.l_discount) * 100
+                   ) AS BIGINT)), 0) AS rev_cents
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+            GROUP BY o.o_orderkey
+        """,
         "q53_asof_nearest": """
             WITH c AS (
                 SELECT event_id, user_id, epoch_us(ts) AS ts_us

@@ -259,7 +259,10 @@ def write_sharded(
     )
     (
         out.repartition(F.col("shard_id"))
-        .sortWithinPartitions(order)
+        # shard_id leads the sort: the dynamic-partition writer requires
+        # rows sorted by the partition column and would otherwise inject
+        # its own (non-stable) sort, scrambling the stream-key order
+        .sortWithinPartitions(F.col("shard_id"), order)
         .write.mode(mode)
         .partitionBy("shard_id")
         .parquet(path)

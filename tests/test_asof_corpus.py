@@ -362,6 +362,21 @@ def test_write_sharded_roundtrip(spark, tmp_path):
     # no document lost or duplicated across shard directories
     assert back.select("doc_id").distinct().count() == docs.count()
 
+    # each shard file is internally ordered by the deterministic shuffle
+    # key (the docstring's claim, backed by sortWithinPartitions): read
+    # each file stand-alone and check md5(doc_id) is non-decreasing
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{path}/shard_id=*/*.parquet")
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        assert keys == sorted(keys), f"shard file {f} not key-ordered"
+
 
 def test_mixture_weights(spark):
     from nested_pandas_spark.pipeline.corpus import mixture_weights
