@@ -851,6 +851,34 @@ def q55_eval_empty_cells(spark, sf):
     )
 
 
+def q56_ivf_store(spark, sf):
+    """The MATERIALIZED IVF index through the gate (sources/ivf_store.py):
+    write the embeddings partitioned by refined-centroid id (sidecar
+    centroids), then ivf_search probes 3 lists via a literal partition
+    filter (planning-time pruning) and exact-reranks. Same centroids,
+    probes, and rerank math as q31, so the oracle is q31's SQL — proving
+    the storage path computes exactly the inline answer."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.sources.ivf_store import ivf_search, write_ivf_index
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    d = tempfile.mkdtemp(prefix="q56_ivf_")
+    try:
+        write_ivf_index(emb, d, n_centroids=8, n_iters=2)
+        out = ivf_search(spark, d, q, k=3, n_probe=3)
+        out = out.select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+        # materialize before the staged files vanish
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1001,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_asof_nearest": q53_asof_nearest,
         "q54_kmeans_centroids": q54_kmeans_centroids,
         "q55_eval_empty_cells": q55_eval_empty_cells,
+        "q56_ivf_store": q56_ivf_store,
     }
 
 
@@ -1290,7 +1319,7 @@ def oracle_sql() -> dict[str, str]:
 
     hits = {lang: stopword_hits(ws) for lang, ws in STOPWORDS.items()}
 
-    return {
+    out = {
         "q01_pack_count": """
             SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_items
             FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
@@ -1997,3 +2026,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
     }
+    # q56 drives the materialized IVF store; its relational answer is
+    # q31's by construction (same centroids, probes, rerank)
+    out["q56_ivf_store"] = out["q31_ivf_topk"]
+    return out

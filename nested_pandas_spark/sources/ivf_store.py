@@ -1,0 +1,122 @@
+"""Materialized IVF index: the storage layer of the ANN story.
+
+``pipeline.similarity.ivf_topk`` computes the inverted file on the fly —
+right for ad-hoc search, wasteful for a corpus queried repeatedly. This
+module assigns every vector its nearest centroid ONCE, at ingest, and
+writes the corpus parquet **partitioned by centroid id**, with the centroid
+vectors stored alongside (an underscore-prefixed sidecar file, invisible to
+Spark's directory scan). Search then probes ``n_probe`` centroid lists as a
+**static partition filter**: the scan plans with ``PartitionFilters`` and
+touches ~``n_probe / n_centroids`` of the corpus files — at 100 TB, the
+difference between reading 100 TB and reading 6 TB per query batch.
+
+The reference library has no ANN surface at all (SURVEY §2); this is part
+of the beyond-reference scale path, sharing the deterministic
+seeding/refinement (``ivf_centroids``/``kmeans_refine``) so results are
+reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.similarity import (
+    _nearest_centroids,
+    _per_query_topk,
+    cosine,
+    ivf_centroids,
+)
+
+__all__ = ["write_ivf_index", "read_ivf_centroids", "ivf_search"]
+
+_SIDECAR = "_ivf_centroids.json"
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    mode: str = "overwrite",
+) -> list[tuple[int, list[float]]]:
+    """Write ``corpus`` as an IVF-partitioned parquet index at ``path``.
+
+    The centroid assignment is a plan-literal projection (zero shuffle);
+    the write adds one hash repartition on the centroid id so each
+    partition directory is a few well-sized files instead of
+    one-per-input-task fragments. Returns the centroids (also persisted in
+    the ``_ivf_centroids.json`` sidecar; underscore-prefixed files are
+    ignored by Spark's scans, same convention as ``_SUCCESS``).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        corpus.withColumn("__cid", _nearest_centroids(vec, cents, 1)[0])
+        .repartition(F.col("__cid"))
+        .write.mode(mode)
+        .partitionBy("__cid")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _SIDECAR), "w") as f:
+        json.dump({"centroids": [[cid, cv] for cid, cv in cents]}, f)
+    return cents
+
+
+def read_ivf_centroids(path: str) -> list[tuple[int, list[float]]]:
+    with open(os.path.join(path, _SIDECAR)) as f:
+        data = json.load(f)
+    return [(int(cid), list(map(float, cv))) for cid, cv in data["centroids"]]
+
+
+def ivf_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_ivf_index` store.
+
+    The probe set (each query's ``n_probe`` nearest centroid ids) is
+    computed driver-side from the query vectors — the query side of an ANN
+    search is small by contract — and applied as a LITERAL ``isin`` filter
+    on the partition column, so Catalyst prunes non-probed partition
+    directories at planning time (``PartitionFilters`` in the scan, files
+    never opened). The probed slice then joins the (broadcast) query
+    probes on centroid id and exact-reranks, identical to ``ivf_topk``'s
+    math — same output, a fraction of the scan.
+    """
+    cents = read_ivf_centroids(path)
+    vec = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec.alias("__qv"),
+        F.explode(_nearest_centroids(vec, cents, n_probe)).alias("__cid"),
+    )
+    # driver-side probe set: tiny (<= queries x n_probe ints), and turning
+    # it into a literal is exactly what enables static partition pruning
+    probe_cids = sorted({r["__cid"] for r in q.select("__cid").distinct().collect()})
+    store = spark.read.parquet(path).where(F.col("__cid").isin(probe_cids))
+    c = store.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        F.col("__cid").cast("long").alias("__cid"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="__cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    return _per_query_topk(scored, k)

@@ -550,3 +550,55 @@ def test_bm25_topk(spark):
     out2 = bm25_topk(docs, queries, k=2, postings=pre)
     got2 = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in out2.collect()}
     assert got == got2
+
+
+def test_ivf_store_search_matches_inline_ivf(spark, tmp_path):
+    """ivf_search over a materialized index returns exactly what the
+    inline ivf_topk computes with the same centroids (same seeds, same
+    refinement), and its scan prunes non-probed partitions at planning
+    time (PartitionFilters on the literal probe set)."""
+    from nested_pandas_spark.sources.ivf_store import (
+        ivf_search,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 6)
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(emb, path, n_centroids=4, n_iters=2)
+    assert read_ivf_centroids(path) == cents
+
+    inline = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.ivf_topk(
+            emb, q, k=3, n_centroids=4, n_probe=2, n_iters=2
+        ).collect()
+    }
+    stored = ivf_search(spark, path, q, k=3, n_probe=2)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in stored.collect()
+    }
+    assert got == inline
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__cid" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivf_store_probe_reads_fraction_of_files(spark, tmp_path):
+    """A 1-probe search against a single query must plan a scan over a
+    strict subset of the index's partition directories."""
+    import re
+
+    from nested_pandas_spark.sources.ivf_store import ivf_search, write_ivf_index
+
+    emb = _clustered_embeddings(spark)
+    path = str(tmp_path / "ivf_index2")
+    write_ivf_index(emb, path, n_centroids=4, n_iters=1)
+    q = emb.where(F.col("vec_id") == 0)
+    out = ivf_search(spark, path, q, k=2, n_probe=1)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__cid" in m.group(1), plan[:500]
