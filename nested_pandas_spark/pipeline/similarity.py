@@ -16,7 +16,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
-    "cosine", "dot", "norm", "brute_force_topk", "srp_bucket", "lsh_topk",
+    "cosine", "dot", "norm", "brute_force_topk", "srp_bucket",
+    "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
 ]
@@ -535,6 +536,60 @@ def pq_topk(
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def srp_probe_buckets(
+    vec: Column,
+    num_planes: int = 8,
+    multi_probe: int = 0,
+    dim: int | None = None,
+    plane_offset: int = 0,
+) -> Column:
+    """``array<long>`` of SRP buckets to probe for a QUERY vector: its own
+    bucket plus the ``multi_probe`` Hamming-distance-1 neighbors whose
+    plane margins are smallest — the standard multi-probe LSH trick: the
+    planes the vector barely cleared are the ones a true neighbor most
+    likely landed on the other side of. All plan-literal arithmetic (the
+    same md5-derived planes as :func:`srp_bucket`), per-row, zero shuffle;
+    the CORPUS side keeps exactly one ingest-precomputable bucket per
+    table, so multi-probe buys recall without touching the index layout.
+    """
+    n_dims = dim or 256
+    dots = []
+    for p in range(num_planes):
+        plane = F.array(
+            *[F.lit(plane_component(plane_offset + p, i)) for i in range(n_dims)]
+        )
+        dots.append(
+            F.aggregate(
+                F.zip_with(vec, F.slice(plane, 1, F.size(vec)),
+                           lambda v, c: v.cast("double") * c),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+        )
+    bucket = None
+    for p, d in enumerate(dots):
+        bit = F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    if multi_probe <= 0:
+        return F.array(bucket)
+    flips = F.array(
+        *[
+            F.struct(
+                F.abs(dots[p]).alias("m"),
+                bucket.bitwiseXOR(F.lit(1 << p).cast("long")).alias("b"),
+            )
+            for p in range(num_planes)
+        ]
+    )
+    probed = F.transform(
+        F.slice(F.array_sort(flips), 1, min(multi_probe, num_planes)),
+        lambda s: s["b"],
+    )
+    return F.concat(F.array(bucket), probed)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -543,15 +598,18 @@ def lsh_topk(
     k: int = 10,
     num_planes: int = 8,
     num_tables: int = 1,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: SRP bucket equi-join then exact cosine re-rank.
 
-    Recall improves with fewer planes (bigger buckets) or more hash tables
+    Recall improves with fewer planes (bigger buckets), more hash tables
     (``num_tables`` disjoint plane sets — a candidate only needs to collide
-    in ONE). The bucket columns are precomputable corpus-side keys — at
-    scale, write them at ingest and bucket/partition the table by them so
-    queries touch only matching buckets (partition pruning instead of a
-    full scan).
+    in ONE), or ``multi_probe`` (each query additionally probes that many
+    smallest-margin bit-flip buckets per table — table-free recall, see
+    :func:`srp_probe_buckets`). The corpus bucket columns are
+    precomputable ingest-side keys — at scale, write them at ingest and
+    bucket/partition the table by them so queries touch only matching
+    buckets (partition pruning instead of a full scan).
     """
 
     def buckets(vec: Column) -> Column:
@@ -570,7 +628,19 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+        F.posexplode(
+            F.array(
+                *[
+                    srp_probe_buckets(
+                        F.col(vec_col), num_planes, multi_probe,
+                        plane_offset=t * num_planes,
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("__tbl", "__probes"),
+    ).select(
+        "query_id", "__qv", "__tbl", F.explode("__probes").alias("__bucket")
     )
     scored = c.join(F.broadcast(q), on=["__tbl", "__bucket"]).where(
         F.col("query_id") != F.col("neighbor_id")

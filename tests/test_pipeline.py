@@ -602,3 +602,35 @@ def test_ivf_store_probe_reads_fraction_of_files(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "__cid" in m.group(1), plan[:500]
+
+
+def test_lsh_multi_probe_widens_candidates(spark):
+    """multi_probe can only ADD candidates (base bucket always probed
+    first), and every extra candidate really shares a Hamming-1 bucket;
+    recall of the exact top-k must not decrease."""
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4)
+
+    base = sim.lsh_topk(emb, q, k=60, num_planes=5)
+    probed = sim.lsh_topk(emb, q, k=60, num_planes=5, multi_probe=2)
+    bp = {(r["query_id"], r["neighbor_id"]) for r in base.collect()}
+    pp = {(r["query_id"], r["neighbor_id"]) for r in probed.collect()}
+    assert bp <= pp
+    assert len(pp) > len(bp)  # flips really probe new buckets on this data
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+    r_base = len(bp & truth) / len(truth)
+    r_probe = len(pp & truth) / len(truth)
+    assert r_probe >= r_base
+
+    # the first probe bucket IS the query's own bucket
+    first = emb.select(
+        sim.srp_probe_buckets(F.col("embedding"), 5, 2)[0].alias("b0"),
+        sim.srp_bucket(F.col("embedding"), 5).alias("b"),
+    ).collect()
+    assert all(r["b0"] == r["b"] for r in first)
