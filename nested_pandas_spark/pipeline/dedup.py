@@ -407,8 +407,22 @@ def ngram_jaccard_pairs(
     """
     from .text import _ngrams_from_words, words
 
+    base = _ensure_parallelism(df)
+    if candidates is not None:
+        # verify mode touches only candidate documents: semi-join on the
+        # candidate id set BEFORE computing shingles, so the expensive
+        # tokenize+ngram pass runs over |candidates| docs, not the corpus
+        # (the candidate set lists suspected duplicates — minuscule
+        # relative to a 100 TB corpus)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        base = base.join(cand_ids, on=id_col, how="left_semi")
+
     sh = (
-        _ensure_parallelism(df)
+        base
         .select(F.col(id_col).alias("__id"), words(F.col(text_col)).alias("__w"))
         .select(
             "__id",
@@ -666,6 +680,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components of a duplicate-pair graph: ``(node, component)``
     where ``component`` is the SMALLEST node id reachable via pairs.
@@ -687,12 +702,48 @@ def connected_components(
     Nodes appearing in no pair are absent from the output (they are their
     own singleton components; ``resolve_duplicates`` treats missing as
     keep).
+
+    Small-graph fast path: the VERIFIED pair set is normally minuscule
+    relative to the corpus (it lists duplicates, not documents). When the
+    distinct edge count is at or below ``small_graph_threshold``, the
+    (bigint, bigint) edges collect to the driver and a union-find labels
+    them in one pass — replacing O(log d) rounds x several shuffles each
+    with a single job. Identical output (component = min reachable id).
+    Set ``small_graph_threshold=0`` to force the distributed path.
     """
     e = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     )
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.persist()
+
+    if small_graph_threshold > 0:
+        # limit()+count probes boundedly: never scans past threshold+1 rows
+        probe = edges.limit(small_graph_threshold + 1).count()
+        if probe <= small_graph_threshold:
+            rows = edges.collect()
+            edges.unpersist()
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                ru, rv = find(r["u"]), find(r["v"])
+                if ru != rv:
+                    # union by MIN id so the root IS the component label
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            nodes = {r["u"] for r in rows}
+            out = [(n, find(n)) for n in sorted(nodes)]
+            return pairs.sparkSession.createDataFrame(
+                out or [], "node long, component long"
+            )
 
     # initial label: min(self, min neighbor) — one round for free
     lbl = (

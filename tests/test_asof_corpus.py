@@ -442,6 +442,28 @@ def test_connected_components_long_chain(spark):
     assert cc == {i: 1 for i in range(1, 17)}
 
 
+def test_connected_components_distributed_path_matches_fast_path(spark):
+    """small_graph_threshold=0 forces the distributed label-propagation
+    path; it must produce exactly the union-find fast path's labels on a
+    graph mixing chains, cliques, and singleton pairs."""
+    from nested_pandas_spark.pipeline.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(1, 16)]           # long chain
+        + [(100, 101), (101, 102), (100, 102)]       # triangle
+        + [(200, 201)]                               # isolated pair
+        + [(301, 300), (302, 300)]                   # star, reversed edges
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["node"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(
+                pairs, small_graph_threshold=0).collect()}
+    assert fast == dist
+    assert dist[15] == 1 and dist[102] == 100 and dist[302] == 300
+
+
 def test_resolve_duplicates_transitive(spark):
     from nested_pandas_spark.pipeline.dedup import resolve_duplicates
 
