@@ -409,6 +409,11 @@ def ngram_jaccard_pairs(
 
     base = _ensure_parallelism(df)
     if candidates is not None:
+        # The candidate pair set is consumed three times below (two id
+        # projections + the pair join); without a persist each consumption
+        # re-executes the ENTIRE candidate-generation sub-plan (e.g. the
+        # LSH pipeline). Pairs are (bigint, bigint) — tiny at any scale.
+        candidates = candidates.select("id_a", "id_b").persist()
         # verify mode touches only candidate documents: semi-join on the
         # candidate id set BEFORE computing shingles, so the expensive
         # tokenize+ngram pass runs over |candidates| docs, not the corpus
@@ -435,6 +440,10 @@ def ngram_jaccard_pairs(
         # verify-only mode: join each candidate pair to its two shingle sets
         # and compute the exact Jaccard per pair with array_intersect — work
         # is O(|candidates| * shingles), never an all-pairs or index join.
+        # sh is consumed twice (a/b sides): persist the candidate docs'
+        # shingle sets (bounded by the candidate count) so the upstream
+        # scan+tokenize chain runs once, not twice.
+        sh = sh.persist()
         a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
         b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
         paired = candidates.select("id_a", "id_b").join(a, on="id_a").join(b, on="id_b")
