@@ -634,3 +634,19 @@ def test_lsh_multi_probe_widens_candidates(spark):
         sim.srp_bucket(F.col("embedding"), 5).alias("b"),
     ).collect()
     assert all(r["b0"] == r["b"] for r in first)
+
+
+def test_kmeans_refine_zero_iters_and_empty_seeds(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    seeds = [(0, [1.0, 2.0])]
+    assert sim.kmeans_refine(emb, seeds, n_iters=0) == seeds
+    assert sim.kmeans_refine(emb, [], n_iters=3) == []
+
+
+def test_ivf_store_missing_sidecar_raises(spark, tmp_path):
+    from nested_pandas_spark.sources.ivf_store import read_ivf_centroids
+
+    with pytest.raises(FileNotFoundError):
+        read_ivf_centroids(str(tmp_path / "nonexistent"))
