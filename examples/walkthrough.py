@@ -68,6 +68,34 @@ def main() -> None:
     print("clicks with a prior signup:",
           matched.where("signup_id_right IS NOT NULL").count())
 
+    # -- 8. refined ANN + the materialized IVF index ------------------------
+    import tempfile
+
+    from nested_pandas_spark.sources.ivf_store import ivf_search, write_ivf_index
+
+    queries = emb.where(F.col("vec_id") < 3)
+    approx = similarity.ivf_topk(emb, queries, k=2, n_centroids=8,
+                                 n_probe=3, n_iters=2)  # 2 Lloyd rounds
+    print("refined-IVF neighbor pairs:", approx.count())
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(emb, d, n_centroids=8, n_iters=2)
+        stored = ivf_search(spark, d, queries, k=2, n_probe=3)
+        # probing is a literal partition filter: the scan never opens
+        # non-probed centroid directories
+        print("IVF-store neighbor pairs:", stored.count())
+
+    # -- 9. multi-probe LSH: recall without extra tables --------------------
+    probed = similarity.lsh_topk(emb, queries, k=5, num_planes=4,
+                                 multi_probe=2)
+    print("multi-probe LSH pairs:", probed.count())
+
+    # -- 10. training-data packing: context-window bins ---------------------
+    from nested_pandas_spark.pipeline.corpus import pack_sequences
+
+    bins = pack_sequences(docs, 2048, tokens_col="n_chars")
+    print("context-window bins:",
+          bins.agg(F.countDistinct("bin_id")).collect()[0][0])
+
     spark.stop()
 
 

@@ -32,5 +32,7 @@ def test_walkthrough_runs_end_to_end():
     out = proc.stdout
     # the walkthrough's own milestones all printed
     for marker in ("packed:", "flat rows:", "near-dup candidate pairs:",
-                   "clicks with a prior signup:"):
+                   "clicks with a prior signup:",
+                   "refined-IVF neighbor pairs:", "IVF-store neighbor pairs:",
+                   "multi-probe LSH pairs:", "context-window bins:"):
         assert marker in out, f"missing '{marker}' in walkthrough output"
