@@ -879,6 +879,37 @@ def q56_ivf_store(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q57_nest_agg_extended(spark, sf):
+    """The extended per-cell reducers through the gate: n_distinct rides
+    the lazy-pack pushdown (count(DISTINCT) on the flat child), while
+    any/all/first/last materialize the sorted pack and reduce per cell
+    with HOFs (operators/aggregates.py nest_agg). first/last are
+    order-sensitive — sort_within pins cell order so the oracle's
+    arg_min/arg_max replay them exactly."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    # l_quantity joins the sort key: the synthetic lineitems duplicate
+    # l_linenumber within an order, and first/last need a total order on
+    # the returned value to be engine-independent
+    ndf = NestedFrame(orders).join_nested(
+        li, "items", on="o_orderkey", how="inner",
+        sort_within=["l_linenumber", "l_quantity"],
+    )
+    ndf = ndf.eval("items.is_r = items.l_returnflag == 'R'")
+    ndf = (
+        ndf.nest_agg("items", "l_partkey", "n_distinct", alias="nd_parts")
+        .nest_agg("items", "is_r", "any", alias="any_r")
+        .nest_agg("items", "is_r", "all", alias="all_r")
+        .nest_agg("items", "l_quantity", "first", alias="first_qty")
+        .nest_agg("items", "l_quantity", "last", alias="last_qty")
+    )
+    return ndf.df.select(
+        "o_orderkey",
+        F.col("nd_parts").cast("long").alias("nd_parts"),
+        "any_r", "all_r", "first_qty", "last_qty",
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1030,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_kmeans_centroids": q54_kmeans_centroids,
         "q55_eval_empty_cells": q55_eval_empty_cells,
         "q56_ivf_store": q56_ivf_store,
+        "q57_nest_agg_extended": q57_nest_agg_extended,
     }
 
 
@@ -1486,6 +1518,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cid, CAST(t.i AS BIGINT) AS dim,
                    round(c.cv[t.i + 1], 6) AS val
             FROM {ivf_cent} c, range(0, 64) t(i)
+        """,
+        "q57_nest_agg_extended": """
+            SELECT o.o_orderkey,
+                   CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS nd_parts,
+                   bool_or(l.l_returnflag = 'R') AS any_r,
+                   bool_and(l.l_returnflag = 'R') AS all_r,
+                   first(l.l_quantity ORDER BY l.l_linenumber, l.l_quantity)
+                       AS first_qty,
+                   last(l.l_quantity ORDER BY l.l_linenumber, l.l_quantity)
+                       AS last_qty
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey
         """,
         "q55_eval_empty_cells": """
             SELECT o.o_orderkey,

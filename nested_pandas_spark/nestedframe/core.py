@@ -799,9 +799,15 @@ class NestedFrame:
                 "min": f"min({quote(field)})",
                 "max": f"max({quote(field)})",
                 "count": "count(*)",
+                "n_distinct": f"count(DISTINCT {quote(field)})",
             }.get(how)
             if agg_sql is None:
-                raise ValueError(f"Unsupported reduction: {how}")
+                # reductions with no shuffle-side equivalent (first/last
+                # depend on cell order; any/all differ from bool_or/bool_and
+                # on NULL elements): materialize the pack, use the per-cell
+                # HOF. Unknown reductions raise inside aggregates.nest_agg.
+                col = aggregates.nest_agg(self._df, nest, field, how, alias)
+                return self._wrap(self._df.withColumn(name, col))
             # no zero-fill: the eager path's size(NULL cell) is NULL too
             spec = spec.with_agg(name, agg_sql, False)
             return NestedFrame(self._base_df, {**self._pending, nest: spec})

@@ -176,14 +176,28 @@ def describe(
 def nest_agg(df: DataFrame, nest: str, field: str, how: str, alias: str | None = None) -> Column:
     """Per-row reduction of one nested sub-column via higher-order functions.
 
-    ``how`` in {sum, mean, min, max, count}. This is the fast path the
-    reference reaches with numba kernels (``njit_funcs.py``) — here it's a
-    codegen'd ``aggregate``/``array_min``/``array_max`` over the cell.
+    ``how`` in {sum, mean, min, max, count, n_distinct, first, last, any,
+    all}. This is the fast path the reference reaches with numba kernels
+    (``njit_funcs.py``) — here it's a codegen'd
+    ``aggregate``/``array_min``/``array_max`` over the cell.
     """
     arr = f"transform({quote(nest)}, __x -> __x.{quote(field)})"
     name = alias or f"{how}_{nest}_{field}"
     if how == "count":
         return F.size(F.expr(arr)).alias(name)
+    if how == "n_distinct":
+        # pandas nunique semantics: NULL elements don't count
+        return F.size(
+            F.expr(f"array_distinct(filter({arr}, __v -> __v IS NOT NULL))")
+        ).alias(name)
+    if how == "first":
+        return F.expr(f"try_element_at({arr}, 1)").alias(name)
+    if how == "last":
+        return F.expr(f"try_element_at({arr}, -1)").alias(name)
+    if how == "any":
+        return F.expr(f"exists({arr}, __v -> __v)").alias(name)
+    if how == "all":
+        return F.expr(f"forall({arr}, __v -> __v)").alias(name)
     if how == "min":
         return F.array_min(F.expr(arr)).alias(name)
     if how == "max":

@@ -209,3 +209,49 @@ def test_accessor_aliases(packed):
     assert "flux_error" not in dropped.nested_fields("nested")
     added = acc.set_flat_column("flux2", "nested.flux * 2")
     assert "flux2" in added.nested_fields("nested")
+
+
+def test_nest_agg_extended_reducers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [(1.0, True), (2.0, True), (1.0, None)]),
+            (1, [(5.0, False)]),
+            (2, None),
+        ],
+        "id long, n array<struct<v double, f boolean>>",
+    )
+    ndf = NestedFrame(df)
+    out = (
+        ndf.nest_agg("n", "v", "n_distinct", alias="nd")
+        .nest_agg("n", "v", "first", alias="fst")
+        .nest_agg("n", "v", "last", alias="lst")
+        .nest_agg("n", "f", "any", alias="any_f")
+        .nest_agg("n", "f", "all", alias="all_f")
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[0]["nd"] == 2 and rows[0]["fst"] == 1.0 and rows[0]["lst"] == 1.0
+    assert rows[0]["any_f"] is True
+    assert rows[1]["nd"] == 1 and rows[1]["any_f"] is False and rows[1]["all_f"] is False
+    assert rows[2]["nd"] is None and rows[2]["fst"] is None
+
+
+def test_nest_agg_n_distinct_lazy_matches_eager(spark):
+    """n_distinct through the pending-pack pushdown (count(DISTINCT) on the
+    flat child) must equal the per-cell HOF on the materialized pack."""
+    base = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    child = spark.createDataFrame(
+        [(0, 1.0), (0, 1.0), (0, 2.0), (1, None), (1, 3.0)],
+        "id long, v double",
+    )
+    lazy = (
+        NestedFrame(base)
+        .join_nested(child, "n", on="id")
+        .nest_agg("n", "v", "n_distinct", alias="nd")
+    )
+    lazy_rows = {r["id"]: r["nd"] for r in lazy.df.select("id", "nd").collect()}
+    eager = NestedFrame(
+        NestedFrame(base).join_nested(child, "n", on="id").df
+    ).nest_agg("n", "v", "n_distinct", alias="nd")
+    eager_rows = {r["id"]: r["nd"] for r in eager.df.select("id", "nd").collect()}
+    assert lazy_rows == eager_rows
+    assert lazy_rows[0] == 2 and lazy_rows[1] == 1
