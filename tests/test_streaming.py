@@ -140,3 +140,56 @@ def test_stream_dedup(spark, stream_dir, batch_events, tmp_path):
     got = spark.table("dedup").count()
     want = batch_events.count()
     assert got == want  # each duplicated event emitted once
+
+
+def test_checkpointed_restart_processes_each_file_once(spark, tmp_path):
+    """Exactly-once across restarts: a file-sink stream with a checkpoint,
+    stopped and restarted with a new input file, must emit every input
+    file's rows exactly once — the recovery contract a production
+    ingest pipeline relies on (checkpoint tracks consumed files; the
+    restarted query resumes from the log, not from scratch)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+    shutil.copy(SRC, f"{src}/batch1.parquet")
+    base = spark.read.parquet(SRC)
+    n1 = base.count()
+
+    def run_once():
+        stream = ev.read_event_stream(spark, src)
+        q = (
+            ev.with_event_time(stream)
+            .select("event_id", "user_id", "event_time")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == n1
+
+    # second input file arrives while the query is DOWN; restart from the
+    # same checkpoint: batch1 must not be reprocessed
+    second = base.limit(500)
+    n2 = second.count()
+    second.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage2"))
+    import glob
+
+    part = glob.glob(str(tmp_path / "stage2" / "*.parquet"))[0]
+    shutil.copy(part, f"{src}/batch2.parquet")
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == n1 + n2
+    # every event id appears exactly (occurrences in src) times — no dups
+    dup_check = (
+        got.groupBy("event_id").count().where(F.col("count") > 2).count()
+    )
+    assert dup_check == 0
