@@ -910,6 +910,42 @@ def q57_nest_agg_extended(spark, sf):
     )
 
 
+def q58_semantic_dedup(spark, sf):
+    """SemDeDup through the gate (pipeline/dedup.py semantic_dedup): cluster
+    the embeddings with the SAME deterministic k-means as q31/q54 (8
+    md5-seeded centroids, 2 Lloyd rounds, cosine assignment), then drop
+    every vector with a smaller-id cluster-mate at cosine >= 0.35 (the
+    q30 demo threshold — the synthetic vectors are near-orthogonal).
+    The oracle replays clustering, assignment, within-cluster pairing,
+    and keep-min resolution in SQL, so a hash match proves the whole
+    semantic-dedup pipeline, not just the pair finding."""
+    emb = _t(spark, sf, "embeddings")
+    out = dd.semantic_dedup(
+        emb, "vec_id", "embedding", n_centroids=8, n_iters=2, threshold=0.35
+    )
+    return out.select("vec_id", F.col("cid").cast("long").alias("cid"), "kept")
+
+
+def q59_cluster_split(spark, sf):
+    """Leakage-controlled train/test split (pipeline/corpus.py
+    split_by_cluster): verified Jaccard near-dup pairs (q41's graph) ->
+    connected components -> every doc hash-bucketed by its CLUSTER
+    REPRESENTATIVE (min id; own id for singletons) into test (10% of 1000
+    md5 buckets) or train. The oracle replays components with a recursive
+    CTE and the identical md5-bucket arithmetic — a hash match proves
+    near-dups can never straddle the split."""
+    from nested_pandas_spark.pipeline.corpus import split_by_cluster
+
+    docs = _t(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", shingle_n=3, threshold=0.5)
+    out = split_by_cluster(docs, pairs, "doc_id", test_frac=0.1, buckets=1000)
+    return out.select(
+        "doc_id",
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        "split",
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1062,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_eval_empty_cells": q55_eval_empty_cells,
         "q56_ivf_store": q56_ivf_store,
         "q57_nest_agg_extended": q57_nest_agg_extended,
+        "q58_semantic_dedup": q58_semantic_dedup,
+        "q59_cluster_split": q59_cluster_split,
     }
 
 
@@ -1519,6 +1557,26 @@ def oracle_sql() -> dict[str, str]:
                    round(c.cv[t.i + 1], 6) AS val
             FROM {ivf_cent} c, range(0, 64) t(i)
         """,
+        "q58_semantic_dedup": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            {ivf_km},
+            asg AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {_dd_cos('e.v', 'c.cv')} DESC, c.cid ASC) AS rn
+                    FROM e, {ivf_cent} c
+                ) WHERE rn = 1
+            ),
+            dropped AS (
+                SELECT DISTINCT b.vec_id AS id
+                FROM asg a JOIN asg b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE {_dd_cos('a.v', 'b.v')} >= 0.35
+            )
+            SELECT a.vec_id, a.cid, d.id IS NULL AS kept
+            FROM asg a LEFT JOIN dropped d ON a.vec_id = d.id
+        """,
         "q57_nest_agg_extended": """
             SELECT o.o_orderkey,
                    CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS nd_parts,
@@ -1802,6 +1860,32 @@ def oracle_sql() -> dict[str, str]:
                 WHERE inter / (na.n + nb.n - inter) >= 0.5
             ), {_cc_sql("ver")}
             SELECT u AS node, c AS component FROM comp
+        """,
+        "q59_cluster_split": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, list_distinct({sh3}) AS s FROM documents
+            ), nz AS (
+                SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM nz
+            ), shared AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+                FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            ), ver AS (
+                SELECT id_a, id_b
+                FROM shared
+                JOIN nz na ON na.doc_id = id_a
+                JOIN nz nb ON nb.doc_id = id_b
+                WHERE inter / (na.n + nb.n - inter) >= 0.5
+            ), {_cc_sql("ver")}
+            SELECT d.doc_id,
+                   COALESCE(c.c, d.doc_id) AS cluster_rep,
+                   CASE WHEN ('0x' || substr(md5(
+                            COALESCE(c.c, d.doc_id)::VARCHAR), 1, 8))::BIGINT
+                            % 1000 < 100
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
         """,
         "q42_decontaminate": f"""
             WITH bench AS (

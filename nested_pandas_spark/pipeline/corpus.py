@@ -36,6 +36,7 @@ __all__ = [
     "mixture_weights",
     "pack_segments",
     "pack_sequences",
+    "split_by_cluster",
     "stratified_sample",
     "write_sharded",
 ]
@@ -338,6 +339,52 @@ def stratified_sample(
         for v in present - set(fr):
             fr[v] = default_fraction
     return docs.sampleBy(strata_col, fractions=fr, seed=seed)
+
+
+def split_by_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_frac: float = 0.1,
+    buckets: int = 1000,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Leakage-controlled train/test split: hash-split by the document's
+    DUPLICATE-CLUSTER representative, not its own id, so near-duplicates
+    (the verified-pair graph's connected components) always land on the
+    same side — the standard guard against eval contamination via a
+    near-copy of a test document leaking into train.
+
+    ``pairs`` is any verified near-dup pair set (n-gram Jaccard, LSH +
+    verify, SemDeDup pairs...). Each doc's representative is its
+    component's min id (its own id for singletons); ``split`` = 'test'
+    for the ``test_frac`` fraction of md5-hash buckets of the
+    representative, 'train' otherwise. Deterministic — no RNG, identical
+    in any engine and on any rerun/backfill.
+
+    Scale: components ship only (node, component) bigint rows
+    (:func:`~nested_pandas_spark.pipeline.dedup.connected_components` —
+    id-only pointer-doubling shuffles); the split itself is one narrow
+    left join (broadcastable — the pair graph is tiny next to the corpus)
+    plus a per-row hash projection. Document text never shuffles.
+    """
+    from .dedup import connected_components
+
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("node").alias("__node"), F.col("component").alias("__comp")
+    )
+    out = docs.join(cc, docs[id_col] == cc["__node"], how="left")
+    rep = F.coalesce(F.col("__comp"), F.col(id_col).cast("long"))
+    bucket = _h32(rep.cast("string")) % buckets
+    n_test = int(round(test_frac * buckets))
+    return out.select(
+        *[docs[c] for c in docs.columns],
+        rep.alias("cluster_rep"),
+        F.when(bucket < n_test, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
 
 
 def decontaminate(

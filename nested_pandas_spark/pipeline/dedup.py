@@ -33,6 +33,7 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "embedding_neardup",
+    "semantic_dedup",
     "connected_components",
     "resolve_duplicates",
 ]
@@ -819,4 +820,69 @@ def resolve_duplicates(
     )
     return docs.join(
         losers, on=docs[id_col] == losers["__loser"], how="left_anti"
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embeddings, then compare pairs ONLY within a cluster and
+    drop every vector whose cosine to a smaller-id cluster-mate reaches
+    ``threshold`` — keep-min-id, the paper's "keep one representative per
+    semantic group" with a deterministic tie-break.
+
+    Output: one row per input vector — (``id_col``, cid, kept), where
+    ``cid`` is the assigned cluster and ``kept`` is false iff a smaller-id
+    near-duplicate exists in the same cluster.
+
+    Scale design (the whole point of the clustering): the quadratic
+    pairwise-cosine pass shrinks from |corpus|^2 to sum over clusters of
+    |C|^2 — with k clusters of even size, a k-fold reduction, and in
+    practice far more because only same-topic vectors ever meet. The
+    within-cluster comparison is a plain equi-join on ``cid`` — hash
+    partitioned, combinable map-side, and AQE splits a skewed mega-cluster
+    automatically. Centroids ride the plan as literals
+    (:func:`~nested_pandas_spark.pipeline.similarity.ivf_centroids` —
+    md5-seeded + deterministic Lloyd rounds), so assignment is a zero
+    shuffle projection and the DuckDB oracle can replay the entire
+    pipeline, clustering included, to the digit. At 100 TB you'd raise
+    ``n_centroids`` so that E[|C|] keeps the per-cluster join bounded
+    (sqrt(N) clusters is the classic balance point) and write the corpus
+    partitioned by ``cid`` so reruns skip the assignment scan.
+
+    The reference library has no semantic dedup; this extends the LLM
+    pipeline family (exact/minhash/simhash/embedding-LSH) with the
+    embedding-clustering variant used for web-scale pretraining corpora.
+    """
+    from .similarity import _nearest_centroids, cosine, ivf_centroids
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("cid", _nearest_centroids(F.col("__v"), cents, 1)[0])
+    a = base.select("cid", F.col("__id").alias("__ida"), F.col("__v").alias("__va"))
+    b = base.select("cid", F.col("__id").alias("__idb"), F.col("__v").alias("__vb"))
+    # the dropped set: ids with a SMALLER-id near-dup in the same cluster.
+    # Only (id) survives the aggregation, so the anti-join side is narrow.
+    dropped = (
+        a.join(b, on="cid")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("__idb").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        base.join(dropped, base["__id"] == dropped["__dropped"], how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cid",
+            F.col("__dropped").isNull().alias("kept"),
+        )
     )

@@ -478,3 +478,30 @@ def test_resolve_duplicates_transitive(spark):
         r["doc_id"] for r in resolve_duplicates(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 9]
+
+
+def test_split_by_cluster_no_leakage(spark):
+    from nested_pandas_spark.pipeline.corpus import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 40)], "doc_id long, text string"
+    )
+    # {1,2,3} are transitive near-dups; {10,11} a pair; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = split_by_cluster(docs, pairs, "doc_id", test_frac=0.3, buckets=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 39
+    # cluster members share a representative AND a side
+    assert {rows[i]["cluster_rep"] for i in (1, 2, 3)} == {1}
+    assert len({rows[i]["split"] for i in (1, 2, 3)}) == 1
+    assert rows[10]["split"] == rows[11]["split"]
+    # singletons represent themselves; both sides are populated
+    assert rows[9]["cluster_rep"] == 9
+    sides = {r["split"] for r in rows.values()}
+    assert sides == {"train", "test"}
+    # deterministic across reruns
+    again = {r["doc_id"]: r["split"] for r in split_by_cluster(
+        docs, pairs, "doc_id", test_frac=0.3, buckets=10).collect()}
+    assert again == {k: v["split"] for k, v in rows.items()}

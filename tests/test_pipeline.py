@@ -342,6 +342,33 @@ def test_embedding_neardup_multi_table_dedupes(spark):
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
 
 
+def test_semantic_dedup_drops_within_cluster_neardup(spark):
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(30)]
+    # 200 is a scaled copy of 0 (cosine exactly 1) -> same cluster as 0,
+    # dropped; 0 keeps (smallest id in its near-dup group)
+    rows.append((200, [3.0 * x for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dd.semantic_dedup(
+        emb, n_centroids=4, n_iters=1, threshold=0.95
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 31
+    assert not by_id[200]["kept"] and by_id[0]["kept"]
+    assert by_id[200]["cid"] == by_id[0]["cid"]
+    # near-orthogonal randoms all survive
+    assert sum(1 for r in out if not r["kept"]) == 1
+
+
+def test_semantic_dedup_deterministic(spark):
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, dd.semantic_dedup(emb, n_centroids=3, n_iters=2).collect()))
+    b = sorted(map(tuple, dd.semantic_dedup(emb, n_centroids=3, n_iters=2).collect()))
+    assert a == b
+
+
 def test_multimodal_decode_and_features(spark):
     bdf = spark.createDataFrame(
         [(1, bytearray(b"payload-a")), (2, None)], "id int, payload binary"
