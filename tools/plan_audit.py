@@ -301,6 +301,61 @@ def main() -> int:
         )[:600],
     ))
 
+    # -- 13. semantic_dedup: within-cluster pairing is an equi-join ---------
+    from nested_pandas_spark.pipeline.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p13 = explain_str(
+        semantic_dedup(emb, n_centroids=4, n_iters=1, threshold=0.35)
+    )
+    check(
+        "semantic_dedup no all-pairs",
+        "CartesianProduct" not in p13
+        and "BroadcastNestedLoopJoin" not in p13,
+        "within-cluster comparison degenerated to an all-pairs join",
+    )
+    sections.append((
+        "Semantic dedup: clustered pairwise pass, never all-pairs",
+        "semantic_dedup assigns every vector to a plan-literal centroid "
+        "(pure projection) and compares pairs through an equi-join on the "
+        "cluster id — the plan must contain no CartesianProduct / "
+        "BroadcastNestedLoopJoin. The quadratic cost is bounded per "
+        "cluster, the dropped-id side of the final anti-style join is "
+        "id-only, and AQE splits a skewed mega-cluster.",
+        "\n".join(
+            ln.strip()
+            for ln in p13.splitlines()
+            if "Join" in ln or "Exchange" in ln
+        )[:600],
+    ))
+
+    # -- 14. split_by_cluster: narrow id-only component join ----------------
+    from nested_pandas_spark.pipeline.corpus import split_by_cluster
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    p14 = explain_str(split_by_cluster(docs, pairs, "doc_id"))
+    check(
+        "split_by_cluster no all-pairs",
+        "CartesianProduct" not in p14
+        and "BroadcastNestedLoopJoin" not in p14,
+        "component join degenerated to an all-pairs join",
+    )
+    sections.append((
+        "Leakage-controlled split: one narrow component join + hash projection",
+        "split_by_cluster joins the corpus to (node, component) bigint "
+        "pairs — the only thing that moves for the split decision; the "
+        "test/train bucket is a per-row md5 projection of the cluster "
+        "representative. Document text never shuffles, and the join is "
+        "broadcastable when the dup graph is small.",
+        "\n".join(
+            ln.strip()
+            for ln in p14.splitlines()
+            if "Join" in ln or "Exchange" in ln
+        )[:600],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
