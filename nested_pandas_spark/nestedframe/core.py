@@ -370,6 +370,19 @@ class NestedFrame:
         broadcast_packed: bool = False,
         drop_null_keys: bool = True,
     ) -> "NestedFrame":
+        """Pack ``child`` rows under each base row as nested column ``name``
+        (reference ``core.py:385-467``). Left joins defer the pack — later
+        element filters push down to the child scan before materializing.
+
+        Examples
+        --------
+        >>> base = spark.createDataFrame([(1, "A"), (2, "B")], "k long, s string")
+        >>> child = spark.createDataFrame(
+        ...     [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, qty double")
+        >>> ndf = NestedFrame(base).join_nested(child, "items", on="k")
+        >>> sorted((r["k"], len(r["items"])) for r in ndf.df.collect())
+        [(1, 2), (2, 1)]
+        """
         cdf = child.df if isinstance(child, NestedFrame) else child
         if how == "left":
             # defer the pack: element predicates from subsequent query()
@@ -506,6 +519,18 @@ class NestedFrame:
         become NULL. Expressions may mix sub-columns of ONE nest with base
         columns (base values broadcast into the lambda — they are in scope as
         outer references).
+
+        Examples
+        --------
+        >>> base = spark.createDataFrame([(1,), (2,)], "k long")
+        >>> child = spark.createDataFrame(
+        ...     [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, qty double")
+        >>> ndf = NestedFrame(base).join_nested(child, "items", on="k")
+        >>> out = ndf.query("items.qty > 15")
+        >>> sorted((r["k"], None if r["items"] is None
+        ...         else [x["qty"] for x in r["items"]])
+        ...        for r in out.df.collect())
+        [(1, [20.0]), (2, None)]
         """
         compiled = compile_expr(expr, self._nested_field_map(), self._known_columns(), env)
         if not compiled.nests:
@@ -565,6 +590,17 @@ class NestedFrame:
         cell, matching the side effect of the reference's flatten->repack
         (reference ``core.py:1436-1491``) so migrated workloads can keep
         bit-identical cell conventions.
+
+        Examples
+        --------
+        >>> base = spark.createDataFrame([(1,)], "k long")
+        >>> child = spark.createDataFrame(
+        ...     [(1, 10.0), (1, 20.0)], "k long, qty double")
+        >>> ndf = NestedFrame(base).join_nested(child, "items", on="k",
+        ...                                     sort_within=["qty"])
+        >>> out = ndf.eval("items.rev = items.qty * 2")
+        >>> [x["rev"] for x in out.df.collect()[0]["items"]]
+        [20.0, 40.0]
         """
         if empty_cells not in ("null", "reference"):
             raise ValueError(

@@ -47,6 +47,15 @@ def asof_join(
     ``'nearest'`` costs one extra within-partition sort (the reversed
     window), NOT an extra shuffle — both carries share the one key
     partitioning.
+
+    Examples
+    --------
+    >>> trades = spark.createDataFrame([("A", 3), ("A", 7)], "sym string, ts long")
+    >>> quotes = spark.createDataFrame(
+    ...     [("A", 2, 1.0), ("A", 5, 2.0)], "sym string, ts long, px double")
+    >>> out = asof_join(trades, quotes, on="sym", ts="ts")
+    >>> sorted((r["ts"], r["px_right"]) for r in out.collect())
+    [(3, 1.0), (7, 2.0)]
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")

@@ -127,6 +127,15 @@ def pack(
     straggler saves. Salting is a STRAGGLER/MEMORY mitigation for when a
     single key's group approaches executor memory or one task runs minutes;
     leave it off until a stage summary shows that task.
+
+    Examples
+    --------
+    >>> df = spark.createDataFrame(
+    ...     [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, qty double")
+    >>> packed = pack(df, "items", on="k", sort_within=["qty"])
+    >>> sorted((r["k"], [x["qty"] for x in r["items"]])
+    ...        for r in packed.collect())
+    [(1, [10.0, 20.0]), (2, [5.0])]
     """
     keys = _normalize_keys(on)
     payload = columns or [c for c in child.columns if c not in keys]

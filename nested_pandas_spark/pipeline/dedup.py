@@ -52,6 +52,15 @@ def exact_dedup(
 
     Single hash-shuffle on the 32-hex-char fingerprint; with AQE the skewed
     'empty doc' bucket splits automatically.
+
+    Examples
+    --------
+    >>> docs = spark.createDataFrame(
+    ...     [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+    ...     "doc_id long, text string")
+    >>> sorted((r["doc_id"], r["n_dups"])
+    ...        for r in exact_dedup(docs, "doc_id").collect())
+    [(1, 2), (3, 1)]
     """
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (

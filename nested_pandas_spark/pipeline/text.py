@@ -50,7 +50,14 @@ def words(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count.
+
+    Examples
+    --------
+    >>> df = spark.createDataFrame([("hello spark  world",)], "text string")
+    >>> df.select(token_count("text").alias("n")).collect()[0]["n"]
+    3
+    """
     return F.size(words(text))
 
 

@@ -43,6 +43,13 @@ def shuffle_partitions_for(
     100 TB shuffle, 128 MiB targets -> ~800k raw, capped to 200k: at that
     point raise ``target_partition_bytes`` instead (1 GiB -> 100k tasks) —
     fewer, larger, still-spillable partitions beat scheduler overload.
+
+    Examples
+    --------
+    >>> shuffle_partitions_for(100 * 2**40)  # 100 TiB shuffle
+    200000
+    >>> shuffle_partitions_for(2**30)  # 1 GiB floors at 2x cores
+    64
     """
     want = -(-shuffle_bytes // target_partition_bytes)  # ceil div
     return max(min(want, max_partitions), 2 * total_cores, 1)
@@ -80,6 +87,13 @@ def salt_factor_for(
     under the budget return 1 (no salting — the extra stage costs more than
     it saves). AQE's skew-join split handles JOIN skew; this handles the
     groupBy/collect_list side, which AQE cannot split mid-aggregate.
+
+    Examples
+    --------
+    >>> salt_factor_for(5_000_000_000)
+    1000
+    >>> salt_factor_for(1000)
+    1
     """
     if hottest_key_rows <= target_rows_per_task:
         return 1
