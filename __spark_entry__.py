@@ -946,6 +946,18 @@ def q59_cluster_split(spark, sf):
     )
 
 
+def q60_boilerplate(spark, sf):
+    """Corpus-common n-gram signal (pipeline/corpus.py boilerplate_ngrams):
+    per doc, how many of its distinct word 5-grams appear in >= 3 docs
+    corpus-wide and the fraction — the cross-document duplication score
+    used for boilerplate stripping. Oracle replays shingling, the df
+    filter, and the per-doc rollup with the shared md5 hash fragments."""
+    from nested_pandas_spark.pipeline.corpus import boilerplate_ngrams
+
+    docs = _t(spark, sf, "documents")
+    return boilerplate_ngrams(docs, ngram_n=5, min_df=3)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1100,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_nest_agg_extended": q57_nest_agg_extended,
         "q58_semantic_dedup": q58_semantic_dedup,
         "q59_cluster_split": q59_cluster_split,
+        "q60_boilerplate": q60_boilerplate,
     }
 
 
@@ -1886,6 +1899,29 @@ def oracle_sql() -> dict[str, str]:
                             % 1000 < 100
                         THEN 'test' ELSE 'train' END AS split
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+        """,
+        "q60_boilerplate": f"""
+            WITH dg AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    {_shingles(5)}, x -> {_H32.format(x="x")}))) AS g
+                FROM documents
+            ), dfreq AS (
+                SELECT g FROM dg GROUP BY g HAVING count(*) >= 3
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id
+            ), com AS (
+                SELECT dg.doc_id, count(*) AS n_common
+                FROM dg JOIN dfreq USING (g) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+                   CASE WHEN COALESCE(t.n_grams, 0) > 0
+                        THEN round(COALESCE(c.n_common, 0) / t.n_grams, 6)
+                        ELSE 0.0 END AS common_ratio
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN com c USING (doc_id)
         """,
         "q42_decontaminate": f"""
             WITH bench AS (

@@ -31,6 +31,7 @@ from .text import add_text_stats, token_count, word_ngrams
 
 __all__ = [
     "assign_shards",
+    "boilerplate_ngrams",
     "clean_corpus",
     "decontaminate",
     "mixture_weights",
@@ -442,6 +443,68 @@ def decontaminate(
             (F.coalesce("n_bench_ngrams", F.lit(0)) >= min_hits).alias(
                 "contaminated"
             ),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-common ("boilerplate") n-gram signal per document: how many of
+    a doc's DISTINCT word ``ngram_n``-grams appear in at least ``min_df``
+    documents corpus-wide, and what fraction of the doc that is — the
+    cross-document duplication score used to strip navigation chrome /
+    license headers / templated spam before pretraining (the
+    corpus-internal sibling of :func:`decontaminate`'s eval-set overlap).
+
+    Returns ``(id_col, n_grams, n_common, common_ratio)`` — one row per
+    input doc; docs with no n-grams get zeros. Filter on ``common_ratio``
+    or feed it to a quality model.
+
+    Scale shape: two hash-keyed shuffles, text never moves. Pass 1 —
+    scan -> shingle-hash -> distinct (id, hash) -> groupBy hash counting
+    document frequency (partial-agg combines map-side, so the wire carries
+    one (hash, count) per hash per partition). Pass 2 — the per-doc
+    rollup keyed on the doc id. The df table is (hash, df) pairs: at web
+    scale prune it to ``df >= min_df`` BEFORE the join-back (done here),
+    which typically shrinks it by orders of magnitude since most n-grams
+    are unique; AQE broadcasts it when it fits.
+    """
+    doc_grams = (
+        staged_shingle_hashes(docs, id_col, text_col, ngram_n)
+        .select("__id", F.explode(F.array_distinct("__h")).alias("__g"))
+    )
+    common = (
+        doc_grams.groupBy("__g")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__g")
+    )
+    per_doc = (
+        doc_grams.join(common, "__g", "left_semi")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    totals = doc_grams.groupBy("__id").agg(F.count("*").alias("n_grams"))
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(totals, "__id", "left")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_common", F.lit(0))
+                    / F.col("n_grams"), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("common_ratio"),
         )
     )
 

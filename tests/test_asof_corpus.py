@@ -505,3 +505,29 @@ def test_split_by_cluster_no_leakage(spark):
     again = {r["doc_id"]: r["split"] for r in split_by_cluster(
         docs, pairs, "doc_id", test_frac=0.3, buckets=10).collect()}
     assert again == {k: v["split"] for k, v in rows.items()}
+
+
+def test_boilerplate_ngrams(spark):
+    from nested_pandas_spark.pipeline.corpus import boilerplate_ngrams
+
+    shared = "the quick brown fox jumps"           # one 5-gram, in 3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta"),
+            (2, shared + " epsilon zeta eta theta"),
+            (3, shared),
+            (4, "totally different words here now"),
+            (5, "tiny"),                            # no 5-grams -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_ngrams(
+        docs, ngram_n=5, min_df=3).collect()}
+    assert len(out) == 5
+    assert out[3]["n_grams"] == 1 and out[3]["n_common"] == 1
+    assert out[3]["common_ratio"] == 1.0
+    # docs 1/2 have 5 distinct 5-grams, exactly one corpus-common
+    assert out[1]["n_grams"] == 5 and out[1]["n_common"] == 1
+    assert out[1]["common_ratio"] == 0.2
+    assert out[4]["n_common"] == 0 and out[4]["common_ratio"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["common_ratio"] == 0.0
