@@ -12,6 +12,7 @@ import doctest
 
 import nested_pandas_spark.nestedframe.core as core
 import nested_pandas_spark.operators.asof as asof
+import nested_pandas_spark.operators.map_rows as map_rows
 import nested_pandas_spark.operators.packer as packer
 import nested_pandas_spark.pipeline.corpus as corpus
 import nested_pandas_spark.pipeline.dedup as dedup
@@ -19,7 +20,8 @@ import nested_pandas_spark.pipeline.similarity as similarity
 import nested_pandas_spark.pipeline.text as text
 import nested_pandas_spark.tuning as tuning
 
-MODULES = [core, packer, asof, dedup, text, corpus, similarity, tuning]
+MODULES = [core, packer, asof, dedup, text, corpus, similarity, tuning,
+           map_rows]
 
 # examples must exist where users look first; grow this floor as docstrings
 # gain examples, never shrink it

@@ -302,3 +302,36 @@ def test_setitem_variants(objects, sources):
     assert [x["flux2"] for x in row["nested"]] == pytest.approx(
         [10.0 * x["flux"] for x in row["nested"]]
     )
+
+
+def test_map_groups_per_key(spark):
+    from nested_pandas_spark.operators.map_rows import map_groups
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 4.0), (1, 7.0), (2, 10.0), (2, 12.0)],
+        "uid long, v double",
+    )
+
+    def span(pdf):
+        return pdf.groupby("uid", as_index=False).agg(
+            n=("v", "size"), span=("v", lambda s: s.max() - s.min())
+        )
+
+    out = {r["uid"]: (r["n"], r["span"]) for r in map_groups(
+        df, "uid", span, "uid long, n long, span double").collect()}
+    assert out == {1: (3, 6.0), 2: (2, 2.0)}
+
+
+def test_map_groups_multi_key(spark):
+    from nested_pandas_spark.operators.map_rows import map_groups
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 1, 3.0), ("a", 2, 5.0)],
+        "g string, sub long, v double",
+    )
+    out = map_groups(
+        df, ["g", "sub"],
+        lambda pdf: pdf.groupby(["g", "sub"], as_index=False)["v"].sum(),
+        "g string, sub long, v double",
+    ).collect()
+    assert sorted(map(tuple, out)) == [("a", 1, 5.0), ("a", 2, 5.0)]
