@@ -96,6 +96,43 @@ def main() -> None:
     print("context-window bins:",
           bins.agg(F.countDistinct("bin_id")).collect()[0][0])
 
+    # -- 11. semantic dedup + leakage-controlled split ----------------------
+    from nested_pandas_spark.pipeline.corpus import (
+        boilerplate_ngrams,
+        split_by_cluster,
+    )
+    from nested_pandas_spark.pipeline.dedup import (
+        ngram_jaccard_pairs,
+        semantic_dedup,
+    )
+
+    sem = semantic_dedup(emb, n_centroids=8, n_iters=1, threshold=0.35)
+    print("semantic dedup kept:",
+          sem.where("kept").count(), "/", sem.count())
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", shingle_n=3, threshold=0.5)
+    splits = split_by_cluster(docs, pairs, "doc_id", test_frac=0.1)
+    print("split sides:",
+          sorted((r["split"], r["n"]) for r in
+                 splits.groupBy("split").agg(F.count("*").alias("n")).collect()))
+
+    # -- 12. boilerplate n-grams: cross-document duplication signal ---------
+    bp = boilerplate_ngrams(docs, ngram_n=5, min_df=3)
+    print("docs with >10% corpus-common 5-grams:",
+          bp.where("common_ratio > 0.1").count())
+
+    # -- 13. per-key custom logic without a pack round trip -----------------
+    from nested_pandas_spark.operators.map_rows import map_groups
+
+    spans = map_groups(
+        ev.select("user_id", "value"), "user_id",
+        lambda pdf: pdf.groupby("user_id", as_index=False).agg(
+            n=("value", "size"), span=("value", lambda s: s.max() - s.min())
+        ),
+        "user_id long, n long, span double",
+    )
+    print("per-user activity spans:", spans.count())
+
     spark.stop()
 
 
