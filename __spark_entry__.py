@@ -958,6 +958,27 @@ def q60_boilerplate(spark, sf):
     return boilerplate_ngrams(docs, ngram_n=5, min_df=3)
 
 
+def q61_map_groups(spark, sf):
+    """The grouped-UDF path through the gate (operators/map_rows.py
+    map_groups): per-user event count + value span computed by arbitrary
+    pandas code inside applyInPandas. THIS instance happens to be
+    SQL-expressible, so the oracle proves the whole Arrow
+    group-ship-compute-return loop yields exactly the declarative
+    answer — the evidence that custom per-entity logic slots in without
+    changing results."""
+    from nested_pandas_spark.operators.map_rows import map_groups
+
+    ev = _t(spark, sf, "events")
+    out = map_groups(
+        ev.select("user_id", "value"), "user_id",
+        lambda pdf: pdf.groupby("user_id", as_index=False).agg(
+            n=("value", "size"), span=("value", lambda s: s.max() - s.min())
+        ),
+        "user_id long, n long, span double",
+    )
+    return out.select("user_id", "n", F.round("span", 6).alias("span_r6"))
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_semantic_dedup": q58_semantic_dedup,
         "q59_cluster_split": q59_cluster_split,
         "q60_boilerplate": q60_boilerplate,
+        "q61_map_groups": q61_map_groups,
     }
 
 
@@ -1899,6 +1921,11 @@ def oracle_sql() -> dict[str, str]:
                             % 1000 < 100
                         THEN 'test' ELSE 'train' END AS split
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+        """,
+        "q61_map_groups": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   round(max(value) - min(value), 6) AS span_r6
+            FROM events GROUP BY user_id
         """,
         "q60_boilerplate": f"""
             WITH dg AS (
