@@ -103,6 +103,16 @@ def test_describe_exact_quantiles(packed):
     assert out["min"] == 0.0 and out["max"] == 22.0
 
 
+def test_describe_approx_matches_exact_at_small_n(packed):
+    # the 100 TB path: percentile_approx is a mergeable sketch (no global
+    # sort); at tiny n with default accuracy it is EXACT, so the two modes
+    # must agree to the digit here
+    exact = packed.describe(columns=["nested.flux"]).collect()[0]
+    approx = packed.describe(columns=["nested.flux"], exact=False).collect()[0]
+    for c in ("count", "mean", "min", "max", "p25", "p50", "p75"):
+        assert approx[c] == pytest.approx(exact[c]), c
+
+
 def test_sort_values_base(packed):
     out = packed.sort_values("a", ascending=False)
     assert [r["id"] for r in out.collect()] == [2, 1, 0]
