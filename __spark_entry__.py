@@ -979,6 +979,35 @@ def q61_map_groups(spark, sf):
     return out.select("user_id", "n", F.round("span", 6).alias("span_r6"))
 
 
+def q62_lsh_store(spark, sf):
+    """The MATERIALIZED LSH index through the gate (sources/lsh_store.py):
+    write the embeddings partitioned by (hash table, SRP bucket), then
+    lsh_search probes each query's buckets via a literal partition filter
+    (planning-time pruning) and exact-reranks. Same md5-derived planes and
+    rerank math as the inline lsh_topk, so the oracle replays corpus +
+    query bucketing per table, the bucket equi-join, and the top-3 — the
+    storage path must compute exactly the declarative answer."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.sources.lsh_store import lsh_search, write_lsh_index
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    d = tempfile.mkdtemp(prefix="q62_lsh_")
+    try:
+        write_lsh_index(emb, d, num_planes=8, num_tables=2)
+        out = lsh_search(spark, d, q, k=3, multi_probe=0)
+        out = out.select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+        # materialize before the staged files vanish
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1135,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_cluster_split": q59_cluster_split,
         "q60_boilerplate": q60_boilerplate,
         "q61_map_groups": q61_map_groups,
+        "q62_lsh_store": q62_lsh_store,
     }
 
 
@@ -1235,6 +1265,18 @@ def _qmodel_oracle() -> str:
         )
         SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS q_model FROM z
     """
+
+
+def _srp_bucket_sql(vcol: str, offset: int, n_planes: int = 8) -> str:
+    """DuckDB replica of similarity.srp_bucket(plane_offset=offset) — the
+    q25 fragment generalized to a plane offset for multi-table LSH."""
+    return f"""CAST(list_sum(list_transform(range(0, {n_planes}), p ->
+        CASE WHEN list_sum(list_transform(range(0, len({vcol})), i ->
+                 {vcol}[i + 1] *
+                 (CASE WHEN ('0x' || substr(md5((p + {offset})::VARCHAR || ':' ||
+                       i::VARCHAR), 1, 4))::BIGINT % 2 = 0
+                       THEN 1.0 ELSE -1.0 END))) > 0
+             THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)"""
 
 
 def _cc_sql(pairs_cte: str) -> str:
@@ -1921,6 +1963,37 @@ def oracle_sql() -> dict[str, str]:
                             % 1000 < 100
                         THEN 'test' ELSE 'train' END AS split
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+        """,
+        "q62_lsh_store": f"""
+            WITH cb AS (
+                SELECT vec_id, 0 AS tbl,
+                       {_srp_bucket_sql('embedding', 0)} AS b
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id, 1 AS tbl,
+                       {_srp_bucket_sql('embedding', 8)} AS b
+                FROM embeddings
+            ), qb AS (
+                SELECT vec_id, tbl, b FROM cb WHERE vec_id < 10
+            ), pairs AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM qb q JOIN cb c
+                  ON q.tbl = c.tbl AND q.b = c.b AND q.vec_id <> c.vec_id
+            ), ev AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), scored AS (
+                SELECT p.query_id, p.neighbor_id,
+                       {_dd_cos('qe.v', 'ce.v')} AS cs
+                FROM pairs p
+                JOIN ev qe ON qe.vec_id = p.query_id
+                JOIN ev ce ON ce.vec_id = p.neighbor_id
+            )
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 3
         """,
         "q61_map_groups": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,

@@ -1,0 +1,166 @@
+"""Materialized SRP-LSH index: the storage layer of the angular-LSH story.
+
+``pipeline.similarity.lsh_topk`` hashes the corpus into sign-random-
+projection buckets on the fly — right for ad-hoc search, wasteful for a
+corpus queried repeatedly. This module computes every vector's bucket per
+hash table ONCE, at ingest, and writes the corpus parquet **partitioned by
+(table, bucket)** — one directory per LSH posting list — with the hash
+parameters in an underscore-prefixed sidecar (invisible to Spark's scans,
+same convention as ``_SUCCESS``). A search probes only its matching
+buckets via a **static partition filter** (``PartitionFilters`` in the
+scan): with 8 planes per table the probed slice is ~1/256 of the corpus
+per (query, table), so a query batch reads gigabytes, not the 100 TB.
+
+Storage cost is the standard LSH trade: ``num_tables`` copies of the
+corpus (each table is an independent partitioning). ``multi_probe``
+widens recall at QUERY time only — extra probed buckets, no extra storage
+— which is exactly why the probes-not-tables knob matters at this layer.
+
+The reference library has no ANN surface at all (SURVEY §2); this is part
+of the beyond-reference scale path, sharing the deterministic md5-derived
+planes (``plane_component``) so results are reproducible and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.similarity import (
+    _per_query_topk,
+    cosine,
+    srp_bucket,
+    srp_probe_buckets,
+)
+
+__all__ = ["write_lsh_index", "read_lsh_params", "lsh_search"]
+
+_SIDECAR = "_lsh_params.json"
+
+
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 1,
+    dim: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``corpus`` as an LSH-bucket-partitioned parquet index at
+    ``path``.
+
+    Bucketing is a plan-literal projection (the ±1 plane matrix rides the
+    plan — zero shuffle to compute); the ``num_tables`` replication is one
+    ``explode`` over per-table buckets, and the write adds one hash
+    repartition on (table, bucket) so each posting-list directory is a few
+    well-sized files instead of one-per-input-task fragments.
+    """
+    tables = F.array(
+        *[
+            srp_bucket(
+                F.col(vec_col).cast("array<double>"), num_planes,
+                dim=dim, plane_offset=t * num_planes,
+            )
+            for t in range(num_tables)
+        ]
+    )
+    (
+        corpus.select("*", F.posexplode(tables).alias("__tbl", "__bucket"))
+        .repartition(F.col("__tbl"), F.col("__bucket"))
+        .write.mode(mode)
+        .partitionBy("__tbl", "__bucket")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _SIDECAR), "w") as f:
+        json.dump(
+            {"num_planes": num_planes, "num_tables": num_tables, "dim": dim},
+            f,
+        )
+
+
+def read_lsh_params(path: str) -> dict:
+    with open(os.path.join(path, _SIDECAR)) as f:
+        return json.load(f)
+
+
+def lsh_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    multi_probe: int = 0,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_lsh_index` store —
+    identical math (and output) to ``lsh_topk`` with the same parameters,
+    at a fraction of the scan.
+
+    Each query's probe buckets per table (its own bucket plus
+    ``multi_probe`` smallest-margin bit flips — see
+    :func:`~nested_pandas_spark.pipeline.similarity.srp_probe_buckets`)
+    are computed driver-side from the query vectors — the query side of an
+    ANN search is small by contract — and applied as a LITERAL filter on
+    the partition columns, so Catalyst prunes non-probed posting-list
+    directories at planning time (``PartitionFilters``; unprobed files are
+    never opened). The probed slice joins the broadcast query probes on
+    (table, bucket) and exact-reranks; the same candidate pair colliding
+    in several tables dedups before ranking, exactly as in ``lsh_topk``.
+    """
+    params = read_lsh_params(path)
+    num_planes, num_tables = params["num_planes"], params["num_tables"]
+    vec = F.col(vec_col).cast("array<double>")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            vec.alias("__qv"),
+            F.posexplode(
+                F.array(
+                    *[
+                        srp_probe_buckets(
+                            vec, num_planes, multi_probe,
+                            dim=params["dim"], plane_offset=t * num_planes,
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("__tbl", "__probes"),
+        )
+        .select("query_id", "__qv", "__tbl",
+                F.explode("__probes").alias("__bucket"))
+    )
+    probes = [(r["__tbl"], r["__bucket"])
+              for r in q.select("__tbl", "__bucket").distinct().collect()]
+    # literal per-table bucket sets -> static partition pruning; tiny by
+    # contract (<= queries x tables x (1 + multi_probe) pairs)
+    by_tbl: dict[int, set[int]] = {}
+    for t, b in probes:
+        by_tbl.setdefault(t, set()).add(b)
+    cond = None
+    for t, buckets in sorted(by_tbl.items()):
+        c = (F.col("__tbl") == t) & F.col("__bucket").isin(sorted(buckets))
+        cond = c if cond is None else cond | c
+    store = spark.read.parquet(path).where(cond)
+    c = store.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        F.col("__tbl").cast("int").alias("__tbl"),
+        F.col("__bucket").cast("long").alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on=["__tbl", "__bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    return _per_query_topk(scored, k)

@@ -677,3 +677,45 @@ def test_ivf_store_missing_sidecar_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_ivf_centroids(str(tmp_path / "nonexistent"))
+
+
+def test_lsh_store_search_matches_inline_lsh(spark, tmp_path):
+    """lsh_search over a materialized bucket-partitioned index returns
+    exactly what the inline lsh_topk computes with the same planes, and
+    its scan prunes non-probed posting lists at planning time."""
+    from nested_pandas_spark.sources.lsh_store import (
+        lsh_search,
+        read_lsh_params,
+        write_lsh_index,
+    )
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 6)
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, path, num_planes=4, num_tables=2)
+    assert read_lsh_params(path)["num_tables"] == 2
+
+    for mp in (0, 2):
+        inline = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in sim.lsh_topk(
+                emb, q, k=3, num_planes=4, num_tables=2, multi_probe=mp
+            ).collect()
+        }
+        stored = lsh_search(spark, path, q, k=3, multi_probe=mp)
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in stored.collect()
+        }
+        assert got == inline, f"multi_probe={mp}"
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__bucket" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_lsh_store_missing_sidecar_raises(spark, tmp_path):
+    from nested_pandas_spark.sources.lsh_store import read_lsh_params
+
+    with pytest.raises(FileNotFoundError):
+        read_lsh_params(str(tmp_path / "nonexistent"))
