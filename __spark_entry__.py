@@ -1008,6 +1008,20 @@ def q62_lsh_store(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q63_strip_lines(spark, sf):
+    """Line-level corpus dedup that REWRITES text (pipeline/corpus.py
+    strip_boilerplate_lines): drop every 'line' (here: space-separated
+    token, since the synthetic docs have no newlines) whose trimmed form
+    appears in >= 380 distinct documents, re-join survivors in original
+    order. The RefinedWeb/CCNet line-dedup pass. Oracle replays the
+    split, the distinct-doc df count, the >= 380 filter, and the ordered
+    string_agg reconstruction."""
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    docs = _t(spark, sf, "documents")
+    return strip_boilerplate_lines(docs, sep=" ", min_df=380)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1165,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_boilerplate": q60_boilerplate,
         "q61_map_groups": q61_map_groups,
         "q62_lsh_store": q62_lsh_store,
+        "q63_strip_lines": q63_strip_lines,
     }
 
 
@@ -1999,6 +2014,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q63_strip_lines": """
+            WITH parts AS (
+                SELECT doc_id, text, string_split(text, ' ') AS p
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, unnest(p) AS line,
+                       unnest(range(1, len(p) + 1)) AS pos
+                FROM parts
+            ), bp AS (
+                SELECT line AS key FROM (
+                    SELECT DISTINCT doc_id, trim(line) AS line FROM lines
+                    WHERE length(trim(line)) >= 1
+                ) GROUP BY line HAVING count(*) >= 380
+            ), kept AS (
+                SELECT l.doc_id, l.pos, l.line FROM lines l
+                WHERE NOT (length(trim(l.line)) >= 1
+                           AND trim(l.line) IN (SELECT key FROM bp))
+            ), recon AS (
+                SELECT doc_id,
+                       string_agg(line, ' ' ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_lines,
+                   CAST(len(string_split(d.text, ' '))
+                        - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN recon r USING (doc_id)
         """,
         "q60_boilerplate": f"""
             WITH dg AS (

@@ -16,6 +16,8 @@ ids/hashes, never of full documents.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +41,7 @@ __all__ = [
     "pack_sequences",
     "split_by_cluster",
     "stratified_sample",
+    "strip_boilerplate_lines",
     "write_sharded",
 ]
 
@@ -443,6 +446,84 @@ def decontaminate(
             (F.coalesce("n_bench_ngrams", F.lit(0)) >= min_hits).alias(
                 "contaminated"
             ),
+        )
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 3,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Line-level corpus dedup that REWRITES the text: split each document
+    on ``sep``, drop every line whose trimmed form appears in at least
+    ``min_df`` distinct documents, and re-join the survivors in original
+    order (the RefinedWeb / CCNet line-dedup pass that strips navigation
+    chrome, cookie banners, and license headers — the *removal* sibling of
+    :func:`boilerplate_ngrams`, which only scores).
+
+    Lines whose trimmed form is shorter than ``min_chars`` characters
+    (blank lines by default) are never counted and never removed, so
+    paragraph structure survives. ``sep`` is a literal separator, not a
+    regex. Returns ``(id_col, clean_text, n_lines, n_removed)`` — one row
+    per input doc; a doc whose every line was boilerplate gets
+    ``clean_text = ''``.
+
+    Scale shape: document-frequency is counted on ``xxhash64`` of the
+    trimmed line, so the df shuffle carries (hash, id) pairs — line text
+    never moves in pass 1. The boilerplate set is pruned to
+    ``df >= min_df`` BEFORE the anti join (at web scale most lines are
+    unique, so this shrinks it by orders of magnitude; AQE broadcasts it
+    when it fits). Pass 2 is the unavoidable per-doc reconstruction
+    shuffle keyed on the doc id. No window functions, no driver loops.
+    """
+    # literal split: F.split takes a regex, so escape the separator
+    parts = F.split(F.col(text_col), re.escape(sep), -1)
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(parts).alias("__pos", "__line"),
+    )
+    key = F.trim(F.col("__line"))
+    # hash key is NULL for exempt (too-short / blank) lines -> they never
+    # match the anti join and are always kept
+    keyed = lines.withColumn(
+        "__h",
+        F.when(F.length(key) >= min_chars, F.xxhash64(key)),
+    )
+    common = (
+        keyed.where(F.col("__h").isNotNull())
+        .select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__h")
+    )
+    kept = keyed.join(common, "__h", "left_anti")
+    recon = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    n_lines = F.size(parts).cast("long")
+    return (
+        docs.select(F.col(id_col), n_lines.alias("n_lines"))
+        .join(recon.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
         )
     )
 

@@ -719,3 +719,40 @@ def test_lsh_store_missing_sidecar_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_lsh_params(str(tmp_path / "nonexistent"))
+
+
+def test_strip_boilerplate_lines(spark):
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    banner = "subscribe to our newsletter"
+    rows = [
+        (1, f"intro one\n{banner}\n\nbody of doc one"),
+        (2, f"{banner}\nbody of doc two"),
+        (3, f"body of doc three\n  {banner}  "),  # trimmed form matches
+        (4, "unique content only\n\nsecond paragraph"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(docs, min_df=3).collect()
+    }
+    # banner removed everywhere (df=3 across docs 1-3), incl. padded form
+    assert out[1]["clean_text"] == "intro one\n\nbody of doc one"
+    assert out[2]["clean_text"] == "body of doc two"
+    assert out[3]["clean_text"] == "body of doc three"
+    # untouched doc keeps text verbatim, blank line preserved
+    assert out[4]["clean_text"] == "unique content only\n\nsecond paragraph"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 1
+    assert out[4]["n_removed"] == 0
+
+
+def test_strip_boilerplate_lines_df_is_per_doc_not_per_occurrence(spark):
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    # the same line 3x in ONE doc is df=1, not df=3 -> kept
+    docs = spark.createDataFrame(
+        [(1, "echo\necho\necho"), (2, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(docs, min_df=3).collect()}
+    assert out[1]["clean_text"] == "echo\necho\necho"
+    assert out[1]["n_removed"] == 0

@@ -356,6 +356,35 @@ def main() -> int:
         )[:600],
     ))
 
+    # -- 15. strip_boilerplate_lines: hash-keyed df count + anti join -------
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    p15 = explain_str(strip_boilerplate_lines(docs, sep=" ", min_df=380))
+    check(
+        "strip_lines anti join",
+        "LeftAnti" in p15,
+        "boilerplate removal is not a left-anti join",
+    )
+    check(
+        "strip_lines no all-pairs",
+        "CartesianProduct" not in p15
+        and "BroadcastNestedLoopJoin" not in p15,
+        "line-df comparison degenerated to an all-pairs join",
+    )
+    sections.append((
+        "Line-level dedup: hash-keyed df count, pruned anti join",
+        "strip_boilerplate_lines counts document frequency on xxhash64 of "
+        "the trimmed line, so pass 1 shuffles (hash, id) pairs — never "
+        "line text. The boilerplate set is pruned to df >= min_df BEFORE "
+        "the LEFT ANTI join (AQE broadcasts it when small); the only "
+        "text shuffle is the per-doc reconstruction groupBy.",
+        "\n".join(
+            ln.strip()
+            for ln in p15.splitlines()
+            if "Join" in ln or "Exchange" in ln
+        )[:600],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
