@@ -318,6 +318,18 @@ def main() -> None:
 
     bench_extra("pack_sequences", x_pack_seq)
 
+    # df threshold scales with corpus size (q63 uses 380 of 500 docs)
+    n_docs = t("documents").count()
+
+    def x_strip_lines():
+        from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+        return strip_boilerplate_lines(
+            t("documents"), sep=" ", min_df=int(n_docs * 0.76)
+        ).select(F.sum("n_removed")).collect()
+
+    bench_extra("strip_lines", x_strip_lines)
+
     def x_ivf():
         emb = t("embeddings")
         q = emb.where(F.col("vec_id") < 10)

@@ -121,6 +121,13 @@ def main() -> None:
     print("docs with >10% corpus-common 5-grams:",
           bp.where("common_ratio > 0.1").count())
 
+    # -- 12b. line-level dedup: REMOVE corpus-common lines, keep order ------
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    stripped = strip_boilerplate_lines(docs, sep=" ", min_df=380)
+    print("boilerplate tokens removed:",
+          stripped.agg(F.sum("n_removed")).collect()[0][0])
+
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
 

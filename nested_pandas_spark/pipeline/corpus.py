@@ -479,6 +479,17 @@ def strip_boilerplate_lines(
     unique, so this shrinks it by orders of magnitude; AQE broadcasts it
     when it fits). Pass 2 is the unavoidable per-doc reconstruction
     shuffle keyed on the doc id. No window functions, no driver loops.
+
+    Example (a cookie banner shared by two docs is stripped; the unique
+    body survives in order):
+
+    >>> docs = spark.createDataFrame(
+    ...     [(1, "accept cookies\\nreal content"),
+    ...      (2, "accept cookies\\nother words")],
+    ...     "doc_id long, text string")
+    >>> out = strip_boilerplate_lines(docs, min_df=2).orderBy("doc_id")
+    >>> [r["clean_text"] for r in out.collect()]
+    ['real content', 'other words']
     """
     # literal split: F.split takes a regex, so escape the separator
     parts = F.split(F.col(text_col), re.escape(sep), -1)
