@@ -756,3 +756,31 @@ def test_strip_boilerplate_lines_df_is_per_doc_not_per_occurrence(spark):
     out = {r["doc_id"]: r for r in strip_boilerplate_lines(docs, min_df=3).collect()}
     assert out[1]["clean_text"] == "echo\necho\necho"
     assert out[1]["n_removed"] == 0
+
+
+def test_strip_boilerplate_lines_literal_separator(spark):
+    # sep is documented literal, not regex: '.' must not match every char
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "ad.keep one"), (2, "ad.keep two"), (3, "ad.keep three")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           strip_boilerplate_lines(docs, sep=".", min_df=3).collect()}
+    # 'ad' (df=3) stripped; the distinct 'keep N' parts survive
+    assert out[1]["clean_text"] == "keep one"
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed"] == 1
+
+
+def test_strip_boilerplate_lines_idempotent(spark):
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    rows = [(i, "common line\nunique %d" % i) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    once = strip_boilerplate_lines(docs, min_df=3).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    twice = strip_boilerplate_lines(once, min_df=3)
+    assert twice.where(F.col("n_removed") > 0).count() == 0
+    got = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
+    assert got == {i: "unique %d" % i for i in range(5)}
