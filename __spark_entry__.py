@@ -1022,6 +1022,18 @@ def q63_strip_lines(spark, sf):
     return strip_boilerplate_lines(docs, sep=" ", min_df=380)
 
 
+def q64_source_stats(spark, sf):
+    """Source/domain-level curation triage (pipeline/corpus.py
+    source_stats): one partial-agg shuffle rolls each source up to doc
+    count, token total, mean heuristic quality (rounded to 6), and a
+    keep verdict at avg_quality >= 0.73. Oracle replays the q17 quality
+    formula under GROUP BY source."""
+    from nested_pandas_spark.pipeline.corpus import source_stats
+
+    docs = _t(spark, sf, "documents")
+    return source_stats(docs, min_docs=2, min_avg_quality=0.73)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1180,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_map_groups": q61_map_groups,
         "q62_lsh_store": q62_lsh_store,
         "q63_strip_lines": q63_strip_lines,
+        "q64_source_stats": q64_source_stats,
     }
 
 
@@ -2014,6 +2027,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q64_source_stats": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(len({w}) AS BIGINT) AS tok,
+                       ((CASE WHEN length(text) >= 200 AND length(text) <= 50000
+                              THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN length(text) > 0 AND
+                                len(regexp_extract_all(text, '[,.!?;:]')) / length(text) <= 0.1
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN len({w}) > 0 AND {hits['en']} / len({w}) >= 0.05
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN len({w}) > 0
+                                AND length(text) / len({w}) >= 3
+                                AND length(text) / len({w}) <= 12
+                                THEN 1.0 ELSE 0.0 END)) / 4.0 AS q
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   round(avg(q), 6) AS avg_quality,
+                   (count(*) >= 2 AND round(avg(q), 6) >= 0.73) AS keep
+            FROM per GROUP BY source
         """,
         "q63_strip_lines": """
             WITH parts AS (

@@ -128,6 +128,12 @@ def main() -> None:
     print("boilerplate tokens removed:",
           stripped.agg(F.sum("n_removed")).collect()[0][0])
 
+    # -- 12c. source-level triage: drop spam domains wholesale --------------
+    from nested_pandas_spark.pipeline.corpus import source_stats
+
+    srcs = source_stats(docs, min_docs=2, min_avg_quality=0.73)
+    print("sources kept:", srcs.where("keep").count(), "/", srcs.count())
+
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
 

@@ -39,6 +39,7 @@ __all__ = [
     "mixture_weights",
     "pack_segments",
     "pack_sequences",
+    "source_stats",
     "split_by_cluster",
     "stratified_sample",
     "strip_boilerplate_lines",
@@ -447,6 +448,48 @@ def decontaminate(
                 "contaminated"
             ),
         )
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 1,
+    min_avg_quality: float = 0.0,
+) -> DataFrame:
+    """Per-source curation rollup: document count, total tokens, mean
+    heuristic quality, and a ``keep`` verdict — the crawl-source /
+    domain-level triage step (drop spam domains wholesale before paying
+    for per-document dedup and model scoring).
+
+    Returns ``(source, n_docs, total_tokens, avg_quality, keep)`` where
+    ``keep = n_docs >= min_docs AND avg_quality >= min_avg_quality``.
+    Join the kept sources back (broadcast — the source dimension is tiny)
+    or feed the table to :func:`mixture_weights`.
+
+    Scale shape: one partial-aggregated shuffle keyed on the source — the
+    map side combines to one row per source per partition, so a mega-source
+    (half the crawl from one domain) costs no more than a small one; text
+    never shuffles. ``avg_quality`` is rounded to 6 decimals so the
+    verdict is engine-reproducible.
+    """
+    from .text import quality_score, token_count
+
+    per = docs.select(
+        F.col(source_col).alias("source"),
+        token_count(F.col(text_col)).alias("__tok"),
+        quality_score(F.col(text_col)).alias("__q"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        F.round(F.avg("__q"), 6).alias("avg_quality"),
+    )
+    return agg.withColumn(
+        "keep",
+        (F.col("n_docs") >= min_docs)
+        & (F.col("avg_quality") >= min_avg_quality),
     )
 
 

@@ -784,3 +784,19 @@ def test_strip_boilerplate_lines_idempotent(spark):
     assert twice.where(F.col("n_removed") > 0).count() == 0
     got = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
     assert got == {i: "unique %d" % i for i in range(5)}
+
+
+def test_source_stats_triage(spark):
+    from nested_pandas_spark.pipeline.corpus import source_stats
+
+    good = "the and for with that this from they have " * 30  # stopword-dense
+    rows = [(i, "spamA", "zzz") for i in range(3)] + \
+           [(i + 10, "siteB", good) for i in range(3)] + \
+           [(99, "lonely", good)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in
+           source_stats(docs, min_docs=2, min_avg_quality=0.6).collect()}
+    assert out["siteB"]["keep"] and out["siteB"]["n_docs"] == 3
+    assert not out["spamA"]["keep"]          # low quality
+    assert not out["lonely"]["keep"]         # below min_docs
+    assert out["siteB"]["total_tokens"] == 3 * 270  # 9 words x 30
