@@ -109,6 +109,14 @@ def main() -> None:
             print(f"FAIL {name}: " + "; ".join(problems[:4]))
         else:
             print(f"OK   {name} ({len(spark_pdf)} rows)")
+    # stop leftover streaming queries and the session cleanly so teardown
+    # doesn't race in-flight tasks (spurious Broken pipe / accumulator noise)
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    spark.stop()
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")

@@ -1,0 +1,173 @@
+"""Measured scaling evidence: run headline operators at sf0.1 and at a
+10x key-shifted union of sf0.1 (~sf1), and record wall-time ratios.
+
+A linear-time, well-partitioned operator should show a time ratio near
+10/1 at fixed parallelism (or below it while spare cores absorb the
+work); a super-linear ratio flags a stage that would not survive the
+100 TB scale-up. Writes SCALE.md.
+
+Usage: python tools/scale_check.py [--factor 10] [--out SCALE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG_DIR = "/tmp/scale_check_big"
+
+
+def build_big(spark, factor: int) -> None:
+    """Key-shifted unions: factor copies of each table with disjoint ids so
+    group cardinality scales with the data (the realistic shape), written
+    once to /tmp as parquet."""
+    if os.path.exists(os.path.join(BIG_DIR, "_DONE")):
+        return
+    shutil.rmtree(BIG_DIR, ignore_errors=True)
+    os.makedirs(BIG_DIR, exist_ok=True)
+
+    def shifted(name: str, key_cols: dict[str, int]):
+        base = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        out = None
+        for i in range(factor):
+            c = base
+            for col, span in key_cols.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * span))
+            out = c if out is None else out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{BIG_DIR}/{name}.parquet")
+
+    # spans chosen beyond each table's max key at sf0.1
+    shifted("orders", {"o_orderkey": 10_000_000})
+    shifted("lineitem", {"l_orderkey": 10_000_000})
+    shifted("documents", {"doc_id": 10_000_000})
+    shifted("embeddings", {"vec_id": 10_000_000})
+    open(os.path.join(BIG_DIR, "_DONE"), "w").write("ok")
+
+
+def timed(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="SCALE.md")
+    args = ap.parse_args()
+
+    from nested_pandas_spark import NestedFrame, get_spark
+    from nested_pandas_spark.pipeline import dedup as dd
+    from nested_pandas_spark.pipeline import similarity as sim
+    from nested_pandas_spark.pipeline.corpus import (
+        pack_sequences,
+        strip_boilerplate_lines,
+    )
+
+    spark = get_spark("scale_check", cpus=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8))
+    build_big(spark, args.factor)
+
+    def t(d, name):
+        return spark.read.parquet(f"{d}/{name}.parquet")
+
+    def ops(d):
+        def pack_count():
+            li = t(d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+            ndf = NestedFrame(t(d, "orders")).join_nested(li, "items",
+                                                          on="o_orderkey")
+            ndf.df.select(F.count("*"), F.sum(F.size("items"))).collect()
+
+        def element_filter():
+            li = t(d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+            ndf = NestedFrame(t(d, "orders")).join_nested(li, "items",
+                                                          on="o_orderkey")
+            ndf.query("items.l_quantity > 30").df.select(
+                F.sum(F.size("items"))).collect()
+
+        def exact_dd():
+            dd.exact_dedup(t(d, "documents"), "doc_id").count()
+
+        def minhash():
+            dd.lsh_candidate_pairs(t(d, "documents"), "doc_id",
+                                   num_hashes=8, bands=4, shingle_n=3).count()
+
+        def strip_lines():
+            n = t(d, "documents").count()
+            strip_boilerplate_lines(t(d, "documents"), sep=" ",
+                                    min_df=int(n * 0.76)).select(
+                F.sum("n_removed")).collect()
+
+        def topk():
+            emb = t(d, "embeddings")
+            q = emb.where(F.col("vec_id") < 10)
+            sim.brute_force_topk(emb, q, k=5).count()
+
+        def packseq():
+            pack_sequences(t(d, "documents"), 2048,
+                           tokens_col="n_chars").count()
+
+        return {
+            "pack_count": pack_count,
+            "element_filter": element_filter,
+            "exact_dedup": exact_dd,
+            "minhash_lsh": minhash,
+            "strip_lines": strip_lines,
+            "topk_cosine": topk,
+            "pack_sequences": packseq,
+        }
+
+    # warm-up
+    t(SF_DIR, "lineitem").count()
+    t(BIG_DIR, "lineitem").count()
+
+    small = {k: timed(f) for k, f in ops(SF_DIR).items()}
+    big = {k: timed(f) for k, f in ops(BIG_DIR).items()}
+
+    lines = [
+        "# SCALE — measured 10x scaling of headline operators",
+        "",
+        f"Same machine (local[{spark.sparkContext.defaultParallelism}]), same "
+        f"plans; 'big' is a {args.factor}x key-shifted union of sf0.1 "
+        "(disjoint keys, so group/dedup cardinality grows with the data — "
+        "the realistic shape). Time ratio at fixed parallelism should stay "
+        f"at or below the data ratio ({args.factor}x) for a linear, "
+        "well-partitioned operator; super-linear growth flags a stage that "
+        "would not survive the 100 TB scale-up. Best-of-2 timings.",
+        "",
+        "| operator | sf0.1 (s) | 10x (s) | time ratio | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    worst = 0.0
+    for k in small:
+        r = big[k] / small[k] if small[k] > 0 else float("inf")
+        worst = max(worst, r)
+        verdict = "linear-or-better" if r <= args.factor * 1.3 else "SUPER-LINEAR"
+        lines.append(
+            f"| {k} | {small[k]:.2f} | {big[k]:.2f} | {r:.1f}x | {verdict} |"
+        )
+    lines += [
+        "",
+        "Generated by `tools/scale_check.py` (re-run after plan changes; "
+        "exits non-zero if any operator exceeds 1.3x the data ratio).",
+        "",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    return 0 if worst <= args.factor * 1.3 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
