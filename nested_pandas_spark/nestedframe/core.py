@@ -29,6 +29,7 @@ from ..functions.nested import (
     nested_field_names,
     quote,
     rebuild_struct_sql,
+    struct_sql,
 )
 from ..operators import aggregates, cleaning, packer, restructure, sorting
 from .expr import QueryCompileError, _sql_literal, compile_expr, split_assignment
@@ -356,6 +357,67 @@ class NestedFrame:
             if missing:
                 raise KeyError(f"No such columns: {missing}")
             df = df.drop(*flat)
+        return self._wrap(df)
+
+    def rename(self, columns: dict[str, str]) -> "NestedFrame":
+        """pandas-style rename of base columns and dotted sub-columns —
+        ``{"nested.a": "b"}`` renames field ``a`` inside the struct (the
+        new name may be given bare or as ``"nested.b"``). Pure projection,
+        zero shuffle (reference relies on pandas ``rename``; sub-column
+        renames there go through the same struct rebuild as set/drop,
+        ``ext_array.py:1072-1232``)."""
+        df = self._df
+        nested = set(self.nested_columns)
+        for old, new in columns.items():
+            if "." in old and old.split(".", 1)[0] in nested:
+                nest, fld = old.split(".", 1)
+                new_f = new.split(".", 1)[1] if "." in new else new
+                if "." in new and new.split(".", 1)[0] != nest:
+                    raise ValueError(
+                        f"cannot rename '{old}' into a different nest '{new}'"
+                    )
+                fields = nested_field_names(df, nest)
+                if fld not in fields:
+                    raise KeyError(f"Nested column '{nest}' has no field '{fld}'")
+                parts = {
+                    (new_f if f == fld else f): f"__x.{quote(f)}" for f in fields
+                }
+                df = df.withColumn(
+                    nest,
+                    F.expr(f"transform({quote(nest)}, __x -> {struct_sql(parts)})"),
+                )
+            else:
+                if old not in df.columns:
+                    raise KeyError(f"No such column: {old}")
+                df = df.withColumnRenamed(old, new)
+        return self._wrap(df)
+
+    def astype(self, dtype: dict[str, str]) -> "NestedFrame":
+        """Cast base columns or dotted sub-columns:
+        ``ndf.astype({"nested.flux": "double", "id": "string"})``. Element
+        casts rebuild the struct in place (one projection, zero shuffle).
+        ANSI mode applies — a failing cast raises like the reference's
+        ``astype``; use an eval expression with ``try_cast`` semantics via
+        ``set_nested_field`` for the permissive form."""
+        df = self._df
+        nested = set(self.nested_columns)
+        for col, typ in dtype.items():
+            if "." in col and col.split(".", 1)[0] in nested:
+                nest, fld = col.split(".", 1)
+                fields = nested_field_names(df, nest)
+                if fld not in fields:
+                    raise KeyError(f"Nested column '{nest}' has no field '{fld}'")
+                body = rebuild_struct_sql(
+                    fields, "__x",
+                    override={fld: f"CAST(__x.{quote(fld)} AS {typ})"},
+                )
+                df = df.withColumn(
+                    nest, F.expr(f"transform({quote(nest)}, __x -> {body})")
+                )
+            else:
+                if col not in df.columns:
+                    raise KeyError(f"No such column: {col}")
+                df = df.withColumn(col, F.col(quote(col)).cast(typ))
         return self._wrap(df)
 
     # -- restructuring ----------------------------------------------------

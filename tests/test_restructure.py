@@ -221,3 +221,47 @@ def test_accessor_setitem_and_aliases(spark, objects, sources):
     assert sorted(r[0] for r in n) == [3, 3, 3]
     fi = acc.get_flat_index(keys=["id"])
     assert fi.count() == 9
+
+
+def test_rename_base_and_subfield(spark):
+    from nested_pandas_spark import NestedFrame
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([(1, "x")], "id long, tag string")
+    child = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id long, flux double")
+    ndf = NestedFrame(base).join_nested(child, "nested", on="id")
+    out = ndf.rename({"tag": "label", "nested.flux": "brightness"})
+    assert "label" in out.df.columns and "tag" not in out.df.columns
+    fields = out.df.schema["nested"].dataType.elementType.fieldNames()
+    assert "brightness" in fields and "flux" not in fields
+    # values survive the struct rebuild
+    got = out.df.select(
+        F.expr("transform(nested, x -> x.brightness)").alias("b")).first()["b"]
+    assert sorted(got) == [2.0, 3.0]
+    # dotted new name allowed when same nest; cross-nest rename refused
+    out2 = ndf.rename({"nested.flux": "nested.f2"})
+    assert "f2" in out2.df.schema["nested"].dataType.elementType.fieldNames()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ndf.rename({"nested.flux": "other.f"})
+    with _pytest.raises(KeyError):
+        ndf.rename({"missing": "x"})
+
+
+def test_astype_base_and_subfield(spark):
+    from nested_pandas_spark import NestedFrame
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([(1,)], "id long")
+    child = spark.createDataFrame([(1, 2), (1, 3)], "id long, flux long")
+    ndf = NestedFrame(base).join_nested(child, "nested", on="id")
+    out = ndf.astype({"nested.flux": "double", "id": "string"})
+    assert dict(out.df.dtypes)["id"] == "string"
+    et = out.df.schema["nested"].dataType.elementType
+    assert str(et["flux"].dataType) == "DoubleType()"
+    got = out.df.select(
+        F.expr("transform(nested, x -> x.flux)").alias("f")).first()["f"]
+    assert sorted(got) == [2.0, 3.0]
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        ndf.astype({"nested.nope": "double"})
