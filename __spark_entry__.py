@@ -1034,6 +1034,38 @@ def q64_source_stats(spark, sf):
     return source_stats(docs, min_docs=2, min_avg_quality=0.73)
 
 
+def q65_bucketed_pack(spark, sf):
+    """The BUCKETED storage path through the gate (sources/bucketing.py):
+    write lineitem bucketed+sorted by the join key, read it back through
+    the catalog, pack under orders, count per order. Must equal the plain
+    q01 pack — proof the pay-once-at-ingest layout computes exactly the
+    declarative answer (the query-time exchange elimination itself is
+    plan-tested in tests/test_plans.py)."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark import NestedFrame
+    from nested_pandas_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    d = tempfile.mkdtemp(prefix="q65_bkt_")
+    tbl = "q65_lineitem_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        write_bucketed(li, tbl, "o_orderkey", num_buckets=8,
+                       sort_by="o_orderkey", path=d)
+        child = read_bucketed(spark, tbl)
+        ndf = NestedFrame(_t(spark, sf, "orders")).join_nested(
+            child, "items", on="o_orderkey")
+        out = ndf.count_nested("items").df.select(
+            "o_orderkey", F.col("n_items").cast("long").alias("n_items"))
+        rows = out.collect()  # materialize before the table is dropped
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1193,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_lsh_store": q62_lsh_store,
         "q63_strip_lines": q63_strip_lines,
         "q64_source_stats": q64_source_stats,
+        "q65_bucketed_pack": q65_bucketed_pack,
     }
 
 
@@ -2027,6 +2060,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q65_bucketed_pack": """
+            SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_items
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
         """,
         "q64_source_stats": f"""
             WITH per AS (
