@@ -1066,6 +1066,29 @@ def q65_bucketed_pack(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q66_rename_cast(spark, sf):
+    """pandas-style rename/astype through the gate (nestedframe/core.py
+    rename/astype): rename a base column and a nested sub-column (struct
+    rebuild), cast another sub-column long->double, then aggregate the
+    renamed/cast fields per order. Oracle replays with plain aliases and
+    CAST — the projections must be value-exact."""
+    from nested_pandas_spark import NestedFrame
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    ndf = NestedFrame(_t(spark, sf, "orders")).join_nested(li, "items",
+                                                           on="o_orderkey")
+    ndf = ndf.rename({"o_totalprice": "price", "items.l_quantity": "qty"})
+    ndf = ndf.astype({"items.l_linenumber": "double"})
+    ndf = ndf.nest_agg("items", "qty", "sum", alias="sum_qty")
+    ndf = ndf.nest_agg("items", "l_linenumber", "sum", alias="sum_ln")
+    return ndf.df.select(
+        "o_orderkey",
+        F.round("price", 2).alias("price"),
+        F.round("sum_qty", 6).alias("sum_qty"),
+        F.round("sum_ln", 6).alias("sum_ln"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1226,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_strip_lines": q63_strip_lines,
         "q64_source_stats": q64_source_stats,
         "q65_bucketed_pack": q65_bucketed_pack,
+        "q66_rename_cast": q66_rename_cast,
     }
 
 
@@ -2060,6 +2084,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q66_rename_cast": """
+            SELECT o_orderkey,
+                   round(o_totalprice, 2) AS price,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(CAST(l_linenumber AS DOUBLE)), 6) AS sum_ln
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey, o_totalprice
         """,
         "q65_bucketed_pack": """
             SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_items
