@@ -128,6 +128,11 @@ def pack(
     single key's group approaches executor memory or one task runs minutes;
     leave it off until a stage summary shows that task.
 
+    The salt is a deterministic content hash (``xxhash64(payload) % salt``),
+    so retries and re-evaluations are bit-identical. Degenerate corner: a
+    hot key whose rows are all byte-identical hashes to one bucket and gets
+    no relief — dedupe those rows first (they collapse anyway).
+
     Examples
     --------
     >>> df = spark.createDataFrame(
@@ -143,8 +148,14 @@ def pack(
     struct_col = F.struct(*[F.col(quote(c)) for c in payload])
     agg_cols = [F.expr(sql).alias(alias) for alias, sql in (extra_aggs or [])]
     if salt and salt > 1:
+        # deterministic salt: hash of the payload, not rand() — rand after a
+        # shuffle is indeterminate on task retry (forces full-stage
+        # recompute); a content hash spreads a hot key's rows just as well
+        # and keeps every retry/re-evaluation bit-identical
+        salt_col = F.pmod(F.xxhash64(*[F.col(quote(c)) for c in payload]),
+                          F.lit(salt)).cast("int")
         partial = (
-            child.withColumn("__salt", (F.rand() * salt).cast("int"))
+            child.withColumn("__salt", salt_col)
             .groupBy(*keys, "__salt")
             .agg(F.collect_list(struct_col).alias("__part"))
         )
