@@ -18,10 +18,11 @@ import nested_pandas_spark.pipeline.corpus as corpus
 import nested_pandas_spark.pipeline.dedup as dedup
 import nested_pandas_spark.pipeline.similarity as similarity
 import nested_pandas_spark.pipeline.text as text
+import nested_pandas_spark.plans.inspect as plan_inspect
 import nested_pandas_spark.tuning as tuning
 
 MODULES = [core, packer, asof, dedup, text, corpus, similarity, tuning,
-           map_rows]
+           map_rows, plan_inspect]
 
 # examples must exist where users look first; grow this floor as docstrings
 # gain examples, never shrink it

@@ -178,3 +178,35 @@ def test_write_zordered_skips_row_groups(spark, tmp_path):
     assert hit_b <= len(spans) / 2, (hit_b, len(spans))
     # and the data itself round-trips
     assert spark.read.parquet(path).count() == 40000
+
+
+def test_plan_summary_counts(spark):
+    from nested_pandas_spark.operators.packer import pack
+    from nested_pandas_spark.plans.inspect import plan_summary
+
+    df = spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 1.0)],
+                               "k long, v double")
+    s = plan_summary(pack(df, "items", on="k"))
+    assert s["exchanges"] >= 1          # the pack's one shuffle
+    assert s["cartesian"] == 0 and s["python_evals"] == 0
+
+    # a broadcast join registers under broadcasts, not exchanges-only
+    from pyspark.sql import functions as F
+    dim = spark.createDataFrame([(1, "a")], "k long, tag string")
+    joined = df.join(F.broadcast(dim), "k")
+    s2 = plan_summary(joined)
+    assert s2["broadcasts"] >= 1
+
+    # a crossJoin is flagged
+    s3 = plan_summary(df.crossJoin(dim.select("tag")))
+    assert s3["cartesian"] >= 1
+
+
+def test_plan_summary_pushed_filters(spark, tmp_path):
+    from nested_pandas_spark.plans.inspect import plan_summary
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).withColumnRenamed("id", "x").write.parquet(p)
+    s = plan_summary(spark.read.parquet(p).where("x > 50"))
+    assert s["pushed_filters"] >= 1
+    assert s["scans"] >= 1
