@@ -96,3 +96,38 @@ def test_fillna_all_null_cells(spark, objects):
     out = ndf.fillna({"nested.flux": 0.0})
     # NULL cells stay NULL (fill rewrites element values, not missing cells)
     assert all(r["nested"] is None for r in out.df.collect())
+
+
+def test_pipeline_ops_on_empty_corpus(spark):
+    """Every corpus/dedup/text/similarity operator must run (and return
+    zero rows or all-zero stats) on an EMPTY input — at scale a filter
+    chain can legitimately empty a partition-pruned read, and a crash here
+    kills the whole job."""
+    from pyspark.sql import functions as F
+
+    from nested_pandas_spark.pipeline import dedup as dd
+    from nested_pandas_spark.pipeline import similarity as sim
+    from nested_pandas_spark.pipeline import text as tx
+    from nested_pandas_spark.pipeline.corpus import (
+        decontaminate,
+        mixture_weights,
+        pack_sequences,
+        source_stats,
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string, n_chars long")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    assert dd.exact_dedup(docs, "doc_id").count() == 0
+    assert dd.lsh_candidate_pairs(docs, "doc_id", num_hashes=8, bands=4).count() == 0
+    assert dd.simhash_near_pairs(docs, "doc_id", max_hamming=3).count() == 0
+    assert strip_boilerplate_lines(docs, min_df=2).count() == 0
+    assert source_stats(docs).count() == 0
+    assert pack_sequences(docs, 128, tokens_col="n_chars").count() == 0
+    assert mixture_weights(docs, {"src0": 1.0}, by="source",
+                           tokens_col="n_chars").count() == 0
+    assert decontaminate(docs, docs).count() == 0
+    assert docs.select(tx.quality_score("text")).count() == 0
+    assert sim.brute_force_topk(emb, emb, k=3).count() == 0
+    assert sim.lsh_topk(emb, emb, k=3, num_planes=2).count() == 0
