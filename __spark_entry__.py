@@ -1089,6 +1089,16 @@ def q66_rename_cast(spark, sf):
     )
 
 
+def q67_profile(spark, sf):
+    """Column-level data-quality profile (operators/aggregates.py profile):
+    one aggregation pass over documents -> per-column (dtype, rows, nulls,
+    exact distinct). Oracle replays each column's counters with plain
+    COUNT/COUNT DISTINCT."""
+    from nested_pandas_spark.operators.aggregates import profile
+
+    return profile(_t(spark, sf, "documents"), exact=True)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1250,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_source_stats": q64_source_stats,
         "q65_bucketed_pack": q65_bucketed_pack,
         "q66_rename_cast": q66_rename_cast,
+        "q67_profile": q67_profile,
     }
 
 
@@ -2084,6 +2095,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q67_profile": """
+            SELECT u.col AS "column", u.dt AS dtype,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(CASE u.col
+                        WHEN 'doc_id' THEN CAST(doc_id AS VARCHAR)
+                        WHEN 'text' THEN text
+                        WHEN 'lang' THEN lang
+                        WHEN 'source' THEN source
+                        WHEN 'n_chars' THEN CAST(n_chars AS VARCHAR)
+                        END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT CASE u.col
+                        WHEN 'doc_id' THEN CAST(doc_id AS VARCHAR)
+                        WHEN 'text' THEN text
+                        WHEN 'lang' THEN lang
+                        WHEN 'source' THEN source
+                        WHEN 'n_chars' THEN CAST(n_chars AS VARCHAR)
+                        END) AS BIGINT) AS n_distinct
+            FROM documents,
+                 (VALUES ('doc_id', 'bigint'), ('text', 'string'),
+                         ('lang', 'string'), ('source', 'string'),
+                         ('n_chars', 'bigint')) AS u(col, dt)
+            GROUP BY u.col, u.dt
         """,
         "q66_rename_cast": """
             SELECT o_orderkey,

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 from ..functions.nested import is_nested_type, nested_field_names, quote
 from ..nestedframe.expr import _sql_literal
 
-__all__ = ["count_nested", "nest_lengths", "minmax", "describe", "nest_agg"]
+__all__ = ["count_nested", "nest_lengths", "minmax", "describe", "nest_agg", "profile"]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
             T.DecimalType)
@@ -214,3 +214,51 @@ def nest_agg(df: DataFrame, nest: str, field: str, how: str, alias: str | None =
             f" / size({notnull}) END"
         ).alias(name)
     raise ValueError(f"Unsupported reduction: {how}")
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Column-level data-quality profile: one output row per column with
+    ``(column, dtype, n_rows, n_nulls, n_distinct)`` — the corpus-health
+    check run before/after every pipeline stage (did the join explode the
+    row count? did a cast null out a column? did dedup collapse ids?).
+
+    Complex-typed columns (arrays/structs/maps — e.g. nested columns) are
+    profiled for nulls but get ``n_distinct = NULL`` (element-level stats
+    belong to :func:`describe` / :func:`count_nested`).
+
+    ``exact=True`` uses ``count_distinct`` (oracle-reproducible);
+    ``exact=False`` switches to ``approx_count_distinct`` (HLL sketch,
+    one pass, bounded memory) — the right call at 100 TB where an exact
+    distinct of a high-cardinality column is its own shuffle per column.
+
+    Scale shape: ONE aggregation pass computes every counter (partial
+    aggs combine map-side); the single result row pivots driver-side into
+    the per-column frame — a bounded, ncols-sized collect.
+    """
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    simple = {
+        c: not any(dtypes[c].startswith(p) for p in ("array", "struct", "map"))
+        for c in cols
+    }
+    cd = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(quote(c)).alias(f"__nn_{c}"))
+        if simple[c]:
+            aggs.append(cd(F.col(quote(c))).alias(f"__nd_{c}"))
+    row = df.agg(*aggs).first()
+    out = [
+        (c, dtypes[c], row["__n"], row["__n"] - row[f"__nn_{c}"],
+         row[f"__nd_{c}"] if simple[c] else None)
+        for c in cols
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, n_distinct long",
+    )

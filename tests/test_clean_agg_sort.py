@@ -265,3 +265,22 @@ def test_nest_agg_n_distinct_lazy_matches_eager(spark):
     eager_rows = {r["id"]: r["nd"] for r in eager.df.select("id", "nd").collect()}
     assert lazy_rows == eager_rows
     assert lazy_rows[0] == 2 and lazy_rows[1] == 1
+
+
+def test_profile_counts_and_complex_types(spark):
+    from nested_pandas_spark.operators.aggregates import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2]), (2, None, []), (2, "b", None)],
+        "id long, tag string, arr array<int>",
+    )
+    out = {r["column"]: r for r in profile(df).collect()}
+    assert out["id"]["n_rows"] == 3
+    assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 2
+    assert out["tag"]["n_nulls"] == 1 and out["tag"]["n_distinct"] == 2
+    # complex column: nulls counted, distinct deferred to element-level ops
+    assert out["arr"]["n_nulls"] == 1 and out["arr"]["n_distinct"] is None
+    assert out["arr"]["dtype"] == "array<int>"
+    # approx mode runs and agrees on tiny cardinalities
+    approx = {r["column"]: r for r in profile(df, exact=False).collect()}
+    assert approx["id"]["n_distinct"] == 2
