@@ -882,6 +882,12 @@ class NestedFrame:
                  exclude_nest: bool = False) -> DataFrame:
         return aggregates.describe(self._df, columns, exact, percentiles, exclude_nest)
 
+    def profile(self, columns: list[str] | None = None,
+                exact: bool = True) -> DataFrame:
+        """Per-column (dtype, rows, nulls, distinct) in one aggregation
+        pass — see :func:`operators.aggregates.profile`."""
+        return aggregates.profile(self._df, columns, exact)
+
     def nest_agg(self, nest: str, field: str, how: str, alias: str | None = None) -> "NestedFrame":
         name = alias or f"{how}_{nest}_{field}"
         if nest in self._pending:
