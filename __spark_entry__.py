@@ -1155,6 +1155,50 @@ def q36_stream_hourly(spark, sf):
     )
 
 
+def q68_stream_dedup(spark, sf):
+    """STATEFUL streaming dedup through the gate (streaming/events.py
+    stream_dedup): the same events file staged TWICE, delivered as two
+    micro-batches (maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
+    keyed on event_id must emit each event exactly once — batch 2 is
+    entirely absorbed by the state store. Oracle is the single-copy
+    events table."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nested_pandas_spark.streaming import events as evs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = tempfile.mkdtemp(prefix="q68_stream_")
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-1.parquet")
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .schema(spark.read.parquet(f"{sf}/events.parquet").schema)
+            .parquet(d)
+        )
+        deduped = evs.stream_dedup(stream, keys=["event_id"],
+                                   watermark="365 days")
+        name = "q68_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "event_id", "event_type", F.round("value", 6).alias("value")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q37_salted_pack(spark, sf):
     """Skew-safe pack: two-stage salted aggregation (operators/packer.py
     salt=) must produce exactly the plain groupBy answer. Salt spreads a hot
@@ -1261,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_bucketed_pack": q65_bucketed_pack,
         "q66_rename_cast": q66_rename_cast,
         "q67_profile": q67_profile,
+        "q68_stream_dedup": q68_stream_dedup,
     }
 
 
@@ -2095,6 +2140,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q68_stream_dedup": """
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM events
         """,
         "q67_profile": """
             SELECT u.col AS "column", u.dt AS dtype,
