@@ -1099,6 +1099,18 @@ def q67_profile(spark, sf):
     return profile(_t(spark, sf, "documents"), exact=True)
 
 
+def q69_vocab(spark, sf):
+    """Corpus vocabulary pass (pipeline/text.py vocab): token occurrence +
+    document frequency, top-20 by (count desc, token asc) — the
+    tokenizer-training / stopword-discovery statistics table. Oracle
+    replays the lower/split/explode and both counters."""
+    from nested_pandas_spark.pipeline.text import vocab
+
+    return vocab(_t(spark, sf, "documents"), top_k=20).select(
+        "token", F.col("n").cast("long").alias("n"),
+        F.col("df").cast("long").alias("df"))
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1306,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_rename_cast": q66_rename_cast,
         "q67_profile": q67_profile,
         "q68_stream_dedup": q68_stream_dedup,
+        "q69_vocab": q69_vocab,
     }
 
 
@@ -2140,6 +2153,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q69_vocab": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_WORDS}) AS token FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token LIMIT 20
         """,
         "q68_stream_dedup": """
             SELECT event_id, event_type, round(value, 6) AS value

@@ -27,6 +27,7 @@ __all__ = [
     "fingerprint",
     "add_text_stats",
     "STOPWORDS",
+    "vocab",
 ]
 
 # Tiny stopword lists per language. Deliberately small and hard-coded: the
@@ -242,3 +243,37 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col, words_col=col("__w")),
         fingerprint(text_col),
     )
+
+
+def vocab(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> "DataFrame":
+    """Corpus token-frequency table: ``(token, n, df)`` — occurrence count
+    and document frequency per lower-cased whitespace token, ordered by
+    (n desc, token asc). The vocabulary-building / corpus-statistics pass
+    (feeds tokenizer training, stopword discovery, OOV analysis).
+
+    ``top_k`` truncates deterministically (total order via the token
+    tie-break); ``min_count`` drops the long unique tail BEFORE any sort —
+    at web scale the tail is most of the vocabulary, so prune it early.
+
+    Scale shape: one explode + one hash-keyed partial-agg shuffle (map-side
+    combine collapses each partition to its distinct tokens); the sort
+    only runs when ``top_k`` is set and is a TakeOrdered, not a full sort.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__doc_tag"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("__doc_tag").alias("df"),
+    )
+    if min_count > 1:
+        agg = agg.where(F.col("n") >= min_count)
+    agg = agg.orderBy(F.col("n").desc(), F.col("token"))
+    return agg.limit(top_k) if top_k else agg

@@ -800,3 +800,22 @@ def test_source_stats_triage(spark):
     assert not out["spamA"]["keep"]          # low quality
     assert not out["lonely"]["keep"]         # below min_docs
     assert out["siteB"]["total_tokens"] == 3 * 270  # 9 words x 30
+
+
+def test_vocab_counts_and_tiebreak(spark):
+    from nested_pandas_spark.pipeline.text import vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc"), (3, "AA")],
+        "doc_id long, text string",
+    )
+    rows = vocab(docs).collect()
+    d = {r["token"]: (r["n"], r["df"]) for r in rows}
+    assert d["aa"] == (3, 2)   # case-folded; df counts docs not occurrences
+    assert d["bb"] == (2, 2)
+    assert d["cc"] == (1, 1)
+    # equal-count ties order by token asc
+    top = vocab(docs, top_k=2).collect()
+    assert [r["token"] for r in top] == ["aa", "bb"]
+    # min_count prunes the tail before any sort
+    assert {r["token"] for r in vocab(docs, min_count=2).collect()} == {"aa", "bb"}
