@@ -385,6 +385,62 @@ def main() -> int:
         )[:600],
     ))
 
+    # -- 16. vocab: top-k is TakeOrdered, never a full sort -----------------
+    from nested_pandas_spark.pipeline.text import vocab
+
+    p16 = explain_str(vocab(docs, top_k=20))
+    check(
+        "vocab top-k no full sort",
+        "TakeOrderedAndProject" in p16,
+        "vocab top-k compiled to a global Sort instead of TakeOrdered",
+    )
+    sections.append((
+        "Vocabulary pass: partial-agg token counts, TakeOrdered top-k",
+        "vocab explodes tokens once, counts occurrences and document "
+        "frequency in one hash-keyed aggregation (map-side combine "
+        "collapses each partition to its distinct tokens), and the top-k "
+        "truncation must compile to TakeOrderedAndProject — a bounded "
+        "per-partition heap + driver merge, never a full shuffle sort of "
+        "the whole vocabulary.",
+        "\n".join(
+            ln.strip() for ln in p16.splitlines()
+            if "TakeOrdered" in ln or "Exchange" in ln or "HashAggregate" in ln
+        )[:600],
+    ))
+
+    # -- 17. profile: every counter in ONE aggregation pass -----------------
+    from nested_pandas_spark.operators.aggregates import profile
+
+    p17 = explain_str(docs.select(
+        F.count(F.lit(1)).alias("__n"),
+        F.count("doc_id").alias("__nn"),
+        F.count_distinct(F.col("doc_id")).alias("__nd"),
+    ), "simple")
+    n_scans = p17.count("Scan parquet")
+    check(
+        "profile single scan",
+        n_scans <= 1,
+        f"profile-style agg read the table {n_scans} times",
+    )
+    # the operator itself must also run (bounded ncols-row collect)
+    prof_rows = profile(docs).collect()
+    check(
+        "profile covers all columns",
+        len(prof_rows) == len(docs.columns),
+        f"profile returned {len(prof_rows)} rows for {len(docs.columns)} columns",
+    )
+    sections.append((
+        "Data-quality profile: one scan computes every per-column counter",
+        "profile builds count/null/distinct aggregates for ALL columns "
+        "into a single agg projection — one table scan, partial aggs "
+        "combining map-side, and an ncols-sized driver collect to pivot. "
+        "Never one job per column.",
+        "\n".join(
+            ln.strip() for ln in p17.splitlines()
+            if "Scan" in ln or "HashAggregate" in ln or "Exchange" in ln
+        )[:600],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
