@@ -1111,6 +1111,40 @@ def q69_vocab(spark, sf):
         F.col("df").cast("long").alias("df"))
 
 
+def q70_jsonl_roundtrip(spark, sf):
+    """JSONL source/sink through the gate (nestedframe/io.py read_jsonl /
+    to_jsonl): pack lineitem under orders, serialize the nested frame as
+    JSON lines, read it back (schema-ful read), and aggregate — the
+    round-trip must be value-exact vs the parquet-born oracle. JSONL is
+    the training-data interchange format the parquet-only reference
+    lacks."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark import NestedFrame, read_jsonl, to_jsonl
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    ndf = NestedFrame(_t(spark, sf, "orders")).join_nested(
+        li.select("o_orderkey", "l_quantity", "l_linenumber"),
+        "items", on="o_orderkey")
+    packed = ndf.df.select("o_orderkey", "items")
+    d = tempfile.mkdtemp(prefix="q70_jsonl_")
+    try:
+        to_jsonl(packed, d)
+        back = read_jsonl(spark, d, schema=packed.schema)
+        out = back.select(
+            "o_orderkey",
+            F.coalesce(F.size("items"), F.lit(0)).cast("long").alias("n_items"),
+            F.round(F.expr(
+                "aggregate(transform(items, x -> x.l_quantity), "
+                "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 6).alias("sum_qty"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1319,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_profile": q67_profile,
         "q68_stream_dedup": q68_stream_dedup,
         "q69_vocab": q69_vocab,
+        "q70_jsonl_roundtrip": q70_jsonl_roundtrip,
     }
 
 
@@ -2153,6 +2188,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q70_jsonl_roundtrip": """
+            SELECT o_orderkey,
+                   CAST(count(l_orderkey) AS BIGINT) AS n_items,
+                   round(sum(l_quantity), 6) AS sum_qty
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
         """,
         "q69_vocab": f"""
             WITH toks AS (

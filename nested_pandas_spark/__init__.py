@@ -9,7 +9,7 @@ optimization and execution at any scale.
 
 from .nestedframe.core import NestedFrame
 from .nestedframe.expr import QueryCompileError, compile_expr
-from .nestedframe.io import from_pyarrow, read_parquet
+from .nestedframe.io import from_pyarrow, read_jsonl, read_parquet, to_jsonl
 from .operators.packer import from_flat, from_lists, join_nested, pack
 from .operators.restructure import frame_explode, split, to_flat, to_flatten_inner, to_lists
 from .operators.aggregates import count_nested, describe, minmax, nest_agg, profile
@@ -24,6 +24,8 @@ __all__ = [
     "QueryCompileError",
     "compile_expr",
     "read_parquet",
+    "read_jsonl",
+    "to_jsonl",
     "from_pyarrow",
     "pack",
     "join_nested",

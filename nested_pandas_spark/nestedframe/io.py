@@ -368,7 +368,13 @@ def read_parquet(
 
     if columns is None:
         return df
+    return select_columns(df, columns)
 
+
+def select_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Project base names and dotted ``"nested.field"`` selections; dotted
+    selections re-pack under their nest (the reference's partial-load
+    shape, ``io.py:107-205``). Shared by every reader."""
     nested = {f.name for f in df.schema.fields if is_nested_type(f.dataType)}
     base_sel: list[str] = []
     per_nest: dict[str, list[str]] = {}
@@ -394,6 +400,42 @@ def read_parquet(
             ).alias(nest)
         )
     return df.select(*proj)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    columns: list[str] | None = None,
+    schema: "T.StructType | str | None" = None,
+    filters: str | None = None,
+) -> DataFrame:
+    """JSON-lines reader with the same nested-column surface as
+    :func:`read_parquet` — array-of-objects fields land directly as
+    ``array<struct<...>>`` nests (JSONL is the lingua franca of
+    training-data interchange; beyond the parquet-only reference).
+
+    Pass ``schema`` at scale: without it Spark runs a full inference scan
+    before the real read (double I/O), and inference can widen types on
+    dirty data. ``columns`` supports dotted partial loads; JSON has no
+    column chunks, so pruning saves parse work, not bytes read — convert
+    long-lived corpora to parquet (``to_parquet``) for real pruning.
+
+    ``filters`` is applied right after the scan.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if filters:
+        df = df.where(filters)
+    return select_columns(df, columns) if columns else df
+
+
+def to_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write as JSON lines (one object per row; ``array<struct>`` nests
+    serialize as arrays of objects). Null fields are omitted per JSON
+    convention — a round-trip restores them as NULLs."""
+    df.write.mode(mode).json(path)
 
 
 def list_struct_to_struct_of_lists(col, large_list: bool = False):

@@ -335,3 +335,31 @@ def test_map_groups_multi_key(spark):
         "g string, sub long, v double",
     ).collect()
     assert sorted(map(tuple, out)) == [("a", 1, 5.0), ("a", 2, 5.0)]
+
+
+def test_jsonl_roundtrip_preserves_nested(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nested_pandas_spark import read_jsonl, to_jsonl
+    from nested_pandas_spark.operators.packer import pack
+
+    child = spark.createDataFrame(
+        [(1, 2.5, "a"), (1, 3.5, None), (2, 1.0, "b")],
+        "k long, v double, tag string",
+    )
+    packed = pack(child, "items", on="k")
+    p = str(tmp_path / "nested.jsonl")
+    to_jsonl(packed, p)
+    back = read_jsonl(spark, p, schema=packed.schema)
+    a = sorted((r["k"], sorted((x["v"], x["tag"]) for x in r["items"]))
+               for r in packed.collect())
+    b = sorted((r["k"], sorted((x["v"], x["tag"]) for x in r["items"]))
+               for r in back.collect())
+    assert a == b  # nulls inside structs survive the omit-null round trip
+
+    # dotted partial load + filter work on the JSON reader too
+    part = read_jsonl(spark, p, columns=["k", "items.v"], filters="k = 1")
+    assert part.columns == ["k", "items"]
+    assert part.count() == 1
+    fields = part.schema["items"].dataType.elementType.fieldNames()
+    assert fields == ["v"]
