@@ -1145,6 +1145,27 @@ def q70_jsonl_roundtrip(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q71_group_describe(spark, sf):
+    """Grouped describe (operators/aggregates.py group_describe): per
+    (source, column) stats over documents' numeric columns in ONE scan +
+    ONE aggregation. Scaled-integer comparisons (like q13) keep the
+    float-noise out of the hash; exact percentile vs quantile_cont."""
+    from nested_pandas_spark.operators.aggregates import group_describe
+
+    out = group_describe(_t(spark, sf, "documents"), by="source")
+    return out.select(
+        "source", "column",
+        F.col("count").cast("long").alias("count"),
+        F.round(F.col("mean") * 100).cast("long").alias("mean_e2"),
+        F.round("std", 2).alias("std_r2"),
+        F.round(F.col("min") * 100).cast("long").alias("min_e2"),
+        F.round(F.col("p25") * 10000).cast("long").alias("p25_e4"),
+        F.round(F.col("p50") * 10000).cast("long").alias("p50_e4"),
+        F.round(F.col("p75") * 10000).cast("long").alias("p75_e4"),
+        F.round(F.col("max") * 100).cast("long").alias("max_e2"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1354,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_stream_dedup": q68_stream_dedup,
         "q69_vocab": q69_vocab,
         "q70_jsonl_roundtrip": q70_jsonl_roundtrip,
+        "q71_group_describe": q71_group_describe,
     }
 
 
@@ -2188,6 +2210,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(max(value) - min(value), 6) AS span_r6
             FROM events GROUP BY user_id
+        """,
+        "q71_group_describe": """
+            SELECT source,
+                   'doc_id' AS "column",
+                   CAST(count(doc_id) AS BIGINT) AS count,
+                   CAST(ROUND(avg(doc_id) * 100) AS BIGINT) AS mean_e2,
+                   ROUND(stddev_samp(doc_id), 2) AS std_r2,
+                   CAST(ROUND(min(doc_id) * 100) AS BIGINT) AS min_e2,
+                   CAST(ROUND(quantile_cont(CAST(doc_id AS DOUBLE), 0.25) * 10000) AS BIGINT) AS p25_e4,
+                   CAST(ROUND(quantile_cont(CAST(doc_id AS DOUBLE), 0.50) * 10000) AS BIGINT) AS p50_e4,
+                   CAST(ROUND(quantile_cont(CAST(doc_id AS DOUBLE), 0.75) * 10000) AS BIGINT) AS p75_e4,
+                   CAST(ROUND(max(doc_id) * 100) AS BIGINT) AS max_e2
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT source,
+                   'n_chars' AS "column",
+                   CAST(count(n_chars) AS BIGINT) AS count,
+                   CAST(ROUND(avg(n_chars) * 100) AS BIGINT) AS mean_e2,
+                   ROUND(stddev_samp(n_chars), 2) AS std_r2,
+                   CAST(ROUND(min(n_chars) * 100) AS BIGINT) AS min_e2,
+                   CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.25) * 10000) AS BIGINT) AS p25_e4,
+                   CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.50) * 10000) AS BIGINT) AS p50_e4,
+                   CAST(ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.75) * 10000) AS BIGINT) AS p75_e4,
+                   CAST(ROUND(max(n_chars) * 100) AS BIGINT) AS max_e2
+            FROM documents GROUP BY source
         """,
         "q70_jsonl_roundtrip": """
             SELECT o_orderkey,

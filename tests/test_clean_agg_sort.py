@@ -284,3 +284,30 @@ def test_profile_counts_and_complex_types(spark):
     # approx mode runs and agrees on tiny cardinalities
     approx = {r["column"]: r for r in profile(df, exact=False).collect()}
     assert approx["id"]["n_distinct"] == 2
+
+
+def test_group_describe_base_and_nested(spark):
+    from nested_pandas_spark.operators.aggregates import group_describe
+    from nested_pandas_spark.operators.packer import pack
+    from pyspark.sql import functions as F
+
+    child = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (2, 10.0)], "g long, v double")
+    base = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "a", 7.0), (2, "b", 1.0)],
+        "g long, grp string, x double")
+    # base-column stats per group
+    out = {(r["grp"], r["column"]): r
+           for r in group_describe(base, by="grp").collect()}
+    assert out[("a", "x")]["count"] == 2
+    assert out[("a", "x")]["mean"] == 6.0
+    assert out[("a", "x")]["p50"] == 6.0  # exact interpolated median
+    # nested sub-column stats per group (flattened in the same pass)
+    packed = pack(child, "items", on="g").join(
+        base.select("g", "grp").distinct(), "g")
+    outn = {(r["grp"], r["column"]): r
+            for r in group_describe(packed, by="grp",
+                                    columns=["items.v"]).collect()}
+    assert outn[("a", "items.v")]["count"] == 2
+    assert outn[("a", "items.v")]["p50"] == 2.0
+    assert outn[("b", "items.v")]["max"] == 10.0
