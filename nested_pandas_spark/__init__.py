@@ -12,7 +12,7 @@ from .nestedframe.expr import QueryCompileError, compile_expr
 from .nestedframe.io import from_pyarrow, read_jsonl, read_parquet, to_jsonl
 from .operators.packer import from_flat, from_lists, join_nested, pack
 from .operators.restructure import frame_explode, split, to_flat, to_flatten_inner, to_lists
-from .operators.aggregates import count_nested, describe, minmax, nest_agg, profile
+from .operators.aggregates import count_nested, describe, group_describe, minmax, nest_agg, profile
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .session import get_spark
@@ -38,6 +38,7 @@ __all__ = [
     "to_flatten_inner",
     "count_nested",
     "describe",
+    "group_describe",
     "minmax",
     "nest_agg",
     "profile",
