@@ -134,6 +134,15 @@ def main() -> None:
     srcs = source_stats(docs, min_docs=2, min_avg_quality=0.73)
     print("sources kept:", srcs.where("keep").count(), "/", srcs.count())
 
+    # -- 12d. corpus analytics: profile, vocabulary, per-source stats -------
+    from nested_pandas_spark import group_describe, profile
+    from nested_pandas_spark.pipeline.text import vocab
+
+    print("documents profile rows:", profile(docs).count())
+    print("top token:", vocab(docs, top_k=1).collect()[0]["token"])
+    print("per-source stat rows:",
+          group_describe(docs, by="source", columns=["n_chars"]).count())
+
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
 
