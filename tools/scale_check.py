@@ -118,6 +118,18 @@ def main() -> int:
             pack_sequences(t(d, "documents"), 2048,
                            tokens_col="n_chars").count()
 
+        def vocab_top():
+            from nested_pandas_spark.pipeline.text import vocab
+            vocab(t(d, "documents"), top_k=50).count()
+
+        def group_desc():
+            from nested_pandas_spark.operators.aggregates import group_describe
+            group_describe(t(d, "documents"), by="source").count()
+
+        def prof():
+            from nested_pandas_spark.operators.aggregates import profile
+            profile(t(d, "documents")).count()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -126,6 +138,9 @@ def main() -> int:
             "strip_lines": strip_lines,
             "topk_cosine": topk,
             "pack_sequences": packseq,
+            "vocab": vocab_top,
+            "group_describe": group_desc,
+            "profile": prof,
         }
 
     # warm-up
