@@ -2340,9 +2340,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY doc_id
             )
             SELECT d.doc_id,
-                   COALESCE(r.clean_text, '') AS clean_text,
-                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_lines,
-                   CAST(len(string_split(d.text, ' '))
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE COALESCE(r.clean_text, '') END AS clean_text,
+                   CAST(CASE WHEN d.text IS NULL THEN 0
+                        ELSE len(string_split(d.text, ' ')) END
+                        AS BIGINT) AS n_lines,
+                   CAST(CASE WHEN d.text IS NULL THEN 0
+                        ELSE len(string_split(d.text, ' ')) END
                         - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
             FROM documents d LEFT JOIN recon r USING (doc_id)
         """,

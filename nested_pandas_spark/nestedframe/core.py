@@ -379,6 +379,11 @@ class NestedFrame:
                 fields = nested_field_names(df, nest)
                 if fld not in fields:
                     raise KeyError(f"Nested column '{nest}' has no field '{fld}'")
+                if new_f != fld and new_f in fields:
+                    raise ValueError(
+                        f"cannot rename '{old}' to existing field "
+                        f"'{nest}.{new_f}' — drop it first"
+                    )
                 parts = {
                     (new_f if f == fld else f): f"__x.{quote(f)}" for f in fields
                 }
@@ -389,6 +394,11 @@ class NestedFrame:
             else:
                 if old not in df.columns:
                     raise KeyError(f"No such column: {old}")
+                if new != old and new in df.columns:
+                    raise ValueError(
+                        f"cannot rename '{old}' to existing column '{new}'"
+                        " — drop it first"
+                    )
                 df = df.withColumnRenamed(old, new)
         return self._wrap(df)
 

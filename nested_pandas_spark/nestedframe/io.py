@@ -35,7 +35,8 @@ from ..functions.nested import is_nested_type, quote
 
 __all__ = ["read_parquet", "from_struct_of_lists", "to_struct_of_lists",
            "from_pyarrow", "list_struct_to_struct_of_lists", "read_json",
-           "read_csv", "write_parquet", "stage_remote"]
+           "read_jsonl", "to_jsonl", "read_csv", "write_parquet",
+           "stage_remote", "select_columns"]
 
 # Schemes Spark's Hadoop FileSystem layer serves directly (given the right
 # jars on the cluster classpath); everything else goes through driver-side
@@ -402,35 +403,6 @@ def select_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(*proj)
 
 
-def read_jsonl(
-    spark: SparkSession,
-    path: str | list[str],
-    columns: list[str] | None = None,
-    schema: "T.StructType | str | None" = None,
-    filters: str | None = None,
-) -> DataFrame:
-    """JSON-lines reader with the same nested-column surface as
-    :func:`read_parquet` — array-of-objects fields land directly as
-    ``array<struct<...>>`` nests (JSONL is the lingua franca of
-    training-data interchange; beyond the parquet-only reference).
-
-    Pass ``schema`` at scale: without it Spark runs a full inference scan
-    before the real read (double I/O), and inference can widen types on
-    dirty data. ``columns`` supports dotted partial loads; JSON has no
-    column chunks, so pruning saves parse work, not bytes read — convert
-    long-lived corpora to parquet (``to_parquet``) for real pruning.
-
-    ``filters`` is applied right after the scan.
-    """
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.json(path)
-    if filters:
-        df = df.where(filters)
-    return select_columns(df, columns) if columns else df
-
-
 def to_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write as JSON lines (one object per row; ``array<struct>`` nests
     serialize as arrays of objects). Null fields are omitted per JSON
@@ -533,19 +505,30 @@ def read_json(
     path: str | list[str],
     schema: str | T.StructType | None = None,
     autocast_list: bool = False,
+    columns: list[str] | None = None,
+    filters: str | None = None,
     **options,
 ) -> DataFrame:
-    """Read JSON(L) with nested-column autocasting (beyond the reference,
-    which is parquet-only). JSON arrays of objects arrive natively as
-    ``array<struct>``; ``autocast_list`` wraps bare arrays into single-field
-    nests like :func:`read_parquet`.
+    """Read JSON(L) with the same nested-column surface as
+    :func:`read_parquet` (beyond the reference, which is parquet-only).
+    JSON arrays of objects arrive natively as ``array<struct>``;
+    ``autocast_list`` wraps bare arrays into single-field nests;
+    ``columns`` supports dotted partial loads; ``filters`` applies right
+    after the scan. JSON has no column chunks, so pruning saves parse
+    work, not bytes read — convert long-lived corpora to parquet for
+    real pruning.
 
-    Always pass ``schema`` at scale — schema inference scans the data twice.
+    Always pass ``schema`` at scale — schema inference scans the data twice,
+    and inference can widen types on dirty data.
     """
     reader = spark.read.options(**options)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.json(*([path] if isinstance(path, str) else path))
+    if filters:
+        df = df.where(filters)
+    if columns is not None:
+        df = select_columns(df, columns)
     if autocast_list:
         for f in df.schema.fields:
             if isinstance(f.dataType, T.ArrayType) and not isinstance(
@@ -558,6 +541,10 @@ def read_json(
                     ),
                 )
     return df
+
+
+# JSONL is the training-data interchange name for the same format
+read_jsonl = read_json
 
 
 def read_csv(

@@ -121,6 +121,19 @@ def minmax(df: DataFrame, kind: str = "min", columns: list[str] | None = None,
     return df.agg(*aggs)
 
 
+def _pct_labels(qs: list[float]) -> list[str]:
+    """Column labels for percentile outputs; raises on integer-percent
+    collisions (e.g. 0.124 and 0.125 both label p12) instead of emitting
+    ambiguous duplicate columns."""
+    labels = [f"p{round(q * 100):d}" for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"percentiles {qs} collide at integer-percent labels {labels}; "
+            "use percents that differ by >= 0.01"
+        )
+    return labels
+
+
 def describe(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -140,6 +153,7 @@ def describe(
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"percentile {q} outside [0, 1]")
+    labels = _pct_labels(qs)
     frames: list[DataFrame] = []
     for label, col, knd in _numeric_targets(df):
         if columns is not None and label not in columns:
@@ -159,8 +173,8 @@ def describe(
                 F.stddev("__v").alias("std"),
                 F.min("__v").alias("min"),
                 *[
-                    F.expr(f"{pct}(__v, {q!r})").alias(f"p{round(q * 100) :d}")
-                    for q in qs
+                    F.expr(f"{pct}(__v, {q!r})").alias(lbl)
+                    for q, lbl in zip(qs, labels)
                 ],
                 F.max("__v").alias("max"),
             )
@@ -239,7 +253,7 @@ def profile(
     aggs combine map-side); the single result row pivots driver-side into
     the per-column frame — a bounded, ncols-sized collect.
     """
-    cols = columns or df.columns
+    cols = df.columns if columns is None else columns
     dtypes = dict(df.dtypes)
     simple = {
         c: not any(dtypes[c].startswith(p) for p in ("array", "struct", "map"))
@@ -289,6 +303,7 @@ def group_describe(
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"percentile {q} outside [0, 1]")
+    labels = _pct_labels(qs)
     arrays: list[Column] = []
     for label, col, knd in _numeric_targets(df):
         if columns is not None and label not in columns:
@@ -319,7 +334,7 @@ def group_describe(
         F.avg("__v").alias("mean"),
         F.stddev("__v").alias("std"),
         F.min("__v").alias("min"),
-        *[F.expr(f"{pct}(__v, {q!r})").alias(f"p{round(q * 100):d}")
-          for q in qs],
+        *[F.expr(f"{pct}(__v, {q!r})").alias(lbl)
+          for q, lbl in zip(qs, labels)],
         F.max("__v").alias("max"),
     )

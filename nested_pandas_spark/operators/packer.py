@@ -152,7 +152,15 @@ def pack(
         # shuffle is indeterminate on task retry (forces full-stage
         # recompute); a content hash spreads a hot key's rows just as well
         # and keeps every retry/re-evaluation bit-identical
-        salt_col = F.pmod(F.xxhash64(*[F.col(quote(c)) for c in payload]),
+        # xxhash64 rejects MapType inputs — serialize those via to_json
+        # (deterministic per row value) so any payload shape salts
+        dt = {f.name: f.dataType for f in child.schema.fields}
+
+        def _hashable(c: str):
+            has_map = "MapType" in repr(dt[c])
+            return F.to_json(F.col(quote(c))) if has_map else F.col(quote(c))
+
+        salt_col = F.pmod(F.xxhash64(*[_hashable(c) for c in payload]),
                           F.lit(salt)).cast("int")
         partial = (
             child.withColumn("__salt", salt_col)

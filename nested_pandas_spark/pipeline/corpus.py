@@ -567,13 +567,19 @@ def strip_boilerplate_lines(
         ).alias("clean_text"),
         F.count("*").alias("__n_kept"),
     )
-    n_lines = F.size(parts).cast("long")
+    # NULL text stays NULL (not rewritten to ''), with zero counts — keeps
+    # the accounting invariant n_removed == n_lines - kept for every row
+    is_null = F.col(text_col).isNull()
+    n_lines = F.when(is_null, F.lit(0)).otherwise(F.size(parts)).cast("long")
     return (
-        docs.select(F.col(id_col), n_lines.alias("n_lines"))
+        docs.select(F.col(id_col), is_null.alias("__isnull"),
+                    n_lines.alias("n_lines"))
         .join(recon.withColumnRenamed("__id", id_col), id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.when(F.col("__isnull"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
             F.col("n_lines"),
             (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
             .cast("long")

@@ -258,12 +258,13 @@ def vocab(
     (feeds tokenizer training, stopword discovery, OOV analysis).
 
     ``top_k`` truncates deterministically (total order via the token
-    tie-break); ``min_count`` drops the long unique tail BEFORE any sort —
-    at web scale the tail is most of the vocabulary, so prune it early.
+    tie-break); with ``top_k=None`` the table returns UNSORTED —
+    ``min_count`` drops the long unique tail BEFORE any ordering, and a
+    global sort of a web-scale vocabulary is exactly the stage to avoid.
 
     Scale shape: one explode + one hash-keyed partial-agg shuffle (map-side
-    combine collapses each partition to its distinct tokens); the sort
-    only runs when ``top_k`` is set and is a TakeOrdered, not a full sort.
+    combine collapses each partition to its distinct tokens); the only
+    sort is the ``top_k`` TakeOrdered (bounded per-partition heap).
     """
     toks = docs.select(
         F.col(id_col).alias("__doc_tag"),
@@ -275,5 +276,9 @@ def vocab(
     )
     if min_count > 1:
         agg = agg.where(F.col("n") >= min_count)
-    agg = agg.orderBy(F.col("n").desc(), F.col("token"))
-    return agg.limit(top_k) if top_k else agg
+    if top_k is not None:
+        # TakeOrdered top-k (bounded per-partition heap), never a full sort
+        return agg.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)
+    # no top_k: return the aggregation unsorted — a global sort of a web-scale
+    # vocabulary is exactly the stage this operator avoids
+    return agg

@@ -63,8 +63,10 @@ def plan_summary(df: DataFrame) -> dict:
         if m.strip()
     ])
     codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple)))
+    # NOTE: \bExchange\b does NOT match "BroadcastExchange" (no word
+    # boundary inside the identifier), so this counts shuffle exchanges only
     return {
-        "exchanges": count(r"\bExchange\b") - count(r"BroadcastExchange"),
+        "exchanges": count(r"\bExchange\b"),
         "broadcasts": count(r"BroadcastExchange|BroadcastHashJoin"),
         "scans": scans,
         "pushed_filters": pushed,

@@ -311,3 +311,15 @@ def test_group_describe_base_and_nested(spark):
     assert outn[("a", "items.v")]["count"] == 2
     assert outn[("a", "items.v")]["p50"] == 2.0
     assert outn[("b", "items.v")]["max"] == 10.0
+
+
+def test_percentile_label_collision_raises(spark):
+    import pytest as _pytest
+
+    from nested_pandas_spark.operators.aggregates import describe, group_describe
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, g string, v double")
+    with _pytest.raises(ValueError):
+        describe(df, columns=["v"], percentiles=[0.124, 0.125])
+    with _pytest.raises(ValueError):
+        group_describe(df, by="g", percentiles=[0.124, 0.125])

@@ -235,3 +235,17 @@ def test_salted_pack_spreads_hot_key_across_tasks(spark):
         for r in pack(child, "nested", on="id").collect()
     }
     assert a == b
+
+
+def test_salted_pack_with_map_payload(spark):
+    from pyspark.sql import functions as F
+
+    from nested_pandas_spark.operators.packer import pack
+
+    df = spark.createDataFrame(
+        [(1, {"a": "1"}), (1, {"b": "2"}), (2, {"c": "3"})],
+        "k long, m map<string,string>",
+    )
+    out = pack(df, "items", on="k", salt=4)
+    sizes = {r["k"]: len(r["items"]) for r in out.collect()}
+    assert sizes == {1: 2, 2: 1}

@@ -819,3 +819,27 @@ def test_vocab_counts_and_tiebreak(spark):
     assert [r["token"] for r in top] == ["aa", "bb"]
     # min_count prunes the tail before any sort
     assert {r["token"] for r in vocab(docs, min_count=2).collect()} == {"aa", "bb"}
+
+
+def test_strip_boilerplate_lines_null_text(spark):
+    from nested_pandas_spark.pipeline.corpus import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "keep\ncommon"), (2, "common\nother"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           strip_boilerplate_lines(docs, min_df=2).collect()}
+    # NULL text stays NULL with zero counts; the invariant holds on all rows
+    assert out[3]["clean_text"] is None
+    assert out[3]["n_lines"] == 0 and out[3]["n_removed"] == 0
+    assert out[1]["clean_text"] == "keep" and out[1]["n_removed"] == 1
+
+
+def test_vocab_no_topk_unsorted_and_topk_zero(spark):
+    from nested_pandas_spark.pipeline.text import vocab
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    assert vocab(docs, top_k=0).count() == 0      # 0 means zero rows
+    plan = vocab(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan                      # no global sort by default

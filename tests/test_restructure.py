@@ -265,3 +265,19 @@ def test_astype_base_and_subfield(spark):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         ndf.astype({"nested.nope": "double"})
+
+
+def test_rename_collision_raises(spark):
+    import pytest as _pytest
+
+    from nested_pandas_spark import NestedFrame
+
+    base = spark.createDataFrame([(1, "x", "y")], "id long, a string, b string")
+    child = spark.createDataFrame([(1, 2.0, 3.0)], "id long, f double, g double")
+    ndf = NestedFrame(base).join_nested(child, "nested", on="id")
+    with _pytest.raises(ValueError):
+        ndf.rename({"a": "b"})              # base collision
+    with _pytest.raises(ValueError):
+        ndf.rename({"nested.f": "g"})       # sub-field collision
+    # renaming onto itself is a no-op, not an error
+    assert ndf.rename({"a": "a"}).df.columns == ndf.df.columns

@@ -29,7 +29,8 @@ def build_big(spark, factor: int) -> None:
     """Key-shifted unions: factor copies of each table with disjoint ids so
     group cardinality scales with the data (the realistic shape), written
     once to /tmp as parquet."""
-    if os.path.exists(os.path.join(BIG_DIR, "_DONE")):
+    marker = os.path.join(BIG_DIR, "_DONE")
+    if os.path.exists(marker) and open(marker).read() == str(factor):
         return
     shutil.rmtree(BIG_DIR, ignore_errors=True)
     os.makedirs(BIG_DIR, exist_ok=True)
@@ -49,7 +50,7 @@ def build_big(spark, factor: int) -> None:
     shifted("lineitem", {"l_orderkey": 10_000_000})
     shifted("documents", {"doc_id": 10_000_000})
     shifted("embeddings", {"vec_id": 10_000_000})
-    open(os.path.join(BIG_DIR, "_DONE"), "w").write("ok")
+    open(os.path.join(BIG_DIR, "_DONE"), "w").write(str(factor))
 
 
 def timed(fn, runs: int = 2) -> float:
