@@ -1166,6 +1166,19 @@ def q71_group_describe(spark, sf):
     )
 
 
+def q72_knn_join(spark, sf):
+    """ALL-ROWS similarity join (pipeline/similarity.py knn_join): top-3
+    approximate neighbors for EVERY embedding via shared SRP buckets
+    across 2 tables — a shuffle equi-join on (table, bucket), never
+    broadcast, never all-pairs. Oracle replays both tables' buckets, the
+    self-join, and the per-vector top-3."""
+    emb = _t(spark, sf, "embeddings")
+    out = sim.knn_join(emb, k=3, num_planes=8, num_tables=2)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1376,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_vocab": q69_vocab,
         "q70_jsonl_roundtrip": q70_jsonl_roundtrip,
         "q71_group_describe": q71_group_describe,
+        "q72_knn_join": q72_knn_join,
     }
 
 
@@ -2189,6 +2203,35 @@ def oracle_sql() -> dict[str, str]:
             ), pairs AS (
                 SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
                 FROM qb q JOIN cb c
+                  ON q.tbl = c.tbl AND q.b = c.b AND q.vec_id <> c.vec_id
+            ), ev AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), scored AS (
+                SELECT p.query_id, p.neighbor_id,
+                       {_dd_cos('qe.v', 'ce.v')} AS cs
+                FROM pairs p
+                JOIN ev qe ON qe.vec_id = p.query_id
+                JOIN ev ce ON ce.vec_id = p.neighbor_id
+            )
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 3
+        """,
+        "q72_knn_join": f"""
+            WITH cb AS (
+                SELECT vec_id, 0 AS tbl,
+                       {_srp_bucket_sql('embedding', 0)} AS b
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id, 1 AS tbl,
+                       {_srp_bucket_sql('embedding', 8)} AS b
+                FROM embeddings
+            ), pairs AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM cb q JOIN cb c
                   ON q.tbl = c.tbl AND q.b = c.b AND q.vec_id <> c.vec_id
             ), ev AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

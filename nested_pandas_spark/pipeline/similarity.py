@@ -20,6 +20,7 @@ __all__ = [
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
+    "knn_join",
 ]
 
 
@@ -653,4 +654,65 @@ def lsh_topk(
     )
     # the same pair can collide in several tables; identical score → distinct
     scored = scored.distinct()
+    return _per_query_topk(scored, k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 2,
+) -> DataFrame:
+    """Self similarity join: approximate top-k neighbors for EVERY corpus
+    vector — the all-rows k-NN behind near-dup graph building and
+    SemDeDup-style mining, where :func:`lsh_topk`'s broadcast-the-queries
+    shape no longer applies because the query side IS the corpus.
+
+    Same SRP bucket scheme as :func:`lsh_topk`; candidates are pairs
+    sharing a (table, bucket) key, matched by a plain shuffle equi-join
+    (both sides hash-partition on the bucket key — no broadcast), then
+    exact cosine reranks and ranks 1..k per vector survive.
+
+    Scale shape: cost is the sum of per-bucket sizes squared, summed over
+    tables — ``num_planes`` controls bucket granularity (more planes →
+    smaller buckets → cheaper join, lower recall; add tables to buy
+    recall back). AQE splits skewed mega-buckets. Never all-pairs: the
+    plan must contain no CartesianProduct (plan-audited).
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)`` with rank 1..k.
+    """
+
+    def buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                srp_bucket(vec, num_planes, plane_offset=t * num_planes)
+                for t in range(num_tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+    )
+    q = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+    )
+    scored = (
+        q.join(c, on=["__tbl", "__bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("__qv").cast("array<double>"),
+                F.col("__cv").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a pair can collide in several tables
+    )
     return _per_query_topk(scored, k)

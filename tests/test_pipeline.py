@@ -843,3 +843,21 @@ def test_vocab_no_topk_unsorted_and_topk_zero(spark):
     assert vocab(docs, top_k=0).count() == 0      # 0 means zero rows
     plan = vocab(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan                      # no global sort by default
+
+
+def test_knn_join_self_neighbors(spark):
+    rng = np.random.RandomState(7)
+    base = [rng.randn(16).astype(float) for _ in range(20)]
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # clones of vector 0 and 1: guaranteed same buckets, cosine 1.0
+    rows += [(100, base[0].tolist()), (101, base[1].tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.knn_join(emb, k=3, num_planes=4, num_tables=2)
+    nn = {r["query_id"]: r["neighbor_id"]
+          for r in out.collect() if r["rank"] == 1}
+    assert nn[0] == 100 and nn[100] == 0     # each clone finds its twin
+    assert nn[1] == 101 and nn[101] == 1
+    # every vector got ranked neighbors, ranks within 1..3, no self pairs
+    rowsc = out.collect()
+    assert all(1 <= r["rank"] <= 3 for r in rowsc)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rowsc)

@@ -441,6 +441,30 @@ def main() -> int:
         )[:600],
     ))
 
+    # -- 18. knn_join: bucket equi-join, never all-pairs --------------------
+    from nested_pandas_spark.pipeline.similarity import knn_join
+
+    p18 = explain_str(knn_join(emb, k=3, num_planes=8, num_tables=2))
+    check(
+        "knn_join no all-pairs",
+        "CartesianProduct" not in p18
+        and "BroadcastNestedLoopJoin" not in p18,
+        "self k-NN degenerated to an all-pairs join",
+    )
+    sections.append((
+        "All-rows k-NN join: shuffle equi-join on SRP buckets",
+        "knn_join matches candidate pairs through a plain equi-join on "
+        "(table, bucket) — both sides hash-partition on the bucket key, "
+        "no broadcast (the query side IS the corpus), and the plan must "
+        "contain no CartesianProduct. Cost is per-bucket-size squared, "
+        "bounded by the plane count; the tournament top-k avoids a "
+        "single-task window.",
+        "\n".join(
+            ln.strip() for ln in p18.splitlines()
+            if "Join" in ln or "Exchange" in ln
+        )[:600],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
