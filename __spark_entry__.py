@@ -1179,6 +1179,49 @@ def q72_knn_join(spark, sf):
     )
 
 
+def q73_rebin_daily(spark, sf):
+    """Per-cell time-series rebinning (operators/timeseries.py rebin): pack
+    each user's event series, bin it into calendar days with pure HOFs
+    (zero shuffle beyond the pack itself), then flatten for comparison.
+    Oracle replays the same floor-division bins with explode + GROUP BY.
+    Mean is summed in sort_within order on the Spark side vs DuckDB's own
+    order — round(6) absorbs the fp-associativity difference."""
+    from nested_pandas_spark import pack, rebin
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "ts", "value"), "series", on="user_id",
+              sort_within=["ts"])
+    out = rebin(nf, "series", "ts", width=86_400 * 10**9,
+                value_fields=["value"])
+    return out.select(
+        "user_id", F.explode("series_binned").alias("b")
+    ).select(
+        "user_id",
+        F.col("b.bin").alias("day_bin"),
+        F.col("b.n").alias("n"),
+        F.round("b.value_mean", 6).alias("value_mean_r6"),
+        F.col("b.value_min").alias("value_min"),
+        F.col("b.value_max").alias("value_max"),
+    )
+
+
+def q74_phase_fold(spark, sf):
+    """Per-element phase folding (operators/timeseries.py phase_fold): fold
+    each user's event timestamps on a 7-day period. Exact int64 modulus on
+    epoch nanos — the reduced remainder is the only value that touches a
+    double, so Spark and DuckDB compute bit-identical phases."""
+    from nested_pandas_spark import pack, phase_fold, to_flat
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    folded = phase_fold(nf, "series", "ts", period=7 * 86_400 * 10**9)
+    flat = to_flat(folded, "series", keys=["user_id"])
+    return flat.select(
+        "user_id", "event_id", F.round("phase", 9).alias("phase_r9")
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1390,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_jsonl_roundtrip": q70_jsonl_roundtrip,
         "q71_group_describe": q71_group_describe,
         "q72_knn_join": q72_knn_join,
+        "q73_rebin_daily": q73_rebin_daily,
+        "q74_phase_fold": q74_phase_fold,
     }
 
 
@@ -2248,6 +2293,24 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cs DESC, neighbor_id ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= 3
+        """,
+        "q73_rebin_daily": """
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS day_bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 6) AS value_mean_r6,
+                   min(value) AS value_min,
+                   max(value) AS value_max
+            FROM events
+            WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "q74_phase_fold": """
+            SELECT user_id, event_id,
+                   round((epoch_us(ts) * 1000 % 604800000000000)
+                         / 604800000000000, 9) AS phase_r9
+            FROM events
+            WHERE ts IS NOT NULL
         """,
         "q61_map_groups": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,

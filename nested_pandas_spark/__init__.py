@@ -15,6 +15,7 @@ from .operators.restructure import frame_explode, split, to_flat, to_flatten_inn
 from .operators.aggregates import count_nested, describe, group_describe, minmax, nest_agg, profile
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
+from .operators.timeseries import phase_fold, rebin
 from .session import get_spark
 
 __version__ = "0.1.0"
@@ -45,5 +46,7 @@ __all__ = [
     "dropna",
     "fillna",
     "sort_values",
+    "rebin",
+    "phase_fold",
     "get_spark",
 ]

@@ -898,6 +898,20 @@ class NestedFrame:
         pass — see :func:`operators.aggregates.profile`."""
         return aggregates.profile(self._df, columns, exact)
 
+    def rebin(self, nest: str, time_field: str, width, **kw) -> "NestedFrame":
+        """Per-cell fixed-width time binning — see
+        :func:`operators.timeseries.rebin`."""
+        from ..operators import timeseries
+
+        return NestedFrame(timeseries.rebin(self.df, nest, time_field, width, **kw))
+
+    def phase_fold(self, nest: str, time_field: str, period, **kw) -> "NestedFrame":
+        """Per-element phase folding — see
+        :func:`operators.timeseries.phase_fold`."""
+        from ..operators import timeseries
+
+        return NestedFrame(timeseries.phase_fold(self.df, nest, time_field, period, **kw))
+
     def nest_agg(self, nest: str, field: str, how: str, alias: str | None = None) -> "NestedFrame":
         name = alias or f"{how}_{nest}_{field}"
         if nest in self._pending:

@@ -1,0 +1,176 @@
+"""rebin / phase_fold: per-cell time-series operators.
+
+Python-side reference computations (plain loops over collected rows) pin the
+semantics — floor-division bins, SQL-aggregate NULL handling, exact integral
+arithmetic for int64-nano timestamps, floored modulus for pre-t0 folding.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark import pack, phase_fold, rebin, to_flat
+
+
+def _ref_bins(elems, width, origin, field):
+    """Reference rebin of one cell: {bin: (n, mean, min, max)} via Python."""
+    by_bin = {}
+    for t, v in elems:
+        if t is None:
+            continue
+        b = math.floor((t - origin) / width)
+        by_bin.setdefault(b, []).append(v)
+    out = {}
+    for b, vals in by_bin.items():
+        present = [v for v in vals if v is not None]
+        out[b] = (
+            len(vals),
+            sum(present) / len(present) if present else None,
+            min(present) if present else None,
+            max(present) if present else None,
+        )
+    return out
+
+
+def test_rebin_matches_python_reference(spark):
+    rows = [
+        (0, 0.0, 1.0), (0, 0.4, 2.0), (0, 1.1, 3.0), (0, 2.9, 10.0),
+        (1, -0.5, 4.0), (1, 0.5, None), (1, None, 99.0),
+    ]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id")
+    out = rebin(nf, "nested", "t", width=1.0, value_fields=["flux"])
+    got = {r["id"]: r["nested_binned"] for r in out.collect()}
+
+    per_id = {}
+    for i, t, v in rows:
+        per_id.setdefault(i, []).append((t, v))
+    for i, elems in per_id.items():
+        ref = _ref_bins(elems, 1.0, 0, "flux")
+        assert [b["bin"] for b in got[i]] == sorted(ref)
+        for b in got[i]:
+            n, mean, mn, mx = ref[b["bin"]]
+            assert b["n"] == n
+            for name, want in (("flux_mean", mean), ("flux_min", mn), ("flux_max", mx)):
+                if want is None:
+                    assert b[name] is None
+                else:
+                    assert b[name] == pytest.approx(want)
+
+
+def test_rebin_integral_nanos_exact(spark):
+    # epoch-nano magnitudes exceed double's 2^53: the exact int64 path must
+    # not wobble bins the way double division would.
+    base = 1_700_000_000_000_000_000
+    width = 3_600 * 1_000_000_000  # 1 hour in ns
+    rows = [
+        (0, base + 1, 1.0),          # hour 0 of the origin
+        (0, base + width - 1, 2.0),  # still hour 0
+        (0, base + width, 3.0),      # hour 1 exactly
+        (0, base - 1, 4.0),          # hour -1 (floor, not truncate)
+    ]
+    child = spark.createDataFrame(rows, "id long, t long, flux double")
+    nf = pack(child, "nested", on="id")
+    out = rebin(nf, "nested", "t", width=width, origin=base, value_fields=["flux"])
+    [row] = out.collect()
+    bins = {b["bin"]: b for b in row["nested_binned"]}
+    assert sorted(bins) == [-1, 0, 1]
+    assert bins[0]["n"] == 2 and bins[0]["flux_mean"] == pytest.approx(1.5)
+    assert bins[1]["n"] == 1 and bins[1]["flux_max"] == 3.0
+    assert bins[-1]["n"] == 1
+
+
+def test_rebin_sum_stat_and_validation(spark):
+    child = spark.createDataFrame(
+        [(0, 0.0, 1.0), (0, 0.5, 2.0)], "id long, t double, flux double"
+    )
+    nf = pack(child, "nested", on="id")
+    out = rebin(nf, "nested", "t", width=1.0, stats=("sum",))
+    [row] = out.collect()
+    assert row["nested_binned"][0]["flux_sum"] == pytest.approx(3.0)
+    with pytest.raises(ValueError, match="Unsupported stats"):
+        rebin(nf, "nested", "t", width=1.0, stats=("median",))
+    with pytest.raises(KeyError):
+        rebin(nf, "nested", "nope", width=1.0)
+
+
+def test_rebin_null_cell_passthrough(spark, packed):
+    # a base row whose nested cell is NULL yields a NULL binned cell
+    from nested_pandas_spark import NestedFrame
+
+    objects = spark.createDataFrame([(0, 1.0), (9, 2.0)], "id long, a double")
+    child = spark.createDataFrame([(0, 0.1, 5.0)], "id long, t double, flux double")
+    nf = NestedFrame(objects).join_nested(child, "nested", on="id")
+    out = {r["id"]: r["nested_binned"] for r in
+           nf.rebin("nested", "t", width=1.0).df.collect()}
+    assert out[9] is None
+    assert out[0][0]["flux_mean"] == pytest.approx(5.0)
+
+
+def test_phase_fold_matches_python_reference(spark):
+    rows = [(0, 0.25, 1.0), (0, 3.75, 2.0), (0, -0.25, 3.0), (0, None, 4.0)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    out = phase_fold(nf, "nested", "t", period=1.0, t0=0.0)
+    [row] = out.collect()
+    got = {e["t"]: e["phase"] for e in row["nested"]}
+    assert got[0.25] == pytest.approx(0.25)
+    assert got[3.75] == pytest.approx(0.75)
+    assert got[-0.25] == pytest.approx(0.75)  # floored modulus, not truncated
+    assert got[None] is None
+
+
+def test_phase_fold_integral_exact(spark):
+    base = 1_700_000_000_000_000_000
+    period = 86_400 * 1_000_000_000  # 1 day in ns
+    rows = [(0, base + period // 4, 1.0), (0, base - period // 4, 2.0)]
+    child = spark.createDataFrame(rows, "id long, t long, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    out = phase_fold(nf, "nested", "t", period=period, t0=base)
+    [row] = out.collect()
+    phases = sorted(e["phase"] for e in row["nested"])
+    assert phases == [pytest.approx(0.25), pytest.approx(0.75)]
+
+
+def test_rebin_timestamp_field_uses_micros(spark):
+    # TIMESTAMP time fields reduce to exact epoch micros; width is then in us
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1.0),
+        (0, base + dt.timedelta(hours=23), 2.0),
+        (0, base + dt.timedelta(days=1), 3.0),
+    ]
+    child = spark.createDataFrame(rows, "id long, t timestamp, flux double")
+    nf = pack(child, "nested", on="id")
+    out = rebin(nf, "nested", "t", width=86_400 * 1_000_000, value_fields=["flux"])
+    [row] = out.collect()
+    days = {b["bin"]: b["n"] for b in row["nested_binned"]}
+    assert list(days.values()) == [2, 1]
+
+    folded = phase_fold(nf, "nested", "t", period=86_400 * 1_000_000)
+    [frow] = folded.collect()
+    phases = sorted(e["phase"] for e in frow["nested"])
+    assert phases == [pytest.approx(0.0), pytest.approx(0.0), pytest.approx(23 / 24)]
+
+
+def test_phase_fold_rejects_existing_field(spark, packed):
+    folded = packed.phase_fold("nested", "t", period=2.0)
+    with pytest.raises(ValueError, match="already has field"):
+        folded.phase_fold("nested", "t", period=2.0)
+
+
+def test_fold_then_rebin_composes(spark):
+    # the canonical light-curve flow: fold on a period, then bin by phase
+    rows = [(0, float(i) * 0.3, float(i % 3)) for i in range(20)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id")
+    folded = phase_fold(nf, "nested", "t", period=0.9)
+    # bin the *phase* into 3 equal bins
+    out = rebin(folded, "nested", "phase", width=1.0 / 3, value_fields=["flux"])
+    [row] = out.collect()
+    assert sum(b["n"] for b in row["nested_binned"]) == 20
+    flat = to_flat(folded, "nested")
+    assert flat.where((F.col("phase") < 0) | (F.col("phase") >= 1)).count() == 0
