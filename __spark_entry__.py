@@ -1222,6 +1222,34 @@ def q74_phase_fold(spark, sf):
     )
 
 
+def q75_concat_aligned(spark, sf):
+    """Schema-aligned vertical concat (NestedFrame.concat): even-keyed
+    orders pack items with only l_quantity, odd-keyed orders pack
+    (l_quantity, l_extendedprice); concat outer-aligns both the base
+    columns and the nested struct fields with NULL padding, then the
+    flattened result must equal a plain UNION ALL with explicit NULLs."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    even = NestedFrame(
+        orders.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    ).join_nested(
+        li.select("o_orderkey", "l_linenumber", "l_quantity"),
+        "items", on="o_orderkey", sort_within=["l_linenumber"],
+    )
+    odd = NestedFrame(
+        orders.where(F.col("o_orderkey") % 2 == 1).select("o_orderkey")
+    ).join_nested(
+        li.select("o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        "items", on="o_orderkey", sort_within=["l_linenumber"],
+    )
+    both = NestedFrame.concat([even, odd])
+    flat = both.to_flat("items", keys=["o_orderkey", "o_custkey"])
+    return flat.select(
+        "o_orderkey", "o_custkey", "l_linenumber", "l_quantity",
+        _e("l_extendedprice", 2).alias("price_e2"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1435,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_knn_join": q72_knn_join,
         "q73_rebin_daily": q73_rebin_daily,
         "q74_phase_fold": q74_phase_fold,
+        "q75_concat_aligned": q75_concat_aligned,
     }
 
 
@@ -2311,6 +2340,15 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q75_concat_aligned": """
+            SELECT o.o_orderkey,
+                   CASE WHEN o.o_orderkey % 2 = 0 THEN o.o_custkey END AS o_custkey,
+                   l.l_linenumber, l.l_quantity,
+                   CASE WHEN o.o_orderkey % 2 = 1
+                        THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   END AS price_e2
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         """,
         "q61_map_groups": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,

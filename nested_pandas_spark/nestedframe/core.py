@@ -224,6 +224,58 @@ class NestedFrame:
         o = other.df if isinstance(other, NestedFrame) else other
         return self._wrap(self._df.exceptAll(o))
 
+    @classmethod
+    def concat(cls, frames: "list[NestedFrame | DataFrame]",
+               join: str = "outer") -> "NestedFrame":
+        """Stack frames vertically with schema alignment — the analogue of
+        ``pd.concat(axis=0)``, which the reference leans on for combining
+        NestedFrames (e.g. reference ``core.py:740,1338,2136``).
+
+        ``join='outer'`` (pandas default): the result carries the union of
+        columns; missing top-level columns AND missing nested struct fields
+        are NULL-padded (Spark's ``unionByName(allowMissingColumns=True)``
+        aligns ``array<struct>`` element fields by name recursively).
+        ``join='inner'``: only columns present in every frame survive, and
+        each surviving nested column is narrowed to the fields present in
+        every frame before the union.
+
+        Scale: a union is plan-level concatenation — no shuffle, no data
+        movement; each input's partitions stream straight through.
+        """
+        if not frames:
+            raise ValueError("concat needs at least one frame")
+        if join not in ("outer", "inner"):
+            raise ValueError(f"join must be 'outer' or 'inner', got {join!r}")
+        dfs = [f.df if isinstance(f, NestedFrame) else f for f in frames]
+        if join == "inner":
+            common = [c for c in dfs[0].columns
+                      if all(c in d.columns for d in dfs[1:])]
+            if not common:
+                raise ValueError("concat(join='inner'): no common columns")
+            pruned = []
+            for d in dfs:
+                cols = []
+                for c in common:
+                    if is_nested_type(d.schema[c].dataType):
+                        keep = [fld for fld in nested_field_names(d, c)
+                                if all(fld in nested_field_names(o, c)
+                                       for o in dfs if is_nested_type(
+                                           o.schema[c].dataType))]
+                        if not keep:
+                            raise ValueError(
+                                f"concat(join='inner'): nested column '{c}' "
+                                "has no fields common to every frame"
+                            )
+                        cols.append(nest_select_fields(d, c, keep).alias(c))
+                    else:
+                        cols.append(F.col(quote(c)))
+                pruned.append(d.select(*cols))
+            dfs = pruned
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=(join == "outer"))
+        return cls(out)
+
     @staticmethod
     def from_seq(spark, seq, name: str = "nested", key: str = "id"):
         """Build a frame with one nested cell per element of ``seq`` — the
