@@ -1250,6 +1250,36 @@ def q75_concat_aligned(spark, sf):
     )
 
 
+def q76_quantize_int8(spark, sf):
+    """Symmetric int8 embedding quantization (pipeline/similarity.py
+    quantize_embeddings): per-row scale = max|x|/127, codes floor(x/scale
+    + 0.5) — pure IEEE-double HOF arithmetic, so the DuckDB replay computes
+    bit-identical codes. Compared as exact integer summaries + scale."""
+    emb = _t(spark, sf, "embeddings")
+    q = sim.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("embedding_scale", 9).alias("scale_r9"),
+        F.expr(
+            "aggregate(embedding_q, 0L, (__a, __c) -> __a + CAST(__c AS BIGINT))"
+        ).alias("code_sum"),
+        F.expr("CAST(array_min(embedding_q) AS BIGINT)").alias("code_min"),
+        F.expr("CAST(array_max(embedding_q) AS BIGINT)").alias("code_max"),
+    )
+
+
+def q77_quantized_topk(spark, sf):
+    """Cosine top-3 ranked directly on int8 codes (quantized_topk): exact
+    int64 dots, cosine's scale-invariance makes dequantization unnecessary.
+    Oracle re-derives the same codes and replays the ranking."""
+    emb = _t(spark, sf, "embeddings")
+    qdf = sim.quantize_embeddings(emb)
+    out = sim.quantized_topk(qdf, qdf.where(F.col("vec_id") < 10), k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1464,6 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_rebin_daily": q73_rebin_daily,
         "q74_phase_fold": q74_phase_fold,
         "q75_concat_aligned": q75_concat_aligned,
+        "q76_quantize_int8": q76_quantize_int8,
+        "q77_quantized_topk": q77_quantized_topk,
     }
 
 
@@ -2340,6 +2372,50 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q76_quantize_int8": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), s AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+                FROM v
+            ), c AS (
+                SELECT vec_id, scale,
+                       list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                           ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS codes
+                FROM s
+            )
+            SELECT vec_id, round(scale, 9) AS scale_r9,
+                   CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+                   CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+                   CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
+            FROM c
+        """,
+        "q77_quantized_topk": f"""
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), s AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+                FROM v
+            ), c AS (
+                SELECT vec_id,
+                       list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+                           ELSE floor(x / scale + 0.5) END) AS cd
+                FROM s
+            ), scored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       {_dd_cos('q.cd', 'n.cd')} AS cs
+                FROM c q JOIN c n ON n.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 3
         """,
         "q75_concat_aligned": """
             SELECT o.o_orderkey,

@@ -15,8 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.nested import quote
+
 __all__ = [
     "cosine", "dot", "norm", "brute_force_topk", "srp_bucket",
+    "quantize_embeddings", "dequantize_embeddings", "quantized_topk",
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
@@ -716,3 +719,105 @@ def knn_join(
         .distinct()  # a pair can collide in several tables
     )
     return _per_query_topk(scored, k)
+
+
+# -- int8 quantization -------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str | None = None,
+    scale_col: str | None = None,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Symmetric per-row int8 quantization of an embedding column.
+
+    ``scale = max(|x|) / 127``; ``code_i = floor(x_i / scale + 0.5)`` in
+    [-127, 127], stored as ``array<tinyint>`` (``{vec}_q``) plus one double
+    ``{vec}_scale`` per row. An all-zero vector gets scale 0 and all-zero
+    codes. The float vector is dropped unless ``keep_vec=True``.
+
+    Why it matters at 100 TB: an ANN corpus of float32[768] is ~3 KB/row;
+    int8 codes + one scale are ~770 B — a 4x shrink of the dominant column,
+    which is the difference between an in-memory scan and a spilling one.
+    Cosine is scale-invariant, so ranking on raw codes needs no dequantize
+    (:func:`quantized_topk`); reconstruction ``code * scale`` is within
+    ``scale/2`` per component.
+
+    Everything is built-in HOF arithmetic (one codegen'd projection, zero
+    shuffle, no UDF) and IEEE-double deterministic, so a SQL oracle
+    reproduces codes bit-for-bit.
+    """
+    code_col = code_col or f"{vec_col}_q"
+    scale_col = scale_col or f"{vec_col}_scale"
+    v = quote(vec_col)
+    scale = (
+        f"array_max(transform({v}, __x -> abs(CAST(__x AS DOUBLE)))) / 127.0D"
+    )
+    out = df.withColumn(scale_col, F.expr(scale))
+    qs = quote(scale_col)
+    code = (
+        f"transform({v}, __x -> CAST(CASE WHEN {qs} = 0.0D THEN 0 ELSE "
+        f"floor(CAST(__x AS DOUBLE) / {qs} + 0.5D) END AS TINYINT))"
+    )
+    out = out.withColumn(code_col, F.expr(code))
+    return out if keep_vec else out.drop(vec_col)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    code_col: str = "embedding_q",
+    scale_col: str = "embedding_scale",
+    out: str = "embedding",
+) -> DataFrame:
+    """Reconstruct ``array<double>`` vectors as ``code * scale``."""
+    expr = (
+        f"transform({quote(code_col)}, __c -> CAST(__c AS DOUBLE) * "
+        f"{quote(scale_col)})"
+    )
+    return df.withColumn(out, F.expr(expr))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    code_col: str = "embedding_q",
+    k: int = 10,
+    partial_buckets: int | None = None,
+) -> DataFrame:
+    """Cosine top-k directly on int8 codes — no dequantization.
+
+    Cosine is invariant under the per-row positive scale, so ranking on raw
+    codes equals ranking on the reconstructed vectors. The dot product and
+    squared norms are EXACT int64 sums (|code| <= 127 => a 100k-dim dot
+    stays far below 2^63); only the final ``dot / sqrt(na*nb)`` touches
+    floating point. Same broadcast + tournament shape as
+    :func:`brute_force_topk`, but the scanned corpus column is ~4x smaller.
+    """
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(code_col).alias("__qc")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__cc"))
+    scored = c.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            int_dot(F.col("__qc"), F.col("__cc"))
+            / (
+                F.sqrt(int_dot(F.col("__qc"), F.col("__qc")).cast("double"))
+                * F.sqrt(int_dot(F.col("__cc"), F.col("__cc")).cast("double"))
+            )
+        ).alias("cos_sim"),
+    )
+    return _per_query_topk(scored, k, partial_buckets)

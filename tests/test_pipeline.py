@@ -861,3 +861,55 @@ def test_knn_join_self_neighbors(spark):
     rowsc = out.collect()
     assert all(1 <= r["rank"] <= 3 for r in rowsc)
     assert all(r["query_id"] != r["neighbor_id"] for r in rowsc)
+
+
+def test_quantize_embeddings_roundtrip_and_bounds(spark):
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(10)]
+    rows.append((99, [0.0] * 8))  # all-zero vector: scale 0, codes 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = sim.quantize_embeddings(emb, keep_vec=True)
+    for r in q.collect():
+        codes, scale, vec = r["embedding_q"], r["embedding_scale"], r["embedding"]
+        assert all(-127 <= c <= 127 for c in codes)
+        if r["vec_id"] == 99:
+            assert scale == 0.0 and all(c == 0 for c in codes)
+            continue
+        assert scale == pytest.approx(max(abs(x) for x in vec) / 127)
+        # reconstruction error bounded by scale/2 per component
+        for x, c in zip(vec, codes):
+            assert abs(x - c * scale) <= scale / 2 + 1e-12
+    # schema: tinyint codes (the 4x memory claim), float column dropped by default
+    q2 = sim.quantize_embeddings(emb)
+    assert "embedding" not in q2.columns
+    assert dict(q2.dtypes)["embedding_q"] == "array<tinyint>"
+
+
+def test_dequantize_embeddings_inverts(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5])], "vec_id long, embedding array<float>"
+    )
+    rt = sim.dequantize_embeddings(sim.quantize_embeddings(emb), out="rec")
+    [r] = rt.collect()
+    scale = r["embedding_scale"]
+    for x, y in zip([1.0, -2.0, 0.5], r["rec"]):
+        assert abs(x - y) <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_matches_exact_ranking(spark):
+    # well-separated vectors: int8 ranking must agree with float ranking
+    rng = np.random.RandomState(5)
+    base = [rng.randn(32).astype(float) for _ in range(30)]
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = sim.quantize_embeddings(emb)
+    queries = qdf.where(F.col("vec_id") < 3)
+    got = sim.quantized_topk(qdf, queries, k=3)
+    exact = sim.brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=3)
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    agree = sum(g[k_] == e[k_] for k_ in e)
+    assert agree >= 8  # int8 keeps >=8/9 of the exact top-3 slots here
+    assert all(1 <= r["rank"] <= 3 for r in got.collect())
