@@ -465,6 +465,84 @@ def main() -> int:
         )[:600],
     ))
 
+    # -- 19. rebin / phase_fold: zero-shuffle per-cell time series ----------
+    from nested_pandas_spark import pack, phase_fold, rebin
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("user_id", "ts", "value")
+    packed_ev = pack(ev, "series", on="user_id")
+    ts_ops = rebin(
+        phase_fold(packed_ev, "series", "ts", period=7 * 86_400 * 10**6),
+        "series", "ts", width=86_400 * 10**6, value_fields=["value"],
+    )
+    p19 = explain_str(ts_ops)
+    n_ex19 = p19.count("Exchange hashpartitioning")
+    check(
+        "timeseries zero extra shuffle",
+        n_ex19 <= 1,
+        f"rebin/phase_fold added shuffles beyond the pack ({n_ex19})",
+    )
+    sections.append((
+        "Time-series rebin + phase_fold: per-cell HOFs, no shuffle beyond the pack",
+        "Binning and folding each user's series are pure transform/filter/"
+        "aggregate lambdas over the packed array — the ONLY Exchange in the "
+        "plan is the pack's own groupBy. The alternative (explode -> "
+        "groupBy(user, bin) -> repack) would shuffle the full measurement "
+        "volume twice more.",
+        "\n".join(
+            ln.strip() for ln in p19.splitlines()
+            if "Exchange" in ln or "Aggregate" in ln or "Scan" in ln
+        )[:600],
+    ))
+
+    # -- 20. concat: plan-level union, no data movement ---------------------
+    cat = NestedFrame.concat([
+        NestedFrame(orders.where(F.col("o_orderkey") % 2 == 0)),
+        NestedFrame(orders.where(F.col("o_orderkey") % 2 == 1)),
+    ])
+    p20 = explain_str(cat.df)
+    check("concat no shuffle", "Exchange" not in p20, "concat introduced a shuffle")
+    sections.append((
+        "concat: vertical stacking is plan concatenation",
+        "NestedFrame.concat folds unionByName — each input's partitions "
+        "stream straight into the output with zero Exchange; schema "
+        "alignment (NULL-padding missing columns/fields) is a projection.",
+        "\n".join(
+            ln.strip() for ln in p20.splitlines()
+            if "Union" in ln or "Scan" in ln or "Project" in ln
+        )[:400],
+    ))
+
+    # -- 21. quantized_topk: broadcast + tournament, int codes --------------
+    from nested_pandas_spark.pipeline.similarity import (
+        quantize_embeddings, quantized_topk,
+    )
+
+    qemb = quantize_embeddings(emb)
+    p21 = explain_str(
+        quantized_topk(qemb, qemb.where(F.col("vec_id") < 3), k=3)
+    )
+    check(
+        "quantized_topk broadcast",
+        "BroadcastNestedLoopJoin" in p21 or "BroadcastExchange" in p21,
+        "query side not broadcast",
+    )
+    check(
+        "quantized_topk no single-task window",
+        "partial_buckets" not in p21 and "Window" in p21,
+        "tournament structure missing",
+    )
+    sections.append((
+        "Quantized top-k: int8 codes scan 4x less, query side broadcasts",
+        "The corpus side streams int8 codes (a quarter of the float32 "
+        "bytes); the small query set broadcasts; ranking uses the same "
+        "two-stage tournament as brute_force_topk, so no per-query "
+        "hotspot task.",
+        "\n".join(
+            ln.strip() for ln in p21.splitlines()
+            if "Join" in ln or "Window" in ln or "Exchange" in ln
+        )[:600],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
