@@ -1280,6 +1280,37 @@ def q77_quantized_topk(spark, sf):
     )
 
 
+def q78_value_counts(spark, sf):
+    """pandas value_counts over a nested sub-column (operators/aggregates.py
+    value_counts): counts ELEMENTS across all packed cells, with the
+    single counted sub-column pruned at the scan; normalize is a one-row
+    broadcast total, not a global window."""
+    from nested_pandas_spark import value_counts
+
+    nf = _orders_items(spark, sf)
+    out = value_counts(nf.df, "items.l_returnflag", normalize=True, sort=False)
+    return out.select(
+        "value",
+        F.col("count").cast("long").alias("count"),
+        F.round("fraction", 9).alias("fraction_r9"),
+    )
+
+
+def q79_histogram(spark, sf):
+    """Equal-width histogram with explicit bounds (one scan + one tiny
+    partial-agg shuffle; empty bins zero-filled from a range table)."""
+    from nested_pandas_spark import histogram
+
+    ev = _t(spark, sf, "events")
+    out = histogram(ev, "value", bins=20, lo=0.0, hi=10.0)
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("lo", 6).alias("lo_r6"),
+        F.round("hi", 6).alias("hi_r6"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1496,6 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_concat_aligned": q75_concat_aligned,
         "q76_quantize_int8": q76_quantize_int8,
         "q77_quantized_topk": q77_quantized_topk,
+        "q78_value_counts": q78_value_counts,
+        "q79_histogram": q79_histogram,
     }
 
 
@@ -2372,6 +2405,31 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q78_value_counts": """
+            SELECT l_returnflag AS value,
+                   CAST(count(*) AS BIGINT) AS count,
+                   round(count(*) / (SELECT count(*) FROM lineitem
+                                     WHERE l_returnflag IS NOT NULL), 9)
+                       AS fraction_r9
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL
+            GROUP BY 1
+        """,
+        "q79_histogram": """
+            WITH src AS (
+                SELECT CAST(value AS DOUBLE) AS v FROM events
+                WHERE value IS NOT NULL AND value >= 0.0 AND value <= 10.0
+            ), binned AS (
+                SELECT CAST(least(floor(v / 0.5), 19) AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM src GROUP BY 1
+            )
+            SELECT r.range AS bin,
+                   round(0.0 + r.range * 0.5, 6) AS lo_r6,
+                   round(0.0 + (r.range + 1) * 0.5, 6) AS hi_r6,
+                   COALESCE(b.cnt, 0) AS count
+            FROM range(20) r LEFT JOIN binned b ON b.bin = r.range
         """,
         "q76_quantize_int8": """
             WITH v AS (

@@ -12,7 +12,10 @@ from .nestedframe.expr import QueryCompileError, compile_expr
 from .nestedframe.io import from_pyarrow, read_jsonl, read_parquet, to_jsonl
 from .operators.packer import from_flat, from_lists, join_nested, pack
 from .operators.restructure import frame_explode, split, to_flat, to_flatten_inner, to_lists
-from .operators.aggregates import count_nested, describe, group_describe, minmax, nest_agg, profile
+from .operators.aggregates import (
+    count_nested, describe, group_describe, histogram, minmax, nest_agg,
+    profile, value_counts,
+)
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import phase_fold, rebin
@@ -43,6 +46,8 @@ __all__ = [
     "minmax",
     "nest_agg",
     "profile",
+    "value_counts",
+    "histogram",
     "dropna",
     "fillna",
     "sort_values",

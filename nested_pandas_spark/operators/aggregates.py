@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 from ..functions.nested import is_nested_type, nested_field_names, quote
 from ..nestedframe.expr import _sql_literal
 
-__all__ = ["count_nested", "nest_lengths", "minmax", "describe", "nest_agg", "profile", "group_describe"]
+__all__ = ["count_nested", "nest_lengths", "minmax", "describe", "nest_agg", "profile", "group_describe", "value_counts", "histogram"]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
             T.DecimalType)
@@ -337,4 +337,121 @@ def group_describe(
         *[F.expr(f"{pct}(__v, {q!r})").alias(lbl)
           for q, lbl in zip(qs, labels)],
         F.max("__v").alias("max"),
+    )
+
+
+def value_counts(
+    df: DataFrame,
+    column: str,
+    normalize: bool = False,
+    dropna: bool = True,
+    sort: bool = True,
+) -> DataFrame:
+    """Frequency table of a base column or a dotted nested sub-column —
+    ``pd.Series.value_counts`` parity for both layers.
+
+    ``"nested.band"`` counts ELEMENTS across all cells (the flat view's
+    value_counts, reference ``nest.to_flat()['band'].value_counts()``
+    idiom). Output: (value, count [, fraction]); ``sort=True`` orders by
+    count desc then value asc (pandas tie order is insertion-dependent —
+    value asc makes it deterministic for hashing).
+
+    Scale: one partial-agg shuffle on the value (map-side combine first);
+    the nested path explodes ONLY the single sub-column being counted —
+    sibling fields and payloads are pruned at the scan. ``normalize``
+    reuses the already-aggregated counts (a one-row total broadcast back,
+    not a second scan and not a global window).
+    """
+    if "." in column and column.split(".", 1)[0] in {
+        f.name for f in df.schema.fields if is_nested_type(f.dataType)
+    }:
+        nest, field = column.split(".", 1)
+        if field not in nested_field_names(df, nest):
+            raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+        src = df.select(
+            F.explode(
+                F.expr(f"transform({quote(nest)}, __x -> __x.{quote(field)})")
+            ).alias("value")
+        )
+    else:
+        if column not in df.columns:
+            raise KeyError(f"No such column: '{column}'")
+        src = df.select(F.col(quote(column)).alias("value"))
+    if dropna:
+        src = src.where(F.col("value").isNotNull())
+    out = src.groupBy("value").agg(F.count("*").alias("count"))
+    if normalize:
+        # one-row total broadcast-joined back — NOT a global window, which
+        # would funnel every distinct value through a single task
+        total = out.agg(F.sum("count").alias("__total"))
+        out = (
+            out.crossJoin(F.broadcast(total))
+            .withColumn("fraction", F.col("count") / F.col("__total"))
+            .drop("__total")
+        )
+    if sort:
+        out = out.orderBy(F.col("count").desc(), F.col("value").asc())
+    return out
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram of a numeric base column or dotted nested
+    sub-column: (bin, lo, hi, count), empty bins zero-filled.
+
+    With explicit ``lo``/``hi`` the whole thing is ONE scan + one tiny
+    partial-agg shuffle (pass them at 100 TB). Without bounds, a first
+    min/max aggregation runs (a second scan — documented driver collect of
+    a single row). Values at ``hi`` fall into the last bin (pandas/numpy
+    convention); out-of-range values are dropped.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if "." in column and column.split(".", 1)[0] in {
+        f.name for f in df.schema.fields if is_nested_type(f.dataType)
+    }:
+        nest, field = column.split(".", 1)
+        src = df.select(
+            F.explode(
+                F.expr(f"transform({quote(nest)}, __x -> __x.{quote(field)})")
+            ).alias("v")
+        )
+    else:
+        src = df.select(F.col(quote(column)).alias("v"))
+    src = src.where(F.col("v").isNotNull()).select(F.col("v").cast("double").alias("v"))
+    if lo is None or hi is None:
+        row = src.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+        if lo is None:  # empty input
+            lo, hi = 0.0, 1.0
+    if not hi > lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    binned = (
+        src.where((F.col("v") >= lo) & (F.col("v") <= hi))
+        .select(
+            F.least(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+                F.lit(bins - 1).cast("long"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("count"))
+    )
+    spark = df.sparkSession
+    edges = spark.range(bins).select(
+        F.col("id").alias("bin"),
+        (F.lit(lo) + F.col("id") * F.lit(width)).alias("lo"),
+        (F.lit(lo) + (F.col("id") + 1) * F.lit(width)).alias("hi"),
+    )
+    return (
+        edges.join(binned, on="bin", how="left")
+        .withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
+        .orderBy("bin")
     )
