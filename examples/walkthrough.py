@@ -143,6 +143,44 @@ def main() -> None:
     print("per-source stat rows:",
           group_describe(docs, by="source", columns=["n_chars"]).count())
 
+    # -- 12e. column distributions: value_counts + histogram ----------------
+    from nested_pandas_spark import histogram, value_counts
+
+    vc = value_counts(ndf.df, "items.l_returnflag", normalize=True)
+    print("return flags:",
+          [(r["value"], r["count"]) for r in vc.collect()])
+    hist = histogram(ev, "value", bins=10, lo=0.0, hi=10.0)
+    print("event-value histogram mass:",
+          hist.agg(F.sum("count")).collect()[0][0])
+
+    # -- 12f. light-curve ops: fold each user's series, then rebin it -------
+    from nested_pandas_spark import pack, phase_fold, rebin, to_flat
+
+    series = pack(ev.select("user_id", "ts", "value"), "series",
+                  on="user_id", sort_within=["ts"])
+    day_ns = 86_400 * 10**9 if dict(ev.dtypes)["ts"] == "bigint" else 86_400 * 10**6
+    folded = phase_fold(series, "series", "ts", period=7 * day_ns)
+    binned = rebin(folded, "series", "ts", width=day_ns, value_fields=["value"])
+    print("users with >=25 daily bins:",
+          binned.where(F.size("series_binned") >= 25).count())
+    print("phases in [0,1):",
+          to_flat(folded, "series", keys=["user_id"])
+          .where("phase >= 0 AND phase < 1").count())
+
+    # -- 12g. concat: outer-align two differently-shaped frames -------------
+    evens = NestedFrame(orders.where("o_orderkey % 2 = 0"))
+    odds = NestedFrame(orders.where("o_orderkey % 2 = 1").drop("o_orderpriority"))
+    print("concat rows:", NestedFrame.concat([evens, odds]).df.count())
+
+    # -- 12h. int8 quantization: shrink the ANN corpus 4x -------------------
+    from nested_pandas_spark.pipeline.similarity import (
+        quantize_embeddings, quantized_topk,
+    )
+
+    qemb = quantize_embeddings(emb)
+    qtop = quantized_topk(qemb, qemb.where("vec_id < 3"), k=2)
+    print("quantized top-k rows:", qtop.count())
+
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
 
