@@ -1311,6 +1311,33 @@ def q79_histogram(spark, sf):
     )
 
 
+def q80_crossmatch(spark, sf):
+    """2D catalog crossmatch (operators/crossmatch.py): suppliers matched to
+    their nearest customer within a radius via the grid-bucketed spatial
+    join (one shuffle per side, 3x3 cell stencil, never all-pairs).
+    Coordinates are md5-derived in [0, 100) with the shared _H32 formula so
+    the oracle replays them; the oracle's join is the same 9-cell stencil in
+    SQL. dist is sqrt of identical doubles — rounded to 9 for hashing."""
+    from nested_pandas_spark.operators.crossmatch import crossmatch
+
+    def with_xy(df, key):
+        h = lambda s: (  # noqa: E731
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.col(key).cast("string"),
+                                                 F.lit(s))), 1, 8), 16, 10)
+            .cast("long") / F.lit(2**32) * 100.0
+        )
+        return df.select(F.col(key), h("x").alias("x"), h("y").alias("y"))
+
+    cust = with_xy(_t(spark, sf, "customer"), "c_custkey")
+    supp = with_xy(_t(spark, sf, "supplier"), "s_suppkey")
+    out = crossmatch(supp, cust, "s_suppkey", "c_custkey", radius=5.0, k=2)
+    return out.select(
+        "s_suppkey", "c_custkey",
+        F.round("dist", 9).alias("dist_r9"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1529,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_quantized_topk": q77_quantized_topk,
         "q78_value_counts": q78_value_counts,
         "q79_histogram": q79_histogram,
+        "q80_crossmatch": q80_crossmatch,
     }
 
 
@@ -2405,6 +2433,45 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q80_crossmatch": """
+            WITH supp AS (
+                SELECT s_suppkey,
+                       (('0x' || substr(md5(s_suppkey::VARCHAR || ':x'), 1, 8))::BIGINT
+                        / 4294967296.0) * 100.0 AS x,
+                       (('0x' || substr(md5(s_suppkey::VARCHAR || ':y'), 1, 8))::BIGINT
+                        / 4294967296.0) * 100.0 AS y
+                FROM supplier
+            ), cust AS (
+                SELECT c_custkey,
+                       (('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 8))::BIGINT
+                        / 4294967296.0) * 100.0 AS x,
+                       (('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 8))::BIGINT
+                        / 4294967296.0) * 100.0 AS y
+                FROM customer
+            ), sc AS (
+                SELECT *, CAST(floor(x / 5.0) AS BIGINT) AS cx,
+                          CAST(floor(y / 5.0) AS BIGINT) AS cy FROM supp
+            ), cc AS (
+                SELECT *, CAST(floor(x / 5.0) AS BIGINT) AS cx,
+                          CAST(floor(y / 5.0) AS BIGINT) AS cy FROM cust
+            ), cand AS (
+                SELECT s.s_suppkey, c.c_custkey,
+                       sqrt((s.x - c.x) * (s.x - c.x)
+                            + (s.y - c.y) * (s.y - c.y)) AS dist
+                FROM sc s JOIN cc c
+                  ON abs(s.cx - c.cx) <= 1 AND abs(s.cy - c.cy) <= 1
+                WHERE sqrt((s.x - c.x) * (s.x - c.x)
+                           + (s.y - c.y) * (s.y - c.y)) <= 5.0
+            )
+            SELECT s_suppkey, c_custkey, round(dist, 9) AS dist_r9,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (
+                SELECT s_suppkey, c_custkey, dist,
+                       row_number() OVER (PARTITION BY s_suppkey
+                           ORDER BY dist ASC, c_custkey ASC) AS rn
+                FROM cand
+            ) WHERE rn <= 2
         """,
         "q78_value_counts": """
             SELECT l_returnflag AS value,
