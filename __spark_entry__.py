@@ -1338,6 +1338,39 @@ def q80_crossmatch(spark, sf):
     )
 
 
+def q81_nest_diff(spark, sf):
+    """Per-cell consecutive time deltas (operators/timeseries.py nest_diff):
+    inter-event gaps inside each user's packed series via an indexed
+    transform — zero shuffle. Exact int64 nanosecond differences; the
+    oracle is a lag() window over the flat rows."""
+    from nested_pandas_spark import nest_diff, pack, to_flat
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    out = nest_diff(nf, "series", "ts", out_field="gap_ns")
+    flat = to_flat(out, "series", keys=["user_id"])
+    return flat.select("user_id", "event_id", F.col("gap_ns").cast("long").alias("gap_ns"))
+
+
+def q82_nest_rolling(spark, sf):
+    """Per-cell trailing rolling mean (nest_rolling, pandas
+    rolling(min_periods=1) semantics) — slice+aggregate inside an indexed
+    transform, zero shuffle. Oracle: AVG OVER (... ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW); round(6) absorbs summation-order fp."""
+    from nested_pandas_spark import nest_rolling, pack, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    out = nest_rolling(nf, "series", "value", window=5)
+    flat = to_flat(out, "series", keys=["user_id"])
+    return flat.select(
+        "user_id", "event_id",
+        F.round("value_roll_mean", 6).alias("roll_mean_r6"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1557,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_value_counts": q78_value_counts,
         "q79_histogram": q79_histogram,
         "q80_crossmatch": q80_crossmatch,
+        "q81_nest_diff": q81_nest_diff,
+        "q82_nest_rolling": q82_nest_rolling,
     }
 
 
@@ -2433,6 +2468,21 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q81_nest_diff": """
+            SELECT user_id, event_id,
+                   (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) * 1000
+                       AS gap_ns
+            FROM events
+        """,
+        "q82_nest_rolling": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                       AS roll_mean_r6
+            FROM events
         """,
         "q80_crossmatch": """
             WITH supp AS (

@@ -18,7 +18,7 @@ from .operators.aggregates import (
 )
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
-from .operators.timeseries import phase_fold, rebin
+from .operators.timeseries import nest_diff, nest_rolling, phase_fold, rebin
 from .session import get_spark
 
 __version__ = "0.1.0"
@@ -53,5 +53,7 @@ __all__ = [
     "sort_values",
     "rebin",
     "phase_fold",
+    "nest_diff",
+    "nest_rolling",
     "get_spark",
 ]

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from ..functions.nested import nested_field_names, quote, struct_sql
 
-__all__ = ["rebin", "phase_fold"]
+__all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -210,3 +210,93 @@ def phase_fold(
     keep[out_field] = f"CASE WHEN {t} IS NOT NULL THEN {phase} END"
     body = struct_sql(keep)
     return df.withColumn(nest, F.expr(f"transform({qn}, __x -> {body})"))
+
+
+def nest_diff(
+    df: DataFrame,
+    nest: str,
+    field: str,
+    out_field: str | None = None,
+) -> DataFrame:
+    """Per-cell consecutive differences: adds ``{field}_diff`` where element
+    i holds ``x[i].field - x[i-1].field`` (NULL for the first element and
+    wherever either operand is NULL).
+
+    The classic cadence/inter-observation-gap feature on a packed time
+    series — meaningful when elements are time-ordered (pack with
+    ``sort_within=`` or ``sort_values("nest.t")`` first).
+
+    Pure indexed ``transform`` over the array — zero shuffle, codegen'd;
+    the CASE guard keeps the ``[i-1]`` subscript from ever evaluating at
+    i=0 (ANSI mode raises on invalid array subscripts).
+    """
+    fields = nested_field_names(df, nest)
+    if field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+    out_field = out_field or f"{field}_diff"
+    if out_field in fields:
+        raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
+    qn, qf = quote(nest), quote(field)
+    prev = f"{qn}[__i - 1].{qf}"
+    diff = (
+        f"CASE WHEN __i >= 1 AND __x.{qf} IS NOT NULL AND {prev} IS NOT NULL "
+        f"THEN __x.{qf} - {prev} END"
+    )
+    keep = {f: f"__x.{quote(f)}" for f in fields}
+    keep[out_field] = diff
+    body = struct_sql(keep)
+    return df.withColumn(nest, F.expr(f"transform({qn}, (__x, __i) -> {body})"))
+
+
+def nest_rolling(
+    df: DataFrame,
+    nest: str,
+    field: str,
+    window: int,
+    stat: str = "mean",
+    out_field: str | None = None,
+) -> DataFrame:
+    """Per-cell trailing rolling statistic: element i gets ``stat`` of
+    ``field`` over the last ``window`` elements ending at i (fewer at the
+    start — pandas ``rolling(window, min_periods=1)`` semantics). NULL
+    values inside the window are ignored; an all-NULL window yields NULL.
+
+    ``stat``: 'mean' | 'min' | 'max' | 'sum'. Zero shuffle: an indexed
+    ``transform`` whose body aggregates a ``slice`` of the same array —
+    O(n x window) per cell, the right trade against exploding the corpus
+    into a shuffled window function (see :func:`rebin`'s module note).
+    """
+    allowed = {"mean", "min", "max", "sum"}
+    if stat not in allowed:
+        raise ValueError(f"stat must be one of {sorted(allowed)}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    fields = nested_field_names(df, nest)
+    if field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+    out_field = out_field or f"{field}_roll_{stat}"
+    if out_field in fields:
+        raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
+    qn, qf = quote(nest), quote(field)
+    # 1-based slice of the last `window` elements ending at 0-based index i
+    start = f"greatest(1, __i + 2 - {window})"
+    length = f"(__i + 1) - {start} + 1"
+    sl = f"slice({qn}, {start}, {length})"
+    present = f"filter({sl}, __e -> __e.{qf} IS NOT NULL)"
+    cnt = f"size({present})"
+    total = (
+        f"aggregate({present}, CAST(0.0 AS DOUBLE), "
+        f"(__acc, __e) -> __acc + CAST(__e.{qf} AS DOUBLE))"
+    )
+    if stat == "mean":
+        val = f"CASE WHEN {cnt} > 0 THEN {total} / {cnt} END"
+    elif stat == "sum":
+        val = f"CASE WHEN {cnt} > 0 THEN {total} END"
+    elif stat == "min":
+        val = f"array_min(transform({present}, __e -> CAST(__e.{qf} AS DOUBLE)))"
+    else:
+        val = f"array_max(transform({present}, __e -> CAST(__e.{qf} AS DOUBLE)))"
+    keep = {f: f"__x.{quote(f)}" for f in fields}
+    keep[out_field] = val
+    body = struct_sql(keep)
+    return df.withColumn(nest, F.expr(f"transform({qn}, (__x, __i) -> {body})"))

@@ -174,3 +174,59 @@ def test_fold_then_rebin_composes(spark):
     assert sum(b["n"] for b in row["nested_binned"]) == 20
     flat = to_flat(folded, "nested")
     assert flat.where((F.col("phase") < 0) | (F.col("phase") >= 1)).count() == 0
+
+
+def test_nest_diff_matches_python(spark):
+    rows = [(0, 1.0, 10.0), (0, 3.0, 12.0), (0, 7.0, None), (0, 9.0, 20.0)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_diff
+
+    out = nest_diff(nf, "nested", "t")
+    [row] = out.collect()
+    assert [e["t_diff"] for e in row["nested"]] == [None, 2.0, 4.0, 2.0]
+    # NULL operand -> NULL diff on both sides of the gap
+    out2 = nest_diff(nf, "nested", "flux")
+    [row2] = out2.collect()
+    assert [e["flux_diff"] for e in row2["nested"]] == [None, 2.0, None, None]
+    with pytest.raises(ValueError, match="already has field"):
+        nest_diff(out, "nested", "t")
+
+
+def test_nest_rolling_mean_min_periods(spark):
+    rows = [(0, float(i), float(i)) for i in range(5)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_rolling
+
+    out = nest_rolling(nf, "nested", "flux", window=3)
+    [row] = out.collect()
+    got = [e["flux_roll_mean"] for e in row["nested"]]
+    # pandas rolling(3, min_periods=1).mean() over [0,1,2,3,4]
+    assert got == [pytest.approx(v) for v in [0.0, 0.5, 1.0, 2.0, 3.0]]
+
+
+def test_nest_rolling_stats_and_nulls(spark):
+    rows = [(0, 0.0, 1.0), (0, 1.0, None), (0, 2.0, 5.0)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_rolling
+
+    [rmax] = nest_rolling(nf, "nested", "flux", 2, stat="max").collect()
+    assert [e["flux_roll_max"] for e in rmax["nested"]] == [1.0, 1.0, 5.0]
+    [rsum] = nest_rolling(nf, "nested", "flux", 2, stat="sum").collect()
+    assert [e["flux_roll_sum"] for e in rsum["nested"]] == [1.0, 1.0, 5.0]
+    with pytest.raises(ValueError):
+        nest_rolling(nf, "nested", "flux", 0)
+    with pytest.raises(ValueError):
+        nest_rolling(nf, "nested", "flux", 2, stat="median")
+
+
+def test_diff_and_rolling_zero_shuffle(spark, packed):
+    from nested_pandas_spark import nest_diff, nest_rolling
+
+    before = packed.df
+    after = nest_rolling(nest_diff(before, "nested", "t"), "nested", "flux", 2)
+    pb = before._jdf.queryExecution().executedPlan().toString()
+    pa = after._jdf.queryExecution().executedPlan().toString()
+    assert pa.count("Exchange") == pb.count("Exchange")  # no new shuffles
