@@ -1371,6 +1371,37 @@ def q82_nest_rolling(spark, sf):
     )
 
 
+def q83_unigram_logprob(spark, sf):
+    """LM-based quality scoring (pipeline/text.py unigram_logprob): each
+    document's mean token log-probability under an add-1-smoothed unigram
+    model of the corpus itself — the cheap CCNet-style perplexity proxy.
+    Oracle replays counts, smoothing, and the mean; round(6) absorbs ln()
+    libm and summation-order differences."""
+    docs = _t(spark, sf, "documents")
+    out = tx.unigram_logprob(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_logp", 6).alias("mean_logp_r6"),
+    )
+
+
+def q84_hashed_tfidf(spark, sf):
+    """Hashing-trick TF-IDF vectors (pipeline/text.py hashed_tfidf): fixed
+    64-dim document vectors with md5-bucketed terms and smoothed idf — the
+    no-model path into the similarity stack. Compared as the flat nonzero
+    (doc, bucket, weight) triples the oracle re-derives."""
+    docs = _t(spark, sf, "documents")
+    vecs = tx.hashed_tfidf(docs, dim=64, normalize=False)
+    return vecs.select(
+        "doc_id", F.posexplode("vector").alias("bucket", "w")
+    ).where(F.col("w") != 0).select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("w", 6).alias("w_r6"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1592,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_crossmatch": q80_crossmatch,
         "q81_nest_diff": q81_nest_diff,
         "q82_nest_rolling": q82_nest_rolling,
+        "q83_unigram_logprob": q83_unigram_logprob,
+        "q84_hashed_tfidf": q84_hashed_tfidf,
     }
 
 
@@ -2468,6 +2501,44 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q84_hashed_tfidf": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfc AS (
+                SELECT term, count(DISTINCT doc_id) AS dfq FROM tf GROUP BY term
+            ), nd AS (
+                SELECT count(DISTINCT doc_id) AS n FROM documents
+            )
+            SELECT tf.doc_id,
+                   ({_H32.format(x='term')}) % 64 AS bucket,
+                   round(sum(tf.tf * (ln((nd.n + 1.0) / (dfc.dfq + 1.0)) + 1.0)),
+                         6) AS w_r6
+            FROM tf JOIN dfc USING (term), nd
+            GROUP BY 1, 2
+        """,
+        "q83_unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+            ), vc AS (
+                SELECT term, count(*) AS c FROM toks GROUP BY term
+            ), tot AS (
+                SELECT sum(c) AS t_total, count(*) AS v_size FROM vc
+            ), scored AS (
+                SELECT t.doc_id,
+                       ln((COALESCE(vc.c, 0) + 1.0)
+                          / (tot.t_total + 1.0 * (tot.v_size + 1))) AS lp
+                FROM toks t LEFT JOIN vc USING (term), tot
+            ), pd AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       avg(lp) AS mean_logp
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens,
+                   round(pd.mean_logp, 6) AS mean_logp_r6
+            FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         "q81_nest_diff": """
             SELECT user_id, event_id,

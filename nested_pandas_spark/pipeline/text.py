@@ -25,6 +25,8 @@ __all__ = [
     "repetition_ratio",
     "REDACTION_PATTERNS",
     "fingerprint",
+    "unigram_logprob",
+    "hashed_tfidf",
     "add_text_stats",
     "STOPWORDS",
     "vocab",
@@ -282,3 +284,156 @@ def vocab(
     # no top_k: return the aggregation unsorted — a global sort of a web-scale
     # vocabulary is exactly the stage this operator avoids
     return agg
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_docs: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the classic LM-based
+    quality proxy (CCNet/CC-Net style: score each document against a
+    language model; here the cheapest such model, an add-alpha-smoothed
+    unigram distribution). Low (very negative) means = surprising/noisy
+    text; near-zero means = high-probability text.
+
+    Model: counts over ``model_docs`` (defaults to ``docs`` itself — score
+    a corpus against a REFERENCE corpus by passing it here), smoothed as
+    ``P(w) = (c(w) + alpha) / (T + alpha * (V + 1))`` where T = total model
+    tokens, V = model vocabulary size; unseen tokens take c = 0.
+
+    Output: (``id_col``, ``n_tokens``, ``mean_logp``) — every input doc
+    appears, token-less docs with n_tokens = 0 and NULL mean_logp.
+
+    Scale shape: tokens shuffle once on the term for the model counts and
+    once for the (doc token) x (vocab) equi-join; T and V ride along as a
+    broadcast one-row aggregate, never a driver collect. The final per-doc
+    mean is one more partial-agg shuffle on the doc id. No Python, no
+    all-pairs, no skew beyond natural term frequency (AQE splits hot
+    terms).
+    """
+    model_docs = docs if model_docs is None else model_docs
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(words(F.col(text_col))).alias("__term"),
+    )
+    vocab_counts = (
+        model_docs.select(F.explode(words(F.col(text_col))).alias("__term"))
+        .groupBy("__term")
+        .agg(F.count("*").alias("__c"))
+    )
+    totals = vocab_counts.agg(
+        F.sum("__c").alias("__T"), F.count("*").alias("__V")
+    )
+    scored = (
+        toks.join(vocab_counts, on="__term", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__doc",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.col("__T") + F.lit(float(alpha)) * (F.col("__V") + 1))
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy("__doc").agg(
+        F.count("*").alias("n_tokens"), F.avg("__lp").alias("mean_logp")
+    )
+    base = docs.select(F.col(id_col).alias("__doc"))
+    return (
+        base.join(per_doc, on="__doc", how="left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "mean_logp",
+        )
+    )
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors: a fixed-``dim``
+    ``array<double>`` per document, no vocabulary to build or broadcast.
+
+    Bucket of a term = md5-derived 32-bit hash mod ``dim`` (the engine's
+    shared ``_H32`` formula, so a SQL oracle replays it exactly);
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (smoothed, sklearn-style);
+    ``v[j] = sum of tf * idf`` over terms hashing to j, optionally
+    L2-normalized. The output plugs straight into the similarity stack
+    (``brute_force_topk`` / ``knn_join`` / ``quantize_embeddings``) —
+    text near-dup search without an embedding model.
+
+    Scale shape: tokens shuffle once for (term, doc) tf pairs; document
+    frequencies reuse that aggregate (no second scan of the text); N rides
+    as a broadcast one-row count. The dense vector assembles per-doc from
+    a (bucket -> weight) map — ``dim`` doubles per row, no UDF anywhere.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    from ..pipeline.dedup import _h32  # md5-derived 32-bit hash column
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(words(F.col(text_col))).alias("__term"),
+        )
+        .groupBy("__doc", "__term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    df_counts = tf.groupBy("__term").agg(F.countDistinct("__doc").alias("__df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("__N"))
+    weighted = (
+        tf.join(df_counts, on="__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__doc",
+            F.pmod(_h32(F.col("__term")), F.lit(dim)).alias("__bucket"),
+            (
+                F.col("__tf")
+                * (F.log((F.col("__N") + 1.0) / (F.col("__df") + 1.0)) + 1.0)
+            ).alias("__w"),
+        )
+        .groupBy("__doc", "__bucket")
+        .agg(F.sum("__w").alias("__w"))
+    )
+    vecs = weighted.groupBy("__doc").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__bucket", "__w"))
+        ).alias("__m")
+    ).select(
+        "__doc",
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            f"__j -> coalesce(element_at(__m, __j), CAST(0.0 AS DOUBLE)))"
+        ).alias("vector"),
+    )
+    if normalize:
+        nrm = (
+            "sqrt(aggregate(vector, CAST(0.0 AS DOUBLE), "
+            "(__a, __v) -> __a + __v * __v))"
+        )
+        vecs = vecs.withColumn(
+            "vector",
+            F.expr(
+                f"CASE WHEN {nrm} > 0 THEN "
+                f"transform(vector, __v -> __v / {nrm}) ELSE vector END"
+            ),
+        )
+    base = docs.select(F.col(id_col).alias("__doc"))
+    zero = F.expr(
+        f"transform(sequence(0, {dim - 1}), __j -> CAST(0.0 AS DOUBLE))"
+    )
+    return (
+        base.join(vecs, on="__doc", how="left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce(F.col("vector"), zero).alias("vector"),
+        )
+    )

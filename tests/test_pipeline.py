@@ -913,3 +913,84 @@ def test_quantized_topk_matches_exact_ranking(spark):
     agree = sum(g[k_] == e[k_] for k_ in e)
     assert agree >= 8  # int8 keeps >=8/9 of the exact top-3 slots here
     assert all(1 <= r["rank"] <= 3 for r in got.collect())
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a zzz"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.unigram_logprob(docs).collect()}
+    # model over the same docs: counts a=3, b=1, zzz=1; T=5, V=3; alpha=1
+    T, V = 5, 3
+    def lp(c):
+        return math.log((c + 1) / (T + 1 * (V + 1)))
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_logp"] == pytest.approx((2 * lp(3) + lp(1)) / 3)
+    assert out[2]["mean_logp"] == pytest.approx((lp(3) + lp(1)) / 2)
+    # empty / NULL text: kept, zero tokens, NULL score
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_logp"] is None
+    assert out[4]["n_tokens"] == 0 and out[4]["mean_logp"] is None
+
+
+def test_unigram_logprob_reference_model(spark):
+    import math
+
+    ref = spark.createDataFrame([(1, "x x x x")], "doc_id long, text string")
+    docs = spark.createDataFrame([(9, "x unseen")], "doc_id long, text string")
+    [r] = tx.unigram_logprob(docs, model_docs=ref).collect()
+    T, V = 4, 1
+    seen = math.log((4 + 1) / (T + V + 1))
+    unseen = math.log((0 + 1) / (T + V + 1))
+    assert r["mean_logp"] == pytest.approx((seen + unseen) / 2)
+
+
+def test_hashed_tfidf_matches_python(spark):
+    import hashlib
+    import math
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 8
+    out = {r["doc_id"]: list(r["vector"])
+           for r in tx.hashed_tfidf(docs, dim=dim, normalize=False).collect()}
+
+    def h32(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+
+    N = 3
+    dfreq = {"a": 1, "b": 2, "c": 1}
+    for doc_id, text in rows:
+        want = [0.0] * dim
+        toks = [w for w in text.lower().split() if w]
+        for term in set(toks):
+            idf = math.log((N + 1) / (dfreq[term] + 1)) + 1
+            want[h32(term)] += toks.count(term) * idf
+        for g, w in zip(out[doc_id], want):
+            assert g == pytest.approx(w), (doc_id, out[doc_id], want)
+    assert out[3] == [0.0] * dim  # token-less doc keeps a zero vector
+
+
+def test_hashed_tfidf_normalized_feeds_similarity(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark table scan"), (2, "spark table scan"), (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    vecs = tx.hashed_tfidf(docs, dim=16)
+    norms = vecs.selectExpr(
+        "doc_id",
+        "aggregate(vector, CAST(0.0 AS DOUBLE), (a, v) -> a + v*v) AS n2",
+    ).collect()
+    for r in norms:
+        assert r["n2"] == pytest.approx(1.0)
+    # identical docs -> cosine 1.0 via the similarity stack
+    top = sim.brute_force_topk(
+        vecs.withColumnRenamed("doc_id", "vec_id").withColumnRenamed("vector", "embedding"),
+        vecs.where("doc_id = 1").withColumnRenamed("doc_id", "vec_id")
+            .withColumnRenamed("vector", "embedding"),
+        k=1,
+    )
+    [r] = top.collect()
+    assert r["neighbor_id"] == 2 and r["cos_sim"] == pytest.approx(1.0)
