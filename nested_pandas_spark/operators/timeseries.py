@@ -128,24 +128,51 @@ def rebin(
         t_of = lambda var: f"{var}.{quote(time_field)}"  # noqa: E731
     bin_of = lambda var: _floor_bin_sql(t_of(var), width, origin, integral)  # noqa: E731
 
-    # Occupied bins of this cell, ascending; NULL timestamps drop out.
-    timed = f"filter({qn}, __x -> {t_of('__x')} IS NOT NULL)"
-    bins = f"array_sort(array_distinct(transform({timed}, __x -> {bin_of('__x')})))"
-
-    # Elements of one bin: filter on equal bin index.
-    in_bin = f"filter({timed}, __x -> {bin_of('__x')} = __b)"
-
-    struct_fields: dict[str, str] = {
-        "bin": "__b",
-        "n": f"CAST(size({in_bin}) AS BIGINT)",
+    # Staged through temp columns: HOF lambdas defeat Spark's codegen
+    # common-subexpression elimination, so a single inlined expression
+    # re-evaluates the per-bin filter once PER STAT (measured ~6x slower at
+    # sf0.1). Each stage materializes its array once; later stages only
+    # walk already-materialized (small) per-bin arrays.
+    timed_c, groups_c, vals_c = "__rb_timed", "__rb_groups", "__rb_vals"
+    staged = df.withColumn(
+        timed_c, F.expr(f"filter({qn}, __x -> {t_of('__x')} IS NOT NULL)")
+    )
+    # 1. occupied bins (ascending) -> 2. one (bin, elements) group per bin:
+    # the O(bins x elements) filter runs exactly once per bin here.
+    bins = (
+        f"array_sort(array_distinct(transform({quote(timed_c)}, "
+        f"__x -> {bin_of('__x')})))"
+    )
+    staged = staged.withColumn(
+        groups_c,
+        F.expr(
+            f"transform({bins}, __b -> struct(__b AS bin, "
+            f"filter({quote(timed_c)}, __x -> {bin_of('__x')} = __b) AS es))"
+        ),
+    )
+    # 3. per value field, the non-NULL doubles of each bin — materialized
+    # once so every stat below is a pass over a small double array.
+    val_fields: dict[str, str] = {
+        "bin": "__g.bin",
+        "n": "CAST(size(__g.es) AS BIGINT)",
     }
     for vf in value_fields:
-        v = f"__x.{quote(vf)}"
-        present = f"filter({in_bin}, __x -> {v} IS NOT NULL)"
-        cnt = f"size({present})"
+        val_fields[f"v_{vf}"] = (
+            f"transform(filter(__g.es, __x -> __x.{quote(vf)} IS NOT NULL), "
+            f"__x -> CAST(__x.{quote(vf)} AS DOUBLE))"
+        )
+    staged = staged.withColumn(
+        vals_c,
+        F.expr(f"transform({quote(groups_c)}, __g -> {struct_sql(val_fields)})"),
+    )
+    # 4. stats from the materialized per-bin value arrays.
+    struct_fields: dict[str, str] = {"bin": "__g.bin", "n": "__g.n"}
+    for vf in value_fields:
+        vals = f"__g.{quote(f'v_{vf}')}"
+        cnt = f"size({vals})"
         total = (
-            f"aggregate({present}, CAST(0.0 AS DOUBLE), "
-            f"(__acc, __x) -> __acc + CAST({v} AS DOUBLE))"
+            f"aggregate({vals}, CAST(0.0 AS DOUBLE), "
+            f"(__acc, __v) -> __acc + __v)"
         )
         for stat in stats:
             name = f"{vf}_{stat}"
@@ -154,16 +181,16 @@ def rebin(
             elif stat == "sum":
                 struct_fields[name] = f"CASE WHEN {cnt} > 0 THEN {total} END"
             elif stat == "min":
-                struct_fields[name] = (
-                    f"array_min(transform({present}, __x -> CAST({v} AS DOUBLE)))"
-                )
+                struct_fields[name] = f"array_min({vals})"
             else:  # max
-                struct_fields[name] = (
-                    f"array_max(transform({present}, __x -> CAST({v} AS DOUBLE)))"
-                )
-    body = struct_sql(struct_fields)
-    expr = f"transform({bins}, __b -> {body})"
-    return df.withColumn(out, F.expr(expr))
+                struct_fields[name] = f"array_max({vals})"
+    out_expr = (
+        f"transform({quote(vals_c)}, __g -> {struct_sql(struct_fields)})"
+    )
+    return (
+        staged.withColumn(out, F.expr(out_expr))
+        .drop(timed_c, groups_c, vals_c)
+    )
 
 
 def phase_fold(

@@ -50,6 +50,9 @@ def build_big(spark, factor: int) -> None:
     shifted("lineitem", {"l_orderkey": 10_000_000})
     shifted("documents", {"doc_id": 10_000_000})
     shifted("embeddings", {"vec_id": 10_000_000})
+    shifted("events", {"event_id": 10_000_000, "user_id": 10_000_000})
+    shifted("customer", {"c_custkey": 10_000_000})
+    shifted("supplier", {"s_suppkey": 10_000_000})
     open(os.path.join(BIG_DIR, "_DONE"), "w").write(str(factor))
 
 
@@ -131,6 +134,35 @@ def main() -> int:
             from nested_pandas_spark.operators.aggregates import profile
             profile(t(d, "documents")).count()
 
+        def rebin_daily():
+            from nested_pandas_spark import pack, rebin
+            ev = t(d, "events").select("user_id", "ts", "value")
+            width = (86_400 * 10**9 if dict(ev.dtypes)["ts"] == "bigint"
+                     else 86_400 * 10**6)
+            nf = pack(ev, "series", on="user_id")
+            rebin(nf, "series", "ts", width=width,
+                  value_fields=["value"]).select(
+                F.sum(F.size("series_binned"))).collect()
+
+        def xmatch():
+            from nested_pandas_spark.operators.crossmatch import crossmatch
+
+            def xy(df, key):
+                h = lambda salt: (  # noqa: E731
+                    F.conv(F.substring(F.md5(F.concat_ws(
+                        ":", F.col(key).cast("string"), F.lit(salt))),
+                        1, 8), 16, 10).cast("long") / F.lit(2**32) * 100.0
+                )
+                return df.select(F.col(key), h("x").alias("x"), h("y").alias("y"))
+
+            crossmatch(xy(t(d, "supplier"), "s_suppkey"),
+                       xy(t(d, "customer"), "c_custkey"),
+                       "s_suppkey", "c_custkey", radius=5.0, k=2).count()
+
+        def tfidf():
+            from nested_pandas_spark.pipeline.text import hashed_tfidf
+            hashed_tfidf(t(d, "documents"), dim=64).count()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -142,6 +174,9 @@ def main() -> int:
             "vocab": vocab_top,
             "group_describe": group_desc,
             "profile": prof,
+            "rebin": rebin_daily,
+            "crossmatch": xmatch,
+            "hashed_tfidf": tfidf,
         }
 
     # warm-up
