@@ -341,6 +341,43 @@ def main() -> None:
 
     bench_extra("ivf_refined_topk", x_ivf)
 
+    def x_rebin():
+        from nested_pandas_spark import pack, rebin
+
+        ev = t("events").select("user_id", "ts", "value")
+        width = 86_400 * (10**9 if dict(ev.dtypes)["ts"] == "bigint"
+                          else 10**6)
+        nf = pack(ev, "series", on="user_id")
+        return rebin(nf, "series", "ts", width=width,
+                     value_fields=["value"]).select(
+            F.sum(F.size("series_binned"))).collect()
+
+    bench_extra("rebin_daily", x_rebin)
+
+    def x_crossmatch():
+        from nested_pandas_spark.operators.crossmatch import crossmatch
+
+        def xy(df, key):
+            h = lambda salt: (  # noqa: E731
+                F.conv(F.substring(F.md5(F.concat_ws(
+                    ":", F.col(key).cast("string"), F.lit(salt))),
+                    1, 8), 16, 10).cast("long") / F.lit(2**32) * 100.0
+            )
+            return df.select(F.col(key), h("x").alias("x"), h("y").alias("y"))
+
+        return crossmatch(xy(t("supplier"), "s_suppkey"),
+                          xy(t("customer"), "c_custkey"),
+                          "s_suppkey", "c_custkey", radius=5.0, k=2).count()
+
+    bench_extra("crossmatch", x_crossmatch)
+
+    def x_tfidf():
+        from nested_pandas_spark.pipeline.text import hashed_tfidf
+
+        return hashed_tfidf(t("documents"), dim=64).count()
+
+    bench_extra("hashed_tfidf", x_tfidf)
+
     total = round(sum(queries.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
