@@ -55,6 +55,16 @@ def crossmatch(
     small-angle sky regions use projected coordinates). Column names may
     collide between the two inputs — each side is projected and renamed
     before the join.
+
+    Examples
+    --------
+    >>> from nested_pandas_spark.operators.crossmatch import crossmatch
+    >>> cat_a = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    >>> cat_b = spark.createDataFrame(
+    ...     [(7, 0.3, 0.4), (8, 5.0, 5.0)], "id long, x double, y double")
+    >>> [m] = crossmatch(cat_a, cat_b, "id", "id", radius=1.0).collect()
+    >>> (m["id"], m["id_right"], round(m["dist"], 3), m["rank"])
+    (1, 7, 0.5, 1)
     """
     if radius <= 0:
         raise ValueError("radius must be > 0")

@@ -104,6 +104,17 @@ def rebin(
     ``transform`` over those bins computes each stat with ``filter`` +
     ``aggregate``. No shuffle, no UDF; the whole thing is one codegen'd
     projection. See module docstring for the O(bins x elements) trade.
+
+    Examples
+    --------
+    >>> from nested_pandas_spark import pack, rebin
+    >>> child = spark.createDataFrame(
+    ...     [(0, 0.1, 1.0), (0, 0.9, 3.0), (0, 1.5, 10.0)],
+    ...     "id long, t double, flux double")
+    >>> nf = pack(child, "lc", on="id")
+    >>> [row] = rebin(nf, "lc", "t", width=1.0).collect()
+    >>> [(b["bin"], b["n"], b["flux_mean"]) for b in row["lc_binned"]]
+    [(0, 2, 2.0), (1, 1, 10.0)]
     """
     allowed = {"mean", "min", "max", "sum"}
     bad = set(stats) - allowed
@@ -256,6 +267,16 @@ def nest_diff(
     Pure indexed ``transform`` over the array — zero shuffle, codegen'd;
     the CASE guard keeps the ``[i-1]`` subscript from ever evaluating at
     i=0 (ANSI mode raises on invalid array subscripts).
+
+    Examples
+    --------
+    >>> from nested_pandas_spark import nest_diff, pack
+    >>> child = spark.createDataFrame(
+    ...     [(0, 1.0), (0, 4.0), (0, 9.0)], "id long, t double")
+    >>> nf = pack(child, "lc", on="id", sort_within=["t"])
+    >>> [row] = nest_diff(nf, "lc", "t").collect()
+    >>> [e["t_diff"] for e in row["lc"]]
+    [None, 3.0, 5.0]
     """
     fields = nested_field_names(df, nest)
     if field not in fields:
