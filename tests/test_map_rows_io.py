@@ -363,3 +363,28 @@ def test_jsonl_roundtrip_preserves_nested(spark, tmp_path):
     assert part.count() == 1
     fields = part.schema["items"].dataType.elementType.fieldNames()
     assert fields == ["v"]
+
+
+def test_orc_roundtrip_preserves_nested(spark, packed):
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.nestedframe.io import read_orc, to_orc
+
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        to_orc(packed.df, d)
+        back = read_orc(spark, d)
+        assert dict(back.dtypes)["nested"].startswith("array<struct<")
+        orig = {r["id"]: [e["t"] for e in r["nested"]]
+                for r in packed.df.collect()}
+        got = {r["id"]: [e["t"] for e in r["nested"]] for r in back.collect()}
+        assert got == orig
+        # dotted partial load narrows the element struct
+        part = read_orc(spark, d, columns=["id", "nested.flux"])
+        fields = [f.name for f in part.schema["nested"].dataType.elementType.fields]
+        assert fields == ["flux"]
+        # filters apply after the scan
+        assert read_orc(spark, d, filters="id > 0").count() == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
