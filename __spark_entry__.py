@@ -1402,6 +1402,38 @@ def q84_hashed_tfidf(spark, sf):
     )
 
 
+def q85_orc_roundtrip(spark, sf):
+    """ORC source/sink through the gate (nestedframe/io.py read_orc/to_orc):
+    pack lineitem under orders, write nested ORC, read back with a dotted
+    partial load, and aggregate — value-exact vs the parquet-born oracle.
+    ORC pushes column projection into the scan like parquet."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.nestedframe.io import read_orc, to_orc
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    ndf = NestedFrame(_t(spark, sf, "orders")).join_nested(
+        li.select("o_orderkey", "l_extendedprice", "l_discount"),
+        "items", on="o_orderkey")
+    packed = ndf.df.select("o_orderkey", "items")
+    d = tempfile.mkdtemp(prefix="q85_orc_")
+    try:
+        to_orc(packed, d)
+        back = read_orc(spark, d, columns=["o_orderkey", "items.l_extendedprice"])
+        out = back.select(
+            "o_orderkey",
+            F.coalesce(F.size("items"), F.lit(0)).cast("long").alias("n_items"),
+            _e("COALESCE(aggregate(transform(items, __x -> __x.l_extendedprice), "
+               "CAST(0.0 AS DOUBLE), (__a, __v) -> __a + __v), CAST(0.0 AS DOUBLE))",
+               2).alias("sum_price_e2"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1625,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_nest_rolling": q82_nest_rolling,
         "q83_unigram_logprob": q83_unigram_logprob,
         "q84_hashed_tfidf": q84_hashed_tfidf,
+        "q85_orc_roundtrip": q85_orc_roundtrip,
     }
 
 
@@ -2501,6 +2534,14 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q85_orc_roundtrip": """
+            SELECT o.o_orderkey,
+                   CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+                   CAST(ROUND(COALESCE(sum(l.l_extendedprice), 0.0) * 100)
+                        AS BIGINT) AS sum_price_e2
+            FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey
         """,
         "q84_hashed_tfidf": f"""
             WITH toks AS (

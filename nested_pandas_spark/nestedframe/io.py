@@ -36,6 +36,7 @@ from ..functions.nested import is_nested_type, quote
 __all__ = ["read_parquet", "from_struct_of_lists", "to_struct_of_lists",
            "from_pyarrow", "list_struct_to_struct_of_lists", "read_json",
            "read_jsonl", "to_jsonl", "read_csv", "write_parquet",
+           "read_orc", "to_orc",
            "stage_remote", "select_columns"]
 
 # Schemes Spark's Hadoop FileSystem layer serves directly (given the right
@@ -595,3 +596,54 @@ def write_parquet(
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str | list[str],
+    columns: list[str] | None = None,
+    filters: str | None = None,
+    autocast_list: bool = False,
+    **options,
+) -> DataFrame:
+    """Read ORC with the same nested-column surface as :func:`read_parquet`
+    (beyond the reference, which is parquet-only). ORC stores
+    ``array<struct>`` natively and supports columnar projection +
+    predicate pushdown, so ``columns`` (dotted names allowed) and
+    ``filters`` prune at the scan just like parquet
+    (``spark.sql.orc.enableVectorizedReader`` is on by default).
+    """
+    df = spark.read.options(**options).orc(
+        *([path] if isinstance(path, str) else path)
+    )
+    if filters:
+        df = df.where(filters)
+    if columns is not None:
+        df = select_columns(df, columns)
+    if autocast_list:
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.ArrayType) and not isinstance(
+                f.dataType.elementType, T.StructType
+            ):
+                df = df.withColumn(
+                    f.name,
+                    F.expr(
+                        f"transform({quote(f.name)}, __x -> struct(__x AS {quote(f.name)}))"
+                    ),
+                )
+    return df
+
+
+def to_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    **options,
+) -> None:
+    """Write ORC (nested ``array<struct>`` columns serialize natively)."""
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.orc(path)
