@@ -1434,6 +1434,37 @@ def q85_orc_roundtrip(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q86_sigma_clip(spark, sf):
+    """Per-cell sigma clipping (operators/timeseries.py sigma_clip): drop
+    each user's outlier events at 2 sigma from the CELL's own mean — the
+    standard light-curve cleaning step, zero shuffle. Oracle replays the
+    per-user mean/std and the same keep criterion."""
+    from nested_pandas_spark import pack, sigma_clip, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "value"), "series",
+              on="user_id", sort_within=["event_id"])
+    out = sigma_clip(nf, "series", "value", sigma=2.0)
+    return to_flat(out, "series", keys=["user_id"]).select("user_id", "event_id")
+
+
+def q87_trend_slope(spark, sf):
+    """Per-cell OLS trend (operators/timeseries.py trend_slope): each
+    user's value-per-day slope via centered HOF sums (the raw-moment
+    formula would square epoch-scale times past double resolution).
+    Oracle replays the centered two-pass computation."""
+    from nested_pandas_spark import pack, trend_slope
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "ts", "value"), "series", on="user_id",
+              sort_within=["ts"])
+    out = trend_slope(nf, "series", "ts", "value",
+                      time_scale=86_400 * 10**9)
+    return out.select(
+        "user_id", F.round("series_slope", 6).alias("slope_r6")
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1658,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_unigram_logprob": q83_unigram_logprob,
         "q84_hashed_tfidf": q84_hashed_tfidf,
         "q85_orc_roundtrip": q85_orc_roundtrip,
+        "q86_sigma_clip": q86_sigma_clip,
+        "q87_trend_slope": q87_trend_slope,
     }
 
 
@@ -2534,6 +2567,39 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q86_sigma_clip": """
+            WITH stats AS (
+                SELECT user_id, count(value) AS n, avg(value) AS m,
+                       stddev_samp(value) AS s
+                FROM events GROUP BY user_id
+            )
+            SELECT e.user_id, e.event_id
+            FROM events e JOIN stats st USING (user_id)
+            WHERE e.value IS NULL
+               OR st.n < 2 OR st.s IS NULL OR st.s <= 0
+               OR abs(e.value - st.m) <= 2.0 * st.s
+        """,
+        "q87_trend_slope": """
+            WITH pts AS (
+                SELECT user_id,
+                       (epoch_us(ts) * 1000)::DOUBLE / 86400000000000.0 AS x,
+                       value AS y
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), m AS (
+                SELECT user_id, count(*) AS n, avg(x) AS xm, avg(y) AS ym
+                FROM pts GROUP BY user_id
+            ), sums AS (
+                SELECT p.user_id, m.n,
+                       sum((p.x - m.xm) * (p.y - m.ym)) AS sxy,
+                       sum((p.x - m.xm) * (p.x - m.xm)) AS sxx
+                FROM pts p JOIN m USING (user_id) GROUP BY p.user_id, m.n
+            )
+            SELECT u.user_id,
+                   round(CASE WHEN s.n >= 2 AND s.sxx > 0
+                              THEN s.sxy / s.sxx END, 6) AS slope_r6
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN sums s USING (user_id)
         """,
         "q85_orc_roundtrip": """
             SELECT o.o_orderkey,

@@ -18,7 +18,9 @@ from .operators.aggregates import (
 )
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
-from .operators.timeseries import nest_diff, nest_rolling, phase_fold, rebin
+from .operators.timeseries import (
+    nest_diff, nest_rolling, phase_fold, rebin, sigma_clip, trend_slope,
+)
 from .session import get_spark
 
 __version__ = "0.1.0"
@@ -55,5 +57,7 @@ __all__ = [
     "phase_fold",
     "nest_diff",
     "nest_rolling",
+    "sigma_clip",
+    "trend_slope",
     "get_spark",
 ]

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from ..functions.nested import nested_field_names, quote, struct_sql
 
-__all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling"]
+__all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip", "trend_slope"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -348,3 +348,131 @@ def nest_rolling(
     keep[out_field] = val
     body = struct_sql(keep)
     return df.withColumn(nest, F.expr(f"transform({qn}, (__x, __i) -> {body})"))
+
+
+def sigma_clip(
+    df: DataFrame,
+    nest: str,
+    field: str,
+    sigma: float = 3.0,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-cell sigma clipping: drop elements whose ``field`` deviates from
+    the CELL's mean by more than ``sigma`` sample standard deviations — the
+    standard outlier-rejection step before fitting a light curve.
+
+    One pass computes each cell's mean/std (``aggregate`` HOFs), a second
+    ``filter`` keeps elements within the band; elements with NULL ``field``
+    are kept (they carry no evidence). Cells with < 2 usable values (std
+    undefined or 0) pass through unclipped. Replaces ``nest`` in place
+    unless ``out`` names a new column. Zero shuffle.
+
+    Single-pass clip (not iterated): re-apply for astropy-style iterative
+    clipping; each application is one more cheap projection.
+    """
+    if sigma <= 0:
+        raise ValueError("sigma must be > 0")
+    fields = nested_field_names(df, nest)
+    if field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+    out = out or nest
+    qn, qf = quote(nest), quote(field)
+    vals_c = "__sc_vals"
+    staged = df.withColumn(
+        vals_c,
+        F.expr(
+            f"transform(filter({qn}, __x -> __x.{qf} IS NOT NULL), "
+            f"__x -> CAST(__x.{qf} AS DOUBLE))"
+        ),
+    )
+    qv = quote(vals_c)
+    n = f"size({qv})"
+    # mean/std appear several times in the lambda body; materialize them as
+    # temp columns so HOF-blind CSE doesn't recompute the aggregates per use.
+    # ANSI mode: guard the divisions — cells with n < 2 never divide.
+    m_c, s_c = "__sc_mean", "__sc_std"
+    mean = (
+        f"CASE WHEN {n} > 0 THEN "
+        f"aggregate({qv}, CAST(0.0 AS DOUBLE), (__a, __v) -> __a + __v) / {n} END"
+    )
+    staged = staged.withColumn(m_c, F.expr(mean))
+    qm = quote(m_c)
+    # sample variance via sum of squared deviations from the cell mean
+    ssd = (
+        f"aggregate({qv}, CAST(0.0 AS DOUBLE), "
+        f"(__a, __v) -> __a + (__v - {qm}) * (__v - {qm}))"
+    )
+    std = f"CASE WHEN {n} >= 2 THEN sqrt({ssd} / ({n} - 1)) END"
+    staged = staged.withColumn(s_c, F.expr(std))
+    clipped = (
+        f"CASE WHEN {n} >= 2 AND {quote(s_c)} > 0 THEN "
+        f"filter({qn}, __x -> __x.{qf} IS NULL OR "
+        f"abs(CAST(__x.{qf} AS DOUBLE) - {quote(m_c)}) <= {sigma} * {quote(s_c)}) "
+        f"ELSE {qn} END"
+    )
+    return staged.withColumn(out, F.expr(clipped)).drop(vals_c, m_c, s_c)
+
+
+def trend_slope(
+    df: DataFrame,
+    nest: str,
+    time_field: str,
+    value_field: str,
+    out: str | None = None,
+    time_scale: float = 1.0,
+) -> DataFrame:
+    """Per-cell OLS slope of ``value_field`` against ``time_field`` — the
+    cheapest per-object trend/variability statistic.
+
+    ``slope = sum((x - x_mean)(y - y_mean)) / sum((x - x_mean)^2)`` over the
+    cell's elements with both values non-NULL; NULL when < 2 such elements
+    or the times are constant. ``time_scale`` divides the time axis first
+    (e.g. ``86_400e9`` turns an int64-nano axis into days, so the slope is
+    per-day and the centered sums stay well inside double precision).
+
+    Centered two-pass form, not the raw-moment formula: epoch-scale x
+    values square to ~1e36 where doubles keep only ~1e20 of resolution —
+    centering first keeps every term small. All HOF arithmetic, zero
+    shuffle, one new base column ``out`` (default ``{nest}_slope``).
+    """
+    fields = nested_field_names(df, nest)
+    for f_ in (time_field, value_field):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    out = out or f"{nest}_slope"
+    qn = quote(nest)
+    qt, qv = quote(time_field), quote(value_field)
+    pairs_c = "__ts_pairs"
+    # (x, y) pairs with both present; x pre-scaled
+    staged = df.withColumn(
+        pairs_c,
+        F.expr(
+            f"transform(filter({qn}, __x -> __x.{qt} IS NOT NULL AND "
+            f"__x.{qv} IS NOT NULL), __x -> struct("
+            f"CAST(__x.{qt} AS DOUBLE) / CAST({time_scale} AS DOUBLE) AS x, "
+            f"CAST(__x.{qv} AS DOUBLE) AS y))"
+        ),
+    )
+    qp = quote(pairs_c)
+    n = f"size({qp})"
+    xm_c, ym_c = "__ts_xm", "__ts_ym"
+    staged = staged.withColumn(
+        xm_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qp}, CAST(0.0 AS DOUBLE), "
+               f"(__a, __p) -> __a + __p.x) / {n} END"),
+    ).withColumn(
+        ym_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qp}, CAST(0.0 AS DOUBLE), "
+               f"(__a, __p) -> __a + __p.y) / {n} END"),
+    )
+    qxm, qym = quote(xm_c), quote(ym_c)
+    sxy = (
+        f"aggregate({qp}, CAST(0.0 AS DOUBLE), "
+        f"(__a, __p) -> __a + (__p.x - {qxm}) * (__p.y - {qym}))"
+    )
+    sxx = (
+        f"aggregate({qp}, CAST(0.0 AS DOUBLE), "
+        f"(__a, __p) -> __a + (__p.x - {qxm}) * (__p.x - {qxm}))"
+    )
+    slope = f"CASE WHEN {n} >= 2 AND {sxx} > 0 THEN {sxy} / {sxx} END"
+    return staged.withColumn(out, F.expr(slope)).drop(pairs_c, xm_c, ym_c)

@@ -230,3 +230,68 @@ def test_diff_and_rolling_zero_shuffle(spark, packed):
     pb = before._jdf.queryExecution().executedPlan().toString()
     pa = after._jdf.queryExecution().executedPlan().toString()
     assert pa.count("Exchange") == pb.count("Exchange")  # no new shuffles
+
+
+def test_sigma_clip_matches_python(spark):
+    import statistics
+
+    vals = [1.0, 1.1, 0.9, 1.05, 100.0]  # one gross outlier
+    rows = [(0, float(i), v) for i, v in enumerate(vals)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import sigma_clip
+
+    [row] = sigma_clip(nf, "nested", "flux", sigma=1.5).collect()
+    kept = [e["flux"] for e in row["nested"]]
+    mean, std = statistics.mean(vals), statistics.stdev(vals)
+    want = [v for v in vals if abs(v - mean) <= 1.5 * std]
+    assert kept == want and 100.0 not in kept
+
+
+def test_sigma_clip_null_and_degenerate(spark):
+    from nested_pandas_spark import sigma_clip
+
+    # NULL values kept; <2 usable values -> untouched; constant -> untouched
+    rows = [(0, 0.0, None), (0, 1.0, 5.0),
+            (1, 0.0, 7.0), (1, 1.0, 7.0), (1, 2.0, 7.0)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    got = {r["id"]: [e["flux"] for e in r["nested"]]
+           for r in sigma_clip(nf, "nested", "flux").collect()}
+    assert got[0] == [None, 5.0]
+    assert got[1] == [7.0, 7.0, 7.0]
+    with pytest.raises(ValueError):
+        sigma_clip(nf, "nested", "flux", sigma=0)
+
+
+def test_trend_slope_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    t = np.arange(20, dtype=float)
+    y = 3.5 * t + 2.0 + rng.randn(20) * 0.1
+    rows = [(0, float(a), float(b)) for a, b in zip(t, y)]
+    rows += [(1, 0.0, 1.0)]          # single point -> NULL slope
+    rows += [(2, 5.0, 1.0), (2, 5.0, 9.0)]  # constant time -> NULL slope
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import trend_slope
+
+    got = {r["id"]: r["nested_slope"]
+           for r in trend_slope(nf, "nested", "t", "flux").collect()}
+    want = np.polyfit(t, y, 1)[0]
+    assert got[0] == pytest.approx(want, rel=1e-9)
+    assert got[1] is None and got[2] is None
+
+
+def test_trend_slope_epoch_nanos_time_scale(spark):
+    # epoch-nano x axis: time_scale converts to days; slope = per-day units
+    base = 1_700_000_000_000_000_000
+    day = 86_400 * 10**9
+    rows = [(0, base + i * day, 2.0 * i) for i in range(5)]
+    child = spark.createDataFrame(rows, "id long, t long, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import trend_slope
+
+    [row] = trend_slope(nf, "nested", "t", "flux", time_scale=day).collect()
+    assert row["nested_slope"] == pytest.approx(2.0, rel=1e-9)
