@@ -167,6 +167,48 @@ def main() -> None:
           to_flat(folded, "series", keys=["user_id"])
           .where("phase >= 0 AND phase < 1").count())
 
+    # -- 12f2. clean + characterize each series: clip outliers, fit a trend -
+    from nested_pandas_spark import nest_diff, sigma_clip, trend_slope
+
+    clipped = sigma_clip(series, "series", "value", sigma=3.0)
+    print("events clipped:",
+          series.selectExpr("sum(size(series))").collect()[0][0]
+          - clipped.selectExpr("sum(size(series))").collect()[0][0])
+    slopes = trend_slope(series, "series", "ts", "value", time_scale=day_ns)
+    print("users with rising value trend:",
+          slopes.where("series_slope > 0").count())
+    gaps = nest_diff(series, "series", "ts", out_field="gap")
+    print("max inter-event gap (days):",
+          round(gaps.selectExpr(
+              "max(array_max(transform(series, x -> x.gap)))"
+          ).collect()[0][0] / day_ns, 2))
+
+    # -- 12f3. language-model quality + hashed tf-idf vectors ---------------
+    from nested_pandas_spark.pipeline.text import hashed_tfidf, unigram_logprob
+
+    lm = unigram_logprob(docs)
+    print("suspicious (low-logprob) docs:",
+          lm.where("mean_logp < -9").count())
+    tvecs = hashed_tfidf(docs, dim=32)
+    print("tfidf vectors:", tvecs.count())
+
+    # -- 12f4. crossmatch two synthetic catalogs ----------------------------
+    from nested_pandas_spark.operators.crossmatch import crossmatch
+
+    def xy(df, key):
+        h = lambda s: (  # noqa: E731
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col(key).cast("string"), F.lit(s))), 1, 8), 16, 10)
+            .cast("long") / F.lit(2**32) * 100.0
+        )
+        return df.select(F.col(key), h("x").alias("x"), h("y").alias("y"))
+
+    cust = xy(spark.read.parquet(f"{sf}/customer.parquet"), "c_custkey")
+    supp = xy(spark.read.parquet(f"{sf}/supplier.parquet"), "s_suppkey")
+    print("suppliers with a customer within r=5:",
+          crossmatch(supp, cust, "s_suppkey", "c_custkey",
+                     radius=5.0).where("rank = 1").count())
+
     # -- 12g. concat: outer-align two differently-shaped frames -------------
     evens = NestedFrame(orders.where("o_orderkey % 2 = 0"))
     odds = NestedFrame(orders.where("o_orderkey % 2 = 1").drop("o_orderpriority"))

@@ -285,10 +285,17 @@ def nest_diff(
     if out_field in fields:
         raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
     qn, qf = quote(nest), quote(field)
-    prev = f"{qn}[__i - 1].{qf}"
+    # TIMESTAMP fields diff as exact epoch-microsecond longs (a raw
+    # timestamp subtraction would yield INTERVAL, useless downstream)
+    if _time_kind(df, nest, field) == "timestamp":
+        cur = f"unix_micros(CAST(__x.{qf} AS TIMESTAMP))"
+        prev = f"unix_micros(CAST({qn}[__i - 1].{qf} AS TIMESTAMP))"
+    else:
+        cur = f"__x.{qf}"
+        prev = f"{qn}[__i - 1].{qf}"
     diff = (
-        f"CASE WHEN __i >= 1 AND __x.{qf} IS NOT NULL AND {prev} IS NOT NULL "
-        f"THEN __x.{qf} - {prev} END"
+        f"CASE WHEN __i >= 1 AND __x.{qf} IS NOT NULL AND "
+        f"{qn}[__i - 1].{qf} IS NOT NULL THEN {cur} - {prev} END"
     )
     keep = {f: f"__x.{quote(f)}" for f in fields}
     keep[out_field] = diff
@@ -442,6 +449,12 @@ def trend_slope(
     out = out or f"{nest}_slope"
     qn = quote(nest)
     qt, qv = quote(time_field), quote(value_field)
+    # TIMESTAMP axes reduce to epoch microseconds first (time_scale is then
+    # in microseconds), mirroring rebin/phase_fold
+    if _time_kind(df, nest, time_field) == "timestamp":
+        t_sql = f"unix_micros(CAST(__x.{qt} AS TIMESTAMP))"
+    else:
+        t_sql = f"__x.{qt}"
     pairs_c = "__ts_pairs"
     # (x, y) pairs with both present; x pre-scaled
     staged = df.withColumn(
@@ -449,7 +462,7 @@ def trend_slope(
         F.expr(
             f"transform(filter({qn}, __x -> __x.{qt} IS NOT NULL AND "
             f"__x.{qv} IS NOT NULL), __x -> struct("
-            f"CAST(__x.{qt} AS DOUBLE) / CAST({time_scale} AS DOUBLE) AS x, "
+            f"CAST({t_sql} AS DOUBLE) / CAST({time_scale} AS DOUBLE) AS x, "
             f"CAST(__x.{qv} AS DOUBLE) AS y))"
         ),
     )

@@ -285,3 +285,80 @@ def test_strip_lines_identity_and_accounting(spark, texts):
         assert 0 <= r["n_removed"] <= r["n_lines"]
         if r["n_removed"] == 0:
             assert r["clean_text"] == orig[r["doc_id"]]
+
+
+ts_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                       # key
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),   # t
+        st.one_of(st.none(),
+                  st.floats(min_value=-100, max_value=100,
+                            allow_nan=False)),                       # flux
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=ts_rows, width=st.floats(min_value=0.5, max_value=1e5,
+                                     allow_nan=False))
+@SETTINGS
+def test_rebin_conserves_elements(spark, rows, width):
+    """Sum of per-bin n over all bins == number of elements, per cell; bins
+    are strictly increasing."""
+    from nested_pandas_spark import rebin
+
+    df = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(df, "nested", on="id")
+    out = rebin(nf, "nested", "t", width=width, value_fields=["flux"]).collect()
+    per_key = {}
+    for k, _, _ in rows:
+        per_key[k] = per_key.get(k, 0) + 1
+    for r in out:
+        bins = r["nested_binned"]
+        assert sum(b["n"] for b in bins) == per_key[r["id"]]
+        idx = [b["bin"] for b in bins]
+        assert idx == sorted(set(idx))
+
+
+@given(rows=ts_rows, sigma=st.floats(min_value=0.5, max_value=5,
+                                     allow_nan=False))
+@SETTINGS
+def test_sigma_clip_subset_and_idempotent_shape(spark, rows, sigma):
+    """Clipped cell is a subsequence of the original; NULL-flux elements
+    always survive; clipping never grows a cell."""
+    from nested_pandas_spark import sigma_clip
+
+    df = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(df, "nested", on="id", sort_within=["t", "flux"])
+    orig = {r["id"]: [(e["t"], e["flux"]) for e in r["nested"]]
+            for r in nf.collect()}
+    out = {r["id"]: [(e["t"], e["flux"]) for e in r["nested"]]
+           for r in sigma_clip(nf, "nested", "flux", sigma=sigma).collect()}
+    for k, kept in out.items():
+        src = orig[k]
+        assert len(kept) <= len(src)
+        it = iter(src)
+        assert all(any(e == s for s in it) for e in kept)  # subsequence
+        nulls_src = sum(1 for _, f in src if f is None)
+        nulls_kept = sum(1 for _, f in kept if f is None)
+        assert nulls_kept == nulls_src
+
+
+@given(rows=ts_rows, period=st.floats(min_value=0.1, max_value=1e4,
+                                      allow_nan=False))
+@SETTINGS
+def test_phase_fold_range_invariant(spark, rows, period):
+    """Every non-NULL phase lands in [0, 1) for any period and any sign of
+    t; NULL t yields NULL phase."""
+    from nested_pandas_spark import phase_fold, to_flat
+
+    df = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(df, "nested", on="id")
+    flat = to_flat(phase_fold(nf, "nested", "t", period=period), "nested",
+                   keys=["id"]).collect()
+    for r in flat:
+        if r["t"] is None:
+            assert r["phase"] is None
+        else:
+            assert 0.0 <= r["phase"] < 1.0

@@ -295,3 +295,21 @@ def test_trend_slope_epoch_nanos_time_scale(spark):
 
     [row] = trend_slope(nf, "nested", "t", "flux", time_scale=day).collect()
     assert row["nested_slope"] == pytest.approx(2.0, rel=1e-9)
+
+
+def test_diff_and_slope_on_timestamp_layout(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(0, base + dt.timedelta(days=i), 2.0 * i) for i in range(4)]
+    child = spark.createDataFrame(rows, "id long, t timestamp, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_diff, trend_slope
+
+    [row] = nest_diff(nf, "nested", "t", out_field="gap_us").collect()
+    gaps = [e["gap_us"] for e in row["nested"]]
+    assert gaps == [None] + [86_400 * 1_000_000] * 3  # exact micros
+
+    [srow] = trend_slope(nf, "nested", "t", "flux",
+                         time_scale=86_400 * 1_000_000).collect()
+    assert srow["nested_slope"] == pytest.approx(2.0, rel=1e-9)
