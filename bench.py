@@ -378,6 +378,28 @@ def main() -> None:
 
     bench_extra("hashed_tfidf", x_tfidf)
 
+    def x_lightcurve():
+        # composite time-domain workflow: clip outliers -> fold on a weekly
+        # period -> bin the phase -> fit a per-user trend, all per-cell HOFs
+        from nested_pandas_spark import (
+            pack, phase_fold, rebin, sigma_clip, trend_slope,
+        )
+
+        ev = t("events").select("user_id", "ts", "value")
+        day = 86_400 * (10**9 if dict(ev.dtypes)["ts"] == "bigint" else 10**6)
+        nf = pack(ev, "series", on="user_id", sort_within=["ts"])
+        clipped = sigma_clip(nf, "series", "value", sigma=3.0)
+        folded = phase_fold(clipped, "series", "ts", period=7 * day)
+        binned = rebin(folded, "series", "phase", width=0.125,
+                       value_fields=["value"])
+        fitted = trend_slope(binned, "series", "ts", "value", time_scale=day)
+        return fitted.select(
+            F.count("*"), F.sum("series_slope"),
+            F.sum(F.size("series_binned")),
+        ).collect()
+
+    bench_extra("lightcurve_workflow", x_lightcurve)
+
     total = round(sum(queries.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
