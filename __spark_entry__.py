@@ -1465,6 +1465,56 @@ def q87_trend_slope(spark, sf):
     )
 
 
+def q88_nest_zscore(spark, sf):
+    """Per-cell z-score normalization (operators/timeseries.py nest_zscore):
+    each event's value standardized against its OWN user's mean/std — the
+    per-object normalization step before ML featurization. Oracle replays
+    with windowed avg/stddev_samp; round(6) absorbs fp-order effects."""
+    from nested_pandas_spark import nest_zscore, pack, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "value"), "series",
+              on="user_id", sort_within=["event_id"])
+    out = nest_zscore(nf, "series", "value")
+    return to_flat(out, "series", keys=["user_id"]).select(
+        "user_id", "event_id", F.round("value_z", 6).alias("z_r6")
+    )
+
+
+def q89_nest_topk(spark, sf):
+    """Per-cell top-k (nest_topk): each order's 2 largest-quantity items
+    via a stable array_sort comparator + slice — the per-group nlargest
+    idiom with zero shuffle and no window. Stable ties = pack order
+    (l_linenumber), replayed by the oracle's row_number tie-break."""
+    from nested_pandas_spark import nest_topk, to_flat
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    nf = NestedFrame(_t(spark, sf, "orders")).join_nested(
+        li.select("o_orderkey", "l_linenumber", "l_quantity"),
+        "items", on="o_orderkey", sort_within=["l_linenumber"])
+    top = nest_topk(nf.df, "items", "l_quantity", k=2)
+    return to_flat(top, "items", keys=["o_orderkey"]).select(
+        "o_orderkey", F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_quantity")
+
+
+def q90_nest_wmean(spark, sf):
+    """Per-cell inverse-variance weighted mean (nest_wmean) — the standard
+    uncertainty-weighted combination of per-point measurements. Weighted
+    by 1/l_quantity^2 over each order's items; oracle replays the exact
+    ratio of sums."""
+    from nested_pandas_spark import nest_wmean
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    nf = NestedFrame(_t(spark, sf, "orders")).join_nested(
+        li.select("o_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        "items", on="o_orderkey", sort_within=["l_linenumber"])
+    out = nest_wmean(nf.df, "items", "l_extendedprice", "l_quantity")
+    return out.select(
+        "o_orderkey", F.round("items_wmean", 6).alias("wmean_r6")
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1691,6 +1741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_orc_roundtrip": q85_orc_roundtrip,
         "q86_sigma_clip": q86_sigma_clip,
         "q87_trend_slope": q87_trend_slope,
+        "q88_nest_zscore": q88_nest_zscore,
+        "q89_nest_topk": q89_nest_topk,
+        "q90_nest_wmean": q90_nest_wmean,
     }
 
 
@@ -2567,6 +2620,37 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q88_nest_zscore": """
+            WITH stats AS (
+                SELECT user_id, count(value) AS n, avg(value) AS m,
+                       stddev_samp(value) AS s
+                FROM events GROUP BY user_id
+            )
+            SELECT e.user_id, e.event_id,
+                   round(CASE WHEN e.value IS NOT NULL AND st.n >= 2
+                              AND st.s > 0
+                              THEN (e.value - st.m) / st.s END, 6) AS z_r6
+            FROM events e JOIN stats st USING (user_id)
+        """,
+        "q89_nest_topk": """
+            SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity
+            FROM (
+                SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity,
+                       row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+                FROM lineitem
+            ) WHERE rn <= 2
+        """,
+        "q90_nest_wmean": """
+            SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice / (l.l_quantity * l.l_quantity))
+                         / sum(1.0 / (l.l_quantity * l.l_quantity)), 6)
+                       AS wmean_r6
+            FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                 AND l.l_quantity > 0
+            GROUP BY o.o_orderkey
         """,
         "q86_sigma_clip": """
             WITH stats AS (

@@ -19,7 +19,8 @@ from .operators.aggregates import (
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
-    nest_diff, nest_rolling, phase_fold, rebin, sigma_clip, trend_slope,
+    nest_diff, nest_rolling, nest_topk, nest_wmean, nest_zscore, phase_fold,
+    rebin, sigma_clip, trend_slope,
 )
 from .session import get_spark
 
@@ -59,5 +60,8 @@ __all__ = [
     "nest_rolling",
     "sigma_clip",
     "trend_slope",
+    "nest_zscore",
+    "nest_topk",
+    "nest_wmean",
     "get_spark",
 ]

@@ -35,7 +35,8 @@ from pyspark.sql import types as T
 
 from ..functions.nested import nested_field_names, quote, struct_sql
 
-__all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip", "trend_slope"]
+__all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
+           "trend_slope", "nest_zscore", "nest_topk", "nest_wmean"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -489,3 +490,137 @@ def trend_slope(
     )
     slope = f"CASE WHEN {n} >= 2 AND {sxx} > 0 THEN {sxy} / {sxx} END"
     return staged.withColumn(out, F.expr(slope)).drop(pairs_c, xm_c, ym_c)
+
+
+def nest_zscore(
+    df: DataFrame,
+    nest: str,
+    field: str,
+    out_field: str | None = None,
+) -> DataFrame:
+    """Per-cell z-score: adds ``{field}_z = (v - cell_mean) / cell_std``
+    (sample std) to every element — the standard per-object normalization
+    before featurizing heterogeneous series for ML. NULL where the value
+    is NULL or the cell has < 2 usable values or zero spread.
+
+    Same staged mean/std computation as :func:`sigma_clip`; zero shuffle.
+    """
+    fields = nested_field_names(df, nest)
+    if field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+    out_field = out_field or f"{field}_z"
+    if out_field in fields:
+        raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
+    qn, qf = quote(nest), quote(field)
+    vals_c, m_c, s_c = "__nz_vals", "__nz_mean", "__nz_std"
+    staged = df.withColumn(
+        vals_c,
+        F.expr(
+            f"transform(filter({qn}, __x -> __x.{qf} IS NOT NULL), "
+            f"__x -> CAST(__x.{qf} AS DOUBLE))"
+        ),
+    )
+    qv = quote(vals_c)
+    n = f"size({qv})"
+    staged = staged.withColumn(
+        m_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qv}, CAST(0.0 AS DOUBLE), "
+               f"(__a, __v) -> __a + __v) / {n} END"),
+    )
+    qm = quote(m_c)
+    staged = staged.withColumn(
+        s_c,
+        F.expr(f"CASE WHEN {n} >= 2 THEN sqrt(aggregate({qv}, "
+               f"CAST(0.0 AS DOUBLE), (__a, __v) -> __a + (__v - {qm}) * "
+               f"(__v - {qm})) / ({n} - 1)) END"),
+    )
+    qs = quote(s_c)
+    keep = {f: f"__x.{quote(f)}" for f in fields}
+    keep[out_field] = (
+        f"CASE WHEN __x.{qf} IS NOT NULL AND {qs} IS NOT NULL AND {qs} > 0 "
+        f"THEN (CAST(__x.{qf} AS DOUBLE) - {qm}) / {qs} END"
+    )
+    body = struct_sql(keep)
+    return (
+        staged.withColumn(nest, F.expr(f"transform({qn}, __x -> {body})"))
+        .drop(vals_c, m_c, s_c)
+    )
+
+
+def nest_topk(
+    df: DataFrame,
+    nest: str,
+    field: str,
+    k: int,
+    ascending: bool = False,
+    out: str | None = None,
+) -> DataFrame:
+    """Keep each cell's k extreme elements by ``field`` — the per-group
+    ``nlargest``/``nsmallest`` idiom without explode, window, or shuffle.
+
+    Elements sort by ``field`` (descending by default = k largest), NULLs
+    last, ties broken by original position stably via ``array_sort``'s
+    stable comparator; the first k survive in sorted order. Replaces
+    ``nest`` unless ``out`` is given.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    fields = nested_field_names(df, nest)
+    if field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+    out = out or nest
+    qn, qf = quote(nest), quote(field)
+    lt, gt = ("-1", "1") if ascending else ("1", "-1")
+    cmp = (
+        f"(__l, __r) -> CASE "
+        f"WHEN __l.{qf} IS NULL AND __r.{qf} IS NULL THEN 0 "
+        f"WHEN __l.{qf} IS NULL THEN 1 WHEN __r.{qf} IS NULL THEN -1 "
+        f"WHEN __l.{qf} < __r.{qf} THEN {lt} "
+        f"WHEN __l.{qf} > __r.{qf} THEN {gt} ELSE 0 END"
+    )
+    return df.withColumn(out, F.expr(f"slice(array_sort({qn}, {cmp}), 1, {k})"))
+
+
+def nest_wmean(
+    df: DataFrame,
+    nest: str,
+    value_field: str,
+    error_field: str,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-cell inverse-variance weighted mean: the standard combination of
+    measurements with per-point uncertainties (``flux`` + ``flux_error``
+    in the reference's own generated schema, ``datasets/generation.py``).
+
+    ``wmean = sum(v / e^2) / sum(1 / e^2)`` over elements where both value
+    and a POSITIVE error are present; NULL when no such element. Adds base
+    column ``out`` (default ``{nest}_wmean``); pure HOFs, zero shuffle.
+    """
+    fields = nested_field_names(df, nest)
+    for f_ in (value_field, error_field):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    out = out or f"{nest}_wmean"
+    qn = quote(nest)
+    qv, qe = quote(value_field), quote(error_field)
+    pairs_c = "__wm_pairs"
+    staged = df.withColumn(
+        pairs_c,
+        F.expr(
+            f"transform(filter({qn}, __x -> __x.{qv} IS NOT NULL AND "
+            f"__x.{qe} IS NOT NULL AND CAST(__x.{qe} AS DOUBLE) > 0), "
+            f"__x -> struct(CAST(__x.{qv} AS DOUBLE) AS v, "
+            f"CAST(__x.{qe} AS DOUBLE) AS e))"
+        ),
+    )
+    qp = quote(pairs_c)
+    num = (
+        f"aggregate({qp}, CAST(0.0 AS DOUBLE), "
+        f"(__a, __p) -> __a + __p.v / (__p.e * __p.e))"
+    )
+    den = (
+        f"aggregate({qp}, CAST(0.0 AS DOUBLE), "
+        f"(__a, __p) -> __a + CAST(1.0 AS DOUBLE) / (__p.e * __p.e))"
+    )
+    wmean = f"CASE WHEN size({qp}) > 0 THEN ({num}) / ({den}) END"
+    return staged.withColumn(out, F.expr(wmean)).drop(pairs_c)

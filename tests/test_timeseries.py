@@ -313,3 +313,68 @@ def test_diff_and_slope_on_timestamp_layout(spark):
     [srow] = trend_slope(nf, "nested", "t", "flux",
                          time_scale=86_400 * 1_000_000).collect()
     assert srow["nested_slope"] == pytest.approx(2.0, rel=1e-9)
+
+
+def test_nest_zscore_matches_python(spark):
+    import statistics
+
+    vals = [2.0, 4.0, 6.0, None]
+    rows = [(0, float(i), v) for i, v in enumerate(vals)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_zscore
+
+    [row] = nest_zscore(nf, "nested", "flux").collect()
+    m = statistics.mean([2.0, 4.0, 6.0])
+    s = statistics.stdev([2.0, 4.0, 6.0])
+    got = [e["flux_z"] for e in row["nested"]]
+    assert got[:3] == [pytest.approx((v - m) / s) for v in [2.0, 4.0, 6.0]]
+    assert got[3] is None
+    # degenerate cells: constant or singleton -> all-NULL z
+    child2 = spark.createDataFrame(
+        [(1, 0.0, 7.0), (1, 1.0, 7.0), (2, 0.0, 3.0)],
+        "id long, t double, flux double")
+    out2 = {r["id"]: [e["flux_z"] for e in r["nested"]]
+            for r in nest_zscore(pack(child2, "nested", on="id"),
+                                 "nested", "flux").collect()}
+    assert out2[1] == [None, None] and out2[2] == [None]
+
+
+def test_nest_topk_largest_smallest(spark):
+    rows = [(0, float(i), v) for i, v in
+            enumerate([5.0, 1.0, None, 9.0, 3.0])]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_topk
+
+    [row] = nest_topk(nf, "nested", "flux", k=2).collect()
+    assert [e["flux"] for e in row["nested"]] == [9.0, 5.0]
+    [row2] = nest_topk(nf, "nested", "flux", k=2, ascending=True).collect()
+    assert [e["flux"] for e in row2["nested"]] == [1.0, 3.0]
+    [row3] = nest_topk(nf, "nested", "flux", k=100).collect()
+    assert len(row3["nested"]) == 5  # k beyond size keeps everything
+    with pytest.raises(ValueError):
+        nest_topk(nf, "nested", "flux", k=-1)
+
+
+def test_nest_wmean_matches_python(spark):
+    rows = [
+        (0, 10.0, 1.0),   # weight 1
+        (0, 20.0, 2.0),   # weight 0.25
+        (0, 99.0, None),  # ignored: no error
+        (0, None, 1.0),   # ignored: no value
+        (0, 50.0, 0.0),   # ignored: non-positive error
+    ]
+    child = spark.createDataFrame(rows, "id long, flux double, flux_error double")
+    nf = pack(child, "nested", on="id")
+    from nested_pandas_spark import nest_wmean
+
+    [row] = nest_wmean(nf, "nested", "flux", "flux_error").collect()
+    want = (10.0 / 1 + 20.0 / 4) / (1 / 1 + 1 / 4)
+    assert row["nested_wmean"] == pytest.approx(want)
+    # cell with no usable pairs -> NULL
+    child2 = spark.createDataFrame([(1, 5.0, None)],
+                                   "id long, flux double, flux_error double")
+    [r2] = nest_wmean(pack(child2, "nested", on="id"),
+                      "nested", "flux", "flux_error").collect()
+    assert r2["nested_wmean"] is None
