@@ -1515,6 +1515,30 @@ def q90_nest_wmean(spark, sf):
     )
 
 
+def q91_nest_interp(spark, sf):
+    """Per-cell linear interpolation onto a fixed daily grid
+    (operators/timeseries.py nest_interp): regularize each user's
+    irregular event series — NULL outside the observed range, exact at
+    coincident times. Both engines run the identical double arithmetic
+    (the int64-ns axis rounds to double identically under IEEE), so
+    round(6) is belt-and-braces."""
+    from nested_pandas_spark import nest_interp, pack
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    day = 86_400 * 10**9
+    t0 = 1_704_110_400 * 10**9  # 2024-01-01 12:00:00 UTC in epoch ns
+    grid = [t0 + k * day for k in range(14)]
+    out = nest_interp(nf, "series", "ts", "value", grid=grid)
+    return out.select(
+        "user_id", F.posexplode("series_interp").alias("k", "p")
+    ).select(
+        "user_id", F.col("k").cast("long").alias("k"),
+        F.round("p.v", 6).alias("v_r6"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1744,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_nest_zscore": q88_nest_zscore,
         "q89_nest_topk": q89_nest_topk,
         "q90_nest_wmean": q90_nest_wmean,
+        "q91_nest_interp": q91_nest_interp,
     }
 
 
@@ -2620,6 +2645,43 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q91_nest_interp": """
+            WITH grid AS (
+                SELECT r.range AS k,
+                       CAST(1704110400000000000 + r.range * 86400000000000
+                            AS DOUBLE) AS g
+                FROM range(14) r
+            ), el AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) * 1000 AS DOUBLE) AS t, value AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), u AS (
+                SELECT DISTINCT user_id FROM events
+            ), b AS (
+                SELECT user_id, k, bv, bt FROM (
+                    SELECT e.user_id, grid.k, e.v AS bv, e.t AS bt,
+                           row_number() OVER (PARTITION BY e.user_id, grid.k
+                               ORDER BY e.t DESC, e.event_id DESC) AS rn
+                    FROM el e JOIN grid ON e.t <= grid.g
+                ) WHERE rn = 1
+            ), a AS (
+                SELECT user_id, k, av, at FROM (
+                    SELECT e.user_id, grid.k, e.v AS av, e.t AS at,
+                           row_number() OVER (PARTITION BY e.user_id, grid.k
+                               ORDER BY e.t ASC, e.event_id ASC) AS rn
+                    FROM el e JOIN grid ON e.t >= grid.g
+                ) WHERE rn = 1
+            )
+            SELECT u.user_id, grid.k,
+                   round(CASE
+                       WHEN b.bt IS NULL OR a.at IS NULL THEN NULL
+                       WHEN a.at = b.bt THEN b.bv
+                       ELSE b.bv + (a.av - b.bv) * (grid.g - b.bt)
+                            / (a.at - b.bt) END, 6) AS v_r6
+            FROM u CROSS JOIN grid
+            LEFT JOIN b ON b.user_id = u.user_id AND b.k = grid.k
+            LEFT JOIN a ON a.user_id = u.user_id AND a.k = grid.k
         """,
         "q88_nest_zscore": """
             WITH stats AS (

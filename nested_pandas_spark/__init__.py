@@ -19,8 +19,8 @@ from .operators.aggregates import (
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
-    nest_diff, nest_rolling, nest_topk, nest_wmean, nest_zscore, phase_fold,
-    rebin, sigma_clip, trend_slope,
+    nest_diff, nest_interp, nest_rolling, nest_topk, nest_wmean, nest_zscore,
+    phase_fold, rebin, sigma_clip, trend_slope,
 )
 from .session import get_spark
 
@@ -63,5 +63,6 @@ __all__ = [
     "nest_zscore",
     "nest_topk",
     "nest_wmean",
+    "nest_interp",
     "get_spark",
 ]

@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 from ..functions.nested import nested_field_names, quote, struct_sql
 
 __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
-           "trend_slope", "nest_zscore", "nest_topk", "nest_wmean"]
+           "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -624,3 +624,80 @@ def nest_wmean(
     )
     wmean = f"CASE WHEN size({qp}) > 0 THEN ({num}) / ({den}) END"
     return staged.withColumn(out, F.expr(wmean)).drop(pairs_c)
+
+
+def nest_interp(
+    df: DataFrame,
+    nest: str,
+    time_field: str,
+    value_field: str,
+    grid: list,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-cell linear interpolation of ``value_field`` onto fixed ``grid``
+    time points — regularize irregularly-sampled series (the step before
+    feeding light curves or event streams to fixed-width models).
+
+    Adds a nested column ``out`` (default ``{nest}_interp``) of
+    ``array<struct<t: double, v: double>>``, one element per grid point:
+    linear between the bracketing observations, exact at coincident
+    times, NULL outside the cell's observed range (no extrapolation) or
+    when the cell has no usable points. Elements with NULL time or value
+    are ignored. The grid is a plan literal — pass times in the same
+    units as ``time_field`` (TIMESTAMP fields: epoch microseconds).
+
+    Per grid point the bracketing pair comes from ``element_at(filter(
+    sorted, t <= g), -1)`` / ``element_at(filter(sorted, t >= g), 1)`` over
+    the cell sorted by (t, original order) — O(grid x elements) per cell,
+    zero shuffle, the same trade as :func:`rebin`. Ties on t resolve to
+    the LAST element in cell order below and the FIRST above.
+    """
+    if not grid:
+        raise ValueError("grid must be non-empty")
+    fields = nested_field_names(df, nest)
+    for f_ in (time_field, value_field):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    out = out or f"{nest}_interp"
+    qn = quote(nest)
+    qt, qv = quote(time_field), quote(value_field)
+    if _time_kind(df, nest, time_field) == "timestamp":
+        t_sql = f"CAST(unix_micros(CAST(__x.{qt} AS TIMESTAMP)) AS DOUBLE)"
+    else:
+        t_sql = f"CAST(__x.{qt} AS DOUBLE)"
+    pts_c = "__ni_pts"
+    # usable (t, v) pairs, sorted by t (stable: equal t keeps cell order)
+    pairs = (
+        f"transform(filter({qn}, __x -> __x.{qt} IS NOT NULL AND "
+        f"__x.{qv} IS NOT NULL), __x -> struct({t_sql} AS t, "
+        f"CAST(__x.{qv} AS DOUBLE) AS v))"
+    )
+    cmp = (
+        "(__l, __r) -> CASE WHEN __l.t < __r.t THEN -1 "
+        "WHEN __l.t > __r.t THEN 1 ELSE 0 END"
+    )
+    staged = df.withColumn(pts_c, F.expr(f"array_sort({pairs}, {cmp})"))
+    qp = quote(pts_c)
+    grid_sql = "array(" + ", ".join(
+        f"CAST({float(g)} AS DOUBLE)" for g in grid
+    ) + ")"
+    # try_element_at: empty bracket side -> NULL (ANSI element_at raises)
+    before = f"try_element_at(filter({qp}, __p -> __p.t <= __g), -1)"
+    after = f"try_element_at(filter({qp}, __p -> __p.t >= __g), 1)"
+    # two-stage: materialize the bracketing pair once per grid point, then
+    # compute the interpolant from the materialized structs
+    bracket = (
+        f"transform({grid_sql}, __g -> struct(__g AS t, {before} AS b, "
+        f"{after} AS a))"
+    )
+    interp = (
+        "CASE "
+        "WHEN __s.b IS NULL OR __s.a IS NULL THEN CAST(NULL AS DOUBLE) "
+        "WHEN __s.a.t = __s.b.t THEN __s.b.v "
+        "ELSE __s.b.v + (__s.a.v - __s.b.v) * (__s.t - __s.b.t) "
+        "/ (__s.a.t - __s.b.t) END"
+    )
+    expr = (
+        f"transform({bracket}, __s -> struct(__s.t AS t, {interp} AS v))"
+    )
+    return staged.withColumn(out, F.expr(expr)).drop(pts_c)
