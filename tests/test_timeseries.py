@@ -222,10 +222,14 @@ def test_nest_rolling_stats_and_nulls(spark):
         nest_rolling(nf, "nested", "flux", 2, stat="median")
 
 
-def test_diff_and_rolling_zero_shuffle(spark, packed):
+def test_diff_and_rolling_zero_shuffle(spark):
+    # own pack (not the shared fixture): another test caching the fixture
+    # would swap its Exchanges for InMemoryRelation and skew the counts
     from nested_pandas_spark import nest_diff, nest_rolling
 
-    before = packed.df
+    child = spark.createDataFrame(
+        [(0, 1.0, 2.0), (0, 2.0, 3.0)], "id long, t double, flux double")
+    before = pack(child, "nested", on="id")
     after = nest_rolling(nest_diff(before, "nested", "t"), "nested", "flux", 2)
     pb = before._jdf.queryExecution().executedPlan().toString()
     pa = after._jdf.queryExecution().executedPlan().toString()
