@@ -964,6 +964,81 @@ class NestedFrame:
 
         return NestedFrame(timeseries.phase_fold(self.df, nest, time_field, period, **kw))
 
+    def nest_diff(self, nest: str, field: str, **kw) -> "NestedFrame":
+        """Per-cell consecutive deltas — see
+        :func:`operators.timeseries.nest_diff`."""
+        from ..operators import timeseries
+
+        return NestedFrame(timeseries.nest_diff(self.df, nest, field, **kw))
+
+    def nest_rolling(self, nest: str, field: str, window: int, **kw) -> "NestedFrame":
+        """Per-cell trailing rolling stat — see
+        :func:`operators.timeseries.nest_rolling`."""
+        from ..operators import timeseries
+
+        return NestedFrame(timeseries.nest_rolling(self.df, nest, field, window, **kw))
+
+    def sigma_clip(self, nest: str, field: str, sigma: float = 3.0, **kw) -> "NestedFrame":
+        """Per-cell outlier rejection — see
+        :func:`operators.timeseries.sigma_clip`."""
+        from ..operators import timeseries
+
+        return NestedFrame(timeseries.sigma_clip(self.df, nest, field, sigma, **kw))
+
+    def trend_slope(self, nest: str, time_field: str, value_field: str,
+                    **kw) -> "NestedFrame":
+        """Per-cell OLS slope — see
+        :func:`operators.timeseries.trend_slope`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.trend_slope(self.df, nest, time_field, value_field, **kw)
+        )
+
+    def nest_zscore(self, nest: str, field: str, **kw) -> "NestedFrame":
+        """Per-cell z-score — see
+        :func:`operators.timeseries.nest_zscore`."""
+        from ..operators import timeseries
+
+        return NestedFrame(timeseries.nest_zscore(self.df, nest, field, **kw))
+
+    def nest_topk(self, nest: str, field: str, k: int, **kw) -> "NestedFrame":
+        """Per-cell k extreme elements — see
+        :func:`operators.timeseries.nest_topk`."""
+        from ..operators import timeseries
+
+        return NestedFrame(timeseries.nest_topk(self.df, nest, field, k, **kw))
+
+    def nest_wmean(self, nest: str, value_field: str, error_field: str,
+                   **kw) -> "NestedFrame":
+        """Per-cell inverse-variance weighted mean — see
+        :func:`operators.timeseries.nest_wmean`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.nest_wmean(self.df, nest, value_field, error_field, **kw)
+        )
+
+    def nest_interp(self, nest: str, time_field: str, value_field: str,
+                    grid: list, **kw) -> "NestedFrame":
+        """Per-cell linear interpolation onto ``grid`` — see
+        :func:`operators.timeseries.nest_interp`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.nest_interp(self.df, nest, time_field, value_field, grid, **kw)
+        )
+
+    def value_counts(self, column: str, **kw) -> DataFrame:
+        """Frequency table of a base or dotted nested column — see
+        :func:`operators.aggregates.value_counts`."""
+        return aggregates.value_counts(self.df, column, **kw)
+
+    def histogram(self, column: str, bins: int = 10, **kw) -> DataFrame:
+        """Equal-width histogram — see
+        :func:`operators.aggregates.histogram`."""
+        return aggregates.histogram(self.df, column, bins, **kw)
+
     def nest_agg(self, nest: str, field: str, how: str, alias: str | None = None) -> "NestedFrame":
         name = alias or f"{how}_{nest}_{field}"
         if nest in self._pending:

@@ -382,3 +382,24 @@ def test_nest_wmean_matches_python(spark):
     [r2] = nest_wmean(pack(child2, "nested", on="id"),
                       "nested", "flux", "flux_error").collect()
     assert r2["nested_wmean"] is None
+
+
+def test_nestedframe_method_delegates(spark, packed):
+    # every time-series/distribution operator is reachable by chaining
+    out = (
+        packed.sigma_clip("nested", "flux", sigma=3.0)
+        .nest_diff("nested", "t")
+        .nest_rolling("nested", "flux", 2)
+        .nest_zscore("nested", "flux")
+        .nest_topk("nested", "flux", 2)
+        .trend_slope("nested", "t", "flux")
+        .nest_wmean("nested", "flux", "flux_error")
+        .nest_interp("nested", "t", "flux", grid=[0.5, 1.5])
+    )
+    row = out.df.where("id = 0").collect()[0]
+    assert row["nested_slope"] is not None
+    assert row["nested_wmean"] is not None
+    assert len(row["nested_interp"]) == 2
+    vc = packed.value_counts("nested.band")
+    assert {r["value"] for r in vc.collect()} == {"r", "g"}
+    assert packed.histogram("nested.flux", bins=2, lo=0.0, hi=30.0).count() == 2
