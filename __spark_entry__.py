@@ -1539,6 +1539,44 @@ def q91_nest_interp(spark, sf):
     )
 
 
+def q92_nest_corr(spark, sf):
+    """Per-cell Pearson correlation (operators/timeseries.py nest_corr):
+    each order's quantity-vs-price correlation across its items, centered
+    two-pass HOF sums, zero shuffle. Oracle replays the explicit sums
+    (not corr(), whose one-pass numerics differ)."""
+    from nested_pandas_spark import nest_corr
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    nf = NestedFrame(_t(spark, sf, "orders")).join_nested(
+        li.select("o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        "items", on="o_orderkey", sort_within=["l_linenumber"])
+    out = nest_corr(nf.df, "items", "l_quantity", "l_extendedprice")
+    return out.select(
+        "o_orderkey", F.round("items_corr", 6).alias("corr_r6")
+    )
+
+
+def q93_nest_describe(spark, sf):
+    """Per-cell describe (operators/timeseries.py nest_describe): each
+    order's item-price count/mean/std/min/max as base columns — row-wise
+    featurization of the packed series in one projection."""
+    from nested_pandas_spark import nest_describe
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    nf = NestedFrame(_t(spark, sf, "orders")).join_nested(
+        li.select("o_orderkey", "l_linenumber", "l_extendedprice"),
+        "items", on="o_orderkey", sort_within=["l_linenumber"])
+    out = nest_describe(nf.df, "items", "l_extendedprice", prefix="p")
+    return out.select(
+        "o_orderkey",
+        F.col("p_n").alias("n"),
+        F.round("p_mean", 6).alias("mean_r6"),
+        F.round("p_std", 6).alias("std_r6"),
+        F.col("p_min").alias("min_p"),
+        F.col("p_max").alias("max_p"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1769,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_nest_topk": q89_nest_topk,
         "q90_nest_wmean": q90_nest_wmean,
         "q91_nest_interp": q91_nest_interp,
+        "q92_nest_corr": q92_nest_corr,
+        "q93_nest_describe": q93_nest_describe,
     }
 
 
@@ -2645,6 +2685,38 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q92_nest_corr": """
+            WITH m AS (
+                SELECT l_orderkey, count(*) AS n,
+                       avg(l_quantity) AS am, avg(l_extendedprice) AS bm
+                FROM lineitem GROUP BY l_orderkey
+            ), sums AS (
+                SELECT l.l_orderkey, m.n,
+                       sum((l.l_quantity - m.am) * (l.l_extendedprice - m.bm)) AS sab,
+                       sum((l.l_quantity - m.am) * (l.l_quantity - m.am)) AS saa,
+                       sum((l.l_extendedprice - m.bm) * (l.l_extendedprice - m.bm)) AS sbb
+                FROM lineitem l JOIN m ON m.l_orderkey = l.l_orderkey
+                GROUP BY l.l_orderkey, m.n
+            )
+            SELECT o.o_orderkey,
+                   round(CASE WHEN s.n >= 2 AND s.saa > 0 AND s.sbb > 0
+                              THEN s.sab / sqrt(s.saa * s.sbb) END, 6)
+                       AS corr_r6
+            FROM orders o LEFT JOIN sums s ON s.l_orderkey = o.o_orderkey
+        """,
+        "q93_nest_describe": """
+            WITH st AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+                       avg(l_extendedprice) AS m,
+                       stddev_samp(l_extendedprice) AS sd,
+                       min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey, COALESCE(st.n, 0) AS n,
+                   round(st.m, 6) AS mean_r6, round(st.sd, 6) AS std_r6,
+                   st.mn AS min_p, st.mx AS max_p
+            FROM orders o LEFT JOIN st ON st.l_orderkey = o.o_orderkey
         """,
         "q91_nest_interp": """
             WITH grid AS (

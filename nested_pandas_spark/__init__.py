@@ -19,8 +19,9 @@ from .operators.aggregates import (
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
-    nest_diff, nest_interp, nest_rolling, nest_topk, nest_wmean, nest_zscore,
-    phase_fold, rebin, sigma_clip, trend_slope,
+    nest_corr, nest_describe, nest_diff, nest_interp, nest_rolling,
+    nest_topk, nest_wmean, nest_zscore, phase_fold, rebin, sigma_clip,
+    trend_slope,
 )
 from .session import get_spark
 
@@ -64,5 +65,7 @@ __all__ = [
     "nest_topk",
     "nest_wmean",
     "nest_interp",
+    "nest_corr",
+    "nest_describe",
     "get_spark",
 ]

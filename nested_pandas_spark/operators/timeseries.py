@@ -36,7 +36,8 @@ from pyspark.sql import types as T
 from ..functions.nested import nested_field_names, quote, struct_sql
 
 __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
-           "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp"]
+           "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
+           "nest_corr", "nest_describe"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -701,3 +702,116 @@ def nest_interp(
         f"transform({bracket}, __s -> struct(__s.t AS t, {interp} AS v))"
     )
     return staged.withColumn(out, F.expr(expr)).drop(pts_c)
+
+
+def nest_corr(
+    df: DataFrame,
+    nest: str,
+    field_a: str,
+    field_b: str,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-cell Pearson correlation between two nested fields (e.g. flux
+    in two bands, value vs. uncertainty) — NULL when fewer than 2 complete
+    pairs or either field is constant.
+
+    Same centered two-pass HOF shape as :func:`trend_slope`:
+    ``corr = sum((a - am)(b - bm)) / sqrt(sum((a - am)^2) sum((b - bm)^2))``.
+    Zero shuffle; adds base column ``out`` (default ``{nest}_corr``).
+    """
+    fields = nested_field_names(df, nest)
+    for f_ in (field_a, field_b):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    out = out or f"{nest}_corr"
+    qn = quote(nest)
+    qa, qb = quote(field_a), quote(field_b)
+    pairs_c, am_c, bm_c = "__nc_pairs", "__nc_am", "__nc_bm"
+    staged = df.withColumn(
+        pairs_c,
+        F.expr(
+            f"transform(filter({qn}, __x -> __x.{qa} IS NOT NULL AND "
+            f"__x.{qb} IS NOT NULL), __x -> struct("
+            f"CAST(__x.{qa} AS DOUBLE) AS a, CAST(__x.{qb} AS DOUBLE) AS b))"
+        ),
+    )
+    qp = quote(pairs_c)
+    n = f"size({qp})"
+    staged = staged.withColumn(
+        am_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qp}, CAST(0.0 AS DOUBLE), "
+               f"(__s, __p) -> __s + __p.a) / {n} END"),
+    ).withColumn(
+        bm_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qp}, CAST(0.0 AS DOUBLE), "
+               f"(__s, __p) -> __s + __p.b) / {n} END"),
+    )
+    qam, qbm = quote(am_c), quote(bm_c)
+    sab = (
+        f"aggregate({qp}, CAST(0.0 AS DOUBLE), "
+        f"(__s, __p) -> __s + (__p.a - {qam}) * (__p.b - {qbm}))"
+    )
+    saa = (
+        f"aggregate({qp}, CAST(0.0 AS DOUBLE), "
+        f"(__s, __p) -> __s + (__p.a - {qam}) * (__p.a - {qam}))"
+    )
+    sbb = (
+        f"aggregate({qp}, CAST(0.0 AS DOUBLE), "
+        f"(__s, __p) -> __s + (__p.b - {qbm}) * (__p.b - {qbm}))"
+    )
+    corr = (
+        f"CASE WHEN {n} >= 2 AND {saa} > 0 AND {sbb} > 0 "
+        f"THEN ({sab}) / sqrt(({saa}) * ({sbb})) END"
+    )
+    return staged.withColumn(out, F.expr(corr)).drop(pairs_c, am_c, bm_c)
+
+
+def nest_describe(
+    df: DataFrame,
+    nest: str,
+    field: str,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Per-CELL summary of one nested field as base columns:
+    ``{p}_n`` (non-NULL count), ``{p}_mean``, ``{p}_std`` (sample),
+    ``{p}_min``, ``{p}_max`` — the row-wise counterpart of the
+    table-level :func:`operators.aggregates.describe`, and the
+    bread-and-butter featurization of a packed series (amplitude = max
+    - min, etc.). All HOFs over a once-materialized value array; zero
+    shuffle. ``prefix`` defaults to ``{nest}_{field}``.
+    """
+    fields = nested_field_names(df, nest)
+    if field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+    p = prefix or f"{nest}_{field}"
+    qn, qf = quote(nest), quote(field)
+    vals_c, m_c = "__nd_vals", f"{p}_mean"
+    staged = df.withColumn(
+        vals_c,
+        F.expr(
+            f"transform(filter({qn}, __x -> __x.{qf} IS NOT NULL), "
+            f"__x -> CAST(__x.{qf} AS DOUBLE))"
+        ),
+    )
+    qv = quote(vals_c)
+    n = f"size({qv})"
+    # NULL cells count as 0 (the count_nested zero-fill convention); their
+    # stats stay NULL
+    staged = staged.withColumn(
+        f"{p}_n", F.expr(f"CAST(COALESCE({n}, 0) AS BIGINT)")
+    )
+    staged = staged.withColumn(
+        m_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qv}, CAST(0.0 AS DOUBLE), "
+               f"(__a, __v) -> __a + __v) / {n} END"),
+    )
+    qm = quote(m_c)
+    staged = staged.withColumn(
+        f"{p}_std",
+        F.expr(f"CASE WHEN {n} >= 2 THEN sqrt(aggregate({qv}, "
+               f"CAST(0.0 AS DOUBLE), (__a, __v) -> __a + (__v - {qm}) * "
+               f"(__v - {qm})) / ({n} - 1)) END"),
+    )
+    staged = staged.withColumn(f"{p}_min", F.expr(f"array_min({qv})"))
+    staged = staged.withColumn(f"{p}_max", F.expr(f"array_max({qv})"))
+    return staged.drop(vals_c)

@@ -403,3 +403,45 @@ def test_nestedframe_method_delegates(spark, packed):
     vc = packed.value_counts("nested.band")
     assert {r["value"] for r in vc.collect()} == {"r", "g"}
     assert packed.histogram("nested.flux", bins=2, lo=0.0, hi=30.0).count() == 2
+
+
+def test_nest_corr_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    a = rng.randn(15)
+    b = 0.7 * a + rng.randn(15) * 0.5
+    rows = [(0, float(x), float(y)) for x, y in zip(a, b)]
+    rows += [(1, 1.0, 2.0)]                 # single pair -> NULL
+    rows += [(2, 5.0, 1.0), (2, 5.0, 9.0)]  # constant a -> NULL
+    child = spark.createDataFrame(rows, "id long, fa double, fb double")
+    nf = pack(child, "nested", on="id")
+    from nested_pandas_spark import nest_corr
+
+    got = {r["id"]: r["nested_corr"]
+           for r in nest_corr(nf, "nested", "fa", "fb").collect()}
+    assert got[0] == pytest.approx(float(np.corrcoef(a, b)[0, 1]), rel=1e-9)
+    assert got[1] is None and got[2] is None
+
+
+def test_nest_describe_matches_python(spark):
+    import statistics
+
+    vals = [3.0, 1.0, 4.0, None, 1.5]
+    rows = [(0, float(i), v) for i, v in enumerate(vals)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id")
+    from nested_pandas_spark import nest_describe
+
+    [r] = nest_describe(nf, "nested", "flux").collect()
+    present = [v for v in vals if v is not None]
+    assert r["nested_flux_n"] == 4
+    assert r["nested_flux_mean"] == pytest.approx(statistics.mean(present))
+    assert r["nested_flux_std"] == pytest.approx(statistics.stdev(present))
+    assert r["nested_flux_min"] == 1.0 and r["nested_flux_max"] == 4.0
+    # empty-usable cell: n=0, NULL stats
+    child2 = spark.createDataFrame([(1, 0.0, None)],
+                                   "id long, t double, flux double")
+    [r2] = nest_describe(pack(child2, "nested", on="id"),
+                         "nested", "flux").collect()
+    assert r2["nested_flux_n"] == 0 and r2["nested_flux_mean"] is None
