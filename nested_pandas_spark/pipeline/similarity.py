@@ -262,6 +262,14 @@ def kmeans_refine(
     dim = len(seeds[0][1])
     vec = F.col(vec_expr) if isinstance(vec_expr, str) else vec_expr
     base = corpus.select(vec.cast("array<double>").alias("__v"))
+    # every Lloyd round scans the full vector set: persist the projection
+    # once (memory, spilling to disk) so rounds 2..n read cached columns
+    # instead of re-decoding parquet — and lineage stays bounded
+    from pyspark import StorageLevel
+
+    persisted = n_iters > 1
+    if persisted:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cents = seeds
     for _ in range(n_iters):
         if metric == "l2":
@@ -289,6 +297,8 @@ def kmeans_refine(
             else:
                 nxt.append((c, old))
         cents = nxt
+    if persisted:
+        base.unpersist()
     return cents
 
 
