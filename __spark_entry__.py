@@ -1577,6 +1577,22 @@ def q93_nest_describe(spark, sf):
     )
 
 
+def q94_random_projection(spark, sf):
+    """Deterministic JL dimensionality reduction (pipeline/similarity.py
+    random_projection): 64-dim embeddings to 8 dims via the md5-parity
+    +/-1 matrix the SRP bucketing shares — one codegen'd projection, zero
+    shuffle. Both engines sum in index order, so values match to the
+    bit; round(6) is belt-and-braces."""
+    emb = _t(spark, sf, "embeddings")
+    out = sim.random_projection(emb, out_dim=8, dim=64)
+    return out.select(
+        "vec_id", F.posexplode("projected").alias("j", "p")
+    ).select(
+        "vec_id", F.col("j").cast("long").alias("j"),
+        F.round("p", 6).alias("p_r6"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1809,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_nest_interp": q91_nest_interp,
         "q92_nest_corr": q92_nest_corr,
         "q93_nest_describe": q93_nest_describe,
+        "q94_random_projection": q94_random_projection,
     }
 
 
@@ -2685,6 +2702,18 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q94_random_projection": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            )
+            SELECT v.vec_id, CAST(j.range AS BIGINT) AS j,
+                   round(list_sum(list_transform(range(0, 64), i ->
+                       (CASE WHEN ('0x' || substr(md5(j.range::VARCHAR || ':'
+                                   || i::VARCHAR), 1, 4))::INT % 2 = 0
+                             THEN e[i + 1] ELSE -e[i + 1] END)))
+                         / sqrt(8.0), 6) AS p_r6
+            FROM v CROSS JOIN range(8) j
         """,
         "q92_nest_corr": """
             WITH m AS (

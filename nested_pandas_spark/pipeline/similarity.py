@@ -20,6 +20,7 @@ from ..functions.nested import quote
 __all__ = [
     "cosine", "dot", "norm", "brute_force_topk", "srp_bucket",
     "quantize_embeddings", "dequantize_embeddings", "quantized_topk",
+    "random_projection",
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
@@ -831,3 +832,50 @@ def quantized_topk(
         ).alias("cos_sim"),
     )
     return _per_query_topk(scored, k, partial_buckets)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out: str = "projected",
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    ±1 projection matrix: ``out[j] = sum_i R[j][i] * v[i] / sqrt(out_dim)``
+    where ``R[j][i]`` is the same md5-parity sign the SRP bucketing uses
+    (:func:`plane_component`), so results are reproducible anywhere and a
+    SQL oracle replays them bit-for-bit.
+
+    The sparse-free ±1 scheme (Achlioptas 2003) preserves pairwise
+    distances within the JL bound while needing no stored matrix — each
+    entry regenerates from (row, col). The matrix enters the plan as
+    literals; the whole projection is one codegen'd per-row expression,
+    zero shuffle. Use before :func:`brute_force_topk` /
+    :func:`quantize_embeddings` to cut the dominant column's bytes by
+    ``dim/out_dim``.
+
+    ``dim`` (input dimension) is read from the first row when omitted —
+    pass it at scale to keep the call action-free.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if row is None or row["n"] is None:
+            raise ValueError("cannot infer dim from an empty DataFrame; pass dim=")
+        dim = row["n"]
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    # math.sqrt, not **0.5: correctly-rounded sqrt matches SQL sqrt() exactly
+    scale = math.sqrt(float(out_dim))
+    comps = []
+    for j in range(out_dim):
+        term = None
+        for i in range(dim):
+            sign = plane_component(j, i)
+            t = v[i] if sign > 0 else -v[i]
+            term = t if term is None else term + t
+        comps.append((term / F.lit(scale)).alias(f"p{j}"))
+    return df.withColumn(out, F.array(*[c for c in comps]))

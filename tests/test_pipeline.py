@@ -994,3 +994,39 @@ def test_hashed_tfidf_normalized_feeds_similarity(spark):
     )
     [r] = top.collect()
     assert r["neighbor_id"] == 2 and r["cos_sim"] == pytest.approx(1.0)
+
+
+def test_random_projection_matches_python_and_preserves_distance(spark):
+    import hashlib
+    import math
+
+    rng = np.random.RandomState(6)
+    vecs = [rng.randn(16).astype(float).tolist() for _ in range(6)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    out_dim = 4
+    got = {r["vec_id"]: list(r["projected"])
+           for r in sim.random_projection(emb, out_dim, dim=16).collect()}
+
+    def sign(j, i):
+        h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:4], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    for vid, v in enumerate(vecs):
+        v32 = [np.float32(x) for x in v]  # matches the stored float column
+        want = [sum(sign(j, i) * float(v32[i]) for i in range(16))
+                / math.sqrt(out_dim) for j in range(out_dim)]
+        for g, w in zip(got[vid], want):
+            assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_random_projection_dim_inference_and_validation(spark):
+    emb = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    [r] = sim.random_projection(emb, 2).collect()  # dim inferred
+    assert len(r["projected"]) == 2
+    with pytest.raises(ValueError):
+        sim.random_projection(emb, 0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        sim.random_projection(empty, 2)
