@@ -1593,6 +1593,35 @@ def q94_random_projection(spark, sf):
     )
 
 
+def q95_interval_join(spark, sf):
+    """Batch interval x interval overlap join (operators/asof.py
+    interval_join): 30-minute activity windows around each user's clicks
+    vs errors — bucketized equi-join, exact overlap filter, and the
+    first-live-bucket trick for a dedup-free single emission per pair.
+    Oracle is the plain theta join (fine at sf0.01; the bucketed plan is
+    the 100 TB shape)."""
+    from nested_pandas_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    half_hour = 1_800 * 10**9
+
+    def win(t):
+        return (
+            ev.where(F.col("event_type") == t)
+            .select(
+                F.col("event_id").alias(f"{t}_id"), "user_id",
+                F.col("ts").alias(f"{t}_s"),
+                (F.col("ts") + half_hour).alias(f"{t}_e"),
+            )
+        )
+
+    out = interval_join(
+        win("click"), win("error"), "user_id",
+        "click_s", "click_e", "error_s", "error_e", bucket=half_hour,
+    )
+    return out.select("user_id", "click_id", "error_id")
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1826,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_nest_corr": q92_nest_corr,
         "q93_nest_describe": q93_nest_describe,
         "q94_random_projection": q94_random_projection,
+        "q95_interval_join": q95_interval_join,
     }
 
 
@@ -2702,6 +2732,22 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q95_interval_join": """
+            WITH c AS (
+                SELECT event_id AS click_id, user_id,
+                       epoch_us(ts) * 1000 AS s,
+                       epoch_us(ts) * 1000 + 1800000000000 AS e
+                FROM events WHERE event_type = 'click'
+            ), er AS (
+                SELECT event_id AS error_id, user_id,
+                       epoch_us(ts) * 1000 AS s,
+                       epoch_us(ts) * 1000 + 1800000000000 AS e
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT c.user_id, c.click_id, er.error_id
+            FROM c JOIN er ON c.user_id = er.user_id
+                AND c.s < er.e AND er.s < c.e
         """,
         "q94_random_projection": """
             WITH v AS (

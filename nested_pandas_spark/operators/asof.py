@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "interval_join"]
 
 
 def asof_join(
@@ -194,3 +194,57 @@ def range_join(
         (F.col(right_start) <= F.col(left_ts)) & (F.col(left_ts) < F.col(right_end))
     )
     return joined.drop("__bk")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: int,
+) -> DataFrame:
+    """Join interval pairs that OVERLAP (half-open:
+    ``l_start < r_end AND r_start < l_end``) sharing the equi-key(s) —
+    the interval x interval companion of :func:`range_join`.
+
+    Both sides explode to the ``bucket``-sized time buckets they span and
+    join with hash equality on (key, bucket); the exact overlap predicate
+    then filters. A pair overlapping several shared buckets would emit
+    duplicates — instead of a ``distinct`` (a full extra shuffle), each
+    pair is kept only in the bucket containing ``greatest(l_start,
+    r_start)``, the first bucket where both intervals are live: exactly
+    one emission per pair, dedup for free.
+
+    Pick ``bucket`` near the typical interval length (explode factor ~O(1)).
+    At 100 TB this is the standard time-bucketed interval join: one
+    shuffle per side, no theta/cartesian fallback, AQE splits hot buckets.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def spans(df, s, e):
+        return df.withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket).cast("long"),
+                    F.floor(F.col(e) / bucket).cast("long"),
+                )
+            ),
+        )
+
+    l = spans(left, left_start, left_end)
+    r = spans(right, right_start, right_end)
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    first_live = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / bucket
+    ).cast("long")
+    return (
+        l.join(r, on=[*keys, "__bk"], how="inner")
+        .where(overlap & (F.col("__bk") == first_live))
+        .drop("__bk")
+    )

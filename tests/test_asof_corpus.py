@@ -531,3 +531,40 @@ def test_boilerplate_ngrams(spark):
     assert out[1]["common_ratio"] == 0.2
     assert out[4]["n_common"] == 0 and out[4]["common_ratio"] == 0.0
     assert out[5]["n_grams"] == 0 and out[5]["common_ratio"] == 0.0
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    L = [(i, rng.randint(0, 2), rng.randint(0, 500)) for i in range(40)]
+    R = [(100 + i, rng.randint(0, 2), rng.randint(0, 500)) for i in range(40)]
+    lrows = [(i, k, s, s + rng.randint(1, 80)) for i, k, s in L]
+    rrows = [(i, k, s, s + rng.randint(1, 80)) for i, k, s in R]
+    from nested_pandas_spark.operators.asof import interval_join
+
+    l = spark.createDataFrame(lrows, "lid long, k long, ls long, le long")
+    r = spark.createDataFrame(rrows, "rid long, k long, rs long, re long")
+    got = sorted((x["lid"], x["rid"]) for x in
+                 interval_join(l, r, "k", "ls", "le", "rs", "re",
+                               bucket=64).collect())
+    want = sorted(
+        (li, ri)
+        for li, lk, ls, le in lrows
+        for ri, rk, rs, re in rrows
+        if lk == rk and ls < re and rs < le
+    )
+    assert got == want  # exactly once per overlapping pair, none missed
+
+
+def test_interval_join_no_duplicates_across_buckets(spark):
+    # a pair spanning MANY shared buckets must emit exactly once
+    from nested_pandas_spark.operators.asof import interval_join
+
+    l = spark.createDataFrame([(1, 0, 0, 1000)], "lid long, k long, ls long, le long")
+    r = spark.createDataFrame([(2, 0, 500, 1500)], "rid long, k long, rs long, re long")
+    rows = interval_join(l, r, "k", "ls", "le", "rs", "re", bucket=10).collect()
+    assert len(rows) == 1
+    # touching-but-not-overlapping (half-open) excluded
+    r2 = spark.createDataFrame([(3, 0, 1000, 1100)], "rid long, k long, rs long, re long")
+    assert interval_join(l, r2, "k", "ls", "le", "rs", "re", bucket=10).count() == 0
