@@ -216,12 +216,36 @@ def main() -> None:
 
     # -- 12h. int8 quantization: shrink the ANN corpus 4x -------------------
     from nested_pandas_spark.pipeline.similarity import (
-        quantize_embeddings, quantized_topk,
+        quantize_embeddings, quantized_topk, random_projection,
     )
 
     qemb = quantize_embeddings(emb)
     qtop = quantized_topk(qemb, qemb.where("vec_id < 3"), k=2)
     print("quantized top-k rows:", qtop.count())
+    proj = random_projection(emb, out_dim=8, dim=64)
+    print("JL-projected dims:",
+          proj.selectExpr("size(projected)").first()[0])
+
+    # -- 12i. per-cell featurization + interval overlap ---------------------
+    from nested_pandas_spark import nest_describe
+    from nested_pandas_spark.operators.asof import interval_join
+
+    feats = nest_describe(series, "series", "value", prefix="v")
+    print("featurized users:", feats.where("v_n > 0").count())
+    half_hour = 1_800 * 1_000_000  # 30 min in exact epoch micros
+    ts_us = (F.expr("ts div 1000") if dict(ev.dtypes)["ts"] == "bigint"
+             else F.unix_micros(F.col("ts").cast("timestamp")))
+
+    def win(t):
+        return ev.where(F.col("event_type") == t).select(
+            F.col("event_id").alias(f"{t}_id"), "user_id",
+            ts_us.alias(f"{t}_s"),
+            (ts_us + half_hour).alias(f"{t}_e"))
+
+    ov = interval_join(win("click"), win("signup"), "user_id",
+                       "click_s", "click_e", "signup_s", "signup_e",
+                       bucket=half_hour)
+    print("click/signup half-hour overlaps:", ov.count())
 
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
