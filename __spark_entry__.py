@@ -1622,6 +1622,22 @@ def q95_interval_join(spark, sf):
     return out.select("user_id", "click_id", "error_id")
 
 
+def q96_fuzzy_pairs(spark, sf):
+    """Edit-distance record linkage (pipeline/dedup.py fuzzy_pairs): pairs
+    of distinct event payload strings within levenshtein 1, found via
+    q-gram + length blocking (never all-pairs). Oracle is the brute theta
+    join over the distinct values — completeness of the blocking is
+    exactly what the hash match proves."""
+    from nested_pandas_spark.pipeline.dedup import fuzzy_pairs
+
+    ev = _t(spark, sf, "events")
+    vals = ev.select(F.col("props").alias("s")).where(
+        F.col("s").isNotNull()).distinct()
+    out = fuzzy_pairs(vals.withColumn("id", F.col("s")), "id", "s",
+                      max_dist=1, q=2)
+    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1856,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_nest_describe": q93_nest_describe,
         "q94_random_projection": q94_random_projection,
         "q95_interval_join": q95_interval_join,
+        "q96_fuzzy_pairs": q96_fuzzy_pairs,
     }
 
 
@@ -2732,6 +2749,15 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q96_fuzzy_pairs": """
+            WITH v AS (
+                SELECT DISTINCT props AS s FROM events WHERE props IS NOT NULL
+            )
+            SELECT a.s AS id_a, b.s AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM v a JOIN v b ON a.s < b.s
+            WHERE levenshtein(a.s, b.s) <= 1
         """,
         "q95_interval_join": """
             WITH c AS (

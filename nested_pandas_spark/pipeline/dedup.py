@@ -25,6 +25,7 @@ from .text import fingerprint, word_ngrams, words
 
 __all__ = [
     "dedup_against",
+    "fuzzy_pairs",
     "exact_dedup",
     "minhash_signature",
     "lsh_candidate_pairs",
@@ -894,4 +895,81 @@ def semantic_dedup(
             "cid",
             F.col("__dropped").isNull().alias("kept"),
         )
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance near-pairs via q-gram blocking — record-linkage /
+    entity-resolution for SHORT strings (names, codes, labels), where
+    MinHash shingles are too coarse.
+
+    Output: (id_a, id_b, dist) with id_a < id_b and
+    ``levenshtein(a, b) <= max_dist``. Candidates are pairs sharing at
+    least one character q-gram; pigeonhole guarantees completeness for
+    strings longer than ``q * (max_dist + 1) + q - 1`` characters (an
+    edit destroys at most q q-grams, so with fewer than
+    ``len - q + 1 - max_dist*q`` destroyed some q-gram survives intact).
+    Shorter strings additionally block on their LENGTH bucket so e.g.
+    2-char codes still pair with their neighbors.
+
+    Scale shape: strings explode to ~len q-grams, pairs enumerate only
+    within a (q-gram) posting — the classic blocked similarity join, never
+    all-pairs; the exact ``levenshtein`` filter runs only on candidates.
+    Hot q-grams (e.g. 'th') create big postings — raise ``q`` or
+    pre-filter stopword-grams for heavy-tailed corpora; AQE splits the
+    skewed buckets meanwhile.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__s")
+    ).where(F.col("__s").isNotNull())
+    guaranteed = q * (max_dist + 1) + q - 1
+    grams = base.select(
+        "__id", "__s",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(__s) - {q} + 1, 1)), "
+                    f"__i -> substring(__s, __i, {q}))"
+                )
+            )
+        ).alias("__g"),
+    )
+    # short strings: length-bucket blocking catches what q-grams can't
+    shorts = base.where(F.length("__s") <= guaranteed).select(
+        "__id", "__s",
+        F.concat(F.lit("LEN:"), F.length("__s").cast("string")).alias("__g"),
+    )
+    # a deletion/insertion changes length by 1: also block against the
+    # neighboring length bucket so cross-length short pairs meet
+    shorts2 = base.where(F.length("__s") <= guaranteed).select(
+        "__id", "__s",
+        F.concat(F.lit("LEN:"), (F.length("__s") + 1).cast("string")).alias("__g"),
+    )
+    blocked = grams.unionByName(shorts).unionByName(shorts2)
+    a = blocked.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__g"
+    )
+    b = blocked.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__g"
+    )
+    return (
+        a.join(b, on="__g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+        .select(
+            "id_a", "id_b",
+            F.levenshtein(F.col("__sa"), F.col("__sb")).alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
     )

@@ -1030,3 +1030,38 @@ def test_random_projection_dim_inference_and_validation(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         sim.random_projection(empty, 2)
+
+
+def test_fuzzy_pairs_matches_bruteforce(spark):
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    vals = ["spark", "spurk", "sparkle", "duck", "dusk", "db", "dc", "x",
+            "warehouse", "warehoose", "completely-different"]
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, s string")
+    got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in
+                 dd.fuzzy_pairs(df, "id", "s", max_dist=1, q=2).collect())
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2)
+        if lev(a, b) <= 1
+    )
+    assert got == want  # complete AND exact, incl. 2-char and 1-char codes
+
+
+def test_fuzzy_pairs_validation_and_nulls(spark):
+    df = spark.createDataFrame([(0, "ab"), (1, None)], "id long, s string")
+    assert dd.fuzzy_pairs(df, "id", "s").count() == 0  # NULLs dropped
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dd.fuzzy_pairs(df, "id", "s", max_dist=-1)
+    with _pt.raises(ValueError):
+        dd.fuzzy_pairs(df, "id", "s", q=0)
