@@ -1638,6 +1638,23 @@ def q96_fuzzy_pairs(spark, sf):
     return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
+def q97_nest_ewm(spark, sf):
+    """Per-cell exponentially weighted mean trail (operators/timeseries.py
+    nest_ewm, pandas ewm(adjust=False) semantics): each user's running
+    EWM of event values. Oracle replays the closed-form weights with a
+    positional self-join; round(6) absorbs pow()/summation-order fp."""
+    from nested_pandas_spark import nest_ewm, pack, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    out = nest_ewm(nf, "series", "value", alpha=0.3)
+    flat = to_flat(out, "series", keys=["user_id"])
+    return flat.select(
+        "user_id", "event_id", F.round("value_ewm", 6).alias("ewm_r6")
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1873,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_random_projection": q94_random_projection,
         "q95_interval_join": q95_interval_join,
         "q96_fuzzy_pairs": q96_fuzzy_pairs,
+        "q97_nest_ewm": q97_nest_ewm,
     }
 
 
@@ -2749,6 +2767,22 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q97_nest_ewm": """
+            WITH RECURSIVE r AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS p
+                FROM events WHERE value IS NOT NULL
+            ), ewm AS (
+                SELECT user_id, event_id, p, value AS s FROM r WHERE p = 1
+                UNION ALL
+                SELECT r.user_id, r.event_id, r.p,
+                       0.3 * r.value + 0.7 * ewm.s
+                FROM r JOIN ewm ON r.user_id = ewm.user_id
+                    AND r.p = ewm.p + 1
+            )
+            SELECT user_id, event_id, round(s, 6) AS ewm_r6 FROM ewm
         """,
         "q96_fuzzy_pairs": """
             WITH v AS (

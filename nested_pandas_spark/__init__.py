@@ -19,9 +19,9 @@ from .operators.aggregates import (
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
-    nest_corr, nest_describe, nest_diff, nest_interp, nest_rolling,
-    nest_topk, nest_wmean, nest_zscore, phase_fold, rebin, sigma_clip,
-    trend_slope,
+    nest_corr, nest_describe, nest_diff, nest_ewm, nest_interp,
+    nest_rolling, nest_topk, nest_wmean, nest_zscore, phase_fold, rebin,
+    sigma_clip, trend_slope,
 )
 from .session import get_spark
 
@@ -67,5 +67,6 @@ __all__ = [
     "nest_interp",
     "nest_corr",
     "nest_describe",
+    "nest_ewm",
     "get_spark",
 ]

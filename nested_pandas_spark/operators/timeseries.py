@@ -37,7 +37,7 @@ from ..functions.nested import nested_field_names, quote, struct_sql
 
 __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
-           "nest_corr", "nest_describe"]
+           "nest_corr", "nest_describe", "nest_ewm"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -815,3 +815,60 @@ def nest_describe(
     staged = staged.withColumn(f"{p}_min", F.expr(f"array_min({qv})"))
     staged = staged.withColumn(f"{p}_max", F.expr(f"array_max({qv})"))
     return staged.drop(vals_c)
+
+
+def nest_ewm(
+    df: DataFrame,
+    nest: str,
+    field: str,
+    alpha: float,
+    out_field: str | None = None,
+) -> DataFrame:
+    """Per-cell exponentially weighted mean trail — pandas
+    ``groupby(...).ewm(alpha, adjust=False, ignore_na=True).mean()``
+    semantics: element i gets ``s_i = alpha*v_i + (1-alpha)*s_{i-1}``
+    over the cell's NON-NULL values in element order (NULL elements keep
+    a NULL ewm and do not advance the state — ``ignore_na=True``).
+
+    Implemented as the LITERAL recursion: per element, a sequential
+    ``aggregate`` fold ``s = a*v + (1-a)*s`` over the preceding non-NULL
+    values (init = first value) — O(n^2) per cell like
+    :func:`nest_rolling`, zero shuffle, and bit-identical to a recursive
+    SQL replay (same two flops per step, same order), so the oracle
+    needs no fp tolerance.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    fields = nested_field_names(df, nest)
+    if field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+    out_field = out_field or f"{field}_ewm"
+    if out_field in fields:
+        raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
+    qn, qf = quote(nest), quote(field)
+    a = float(alpha)
+    # non-NULL values among elements 0..i (inclusive), in order
+    prior = (
+        f"transform(filter(slice({qn}, 1, __i + 1), "
+        f"__e -> __e.{qf} IS NOT NULL), __e -> CAST(__e.{qf} AS DOUBLE))"
+    )
+    vals_of = "__w.vs"
+    m = f"(size({vals_of}) - 1)"
+    # the literal recursion: fold s = a*v + (1-a)*s over values 2..k with
+    # init = value 1 (aggregate evaluates the array strictly in order)
+    ewm_val = (
+        f"CASE WHEN size({vals_of}) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE aggregate(slice({vals_of}, 2, greatest({m}, 0)), "
+        f"element_at({vals_of}, 1), "
+        f"(__acc, __v) -> {a}D * __v + {1 - a}D * __acc) END"
+    )
+    keep = {f: f"__w.__x.{quote(f)}" for f in fields}
+    keep[out_field] = (
+        f"CASE WHEN __w.__x.{qf} IS NOT NULL THEN {ewm_val} END"
+    )
+    body = struct_sql(keep)
+    staged = (
+        f"transform(transform({qn}, (__x, __i) -> "
+        f"struct(__x AS __x, {prior} AS vs)), __w -> {body})"
+    )
+    return df.withColumn(nest, F.expr(staged))

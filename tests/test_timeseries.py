@@ -445,3 +445,37 @@ def test_nest_describe_matches_python(spark):
     [r2] = nest_describe(pack(child2, "nested", on="id"),
                          "nested", "flux").collect()
     assert r2["nested_flux_n"] == 0 and r2["nested_flux_mean"] is None
+
+
+def test_nest_ewm_matches_pandas(spark):
+    import pandas as pd
+
+    vals = [1.0, 5.0, None, 2.0, 8.0]
+    rows = [(0, float(i), v) for i, v in enumerate(vals)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_ewm
+
+    [row] = nest_ewm(nf, "nested", "flux", alpha=0.3).collect()
+    got = [e["flux_ewm"] for e in row["nested"]]
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=False,
+                               ignore_na=True).mean().tolist()
+    for g, w, v in zip(got, want, vals):
+        if v is None:
+            assert g is None  # NULL elements carry no ewm
+        else:
+            assert g == pytest.approx(w, rel=1e-9)
+    with pytest.raises(ValueError):
+        nest_ewm(nf, "nested", "flux", alpha=0.0)
+    with pytest.raises(ValueError):
+        nest_ewm(nf, "nested", "flux", alpha=1.5)
+
+
+def test_nest_ewm_alpha_one_is_identity(spark):
+    child = spark.createDataFrame(
+        [(0, 0.0, 3.0), (0, 1.0, 7.0)], "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_ewm
+
+    [row] = nest_ewm(nf, "nested", "flux", alpha=1.0).collect()
+    assert [e["flux_ewm"] for e in row["nested"]] == [3.0, 7.0]
