@@ -1655,6 +1655,22 @@ def q97_nest_ewm(spark, sf):
     )
 
 
+def q98_nest_cumsum(spark, sf):
+    """Per-cell cumulative sum trail (operators/timeseries.py nest_cum,
+    pandas cumsum semantics): in-order fold, bit-identical to the
+    window's ROWS UNBOUNDED PRECEDING running sum."""
+    from nested_pandas_spark import nest_cum, pack, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    out = nest_cum(nf, "series", "value", stat="sum")
+    flat = to_flat(out, "series", keys=["user_id"])
+    return flat.select(
+        "user_id", "event_id", F.round("value_cumsum", 6).alias("cum_r6")
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1891,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_interval_join": q95_interval_join,
         "q96_fuzzy_pairs": q96_fuzzy_pairs,
         "q97_nest_ewm": q97_nest_ewm,
+        "q98_nest_cumsum": q98_nest_cumsum,
     }
 
 
@@ -2767,6 +2784,13 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q98_nest_cumsum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 6) AS cum_r6
+            FROM events
         """,
         "q97_nest_ewm": """
             WITH RECURSIVE r AS (

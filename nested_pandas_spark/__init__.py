@@ -19,7 +19,7 @@ from .operators.aggregates import (
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
-    nest_corr, nest_describe, nest_diff, nest_ewm, nest_interp,
+    nest_corr, nest_cum, nest_describe, nest_diff, nest_ewm, nest_interp,
     nest_rolling, nest_topk, nest_wmean, nest_zscore, phase_fold, rebin,
     sigma_clip, trend_slope,
 )
@@ -68,5 +68,6 @@ __all__ = [
     "nest_corr",
     "nest_describe",
     "nest_ewm",
+    "nest_cum",
     "get_spark",
 ]

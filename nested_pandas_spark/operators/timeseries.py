@@ -37,7 +37,7 @@ from ..functions.nested import nested_field_names, quote, struct_sql
 
 __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
-           "nest_corr", "nest_describe", "nest_ewm"]
+           "nest_corr", "nest_describe", "nest_ewm", "nest_cum"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -865,6 +865,59 @@ def nest_ewm(
     keep = {f: f"__w.__x.{quote(f)}" for f in fields}
     keep[out_field] = (
         f"CASE WHEN __w.__x.{qf} IS NOT NULL THEN {ewm_val} END"
+    )
+    body = struct_sql(keep)
+    staged = (
+        f"transform(transform({qn}, (__x, __i) -> "
+        f"struct(__x AS __x, {prior} AS vs)), __w -> {body})"
+    )
+    return df.withColumn(nest, F.expr(staged))
+
+
+def nest_cum(
+    df: DataFrame,
+    nest: str,
+    field: str,
+    stat: str = "sum",
+    out_field: str | None = None,
+) -> DataFrame:
+    """Per-cell cumulative trail — pandas ``groupby(...).cumsum/cummin/
+    cummax`` semantics: element i gets the running ``stat`` of the cell's
+    non-NULL values through position i (NULL elements keep NULL and do
+    not advance the state).
+
+    A sequential ``aggregate`` fold per element (O(n^2) per cell, zero
+    shuffle). The left-to-right fold makes cumulative sums bit-identical
+    to a ``ROWS UNBOUNDED PRECEDING`` window replay.
+    """
+    allowed = {"sum", "min", "max"}
+    if stat not in allowed:
+        raise ValueError(f"stat must be one of {sorted(allowed)}")
+    fields = nested_field_names(df, nest)
+    if field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{field}'")
+    out_field = out_field or f"{field}_cum{stat}"
+    if out_field in fields:
+        raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
+    qn, qf = quote(nest), quote(field)
+    prior = (
+        f"transform(filter(slice({qn}, 1, __i + 1), "
+        f"__e -> __e.{qf} IS NOT NULL), __e -> CAST(__e.{qf} AS DOUBLE))"
+    )
+    vals = "__w.vs"
+    if stat == "sum":
+        val = (
+            f"aggregate(slice({vals}, 2, greatest(size({vals}) - 1, 0)), "
+            f"element_at({vals}, 1), (__acc, __v) -> __acc + __v)"
+        )
+    elif stat == "min":
+        val = f"array_min({vals})"
+    else:
+        val = f"array_max({vals})"
+    keep = {f: f"__w.__x.{quote(f)}" for f in fields}
+    keep[out_field] = (
+        f"CASE WHEN __w.__x.{qf} IS NOT NULL AND size({vals}) > 0 "
+        f"THEN {val} END"
     )
     body = struct_sql(keep)
     staged = (

@@ -479,3 +479,26 @@ def test_nest_ewm_alpha_one_is_identity(spark):
 
     [row] = nest_ewm(nf, "nested", "flux", alpha=1.0).collect()
     assert [e["flux_ewm"] for e in row["nested"]] == [3.0, 7.0]
+
+
+def test_nest_cum_matches_pandas(spark):
+    import pandas as pd
+
+    vals = [3.0, 1.0, None, 4.0, 1.5]
+    rows = [(0, float(i), v) for i, v in enumerate(vals)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_cum
+
+    ser = pd.Series(vals)
+    for stat, ref in (("sum", ser.cumsum()), ("min", ser.cummin()),
+                      ("max", ser.cummax())):
+        [row] = nest_cum(nf, "nested", "flux", stat=stat).collect()
+        got = [e[f"flux_cum{stat}"] for e in row["nested"]]
+        for g, w, v in zip(got, ref.tolist(), vals):
+            if v is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(w)
+    with pytest.raises(ValueError):
+        nest_cum(nf, "nested", "flux", stat="mean")
