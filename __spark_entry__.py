@@ -1671,6 +1671,34 @@ def q98_nest_cumsum(spark, sf):
     )
 
 
+def q99_nest_dedup(spark, sf):
+    """Per-cell element dedup (operators/timeseries.py nest_dedup): keep
+    each user's first event per distinct value — order-preserving indexed
+    filter, zero shuffle. Oracle replays with a row_number window."""
+    from nested_pandas_spark import nest_dedup, pack, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    out = nest_dedup(nf, "series", by="value")
+    return to_flat(out, "series", keys=["user_id"]).select(
+        "user_id", "event_id")
+
+
+def q100_nest_decimate(spark, sf):
+    """Per-cell decimation (operators/timeseries.py nest_decimate): every
+    3rd event per user in time order — deterministic downsample, indexed
+    filter, zero shuffle. Oracle replays with (row_number - 1) % 3."""
+    from nested_pandas_spark import nest_decimate, pack, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    out = nest_decimate(nf, "series", k=3)
+    return to_flat(out, "series", keys=["user_id"]).select(
+        "user_id", "event_id")
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1908,6 +1936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_fuzzy_pairs": q96_fuzzy_pairs,
         "q97_nest_ewm": q97_nest_ewm,
         "q98_nest_cumsum": q98_nest_cumsum,
+        "q99_nest_dedup": q99_nest_dedup,
+        "q100_nest_decimate": q100_nest_decimate,
     }
 
 
@@ -2784,6 +2814,22 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q100_nest_decimate": """
+            SELECT user_id, event_id FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE (rn - 1) % 3 = 0
+        """,
+        "q99_nest_dedup": """
+            SELECT user_id, event_id FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id, value
+                           ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "q98_nest_cumsum": """
             SELECT user_id, event_id,

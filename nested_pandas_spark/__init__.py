@@ -19,7 +19,8 @@ from .operators.aggregates import (
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
-    nest_corr, nest_cum, nest_describe, nest_diff, nest_ewm, nest_interp,
+    nest_corr, nest_cum, nest_decimate, nest_dedup, nest_describe,
+    nest_diff, nest_ewm, nest_interp,
     nest_rolling, nest_topk, nest_wmean, nest_zscore, phase_fold, rebin,
     sigma_clip, trend_slope,
 )
@@ -69,5 +70,7 @@ __all__ = [
     "nest_describe",
     "nest_ewm",
     "nest_cum",
+    "nest_dedup",
+    "nest_decimate",
     "get_spark",
 ]

@@ -37,7 +37,8 @@ from ..functions.nested import nested_field_names, quote, struct_sql
 
 __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
-           "nest_corr", "nest_describe", "nest_ewm", "nest_cum"]
+           "nest_corr", "nest_describe", "nest_ewm", "nest_cum", "nest_dedup",
+           "nest_decimate"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -925,3 +926,64 @@ def nest_cum(
         f"struct(__x AS __x, {prior} AS vs)), __w -> {body})"
     )
     return df.withColumn(nest, F.expr(staged))
+
+
+def nest_dedup(
+    df: DataFrame,
+    nest: str,
+    by: str | list[str] | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-cell element deduplication: keep each cell's FIRST element for
+    every distinct value of ``by`` (one field, several, or None = the
+    whole element) — pandas ``drop_duplicates(keep='first')`` at element
+    grain. Classic use: collapse repeated measurements before fitting.
+
+    An indexed ``filter`` keeps element i iff no earlier element shares
+    its key (``exists`` over the preceding slice) — O(n^2) per cell, zero
+    shuffle, order-preserving. NULL keys deduplicate like any other value
+    (SQL ``IS NOT DISTINCT FROM``).
+    """
+    fields = nested_field_names(df, nest)
+    if by is None:
+        keys = list(fields)
+    else:
+        keys = [by] if isinstance(by, str) else list(by)
+        missing = [k for k in keys if k not in fields]
+        if missing:
+            raise KeyError(f"Nested column '{nest}' has no fields {missing}")
+    out = out or nest
+    qn = quote(nest)
+    same = " AND ".join(
+        f"(__p.{quote(k)} IS NOT DISTINCT FROM __x.{quote(k)})" for k in keys
+    )
+    dup_before = (
+        f"exists(slice({qn}, 1, __i), __p -> {same})"
+    )
+    return df.withColumn(
+        out, F.expr(f"filter({qn}, (__x, __i) -> NOT {dup_before})")
+    )
+
+
+def nest_decimate(
+    df: DataFrame,
+    nest: str,
+    k: int,
+    offset: int = 0,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-cell decimation: keep every k-th element (positions ``offset``,
+    ``offset+k``, ...) — the deterministic downsample for oversampled
+    series (plot thinning, cheap sketches, bandwidth-matched exports).
+    Order-preserving indexed ``filter``, zero shuffle, O(n) per cell.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0 <= offset < k:
+        raise ValueError("offset must be in [0, k)")
+    nested_field_names(df, nest)  # validates the column
+    out = out or nest
+    qn = quote(nest)
+    return df.withColumn(
+        out, F.expr(f"filter({qn}, (__x, __i) -> (__i % {k}) = {offset})")
+    )

@@ -502,3 +502,39 @@ def test_nest_cum_matches_pandas(spark):
                 assert g == pytest.approx(w)
     with pytest.raises(ValueError):
         nest_cum(nf, "nested", "flux", stat="mean")
+
+
+def test_nest_dedup_keep_first(spark):
+    rows = [(0, 1.0, 5.0), (0, 1.0, 9.0), (0, 2.0, 5.0), (0, None, 1.0),
+            (0, None, 2.0)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["flux"])
+    from nested_pandas_spark import nest_dedup
+
+    # dedupe by t: first occurrence of each t survives, NULLs dedupe too
+    [row] = nest_dedup(nf, "nested", by="t").collect()
+    kept = [(e["t"], e["flux"]) for e in row["nested"]]
+    assert kept == [(None, 1.0), (1.0, 5.0), (2.0, 5.0)]
+    # whole-element dedup: all rows distinct -> unchanged
+    [row2] = nest_dedup(nf, "nested").collect()
+    assert len(row2["nested"]) == 5
+    with pytest.raises(KeyError):
+        nest_dedup(nf, "nested", by="nope")
+
+
+def test_nest_decimate(spark):
+    rows = [(0, float(i), float(i)) for i in range(7)]
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_decimate
+
+    [row] = nest_decimate(nf, "nested", k=3).collect()
+    assert [e["t"] for e in row["nested"]] == [0.0, 3.0, 6.0]
+    [row2] = nest_decimate(nf, "nested", k=3, offset=1).collect()
+    assert [e["t"] for e in row2["nested"]] == [1.0, 4.0]
+    [row3] = nest_decimate(nf, "nested", k=1).collect()
+    assert len(row3["nested"]) == 7
+    with pytest.raises(ValueError):
+        nest_decimate(nf, "nested", k=0)
+    with pytest.raises(ValueError):
+        nest_decimate(nf, "nested", k=2, offset=2)
