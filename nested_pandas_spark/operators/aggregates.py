@@ -361,6 +361,13 @@ def value_counts(
     sibling fields and payloads are pruned at the scan. ``normalize``
     reuses the already-aggregated counts (a one-row total broadcast back,
     not a second scan and not a global window).
+
+    Examples
+    --------
+    >>> from nested_pandas_spark import value_counts
+    >>> df = spark.createDataFrame([("a",), ("b",), ("a",)], "x string")
+    >>> [(r["value"], r["count"]) for r in value_counts(df, "x").collect()]
+    [('a', 2), ('b', 1)]
     """
     if "." in column and column.split(".", 1)[0] in {
         f.name for f in df.schema.fields if is_nested_type(f.dataType)

@@ -323,6 +323,16 @@ def nest_rolling(
     ``transform`` whose body aggregates a ``slice`` of the same array —
     O(n x window) per cell, the right trade against exploding the corpus
     into a shuffled window function (see :func:`rebin`'s module note).
+
+    Examples
+    --------
+    >>> from nested_pandas_spark import nest_rolling, pack
+    >>> child = spark.createDataFrame(
+    ...     [(0, 2.0), (0, 4.0), (0, 6.0)], "id long, v double")
+    >>> nf = pack(child, "s", on="id", sort_within=["v"])
+    >>> [row] = nest_rolling(nf, "s", "v", window=2).collect()
+    >>> [e["v_roll_mean"] for e in row["s"]]
+    [2.0, 3.0, 5.0]
     """
     allowed = {"mean", "min", "max", "sum"}
     if stat not in allowed:

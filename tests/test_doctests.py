@@ -14,6 +14,7 @@ import nested_pandas_spark.nestedframe.core as core
 import nested_pandas_spark.operators.asof as asof
 import nested_pandas_spark.operators.crossmatch as crossmatch
 import nested_pandas_spark.operators.map_rows as map_rows
+import nested_pandas_spark.operators.aggregates as aggregates
 import nested_pandas_spark.operators.packer as packer
 import nested_pandas_spark.operators.timeseries as timeseries
 import nested_pandas_spark.pipeline.corpus as corpus
@@ -24,11 +25,11 @@ import nested_pandas_spark.plans.inspect as plan_inspect
 import nested_pandas_spark.tuning as tuning
 
 MODULES = [core, packer, asof, dedup, text, corpus, similarity, tuning,
-           map_rows, plan_inspect, timeseries, crossmatch]
+           map_rows, plan_inspect, timeseries, crossmatch, aggregates]
 
 # examples must exist where users look first; grow this floor as docstrings
 # gain examples, never shrink it
-MIN_EXAMPLED_DOCSTRINGS = 11
+MIN_EXAMPLED_DOCSTRINGS = 14
 
 
 def test_package_doctests(spark):
