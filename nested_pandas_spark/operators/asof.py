@@ -221,8 +221,23 @@ def interval_join(
     Pick ``bucket`` near the typical interval length (explode factor ~O(1)).
     At 100 TB this is the standard time-bucketed interval join: one
     shuffle per side, no theta/cartesian fallback, AQE splits hot buckets.
+
+    Non-key column names shared by both inputs (e.g. both sides carrying
+    ``start``/``end``) come back with a ``_right`` suffix on the right
+    side, the same convention as ``asof_join``/``crossmatch``.
     """
     keys = [on] if isinstance(on, str) else list(on)
+
+    # disambiguate non-key collisions up front (identical start/end names
+    # on both sides would make every downstream reference ambiguous)
+    collisions = [
+        c for c in right.columns if c in set(left.columns) and c not in keys
+    ]
+    renames = {c: f"{c}_right" for c in collisions}
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    right_start = renames.get(right_start, right_start)
+    right_end = renames.get(right_end, right_end)
 
     def spans(df, s, e):
         return df.withColumn(

@@ -131,3 +131,54 @@ def test_pipeline_ops_on_empty_corpus(spark):
     assert docs.select(tx.quality_score("text")).count() == 0
     assert sim.brute_force_topk(emb, emb, k=3).count() == 0
     assert sim.lsh_topk(emb, emb, k=3, num_planes=2).count() == 0
+
+
+def test_timeseries_ops_on_empty_and_degenerate_frames(spark):
+    """The per-cell series operators must survive an empty frame and a
+    frame whose every cell is NULL — both arise naturally after
+    aggressive filters."""
+    from nested_pandas_spark import (
+        nest_corr, nest_cum, nest_decimate, nest_dedup, nest_describe,
+        nest_diff, nest_ewm, nest_interp, nest_rolling, nest_topk,
+        nest_wmean, nest_zscore, phase_fold, rebin, sigma_clip, trend_slope,
+    )
+
+    empty = spark.createDataFrame(
+        [], "id long, nested array<struct<t: double, flux: double>>"
+    )
+    allnull = spark.createDataFrame(
+        [(1, None)], "id long, nested array<struct<t: double, flux: double>>"
+    )
+    for frame, want in ((empty, 0), (allnull, 1)):
+        assert rebin(frame, "nested", "t", width=1.0).count() == want
+        assert phase_fold(frame, "nested", "t", period=1.0).count() == want
+        assert sigma_clip(frame, "nested", "flux").count() == want
+        assert trend_slope(frame, "nested", "t", "flux").count() == want
+        assert nest_diff(frame, "nested", "t").count() == want
+        assert nest_rolling(frame, "nested", "flux", 2).count() == want
+        assert nest_zscore(frame, "nested", "flux").count() == want
+        assert nest_topk(frame, "nested", "flux", 2).count() == want
+        assert nest_wmean(frame, "nested", "flux", "t").count() == want
+        assert nest_interp(frame, "nested", "t", "flux", grid=[0.5]).count() == want
+        assert nest_corr(frame, "nested", "t", "flux").count() == want
+        assert nest_describe(frame, "nested", "flux").count() == want
+        assert nest_ewm(frame, "nested", "flux", alpha=0.5).count() == want
+        assert nest_cum(frame, "nested", "flux").count() == want
+        assert nest_dedup(frame, "nested", by="t").count() == want
+        assert nest_decimate(frame, "nested", k=2).count() == want
+    # NULL cells pass through as NULL (not empty arrays, not errors)
+    [r] = sigma_clip(allnull, "nested", "flux").collect()
+    assert r["nested"] is None
+
+
+def test_joins_on_empty_inputs(spark):
+    from nested_pandas_spark.operators.asof import interval_join
+    from nested_pandas_spark.operators.crossmatch import crossmatch
+    from nested_pandas_spark.pipeline.dedup import fuzzy_pairs
+
+    pts = spark.createDataFrame([], "id long, x double, y double")
+    assert crossmatch(pts, pts, "id", "id", radius=1.0).count() == 0
+    iv = spark.createDataFrame([], "id long, k long, s long, e long")
+    assert interval_join(iv, iv, "k", "s", "e", "s", "e", bucket=10).count() == 0
+    strs = spark.createDataFrame([], "id long, s string")
+    assert fuzzy_pairs(strs, "id", "s").count() == 0
