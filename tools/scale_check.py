@@ -163,6 +163,31 @@ def main() -> int:
             from nested_pandas_spark.pipeline.text import hashed_tfidf
             hashed_tfidf(t(d, "documents"), dim=64).count()
 
+        def fuzzy():
+            from nested_pandas_spark.pipeline.dedup import fuzzy_pairs
+            vals = (t(d, "documents")
+                    .selectExpr("substring(text, 1, 12) AS s")
+                    .where("s IS NOT NULL").distinct()
+                    .withColumn("id", F.col("s")))
+            fuzzy_pairs(vals, "id", "s", max_dist=1, q=2).count()
+
+        def ijoin():
+            from nested_pandas_spark.operators.asof import interval_join
+            ev = t(d, "events")
+            us = (F.expr("ts div 1000")
+                  if dict(ev.dtypes)["ts"] == "bigint"
+                  else F.unix_micros(F.col("ts").cast("timestamp")))
+            half = 1_800 * 1_000_000
+
+            def win(ty):
+                return ev.where(F.col("event_type") == ty).select(
+                    F.col("event_id").alias(f"{ty}_id"), "user_id",
+                    us.alias(f"{ty}_s"), (us + half).alias(f"{ty}_e"))
+
+            interval_join(win("click"), win("error"), "user_id",
+                          "click_s", "click_e", "error_s", "error_e",
+                          bucket=half).count()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -177,6 +202,8 @@ def main() -> int:
             "rebin": rebin_daily,
             "crossmatch": xmatch,
             "hashed_tfidf": tfidf,
+            "fuzzy_pairs": fuzzy,
+            "interval_join": ijoin,
         }
 
     # warm-up
