@@ -1699,6 +1699,31 @@ def q100_nest_decimate(spark, sf):
         "user_id", "event_id")
 
 
+def q101_lightcurve_workflow(spark, sf):
+    """COMPOSITION proof: the full light-curve pipeline — sigma-clip each
+    user's series (2 sigma), phase-fold on a 7-day period, rebin the
+    phase into 8 bins, flatten — verified end-to-end against a single
+    SQL replay of all four stages. Every stage is a zero-shuffle HOF
+    projection over the one pack."""
+    from nested_pandas_spark import pack, phase_fold, rebin, sigma_clip
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "event_id", "ts", "value"), "series",
+              on="user_id", sort_within=["ts", "event_id"])
+    clipped = sigma_clip(nf, "series", "value", sigma=2.0)
+    folded = phase_fold(clipped, "series", "ts", period=7 * 86_400 * 10**9)
+    binned = rebin(folded, "series", "phase", width=0.125,
+                   value_fields=["value"], stats=("mean",))
+    return binned.select(
+        "user_id", F.explode("series_binned").alias("b")
+    ).select(
+        "user_id",
+        F.col("b.bin").alias("phase_bin"),
+        F.col("b.n").alias("n"),
+        F.round("b.value_mean", 6).alias("mean_r6"),
+    )
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1938,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_nest_cumsum": q98_nest_cumsum,
         "q99_nest_dedup": q99_nest_dedup,
         "q100_nest_decimate": q100_nest_decimate,
+        "q101_lightcurve_workflow": q101_lightcurve_workflow,
     }
 
 
@@ -2814,6 +2840,29 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q101_lightcurve_workflow": """
+            WITH stats AS (
+                SELECT user_id, count(value) AS n, avg(value) AS m,
+                       stddev_samp(value) AS s
+                FROM events GROUP BY user_id
+            ), kept AS (
+                SELECT e.user_id, e.ts, e.value
+                FROM events e JOIN stats st USING (user_id)
+                WHERE e.value IS NULL
+                   OR st.n < 2 OR st.s IS NULL OR st.s <= 0
+                   OR abs(e.value - st.m) <= 2.0 * st.s
+            ), folded AS (
+                SELECT user_id, value,
+                       (epoch_us(ts) * 1000 % 604800000000000)
+                           / 604800000000000 AS phase
+                FROM kept WHERE ts IS NOT NULL
+            )
+            SELECT user_id,
+                   CAST(floor(phase / 0.125) AS BIGINT) AS phase_bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 6) AS mean_r6
+            FROM folded GROUP BY 1, 2
         """,
         "q100_nest_decimate": """
             SELECT user_id, event_id FROM (
