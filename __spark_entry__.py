@@ -1724,6 +1724,21 @@ def q101_lightcurve_workflow(spark, sf):
     )
 
 
+def q102_nest_sample(spark, sf):
+    """Deterministic per-cell element sampling (operators/timeseries.py
+    nest_sample): keep ~30% of each user's events by md5(event_id) —
+    reproducible and cross-cell consistent, unlike rand(). Oracle replays
+    the identical hash threshold."""
+    from nested_pandas_spark import nest_sample, pack, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "value"), "series",
+              on="user_id", sort_within=["event_id"])
+    out = nest_sample(nf, "series", 0.3, "event_id")
+    return to_flat(out, "series", keys=["user_id"]).select(
+        "user_id", "event_id")
+
+
 def q38_text_scrub(spark, sf):
     """Training-data scrub pass: PII redaction (RE2-compatible regex chain,
     identical in both engines) + repetition-ratio quality signal
@@ -1964,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_nest_dedup": q99_nest_dedup,
         "q100_nest_decimate": q100_nest_decimate,
         "q101_lightcurve_workflow": q101_lightcurve_workflow,
+        "q102_nest_sample": q102_nest_sample,
     }
 
 
@@ -2840,6 +2856,12 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q102_nest_sample": """
+            SELECT user_id, event_id FROM events
+            WHERE event_id IS NOT NULL
+              AND ('0x' || substr(md5(event_id::VARCHAR || ':'), 1, 8))::BIGINT
+                  < 1288490188
         """,
         "q101_lightcurve_workflow": """
             WITH stats AS (

@@ -20,7 +20,7 @@ from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
     nest_corr, nest_cum, nest_decimate, nest_dedup, nest_describe,
-    nest_diff, nest_ewm, nest_interp,
+    nest_diff, nest_ewm, nest_interp, nest_sample,
     nest_rolling, nest_topk, nest_wmean, nest_zscore, phase_fold, rebin,
     sigma_clip, trend_slope,
 )
@@ -72,5 +72,6 @@ __all__ = [
     "nest_cum",
     "nest_dedup",
     "nest_decimate",
+    "nest_sample",
     "get_spark",
 ]

@@ -34,11 +34,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.nested import nested_field_names, quote, struct_sql
+from ..nestedframe.expr import _sql_literal
 
 __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
            "nest_corr", "nest_describe", "nest_ewm", "nest_cum", "nest_dedup",
-           "nest_decimate"]
+           "nest_decimate", "nest_sample"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -996,4 +997,43 @@ def nest_decimate(
     qn = quote(nest)
     return df.withColumn(
         out, F.expr(f"filter({qn}, (__x, __i) -> (__i % {k}) = {offset})")
+    )
+
+
+def nest_sample(
+    df: DataFrame,
+    nest: str,
+    fraction: float,
+    key_field: str,
+    salt: str = "",
+    out: str | None = None,
+) -> DataFrame:
+    """Deterministic per-cell element sampling: keep an element iff
+    ``md5(key ':' salt)`` maps below ``fraction`` of the 32-bit hash space
+    — every engine (and every rerun) selects the SAME elements, unlike
+    ``rand()``-based sampling. Vary ``salt`` for an independent draw.
+
+    The keep decision depends only on the element's own key, so the
+    sample is consistent ACROSS cells and tables: the same measurement id
+    is kept everywhere it appears (exactly what joins downstream of a
+    sample need). Pure per-element ``filter``, zero shuffle.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    fields = nested_field_names(df, nest)
+    if key_field not in fields:
+        raise KeyError(f"Nested column '{nest}' has no field '{key_field}'")
+    out = out or nest
+    qn, qk = quote(nest), quote(key_field)
+    threshold = int(fraction * 4294967296)
+    salt_sql = _sql_literal(f":{salt}") if salt else "':'"
+    h = (
+        f"CAST(conv(substring(md5(concat(CAST(__x.{qk} AS STRING), "
+        f"{salt_sql})), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return df.withColumn(
+        out,
+        F.expr(
+            f"filter({qn}, __x -> __x.{qk} IS NOT NULL AND {h} < {threshold})"
+        ),
     )

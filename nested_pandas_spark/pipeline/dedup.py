@@ -904,6 +904,7 @@ def fuzzy_pairs(
     text_col: str,
     max_dist: int = 1,
     q: int = 2,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Edit-distance near-pairs via q-gram blocking — record-linkage /
     entity-resolution for SHORT strings (names, codes, labels), where
@@ -921,9 +922,12 @@ def fuzzy_pairs(
     Scale shape: strings explode to ~len q-grams, pairs enumerate only
     within a (q-gram) posting — the classic blocked similarity join, never
     all-pairs; the exact ``levenshtein`` filter runs only on candidates.
-    Hot q-grams (e.g. 'th') create big postings — raise ``q`` or
-    pre-filter stopword-grams for heavy-tailed corpora; AQE splits the
-    skewed buckets meanwhile.
+    Hot q-grams (e.g. 'th') create big postings whose pair enumeration is
+    quadratic — ``max_posting`` drops any blocking key shared by more than
+    that many strings (the production skew valve). With the cap on,
+    completeness weakens to: pairs are found unless EVERY shared q-gram is
+    hot — for near-duplicate strings (many shared grams) misses need the
+    whole string to be made of stopword-grams. AQE splits surviving skew.
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
@@ -956,6 +960,15 @@ def fuzzy_pairs(
         F.concat(F.lit("LEN:"), (F.length("__s") + 1).cast("string")).alias("__g"),
     )
     blocked = grams.unionByName(shorts).unionByName(shorts2)
+    if max_posting is not None:
+        if max_posting < 2:
+            raise ValueError("max_posting must be >= 2")
+        hot = (
+            blocked.groupBy("__g").agg(F.count("*").alias("__n"))
+            .where(F.col("__n") > max_posting)
+            .select("__g")
+        )
+        blocked = blocked.join(hot, on="__g", how="left_anti")
     a = blocked.select(
         F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__g"
     )

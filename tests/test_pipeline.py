@@ -1065,3 +1065,16 @@ def test_fuzzy_pairs_validation_and_nulls(spark):
         dd.fuzzy_pairs(df, "id", "s", max_dist=-1)
     with _pt.raises(ValueError):
         dd.fuzzy_pairs(df, "id", "s", q=0)
+
+
+def test_fuzzy_pairs_max_posting_drops_hot_grams(spark):
+    # 20 strings share the hot gram "aa"; the two near-dup pairs also share
+    # rarer grams, so the cap must not lose them
+    rows = [(i, f"aa{i:03d}") for i in range(20)]
+    rows += [(100, "zzqxj"), (101, "zzqxk")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    capped = dd.fuzzy_pairs(df, "id", "s", max_dist=1, q=2, max_posting=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got  # survives via its rare grams
+    with pytest.raises(ValueError):
+        dd.fuzzy_pairs(df, "id", "s", max_posting=1)

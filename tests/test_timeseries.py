@@ -538,3 +538,38 @@ def test_nest_decimate(spark):
         nest_decimate(nf, "nested", k=0)
     with pytest.raises(ValueError):
         nest_decimate(nf, "nested", k=2, offset=2)
+
+
+def test_nest_sample_deterministic_and_consistent(spark):
+    import hashlib
+
+    rows = [(0, float(i), float(i)) for i in range(50)]
+    rows += [(1, float(i), float(i)) for i in range(25)]  # overlapping keys
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+    from nested_pandas_spark import nest_sample
+
+    out = {r["id"]: [e["t"] for e in r["nested"]]
+           for r in nest_sample(nf, "nested", 0.4, "t").collect()}
+
+    def kept(k):
+        h = int(hashlib.md5(f"{k}:".encode()).hexdigest()[:8], 16)
+        return h < int(0.4 * 4294967296)
+
+    # matches the reference hash exactly, and the SAME keys survive in
+    # both cells (cross-cell consistency)
+    assert out[0] == [float(i) for i in range(50) if kept(float(i))]
+    assert out[1] == [t for t in out[0] if t < 25]
+    # reruns identical; different salt gives a different draw
+    again = {r["id"]: [e["t"] for e in r["nested"]]
+             for r in nest_sample(nf, "nested", 0.4, "t").collect()}
+    assert again == out
+    other = nest_sample(nf, "nested", 0.4, "t", salt="v2").collect()
+    assert {r["id"]: [e["t"] for e in r["nested"]] for r in other} != out
+    # bounds
+    assert all(len(r["nested"]) == 0 for r in
+               nest_sample(nf, "nested", 0.0, "t").collect())
+    assert all(len(r["nested"]) in (50, 25) for r in
+               nest_sample(nf, "nested", 1.0, "t").collect())
+    with pytest.raises(ValueError):
+        nest_sample(nf, "nested", 1.5, "t")
