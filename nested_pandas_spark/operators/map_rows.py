@@ -187,8 +187,10 @@ def map_rows(
     # to fan the batches across every core. Left off by default: at real
     # scale the input is already wide and the extra shuffle would be waste.
     if repartition:
+        from ..session import default_parallelism
+
         src = src.repartition(
-            src.sparkSession.sparkContext.defaultParallelism
+            default_parallelism(src.sparkSession)
             if repartition is True
             else int(repartition)
         )
@@ -338,8 +340,10 @@ def map_batches(
     """
     src = df
     if repartition:
+        from ..session import default_parallelism
+
         src = src.repartition(
-            src.sparkSession.sparkContext.defaultParallelism
+            default_parallelism(src.sparkSession)
             if repartition is True
             else int(repartition)
         )

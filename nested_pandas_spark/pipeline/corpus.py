@@ -76,7 +76,9 @@ def _stream_starts(
     from pyspark import StorageLevel
 
     spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    from ..session import default_parallelism
+
+    par = default_parallelism(spark)
     base = (
         docs.select(F.col(id_col), size_expr.cast("long").alias("__sz"),
                     order_expr.alias("__k"))

@@ -171,10 +171,9 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     import os
 
     spark = df.sparkSession
-    try:
-        target = spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect session: no sparkContext
-        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    from ..session import default_parallelism
+
+    target = default_parallelism(spark)
     files = df.inputFiles()
     if not files:
         return df  # in-memory relation: creator already chose partitioning

@@ -65,7 +65,9 @@ def _per_query_topk(
     identical to the single-window plan.
     """
     if partial_buckets is None:
-        partial_buckets = scored.sparkSession.sparkContext.defaultParallelism * 4
+        from ..session import default_parallelism
+
+        partial_buckets = default_parallelism(scored.sparkSession) * 4
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
     w1 = Window.partitionBy("query_id", "__salt").orderBy(*order)
     pre = (

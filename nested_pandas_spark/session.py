@@ -42,5 +42,22 @@ def get_spark(app_name: str = "nested-pandas-spark", cpus: int | None = None) ->
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:  # Spark Connect: no sparkContext on the client
+        pass
     return spark
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    """Cluster parallelism, Spark-Connect-safe.
+
+    Classic sessions report ``sparkContext.defaultParallelism``; Connect
+    sessions have no SparkContext, so fall back to the session's shuffle
+    partition count (the same knob every wide operator in this package
+    sizes against).
+    """
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext on the client
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

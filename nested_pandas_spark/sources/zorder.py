@@ -75,7 +75,9 @@ def write_zordered(
     the helper column. Filtered reads on ANY of ``cols`` then skip row
     groups via parquet min/max stats."""
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    from ..session import default_parallelism
+
+    par = default_parallelism(spark)
     out = (
         df.withColumn("__z", zorder_value(cols, bits))
         .repartitionByRange(max(par, 2), F.col("__z"))

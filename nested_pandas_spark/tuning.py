@@ -132,7 +132,9 @@ def apply_scale_conf(
         spark.conf.set(key, str(value))
         applied[key] = str(value)
 
-    total_cores = spark.sparkContext.defaultParallelism
+    from .session import default_parallelism
+
+    total_cores = default_parallelism(spark)
     if shuffle_bytes is not None:
         _set(
             "spark.sql.shuffle.partitions",
