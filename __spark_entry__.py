@@ -1795,6 +1795,45 @@ def q36_stream_hourly(spark, sf):
     )
 
 
+def q103_stream_user_daily(spark, sf):
+    """Generalized streaming rollup through the gate (streaming/events.py
+    windowed_rollup): per-USER daily windows — the per-entity instance of
+    the q36 shape, proving the parameterized rollup's stream answer
+    equals the batch SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nested_pandas_spark.streaming import events as evs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = tempfile.mkdtemp(prefix="q103_stream_")
+    try:
+        shutil.copy(f"{sf}/events.parquet", f"{d}/part-0.parquet")
+        stream = evs.read_event_stream(spark, d)
+        name = "q103_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            evs.windowed_rollup(stream, keys=["user_id"], window="1 day")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    out = spark.table(name)
+    return out.select(
+        F.unix_timestamp("window_start").alias("day_epoch"),
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -1980,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_nest_decimate": q100_nest_decimate,
         "q101_lightcurve_workflow": q101_lightcurve_workflow,
         "q102_nest_sample": q102_nest_sample,
+        "q103_stream_user_daily": q103_stream_user_daily,
     }
 
 
@@ -2856,6 +2896,14 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q103_stream_user_daily": """
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                   user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
         """,
         "q102_nest_sample": """
             SELECT user_id, event_id FROM events

@@ -27,8 +27,7 @@ __all__ = [
     "hourly_rollup",
     "sessionize",
     "running_user_totals",
-    "stream_interval_join",
-]
+    "stream_interval_join", "windowed_rollup"]
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -98,6 +97,36 @@ def hourly_rollup(df: DataFrame, watermark: str = "2 hours") -> DataFrame:
         F.max("value").alias("max_value"),
     ).select(
         F.col("win.start").alias("hour_start"), "event_type", "n",
+        "min_value", "max_value",
+    )
+
+
+def windowed_rollup(
+    df: DataFrame,
+    keys: list[str],
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Generalized tumbling-window rollup: counts + value stats per
+    (``keys``, window) — :func:`hourly_rollup` is the (event_type, 1 hour)
+    instance. Works identically on batch and streaming input; on a stream
+    the watermark finalizes windows and bounds state to
+    ``|keys| x windows-in-watermark`` entries per partition.
+
+    At 100 TB the shuffle key is (keys, window-start) — time spreads any
+    single hot entity across windows, and AQE splits what remains.
+    """
+    src = with_event_time(df)
+    if src.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return src.groupBy(
+        F.window("event_time", window).alias("win"), *keys
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).select(
+        F.col("win.start").alias("window_start"), *keys, "n",
         "min_value", "max_value",
     )
 

@@ -193,3 +193,30 @@ def test_checkpointed_restart_processes_each_file_once(spark, tmp_path):
         got.groupBy("event_id").count().where(F.col("count") > 2).count()
     )
     assert dup_check == 0
+
+
+def test_windowed_rollup_stream_equals_batch(spark, tmp_path):
+    import shutil
+    import uuid
+
+    from nested_pandas_spark.streaming import events as evs
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(src, d / "part-0.parquet")
+    batch = evs.windowed_rollup(
+        spark.read.parquet(str(d)), keys=["user_id"], window="1 day")
+    name = "wr_" + uuid.uuid4().hex[:8]
+    q = (
+        evs.windowed_rollup(evs.read_event_stream(spark, str(d)),
+                            keys=["user_id"], window="1 day")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {(r["window_start"], r["user_id"]): (r["n"], r["min_value"])
+           for r in spark.table(name).collect()}
+    want = {(r["window_start"], r["user_id"]): (r["n"], r["min_value"])
+            for r in batch.collect()}
+    assert got == want
