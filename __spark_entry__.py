@@ -1834,6 +1834,35 @@ def q103_stream_user_daily(spark, sf):
     )
 
 
+def q104_audio_features(spark, sf):
+    """Audio plumbing through the gate (pipeline/multimodal.py
+    audio_features): text bytes stand in for PCM samples; the Arrow-
+    batched mapInPandas stub computes rms/zcr. Compared as EXACT integer
+    encodings — rms^2*4n = sum (2*byte-255)^2 and zcr*(n-1) = crossing
+    count are integers, so the float round-trip recovers them exactly
+    and the oracle needs no fp tolerance."""
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+        F.length(F.coalesce("text", F.lit(""))).alias("n"),
+    )
+    out = mm.audio_features(docs, "payload")
+    return out.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_bytes"),
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("rms") * F.col("rms") * 4 * F.col("n")).cast("long"),
+        ).otherwise(F.lit(0)).alias("ss4"),
+        F.when(
+            F.col("n") > 1,
+            F.round(F.col("zcr") * (F.col("n") - 1)).cast("long"),
+        ).otherwise(F.lit(0)).alias("crossings"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2020,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_lightcurve_workflow": q101_lightcurve_workflow,
         "q102_nest_sample": q102_nest_sample,
         "q103_stream_user_daily": q103_stream_user_daily,
+        "q104_audio_features": q104_audio_features,
     }
 
 
@@ -2896,6 +2926,37 @@ def oracle_sql() -> dict[str, str]:
                          / 604800000000000, 9) AS phase_r9
             FROM events
             WHERE ts IS NOT NULL
+        """,
+        "q104_audio_features": """
+            WITH idx AS (
+                SELECT doc_id, text,
+                       unnest(range(length(coalesce(text, '')))) AS i
+                FROM documents
+            ), ch AS (
+                SELECT doc_id, i,
+                       2 * ascii(substr(coalesce(text, ''), i + 1, 1))
+                           - 255 AS v
+                FROM idx
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v * v) AS BIGINT) AS ss4
+                FROM ch GROUP BY doc_id
+            ), cr AS (
+                SELECT a.doc_id, CAST(count(*) AS BIGINT) AS crossings
+                FROM ch a JOIN ch b
+                  ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                WHERE CASE WHEN a.v > 0 THEN 1 WHEN a.v < 0 THEN -1 ELSE 0 END
+                   <> CASE WHEN b.v > 0 THEN 1 WHEN b.v < 0 THEN -1 ELSE 0 END
+                GROUP BY a.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_bytes,
+                   COALESCE(agg.ss4, 0) AS ss4,
+                   COALESCE(cr.crossings, 0) AS crossings
+            FROM documents d
+            LEFT JOIN agg ON agg.doc_id = d.doc_id
+            LEFT JOIN cr ON cr.doc_id = d.doc_id
         """,
         "q103_stream_user_daily": """
             SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
