@@ -225,6 +225,17 @@ def interval_join(
     Non-key column names shared by both inputs (e.g. both sides carrying
     ``start``/``end``) come back with a ``_right`` suffix on the right
     side, the same convention as ``asof_join``/``crossmatch``.
+
+    Examples
+    --------
+    >>> from nested_pandas_spark.operators.asof import interval_join
+    >>> a = spark.createDataFrame([(1, 0, 0, 10)], "aid long, k long, s long, e long")
+    >>> b = spark.createDataFrame([(2, 0, 5, 15), (3, 0, 20, 30)],
+    ...                           "bid long, k long, s long, e long")
+    >>> [(r["aid"], r["bid"]) for r in
+    ...  interval_join(a, b, "k", "s", "e", "s_right", "e_right",
+    ...                bucket=8).collect()]
+    [(1, 2)]
     """
     keys = [on] if isinstance(on, str) else list(on)
 

@@ -927,6 +927,15 @@ def fuzzy_pairs(
     completeness weakens to: pairs are found unless EVERY shared q-gram is
     hot — for near-duplicate strings (many shared grams) misses need the
     whole string to be made of stopword-grams. AQE splits surviving skew.
+
+    Examples
+    --------
+    >>> from nested_pandas_spark.pipeline.dedup import fuzzy_pairs
+    >>> df = spark.createDataFrame(
+    ...     [(1, "spark"), (2, "spurk"), (3, "duckdb")], "id long, s string")
+    >>> [(r["id_a"], r["id_b"], r["dist"])
+    ...  for r in fuzzy_pairs(df, "id", "s", max_dist=1).collect()]
+    [(1, 2, 1)]
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")

@@ -362,3 +362,29 @@ def test_phase_fold_range_invariant(spark, rows, period):
             assert r["phase"] is None
         else:
             assert 0.0 <= r["phase"] < 1.0
+
+
+@given(rows=ts_rows)
+@SETTINGS
+def test_cumulative_trails_invariants(spark, rows):
+    """cummax is monotone non-decreasing over non-NULL positions, cumsum's
+    last value equals the plain sum, and the ewm trail stays within the
+    cell's [min, max]."""
+    from nested_pandas_spark import nest_cum, nest_ewm
+
+    df = spark.createDataFrame(rows, "id long, t double, flux double")
+    nf = pack(df, "nested", on="id", sort_within=["t", "flux"])
+    for r in nest_cum(nf, "nested", "flux", stat="max").collect():
+        seq = [e["flux_cummax"] for e in r["nested"] if e["flux_cummax"] is not None]
+        assert all(a <= b for a, b in zip(seq, seq[1:]))
+    for r in nest_cum(nf, "nested", "flux", stat="sum").collect():
+        vals = [e["flux"] for e in r["nested"] if e["flux"] is not None]
+        seq = [e["flux_cumsum"] for e in r["nested"] if e["flux_cumsum"] is not None]
+        if vals:
+            assert seq[-1] == pytest.approx(sum(vals))
+    for r in nest_ewm(nf, "nested", "flux", alpha=0.4).collect():
+        vals = [e["flux"] for e in r["nested"] if e["flux"] is not None]
+        seq = [e["flux_ewm"] for e in r["nested"] if e["flux_ewm"] is not None]
+        if vals:
+            lo, hi = min(vals), max(vals)
+            assert all(lo - 1e-9 <= v <= hi + 1e-9 for v in seq)
