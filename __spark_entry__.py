@@ -1863,6 +1863,38 @@ def q104_audio_features(spark, sf):
     )
 
 
+def q105_range_join_nano(spark, sf):
+    """Adversarial epoch-nano range join: signup windows aligned EXACTLY to
+    the hour bucket grid in int64 nanoseconds (magnitude ~1.7e18 > 2^53),
+    with half the click timestamps snapped onto the grid too, so matches
+    hinge on boundary-exact bucket assignment. Exercises the exact int64
+    DIV bucket arithmetic in operators/asof.py (_bucket_sql): the former
+    double path (ulp ~256 ns at this magnitude) could land a boundary row
+    one bucket off its containing window and silently drop the match.
+    Oracle replays the alignment and the brute theta join in DuckDB's
+    exact int64 arithmetic."""
+    from nested_pandas_spark.operators.asof import range_join
+
+    ev = _t(spark, sf, "events")  # ts: int64 epoch nanos
+    hour_ns = 3600 * 10**9
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.expr(f"(ts DIV {hour_ns}) * {hour_ns}"),
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    windows = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.expr(f"(ts DIV {hour_ns}) * {hour_ns}").alias("w_start"),
+        F.expr(f"(ts DIV {hour_ns}) * {hour_ns} + {2 * hour_ns}").alias("w_end"),
+        F.col("event_id").alias("signup_event"),
+    )
+    out = range_join(clicks, windows, on="user_id", left_ts="ts",
+                     right_start="w_start", right_end="w_end", bucket=hour_ns)
+    return out.select("event_id", "signup_event")
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2050,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_nest_sample": q102_nest_sample,
         "q103_stream_user_daily": q103_stream_user_daily,
         "q104_audio_features": q104_audio_features,
+        "q105_range_join_nano": q105_range_join_nano,
     }
 
 
@@ -3058,6 +3091,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.user_id, c.click_id, er.error_id
             FROM c JOIN er ON c.user_id = er.user_id
                 AND c.s < er.e AND er.s < c.e
+        """,
+        "q105_range_join_nano": """
+            WITH c0 AS (
+                SELECT event_id, user_id, epoch_us(ts) * 1000 AS tsn
+                FROM events WHERE event_type = 'click'
+            ), c AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 2 = 0
+                            THEN (tsn // 3600000000000) * 3600000000000
+                            ELSE tsn END AS ts
+                FROM c0
+            ), w AS (
+                SELECT user_id,
+                       ((epoch_us(ts) * 1000) // 3600000000000)
+                           * 3600000000000 AS w_start,
+                       event_id AS signup_event
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT c.event_id, w.signup_event
+            FROM c JOIN w ON c.user_id = w.user_id
+                AND w.w_start <= c.ts
+                AND c.ts < w.w_start + 7200000000000
         """,
         "q94_random_projection": """
             WITH v AS (

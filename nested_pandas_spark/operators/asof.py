@@ -18,8 +18,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.nested import quote
+from .timeseries import _floor_bin_sql
 
 __all__ = ["asof_join", "range_join", "interval_join"]
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _col_type(df: DataFrame, col: str) -> T.DataType:
+    return {f.name: f.dataType for f in df.schema.fields}[col]
+
+
+def _check_int_bucket(bucket, *dtypes: T.DataType) -> bool:
+    """True when any axis column is integral — the exact-int64 path.
+
+    On that path ``bucket`` must be a positive integer: int64-ns axes
+    (~1.7e18) exceed double's 2^53 exact range, so a fractional bucket
+    would force the inexact double path (and ``int(bucket)`` truncation
+    would silently change the bucket width — the rebin/phase_fold lesson).
+    """
+    integral = any(isinstance(t, _INTEGRAL) for t in dtypes)
+    if integral and (bucket != int(bucket) or int(bucket) <= 0):
+        raise ValueError(
+            f"bucket must be a positive integer for integral axis columns, got {bucket!r}"
+        )
+    return integral
+
+
+def _bucket_sql(col_sql: str, bucket, integral: bool) -> str:
+    """Exact ``floor(col / bucket)`` as SQL. Integral columns never pass
+    through double: epoch-nanosecond magnitudes exceed 2^53, where double
+    division is inexact (ulp ~256 ns) and a boundary row can land one
+    bucket off its containing interval — the same bug class fixed in
+    ``with_event_time`` (streaming/events.py) and ``rebin``."""
+    return _floor_bin_sql(col_sql, bucket, 0, integral)
 
 
 def asof_join(
@@ -177,16 +212,23 @@ def range_join(
     becoming a cartesian theta join.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    # floor division, not truncation: cast("long") rounds toward zero, which
-    # mis-buckets negative timestamps (-1 and +1 would share bucket 0 and
-    # boundary intervals would miss their matches)
-    l = left.withColumn("__bk", F.floor(F.col(left_ts) / bucket).cast("long"))
+    # floor division, not truncation: truncation toward zero mis-buckets
+    # negative timestamps (-1 and +1 would share bucket 0 and boundary
+    # intervals would miss their matches). Integral axes stay in exact
+    # int64 arithmetic end to end — see _bucket_sql.
+    l_int = _check_int_bucket(bucket, _col_type(left, left_ts))
+    r_int = _check_int_bucket(
+        bucket, _col_type(right, right_start), _col_type(right, right_end)
+    )
+    l = left.withColumn(
+        "__bk", F.expr(_bucket_sql(quote(left_ts), bucket, l_int)).cast("long")
+    )
     r = right.withColumn(
         "__bk",
         F.explode(
             F.sequence(
-                F.floor(F.col(right_start) / bucket).cast("long"),
-                F.floor(F.col(right_end) / bucket).cast("long"),
+                F.expr(_bucket_sql(quote(right_start), bucket, r_int)).cast("long"),
+                F.expr(_bucket_sql(quote(right_end), bucket, r_int)).cast("long"),
             )
         ),
     )
@@ -251,12 +293,13 @@ def interval_join(
     right_end = renames.get(right_end, right_end)
 
     def spans(df, s, e):
+        integral = _check_int_bucket(bucket, _col_type(df, s), _col_type(df, e))
         return df.withColumn(
             "__bk",
             F.explode(
                 F.sequence(
-                    F.floor(F.col(s) / bucket).cast("long"),
-                    F.floor(F.col(e) / bucket).cast("long"),
+                    F.expr(_bucket_sql(quote(s), bucket, integral)).cast("long"),
+                    F.expr(_bucket_sql(quote(e), bucket, integral)).cast("long"),
                 )
             ),
         )
@@ -266,8 +309,13 @@ def interval_join(
     overlap = (F.col(left_start) < F.col(right_end)) & (
         F.col(right_start) < F.col(left_end)
     )
-    first_live = F.floor(
-        F.greatest(F.col(left_start), F.col(right_start)) / bucket
+    fl_int = _check_int_bucket(
+        bucket, _col_type(left, left_start), _col_type(right, right_start)
+    )
+    first_live = F.expr(
+        _bucket_sql(
+            f"greatest({quote(left_start)}, {quote(right_start)})", bucket, fl_int
+        )
     ).cast("long")
     return (
         l.join(r, on=[*keys, "__bk"], how="inner")

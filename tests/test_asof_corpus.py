@@ -142,6 +142,104 @@ def test_range_join_negative_ts(spark):
     assert d == {1: "neg", 2: "cross", 3: "cross"}
 
 
+def test_range_join_epoch_nano_exact(spark):
+    """Bucket arithmetic on int64 epoch-nano-scale values (~2^60) must be
+    exact: a double round-trip has ulp ~256 at this magnitude, so a point
+    sitting within fp-error of a bucket boundary can land one bucket off
+    its containing interval and silently miss. Brute force is the oracle."""
+    import random
+
+    rng = random.Random(42)
+    base = 1 << 60
+    bucket = 86_400_000_000_000  # one day in ns
+    pts, ivs = [], []
+    for i in range(200):
+        # half the points sit exactly on / within a few ns of a bucket edge
+        edge = base + rng.randrange(0, 50) * bucket
+        delta = rng.choice([-2, -1, 0, 1, 2]) if i % 2 == 0 else rng.randrange(bucket)
+        pts.append((i, "K", edge + delta))
+    for j in range(80):
+        s = base + rng.randrange(0, 50) * bucket + rng.choice(
+            [0, -1, 1, rng.randrange(bucket)])
+        e = s + rng.randrange(1, 3 * bucket)
+        ivs.append(("K", s, e, j))
+    points = spark.createDataFrame(pts, "pid long, k string, ts long")
+    intervals = spark.createDataFrame(ivs, "k string, s long, e long, iid long")
+    out = range_join(points, intervals, on="k", left_ts="ts",
+                     right_start="s", right_end="e", bucket=bucket)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    want = sorted(
+        (pid, iid)
+        for pid, _, ts in pts
+        for _, s, e, iid in ivs
+        if s <= ts < e
+    )
+    assert got == want
+
+
+def test_interval_join_epoch_nano_exact(spark):
+    """interval_join overlap pairs vs brute force on ~2^60 int64 bounds;
+    also proves the first-live-bucket dedup emits each pair exactly once."""
+    import random
+
+    from nested_pandas_spark.operators.asof import interval_join
+
+    rng = random.Random(7)
+    base = 1 << 60
+    bucket = 3_600_000_000_000  # one hour in ns
+    aa, bb = [], []
+    for i in range(120):
+        s = base + rng.randrange(0, 30) * bucket + rng.choice([-1, 0, 1])
+        e = s + rng.randrange(1, 4 * bucket)
+        aa.append((i, "K", s, e))
+    for j in range(120):
+        s = base + rng.randrange(0, 30) * bucket + rng.choice([-1, 0, 1])
+        e = s + rng.randrange(1, 4 * bucket)
+        bb.append((j, "K", s, e))
+    a = spark.createDataFrame(aa, "aid long, k string, s long, e long")
+    b = spark.createDataFrame(bb, "bid long, k string, s long, e long")
+    out = interval_join(a, b, "k", "s", "e", "s_right", "e_right",
+                        bucket=bucket)
+    got = [(r["aid"], r["bid"]) for r in out.collect()]
+    assert len(got) == len(set(got)), "duplicate pair emissions"
+    want = sorted(
+        (ai, bi)
+        for ai, _, as_, ae in aa
+        for bi, _, bs, be in bb
+        if as_ < be and bs < ae
+    )
+    assert sorted(got) == want
+
+
+def test_range_join_rejects_fractional_bucket_on_int64(spark):
+    from nested_pandas_spark.operators.asof import interval_join
+
+    points = spark.createDataFrame([(1, "A", 5)], "pid long, k string, ts long")
+    intervals = spark.createDataFrame([("A", 0, 10, "i")],
+                                      "k string, s long, e long, label string")
+    with pytest.raises(ValueError, match="positive integer"):
+        range_join(points, intervals, on="k", left_ts="ts",
+                   right_start="s", right_end="e", bucket=0.5)
+    a = spark.createDataFrame([(1, "A", 0, 10)], "aid long, k string, s long, e long")
+    with pytest.raises(ValueError, match="positive integer"):
+        interval_join(a, a.withColumnRenamed("aid", "bid"), "k",
+                      "s", "e", "s_right", "e_right", bucket=2.5)
+
+
+def test_range_join_float_axis_still_works(spark):
+    points = spark.createDataFrame(
+        [(1, "A", 105.5), (2, "A", 250.25)], "pid long, k string, ts double"
+    )
+    intervals = spark.createDataFrame(
+        [("A", 100.0, 200.0, "i1"), ("A", 240.0, 260.0, "i2")],
+        "k string, s double, e double, label string",
+    )
+    out = range_join(points, intervals, on="k", left_ts="ts",
+                     right_start="s", right_end="e", bucket=50)
+    d = {r["pid"]: r["label"] for r in out.collect()}
+    assert d == {1: "i1", 2: "i2"}
+
+
 def test_clean_corpus(spark):
     base = (
         "the quick brown fox jumps over the lazy dog and then it runs far away "
