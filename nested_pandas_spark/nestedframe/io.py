@@ -355,22 +355,32 @@ def read_parquet(
         df = from_struct_of_lists(df, sol)
 
     if autocast_list:
-        for f in df.schema.fields:
-            if (
-                f.name not in reject
-                and isinstance(f.dataType, T.ArrayType)
-                and not isinstance(f.dataType.elementType, T.StructType)
-            ):
-                df = df.withColumn(
-                    f.name,
-                    F.expr(
-                        f"transform({quote(f.name)}, __x -> struct(__x AS {quote(f.name)}))"
-                    ),
-                )
+        df = _autocast_plain_lists(df, reject)
 
     if columns is None:
         return df
     return select_columns(df, columns)
+
+
+def _autocast_plain_lists(df: DataFrame, reject: set[str]) -> DataFrame:
+    """Wrap plain ``array<scalar>`` columns as single-field nested columns
+    (``array<struct<name: scalar>>``) — the reference's ``autocast_list``
+    (``io.py:279-306``). Shared by every reader so parquet/ORC behave
+    identically; must run BEFORE column selection so dotted partial loads
+    see the same nested shape either way."""
+    for f in df.schema.fields:
+        if (
+            f.name not in reject
+            and isinstance(f.dataType, T.ArrayType)
+            and not isinstance(f.dataType.elementType, T.StructType)
+        ):
+            df = df.withColumn(
+                f.name,
+                F.expr(
+                    f"transform({quote(f.name)}, __x -> struct(__x AS {quote(f.name)}))"
+                ),
+            )
+    return df
 
 
 def select_columns(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -603,6 +613,7 @@ def read_orc(
     path: str | list[str],
     columns: list[str] | None = None,
     filters: str | None = None,
+    reject_nesting: str | list[str] | None = None,
     autocast_list: bool = False,
     **options,
 ) -> DataFrame:
@@ -612,25 +623,23 @@ def read_orc(
     predicate pushdown, so ``columns`` (dotted names allowed) and
     ``filters`` prune at the scan just like parquet
     (``spark.sql.orc.enableVectorizedReader`` is on by default).
+
+    ``autocast_list`` / ``reject_nesting`` run before column selection via
+    the same helper as :func:`read_parquet`, so dotted partial loads see
+    the identical nested shape from both readers.
     """
+    reject = set(
+        [reject_nesting] if isinstance(reject_nesting, str) else reject_nesting or []
+    )
     df = spark.read.options(**options).orc(
         *([path] if isinstance(path, str) else path)
     )
     if filters:
         df = df.where(filters)
+    if autocast_list:
+        df = _autocast_plain_lists(df, reject)
     if columns is not None:
         df = select_columns(df, columns)
-    if autocast_list:
-        for f in df.schema.fields:
-            if isinstance(f.dataType, T.ArrayType) and not isinstance(
-                f.dataType.elementType, T.StructType
-            ):
-                df = df.withColumn(
-                    f.name,
-                    F.expr(
-                        f"transform({quote(f.name)}, __x -> struct(__x AS {quote(f.name)}))"
-                    ),
-                )
     return df
 
 

@@ -435,8 +435,13 @@ def histogram(
         row = src.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
-        if lo is None:  # empty input
-            lo, hi = 0.0, 1.0
+        # empty/all-NULL input leaves whichever bound came from the agg as
+        # None — fall back per bound, so ONE explicit bound plus an empty
+        # column still yields a well-formed (zero-count) histogram
+        if lo is None:
+            lo = hi - 1.0 if hi is not None else 0.0
+        if hi is None:
+            hi = lo + 1.0
     if not hi > lo:
         hi = lo + 1.0
     width = (hi - lo) / bins

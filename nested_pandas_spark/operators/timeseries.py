@@ -63,6 +63,27 @@ def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
     raise KeyError(f"No such column: '{nest}'")
 
 
+def _int_param(name: str, value, positive: bool = False) -> int:
+    """Validate a caller parameter on the exact-int64 path.
+
+    ``int()`` alone would silently truncate (width=1.9 bins as 1) or
+    collapse to zero (width=0.5 -> ANSI divide-by-zero at runtime); a
+    fractional parameter on an integral time axis is always a caller
+    mistake, so reject it loudly.
+    """
+    try:
+        ok = value == int(value)
+    except (TypeError, ValueError):
+        ok = False
+    if not ok or (positive and int(value) <= 0):
+        kind = "a positive integer" if positive else "an integer"
+        raise ValueError(
+            f"{name} must be {kind} when the time field is integral "
+            f"(int64 units are exact; fractions cannot be honored), got {value!r}"
+        )
+    return int(value)
+
+
 def _floor_bin_sql(expr: str, width, origin, integral: bool) -> str:
     """Floor-division bin index as exact SQL.
 
@@ -70,8 +91,8 @@ def _floor_bin_sql(expr: str, width, origin, integral: bool) -> str:
     corrects negatives to true floor semantics); float path uses ``floor``.
     """
     if integral:
-        w = int(width)
-        o = int(origin)
+        w = _int_param("width", width, positive=True)
+        o = _int_param("origin", origin)
         shifted = f"(({expr}) - {o})"
         return (
             f"(({shifted} DIV {w}) - (CASE WHEN ({shifted} % {w}) < 0 "
@@ -238,8 +259,8 @@ def phase_fold(
     raw = f"__x.{quote(time_field)}"
     t = f"unix_micros(CAST({raw} AS TIMESTAMP))" if kind == "timestamp" else raw
     if kind != "float":
-        p = int(period)
-        o = int(t0)
+        p = _int_param("period", period, positive=True)
+        o = _int_param("t0", t0)
         rem = f"(((({t}) - {o}) % {p} + {p}) % {p})"
         phase = f"CAST({rem} AS DOUBLE) / {p}"
     else:

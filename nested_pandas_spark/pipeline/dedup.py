@@ -915,8 +915,10 @@ def fuzzy_pairs(
     strings longer than ``q * (max_dist + 1) + q - 1`` characters (an
     edit destroys at most q q-grams, so with fewer than
     ``len - q + 1 - max_dist*q`` destroyed some q-gram survives intact).
-    Shorter strings additionally block on their LENGTH bucket so e.g.
-    2-char codes still pair with their neighbors.
+    Shorter strings additionally block on length buckets
+    ``LEN:n .. LEN:n+max_dist`` (edits change length by at most 1 each),
+    so e.g. 2-char codes still pair with their neighbors at any
+    ``max_dist`` — blocking is complete for every ``max_dist``, not just 1.
 
     Scale shape: strings explode to ~len q-grams, pairs enumerate only
     within a (q-gram) posting — the classic blocked similarity join, never
@@ -956,18 +958,22 @@ def fuzzy_pairs(
             )
         ).alias("__g"),
     )
-    # short strings: length-bucket blocking catches what q-grams can't
+    # short strings: length-bucket blocking catches what q-grams can't.
+    # Each edit changes length by at most 1, so a pair within max_dist can
+    # differ in length by up to max_dist: emit buckets LEN:n .. LEN:n+max_dist
+    # (an O(max_dist) blowup, constant in practice) so any legal length
+    # difference shares a bucket. LEN:n/LEN:n+1 alone missed short pairs
+    # whose lengths differ by 2+ at max_dist >= 2 (e.g. 'ab' vs 'axby').
     shorts = base.where(F.length("__s") <= guaranteed).select(
         "__id", "__s",
-        F.concat(F.lit("LEN:"), F.length("__s").cast("string")).alias("__g"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {max_dist}), __d -> "
+                f"concat('LEN:', CAST(length(__s) + __d AS STRING)))"
+            )
+        ).alias("__g"),
     )
-    # a deletion/insertion changes length by 1: also block against the
-    # neighboring length bucket so cross-length short pairs meet
-    shorts2 = base.where(F.length("__s") <= guaranteed).select(
-        "__id", "__s",
-        F.concat(F.lit("LEN:"), (F.length("__s") + 1).cast("string")).alias("__g"),
-    )
-    blocked = grams.unionByName(shorts).unionByName(shorts2)
+    blocked = grams.unionByName(shorts)
     if max_posting is not None:
         if max_posting < 2:
             raise ValueError("max_posting must be >= 2")

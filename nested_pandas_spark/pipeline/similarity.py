@@ -851,9 +851,14 @@ def random_projection(
 
     The sparse-free ±1 scheme (Achlioptas 2003) preserves pairwise
     distances within the JL bound while needing no stored matrix — each
-    entry regenerates from (row, col). The matrix enters the plan as
-    literals; the whole projection is one codegen'd per-row expression,
-    zero shuffle. Use before :func:`brute_force_topk` /
+    entry regenerates from (row, col). The matrix rides along as ONE
+    broadcast single-row frame (array<array<double>>), NOT as an
+    out_dim x dim expression tree: a literal-per-entry plan (~50k Column
+    ops for 768->64) inflates analysis time and overflows the JVM's 64KB
+    codegen method limit, silently falling back to interpreted
+    evaluation. The projection itself is one nested
+    ``transform``/``zip_with``/``aggregate`` expression — O(1) plan
+    nodes, zero shuffle, codegen'd. Use before :func:`brute_force_topk` /
     :func:`quantize_embeddings` to cut the dominant column's bytes by
     ``dim/out_dim``.
 
@@ -869,15 +874,31 @@ def random_projection(
         dim = row["n"]
     import math
 
+    from pyspark.sql import types as T
+
     v = F.col(vec_col).cast("array<double>")
     # math.sqrt, not **0.5: correctly-rounded sqrt matches SQL sqrt() exactly
     scale = math.sqrt(float(out_dim))
-    comps = []
-    for j in range(out_dim):
-        term = None
-        for i in range(dim):
-            sign = plane_component(j, i)
-            t = v[i] if sign > 0 else -v[i]
-            term = t if term is None else term + t
-        comps.append((term / F.lit(scale)).alias(f"p{j}"))
-    return df.withColumn(out, F.array(*[c for c in comps]))
+    matrix = [
+        [plane_component(j, i) for i in range(dim)] for j in range(out_dim)
+    ]
+    mat = df.sparkSession.createDataFrame(
+        [(matrix,)],
+        T.StructType([
+            T.StructField(
+                "__jl_R", T.ArrayType(T.ArrayType(T.DoubleType()))
+            )
+        ]),
+    )
+    # fold order matches the old literal chain exactly (0.0 + x0 == x0 and
+    # x * ±1.0 is exact), so results are bit-identical to the oracle replay
+    proj = F.transform(
+        F.col("__jl_R"),
+        lambda srow: F.aggregate(
+            F.zip_with(v, srow, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(scale),
+    )
+    return df.crossJoin(F.broadcast(mat)).withColumn(out, proj).drop("__jl_R")

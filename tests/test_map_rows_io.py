@@ -388,3 +388,41 @@ def test_orc_roundtrip_preserves_nested(spark, packed):
         assert read_orc(spark, d, filters="id > 0").count() == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_orc_autocast_matches_read_parquet(spark):
+    """autocast_list must behave identically across the two readers: run
+    BEFORE column selection (dotted partial loads see the same nested
+    shape) and honor the reject_nesting guard."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.nestedframe.io import (
+        read_orc, read_parquet, to_orc, write_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3, 4])],
+        "id long, flux array<double>, keep array<long>",
+    )
+    d = tempfile.mkdtemp(prefix="orc_autocast_")
+    try:
+        to_orc(df, f"{d}/orc")
+        write_parquet(df, f"{d}/pq")
+        for back in (
+            read_orc(spark, f"{d}/orc", columns=["id", "flux.flux"],
+                     autocast_list=True, reject_nesting="keep"),
+            read_parquet(spark, f"{d}/pq", columns=["id", "flux.flux"],
+                         autocast_list=True, reject_nesting="keep"),
+        ):
+            # dotted selection through the autocast nest works (it would
+            # fail if autocast ran after selection), reject stays plain
+            assert dict(back.dtypes)["flux"] == "array<struct<flux:double>>"
+            assert "keep" not in back.columns
+            [r] = back.collect()
+            assert [e["flux"] for e in r["flux"]] == [1.0, 2.0]
+        rej = read_orc(spark, f"{d}/orc", autocast_list=True,
+                       reject_nesting="keep")
+        assert dict(rej.dtypes)["keep"] == "array<bigint>"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

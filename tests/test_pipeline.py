@@ -1057,6 +1057,42 @@ def test_fuzzy_pairs_matches_bruteforce(spark):
     assert got == want  # complete AND exact, incl. 2-char and 1-char codes
 
 
+def test_fuzzy_pairs_max_dist2_matches_bruteforce(spark):
+    """Completeness at max_dist=2 over random short strings: pairs whose
+    lengths differ by 2 share no q-gram ('ab' vs 'axby') and are only
+    reachable through the LEN:n..n+max_dist buckets — the advice-r3 gap."""
+    import itertools
+    import random
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(13)
+    vals = list({
+        "".join(rng.choice("abc") for _ in range(rng.randrange(1, 7)))
+        for _ in range(60)
+    })
+    vals += ["ab", "axby", "", "xy"]  # the adversarial dist-2 shape + empties
+    vals = sorted(set(vals))
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, s string")
+    got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in
+                 dd.fuzzy_pairs(df, "id", "s", max_dist=2, q=2).collect())
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2)
+        if lev(a, b) <= 2
+    )
+    assert got == want
+    assert any(abs(len(vals[i]) - len(vals[j])) == 2 for i, j, _ in want), \
+        "corpus must actually exercise length-difference-2 pairs"
+
+
 def test_fuzzy_pairs_validation_and_nulls(spark):
     df = spark.createDataFrame([(0, "ab"), (1, None)], "id long, s string")
     assert dd.fuzzy_pairs(df, "id", "s").count() == 0  # NULLs dropped

@@ -95,6 +95,31 @@ def test_rebin_sum_stat_and_validation(spark):
         rebin(nf, "nested", "nope", width=1.0)
 
 
+def test_rebin_phase_fold_reject_fractional_params_on_int_axis(spark):
+    """Fractional width/origin/period/t0 on an int64 time axis must raise:
+    int() truncation would bin width=1.9 as 1 and width=0.5 would collapse
+    to 0 (ANSI divide-by-zero at runtime)."""
+    from nested_pandas_spark import phase_fold
+
+    child = spark.createDataFrame([(0, 10, 1.0)], "id long, t long, flux double")
+    nf = pack(child, "nested", on="id")
+    with pytest.raises(ValueError, match="width must be a positive integer"):
+        rebin(nf, "nested", "t", width=0.5)
+    with pytest.raises(ValueError, match="width must be a positive integer"):
+        rebin(nf, "nested", "t", width=1.9)
+    with pytest.raises(ValueError, match="origin must be an integer"):
+        rebin(nf, "nested", "t", width=2, origin=0.25)
+    with pytest.raises(ValueError, match="period must be a positive integer"):
+        phase_fold(nf, "nested", "t", period=2.5)
+    with pytest.raises(ValueError, match="period must be a positive integer"):
+        phase_fold(nf, "nested", "t", period=0)
+    with pytest.raises(ValueError, match="t0 must be an integer"):
+        phase_fold(nf, "nested", "t", period=2, t0=0.5)
+    # integer-valued floats are fine (2.0 == 2)
+    [row] = rebin(nf, "nested", "t", width=2.0).collect()
+    assert row["nested_binned"][0]["bin"] == 5
+
+
 def test_rebin_null_cell_passthrough(spark, packed):
     # a base row whose nested cell is NULL yields a NULL binned cell
     from nested_pandas_spark import NestedFrame

@@ -71,3 +71,12 @@ def test_histogram_degenerate_inputs(spark):
     assert sum(r["count"] for r in rows) == 2
     with pytest.raises(ValueError):
         histogram(const, "v", bins=0)
+    # ONE explicit bound + empty/all-NULL column: the other bound comes
+    # back None from the agg and must fall back, not TypeError
+    rows = histogram(empty, "v", bins=2, lo=0.0).collect()
+    assert len(rows) == 2 and all(r["count"] == 0 for r in rows)
+    rows = histogram(empty, "v", bins=2, hi=10.0).collect()
+    assert len(rows) == 2 and all(r["count"] == 0 for r in rows)
+    allnull = spark.createDataFrame([(None,)], "v double")
+    rows = histogram(allnull, "v", bins=2, lo=1.0).collect()
+    assert len(rows) == 2 and all(r["count"] == 0 for r in rows)
