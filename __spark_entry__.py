@@ -1895,6 +1895,81 @@ def q105_range_join_nano(spark, sf):
     return out.select("event_id", "signup_event")
 
 
+def q106_bmp_decode(spark, sf):
+    """REAL image decode through the gate (pipeline/multimodal.py
+    decode_bmp): each document's first 48 text bytes (zero-padded) become
+    the pixel data of a genuine 4x4 24-bit BMP — constant 54-byte header,
+    bottom-up rows, BGR channel order — synthesized entirely with SQL
+    binary built-ins (concat/rpad/substring/encode). decode_image in
+    STRICT mode must parse it for real. pix_sum checks the pixel multiset;
+    first_r/first_b/last_r/last_b are order-sensitive probes that only
+    match if the row flip (bottom-up -> top-down) and channel swap
+    (BGR -> RGB) are correct: e.g. decoded pixel[0] is the R channel of
+    the top-left pixel, which lives at data byte 38 (file row 3, +2)."""
+    import struct
+
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    header = (
+        b"BM" + struct.pack("<IHHI", 102, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 2835, 2835, 0, 0)
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"concat(X'{header.hex()}', rpad(substring("
+            "encode(coalesce(text, ''), 'utf-8'), 1, 48), 48, X'00'))"
+        ).alias("payload"),
+    )
+    out = mm.decode_image(docs, "payload", strict=True)
+    p = F.col("pixels")
+    return out.select(
+        "doc_id",
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("pix_sum"),
+        F.element_at(p, 1).cast("long").alias("first_r"),
+        F.element_at(p, 3).cast("long").alias("first_b"),
+        F.element_at(p, 46).cast("long").alias("last_r"),
+        F.element_at(p, 48).cast("long").alias("last_b"),
+    )
+
+
+def q107_wav_features(spark, sf):
+    """REAL audio decode through the gate (pipeline/multimodal.py
+    decode_wav): each document's first 64 text bytes (zero-padded) become
+    the data chunk of a genuine PCM-16 mono WAV (constant 44-byte
+    RIFF/fmt/data header), i.e. 32 little-endian int16 samples
+    v = b[2i] + 256*b[2i+1]. audio_features in STRICT mode must walk the
+    chunks and decode for real. Features re-encoded as exact integers
+    (q104 trick): rms^2 * 32 * 32768^2 = sum(v^2) and zcr * 31 = sign
+    transitions, both integers the float round-trip recovers exactly."""
+    import struct
+
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    header = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 64)
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"concat(X'{header.hex()}', rpad(substring("
+            "encode(coalesce(text, ''), 'utf-8'), 1, 64), 64, X'00'))"
+        ).alias("payload"),
+    )
+    out = mm.audio_features(docs, "payload", strict=True)
+    return out.select(
+        "doc_id",
+        F.round(F.col("rms") * F.col("rms") * 32 * float(32768 ** 2))
+        .cast("long").alias("ss"),
+        F.round(F.col("zcr") * 31).cast("long").alias("crossings"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2083,6 +2158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_stream_user_daily": q103_stream_user_daily,
         "q104_audio_features": q104_audio_features,
         "q105_range_join_nano": q105_range_join_nano,
+        "q106_bmp_decode": q106_bmp_decode,
+        "q107_wav_features": q107_wav_features,
     }
 
 
@@ -3113,6 +3190,61 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN w ON c.user_id = w.user_id
                 AND w.w_start <= c.ts
                 AND c.ts < w.w_start + 7200000000000
+        """,
+        "q106_bmp_decode": """
+            -- replay the BMP byte layout: padded data byte i is text byte
+            -- i (ASCII: char == byte) or 0; decoded probes map through the
+            -- bottom-up row flip and BGR->RGB swap to fixed byte indexes
+            WITH b AS (
+                SELECT doc_id, text, unnest(range(48)) AS i
+                FROM documents
+            ), v AS (
+                SELECT doc_id, i,
+                       CASE WHEN i < length(coalesce(text, ''))
+                            THEN ascii(substr(text, i + 1, 1)) ELSE 0
+                       END AS v
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(sum(v) AS BIGINT) AS pix_sum,
+                   CAST(max(CASE WHEN i = 38 THEN v END) AS BIGINT) AS first_r,
+                   CAST(max(CASE WHEN i = 36 THEN v END) AS BIGINT) AS first_b,
+                   CAST(max(CASE WHEN i = 11 THEN v END) AS BIGINT) AS last_r,
+                   CAST(max(CASE WHEN i = 9 THEN v END) AS BIGINT) AS last_b
+            FROM v GROUP BY doc_id
+        """,
+        "q107_wav_features": """
+            -- replay the PCM-16 LE samples: v_i = b[2i] + 256*b[2i+1]
+            -- over the first 64 text bytes zero-padded (ASCII bytes < 128
+            -- keep the high byte positive, so no sign wrap)
+            WITH idx AS (
+                SELECT doc_id, text, unnest(range(32)) AS i
+                FROM documents
+            ), s AS (
+                SELECT doc_id, i,
+                       (CASE WHEN 2 * i < length(coalesce(text, ''))
+                             THEN ascii(substr(text, 2 * i + 1, 1)) ELSE 0 END
+                        + 256 * CASE WHEN 2 * i + 1 < length(coalesce(text, ''))
+                                     THEN ascii(substr(text, 2 * i + 2, 1))
+                                     ELSE 0 END) AS v
+                FROM idx
+            ), agg AS (
+                SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS ss
+                FROM s GROUP BY doc_id
+            ), cr AS (
+                SELECT a.doc_id, CAST(count(*) AS BIGINT) AS crossings
+                FROM s a JOIN s b
+                  ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                WHERE CASE WHEN a.v > 0 THEN 1 WHEN a.v < 0 THEN -1 ELSE 0 END
+                   <> CASE WHEN b.v > 0 THEN 1 WHEN b.v < 0 THEN -1 ELSE 0 END
+                GROUP BY a.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(agg.ss, 0) AS ss,
+                   COALESCE(cr.crossings, 0) AS crossings
+            FROM documents d
+            LEFT JOIN agg ON agg.doc_id = d.doc_id
+            LEFT JOIN cr ON cr.doc_id = d.doc_id
         """,
         "q94_random_projection": """
             WITH v AS (

@@ -2,10 +2,18 @@
 
 Policy: media payloads are opaque ``binary`` columns with a typed metadata
 struct alongside. All Spark-side plumbing (schemas, batching, partitioning,
-UDF signatures) is real and tested; the actual codec work is stubbed because
-decode libraries (PIL/ffmpeg/torchaudio) are not in this container — each
-stub either raises ``NotImplementedError`` (strict mode) or produces a
-deterministic fake (test mode), clearly marked.
+UDF signatures) is real and tested. Codecs come in two tiers:
+
+* **Real decoders** for uncompressed formats parseable with stdlib
+  ``struct`` + NumPy — 24-bit BMP and binary PPM (P6) images
+  (:func:`decode_bmp` / :func:`decode_ppm`), and RIFF/WAVE PCM-16 audio
+  (:func:`decode_wav`). ``decode_image`` / ``audio_features`` sniff the
+  payload magic and use these automatically — a real end-to-end decode
+  path, oracle-checkable with deterministic synthetic payloads.
+* **Stubs** for compressed formats (JPEG/PNG/MP4/...) whose codec
+  libraries (PIL/ffmpeg) are not in this container: strict mode raises
+  ``NotImplementedError``; non-strict produces a deterministic md5 fake,
+  clearly marked.
 
 Scale design: media rows are WIDE (payload >> metadata). Operators here never
 shuffle payload bytes — feature extraction / decode happen via ``mapInPandas``
@@ -26,6 +34,9 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_media_meta",
+    "decode_bmp",
+    "decode_ppm",
+    "decode_wav",
     "decode_image",
     "image_features",
     "resize_image",
@@ -88,6 +99,120 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
     return np.asarray(vals, dtype=np.uint8).reshape(h, w, c)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder: uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB.
+
+    Pure stdlib ``struct`` + NumPy — no codec library. Handles the
+    standard layout: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER
+    (>=40 bytes), bottom-up or top-down rows, 4-byte row padding, BGR
+    channel order (converted to RGB). Raises ``ValueError`` for anything
+    else (compressed/paletted BMPs need a real codec library).
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP (header={hdr_size} bpp={bpp} compression={comp}); "
+            "only uncompressed 24-bit BMP decodes without a codec library"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    row_size = (w * 3 + 3) // 4 * 4
+    need = data_off + row_size * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: need {need} bytes, have {len(payload)}")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=row_size * h,
+                        offset=data_off)
+    arr = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[..., ::-1].copy()  # BGR -> RGB
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decoder: binary PPM (``P6``, maxval <= 255) -> (h, w, 3) uint8
+    RGB. Pure parsing — header is ASCII tokens (with ``#`` comments),
+    pixel data is raw interleaved RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        ch = payload[pos:pos + 1]
+        if ch.isspace():
+            pos += 1
+        elif ch == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (maxval={maxval}, {w}x{h})")
+    pos += 1  # single whitespace after maxval
+    need = pos + w * h * 3
+    if len(payload) < need:
+        raise ValueError(f"truncated PPM: need {need} bytes, have {len(payload)}")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder: RIFF/WAVE PCM 16-bit -> (mono float64 samples in
+    [-1, 1), sample_rate). Multi-channel input is mixed down by averaging.
+
+    Pure stdlib ``struct`` + NumPy chunk walk (``fmt `` then ``data``);
+    raises ``ValueError`` for non-PCM / non-16-bit files (those need a
+    codec library).
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_channels, sample_rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={audio_fmt} bits={bits}); only "
+                    "PCM-16 decodes without a codec library"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are 2-byte aligned
+    if n_channels is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(
+        data, dtype="<i2", count=len(data) // 2
+    ).astype(np.float64)
+    if n_channels > 1:
+        n = len(samples) // n_channels * n_channels
+        samples = samples[:n].reshape(-1, n_channels).mean(axis=1)
+    return samples / 32768.0, sample_rate
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
@@ -100,31 +225,42 @@ def decode_image(
 ) -> DataFrame:
     """Decode image payloads to a flat uint8 pixel array column.
 
-    Real plumbing, stubbed codec. Output schema:
-    ``out_col: array<int>`` (h*w*c flattened) plus pass-through columns
-    minus the payload (dropped immediately after decode — payload bytes never
-    travel further down the plan).
+    REAL for uncompressed formats: payloads sniffed as 24-bit BMP
+    (``BM`` magic) or binary PPM (``P6``) decode genuinely via
+    :func:`decode_bmp` / :func:`decode_ppm` — their actual dimensions are
+    used, ``height``/``width``/``channels`` apply only to the stub path.
+    Other formats (JPEG/PNG/...) need a codec library not in this
+    container: ``strict=True`` raises ``NotImplementedError`` for them,
+    ``strict=False`` produces the deterministic md5 fake.
+
+    Output schema: ``out_col: array<int>`` (h*w*c flattened, row-major
+    RGB) plus pass-through columns minus the payload (dropped immediately
+    after decode — payload bytes never travel further down the plan).
     """
     keep = [c for c in df.columns if c != payload_col]
     fields = [df.schema[c] for c in keep]
     out_schema = T.StructType(fields + [T.StructField(out_col, T.ArrayType(T.IntegerType()))])
 
+    def _decode_one(p) -> list | None:
+        if p is None:
+            return None
+        payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload).ravel().tolist()
+        if payload[:2] == b"P6":
+            return decode_ppm(payload).ravel().tolist()
+        if strict:
+            raise NotImplementedError(
+                "only uncompressed BMP/PPM decode without a codec library "
+                "(PIL/cv2 not present); run with strict=False for the "
+                "deterministic stub"
+            )
+        return _fake_pixels(payload, height, width, channels).ravel().tolist()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires a codec library not present in this "
-                    "environment; run with strict=False for the deterministic stub"
-                )
-            pixels = [
-                _fake_pixels(p if isinstance(p, (bytes, bytearray)) else bytes(p),
-                             height, width, channels).ravel().tolist()
-                if p is not None
-                else None
-                for p in pdf[payload_col]
-            ]
             out = pdf[keep].copy()
-            out[out_col] = pixels
+            out[out_col] = [_decode_one(p) for p in pdf[payload_col]]
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)
@@ -232,9 +368,13 @@ def sample_video_frames(
 def audio_features(
     df: DataFrame, payload_col: str = "payload", strict: bool = False
 ) -> DataFrame:
-    """Audio feature stub: rms/zero-crossing-ish scalars from a fake decode.
+    """Audio features (rms, zero-crossing rate) per payload.
 
-    STUB — the mapInPandas plumbing and output schema are the contract.
+    REAL for RIFF/WAVE PCM-16 payloads: samples decode genuinely via
+    :func:`decode_wav` (normalized to [-1, 1), multi-channel mixed down).
+    Other formats need an audio codec library: ``strict=True`` raises for
+    them, ``strict=False`` treats the raw bytes as crude uint8 samples
+    (the deterministic stub the q104 gate exercises).
     """
     keep = [c for c in df.columns if c != payload_col]
     fields = [df.schema[c] for c in keep]
@@ -243,23 +383,29 @@ def audio_features(
         + [T.StructField("rms", T.DoubleType()), T.StructField("zcr", T.DoubleType())]
     )
 
+    def _features(p) -> tuple[float | None, float | None]:
+        if p is None:
+            return None, None
+        payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            x, _rate = decode_wav(payload)
+        elif strict:
+            raise NotImplementedError(
+                "only RIFF/WAVE PCM-16 decodes without a codec library; "
+                "run with strict=False for the raw-bytes stub"
+            )
+        else:
+            x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 127.5
+        rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+        zcr = float(np.mean(np.diff(np.sign(x)) != 0)) if len(x) > 1 else 0.0
+        return rms, zcr
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("audio decode requires an audio codec; not available")
-            rms, zcr = [], []
-            for p in pdf[payload_col]:
-                if p is None:
-                    rms.append(None)
-                    zcr.append(None)
-                    continue
-                payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
-                x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 127.5
-                rms.append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
-                zcr.append(float(np.mean(np.diff(np.sign(x)) != 0)) if len(x) > 1 else 0.0)
+            feats = [_features(p) for p in pdf[payload_col]]
             out = pdf[keep].copy()
-            out["rms"] = rms
-            out["zcr"] = zcr
+            out["rms"] = [f[0] for f in feats]
+            out["zcr"] = [f[1] for f in feats]
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)

@@ -390,6 +390,115 @@ def test_multimodal_strict_raises(spark):
         mm.decode_image(bdf, strict=True).collect()
 
 
+def _make_bmp(pixels, bottom_up=True):
+    """Reference 24-bit BMP writer (RGB ndarray in, bytes out)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    data = bytearray()
+    rows = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in rows:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixels[y, x]
+            row += bytes([b, g, r])  # BGR on disk
+        row += b"\x00" * (row_size - len(row))
+        data += row
+    raw_h = h if bottom_up else -h
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, raw_h, 1, 24, 0,
+                          len(data), 2835, 2835, 0, 0)
+    return bytes(header + data)
+
+
+def _make_wav(samples, rate=8000, channels=1):
+    """Reference PCM-16 WAV writer (int16 list in, bytes out)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_bmp_real():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(3, 5, 3), dtype=np.uint8)  # w=5: rows pad
+    assert np.array_equal(mm.decode_bmp(_make_bmp(px, bottom_up=True)), px)
+    assert np.array_equal(mm.decode_bmp(_make_bmp(px, bottom_up=False)), px)
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm.decode_bmp(b"JUNKJUNK" * 10)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_bmp(_make_bmp(px)[:-4])
+    bad = bytearray(_make_bmp(px))
+    bad[28] = 8  # bpp=8 (paletted) needs a codec library
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        mm.decode_bmp(bytes(bad))
+
+
+def test_decode_ppm_real():
+    rng = np.random.RandomState(6)
+    px = rng.randint(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert np.array_equal(mm.decode_ppm(payload), px)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_ppm(payload[:-1])
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        mm.decode_ppm(b"P3\n1 1\n255\n1 2 3")
+
+
+def test_decode_wav_real():
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    x, rate = mm.decode_wav(_make_wav(samples, rate=16000))
+    assert rate == 16000
+    assert np.allclose(x * 32768.0, samples)
+    # stereo mixes down by averaging
+    x2, _ = mm.decode_wav(_make_wav([100, 300, -50, 50], channels=2))
+    assert np.allclose(x2 * 32768.0, [200.0, 0.0])
+    with pytest.raises(ValueError, match="not a RIFF"):
+        mm.decode_wav(b"nope")
+    bad = bytearray(_make_wav(samples))
+    bad[20] = 3  # IEEE-float format tag
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        mm.decode_wav(bytes(bad))
+
+
+def test_decode_image_sniffs_real_formats(spark):
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    bdf = spark.createDataFrame(
+        [(1, bytearray(_make_bmp(px))),
+         (2, bytearray(b"P6\n2 2\n255\n" + px.tobytes())),
+         (3, None)],
+        "id int, payload binary",
+    )
+    # strict=True must NOT raise for genuinely decodable formats
+    rows = {r["id"]: r["pixels"]
+            for r in mm.decode_image(bdf, strict=True).collect()}
+    assert rows[1] == px.ravel().tolist()
+    assert rows[2] == px.ravel().tolist()
+    assert rows[3] is None
+
+
+def test_audio_features_real_wav(spark):
+    samples = [16384, -16384, 16384, 0]
+    bdf = spark.createDataFrame(
+        [(1, bytearray(_make_wav(samples)))], "id int, payload binary"
+    )
+    [r] = mm.audio_features(bdf, strict=True).collect()
+    x = np.array(samples, dtype=np.float64) / 32768.0
+    assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(x ** 2))))
+    assert r["zcr"] == pytest.approx(float(np.mean(np.diff(np.sign(x)) != 0)))
+    # non-WAV payload in strict mode still raises
+    junk = spark.createDataFrame([(1, bytearray(b"mp3data"))],
+                                 "id int, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.audio_features(junk, strict=True).collect()
+
+
 def test_video_frames_nested_contract(spark):
     bdf = spark.createDataFrame([(1, bytearray(b"vid"))], "id int, payload binary")
     out = mm.sample_video_frames(bdf, n_frames=3)
