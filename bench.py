@@ -6,7 +6,10 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 The query set re-expresses the reference's ASV microbenchmarks and its ZTF
 workflow notebook (BASELINE.md) on the driver's star schema:
   add_nested        ~ NestedFrameAddNested   (pack 600k lineitem under orders)
+  add_nested_bucketed   same pack over bucketed-by-key storage (no exchange;
+                        pay-once-at-ingest — the reference's in-memory analogue)
   query_nested      ~ NestedFrameQuery       (element filter)
+  query_nested_bucketed same filter over the bucketed layout
   count_by          ~ CountNestedBy          (per-category counts)
   reduce_hof        ~ NestedFrameReduce      (per-row mean, HOF fast path)
   reduce_udf        ~ NestedFrameReduce      (per-row mean via pandas UDF)
@@ -170,6 +173,25 @@ def main() -> None:
     packed_path = "/tmp/bench_packed.parquet"
     packed().df.write.mode("overwrite").parquet(packed_path)
 
+    # -- setup (untimed): bucketed-by-join-key tables for the shuffle-free
+    # pack variants. The reference is an IN-MEMORY engine — its add_nested
+    # starts from pre-loaded, index-organized frames — so the bucketed
+    # layout (pay the partitioning once at ingest) is the storage-equal
+    # comparison; the plain variants keep paying scan+shuffle per query.
+    from nested_pandas_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    bkt = {"orders": "bench_orders_bkt", "lineitem": "bench_lineitem_bkt"}
+    for name, tbl in bkt.items():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        src = (t(name).withColumnRenamed("l_orderkey", "o_orderkey")
+               if name == "lineitem" else t(name))
+        write_bucketed(src, tbl, "o_orderkey", num_buckets=cpus,
+                       sort_by="o_orderkey", path=f"/tmp/{tbl}")
+
+    def packed_bucketed():
+        return NestedFrame(read_bucketed(spark, bkt["orders"])).join_nested(
+            read_bucketed(spark, bkt["lineitem"]), "items", on="o_orderkey")
+
     # warm-up: JVM, parquet footers, codegen
     packed().df.select(F.sum(F.size("items"))).collect()
     # warm the Python worker fleet (process spawn + Arrow/pandas import per
@@ -210,6 +232,16 @@ def main() -> None:
         F.count("*"), F.sum(F.size("items"))).collect())
 
     bench("query_nested", lambda: packed()
+          .query("items.l_quantity > 30")
+          .df.select(F.sum(F.size("items"))).collect())
+
+    # same operators over the bucketed layout: the pack's groupBy and join
+    # read pre-partitioned buckets, so the per-query shuffle disappears —
+    # the honest storage-layout analogue of the reference's in-memory start
+    bench("add_nested_bucketed", lambda: packed_bucketed().df.select(
+        F.count("*"), F.sum(F.size("items"))).collect())
+
+    bench("query_nested_bucketed", lambda: packed_bucketed()
           .query("items.l_quantity > 30")
           .df.select(F.sum(F.size("items"))).collect())
 
@@ -400,7 +432,10 @@ def main() -> None:
 
     bench_extra("lightcurve_workflow", x_lightcurve)
 
-    total = round(sum(queries.values()), 4)
+    # headline total stays the round-1..3 query set so round-over-round
+    # totals compare; the bucketed variants are reported per-query + ratio
+    headline = [q for q in queries if not q.endswith("_bucketed")]
+    total = round(sum(queries[q] for q in headline), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     # ours-vs-reference on the same tables, recorded every run (the
@@ -414,6 +449,19 @@ def main() -> None:
                    "explode_roundtrip", "ztf_workflow"]
         ours_m = sum(queries[m] for m in matched)
         ref_m = sum(reference[m] for m in matched)
+        # per-query map (ours/reference); *_bucketed rows compare the same
+        # operator from bucketed storage against the same reference number
+        per_query_ref = {
+            "add_nested": "add_nested",
+            "add_nested_bucketed": "add_nested",
+            "query_nested": "query_nested",
+            "query_nested_bucketed": "query_nested",
+            "count_by": "count_by",
+            "reduce_hof": "reduce",
+            "reduce_udf": "reduce",
+            "explode_roundtrip": "explode_roundtrip",
+            "ztf_workflow": "ztf_workflow",
+        }
         ratios = {
             "matched_with_hof_reduce": round(
                 (ours_m + queries["reduce_hof"])
@@ -421,6 +469,11 @@ def main() -> None:
             "matched_with_udf_reduce": round(
                 (ours_m + queries["reduce_udf"])
                 / (ref_m + reference["reduce"]), 4),
+            "per_query": {
+                ours: round(queries[ours] / reference[ref], 4)
+                for ours, ref in per_query_ref.items()
+                if ours in queries and reference.get(ref)
+            },
         }
 
     print(json.dumps({
@@ -435,6 +488,9 @@ def main() -> None:
         "ratio": ratios,
         "sf": float(sf),
     }))
+
+    for tbl in bkt.values():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 if __name__ == "__main__":

@@ -48,7 +48,8 @@ __all__ = [
 
 
 def _stream_starts(
-    docs: DataFrame, id_col: str, size_expr, order_expr
+    docs: DataFrame, id_col: str, size_expr, order_expr,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """(id, __sz, __start): each row's exclusive running-sum position in the
     ``order_expr``-ordered stream of ``size_expr`` weights.
@@ -69,9 +70,13 @@ def _stream_starts(
     ``__start``. The partitioned projection (id, size, key — never text)
     is therefore persisted (memory, spilling to local disk) before the
     totals collect materializes it; the returned plan reads the same
-    cached partitions. At 100 TB the cached slice is ~24 bytes/doc spread
-    across the cluster's local disks; pin it with a reliable checkpoint
-    instead if executor loss must also be survivable.
+    cached partitions. A persist only survives as long as its executors:
+    at 100 TB a lost executor mid-job would silently recompute a
+    differently-partitioned slice — pass ``checkpoint=True`` to pin the
+    projection with a RELIABLE checkpoint (written to
+    ``sparkContext.setCheckpointDir``, which must be a fault-tolerant
+    filesystem at scale) so offsets also survive executor loss. The
+    cached/checkpointed slice is ~24 bytes/doc either way.
     """
     from pyspark import StorageLevel
 
@@ -91,7 +96,19 @@ def _stream_starts(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     base = base.withColumn("__end_local", F.sum("__sz").over(w))
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    if checkpoint:
+        if spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint=True requires a checkpoint directory: call "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first"
+            )
+        # reliable checkpoint: materializes the partitioned projection to
+        # the checkpoint filesystem and truncates lineage, so a lost
+        # executor re-READS the same partitions instead of re-sampling
+        # repartitionByRange boundaries
+        base = base.checkpoint(eager=True)
+    else:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # tiny: one row per partition — exclusive prefix offsets driver-side.
     # (repartitionByRange makes partition ids follow the key ranges, so
@@ -114,6 +131,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing: treat the corpus as one
     token stream in ``id_col`` order and assign each document the
@@ -139,7 +157,8 @@ def pack_sequences(
     tok = (
         F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
     ).cast("long")
-    base = _stream_starts(docs, id_col, tok, F.col(id_col))
+    base = _stream_starts(docs, id_col, tok, F.col(id_col),
+                          checkpoint=checkpoint)
     return base.select(
         F.col(id_col),
         F.col("__sz").alias("n_tokens"),
@@ -156,6 +175,7 @@ def pack_segments(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """The chunker's view of :func:`pack_sequences`: one row per
     (document, context-window bin) the document OVERLAPS, with the exact
@@ -177,9 +197,8 @@ def pack_segments(
         F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
     ).cast("long")
     cap = int(capacity)
-    base = _stream_starts(docs, id_col, tok, F.col(id_col)).where(
-        F.col("__sz") > 0
-    )
+    base = _stream_starts(docs, id_col, tok, F.col(id_col),
+                          checkpoint=checkpoint).where(F.col("__sz") > 0)
     first = F.expr(f"__start DIV {cap}")
     last = F.expr(f"(__start + __sz - 1) DIV {cap}")
     out = base.select(
@@ -206,6 +225,7 @@ def assign_shards(
     text_col: str = "text",
     tokens_col: str | None = None,
     shuffle: bool = True,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Balanced output sharding: assign each document a ``shard_id`` so
     every shard carries ~``target_tokens`` of payload (greedy sequential
@@ -228,7 +248,7 @@ def assign_shards(
     order = (
         F.md5(F.col(id_col).cast("string")) if shuffle else F.col(id_col)
     )
-    base = _stream_starts(docs, id_col, tok, order)
+    base = _stream_starts(docs, id_col, tok, order, checkpoint=checkpoint)
     return base.select(
         F.col(id_col),
         F.col("__sz").alias("n_tokens"),
@@ -245,6 +265,7 @@ def write_sharded(
     tokens_col: str | None = None,
     shuffle: bool = True,
     mode: str = "overwrite",
+    checkpoint: bool = False,
 ) -> None:
     """Write the corpus as size-balanced parquet shards:
     ``path/shard_id=N/`` directories each holding ~``target_tokens`` of
@@ -259,7 +280,7 @@ def write_sharded(
     """
     shards = assign_shards(
         docs, target_tokens, id_col=id_col, text_col=text_col,
-        tokens_col=tokens_col, shuffle=shuffle,
+        tokens_col=tokens_col, shuffle=shuffle, checkpoint=checkpoint,
     ).select(id_col, "shard_id")
     out = docs.join(shards, id_col)
     order = (

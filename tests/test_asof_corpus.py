@@ -334,6 +334,29 @@ def test_pack_sequences(spark):
     assert out == {1: (3, 0, 0), 2: (4, 0, 3), 3: (5, 1, 2), 4: (2, 2, 2)}
 
 
+def test_pack_sequences_checkpoint_identical(spark, tmp_path):
+    """checkpoint=True must produce the exact same offsets as the persist
+    path (it pins the same partitioned projection, reliably), and must
+    demand a checkpoint dir up front."""
+    from nested_pandas_spark.pipeline.corpus import assign_shards, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(60)], "doc_id long, text string"
+    )
+    sc = spark.sparkContext
+    had = sc.getCheckpointDir()
+    if had is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            pack_sequences(docs, 16, checkpoint=True).collect()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    plain = sorted(map(tuple, pack_sequences(docs, 16).collect()))
+    ckpt = sorted(map(tuple, pack_sequences(docs, 16, checkpoint=True).collect()))
+    assert ckpt == plain
+    sh_plain = sorted(map(tuple, assign_shards(docs, 32).collect()))
+    sh_ckpt = sorted(map(tuple, assign_shards(docs, 32, checkpoint=True).collect()))
+    assert sh_ckpt == sh_plain
+
+
 def test_pack_sequences_matches_single_window(spark):
     """The two-stage prefix sum must equal the naive global-window cumsum."""
     from pyspark.sql import Window
