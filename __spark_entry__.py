@@ -1970,6 +1970,21 @@ def q107_wav_features(spark, sf):
     )
 
 
+def q108_sigma_clip_iter(spark, sf):
+    """ITERATED sigma clipping (operators/timeseries.py sigma_clip
+    iters=2, astropy maxiters semantics): mean/std recomputed over round
+    1's survivors before round 2's band — still zero shuffle, one more
+    projection per iteration. Oracle replays both rounds with chained
+    CTEs over the same keep criterion as q86."""
+    from nested_pandas_spark import pack, sigma_clip, to_flat
+
+    ev = _t(spark, sf, "events")
+    nf = pack(ev.select("user_id", "event_id", "value"), "series",
+              on="user_id", sort_within=["event_id"])
+    out = sigma_clip(nf, "series", "value", sigma=2.0, iters=2)
+    return to_flat(out, "series", keys=["user_id"]).select("user_id", "event_id")
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2160,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_range_join_nano": q105_range_join_nano,
         "q106_bmp_decode": q106_bmp_decode,
         "q107_wav_features": q107_wav_features,
+        "q108_sigma_clip_iter": q108_sigma_clip_iter,
     }
 
 
@@ -3357,6 +3373,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
                  AND l.l_quantity > 0
             GROUP BY o.o_orderkey
+        """,
+        "q108_sigma_clip_iter": """
+            WITH s1 AS (
+                SELECT user_id, count(value) AS n, avg(value) AS m,
+                       stddev_samp(value) AS s
+                FROM events GROUP BY user_id
+            ), k1 AS (
+                SELECT e.user_id, e.event_id, e.value
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.value IS NULL
+                   OR s1.n < 2 OR s1.s IS NULL OR s1.s <= 0
+                   OR abs(e.value - s1.m) <= 2.0 * s1.s
+            ), s2 AS (
+                SELECT user_id, count(value) AS n, avg(value) AS m,
+                       stddev_samp(value) AS s
+                FROM k1 GROUP BY user_id
+            )
+            SELECT e.user_id, e.event_id
+            FROM k1 e JOIN s2 USING (user_id)
+            WHERE e.value IS NULL
+               OR s2.n < 2 OR s2.s IS NULL OR s2.s <= 0
+               OR abs(e.value - s2.m) <= 2.0 * s2.s
         """,
         "q86_sigma_clip": """
             WITH stats AS (

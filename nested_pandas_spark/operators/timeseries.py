@@ -18,8 +18,11 @@ Scale notes (100 TB):
   measurement volume, while the HOF form costs none. Nested cells are small
   by construction (thousands of elements, tens of bins); the quadratic term
   is bounded per row and embarrassingly parallel across rows. For extreme
-  cells (millions of elements) explode+groupBy wins — use ``pack`` +
-  ``count_nested`` to find them first.
+  cells (~10^4+ elements) pass ``engine='explode'`` on ``rebin`` /
+  ``nest_rolling`` / ``nest_cum`` / ``nest_ewm``: the same operator routed
+  through explode -> window/groupBy -> order-preserving repack, linear per
+  cell, result-identical (use ``pack`` + ``count_nested`` to find the mega
+  cells first).
 * ``phase_fold`` is a pure per-element ``transform`` — one pass, no shuffle.
 * Integer (int64-nanosecond) timestamps never pass through ``double``:
   epoch-nano magnitudes (~1.7e18) exceed double's 2^53 exact range, so all
@@ -101,6 +104,132 @@ def _floor_bin_sql(expr: str, width, origin, integral: bool) -> str:
     return f"CAST(floor((({expr}) - CAST({origin} AS DOUBLE)) / CAST({width} AS DOUBLE)) AS BIGINT)"
 
 
+def _stamped(df: DataFrame) -> DataFrame:
+    """Row-id-stamped and PERSISTED frame for the explode engine.
+
+    ``monotonically_increasing_id`` is deterministic only for one physical
+    execution of one plan; the explode engine references the stamped frame
+    from two plan branches (the exploded side and the join-back side), so
+    it must be persisted before branching or a recomputation could
+    renumber rows and silently mis-join. The cache is the price of the
+    escape hatch — the explode engine is for mega-cell frames where the
+    per-cell O(n^2) HOFs are the bigger cost.
+    """
+    from pyspark import StorageLevel
+
+    stamped = df.withColumn("__rid", F.monotonically_increasing_id())
+    return stamped.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _check_engine(engine: str) -> None:
+    if engine not in ("hof", "explode"):
+        raise ValueError(f"engine must be 'hof' or 'explode', got {engine!r}")
+
+
+def _repack_elements(flat, fields: list[str], out_field, val_col) -> "DataFrame":
+    """(__rid, __pos, __e, <val_col>) -> (__rid, __packed): the original
+    element structs with ``out_field`` appended, re-assembled in element
+    order (array_sort on the unique ``__pos`` key)."""
+    newe = F.struct(
+        *[F.col("__e").getField(f).alias(f) for f in fields],
+        val_col.alias(out_field),
+    )
+    return (
+        flat.select(
+            "__rid",
+            F.struct(F.col("__pos").alias("p"), newe.alias("e")).alias("__pe"),
+        )
+        .groupBy("__rid")
+        .agg(F.array_sort(F.collect_list("__pe")).alias("__arr"))
+        .select(
+            "__rid", F.expr("transform(__arr, __s -> __s.e)").alias("__packed")
+        )
+    )
+
+
+def _join_back_elements(
+    stamped: DataFrame, packed: DataFrame, nest: str, fields: list[str],
+    out_field: str,
+) -> DataFrame:
+    """Re-attach per-row packed arrays; NULL cells stay NULL and empty
+    cells come back empty (with the new field) — posexplode dropped both,
+    so they fall through to the typed fallback."""
+    qn = quote(nest)
+    keep = {f: f"__x.{quote(f)}" for f in fields}
+    keep[out_field] = "CAST(NULL AS DOUBLE)"
+    fallback = (
+        f"CASE WHEN {qn} IS NULL THEN NULL "
+        f"ELSE transform({qn}, __x -> {struct_sql(keep)}) END"
+    )
+    return (
+        stamped.join(packed, "__rid", "left")
+        .withColumn(nest, F.coalesce(F.col("__packed"), F.expr(fallback)))
+        .drop("__rid", "__packed")
+    )
+
+
+def _rebin_explode(
+    df, nest, time_field, width, value_fields, origin, stats, out,
+    kind, integral,
+) -> DataFrame:
+    """Mega-cell path for :func:`rebin`: explode -> groupBy(row, bin) ->
+    repack. Two shuffles of element rows + a persist of the stamped
+    input, but O(n) work per cell instead of O(bins x elements) — wins
+    when cells hold ~10^4+ elements. Bit-identical to the HOF engine:
+    a single row's elements never split across input partitions, so the
+    partial aggregate folds values in array order, exactly like the HOF
+    fold (0.0 + v1 + ... with the same final division for the mean)."""
+    stamped = _stamped(df)
+    if kind == "timestamp":
+        t_sql = f"unix_micros(CAST(__e.{quote(time_field)} AS TIMESTAMP))"
+    else:
+        t_sql = f"__e.{quote(time_field)}"
+    flat = (
+        stamped.select("__rid", F.explode(F.col(nest)).alias("__e"))
+        .where(F.expr(f"{t_sql} IS NOT NULL"))
+        .withColumn(
+            "__bin",
+            F.expr(_floor_bin_sql(t_sql, width, origin, integral)).cast("long"),
+        )
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    names: list[str] = []
+    for vf in value_fields:
+        v = F.col("__e").getField(vf).cast("double")
+        for stat in stats:
+            name = f"{vf}_{stat}"
+            names.append(name)
+            if stat == "mean":
+                aggs.append((F.sum(v) / F.count(v)).alias(name))
+            elif stat == "sum":
+                aggs.append(F.sum(v).alias(name))
+            elif stat == "min":
+                aggs.append(F.min(v).alias(name))
+            else:
+                aggs.append(F.max(v).alias(name))
+    per_bin = flat.groupBy("__rid", "__bin").agg(*aggs)
+    bin_struct = F.struct(
+        F.col("__bin").alias("bin"), F.col("n"),
+        *[F.col(n) for n in names],
+    )
+    packed = (
+        per_bin.groupBy("__rid")
+        .agg(F.array_sort(F.collect_list(bin_struct)).alias("__binned"))
+    )
+    ddl = "array<struct<bin: bigint, n: bigint, " + ", ".join(
+        f"`{n}`: double" for n in names
+    ) + ">>"
+    qn = quote(nest)
+    fallback = F.when(
+        F.col(nest).isNull(), F.lit(None).cast(ddl)
+    ).otherwise(F.expr("array()").cast(ddl))
+    return (
+        stamped.join(packed, "__rid", "left")
+        .withColumn(out, F.coalesce(F.col("__binned"), fallback))
+        .drop("__rid", "__binned")
+    )
+
+
 def rebin(
     df: DataFrame,
     nest: str,
@@ -110,6 +239,7 @@ def rebin(
     origin=0,
     stats: tuple[str, ...] = ("mean", "min", "max"),
     out: str | None = None,
+    engine: str = "hof",
 ) -> DataFrame:
     """Aggregate each nested cell's elements into fixed-width time bins.
 
@@ -145,6 +275,7 @@ def rebin(
     bad = set(stats) - allowed
     if bad:
         raise ValueError(f"Unsupported stats {sorted(bad)}; allowed: {sorted(allowed)}")
+    _check_engine(engine)
     fields = nested_field_names(df, nest)
     if time_field not in fields:
         raise KeyError(f"Nested column '{nest}' has no field '{time_field}'")
@@ -157,6 +288,9 @@ def rebin(
 
     kind = _time_kind(df, nest, time_field)
     integral = kind != "float"
+    if engine == "explode":
+        return _rebin_explode(df, nest, time_field, width, value_fields,
+                              origin, stats, out, kind, integral)
     qn = quote(nest)
     if kind == "timestamp":
         t_of = lambda var: f"unix_micros(CAST({var}.{quote(time_field)} AS TIMESTAMP))"  # noqa: E731
@@ -335,6 +469,7 @@ def nest_rolling(
     window: int,
     stat: str = "mean",
     out_field: str | None = None,
+    engine: str = "hof",
 ) -> DataFrame:
     """Per-cell trailing rolling statistic: element i gets ``stat`` of
     ``field`` over the last ``window`` elements ending at i (fewer at the
@@ -345,6 +480,14 @@ def nest_rolling(
     ``transform`` whose body aggregates a ``slice`` of the same array —
     O(n x window) per cell, the right trade against exploding the corpus
     into a shuffled window function (see :func:`rebin`'s module note).
+
+    ``engine='explode'``: the mega-cell escape hatch — posexplode ->
+    sliding ROWS window partitioned by row id -> repack in element order.
+    Costs one persist + two shuffles of element rows, but O(n x window)
+    total work spread across tasks instead of concentrated per row; use
+    it when cells hold ~10^4+ elements. Bit-identical results: the
+    sliding window frame folds the same non-NULL doubles in the same
+    order as the HOF slice.
 
     Examples
     --------
@@ -361,12 +504,36 @@ def nest_rolling(
         raise ValueError(f"stat must be one of {sorted(allowed)}")
     if window < 1:
         raise ValueError("window must be >= 1")
+    _check_engine(engine)
     fields = nested_field_names(df, nest)
     if field not in fields:
         raise KeyError(f"Nested column '{nest}' has no field '{field}'")
     out_field = out_field or f"{field}_roll_{stat}"
     if out_field in fields:
         raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
+    if engine == "explode":
+        from pyspark.sql import Window as W
+
+        stamped = _stamped(df)
+        flat = stamped.select(
+            "__rid", F.posexplode(F.col(nest)).alias("__pos", "__e")
+        )
+        v = F.col("__e").getField(field).cast("double")
+        w = (
+            W.partitionBy("__rid").orderBy("__pos")
+            .rowsBetween(-(window - 1), 0)
+        )
+        if stat == "mean":
+            cnt = F.count(v).over(w)
+            val = F.when(cnt > 0, F.sum(v).over(w) / cnt)
+        elif stat == "sum":
+            val = F.when(F.count(v).over(w) > 0, F.sum(v).over(w))
+        elif stat == "min":
+            val = F.min(v).over(w)
+        else:
+            val = F.max(v).over(w)
+        packed = _repack_elements(flat, fields, out_field, val)
+        return _join_back_elements(stamped, packed, nest, fields, out_field)
     qn, qf = quote(nest), quote(field)
     # 1-based slice of the last `window` elements ending at 0-based index i
     start = f"greatest(1, __i + 2 - {window})"
@@ -398,6 +565,7 @@ def sigma_clip(
     field: str,
     sigma: float = 3.0,
     out: str | None = None,
+    iters: int = 1,
 ) -> DataFrame:
     """Per-cell sigma clipping: drop elements whose ``field`` deviates from
     the CELL's mean by more than ``sigma`` sample standard deviations — the
@@ -409,50 +577,72 @@ def sigma_clip(
     undefined or 0) pass through unclipped. Replaces ``nest`` in place
     unless ``out`` names a new column. Zero shuffle.
 
-    Single-pass clip (not iterated): re-apply for astropy-style iterative
-    clipping; each application is one more cheap projection.
+    ``iters``: astropy-style iterative clipping — mean/std are recomputed
+    over the SURVIVORS and the band re-applied, ``iters`` times (astropy's
+    ``maxiters``; a cell that stops losing elements is a fixed point, so
+    extra iterations are no-ops on it). Iterations compose through
+    :func:`_let` bindings so the expression grows LINEARLY with ``iters``
+    — chaining projections instead would let projection-collapse inline
+    each round into every reference of the next, exponentially (measured:
+    iters=2 built a 1.3 MB task binary and fell out of codegen). Still
+    one projection, zero shuffle.
     """
     if sigma <= 0:
         raise ValueError("sigma must be > 0")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     fields = nested_field_names(df, nest)
     if field not in fields:
         raise KeyError(f"Nested column '{nest}' has no field '{field}'")
     out = out or nest
-    qn, qf = quote(nest), quote(field)
-    vals_c = "__sc_vals"
-    staged = df.withColumn(
-        vals_c,
-        F.expr(
-            f"transform(filter({qn}, __x -> __x.{qf} IS NOT NULL), "
-            f"__x -> CAST(__x.{qf} AS DOUBLE))"
-        ),
+    expr = quote(nest)
+    for i in range(iters):
+        expr = _sigma_clip_sql(expr, field, sigma, tag=i)
+    return df.withColumn(out, F.expr(expr))
+
+
+def _let(val: str, var: str, body: str) -> str:
+    """SQL 'let' binding via a single-element HOF:
+    ``element_at(transform(array(val), var -> body), 1)`` evaluates
+    ``val`` ONCE and binds it to ``var`` inside ``body``. Lambda
+    variables are cheap references, so multi-use never re-evaluates
+    (HOF lambdas defeat codegen CSE) and composed expressions reference
+    their input exactly once."""
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def _sigma_clip_sql(arr: str, field: str, sigma: float, tag: int = 0) -> str:
+    """One clip round as a pure SQL expression over an array-of-structs
+    expression ``arr`` (referenced exactly once — see :func:`_let`).
+    ``tag`` uniquifies the lambda variable names across composed rounds.
+    ANSI mode: cells with n < 2 never reach a division."""
+    qf = quote(field)
+    a, v, m, s = (f"__sc{tag}_a", f"__sc{tag}_v", f"__sc{tag}_m", f"__sc{tag}_s")
+    vals = (
+        f"transform(filter({a}, __x -> __x.{qf} IS NOT NULL), "
+        f"__x -> CAST(__x.{qf} AS DOUBLE))"
     )
-    qv = quote(vals_c)
-    n = f"size({qv})"
-    # mean/std appear several times in the lambda body; materialize them as
-    # temp columns so HOF-blind CSE doesn't recompute the aggregates per use.
-    # ANSI mode: guard the divisions — cells with n < 2 never divide.
-    m_c, s_c = "__sc_mean", "__sc_std"
     mean = (
-        f"CASE WHEN {n} > 0 THEN "
-        f"aggregate({qv}, CAST(0.0 AS DOUBLE), (__a, __v) -> __a + __v) / {n} END"
+        f"CASE WHEN size({v}) > 0 THEN "
+        f"aggregate({v}, CAST(0.0 AS DOUBLE), (__a, __v) -> __a + __v) "
+        f"/ size({v}) END"
     )
-    staged = staged.withColumn(m_c, F.expr(mean))
-    qm = quote(m_c)
     # sample variance via sum of squared deviations from the cell mean
     ssd = (
-        f"aggregate({qv}, CAST(0.0 AS DOUBLE), "
-        f"(__a, __v) -> __a + (__v - {qm}) * (__v - {qm}))"
+        f"aggregate({v}, CAST(0.0 AS DOUBLE), "
+        f"(__a, __v) -> __a + (__v - {m}) * (__v - {m}))"
     )
-    std = f"CASE WHEN {n} >= 2 THEN sqrt({ssd} / ({n} - 1)) END"
-    staged = staged.withColumn(s_c, F.expr(std))
+    std = f"CASE WHEN size({v}) >= 2 THEN sqrt({ssd} / (size({v}) - 1)) END"
     clipped = (
-        f"CASE WHEN {n} >= 2 AND {quote(s_c)} > 0 THEN "
-        f"filter({qn}, __x -> __x.{qf} IS NULL OR "
-        f"abs(CAST(__x.{qf} AS DOUBLE) - {quote(m_c)}) <= {sigma} * {quote(s_c)}) "
-        f"ELSE {qn} END"
+        f"CASE WHEN size({v}) >= 2 AND {s} > 0 THEN "
+        f"filter({a}, __x -> __x.{qf} IS NULL OR "
+        f"abs(CAST(__x.{qf} AS DOUBLE) - {m}) <= {sigma} * {s}) "
+        f"ELSE {a} END"
     )
-    return staged.withColumn(out, F.expr(clipped)).drop(vals_c, m_c, s_c)
+    body = _let(std, s, clipped)
+    body = _let(mean, m, body)
+    body = _let(vals, v, body)
+    return _let(arr, a, body)
 
 
 def trend_slope(
@@ -850,12 +1040,71 @@ def nest_describe(
     return staged.drop(vals_c)
 
 
+def _ewm_explode(
+    df: DataFrame, nest: str, field: str, a: float, out_field: str,
+    fields: list[str],
+) -> DataFrame:
+    """Mega-cell path for :func:`nest_ewm`: per-cell (pos, value) rows ->
+    applyInPandas O(n) fold -> pos-aligned array -> rebuild the nest with
+    ``element_at``. See nest_ewm's docstring for the parity contract."""
+    import pandas as pd
+
+    onema = 1.0 - a
+    stamped = _stamped(df)
+    flat = (
+        stamped.select("__rid", F.posexplode(F.col(nest)).alias("__pos", "__e"))
+        .select(
+            "__rid", "__pos",
+            F.col("__e").getField(field).cast("double").alias("__v"),
+        )
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__pos")
+        s = None
+        outv = []
+        for v in pdf["__v"]:
+            if pd.isna(v):
+                outv.append(None)
+            else:
+                v = float(v)
+                s = v if s is None else a * v + onema * s
+                outv.append(s)
+        pdf = pdf[["__rid", "__pos"]].copy()
+        pdf["__ewm"] = outv
+        return pdf
+
+    ew = flat.groupBy("__rid").applyInPandas(
+        fold, schema="__rid long, __pos int, __ewm double"
+    )
+    packed = ew.groupBy("__rid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__pos").alias("p"),
+                                    F.col("__ewm").alias("v")))
+        ).alias("__evals")
+    )
+    keep = {f: f"__x.{quote(f)}" for f in fields}
+    keep[out_field] = "element_at(__evals, __i + 1).v"
+    body = struct_sql(keep)
+    qn = quote(nest)
+    rebuilt = (
+        f"CASE WHEN {qn} IS NULL THEN NULL "
+        f"ELSE transform({qn}, (__x, __i) -> {body}) END"
+    )
+    return (
+        stamped.join(packed, "__rid", "left")
+        .withColumn(nest, F.expr(rebuilt))
+        .drop("__rid", "__evals")
+    )
+
+
 def nest_ewm(
     df: DataFrame,
     nest: str,
     field: str,
     alpha: float,
     out_field: str | None = None,
+    engine: str = "hof",
 ) -> DataFrame:
     """Per-cell exponentially weighted mean trail — pandas
     ``groupby(...).ewm(alpha, adjust=False, ignore_na=True).mean()``
@@ -869,15 +1118,27 @@ def nest_ewm(
     :func:`nest_rolling`, zero shuffle, and bit-identical to a recursive
     SQL replay (same two flops per step, same order), so the oracle
     needs no fp tolerance.
+
+    ``engine='explode'``: the mega-cell escape hatch — the recursion has
+    no windowed-SQL form, so each cell's (pos, value) rows run through an
+    ``applyInPandas`` group that replays the identical fold in an O(n)
+    Python loop with the same IEEE double operations (``a*v + (1-a)*s``),
+    then repacks in element order. Bit-identical to the HOF engine except
+    for genuine NaN inputs (Arrow transports SQL NULL as NaN, so the
+    explode engine treats NaN values as missing, like pandas; the HOF
+    engine folds them like SQL).
     """
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
+    _check_engine(engine)
     fields = nested_field_names(df, nest)
     if field not in fields:
         raise KeyError(f"Nested column '{nest}' has no field '{field}'")
     out_field = out_field or f"{field}_ewm"
     if out_field in fields:
         raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
+    if engine == "explode":
+        return _ewm_explode(df, nest, field, float(alpha), out_field, fields)
     qn, qf = quote(nest), quote(field)
     a = float(alpha)
     # non-NULL values among elements 0..i (inclusive), in order
@@ -913,6 +1174,7 @@ def nest_cum(
     field: str,
     stat: str = "sum",
     out_field: str | None = None,
+    engine: str = "hof",
 ) -> DataFrame:
     """Per-cell cumulative trail — pandas ``groupby(...).cumsum/cummin/
     cummax`` semantics: element i gets the running ``stat`` of the cell's
@@ -921,17 +1183,38 @@ def nest_cum(
 
     A sequential ``aggregate`` fold per element (O(n^2) per cell, zero
     shuffle). The left-to-right fold makes cumulative sums bit-identical
-    to a ``ROWS UNBOUNDED PRECEDING`` window replay.
+    to a ``ROWS UNBOUNDED PRECEDING`` window replay — which is exactly
+    what ``engine='explode'`` runs (posexplode -> running window ->
+    repack): the mega-cell escape hatch, O(n) total work per cell at the
+    cost of a persist + two element shuffles. Results are bit-identical
+    between engines (same additions in the same order).
     """
     allowed = {"sum", "min", "max"}
     if stat not in allowed:
         raise ValueError(f"stat must be one of {sorted(allowed)}")
+    _check_engine(engine)
     fields = nested_field_names(df, nest)
     if field not in fields:
         raise KeyError(f"Nested column '{nest}' has no field '{field}'")
     out_field = out_field or f"{field}_cum{stat}"
     if out_field in fields:
         raise ValueError(f"Nested column '{nest}' already has field '{out_field}'")
+    if engine == "explode":
+        from pyspark.sql import Window as W
+
+        stamped = _stamped(df)
+        flat = stamped.select(
+            "__rid", F.posexplode(F.col(nest)).alias("__pos", "__e")
+        )
+        v = F.col("__e").getField(field).cast("double")
+        w = (
+            W.partitionBy("__rid").orderBy("__pos")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        run = {"sum": F.sum, "min": F.min, "max": F.max}[stat](v).over(w)
+        val = F.when(v.isNotNull(), run)
+        packed = _repack_elements(flat, fields, out_field, val)
+        return _join_back_elements(stamped, packed, nest, fields, out_field)
     qn, qf = quote(nest), quote(field)
     prior = (
         f"transform(filter(slice({qn}, 1, __i + 1), "
@@ -965,6 +1248,7 @@ def nest_dedup(
     nest: str,
     by: str | list[str] | None = None,
     out: str | None = None,
+    engine: str = "hof",
 ) -> DataFrame:
     """Per-cell element deduplication: keep each cell's FIRST element for
     every distinct value of ``by`` (one field, several, or None = the
@@ -975,7 +1259,14 @@ def nest_dedup(
     its key (``exists`` over the preceding slice) — O(n^2) per cell, zero
     shuffle, order-preserving. NULL keys deduplicate like any other value
     (SQL ``IS NOT DISTINCT FROM``).
+
+    ``engine='explode'``: the mega-cell escape hatch — posexplode ->
+    ``row_number`` per (row, key) -> keep the first -> order-preserving
+    repack. Linear per cell (persist + two element shuffles, as with
+    :func:`nest_rolling`); identical results (window PARTITION BY groups
+    NULL keys together, matching ``IS NOT DISTINCT FROM``).
     """
+    _check_engine(engine)
     fields = nested_field_names(df, nest)
     if by is None:
         keys = list(fields)
@@ -985,6 +1276,35 @@ def nest_dedup(
         if missing:
             raise KeyError(f"Nested column '{nest}' has no fields {missing}")
     out = out or nest
+    if engine == "explode":
+        from pyspark.sql import Window as W
+
+        stamped = _stamped(df)
+        flat = stamped.select(
+            "__rid", F.posexplode(F.col(nest)).alias("__pos", "__e")
+        )
+        w = W.partitionBy(
+            "__rid", *[F.col("__e").getField(k) for k in keys]
+        ).orderBy("__pos")
+        kept = flat.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        )
+        packed = (
+            kept.select(
+                "__rid",
+                F.struct(F.col("__pos").alias("p"),
+                         F.col("__e").alias("e")).alias("__pe"),
+            )
+            .groupBy("__rid")
+            .agg(F.array_sort(F.collect_list("__pe")).alias("__arr"))
+            .select("__rid",
+                    F.expr("transform(__arr, __s -> __s.e)").alias("__packed"))
+        )
+        return (
+            stamped.join(packed, "__rid", "left")
+            .withColumn(out, F.coalesce(F.col("__packed"), F.col(nest)))
+            .drop("__rid", "__packed")
+        )
     qn = quote(nest)
     same = " AND ".join(
         f"(__p.{quote(k)} IS NOT DISTINCT FROM __x.{quote(k)})" for k in keys

@@ -598,3 +598,134 @@ def test_nest_sample_deterministic_and_consistent(spark):
                nest_sample(nf, "nested", 1.0, "t").collect())
     with pytest.raises(ValueError):
         nest_sample(nf, "nested", 1.5, "t")
+
+
+def _collect_cells(df, nest):
+    return sorted(
+        (r["id"], None if r[nest] is None else [tuple(e) for e in r[nest]])
+        for r in df.collect()
+    )
+
+
+def test_explode_engine_matches_hof(spark):
+    """engine='explode' (the mega-cell escape hatch) must reproduce the HOF
+    engine bit-for-bit on rolling / cum / ewm / rebin — including NULL
+    elements, NULL cells, and empty cells."""
+    import random
+
+    from nested_pandas_spark import (
+        NestedFrame, nest_cum, nest_ewm, nest_rolling, rebin,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for uid in range(6):
+        for i in range(rng.randrange(1, 25)):
+            v = None if rng.random() < 0.2 else round(rng.uniform(-50, 50), 3)
+            rows.append((uid, float(i), v))
+    child = spark.createDataFrame(rows, "id long, t double, flux double")
+    objects = spark.createDataFrame(
+        [(i,) for i in range(8)], "id long"  # ids 6,7: NULL cells
+    )
+    nf = NestedFrame(objects).join_nested(child, "nested", on="id").df
+
+    for kwargs in (
+        dict(window=3, stat="mean"), dict(window=2, stat="sum"),
+        dict(window=4, stat="min"), dict(window=1, stat="max"),
+    ):
+        hof = _collect_cells(nest_rolling(nf, "nested", "flux", **kwargs), "nested")
+        exp = _collect_cells(
+            nest_rolling(nf, "nested", "flux", engine="explode", **kwargs),
+            "nested")
+        assert exp == hof, f"rolling {kwargs}"
+
+    for stat in ("sum", "min", "max"):
+        hof = _collect_cells(nest_cum(nf, "nested", "flux", stat=stat), "nested")
+        exp = _collect_cells(
+            nest_cum(nf, "nested", "flux", stat=stat, engine="explode"), "nested")
+        assert exp == hof, f"cum {stat}"
+
+    hof = _collect_cells(nest_ewm(nf, "nested", "flux", alpha=0.3), "nested")
+    exp = _collect_cells(
+        nest_ewm(nf, "nested", "flux", alpha=0.3, engine="explode"), "nested")
+    assert exp == hof
+
+    hof = _collect_cells(
+        rebin(nf, "nested", "t", width=4.0, value_fields=["flux"],
+              stats=("mean", "min", "max", "sum")), "nested_binned")
+    exp = _collect_cells(
+        rebin(nf, "nested", "t", width=4.0, value_fields=["flux"],
+              stats=("mean", "min", "max", "sum"), engine="explode"),
+        "nested_binned")
+    assert exp == hof
+
+    from nested_pandas_spark import nest_dedup
+
+    # duplicate keys (incl. NULLs) so dedup actually drops elements
+    dup_child = spark.createDataFrame(
+        [(0, 1.0, 5.0), (0, 1.0, 9.0), (0, 2.0, 5.0), (0, None, 1.0),
+         (0, None, 2.0), (1, 3.0, 3.0)],
+        "id long, t double, flux double")
+    dnf = NestedFrame(objects).join_nested(dup_child, "nested", on="id").df
+    for by in ("t", ["t", "flux"], None):
+        hof = _collect_cells(nest_dedup(dnf, "nested", by=by), "nested")
+        exp = _collect_cells(
+            nest_dedup(dnf, "nested", by=by, engine="explode"), "nested")
+        assert exp == hof, f"dedup by={by}"
+
+    with pytest.raises(ValueError, match="engine"):
+        nest_cum(nf, "nested", "flux", engine="nope")
+
+
+def test_explode_engine_empty_and_allnull_time_cells(spark):
+    """rebin explode engine: empty cells -> empty binned array (not NULL),
+    NULL cells -> NULL, all-NULL-time cells -> empty."""
+    from nested_pandas_spark import NestedFrame, rebin
+
+    child = spark.createDataFrame(
+        [(0, 1.0, 2.0), (1, None, 5.0)], "id long, t double, flux double")
+    objects = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    nf = NestedFrame(objects).join_nested(child, "nested", on="id").df
+    for engine in ("hof", "explode"):
+        out = {r["id"]: r["nested_binned"] for r in
+               rebin(nf, "nested", "t", width=1.0, value_fields=["flux"],
+                     engine=engine).collect()}
+        assert out[2] is None, engine          # NULL cell
+        assert out[1] == [], engine            # all-NULL-time cell
+        assert len(out[0]) == 1, engine
+
+
+def test_sigma_clip_iterated_matches_python(spark):
+    """iters=N recomputes mean/std over the survivors each round (astropy
+    maxiters semantics); replay in Python pins it."""
+    import statistics
+
+    from nested_pandas_spark import sigma_clip
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 25.0, 16.0, 9.9, 10.3]
+    child = spark.createDataFrame(
+        [(0, float(i), v) for i, v in enumerate(vals)],
+        "id long, t double, flux double")
+    nf = pack(child, "nested", on="id", sort_within=["t"])
+
+    def clip_once(xs, sigma):
+        present = [v for v in xs if v is not None]
+        if len(present) < 2:
+            return xs
+        m = sum(present) / len(present)
+        s = statistics.stdev(present)
+        if not s > 0:
+            return xs
+        return [v for v in xs if v is None or abs(v - m) <= sigma * s]
+
+    expect = list(vals)
+    got_by_iter = {}
+    for it in (1, 2, 3):
+        expect = clip_once(expect, 2.0)
+        [row] = sigma_clip(nf, "nested", "flux", sigma=2.0, iters=it).collect()
+        got_by_iter[it] = [e["flux"] for e in row["nested"]]
+        assert got_by_iter[it] == pytest.approx(expect), f"iters={it}"
+    # the fixture must actually exercise convergence over iterations
+    assert len(got_by_iter[2]) < len(got_by_iter[1])
+    with pytest.raises(ValueError, match="iters"):
+        sigma_clip(nf, "nested", "flux", iters=0)

@@ -3,6 +3,11 @@ query on Spark AND its oracle SQL on DuckDB over the same parquet dir;
 compare row count, column names, and order-insensitive values.
 
 Usage: python tools/compare_oracle.py [sf_dir] [query_name ...]
+       python tools/compare_oracle.py --json OUT.json [sf_dir] [query_name ...]
+
+--json writes a machine-readable per-query verdict file (the durable
+round artifact CORRECTNESS_full_r{N}.json — same shape as the driver's
+CORRECTNESS_r{N}.json, covering ALL registered queries).
 """
 
 from __future__ import annotations
@@ -69,8 +74,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as E
     from nested_pandas_spark import get_spark
@@ -85,6 +95,7 @@ def main() -> None:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -92,23 +103,53 @@ def main() -> None:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {str(exc).splitlines()[0][:200]}")
+            err = f"spark error: {str(exc).splitlines()[0][:200]}"
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": err}
+            print(f"FAIL {name}: {err}")
             continue
         if name not in oracles:
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None,
+                             "spark_rows": len(spark_pdf),
+                             "oracle_rows": None,
+                             "err": "no oracle (rows-only check)"}
             print(f"SKIP {name}: no oracle (rows={len(spark_pdf)})")
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).df()
         except Exception as exc:
             failures.append(name)
-            print(f"FAIL {name}: oracle error: {str(exc).splitlines()[0][:200]}")
+            err = f"oracle error: {str(exc).splitlines()[0][:200]}"
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False,
+                             "spark_rows": len(spark_pdf),
+                             "oracle_rows": None, "err": err}
+            print(f"FAIL {name}: {err}")
             continue
         problems = compare(name, spark_pdf, oracle_pdf)
+        rows_ok = len(spark_pdf) == len(oracle_pdf)
+        schema_ok = sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+        results[name] = {
+            "rows_match": rows_ok,
+            "schema_match": schema_ok,
+            "hash_match": not problems,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(oracle_pdf),
+            "err": "; ".join(problems[:4]) or None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems[:4]))
         else:
             print(f"OK   {name} ({len(spark_pdf)} rows)")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     # stop leftover streaming queries and the session cleanly so teardown
     # doesn't race in-flight tasks (spurious Broken pipe / accumulator noise)
     for q in spark.streams.active:

@@ -188,6 +188,19 @@ def main() -> int:
                           "click_s", "click_e", "error_s", "error_e",
                           bucket=half).count()
 
+        def rolling_mega():
+            # skewed MEGA-CELLS: every event packed under user_id % 5, so
+            # each cell holds ~n/5 elements (tens of thousands at 10x) —
+            # exactly the shape where the per-cell O(n^2) HOFs die and the
+            # engine='explode' escape hatch must stay linear
+            from nested_pandas_spark import nest_rolling, pack
+            ev = t(d, "events").select(
+                (F.col("user_id") % 5).alias("k"), "event_id", "value")
+            nf = pack(ev, "series", on="k", sort_within=["event_id"])
+            nest_rolling(nf, "series", "value", window=16,
+                         engine="explode").select(
+                F.sum(F.size("series"))).collect()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -204,6 +217,7 @@ def main() -> int:
             "hashed_tfidf": tfidf,
             "fuzzy_pairs": fuzzy,
             "interval_join": ijoin,
+            "rolling_explode_mega": rolling_mega,
         }
 
     # warm-up
