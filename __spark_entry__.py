@@ -1985,6 +1985,42 @@ def q108_sigma_clip_iter(spark, sf):
     return to_flat(out, "series", keys=["user_id"]).select("user_id", "event_id")
 
 
+def q109_y4m_frames(spark, sf):
+    """REAL video decode through the gate (pipeline/multimodal.py
+    decode_y4m): each document's first 48 text bytes (zero-padded) become
+    3 luma frames of a genuine YUV4MPEG2 clip (4x4 Cmono — constant ASCII
+    header, per-frame FRAME markers), synthesized with SQL binary
+    built-ins. sample_video_frames in STRICT mode must parse the stream
+    for real and sample 2 frames evenly (indices 0 and 1 of 3). Per
+    sampled frame: exact pixel sum + the first pixel, both replayable
+    from text bytes (frame j covers padded bytes [16j, 16j+16))."""
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    header_hex = b"YUV4MPEG2 W4 H4 F25:1 Cmono\n".hex()
+    fm = b"FRAME\n".hex()
+    padded = ("rpad(substring(encode(coalesce(text, ''), 'utf-8'), 1, 48), "
+              "48, X'00')")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"concat(X'{header_hex}', "
+            f"X'{fm}', substring({padded}, 1, 16), "
+            f"X'{fm}', substring({padded}, 17, 16), "
+            f"X'{fm}', substring({padded}, 33, 16))"
+        ).alias("payload"),
+    )
+    out = mm.sample_video_frames(docs, n_frames=2, strict=True)
+    fr = out.select("doc_id", F.explode("frames").alias("f"))
+    return fr.select(
+        "doc_id",
+        F.col("f.frame_idx").cast("long").alias("frame_idx"),
+        F.expr(
+            "aggregate(f.pixels, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("y_sum"),
+        F.element_at("f.pixels", 1).cast("long").alias("y0"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2176,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_bmp_decode": q106_bmp_decode,
         "q107_wav_features": q107_wav_features,
         "q108_sigma_clip_iter": q108_sigma_clip_iter,
+        "q109_y4m_frames": q109_y4m_frames,
     }
 
 
@@ -3373,6 +3410,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
                  AND l.l_quantity > 0
             GROUP BY o.o_orderkey
+        """,
+        "q109_y4m_frames": """
+            -- frame j of the synthesized Cmono Y4M covers padded text
+            -- bytes [16j, 16j+16); 2 of 3 frames sampled evenly -> 0, 1
+            WITH b AS (
+                SELECT doc_id, text, unnest(range(32)) AS i
+                FROM documents
+            ), v AS (
+                SELECT doc_id, i // 16 AS frame_idx, i,
+                       CASE WHEN i < length(coalesce(text, ''))
+                            THEN ascii(substr(text, i + 1, 1)) ELSE 0
+                       END AS v
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(sum(v) AS BIGINT) AS y_sum,
+                   CAST(max(CASE WHEN i % 16 = 0 THEN v END) AS BIGINT) AS y0
+            FROM v GROUP BY doc_id, frame_idx
         """,
         "q108_sigma_clip_iter": """
             WITH s1 AS (

@@ -37,6 +37,7 @@ __all__ = [
     "decode_bmp",
     "decode_ppm",
     "decode_wav",
+    "decode_y4m",
     "decode_image",
     "image_features",
     "resize_image",
@@ -213,6 +214,63 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples / 32768.0, sample_rate
 
 
+def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], tuple[int, int]]:
+    """REAL decoder: YUV4MPEG2 (.y4m) uncompressed video -> (list of
+    per-frame luma planes as (h, w) uint8 arrays, (width, height)).
+
+    Y4M is the standard uncompressed interchange format (ffmpeg/mjpegtools)
+    and is pure-parseable: an ASCII header line (``YUV4MPEG2 W.. H.. F..
+    [C..]``), then per frame a ``FRAME`` line followed by raw planes.
+    Supported colorspaces: ``Cmono`` (luma only), ``C420*`` (4:2:0),
+    ``C422``, ``C444`` — chroma planes are skipped, the luma plane is the
+    frame. Raises ``ValueError`` otherwise.
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = None
+    cspace = "420"
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            cspace = val.decode("ascii", "replace")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cspace.startswith("mono"):
+        chroma = 0
+    elif cspace.startswith("420"):
+        chroma = 2 * ((w // 2) * (h // 2))
+    elif cspace.startswith("422"):
+        chroma = 2 * ((w // 2) * h)
+    elif cspace.startswith("444"):
+        chroma = 2 * (w * h)
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cspace}")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        pos = fnl + 1
+        if pos + w * h > len(payload):
+            raise ValueError("truncated Y4M frame data")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+            .reshape(h, w)
+            .copy()
+        )
+        pos += w * h + chroma
+    return frames, (w, h)
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
@@ -322,10 +380,14 @@ def sample_video_frames(
     """Sample N frames from video payloads -> nested column
     ``frames: array<struct<frame_idx int, pixels array<int>>>``.
 
-    Frame extraction is STUBBED (deterministic fake per frame index); the
-    output shape — a nested column of per-frame structs — is the real
-    contract, and flows into every nested operator in this engine
-    (query/explode/map_rows).
+    REAL for YUV4MPEG2 (``.y4m``) payloads: frames decode genuinely via
+    :func:`decode_y4m`, ``n_frames`` are sampled evenly across the clip
+    (``frame_idx j*total//n_frames``, fewer when the clip is shorter),
+    and each sampled frame's luma plane is the pixel array. Compressed
+    formats (MP4/WebM/...) need ffmpeg: ``strict=True`` raises,
+    ``strict=False`` produces the deterministic md5 fake. Either way the
+    output shape — a nested column of per-frame structs — flows into
+    every nested operator in this engine (query/explode/map_rows).
     """
     keep = [c for c in df.columns if c != payload_col]
     fields = [df.schema[c] for c in keep]
@@ -337,29 +399,38 @@ def sample_video_frames(
     )
     out_schema = T.StructType(fields + [T.StructField("frames", T.ArrayType(frame_t))])
 
+    def _frames_of(p) -> list | None:
+        if p is None:
+            return None
+        payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+        if payload.startswith(b"YUV4MPEG2"):
+            planes, _wh = decode_y4m(payload)
+            total = len(planes)
+            idxs = sorted({j * total // n_frames for j in range(n_frames)
+                           if total > 0})
+            return [
+                {"frame_idx": i, "pixels": planes[i].ravel().tolist()}
+                for i in idxs
+            ]
+        if strict:
+            raise NotImplementedError(
+                "only YUV4MPEG2 (.y4m) decodes without ffmpeg; run with "
+                "strict=False for the deterministic stub"
+            )
+        return [
+            {
+                "frame_idx": i,
+                "pixels": _fake_pixels(payload + bytes([i]), 4, 4, 1)
+                .ravel()
+                .tolist(),
+            }
+            for i in range(n_frames)
+        ]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("video decode requires ffmpeg; not available here")
-            frames_col = []
-            for p in pdf[payload_col]:
-                if p is None:
-                    frames_col.append(None)
-                    continue
-                payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
-                frames_col.append(
-                    [
-                        {
-                            "frame_idx": i,
-                            "pixels": _fake_pixels(payload + bytes([i]), 4, 4, 1)
-                            .ravel()
-                            .tolist(),
-                        }
-                        for i in range(n_frames)
-                    ]
-                )
             out = pdf[keep].copy()
-            out["frames"] = frames_col
+            out["frames"] = [_frames_of(p) for p in pdf[payload_col]]
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)

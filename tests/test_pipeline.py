@@ -466,6 +466,69 @@ def test_decode_wav_real():
         mm.decode_wav(bytes(bad))
 
 
+def _make_y4m(planes, cspace=b"C420jpeg"):
+    """Reference Y4M writer: list of (h, w) uint8 luma planes; chroma
+    planes (when the colorspace has them) are zero-filled."""
+    h, w = planes[0].shape
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cspace)
+    if cspace.startswith(b"Cmono"):
+        chroma = 0
+    elif cspace.startswith(b"C420"):
+        chroma = 2 * ((w // 2) * (h // 2))
+    elif cspace.startswith(b"C444"):
+        chroma = 2 * w * h
+    else:
+        raise AssertionError(cspace)
+    for p in planes:
+        out += b"FRAME\n" + p.tobytes() + b"\x00" * chroma
+    return out
+
+
+def test_decode_y4m_real():
+    rng = np.random.RandomState(8)
+    planes = [rng.randint(0, 256, size=(4, 6), dtype=np.uint8)
+              for _ in range(5)]
+    for cs in (b"Cmono", b"C420jpeg", b"C444"):
+        got, (w, h) = mm.decode_y4m(_make_y4m(planes, cs))
+        assert (w, h) == (6, 4)
+        assert len(got) == 5
+        for g, p in zip(got, planes):
+            assert np.array_equal(g, p), cs
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        mm.decode_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        # cut into the last frame's LUMA plane (chroma is 12 bytes here;
+        # a chroma-only truncation is tolerated since chroma is skipped)
+        mm.decode_y4m(_make_y4m(planes)[:-20])
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n\x00\x00\x00\x00")
+
+
+def test_sample_video_frames_real_y4m(spark):
+    rng = np.random.RandomState(9)
+    planes = [rng.randint(0, 256, size=(2, 2), dtype=np.uint8)
+              for _ in range(6)]
+    bdf = spark.createDataFrame(
+        [(1, bytearray(_make_y4m(planes, b"Cmono")))], "id int, payload binary"
+    )
+    # strict=True must decode genuinely; 3 frames sampled evenly: 0, 2, 4
+    [r] = mm.sample_video_frames(bdf, n_frames=3, strict=True).collect()
+    got = {f["frame_idx"]: f["pixels"] for f in r["frames"]}
+    assert sorted(got) == [0, 2, 4]
+    for i in got:
+        assert got[i] == planes[i].ravel().tolist()
+    # clip shorter than n_frames -> every frame once
+    short = spark.createDataFrame(
+        [(1, bytearray(_make_y4m(planes[:2], b"Cmono")))],
+        "id int, payload binary")
+    [r] = mm.sample_video_frames(short, n_frames=4, strict=True).collect()
+    assert sorted(f["frame_idx"] for f in r["frames"]) == [0, 1]
+    junk = spark.createDataFrame([(1, bytearray(b"mp4data"))],
+                                 "id int, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        mm.sample_video_frames(junk, strict=True).collect()
+
+
 def test_decode_image_sniffs_real_formats(spark):
     rng = np.random.RandomState(7)
     px = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
