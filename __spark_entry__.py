@@ -2021,6 +2021,25 @@ def q109_y4m_frames(spark, sf):
     )
 
 
+def q110_ann_recall(spark, sf):
+    """ANN quality evaluation through the gate (pipeline/similarity.py
+    recall_at_k): per-query recall of the int8-quantized top-3 (q77's
+    operator) against the exact cosine top-3 (q22's) — the tuning loop a
+    real ANN deployment runs (sweep the knob, keep the cheapest setting
+    above the recall target). One id-pair join + one partial-agg shuffle;
+    vectors never move. Oracle replays both rankings and the recall
+    join."""
+    emb = _t(spark, sf, "embeddings")
+    exact = sim.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
+    qdf = sim.quantize_embeddings(emb)
+    approx = sim.quantized_topk(qdf, qdf.where(F.col("vec_id") < 10), k=3)
+    out = sim.recall_at_k(approx, exact)
+    return out.select(
+        "query_id", "n_exact", "n_hit",
+        F.round("recall", 6).alias("recall_r6"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2213,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_wav_features": q107_wav_features,
         "q108_sigma_clip_iter": q108_sigma_clip_iter,
         "q109_y4m_frames": q109_y4m_frames,
+        "q110_ann_recall": q110_ann_recall,
     }
 
 
@@ -3628,6 +3648,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
                    CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
             FROM c
+        """,
+        "q110_ann_recall": f"""
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), s AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+                FROM v
+            ), c AS (
+                SELECT vec_id,
+                       list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+                           ELSE floor(x / scale + 0.5) END) AS cd
+                FROM s
+            ), ascored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       {_dd_cos('q.cd', 'n.cd')} AS cs
+                FROM c q JOIN c n ON n.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            ), approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, neighbor_id ASC) AS rn
+                    FROM ascored
+                ) WHERE rn <= 3
+            ), escored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       {_dd_cos('q.e', 'n.e')} AS cs
+                FROM v q JOIN v n ON n.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            ), exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, neighbor_id ASC) AS rn
+                    FROM escored
+                ) WHERE rn <= 3
+            )
+            SELECT e.query_id,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                   round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS recall_r6
+            FROM exact e
+            LEFT JOIN approx a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
         """,
         "q77_quantized_topk": f"""
             WITH v AS (

@@ -24,7 +24,7 @@ __all__ = [
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
-    "knn_join",
+    "knn_join", "recall_at_k",
 ]
 
 
@@ -902,3 +902,43 @@ def random_projection(
         / F.lit(scale),
     )
     return df.crossJoin(F.broadcast(mat)).withColumn(out, proj).drop("__jl_R")
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """ANN quality evaluation: per-query recall of an approximate top-k
+    result against an exact baseline (e.g. :func:`lsh_topk` / 
+    :func:`ivf_topk` vs :func:`brute_force_topk` on a query sample).
+
+    Returns ``(query_col, n_exact, n_hit, recall)`` with
+    ``recall = |approx ∩ exact| / |exact|`` per query. This is how
+    ``n_probe`` / ``bands`` / ``n_centroids`` get tuned at scale: run the
+    exact baseline on a small query sample, sweep the ANN knob, keep the
+    cheapest setting above the recall target.
+
+    One hash join on (query, neighbor) + one partial-agg shuffle of
+    id pairs — never vectors; queries with an empty approximate result
+    still report (their recall is 0).
+    """
+    e = exact.select(F.col(query_col), F.col(id_col)).distinct()
+    a = (
+        approx.select(F.col(query_col), F.col(id_col))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        e.join(a, on=[query_col, id_col], how="left")
+        .groupBy(query_col)
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hit").cast("double") / F.col("n_exact"),
+        )
+    )

@@ -1193,6 +1193,20 @@ def test_random_projection_matches_python_and_preserves_distance(spark):
             assert g == pytest.approx(w, rel=1e-9)
 
 
+def test_recall_at_k(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 20), (2, 21)],  # query 3: no result
+        "query_id long, neighbor_id long")
+    got = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+           for r in sim.recall_at_k(approx, exact).collect()}
+    assert got[1] == (3, 2, pytest.approx(2 / 3))
+    assert got[2] == (2, 2, pytest.approx(1.0))
+    assert got[3] == (1, 0, 0.0)  # empty approximate result still reported
+
+
 def test_random_projection_dim_inference_and_validation(spark):
     emb = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
     [r] = sim.random_projection(emb, 2).collect()  # dim inferred
