@@ -2040,6 +2040,41 @@ def q110_ann_recall(spark, sf):
     )
 
 
+def q111_gopher_rules(spark, sf):
+    """Gopher-style quality rule filter (pipeline/text.py gopher_rules,
+    Rae et al. 2021 Table A1): per-doc word/format/repetition signals and
+    the combined pass verdict, pure built-ins over one scan. Thresholds
+    tuned so this corpus splits non-degenerately (296/500 pass at
+    sf0.01). Oracle replays every signal and the conjunction."""
+    from nested_pandas_spark.pipeline.text import gopher_rules
+
+    docs = _t(spark, sf, "documents")
+    out = gopher_rules(docs, min_words=40, min_stop_hits=1,
+                       min_mean_word_len=4.3, max_mean_word_len=10.0)
+    return out.select(
+        "doc_id",
+        "gopher_n_words",
+        F.round("gopher_mean_word_len", 6).alias("mean_wlen_r6"),
+        F.round("gopher_symbol_ratio", 6).alias("symbol_r6"),
+        F.round("gopher_dup_line_frac", 6).alias("dup_frac_r6"),
+        "gopher_stop_hits",
+        F.col("gopher_pass").cast("int").cast("long").alias("pass_flag"),
+    )
+
+
+def q112_dedup_lines(spark, sf):
+    """Within-document segment dedup (pipeline/corpus.py dedup_lines):
+    first occurrence of each distinct space-separated token survives, in
+    order — one codegen'd array_distinct projection, zero shuffle. The
+    oracle replays it with unnest + row_number + ordered string_agg, so
+    the hash match proves array_distinct's first-occurrence order."""
+    from nested_pandas_spark.pipeline.corpus import dedup_lines
+
+    docs = _t(spark, sf, "documents")
+    out = dedup_lines(docs, sep=" ")
+    return out.select("doc_id", "text_deduped", "n_removed")
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2233,6 +2268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_sigma_clip_iter": q108_sigma_clip_iter,
         "q109_y4m_frames": q109_y4m_frames,
         "q110_ann_recall": q110_ann_recall,
+        "q111_gopher_rules": q111_gopher_rules,
+        "q112_dedup_lines": q112_dedup_lines,
     }
 
 
@@ -3449,6 +3486,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS y_sum,
                    CAST(max(CASE WHEN i % 16 = 0 THEN v END) AS BIGINT) AS y0
             FROM v GROUP BY doc_id, frame_idx
+        """,
+        "q111_gopher_rules": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws,
+                       string_split(text, chr(10)) AS ls
+                FROM documents
+            ), st AS (
+                SELECT doc_id, text,
+                       len(ws) AS n_words,
+                       CASE WHEN len(ws) > 0 THEN
+                           CAST(list_sum(list_transform(ws, x -> length(x)))
+                                AS DOUBLE) / len(ws) END AS mean_wlen,
+                       CASE WHEN len(ws) > 0 THEN
+                           CAST((length(text) - length(replace(text, '#', '')))
+                             + (length(text)
+                                - length(replace(text, '...', ''))) // 3
+                             + (length(text) - length(replace(text, chr(8230),
+                                                              '')))
+                                AS DOUBLE) / len(ws) END AS symbol_ratio,
+                       1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                           / len(ls) AS dup_frac,
+                       CAST(len(list_filter(ls, l ->
+                           regexp_matches(ltrim(l), '^[-*' || chr(8226) || ']')
+                       )) AS DOUBLE) / len(ls) AS bullet_ratio,
+                       CAST(len(list_filter(ls, l ->
+                           regexp_matches(rtrim(l),
+                               '(\.\.\.|' || chr(8230) || ')$')
+                       )) AS DOUBLE) / len(ls) AS ellipsis_ratio,
+                       len(list_filter(ws, x -> list_contains(
+                           ['the','and','is','of','to','in','that','it',
+                            'was','for'], x))) AS stop_hits
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS gopher_n_words,
+                   round(mean_wlen, 6) AS mean_wlen_r6,
+                   round(symbol_ratio, 6) AS symbol_r6,
+                   round(dup_frac, 6) AS dup_frac_r6,
+                   CAST(stop_hits AS BIGINT) AS gopher_stop_hits,
+                   CAST(CASE WHEN COALESCE(
+                       n_words >= 40 AND n_words <= 100000
+                       AND mean_wlen >= 4.3 AND mean_wlen <= 10.0
+                       AND symbol_ratio <= 0.1
+                       AND bullet_ratio <= 0.9
+                       AND ellipsis_ratio <= 0.3
+                       AND stop_hits >= 1
+                       AND dup_frac <= 0.3, FALSE)
+                       THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
+            FROM st
+        """,
+        "q112_dedup_lines": """
+            WITH t AS (
+                SELECT doc_id, text, string_split(text, ' ') AS l
+                FROM documents
+            ), e AS (
+                SELECT doc_id, unnest(l) AS w,
+                       generate_subscripts(l, 1) AS i
+                FROM t
+            ), f AS (
+                SELECT doc_id, w, i,
+                       row_number() OVER (PARTITION BY doc_id, w
+                                          ORDER BY i) AS rn
+                FROM e
+            ), d AS (
+                SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS ded,
+                       count(*) AS kept
+                FROM f WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   d.ded AS text_deduped,
+                   CAST(len(t.l) - d.kept AS BIGINT) AS n_removed
+            FROM t LEFT JOIN d ON d.doc_id = t.doc_id
         """,
         "q108_sigma_clip_iter": """
             WITH s1 AS (

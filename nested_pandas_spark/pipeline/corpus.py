@@ -36,6 +36,7 @@ __all__ = [
     "boilerplate_ngrams",
     "clean_corpus",
     "decontaminate",
+    "dedup_lines",
     "mixture_weights",
     "pack_segments",
     "pack_sequences",
@@ -728,3 +729,32 @@ def clean_corpus(
         threshold=near_dup_threshold, candidates=candidates,
     )
     return resolve_duplicates(kept, verified, id_col)
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal: keep the FIRST occurrence of
+    every distinct ``sep``-separated segment, preserving order — the
+    intra-document companion of :func:`strip_boilerplate_lines` (which
+    strips segments common ACROSS documents). The classic cleanup for
+    nav-bar/footer spam repeated inside one page.
+
+    Adds ``{out_col or text_col + "_deduped"}`` and ``n_removed``.
+    ``array_distinct`` preserves first-occurrence order, so the whole
+    operator is one codegen'd projection: zero shuffle, no UDF. NULL text
+    passes through as NULL.
+    """
+    import re as _re
+
+    out_col = out_col or f"{text_col}_deduped"
+    lines = F.split(F.col(text_col), _re.escape(sep))
+    distinct = F.array_distinct(lines)
+    return docs.withColumn(
+        out_col, F.array_join(distinct, sep)
+    ).withColumn(
+        "n_removed", (F.size(lines) - F.size(distinct)).cast("long")
+    )

@@ -28,6 +28,7 @@ __all__ = [
     "unigram_logprob",
     "hashed_tfidf",
     "add_text_stats",
+    "gopher_rules",
     "STOPWORDS",
     "vocab",
 ]
@@ -437,3 +438,89 @@ def hashed_tfidf(
             F.coalesce(F.col("vector"), zero).alias("vector"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    lang: str = "en",
+    prefix: str = "gopher",
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Table A1):
+    per-document repetition/format signals plus a combined ``{prefix}_pass``
+    verdict — the standard rule filter a web-scale training pipeline runs
+    before dedup and model scoring.
+
+    Appended columns (all ``{prefix}_``-prefixed): ``n_words``,
+    ``mean_word_len``, ``symbol_ratio`` (#/ellipsis marks per word),
+    ``bullet_ratio`` (lines starting with a bullet), ``ellipsis_ratio``
+    (lines ending with an ellipsis), ``dup_line_frac`` (1 − distinct
+    lines / lines), ``stop_hits`` (stopword occurrences), ``pass``.
+
+    Pure built-ins over one scan (the tokenizer output is staged into a
+    bound column so each rule reads it, not re-splits); NULL text fails
+    ``pass`` with NULL signals. Thresholds are the published defaults —
+    tune per corpus.
+    """
+    qt = "`" + text_col.replace("`", "``") + "`"
+    c = F.col(text_col)
+    staged = df.select(
+        "*", words(c).alias("__gw"), F.split(c, "\n").alias("__gl")
+    )
+    w, lines = F.col("__gw"), F.col("__gl")
+    n_words = F.size(w)
+    sum_wlen = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    mean_wlen = F.when(n_words > 0, sum_wlen.cast("double") / n_words)
+    hashes = F.expr(f"length({qt}) - length(replace({qt}, '#', ''))")
+    dots3 = F.expr(
+        f"CAST((length({qt}) - length(replace({qt}, '...', ''))) / 3 AS BIGINT)"
+    )
+    uni_ell = F.expr(f"length({qt}) - length(replace({qt}, '…', ''))")
+    symbol_ratio = F.when(
+        n_words > 0, (hashes + dots3 + uni_ell).cast("double") / n_words
+    )
+    n_lines = F.size(lines)
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]")))
+        .cast("double") / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / n_lines
+    )
+    dup_line_frac = (
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
+    )
+    stop_hits = _stopword_hits(w, lang)
+    ok = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (stop_hits >= min_stop_hits)
+        & (dup_line_frac <= max_dup_line_frac)
+    )
+    out = staged.select(
+        *[F.col(x) for x in df.columns],
+        n_words.cast("long").alias(f"{prefix}_n_words"),
+        mean_wlen.alias(f"{prefix}_mean_word_len"),
+        symbol_ratio.alias(f"{prefix}_symbol_ratio"),
+        bullet_ratio.alias(f"{prefix}_bullet_ratio"),
+        ellipsis_ratio.alias(f"{prefix}_ellipsis_ratio"),
+        dup_line_frac.alias(f"{prefix}_dup_line_frac"),
+        stop_hits.cast("long").alias(f"{prefix}_stop_hits"),
+        F.coalesce(ok, F.lit(False)).alias(f"{prefix}_pass"),
+    )
+    return out

@@ -1300,3 +1300,47 @@ def test_fuzzy_pairs_max_posting_drops_hot_grams(spark):
     assert (100, 101) in got  # survives via its rare grams
     with pytest.raises(ValueError):
         dd.fuzzy_pairs(df, "id", "s", max_posting=1)
+
+
+def test_gopher_rules_signals(spark):
+    from nested_pandas_spark.pipeline.text import gopher_rules
+
+    good = "the cat and the dog sat in that house of theirs " * 8
+    bullets = "- one\n- two\n- three\n- four"
+    ellipsis = "this trails off...\nand this one too…\nbut not this"
+    dupl = "same line\nsame line\nsame line\nother"
+    symbols = "# lots # of # hashes # in # here #"
+    df = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, ellipsis), (3, dupl), (4, symbols),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(
+        df, min_words=5, min_stop_hits=1, min_mean_word_len=2.0,
+        max_mean_word_len=10.0).collect()}
+    assert out[0]["gopher_pass"]
+    assert out[1]["gopher_bullet_ratio"] == pytest.approx(1.0)
+    assert not out[1]["gopher_pass"]          # all-bullet doc fails
+    assert out[2]["gopher_ellipsis_ratio"] == pytest.approx(2 / 3)
+    assert out[3]["gopher_dup_line_frac"] == pytest.approx(0.5)
+    assert not out[3]["gopher_pass"]          # dup lines above 0.3
+    assert out[4]["gopher_symbol_ratio"] > 0.1 and not out[4]["gopher_pass"]
+    assert out[5]["gopher_pass"] is False     # NULL text: fails, not NULL
+    assert out[5]["gopher_n_words"] is None
+
+
+def test_dedup_lines_order_and_nulls(spark):
+    from nested_pandas_spark.pipeline.corpus import dedup_lines
+
+    df = spark.createDataFrame(
+        [(0, "b\na\nb\nc\na"), (1, "x"), (2, None), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["text_deduped"], r["n_removed"])
+           for r in dedup_lines(df).collect()}
+    assert out[0] == ("b\na\nc", 2)   # first occurrences, order kept
+    assert out[1] == ("x", 0)
+    assert out[2] == (None, None)
+    assert out[3] == ("", 0)
+    # custom separator with regex metacharacters must be escaped
+    df2 = spark.createDataFrame([(0, "a|b|a")], "doc_id long, text string")
+    [r] = dedup_lines(df2, sep="|").collect()
+    assert r["text_deduped"] == "a|b"
