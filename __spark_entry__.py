@@ -2075,6 +2075,20 @@ def q112_dedup_lines(spark, sf):
     return out.select("doc_id", "text_deduped", "n_removed")
 
 
+def q113_bpe_pairs(spark, sf):
+    """Tokenizer-training support (pipeline/text.py bpe_pair_stats): the
+    adjacent-character-pair count table of one BPE merge step. The corpus
+    collapses to a distinct-word frequency table first (one word-grain
+    shuffle — the vocabulary is tiny next to the corpus), then pairs
+    explode from that small table weighted by word count. Top-50 under a
+    deterministic total order (n desc, pair asc); oracle replays the
+    word-collapse and the weighted pair expansion."""
+    from nested_pandas_spark.pipeline.text import bpe_pair_stats
+
+    docs = _t(spark, sf, "documents")
+    return bpe_pair_stats(docs, top_k=50)
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2270,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_ann_recall": q110_ann_recall,
         "q111_gopher_rules": q111_gopher_rules,
         "q112_dedup_lines": q112_dedup_lines,
+        "q113_bpe_pairs": q113_bpe_pairs,
     }
 
 
@@ -3537,6 +3552,25 @@ def oracle_sql() -> dict[str, str]:
                        AND dup_frac <= 0.3, FALSE)
                        THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
             FROM st
+        """,
+        "q113_bpe_pairs": """
+            WITH ws AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ), wc AS (
+                SELECT w, count(*) AS wc FROM ws GROUP BY w
+            ), p AS (
+                SELECT substr(w, CAST(i AS INT), 1) AS l,
+                       substr(w, CAST(i AS INT) + 1, 1) AS r, wc
+                FROM (SELECT w, wc, unnest(range(1, length(w))) AS i FROM wc)
+            )
+            SELECT l AS "left", r AS "right",
+                   CAST(sum(wc) AS BIGINT) AS n
+            FROM p GROUP BY l, r
+            ORDER BY n DESC, l ASC, r ASC
+            LIMIT 50
         """,
         "q112_dedup_lines": """
             WITH t AS (

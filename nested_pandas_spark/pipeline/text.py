@@ -28,6 +28,7 @@ __all__ = [
     "unigram_logprob",
     "hashed_tfidf",
     "add_text_stats",
+    "bpe_pair_stats",
     "gopher_rules",
     "STOPWORDS",
     "vocab",
@@ -523,4 +524,56 @@ def gopher_rules(
         stop_hits.cast("long").alias(f"{prefix}_stop_hits"),
         F.coalesce(ok, F.lit(False)).alias(f"{prefix}_pass"),
     )
+    return out
+
+
+def bpe_pair_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Adjacent-character-pair frequencies over the corpus — the counting
+    pass of one BPE merge step (Sennrich et al. 2016), i.e. the argmax
+    candidate table a tokenizer trainer consumes. Returns ``(left, right,
+    n)`` ordered by (n desc, left asc, right asc).
+
+    Scale shape: the corpus first collapses to a DISTINCT-WORD frequency
+    table (one shuffle of (word, count) pairs — the distinct vocabulary is
+    orders of magnitude smaller than the corpus), then pairs explode from
+    that small table weighted by word count. This is exactly how
+    reference BPE trainers avoid rescanning the corpus per merge; here it
+    also keeps the big shuffle to word-grain, never character-grain.
+
+    ``top_k`` truncates deterministically (total order: n desc, then the
+    pair itself); ``min_count`` drops the long tail before the sort.
+    """
+    w = words(F.col(text_col))
+    word_counts = (
+        docs.select(F.explode(w).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    # guard len >= 2 BEFORE building the sequence: sequence(1, 0) would
+    # count DOWN ([1, 0]) and emit phantom pairs for single-char words
+    pairs = word_counts.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), "
+                "__i -> struct(substring(w, __i, 1) AS l, "
+                "substring(w, __i + 1, 1) AS r)) "
+                "ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
+            )
+        ).alias("p"),
+        F.col("wc"),
+    )
+    out = (
+        pairs.groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("left").asc(), F.col("right").asc())
+    )
+    if top_k is not None:
+        out = out.limit(top_k)
     return out

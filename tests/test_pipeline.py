@@ -1344,3 +1344,17 @@ def test_dedup_lines_order_and_nulls(spark):
     df2 = spark.createDataFrame([(0, "a|b|a")], "doc_id long, text string")
     [r] = dedup_lines(df2, sep="|").collect()
     assert r["text_deduped"] == "a|b"
+
+
+def test_bpe_pair_stats(spark):
+    from nested_pandas_spark.pipeline.text import bpe_pair_stats
+
+    df = spark.createDataFrame(
+        [(0, "aab ab a"), (1, "aab X"), (2, None)], "doc_id long, text string")
+    # words: aab(x2), ab(x1), a(x1), x(x1)  ->  pairs: aa:2, ab:3
+    got = {(r["left"], r["right"]): r["n"]
+           for r in bpe_pair_stats(df).collect()}
+    assert got == {("a", "a"): 2, ("a", "b"): 3}
+    top = bpe_pair_stats(df, top_k=1).collect()
+    assert [(top[0]["left"], top[0]["right"], top[0]["n"])] == [("a", "b", 3)]
+    assert bpe_pair_stats(df, min_count=3).count() == 1
