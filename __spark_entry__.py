@@ -2089,6 +2089,49 @@ def q113_bpe_pairs(spark, sf):
     return bpe_pair_stats(docs, top_k=50)
 
 
+def q114_periodogram(spark, sf):
+    """Per-cell Lomb-Scargle periodogram (operators/timeseries.py
+    periodogram): the period-finding statistic over each user's packed
+    event series, evaluated on a 4-frequency cycles-per-day grid — pure
+    HOFs, zero shuffle beyond the pack, times centered on the cell min
+    IN INT64 before any double cast. Oracle replays tau and the
+    orthogonalized power sums per (user, freq); round(6) absorbs
+    fp-associativity between Spark's array-order sums and DuckDB's."""
+    from nested_pandas_spark import pack, periodogram
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "ts", "value"), "lc", on="user_id",
+              sort_within=["ts"])
+    out = periodogram(nf, "lc", "ts", "value", [0.25, 0.5, 1.0, 2.0],
+                      time_scale=float(86_400 * 10**9))
+    return out.select(
+        "user_id", F.explode("lc_pgram").alias("e")
+    ).select(
+        "user_id",
+        F.col("e.freq").alias("freq"),
+        F.round("e.power", 6).alias("power_r6"),
+    )
+
+
+def q115_stetson_jk(spark, sf):
+    """Per-cell Stetson J/K variability indices (operators/timeseries.py
+    stetson_jk, std path): robust correlated-wander and kurtosis-proxy
+    statistics over each user's time-sorted event series. Oracle replays
+    the relative errors with window functions and pairs consecutive
+    observations with lead() under the same (t, v) total order."""
+    from nested_pandas_spark import pack, stetson_jk
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "ts", "value"), "lc", on="user_id",
+              sort_within=["ts"])
+    out = stetson_jk(nf, "lc", "ts", "value")
+    return out.select(
+        "user_id",
+        F.round("lc_stetson_j", 6).alias("j_r6"),
+        F.round("lc_stetson_k", 6).alias("k_r6"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2285,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_gopher_rules": q111_gopher_rules,
         "q112_dedup_lines": q112_dedup_lines,
         "q113_bpe_pairs": q113_bpe_pairs,
+        "q114_periodogram": q114_periodogram,
+        "q115_stetson_jk": q115_stetson_jk,
     }
 
 
@@ -3505,7 +3550,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_gopher_rules": """
             WITH w AS (
                 SELECT doc_id, text,
-                       list_filter(string_split_regex(lower(text), '\s+'),
+                       list_filter(string_split_regex(lower(text), '\\s+'),
                                    x -> x <> '') AS ws,
                        string_split(text, chr(10)) AS ls
                 FROM documents
@@ -3529,7 +3574,7 @@ def oracle_sql() -> dict[str, str]:
                        )) AS DOUBLE) / len(ls) AS bullet_ratio,
                        CAST(len(list_filter(ls, l ->
                            regexp_matches(rtrim(l),
-                               '(\.\.\.|' || chr(8230) || ')$')
+                               '(\\.\\.\\.|' || chr(8230) || ')$')
                        )) AS DOUBLE) / len(ls) AS ellipsis_ratio,
                        len(list_filter(ws, x -> list_contains(
                            ['the','and','is','of','to','in','that','it',
@@ -3553,10 +3598,101 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
             FROM st
         """,
+        "q114_periodogram": """
+            WITH f AS (
+                SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                               CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)]) AS freq
+            ), pts AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS tn,
+                       value AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), ctr AS (
+                SELECT user_id,
+                       CAST(tn - min(tn) OVER (PARTITION BY user_id) AS DOUBLE)
+                           / 86400000000000.0 AS x,
+                       v - avg(v) OVER (PARTITION BY user_id) AS y,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM pts
+            ), s1 AS (
+                SELECT c.user_id, f.freq, c.n AS n,
+                       sum(sin(4 * pi() * f.freq * c.x)) AS s2,
+                       sum(cos(4 * pi() * f.freq * c.x)) AS c2,
+                       sum(c.y * c.y) AS chi2
+                FROM ctr c CROSS JOIN f GROUP BY 1, 2, 3
+            ), tau AS (
+                SELECT user_id, freq, n, chi2,
+                       CASE WHEN s2 = 0 AND c2 = 0 THEN 0.0
+                            ELSE atan2(s2, c2) / (4 * pi() * freq) END AS tau
+                FROM s1
+            ), s4 AS (
+                SELECT c.user_id, t.freq, t.n, t.chi2,
+                       sum(c.y * cos(2 * pi() * t.freq * (c.x - t.tau))) AS ycs,
+                       sum(c.y * sin(2 * pi() * t.freq * (c.x - t.tau))) AS yss,
+                       sum(cos(2 * pi() * t.freq * (c.x - t.tau))
+                           * cos(2 * pi() * t.freq * (c.x - t.tau))) AS ccs,
+                       sum(sin(2 * pi() * t.freq * (c.x - t.tau))
+                           * sin(2 * pi() * t.freq * (c.x - t.tau))) AS sss
+                FROM ctr c JOIN tau t ON c.user_id = t.user_id
+                GROUP BY 1, 2, 3, 4
+            ), pw AS (
+                SELECT user_id, freq,
+                       CASE WHEN n >= 2 AND chi2 > 0 THEN
+                           round((0.5 * ((CASE WHEN ccs > 0
+                                          THEN ycs * ycs / ccs ELSE 0 END)
+                                       + (CASE WHEN sss > 0
+                                          THEN yss * yss / sss ELSE 0 END)))
+                                 * 2 / chi2, 6)
+                       END AS power_r6
+                FROM s4
+            )
+            SELECT b.user_id, f.freq, p.power_r6
+            FROM (SELECT DISTINCT user_id FROM events) b
+            CROSS JOIN f
+            LEFT JOIN pw p ON b.user_id = p.user_id AND f.freq = p.freq
+        """,
+        "q115_stetson_jk": """
+            WITH pts AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS tn,
+                       value AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), agg AS (
+                SELECT user_id, count(*) AS n, avg(v) AS m,
+                       sqrt(sum((v - m2) * (v - m2)) / (count(*) - 1)) AS s
+                FROM (SELECT user_id, v,
+                             avg(v) OVER (PARTITION BY user_id) AS m2
+                      FROM pts)
+                GROUP BY user_id
+            ), d AS (
+                SELECT p.user_id, a.n,
+                       sqrt(CAST(a.n AS DOUBLE) / (a.n - 1)) * (p.v - a.m) / a.s AS dd,
+                       row_number() OVER (PARTITION BY p.user_id
+                                          ORDER BY p.tn, p.v) AS rn
+                FROM pts p JOIN agg a USING (user_id)
+                WHERE a.n >= 2 AND a.s > 0
+            ), pr AS (
+                SELECT user_id, n, dd,
+                       lead(dd) OVER (PARTITION BY user_id ORDER BY rn) AS d2
+                FROM d
+            ), res AS (
+                SELECT user_id, n,
+                       sum(CASE WHEN d2 IS NOT NULL
+                                THEN sign(dd * d2) * sqrt(abs(dd * d2))
+                                ELSE 0 END) AS jsum,
+                       sum(abs(dd)) AS sabs, sum(dd * dd) AS ssq
+                FROM pr GROUP BY user_id, n
+            )
+            SELECT b.user_id,
+                   round(r.jsum / (r.n - 1), 6) AS j_r6,
+                   CASE WHEN r.ssq > 0 THEN
+                       round((r.sabs / r.n) / sqrt(r.ssq / r.n), 6)
+                   END AS k_r6
+            FROM (SELECT DISTINCT user_id FROM events) b
+            LEFT JOIN res r USING (user_id)
+        """,
         "q113_bpe_pairs": """
             WITH ws AS (
                 SELECT unnest(list_filter(
-                    string_split_regex(lower(text), '\s+'),
+                    string_split_regex(lower(text), '\\s+'),
                     x -> x <> '')) AS w
                 FROM documents
             ), wc AS (

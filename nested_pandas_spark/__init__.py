@@ -21,8 +21,8 @@ from .operators.sorting import sort_values
 from .operators.timeseries import (
     nest_corr, nest_cum, nest_decimate, nest_dedup, nest_describe,
     nest_diff, nest_ewm, nest_interp, nest_sample,
-    nest_rolling, nest_topk, nest_wmean, nest_zscore, phase_fold, rebin,
-    sigma_clip, trend_slope,
+    nest_rolling, nest_topk, nest_wmean, nest_zscore, periodogram, phase_fold,
+    rebin, sigma_clip, stetson_jk, trend_slope,
 )
 from .session import get_spark
 
@@ -62,6 +62,8 @@ __all__ = [
     "nest_rolling",
     "sigma_clip",
     "trend_slope",
+    "periodogram",
+    "stetson_jk",
     "nest_zscore",
     "nest_topk",
     "nest_wmean",

@@ -995,6 +995,27 @@ class NestedFrame:
             timeseries.trend_slope(self.df, nest, time_field, value_field, **kw)
         )
 
+    def periodogram(self, nest: str, time_field: str, value_field: str,
+                    freqs, **kw) -> "NestedFrame":
+        """Per-cell Lomb-Scargle periodogram — see
+        :func:`operators.timeseries.periodogram`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.periodogram(self.df, nest, time_field, value_field,
+                                   freqs, **kw)
+        )
+
+    def stetson_jk(self, nest: str, time_field: str, value_field: str,
+                   **kw) -> "NestedFrame":
+        """Per-cell Stetson J/K variability indices — see
+        :func:`operators.timeseries.stetson_jk`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.stetson_jk(self.df, nest, time_field, value_field, **kw)
+        )
+
     def nest_zscore(self, nest: str, field: str, **kw) -> "NestedFrame":
         """Per-cell z-score — see
         :func:`operators.timeseries.nest_zscore`."""

@@ -42,7 +42,7 @@ from ..nestedframe.expr import _sql_literal
 __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
            "nest_corr", "nest_describe", "nest_ewm", "nest_cum", "nest_dedup",
-           "nest_decimate", "nest_sample"]
+           "nest_decimate", "nest_sample", "periodogram", "stetson_jk"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -1377,4 +1377,291 @@ def nest_sample(
         F.expr(
             f"filter({qn}, __x -> __x.{qk} IS NOT NULL AND {h} < {threshold})"
         ),
+    )
+
+
+def _let_sql(val_sql: str, var: str, body_sql: str) -> str:
+    """SQL let-binding: evaluate ``val_sql`` ONCE, bind it to ``var``, and
+    use it in ``body_sql`` — emulated with a single-element ``transform``.
+    Spark SQL lambdas have no local bindings, and re-inlining a
+    subexpression that itself contains an ``aggregate`` would re-scan the
+    cell once per mention; this keeps every staged reduction single-pass.
+    """
+    return f"element_at(transform(array({val_sql}), {var} -> {body_sql}), 1)"
+
+
+def periodogram(
+    df: DataFrame,
+    nest: str,
+    time_field: str,
+    value_field: str,
+    freqs,
+    out: str | None = None,
+    time_scale: float = 1.0,
+    normalization: str = "standard",
+    best: bool = False,
+) -> DataFrame:
+    """Per-cell Lomb-Scargle periodogram (Scargle 1982; Zechmeister &
+    Kurster 2009 eq. 1-3 without the floating mean) — THE period-finding
+    statistic for the irregularly-sampled light curves the reference's
+    astronomy users hold in nested columns (reference ``README.md:15-21``
+    motivates exactly this workload; the reference leaves it to user
+    ``reduce`` lambdas over astropy).
+
+    For each frequency ``f`` (cycles per scaled time unit) with
+    ``w = 2*pi*f`` and the cell's usable points ``(t_i, y_i)``:
+
+    * ``tau``: ``atan2(sum sin(2wt), sum cos(2wt)) / (2w)`` — the phase
+      shift that makes the sine/cosine bases orthogonal,
+    * ``P_raw = 0.5 * [ (sum yc*cos(w(t-tau)))^2 / sum cos^2(w(t-tau))
+      + (sum yc*sin(w(t-tau)))^2 / sum sin^2(w(t-tau)) ]`` with ``yc``
+      mean-centered,
+    * ``normalization='standard'`` rescales to ``2*P_raw / chi2_ref``
+      (``chi2_ref = sum yc^2``) so power lies in [0, 1] like astropy's
+      ``standard``; ``'none'`` returns ``P_raw``.
+
+    Adds ``out`` (default ``{nest}_pgram``) = ``array<struct<freq,
+    power>>``; power is NULL per freq when the cell has < 2 usable points
+    or zero variance. ``best=True`` also adds ``{out}_freq`` /
+    ``{out}_power`` (argmax; first freq wins ties — the grid is scanned
+    in order).
+
+    Numerical shape: element times are centered on the cell's min IN
+    INT64 (exact for epoch-nano axes; the q47 lesson) before the cast to
+    double and ``time_scale`` division, so trig arguments stay small.
+    TIMESTAMP axes reduce to epoch microseconds first (``time_scale`` is
+    then in microseconds). Values are mean-centered per cell.
+
+    Scale shape: pure HOFs — zero shuffle, O(n_freq * n) per cell, one
+    pass per staged reduction (see :func:`_let_sql`), embarrassingly
+    parallel across rows; the frequency grid is a plan literal of
+    O(n_freq) nodes. This is the textbook dense-grid evaluation; for
+    > ~10^4 frequencies chunk the grid across several calls.
+    """
+    freqs = [float(f) for f in freqs]
+    if not freqs:
+        raise ValueError("freqs must be a non-empty sequence")
+    for f_ in freqs:
+        if not (f_ > 0.0) or f_ != f_ or f_ == float("inf"):
+            raise ValueError(f"every frequency must be finite and > 0, got {f_!r}")
+    if not (float(time_scale) > 0.0):
+        raise ValueError(f"time_scale must be > 0, got {time_scale!r}")
+    if normalization not in ("standard", "none"):
+        raise ValueError(
+            f"normalization must be 'standard' or 'none', got {normalization!r}")
+    fields = nested_field_names(df, nest)
+    for f_ in (time_field, value_field):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    out = out or f"{nest}_pgram"
+    qn, qt, qv = quote(nest), quote(time_field), quote(value_field)
+    if _time_kind(df, nest, time_field) == "timestamp":
+        t_sql = f"unix_micros(CAST(__x.{qt} AS TIMESTAMP))"
+    else:
+        t_sql = f"__x.{qt}"
+
+    raw_c, xy_c, ym_c, p_c, chi_c = (
+        "__pg_raw", "__pg_xy", "__pg_ym", "__pg_p", "__pg_chi2")
+    staged = df.withColumn(
+        raw_c,
+        F.expr(
+            f"transform(filter({qn}, __x -> __x.{qt} IS NOT NULL AND "
+            f"__x.{qv} IS NOT NULL), __x -> struct({t_sql} AS t, "
+            f"CAST(__x.{qv} AS DOUBLE) AS y))"
+        ),
+    )
+    qr = quote(raw_c)
+    # exact centering on the cell's min BEFORE any double cast
+    staged = staged.withColumn(
+        xy_c,
+        F.expr(
+            f"{_let_sql(f'array_min(transform({qr}, __p -> __p.t))', '__t0', f'transform({qr}, __p -> struct(CAST(__p.t - __t0 AS DOUBLE) / CAST({float(time_scale)!r} AS DOUBLE) AS x, __p.y AS y))')}"
+        ),
+    )
+    qxy = quote(xy_c)
+    n = f"size({qxy})"
+    staged = staged.withColumn(
+        ym_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qxy}, 0.0D, "
+               f"(__a, __p) -> __a + __p.y) / {n} END"),
+    )
+    qym = quote(ym_c)
+    staged = staged.withColumn(
+        p_c,
+        F.expr(f"transform({qxy}, __p -> struct(__p.x AS x, "
+               f"__p.y - {qym} AS y))"),
+    )
+    qp = quote(p_c)
+    staged = staged.withColumn(
+        chi_c,
+        F.expr(f"aggregate({qp}, 0.0D, (__a, __p) -> __a + __p.y * __p.y)"),
+    )
+    qchi = quote(chi_c)
+
+    sc_val = (
+        f"aggregate({qp}, named_struct('s', 0.0D, 'c', 0.0D), "
+        f"(__a, __q) -> named_struct("
+        f"'s', __a.s + sin(2.0D * __w * __q.x), "
+        f"'c', __a.c + cos(2.0D * __w * __q.x)))"
+    )
+    tau_val = (
+        f"CASE WHEN __sc.s = 0.0D AND __sc.c = 0.0D THEN 0.0D "
+        f"ELSE atan2(__sc.s, __sc.c) / (2.0D * __w) END"
+    )
+    s4_val = (
+        f"aggregate({qp}, named_struct("
+        f"'yc', 0.0D, 'ys', 0.0D, 'cc', 0.0D, 'ss', 0.0D), "
+        f"(__a, __q) -> named_struct("
+        f"'yc', __a.yc + __q.y * cos(__w * (__q.x - __tau)), "
+        f"'ys', __a.ys + __q.y * sin(__w * (__q.x - __tau)), "
+        f"'cc', __a.cc + cos(__w * (__q.x - __tau)) * cos(__w * (__q.x - __tau)), "
+        f"'ss', __a.ss + sin(__w * (__q.x - __tau)) * sin(__w * (__q.x - __tau))))"
+    )
+    raw_power = (
+        f"0.5D * ((CASE WHEN __s4.cc > 0.0D THEN "
+        f"__s4.yc * __s4.yc / __s4.cc ELSE 0.0D END) + "
+        f"(CASE WHEN __s4.ss > 0.0D THEN "
+        f"__s4.ys * __s4.ys / __s4.ss ELSE 0.0D END))"
+    )
+    if normalization == "standard":
+        final = f"({raw_power}) * 2.0D / {qchi}"
+    else:
+        final = f"({raw_power})"
+    power = _let_sql(
+        "2.0D * pi() * __f", "__w",
+        _let_sql(sc_val, "__sc",
+                 _let_sql(tau_val, "__tau",
+                          _let_sql(s4_val, "__s4", final))))
+    freq_lit = "array(" + ", ".join(f"CAST({f!r} AS DOUBLE)" for f in freqs) + ")"
+    staged = staged.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN {n} >= 2 AND {qchi} > 0.0D THEN "
+            f"transform({freq_lit}, __f -> "
+            f"named_struct('freq', __f, 'power', {power})) "
+            f"ELSE transform({freq_lit}, __f -> "
+            f"named_struct('freq', __f, 'power', CAST(NULL AS DOUBLE))) END"
+        ),
+    )
+    if best:
+        qo = quote(out)
+        best_val = (
+            f"aggregate({qo}, named_struct("
+            f"'f', CAST(NULL AS DOUBLE), 'p', CAST(NULL AS DOUBLE)), "
+            f"(__a, __e) -> CASE WHEN __e.power IS NOT NULL AND "
+            f"(__a.p IS NULL OR __e.power > __a.p) THEN "
+            f"named_struct('f', __e.freq, 'p', __e.power) ELSE __a END)"
+        )
+        staged = staged.withColumn(
+            f"{out}_freq", F.expr(f"({best_val}).f")
+        ).withColumn(
+            f"{out}_power", F.expr(f"({best_val}).p")
+        )
+    return staged.drop(raw_c, xy_c, ym_c, p_c, chi_c)
+
+
+def stetson_jk(
+    df: DataFrame,
+    nest: str,
+    time_field: str,
+    value_field: str,
+    err_field: str | None = None,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """Per-cell Stetson J and K variability indices (Stetson 1996 eq. 1-3
+    with unit weights and the straight mean — the common non-iterated
+    form) over a nested light curve: the standard robust "is this object
+    variable?" statistics the reference's users compute via ``reduce``.
+
+    With points sorted by ``(time, value)`` and the relative errors
+    ``d_i = sqrt(n/(n-1)) * (v_i - mean) / sigma_i``:
+
+    * ``J = sum_k sign(P_k) * sqrt(|P_k|) / (n-1)`` over the ``n-1``
+      CONSECUTIVE pairs ``P_k = d_k * d_{k+1}`` (correlated wander in
+      adjacent observations -> J > 0; pure noise -> J ~ 0),
+    * ``K = (sum|d|/n) / sqrt(sum d^2 / n)`` (kurtosis proxy: 0.798 for
+      a Gaussian, -> 0 for a single spike).
+
+    ``sigma_i`` is the element's ``err_field`` when given (elements with
+    NULL or non-positive error are dropped); otherwise the cell's sample
+    standard deviation (then J/K are scale-free shape statistics). Adds
+    ``{prefix}_j`` / ``{prefix}_k`` (default prefix ``{nest}_stetson``);
+    NULL when fewer than 2 usable points, or (std path) when the cell
+    has zero spread, or (K) when all deltas are zero.
+
+    Pure HOFs: one ``array_sort``, staged single-pass reductions, zero
+    shuffle, O(n log n) per cell.
+    """
+    fields = nested_field_names(df, nest)
+    need = [time_field, value_field] + ([err_field] if err_field else [])
+    for f_ in need:
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    prefix = out_prefix or f"{nest}_stetson"
+    qn, qt, qv = quote(nest), quote(time_field), quote(value_field)
+    cond = f"__x.{qt} IS NOT NULL AND __x.{qv} IS NOT NULL"
+    if err_field:
+        qe = quote(err_field)
+        cond += f" AND __x.{qe} IS NOT NULL AND CAST(__x.{qe} AS DOUBLE) > 0.0D"
+        e_sql = f"CAST(__x.{qe} AS DOUBLE)"
+    else:
+        e_sql = "CAST(NULL AS DOUBLE)"
+    # struct field order (t, v, e): array_sort's lexicographic comparator
+    # gives the (time, value)-sorted order J's consecutive pairs need
+    sorted_c, m_c, s_c, d_c = "__st_sorted", "__st_mean", "__st_std", "__st_d"
+    staged = df.withColumn(
+        sorted_c,
+        F.expr(
+            f"array_sort(transform(filter({qn}, __x -> {cond}), "
+            f"__x -> struct(__x.{qt} AS t, CAST(__x.{qv} AS DOUBLE) AS v, "
+            f"{e_sql} AS e)))"
+        ),
+    )
+    qs = quote(sorted_c)
+    n = f"size({qs})"
+    staged = staged.withColumn(
+        m_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qs}, 0.0D, "
+               f"(__a, __p) -> __a + __p.v) / {n} END"),
+    )
+    qm = quote(m_c)
+    if err_field:
+        sigma = "__p.e"
+        staged = staged.withColumn(s_c, F.lit(None).cast("double"))
+    else:
+        staged = staged.withColumn(
+            s_c,
+            F.expr(f"CASE WHEN {n} >= 2 THEN sqrt(aggregate({qs}, 0.0D, "
+                   f"(__a, __p) -> __a + (__p.v - {qm}) * (__p.v - {qm})) "
+                   f"/ ({n} - 1)) END"),
+        )
+        sigma = quote(s_c)
+    qstd = quote(s_c)
+    usable = f"{n} >= 2" + ("" if err_field else f" AND {qstd} > 0.0D")
+    staged = staged.withColumn(
+        d_c,
+        F.expr(
+            f"CASE WHEN {usable} THEN transform({qs}, __p -> "
+            f"sqrt(CAST({n} AS DOUBLE) / ({n} - 1)) * (__p.v - {qm}) / {sigma}) "
+            f"END"
+        ),
+    )
+    qd = quote(d_c)
+    pk = (f"zip_with(slice({qd}, 1, {n} - 1), slice({qd}, 2, {n} - 1), "
+          f"(__a, __b) -> __a * __b)")
+    j_sql = (
+        f"CASE WHEN {qd} IS NOT NULL THEN "
+        f"aggregate({pk}, 0.0D, (__a, __p) -> "
+        f"__a + sign(__p) * sqrt(abs(__p))) / ({n} - 1) END"
+    )
+    sum_abs = f"aggregate({qd}, 0.0D, (__a, __v) -> __a + abs(__v))"
+    sum_sq = f"aggregate({qd}, 0.0D, (__a, __v) -> __a + __v * __v)"
+    k_sql = (
+        f"CASE WHEN {qd} IS NOT NULL AND {sum_sq} > 0.0D THEN "
+        f"({sum_abs} / {n}) / sqrt({sum_sq} / {n}) END"
+    )
+    return (
+        staged.withColumn(f"{prefix}_j", F.expr(j_sql))
+        .withColumn(f"{prefix}_k", F.expr(k_sql))
+        .drop(sorted_c, m_c, s_c, d_c)
     )

@@ -729,3 +729,141 @@ def test_sigma_clip_iterated_matches_python(spark):
     assert len(got_by_iter[2]) < len(got_by_iter[1])
     with pytest.raises(ValueError, match="iters"):
         sigma_clip(nf, "nested", "flux", iters=0)
+
+
+def _ls_power_ref(ts, ys, f):
+    """Reference standard-normalized Lomb-Scargle power of one cell."""
+    t0 = min(ts)
+    xs = [t - t0 for t in ts]
+    m = sum(ys) / len(ys)
+    yc = [y - m for y in ys]
+    chi2 = sum(y * y for y in yc)
+    w = 2 * math.pi * f
+    s2 = sum(math.sin(2 * w * x) for x in xs)
+    c2 = sum(math.cos(2 * w * x) for x in xs)
+    tau = math.atan2(s2, c2) / (2 * w)
+    c = [math.cos(w * (x - tau)) for x in xs]
+    s = [math.sin(w * (x - tau)) for x in xs]
+    yc_s = sum(y * ci for y, ci in zip(yc, c))
+    ys_s = sum(y * si for y, si in zip(yc, s))
+    cc = sum(ci * ci for ci in c)
+    ss = sum(si * si for si in s)
+    praw = 0.5 * ((yc_s ** 2 / cc if cc > 0 else 0.0)
+                  + (ys_s ** 2 / ss if ss > 0 else 0.0))
+    return 2.0 * praw / chi2
+
+
+def test_periodogram_matches_python_reference(spark):
+    from nested_pandas_spark import periodogram
+
+    # strong period at f = 0.25 (period 4) plus an aperiodic cell
+    rows = []
+    for i in range(40):
+        t = i * 0.7 + (0.13 if i % 3 else -0.2)
+        rows.append((0, t, math.sin(2 * math.pi * 0.25 * t) * 3 + 0.01 * i))
+    rows += [(1, 1.0, 5.0), (1, 2.0, 5.5), (1, 7.0, 4.5)]
+    df = spark.createDataFrame(rows, "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    freqs = [0.1, 0.25, 0.4]
+    out = periodogram(nf, "lc", "t", "v", freqs, best=True)
+    got = {r["oid"]: r for r in out.collect()}
+    by_oid = {0: ([], []), 1: ([], [])}
+    for oid, t, v in rows:
+        by_oid[oid][0].append(t)
+        by_oid[oid][1].append(v)
+    for oid, (ts, ys) in by_oid.items():
+        for e in got[oid]["lc_pgram"]:
+            ref = _ls_power_ref(ts, ys, e["freq"])
+            assert e["power"] == pytest.approx(ref, rel=1e-9, abs=1e-12)
+    # the periodic cell peaks at the true frequency
+    assert got[0]["lc_pgram_freq"] == 0.25
+    assert got[0]["lc_pgram_power"] > 0.8
+
+
+def test_periodogram_exact_int64_axis_and_nulls(spark):
+    from nested_pandas_spark import periodogram
+
+    day = 86_400 * 10 ** 9
+    base = 1_700_000_000_000_000_000  # epoch nanos ~2^60.6
+    rows = [(0, base + i * day // 2, float((-1) ** i)) for i in range(20)]
+    rows += [(1, base, 1.0)]          # n=1 -> NULL power
+    rows += [(2, base, 2.0), (2, base + day, 2.0)]  # zero variance -> NULL
+    df = spark.createDataFrame(rows, "oid long, t long, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    out = periodogram(nf, "lc", "t", "v", [1.0], time_scale=day)
+    got = {r["oid"]: [e["power"] for e in r["lc_pgram"]] for r in out.collect()}
+    # alternating signal sampled twice per day peaks exactly at 1 cycle/day
+    ts = [(r[1] - base) / day for r in rows if r[0] == 0]
+    ys = [r[2] for r in rows if r[0] == 0]
+    assert got[0][0] == pytest.approx(_ls_power_ref(ts, ys, 1.0), rel=1e-9)
+    assert got[0][0] > 0.99
+    assert got[1] == [None] and got[2] == [None]
+
+
+def test_periodogram_validation(spark):
+    from nested_pandas_spark import periodogram
+
+    df = spark.createDataFrame([(0, 1.0, 1.0)], "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid")
+    with pytest.raises(ValueError, match="non-empty"):
+        periodogram(nf, "lc", "t", "v", [])
+    with pytest.raises(ValueError, match="finite and > 0"):
+        periodogram(nf, "lc", "t", "v", [0.0])
+    with pytest.raises(ValueError, match="time_scale"):
+        periodogram(nf, "lc", "t", "v", [1.0], time_scale=0)
+    with pytest.raises(ValueError, match="normalization"):
+        periodogram(nf, "lc", "t", "v", [1.0], normalization="psd")
+    with pytest.raises(KeyError):
+        periodogram(nf, "lc", "nope", "v", [1.0])
+
+
+def _stetson_ref(pts, errs=None):
+    """Reference Stetson (J, K) of one cell; pts sorted by (t, v)."""
+    pts = sorted(pts)
+    vs = [v for _, v in pts]
+    n = len(vs)
+    m = sum(vs) / n
+    if errs is None:
+        s = math.sqrt(sum((v - m) ** 2 for v in vs) / (n - 1))
+        sigmas = [s] * n
+    else:
+        sigmas = [errs[t] for t, _ in pts]
+    d = [math.sqrt(n / (n - 1)) * (v - m) / sg for v, sg in zip(vs, sigmas)]
+    P = [a * b for a, b in zip(d[:-1], d[1:])]
+    J = sum(math.copysign(math.sqrt(abs(p)), p) if p != 0 else 0.0
+            for p in P) / (n - 1)
+    K = (sum(abs(x) for x in d) / n) / math.sqrt(sum(x * x for x in d) / n)
+    return J, K
+
+
+def test_stetson_jk_matches_python_reference(spark):
+    from nested_pandas_spark import stetson_jk
+
+    rows = [(0, float(t), float(v)) for t, v in
+            [(1, 10.0), (2, 12.0), (3, 11.5), (4, 9.0), (5, 13.0), (6, 8.5)]]
+    rows += [(1, 1.0, 4.0), (1, 2.0, 4.0)]  # zero spread -> NULL on std path
+    rows += [(2, 1.0, 7.0)]                 # n=1 -> NULL
+    df = spark.createDataFrame(rows, "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    out = stetson_jk(nf, "lc", "t", "v")
+    got = {r["oid"]: (r["lc_stetson_j"], r["lc_stetson_k"]) for r in out.collect()}
+    J, K = _stetson_ref([(t, v) for o, t, v in rows if o == 0])
+    assert got[0][0] == pytest.approx(J, rel=1e-9)
+    assert got[0][1] == pytest.approx(K, rel=1e-9)
+    assert got[1] == (None, None) and got[2] == (None, None)
+
+
+def test_stetson_jk_err_field_path(spark):
+    from nested_pandas_spark import stetson_jk
+
+    rows = [(0, 1.0, 10.0, 0.5), (0, 2.0, 12.0, 0.4), (0, 3.0, 9.5, 0.8),
+            (0, 4.0, 11.0, None),   # NULL err dropped
+            (0, 5.0, 10.5, -1.0)]   # non-positive err dropped
+    df = spark.createDataFrame(rows, "oid long, t double, v double, e double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    out = stetson_jk(nf, "lc", "t", "v", err_field="e")
+    [r] = out.collect()
+    errs = {1.0: 0.5, 2.0: 0.4, 3.0: 0.8}
+    J, K = _stetson_ref([(1.0, 10.0), (2.0, 12.0), (3.0, 9.5)], errs)
+    assert r["lc_stetson_j"] == pytest.approx(J, rel=1e-9)
+    assert r["lc_stetson_k"] == pytest.approx(K, rel=1e-9)
