@@ -2132,6 +2132,25 @@ def q115_stetson_jk(spark, sf):
     )
 
 
+def q116_dedup_passages(spark, sf):
+    """EXACT substring dedup (pipeline/dedup.py dedup_passages, Lee et al.
+    2021): every repeated 8-token passage keeps only its minimal
+    (doc_id, start) occurrence; other occurrences' spans are deleted.
+    The corpus is documents UNION a prefixed echo of every 7th doc, so
+    cross-document duplicated passages are guaranteed at any sf. Oracle
+    replays window hashing, ownership ranking, and span deletion with
+    DuckDB window functions and indexed list lambdas."""
+    from nested_pandas_spark.pipeline.dedup import dedup_passages
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    echo = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("copied preamble "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(echo)
+    return dedup_passages(corpus, window=8)
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2330,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_bpe_pairs": q113_bpe_pairs,
         "q114_periodogram": q114_periodogram,
         "q115_stetson_jk": q115_stetson_jk,
+        "q116_dedup_passages": q116_dedup_passages,
     }
 
 
@@ -3597,6 +3617,58 @@ def oracle_sql() -> dict[str, str]:
                        AND dup_frac <= 0.3, FALSE)
                        THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
             FROM st
+        """,
+        "q116_dedup_passages": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       'copied preamble ' || text AS text
+                FROM documents WHERE doc_id % 7 = 0
+            ), t AS (
+                SELECT doc_id, text,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE list_filter(
+                                string_split_regex(text, '\\s+'),
+                                x -> x <> '') END AS toks
+                FROM corpus
+            ), n AS (
+                SELECT doc_id, text, toks,
+                       coalesce(len(toks), 0) AS n
+                FROM t
+            ), occ AS (
+                SELECT doc_id, s,
+                       md5(array_to_string(
+                           list_slice(toks, s + 1, s + 8), ' ')) AS h
+                FROM (SELECT doc_id, toks, n,
+                             unnest(range(0, n - 7)) AS s
+                      FROM n WHERE n >= 8)
+            ), marked AS (
+                SELECT doc_id, s,
+                       count(*) OVER (PARTITION BY h) AS c,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, s) AS rn
+                FROM occ
+            ), spans AS (
+                SELECT doc_id, list(s) AS starts
+                FROM marked WHERE c >= 2 AND rn > 1
+                GROUP BY doc_id
+            ), joined AS (
+                SELECT n.doc_id, n.text, n.n,
+                       CASE WHEN spans.starts IS NULL THEN n.toks
+                            ELSE list_filter(n.toks, (x, i) ->
+                                len(list_filter(spans.starts, s ->
+                                    (i - 1) >= s AND (i - 1) < s + 8)) = 0)
+                       END AS kept
+                FROM n LEFT JOIN spans USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE coalesce(array_to_string(kept, ' '), '')
+                   END AS text_deduped,
+                   CAST(CASE WHEN text IS NULL THEN 0
+                             ELSE n - len(kept) END AS BIGINT) AS n_removed
+            FROM joined
         """,
         "q114_periodogram": """
             WITH f AS (

@@ -25,6 +25,7 @@ from .text import fingerprint, word_ngrams, words
 
 __all__ = [
     "dedup_against",
+    "dedup_passages",
     "fuzzy_pairs",
     "exact_dedup",
     "minhash_signature",
@@ -999,4 +1000,114 @@ def fuzzy_pairs(
             F.levenshtein(F.col("__sa"), F.col("__sb")).alias("dist"),
         )
         .where(F.col("dist") <= max_dist)
+    )
+
+
+def dedup_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    stride: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): remove every repeated
+    ``window``-token passage from all but one canonical occurrence, even
+    when the surrounding documents are otherwise unrelated — the dedup
+    mode MinHash (whole-document) misses, and the one that deletes the
+    memorization-prone boilerplate/licence/navigation passages.
+
+    Token grain: whitespace tokens of the raw text (case-sensitive — this
+    is *exact* substring matching). A passage occurrence is ``(doc,
+    start)`` for each window of ``window`` consecutive tokens at starts
+    ``0, stride, 2*stride, ...``; occurrences are keyed by the md5 of the
+    space-joined window. A passage repeated >= ``min_count`` times
+    corpus-wide keeps only its minimal ``(doc_id, start)`` occurrence;
+    every other occurrence's token span is deleted. Overlapping deleted
+    spans count each position once.
+
+    Returns one row per input row: ``id_col``, ``text_deduped`` (kept
+    tokens joined by single spaces — output text is whitespace-normalized;
+    NULL text stays NULL), ``n_removed`` (deleted token count).
+
+    Scale shape: the corpus expands to ~``n_tokens/stride`` occurrence
+    rows of (id, start, 32-char hash) — hashes shuffle, text never does.
+    The passage-count aggregation is a partial-agg ``groupBy`` (map-side
+    combine keeps a boilerplate passage repeated millions of times from
+    hot-spotting one reducer); the occurrence->dup join re-shuffles on the
+    same key (AQE splits residual skew), and the final span join is
+    doc-grain. The 128-bit key is deliberate: at 10^12 windows a 64-bit
+    key would birthday-collide and silently delete non-duplicate text.
+    ``stride > 1`` divides the expansion cost but only catches passages
+    aligned to the stride — the standard recall/cost dial.
+
+    >>> df = spark.createDataFrame(
+    ...     [(0, "the quick brown fox jumps high"),
+    ...      (1, "lazy dogs and the quick brown fox jumps over it"),
+    ...      (2, None)],
+    ...     "doc_id long, text string")
+    >>> [(r["doc_id"], r["text_deduped"], r["n_removed"])
+    ...  for r in dedup_passages(df, window=4).orderBy("doc_id").collect()]
+    [(0, 'the quick brown fox jumps high', 0), (1, 'lazy dogs and over it', 5), (2, None, 0)]
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    qi, qt = F.col(id_col), F.col(text_col)
+    staged = docs.select(
+        qi.alias("__id"),
+        qt.alias("__text"),
+        F.expr(
+            f"filter(split({text_col}, '\\\\s+'), __t -> __t <> '')"
+        ).alias("__toks"),
+    ).withColumn("__n", F.coalesce(F.size("__toks"), F.lit(0)))
+    occ = staged.where(F.col("__n") >= window).select(
+        "__id",
+        F.explode(
+            F.expr(f"sequence(0, __n - {window}, {stride})")
+        ).alias("__start"),
+        F.col("__toks"),
+    ).select(
+        "__id",
+        "__start",
+        F.md5(
+            F.expr(f"array_join(slice(__toks, __start + 1, {window}), ' ')")
+        ).alias("__h"),
+    )
+    agg = (
+        occ.groupBy("__h")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min(F.struct("__id", "__start")).alias("__owner"),
+        )
+        .where(F.col("__c") >= min_count)
+        .select("__h", "__owner")
+    )
+    removed = (
+        occ.join(agg, "__h")
+        .where(
+            ~((F.col("__id") == F.col("__owner.__id"))
+              & (F.col("__start") == F.col("__owner.__start")))
+        )
+        .groupBy("__id")
+        .agg(F.collect_list("__start").alias("__starts"))
+    )
+    out = staged.join(removed, "__id", "left")
+    kept = (
+        f"CASE WHEN __starts IS NULL THEN __toks ELSE "
+        f"filter(__toks, (__t, __i) -> NOT exists(__starts, "
+        f"__s -> __i >= __s AND __i < __s + {window})) END"
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.when(
+            F.col("__text").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.expr(f"array_join({kept}, ' ')")).alias("text_deduped"),
+        F.when(F.col("__text").isNull(), F.lit(0).cast("long")).otherwise(
+            (F.col("__n") - F.size(F.expr(kept))).cast("long")
+        ).alias("n_removed"),
     )

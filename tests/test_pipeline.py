@@ -1358,3 +1358,72 @@ def test_bpe_pair_stats(spark):
     top = bpe_pair_stats(df, top_k=1).collect()
     assert [(top[0]["left"], top[0]["right"], top[0]["n"])] == [("a", "b", 3)]
     assert bpe_pair_stats(df, min_count=3).count() == 1
+
+
+def _dedup_passages_ref(docs, window, stride=1, min_count=2):
+    """Brute-force reference: dict of id -> (text_deduped, n_removed)."""
+    toks = {i: (t.split() if t is not None else None) for i, t in docs}
+    occ = []
+    for i, tk in sorted(toks.items()):
+        if tk is None:
+            continue
+        for s in range(0, len(tk) - window + 1, stride):
+            occ.append((" ".join(tk[s:s + window]), i, s))
+    from collections import Counter
+    counts = Counter(p for p, _, _ in occ)
+    owner = {}
+    for p, i, s in sorted(occ, key=lambda x: (x[1], x[2])):
+        owner.setdefault(p, (i, s))
+    out = {}
+    for i, tk in toks.items():
+        if tk is None:
+            out[i] = (None, 0)
+            continue
+        removed = set()
+        for p, j, s in occ:
+            if j == i and counts[p] >= min_count and owner[p] != (i, s):
+                removed.update(range(s, s + window))
+        kept = [t for k, t in enumerate(tk) if k not in removed]
+        out[i] = (" ".join(kept), len(tk) - len(kept))
+    return out
+
+
+def test_dedup_passages_matches_bruteforce(spark):
+    from nested_pandas_spark.pipeline.dedup import dedup_passages
+
+    boiler = "all rights reserved contact us for more info"
+    docs = [
+        (0, f"alpha beta gamma {boiler} delta"),
+        (1, f"{boiler} unrelated tail words here"),
+        (2, f"prefix words {boiler}"),
+        (3, "totally unique document with no repeats at all"),
+        (4, None),
+        (5, ""),
+        (6, "short"),
+        (7, "alpha beta gamma delta alpha beta gamma delta"),  # self-repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for window, stride in [(4, 1), (3, 2), (8, 1)]:
+        got = {r["doc_id"]: (r["text_deduped"], r["n_removed"])
+               for r in dedup_passages(df, window=window, stride=stride).collect()}
+        ref = _dedup_passages_ref(docs, window, stride)
+        assert got == ref, f"window={window} stride={stride}"
+
+
+def test_dedup_passages_min_count_and_validation(spark):
+    from nested_pandas_spark.pipeline.dedup import dedup_passages
+
+    docs = [(0, "a b c d"), (1, "a b c d"), (2, "a b c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # min_count=4 > occurrences -> nothing removed
+    got = {r["doc_id"]: r["n_removed"]
+           for r in dedup_passages(df, window=4, min_count=4).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}
+    # min_count=3 catches the triple
+    got = {r["doc_id"]: r["n_removed"]
+           for r in dedup_passages(df, window=4, min_count=3).collect()}
+    assert got == {0: 0, 1: 4, 2: 4}
+    import pytest as _pt
+    for kw in ({"window": 0}, {"stride": 0}, {"min_count": 1}):
+        with _pt.raises(ValueError):
+            dedup_passages(df, **kw)
