@@ -2151,6 +2151,22 @@ def q116_dedup_passages(spark, sf):
     return dedup_passages(corpus, window=8)
 
 
+def q117_bpe_train(spark, sf):
+    """Iterative distributed BPE training (pipeline/text.py bpe_train):
+    three greedy merge steps over the documents corpus. The corpus
+    collapses once to a distinct-word frequency table; each step is one
+    partial-agg pair count + a one-row argmax collect + a literal
+    replace whose left-to-right non-overlap IS the BPE greedy scan.
+    Oracle replays all three steps fully unrolled in SQL — the chosen
+    pair AND its count must match at every step, which transitively
+    pins the merge applications too."""
+    from nested_pandas_spark.pipeline.text import bpe_train
+
+    docs = _t(spark, sf, "documents")
+    merges, _vocab = bpe_train(docs, 3)
+    return merges
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2350,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_periodogram": q114_periodogram,
         "q115_stetson_jk": q115_stetson_jk,
         "q116_dedup_passages": q116_dedup_passages,
+        "q117_bpe_train": q117_bpe_train,
     }
 
 
@@ -3617,6 +3634,71 @@ def oracle_sql() -> dict[str, str]:
                        AND dup_frac <= 0.3, FALSE)
                        THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
             FROM st
+        """,
+        "q117_bpe_train": """
+            WITH ws AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ), wc AS (
+                SELECT w, count(*) AS wc FROM ws GROUP BY w
+            ), w0 AS (
+                SELECT w, wc,
+                       array_to_string(list_transform(
+                           range(1, length(w) + 1),
+                           i -> substr(w, CAST(i AS INT), 1)), ' ')
+                       || ' </w>' AS syms
+                FROM wc
+            ), p1 AS (
+                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
+                       CAST(sum(wc) AS BIGINT) AS n
+                FROM (SELECT string_split(syms, ' ') AS sl, wc,
+                             unnest(range(1, len(string_split(syms, ' ')))) AS i
+                      FROM w0)
+                GROUP BY 1, 2
+            ), m1 AS (
+                SELECT l, r, n FROM p1 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+            ), w1 AS (
+                SELECT w, wc,
+                       trim(replace(' ' || syms || ' ',
+                           ' ' || (SELECT l FROM m1) || ' '
+                               || (SELECT r FROM m1) || ' ',
+                           ' ' || (SELECT l FROM m1)
+                               || (SELECT r FROM m1) || ' ')) AS syms
+                FROM w0
+            ), p2 AS (
+                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
+                       CAST(sum(wc) AS BIGINT) AS n
+                FROM (SELECT string_split(syms, ' ') AS sl, wc,
+                             unnest(range(1, len(string_split(syms, ' ')))) AS i
+                      FROM w1)
+                GROUP BY 1, 2
+            ), m2 AS (
+                SELECT l, r, n FROM p2 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+            ), w2 AS (
+                SELECT w, wc,
+                       trim(replace(' ' || syms || ' ',
+                           ' ' || (SELECT l FROM m2) || ' '
+                               || (SELECT r FROM m2) || ' ',
+                           ' ' || (SELECT l FROM m2)
+                               || (SELECT r FROM m2) || ' ')) AS syms
+                FROM w1
+            ), p3 AS (
+                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
+                       CAST(sum(wc) AS BIGINT) AS n
+                FROM (SELECT string_split(syms, ' ') AS sl, wc,
+                             unnest(range(1, len(string_split(syms, ' ')))) AS i
+                      FROM w2)
+                GROUP BY 1, 2
+            ), m3 AS (
+                SELECT l, r, n FROM p3 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+            )
+            SELECT CAST(1 AS INT) AS step, l AS "left", r AS "right", n FROM m1
+            UNION ALL
+            SELECT CAST(2 AS INT), l, r, n FROM m2
+            UNION ALL
+            SELECT CAST(3 AS INT), l, r, n FROM m3
         """,
         "q116_dedup_passages": """
             WITH corpus AS (

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..nestedframe.expr import _sql_literal
+
 __all__ = [
     "token_count",
     "bpe_ish_token_count",
@@ -29,6 +31,7 @@ __all__ = [
     "hashed_tfidf",
     "add_text_stats",
     "bpe_pair_stats",
+    "bpe_train",
     "gopher_rules",
     "STOPWORDS",
     "vocab",
@@ -577,3 +580,118 @@ def bpe_pair_stats(
     if top_k is not None:
         out = out.limit(top_k)
     return out
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    end_marker: str = "</w>",
+    min_pair_count: int = 1,
+    checkpoint_every: int = 8,
+):
+    """Train ``n_merges`` BPE merge steps over the corpus (Sennrich et al.
+    2016) and return ``(merges, vocab)``:
+
+    * ``merges`` — one row per executed step: ``(step, left, right, n)``,
+      the pair merged and its corpus-weighted count at selection time
+      (deterministic argmax: n desc, then the pair itself asc);
+    * ``vocab`` — the distinct-word table after all merges:
+      ``(word, wc, syms)`` with ``syms`` the space-joined symbol string.
+
+    Scale shape — the reference trainer's trick, distributed: the corpus
+    collapses ONCE to a distinct-word frequency table (the only
+    corpus-sized shuffle, word-grain); every merge step then runs against
+    that small table. Each step is one partial-agg ``groupBy`` over
+    adjacent symbol pairs plus a one-row ``collect`` of the argmax — the
+    driver never sees more than ``n_merges`` rows. Merge application is a
+    single literal ``replace`` on the padded symbol string, whose
+    left-to-right non-overlapping semantics are exactly BPE's greedy
+    scan. The vocab table is persisted and re-persisted (with a
+    ``localCheckpoint`` every ``checkpoint_every`` steps to keep the
+    lineage bounded) so step ``k`` never recomputes steps ``1..k-1``.
+
+    Words are symbolized as their characters plus ``end_marker`` (pass
+    ``end_marker=None`` to omit). Training stops early when the best
+    pair's count falls below ``min_pair_count`` or no pairs remain.
+
+    >>> df = spark.createDataFrame([(0, "low low lower")], "id long, text string")
+    >>> merges, vocab = bpe_train(df, 2, end_marker=None)
+    >>> [(r["step"], r["left"], r["right"], r["n"]) for r in merges.collect()]
+    [(1, 'l', 'o', 3), (2, 'lo', 'w', 3)]
+    >>> sorted((r["word"], r["syms"]) for r in vocab.collect())
+    [('low', 'low'), ('lower', 'low e r')]
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    if end_marker is not None and (" " in end_marker or end_marker == ""):
+        raise ValueError("end_marker must be a non-empty token without spaces")
+    from pyspark import StorageLevel
+
+    w = words(F.col(text_col))
+    marker_sql = (
+        f" || ' ' || {_sql_literal(end_marker)}" if end_marker is not None else ""
+    )
+    vocab_df = (
+        docs.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .withColumn(
+            "syms",
+            F.expr(
+                "array_join(transform(sequence(1, length(word)), "
+                "__i -> substring(word, __i, 1)), ' ')" + marker_sql
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    spark = docs.sparkSession
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            vocab_df.select(
+                F.expr("split(syms, ' ')").alias("sl"), F.col("wc")
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(sl) >= 2 THEN transform("
+                        "sequence(1, size(sl) - 1), __i -> "
+                        "struct(element_at(sl, __i) AS l, "
+                        "element_at(sl, __i + 1) AS r)) "
+                        "ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
+                    )
+                ).alias("p"),
+                F.col("wc"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < min_pair_count:
+            break
+        l_, r_, n_ = pairs[0]["l"], pairs[0]["r"], pairs[0]["n"]
+        merges.append((step, l_, r_, n_))
+        old = vocab_df
+        vocab_df = vocab_df.withColumn(
+            "syms",
+            F.expr(
+                f"trim(replace(' ' || syms || ' ', "
+                f"' ' || {_sql_literal(l_)} || ' ' || {_sql_literal(r_)} || ' ', "
+                f"' ' || {_sql_literal(l_)} || {_sql_literal(r_)} || ' '))"
+            ),
+        )
+        if step % checkpoint_every == 0:
+            vocab_df = vocab_df.localCheckpoint(eager=True)
+        else:
+            vocab_df = vocab_df.persist(StorageLevel.MEMORY_AND_DISK)
+            vocab_df.count()  # materialize before dropping the parent
+        old.unpersist()
+    merges_df = spark.createDataFrame(
+        merges, "step int, left string, right string, n long"
+    )
+    return merges_df, vocab_df.select("word", "wc", "syms")

@@ -1427,3 +1427,76 @@ def test_dedup_passages_min_count_and_validation(spark):
     for kw in ({"window": 0}, {"stride": 0}, {"min_count": 1}):
         with _pt.raises(ValueError):
             dedup_passages(df, **kw)
+
+
+def _bpe_ref(word_counts, n_merges, end_marker=None):
+    """Reference BPE trainer (Sennrich et al. 2016 greedy merges)."""
+    vocab = {}
+    for w, c in word_counts.items():
+        syms = list(w) + ([end_marker] if end_marker else [])
+        vocab[w] = (tuple(syms), c)
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in vocab.values():
+            for a, b in zip(syms[:-1], syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, n))
+        new = {}
+        for w, (syms, c) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[w] = (tuple(out), c)
+        vocab = new
+    return merges, {w: " ".join(s) for w, (s, _) in vocab.items()}
+
+
+def test_bpe_train_matches_reference(spark):
+    from nested_pandas_spark.pipeline.text import bpe_train
+
+    texts = ["low lower lowest low low", "newer newest new low",
+             "wider wide wide new", None, "low newer"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    wc = {}
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    for marker in (None, "</w>"):
+        merges, vocab = bpe_train(df, 6, end_marker=marker,
+                                  checkpoint_every=3)
+        ref_m, ref_v = _bpe_ref(wc, 6, marker)
+        got_m = [(r["step"], r["left"], r["right"], r["n"])
+                 for r in merges.orderBy("step").collect()]
+        assert got_m == ref_m, f"marker={marker}"
+        got_v = {r["word"]: r["syms"] for r in vocab.collect()}
+        assert got_v == ref_v, f"marker={marker}"
+
+
+def test_bpe_train_early_stop_and_validation(spark):
+    from nested_pandas_spark.pipeline.text import bpe_train
+
+    df = spark.createDataFrame([(0, "ab")], "id long, text string")
+    merges, vocab = bpe_train(df, 10, end_marker=None)
+    # 'ab' -> one merge possible, then single symbol: early stop
+    assert merges.count() == 1
+    [v] = vocab.collect()
+    assert v["syms"] == "ab"
+    merges2, _ = bpe_train(df, 5, end_marker=None, min_pair_count=2)
+    assert merges2.count() == 0  # best pair count 1 < 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bpe_train(df, 0)
+    with _pt.raises(ValueError):
+        bpe_train(df, 1, end_marker="a b")
