@@ -2167,6 +2167,27 @@ def q117_bpe_train(spark, sf):
     return merges
 
 
+def q118_nest_acf(spark, sf):
+    """Per-cell autocorrelation at index lags (operators/timeseries.py
+    nest_acf): each user's mean-centered event series correlated with
+    itself at lags 1..3 in (ts, value) order — pure HOFs, zero shuffle
+    beyond the pack. Oracle replays the centered products with lead()
+    under the same total order."""
+    from nested_pandas_spark import nest_acf, pack
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "ts", "value"), "lc", on="user_id",
+              sort_within=["ts"])
+    out = nest_acf(nf, "lc", "ts", "value", [1, 2, 3])
+    return out.select(
+        "user_id", F.explode("lc_acf").alias("e")
+    ).select(
+        "user_id",
+        F.col("e.lag").alias("lag"),
+        F.round("e.acf", 6).alias("acf_r6"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2367,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_stetson_jk": q115_stetson_jk,
         "q116_dedup_passages": q116_dedup_passages,
         "q117_bpe_train": q117_bpe_train,
+        "q118_nest_acf": q118_nest_acf,
     }
 
 
@@ -3634,6 +3656,41 @@ def oracle_sql() -> dict[str, str]:
                        AND dup_frac <= 0.3, FALSE)
                        THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
             FROM st
+        """,
+        "q118_nest_acf": """
+            WITH pts AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS tn,
+                       value AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), ctr AS (
+                SELECT user_id,
+                       v - avg(v) OVER (PARTITION BY user_id) AS d,
+                       count(*) OVER (PARTITION BY user_id) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY tn, v) AS rn
+                FROM pts
+            ), led AS (
+                SELECT user_id, n, d,
+                       lead(d, 1) OVER w AS d1,
+                       lead(d, 2) OVER w AS d2,
+                       lead(d, 3) OVER w AS d3
+                FROM ctr WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+            ), agg AS (
+                SELECT user_id, n,
+                       sum(d * d) AS chi,
+                       sum(CASE WHEN d1 IS NOT NULL THEN d * d1 ELSE 0 END) AS n1,
+                       sum(CASE WHEN d2 IS NOT NULL THEN d * d2 ELSE 0 END) AS n2,
+                       sum(CASE WHEN d3 IS NOT NULL THEN d * d3 ELSE 0 END) AS n3
+                FROM led GROUP BY user_id, n
+            )
+            SELECT b.user_id, lg.lag,
+                   round(CASE WHEN a.n >= lg.lag + 1 AND a.chi > 0 THEN
+                       (CASE lg.lag WHEN 1 THEN a.n1 WHEN 2 THEN a.n2
+                                    ELSE a.n3 END) / a.chi END, 6) AS acf_r6
+            FROM (SELECT DISTINCT user_id FROM events) b
+            CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
+                                       CAST(3 AS INT)]) AS lag) lg
+            LEFT JOIN agg a USING (user_id)
         """,
         "q117_bpe_train": """
             WITH ws AS (

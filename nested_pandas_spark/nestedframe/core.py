@@ -1016,6 +1016,17 @@ class NestedFrame:
             timeseries.stetson_jk(self.df, nest, time_field, value_field, **kw)
         )
 
+    def nest_acf(self, nest: str, time_field: str, value_field: str,
+                 lags, **kw) -> "NestedFrame":
+        """Per-cell autocorrelation at index lags — see
+        :func:`operators.timeseries.nest_acf`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.nest_acf(self.df, nest, time_field, value_field,
+                                lags, **kw)
+        )
+
     def nest_zscore(self, nest: str, field: str, **kw) -> "NestedFrame":
         """Per-cell z-score — see
         :func:`operators.timeseries.nest_zscore`."""

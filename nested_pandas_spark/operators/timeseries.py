@@ -42,7 +42,8 @@ from ..nestedframe.expr import _sql_literal
 __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
            "nest_corr", "nest_describe", "nest_ewm", "nest_cum", "nest_dedup",
-           "nest_decimate", "nest_sample", "periodogram", "stetson_jk"]
+           "nest_decimate", "nest_sample", "periodogram", "stetson_jk",
+           "freq_grid", "nest_acf"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -1665,3 +1666,98 @@ def stetson_jk(
         .withColumn(f"{prefix}_k", F.expr(k_sql))
         .drop(sorted_c, m_c, s_c, d_c)
     )
+
+
+def freq_grid(baseline, n_points: int, oversample: float = 5.0) -> list[float]:
+    """Astropy-style autofrequency grid for :func:`periodogram`: frequencies
+    ``df, 2*df, ...`` with ``df = 1 / (oversample * baseline)`` up to the
+    average-Nyquist-ish limit ``n_points / (2 * baseline)``.
+
+    ``baseline`` is the time span (max - min) in the same scaled units the
+    periodogram will see; ``n_points`` the typical per-cell element count.
+    Plain driver-side helper — the grid becomes a plan literal, so keep it
+    to ~10^3-10^4 points (chunk across calls beyond that).
+    """
+    if not (baseline > 0):
+        raise ValueError("baseline must be > 0")
+    if n_points < 2:
+        raise ValueError("n_points must be >= 2")
+    if not (oversample > 0):
+        raise ValueError("oversample must be > 0")
+    df_ = 1.0 / (oversample * float(baseline))
+    f_max = n_points / (2.0 * float(baseline))
+    n = max(1, int(f_max / df_))
+    return [df_ * (i + 1) for i in range(n)]
+
+
+def nest_acf(
+    df: DataFrame,
+    nest: str,
+    time_field: str,
+    value_field: str,
+    lags,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-cell sample autocorrelation at the given INDEX lags, elements
+    taken in ``(time, value)`` order: ``acf(k) = sum_i yc_i * yc_{i+k} /
+    sum_i yc_i^2`` with ``yc`` mean-centered — the standard
+    equal-spacing ACF (for irregular sampling, :func:`periodogram` is the
+    principled tool; this matches what users compute with ``np.correlate``
+    after resampling or on cadence-regular surveys).
+
+    Adds ``out`` (default ``{nest}_acf``) = ``array<struct<lag int,
+    acf double>>``; ``acf`` is NULL for a lag when the cell has fewer
+    than ``lag + 1`` usable points or zero variance. Pure HOFs — one
+    ``array_sort`` + one ``zip_with`` per lag, zero shuffle.
+    """
+    lags = [int(k) for k in lags]
+    if not lags:
+        raise ValueError("lags must be a non-empty sequence")
+    if any(k < 1 for k in lags):
+        raise ValueError("every lag must be >= 1")
+    fields = nested_field_names(df, nest)
+    for f_ in (time_field, value_field):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    out = out or f"{nest}_acf"
+    qn, qt, qv = quote(nest), quote(time_field), quote(value_field)
+    sorted_c, m_c, d_c, chi_c = "__ac_sorted", "__ac_mean", "__ac_d", "__ac_chi"
+    staged = df.withColumn(
+        sorted_c,
+        F.expr(
+            f"array_sort(transform(filter({qn}, __x -> __x.{qt} IS NOT NULL "
+            f"AND __x.{qv} IS NOT NULL), __x -> struct(__x.{qt} AS t, "
+            f"CAST(__x.{qv} AS DOUBLE) AS v)))"
+        ),
+    )
+    qs = quote(sorted_c)
+    n = f"size({qs})"
+    staged = staged.withColumn(
+        m_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qs}, 0.0D, "
+               f"(__a, __p) -> __a + __p.v) / {n} END"),
+    )
+    qm = quote(m_c)
+    staged = staged.withColumn(
+        d_c, F.expr(f"transform({qs}, __p -> __p.v - {qm})")
+    )
+    qd = quote(d_c)
+    staged = staged.withColumn(
+        chi_c, F.expr(f"aggregate({qd}, 0.0D, (__a, __v) -> __a + __v * __v)")
+    )
+    qchi = quote(chi_c)
+    lag_lit = "array(" + ", ".join(f"CAST({k} AS INT)" for k in lags) + ")"
+    num = (
+        f"aggregate(zip_with(slice({qd}, 1, {n} - __k), "
+        f"slice({qd}, 1 + __k, {n} - __k), (__a, __b) -> __a * __b), "
+        f"0.0D, (__s, __p) -> __s + __p)"
+    )
+    staged = staged.withColumn(
+        out,
+        F.expr(
+            f"transform({lag_lit}, __k -> named_struct('lag', __k, 'acf', "
+            f"CASE WHEN {n} >= __k + 1 AND {qchi} > 0.0D "
+            f"THEN {num} / {qchi} END))"
+        ),
+    )
+    return staged.drop(sorted_c, m_c, d_c, chi_c)

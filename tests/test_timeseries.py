@@ -867,3 +867,74 @@ def test_stetson_jk_err_field_path(spark):
     J, K = _stetson_ref([(1.0, 10.0), (2.0, 12.0), (3.0, 9.5)], errs)
     assert r["lc_stetson_j"] == pytest.approx(J, rel=1e-9)
     assert r["lc_stetson_k"] == pytest.approx(K, rel=1e-9)
+
+
+def _acf_ref(pts, lags):
+    """Reference ACF of one cell; pts sorted by (t, v)."""
+    vs = [v for _, v in sorted(pts)]
+    n = len(vs)
+    m = sum(vs) / n
+    d = [v - m for v in vs]
+    chi = sum(x * x for x in d)
+    out = {}
+    for k in lags:
+        if n < k + 1 or chi <= 0:
+            out[k] = None
+        else:
+            out[k] = sum(d[i] * d[i + k] for i in range(n - k)) / chi
+    return out
+
+
+def test_nest_acf_matches_python_reference(spark):
+    from nested_pandas_spark import nest_acf
+
+    pts0 = [(float(i), math.sin(i * 0.8) + 0.1 * i) for i in range(25)]
+    rows = [(0, t, v) for t, v in pts0]
+    rows += [(1, 1.0, 3.0), (1, 2.0, 4.0)]    # n=2: lag 1 ok, lag 2+ NULL
+    rows += [(2, 1.0, 9.0), (2, 2.0, 9.0)]    # zero variance -> NULL
+    df = spark.createDataFrame(rows, "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    out = nest_acf(nf, "lc", "t", "v", [1, 2, 5])
+    got = {r["oid"]: {e["lag"]: e["acf"] for e in r["lc_acf"]}
+           for r in out.collect()}
+    ref0 = _acf_ref(pts0, [1, 2, 5])
+    for k in (1, 2, 5):
+        assert got[0][k] == pytest.approx(ref0[k], rel=1e-9)
+    ref1 = _acf_ref([(1.0, 3.0), (2.0, 4.0)], [1, 2, 5])
+    assert got[1][1] == pytest.approx(ref1[1], rel=1e-9)
+    assert got[1][2] is None and got[1][5] is None
+    assert got[2] == {1: None, 2: None, 5: None}
+
+
+def test_nest_acf_validation(spark):
+    from nested_pandas_spark import nest_acf
+
+    df = spark.createDataFrame([(0, 1.0, 1.0)], "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid")
+    with pytest.raises(ValueError):
+        nest_acf(nf, "lc", "t", "v", [])
+    with pytest.raises(ValueError):
+        nest_acf(nf, "lc", "t", "v", [0])
+    with pytest.raises(KeyError):
+        nest_acf(nf, "lc", "t", "nope", [1])
+
+
+def test_freq_grid(spark):
+    from nested_pandas_spark import freq_grid, periodogram
+
+    g = freq_grid(baseline=100.0, n_points=40, oversample=5.0)
+    assert g[0] == pytest.approx(1.0 / 500.0)
+    assert g[-1] <= 40 / (2 * 100.0) + 1e-12
+    assert len(g) == 100
+    with pytest.raises(ValueError):
+        freq_grid(0, 10)
+    with pytest.raises(ValueError):
+        freq_grid(10.0, 1)
+    # the grid feeds straight into periodogram
+    df = spark.createDataFrame(
+        [(0, float(i), math.sin(2 * math.pi * 0.05 * i)) for i in range(50)],
+        "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    small = freq_grid(49.0, 50)[:30]
+    [r] = periodogram(nf, "lc", "t", "v", small, best=True).collect()
+    assert r["lc_pgram_freq"] == pytest.approx(0.05, abs=0.01)
