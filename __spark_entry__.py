@@ -2188,6 +2188,26 @@ def q118_nest_acf(spark, sf):
     )
 
 
+def q119_bpe_encode(spark, sf):
+    """BPE tokenizer application (pipeline/text.py bpe_encode): train 3
+    merges on documents, then encode the same corpus — the whole encoder
+    is ONE projection (per-word char transform + 3 literal replaces),
+    no shuffle, no UDF, no join. Oracle replays training (q117's
+    unrolled steps) AND the encode in the same statement, so the token
+    stream and counts are pinned end to end."""
+    from nested_pandas_spark.pipeline.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    merges, _vocab = bpe_train(docs, 3)
+    out = bpe_encode(docs.select("doc_id", "text"), merges)
+    return out.select(
+        "doc_id",
+        F.expr("CASE WHEN text IS NULL THEN NULL ELSE "
+               "array_join(tokens, ' ') END").alias("text_bpe"),
+        F.col("tokens_n"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2389,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_dedup_passages": q116_dedup_passages,
         "q117_bpe_train": q117_bpe_train,
         "q118_nest_acf": q118_nest_acf,
+        "q119_bpe_encode": q119_bpe_encode,
     }
 
 
@@ -2671,6 +2692,66 @@ def _pq_kmeans_ctes(n_iters: int, n_cent: int, n_sub: int, d_sub: int) -> tuple[
                 FROM {prev} p LEFT JOIN pmean{it} m USING (s, cid)
             )""")
     return ",\n            ".join(parts), f"books{n_iters}"
+
+
+_BPE_TRAIN_CTES = """ws AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ), wc AS (
+                SELECT w, count(*) AS wc FROM ws GROUP BY w
+            ), w0 AS (
+                SELECT w, wc,
+                       array_to_string(list_transform(
+                           range(1, length(w) + 1),
+                           i -> substr(w, CAST(i AS INT), 1)), ' ')
+                       || ' </w>' AS syms
+                FROM wc
+            ), p1 AS (
+                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
+                       CAST(sum(wc) AS BIGINT) AS n
+                FROM (SELECT string_split(syms, ' ') AS sl, wc,
+                             unnest(range(1, len(string_split(syms, ' ')))) AS i
+                      FROM w0)
+                GROUP BY 1, 2
+            ), m1 AS (
+                SELECT l, r, n FROM p1 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+            ), w1 AS (
+                SELECT w, wc,
+                       trim(replace(' ' || syms || ' ',
+                           ' ' || (SELECT l FROM m1) || ' '
+                               || (SELECT r FROM m1) || ' ',
+                           ' ' || (SELECT l FROM m1)
+                               || (SELECT r FROM m1) || ' ')) AS syms
+                FROM w0
+            ), p2 AS (
+                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
+                       CAST(sum(wc) AS BIGINT) AS n
+                FROM (SELECT string_split(syms, ' ') AS sl, wc,
+                             unnest(range(1, len(string_split(syms, ' ')))) AS i
+                      FROM w1)
+                GROUP BY 1, 2
+            ), m2 AS (
+                SELECT l, r, n FROM p2 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+            ), w2 AS (
+                SELECT w, wc,
+                       trim(replace(' ' || syms || ' ',
+                           ' ' || (SELECT l FROM m2) || ' '
+                               || (SELECT r FROM m2) || ' ',
+                           ' ' || (SELECT l FROM m2)
+                               || (SELECT r FROM m2) || ' ')) AS syms
+                FROM w1
+            ), p3 AS (
+                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
+                       CAST(sum(wc) AS BIGINT) AS n
+                FROM (SELECT string_split(syms, ' ') AS sl, wc,
+                             unnest(range(1, len(string_split(syms, ' ')))) AS i
+                      FROM w2)
+                GROUP BY 1, 2
+            ), m3 AS (
+                SELECT l, r, n FROM p3 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3692,65 +3773,40 @@ def oracle_sql() -> dict[str, str]:
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
         """,
-        "q117_bpe_train": """
-            WITH ws AS (
-                SELECT unnest(list_filter(
-                    string_split_regex(lower(text), '\\s+'),
-                    x -> x <> '')) AS w
-                FROM documents
-            ), wc AS (
-                SELECT w, count(*) AS wc FROM ws GROUP BY w
-            ), w0 AS (
-                SELECT w, wc,
-                       array_to_string(list_transform(
-                           range(1, length(w) + 1),
-                           i -> substr(w, CAST(i AS INT), 1)), ' ')
-                       || ' </w>' AS syms
-                FROM wc
-            ), p1 AS (
-                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
-                       CAST(sum(wc) AS BIGINT) AS n
-                FROM (SELECT string_split(syms, ' ') AS sl, wc,
-                             unnest(range(1, len(string_split(syms, ' ')))) AS i
-                      FROM w0)
-                GROUP BY 1, 2
-            ), m1 AS (
-                SELECT l, r, n FROM p1 ORDER BY n DESC, l ASC, r ASC LIMIT 1
-            ), w1 AS (
-                SELECT w, wc,
-                       trim(replace(' ' || syms || ' ',
-                           ' ' || (SELECT l FROM m1) || ' '
-                               || (SELECT r FROM m1) || ' ',
-                           ' ' || (SELECT l FROM m1)
-                               || (SELECT r FROM m1) || ' ')) AS syms
-                FROM w0
-            ), p2 AS (
-                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
-                       CAST(sum(wc) AS BIGINT) AS n
-                FROM (SELECT string_split(syms, ' ') AS sl, wc,
-                             unnest(range(1, len(string_split(syms, ' ')))) AS i
-                      FROM w1)
-                GROUP BY 1, 2
-            ), m2 AS (
-                SELECT l, r, n FROM p2 ORDER BY n DESC, l ASC, r ASC LIMIT 1
-            ), w2 AS (
-                SELECT w, wc,
-                       trim(replace(' ' || syms || ' ',
-                           ' ' || (SELECT l FROM m2) || ' '
-                               || (SELECT r FROM m2) || ' ',
-                           ' ' || (SELECT l FROM m2)
-                               || (SELECT r FROM m2) || ' ')) AS syms
-                FROM w1
-            ), p3 AS (
-                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
-                       CAST(sum(wc) AS BIGINT) AS n
-                FROM (SELECT string_split(syms, ' ') AS sl, wc,
-                             unnest(range(1, len(string_split(syms, ' ')))) AS i
-                      FROM w2)
-                GROUP BY 1, 2
-            ), m3 AS (
-                SELECT l, r, n FROM p3 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        "q119_bpe_encode": f"""
+            WITH {_BPE_TRAIN_CTES}, enc AS (
+                SELECT d.doc_id, d.text,
+                       list_transform(
+                           list_filter(string_split_regex(lower(d.text),
+                                                          '\\s+'),
+                                       x -> x <> ''),
+                           w -> trim(replace(replace(replace(
+                               ' ' || array_to_string(list_transform(
+                                   range(1, length(w) + 1),
+                                   i -> substr(w, CAST(i AS INT), 1)), ' ')
+                               || ' </w> ',
+                               ' ' || m1.l || ' ' || m1.r || ' ',
+                               ' ' || m1.l || m1.r || ' '),
+                               ' ' || m2.l || ' ' || m2.r || ' ',
+                               ' ' || m2.l || m2.r || ' '),
+                               ' ' || m3.l || ' ' || m3.r || ' ',
+                               ' ' || m3.l || m3.r || ' '))
+                       ) AS we
+                FROM documents d, m1, m2, m3
             )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE coalesce(array_to_string(we, ' '), '')
+                   END AS text_bpe,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE CAST(len(list_filter(string_split(
+                            coalesce(array_to_string(we, ' '), ''), ' '),
+                            x -> x <> '')) AS BIGINT)
+                   END AS tokens_n
+            FROM enc
+        """,
+        "q117_bpe_train": f"""
+            WITH {_BPE_TRAIN_CTES}
             SELECT CAST(1 AS INT) AS step, l AS "left", r AS "right", n FROM m1
             UNION ALL
             SELECT CAST(2 AS INT), l, r, n FROM m2

@@ -432,6 +432,30 @@ def main() -> None:
 
     bench_extra("lightcurve_workflow", x_lightcurve)
 
+    def x_periodogram():
+        # 16-frequency Lomb-Scargle sweep per user: the dense per-cell trig
+        # workload (O(n_freq * n) HOFs, zero shuffle beyond the pack)
+        from nested_pandas_spark import pack, periodogram
+
+        ev = t("events").select("user_id", "ts", "value")
+        day = 86_400 * (10**9 if dict(ev.dtypes)["ts"] == "bigint" else 10**6)
+        nf = pack(ev, "series", on="user_id", sort_within=["ts"])
+        freqs = [0.125 * (i + 1) for i in range(16)]
+        out = periodogram(nf, "series", "ts", "value", freqs,
+                          time_scale=float(day), best=True)
+        return out.select(F.count("*"), F.sum("series_pgram_power")).collect()
+
+    bench_extra("periodogram", x_periodogram)
+
+    def x_dedup_passages():
+        # exact substring dedup: window-hash expansion + ownership ranking
+        from nested_pandas_spark.pipeline.dedup import dedup_passages
+
+        return dedup_passages(t("documents"), window=8).select(
+            F.count("*"), F.sum("n_removed")).collect()
+
+    bench_extra("dedup_passages", x_dedup_passages)
+
     # headline total stays the round-1..3 query set so round-over-round
     # totals compare; the bucketed variants are reported per-query + ratio
     headline = [q for q in queries if not q.endswith("_bucketed")]

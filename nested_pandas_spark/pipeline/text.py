@@ -32,6 +32,7 @@ __all__ = [
     "add_text_stats",
     "bpe_pair_stats",
     "bpe_train",
+    "bpe_encode",
     "gopher_rules",
     "STOPWORDS",
     "vocab",
@@ -695,3 +696,73 @@ def bpe_train(
         merges, "step int, left string, right string, n long"
     )
     return merges_df, vocab_df.select("word", "wc", "syms")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    out: str = "tokens",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Apply a trained BPE merge list (from :func:`bpe_train` — pass
+    ``merges.collect()`` rows, ``(left, right)`` tuples, or the merges
+    DataFrame itself) to every document: adds ``out`` =
+    ``array<string>`` of BPE tokens (word symbolization -> merges in
+    training order -> concatenation across words) and ``{out}_n`` =
+    token count. NULL text yields NULL tokens and NULL count.
+
+    Scale shape: the whole encoder is ONE projection — per word, the
+    symbol string is built by a char ``transform`` and each merge is a
+    literal ``replace`` on the padded string (left-to-right non-overlap
+    = the BPE greedy scan, same as training). No shuffle, no UDF, no
+    join: the merge list rides in the plan as O(n_merges) nested
+    ``replace`` calls. For vocabularies of thousands of merges, encode
+    against the TRAINED VOCAB instead (join words to
+    ``bpe_train``'s vocab table on word — one broadcast join) — this
+    literal path is for the plan-only regime (hundreds of merges).
+
+    >>> df = spark.createDataFrame([(0, "low lower"), (1, None)],
+    ...                            "id long, text string")
+    >>> m, _ = bpe_train(df, 2, end_marker=None)
+    >>> [r["tokens"] for r in bpe_encode(df, m, end_marker=None)
+    ...  .orderBy("id").collect()]
+    [['low', 'low', 'e', 'r'], None]
+    """
+    if hasattr(merges, "collect"):
+        merges = merges.collect()
+    pairs = []
+    for m in merges:
+        # Row subclasses tuple — prefer named fields when present
+        if hasattr(m, "__fields__") and "left" in m.__fields__:
+            pairs.append((m["left"], m["right"]))
+        else:
+            pairs.append((m[0], m[1]))
+    marker_sql = (
+        f" || ' ' || {_sql_literal(end_marker)}" if end_marker is not None else ""
+    )
+    syms = (
+        "array_join(transform(sequence(1, length(__w)), "
+        "__i -> substring(__w, __i, 1)), ' ')" + marker_sql
+    )
+    expr = f"' ' || {syms} || ' '"
+    for l_, r_ in pairs:
+        expr = (
+            f"replace({expr}, "
+            f"' ' || {_sql_literal(l_)} || ' ' || {_sql_literal(r_)} || ' ', "
+            f"' ' || {_sql_literal(l_)} || {_sql_literal(r_)} || ' ')"
+        )
+    per_word = f"split(trim({expr}), ' ')"
+    qt = "`" + text_col.replace("`", "``") + "`"
+    # same tokenization as bpe_train's words(): lower-cased whitespace split
+    w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
+    toks = f"flatten(transform({w_arr}, __w -> {per_word}))"
+    out_df = docs.withColumn(
+        out,
+        F.expr(f"CASE WHEN {qt} IS NULL THEN NULL ELSE {toks} END"),
+    )
+    return out_df.withColumn(
+        f"{out}_n",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size(F.col(out)).cast("long")),
+    )

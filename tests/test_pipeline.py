@@ -1500,3 +1500,45 @@ def test_bpe_train_early_stop_and_validation(spark):
         bpe_train(df, 0)
     with _pt.raises(ValueError):
         bpe_train(df, 1, end_marker="a b")
+
+
+def _bpe_encode_ref(text, merges, end_marker=None):
+    toks = []
+    for w in text.lower().split():
+        syms = list(w) + ([end_marker] if end_marker else [])
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_encode_matches_reference(spark):
+    from nested_pandas_spark.pipeline.text import bpe_encode, bpe_train
+
+    train_texts = ["low lower lowest low low", "newer newest new low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(train_texts)],
+                               "id long, text string")
+    for marker in (None, "</w>"):
+        merges, _ = bpe_train(df, 5, end_marker=marker)
+        mlist = [(r["left"], r["right"]) for r in merges.orderBy("step").collect()]
+        enc_df = spark.createDataFrame(
+            [(0, "low slowest newest"), (1, None), (2, "")],
+            "id long, text string")
+        got = {r["id"]: (r["tokens"], r["tokens_n"])
+               for r in bpe_encode(enc_df, merges, end_marker=marker).collect()}
+        ref = _bpe_encode_ref("low slowest newest", mlist, marker)
+        assert got[0] == (ref, len(ref)), f"marker={marker}"
+        assert got[1] == (None, None)
+        assert got[2] == ([], 0)
+        # tuple-list input path
+        got2 = bpe_encode(enc_df.where("id = 0"), mlist,
+                          end_marker=marker).collect()[0]
+        assert got2["tokens"] == ref

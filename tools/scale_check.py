@@ -201,6 +201,25 @@ def main() -> int:
                          engine="explode").select(
                 F.sum(F.size("series"))).collect()
 
+        def pgram():
+            from nested_pandas_spark import pack, periodogram
+            ev = t(d, "events").select("user_id", "ts", "value")
+            day = (86_400 * 10**9 if dict(ev.dtypes)["ts"] == "bigint"
+                   else 86_400 * 10**6)
+            nf = pack(ev, "series", on="user_id", sort_within=["ts"])
+            periodogram(nf, "series", "ts", "value",
+                        [0.25, 0.5, 1.0, 2.0], time_scale=float(day)).select(
+                F.sum(F.size("series_pgram"))).collect()
+
+        def passages():
+            from nested_pandas_spark.pipeline.dedup import dedup_passages
+            dedup_passages(t(d, "documents"), window=8).select(
+                F.sum("n_removed")).collect()
+
+        def bpe_pairs():
+            from nested_pandas_spark.pipeline.text import bpe_pair_stats
+            bpe_pair_stats(t(d, "documents"), top_k=50).count()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -218,6 +237,9 @@ def main() -> int:
             "fuzzy_pairs": fuzzy,
             "interval_join": ijoin,
             "rolling_explode_mega": rolling_mega,
+            "periodogram": pgram,
+            "dedup_passages": passages,
+            "bpe_pair_stats": bpe_pairs,
         }
 
     # warm-up
