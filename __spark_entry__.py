@@ -2208,6 +2208,20 @@ def q119_bpe_encode(spark, sf):
     )
 
 
+def q120_dsir_weights(spark, sf):
+    """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
+    al. 2023): score every document by hashed unigram+bigram likelihood
+    ratio against the English subset as the target domain. Corpora
+    collapse to dim-sized bucket tables; the log-ratio table broadcast-
+    joins to exploded doc features. Oracle replays the feature hashing,
+    both smoothed distributions, and the per-doc weighted sum."""
+    from nested_pandas_spark.pipeline.corpus import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    out = dsir_weights(docs, docs.where(F.col("lang") == "en"), dim=8192)
+    return out.select("doc_id", F.round("dsir_logw", 6).alias("logw_r6"))
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2410,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_bpe_train": q117_bpe_train,
         "q118_nest_acf": q118_nest_acf,
         "q119_bpe_encode": q119_bpe_encode,
+        "q120_dsir_weights": q120_dsir_weights,
     }
 
 
@@ -3772,6 +3787,52 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q120_dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), feats AS (
+                SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 8192 AS b
+                FROM (
+                    SELECT doc_id, unnest(w) AS g FROM toks
+                    UNION ALL
+                    SELECT doc_id,
+                           array_to_string(list_slice(w, CAST(i AS INT),
+                                                      CAST(i AS INT) + 1),
+                                           ' ') AS g
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                          FROM toks WHERE len(w) >= 2)
+                )
+            ), tgt_ids AS (
+                SELECT doc_id FROM documents WHERE lang = 'en'
+            ), p AS (
+                SELECT b, count(*) AS c
+                FROM feats JOIN tgt_ids USING (doc_id) GROUP BY b
+            ), pt AS (SELECT sum(c) AS t FROM p),
+            q AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+            qt AS (SELECT sum(c) AS t FROM q),
+            lr AS (
+                SELECT g.b,
+                       (ln(coalesce(p.c, 0) + 1.0)
+                        - ln((SELECT t FROM pt) + 1.0 * 8192))
+                     - (ln(coalesce(q.c, 0) + 1.0)
+                        - ln((SELECT t FROM qt) + 1.0 * 8192)) AS lr
+                FROM (SELECT unnest(range(0, 8192)) AS b) g
+                LEFT JOIN p ON g.b = p.b
+                LEFT JOIN q ON g.b = q.b
+            ), doc_b AS (
+                SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b
+            ), sc AS (
+                SELECT doc_id, sum(c * lr.lr) AS logw
+                FROM doc_b JOIN lr USING (b) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(CASE WHEN d.text IS NULL THEN NULL
+                              ELSE coalesce(sc.logw, 0.0) END, 6) AS logw_r6
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "q119_bpe_encode": f"""
             WITH {_BPE_TRAIN_CTES}, enc AS (

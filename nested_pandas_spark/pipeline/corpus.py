@@ -33,6 +33,8 @@ from .text import add_text_stats, token_count, word_ngrams
 
 __all__ = [
     "assign_shards",
+    "dsir_weights",
+    "dsir_sample",
     "boilerplate_ngrams",
     "clean_corpus",
     "decontaminate",
@@ -757,4 +759,121 @@ def dedup_lines(
         out_col, F.array_join(distinct, sep)
     ).withColumn(
         "n_removed", (F.size(lines) - F.size(distinct)).cast("long")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    dim: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    out: str = "dsir_logw",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its hashed n-gram features are under the
+    TARGET distribution than under the RAW distribution —
+    ``logw(doc) = sum_b c_doc[b] * (log p_target[b] - log p_raw[b])``
+    over ``dim`` hash buckets of unigram + bigram features, with add-one
+    (``smoothing``) estimation of both distributions. High ``logw`` means
+    "looks like the target domain"; feed the result to
+    :func:`dsir_sample` or threshold it.
+
+    Returns the raw frame plus ``out`` (double; NULL text scores NULL).
+
+    Scale shape: both corpora collapse to ``dim``-sized bucket count
+    tables (partial-agg groupBy of (bucket, count) — the only full-corpus
+    shuffles, and they carry ints, not text). The per-bucket log-ratio
+    table (``dim`` rows) broadcast-joins to the raw side's exploded
+    (id, bucket, count) features, and a final partial-agg sum restores
+    doc grain. Everything is md5-deterministic, so a SQL oracle replays
+    the weights exactly.
+    """
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (both sides need support)")
+    from .text import word_ngrams, words
+
+    def feats(df: DataFrame, with_id: bool):
+        w = words(F.col(text_col))
+        grams = F.concat(w, word_ngrams(F.col(text_col), 2))
+        cols = [F.col(id_col).alias("__id")] if with_id else []
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(*cols, F.explode(grams).alias("__g"))
+            .select(
+                *(["__id"] if with_id else []),
+                F.pmod(_h32(F.col("__g")), F.lit(dim)).alias("__b"),
+            )
+        )
+
+    def dist(df: DataFrame, name: str):
+        counts = feats(df, with_id=False).groupBy("__b").agg(
+            F.count("*").alias("__c"))
+        total = counts.agg(F.sum("__c").alias("__t"))
+        # log((c + a) / (T + a*dim)) for every bucket 0..dim-1 (absent -> c=0)
+        buckets = raw.sparkSession.range(dim).select(
+            F.col("id").cast("long").alias("__b"))
+        return (
+            buckets.join(counts, "__b", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "__b",
+                (F.log(F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(smoothing)))
+                 - F.log(F.col("__t") + F.lit(float(smoothing) * dim))
+                 ).alias(name),
+            )
+        )
+
+    ratio = (
+        dist(target, "__lp").join(dist(raw, "__lq"), "__b")
+        .select("__b", (F.col("__lp") - F.col("__lq")).alias("__lr"))
+    )
+    doc_feats = feats(raw, with_id=True).groupBy("__id", "__b").agg(
+        F.count("*").alias("__c"))
+    scores = (
+        doc_feats.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(F.sum(F.col("__c") * F.col("__lr")).alias(out))
+    )
+    return (
+        raw.join(scores.withColumnRenamed("__id", id_col), id_col, "left")
+        .withColumn(
+            out,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("double"))
+            .otherwise(F.coalesce(F.col(out), F.lit(0.0))),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    dim: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Select the ``n`` raw documents that look most like the target
+    domain by DSIR importance weight (deterministic tie-break on the
+    weight, then ``id_col``). The top-n is a tournament
+    ``orderBy().limit()`` — Spark's TakeOrderedAndProject keeps per-
+    partition heaps of ``n`` and never sorts the full corpus.
+
+    (The paper resamples with Gumbel noise; ranking deterministically
+    keeps the selection oracle-checkable — add your own noise column
+    first if you want the stochastic variant.)
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    scored = dsir_weights(raw, target, dim=dim, text_col=text_col,
+                          id_col=id_col, smoothing=smoothing)
+    return (
+        scored.where(F.col("dsir_logw").isNotNull())
+        .orderBy(F.col("dsir_logw").desc(), F.col(id_col).asc())
+        .limit(n)
     )

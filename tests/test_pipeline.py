@@ -1542,3 +1542,70 @@ def test_bpe_encode_matches_reference(spark):
         got2 = bpe_encode(enc_df.where("id = 0"), mlist,
                           end_marker=marker).collect()[0]
         assert got2["tokens"] == ref
+
+
+def _dsir_ref(raw_docs, target_docs, dim, smoothing=1.0):
+    """Brute-force DSIR log-weights keyed by doc id."""
+    import hashlib
+    import math
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dim
+
+    def feats(text):
+        w = text.lower().split()
+        grams = list(w) + [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+        return [bucket(g) for g in grams]
+
+    def dist(docs):
+        counts = {}
+        total = 0
+        for _, t in docs:
+            if t is None:
+                continue
+            for b in feats(t):
+                counts[b] = counts.get(b, 0) + 1
+                total += 1
+        return {b: math.log(counts.get(b, 0) + smoothing)
+                   - math.log(total + smoothing * dim) for b in range(dim)}
+
+    lp, lq = dist(target_docs), dist(raw_docs)
+    out = {}
+    for i, t in raw_docs:
+        if t is None:
+            out[i] = None
+        else:
+            out[i] = sum(lp[b] - lq[b] for b in feats(t))
+    return out
+
+
+def test_dsir_weights_match_bruteforce(spark):
+    from nested_pandas_spark.pipeline.corpus import dsir_sample, dsir_weights
+
+    raw = [(0, "physics experiment results and analysis"),
+           (1, "buy cheap pills online now click here"),
+           (2, "quantum physics of the early universe"),
+           (3, "the analysis of experiment data in physics"),
+           (4, None),
+           (5, "click here now for cheap offers")]
+    target = [(100, "physics analysis of experiment data"),
+              (101, "universe scale physics experiment")]
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+    dim = 64
+    got = {r["doc_id"]: r["dsir_logw"]
+           for r in dsir_weights(raw_df, tgt_df, dim=dim).collect()}
+    ref = _dsir_ref(raw, target, dim)
+    for i, v in ref.items():
+        if v is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(v, rel=1e-9), i
+    # the physics docs must outrank the spam under the physics target
+    top = [r["doc_id"] for r in dsir_sample(raw_df, tgt_df, 3, dim=dim).collect()]
+    assert set(top) <= {0, 2, 3}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dsir_weights(raw_df, tgt_df, dim=1)
+    with _pt.raises(ValueError):
+        dsir_sample(raw_df, tgt_df, 0)
