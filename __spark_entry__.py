@@ -2222,6 +2222,30 @@ def q120_dsir_weights(spark, sf):
     return out.select("doc_id", F.round("dsir_logw", 6).alias("logw_r6"))
 
 
+def q121_structure_function(spark, sf):
+    """Per-cell first-order structure function (operators/timeseries.py
+    structure_function): mean squared value difference per 7-day lag bin
+    over every observation pair of each user's series — the quasar-
+    variability statistic. Pair lags are formed in int64 nanos BEFORE
+    binning (exact floor division). Oracle replays the pair join with a
+    row_number self-join under the same (t, v) total order."""
+    from nested_pandas_spark import pack, structure_function
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "ts", "value"), "lc", on="user_id",
+              sort_within=["ts"])
+    week = 7 * 86_400 * 10**9
+    out = structure_function(nf, "lc", "ts", "value", width=week)
+    return out.select(
+        "user_id", F.explode("lc_sf").alias("e")
+    ).select(
+        "user_id",
+        F.col("e.bin").alias("bin"),
+        F.col("e.n").alias("n"),
+        F.round("e.sf", 6).alias("sf_r6"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2425,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_nest_acf": q118_nest_acf,
         "q119_bpe_encode": q119_bpe_encode,
         "q120_dsir_weights": q120_dsir_weights,
+        "q121_structure_function": q121_structure_function,
     }
 
 
@@ -3787,6 +3812,26 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q121_structure_function": """
+            WITH pts AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS tn,
+                       value AS v,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(epoch_us(ts) AS BIGINT) * 1000, value
+                       ) AS rn
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), pr AS (
+                SELECT a.user_id,
+                       (b.tn - a.tn) // 604800000000000 AS bin,
+                       (b.v - a.v) * (b.v - a.v) AS d2
+                FROM pts a JOIN pts b
+                  ON a.user_id = b.user_id AND a.rn < b.rn
+            )
+            SELECT user_id, bin, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(d2), 6) AS sf_r6
+            FROM pr GROUP BY 1, 2
         """,
         "q120_dsir_weights": """
             WITH toks AS (

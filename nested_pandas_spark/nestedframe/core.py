@@ -1027,6 +1027,17 @@ class NestedFrame:
                                 lags, **kw)
         )
 
+    def structure_function(self, nest: str, time_field: str,
+                           value_field: str, width, **kw) -> "NestedFrame":
+        """Per-cell first-order structure function — see
+        :func:`operators.timeseries.structure_function`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.structure_function(self.df, nest, time_field,
+                                          value_field, width, **kw)
+        )
+
     def nest_zscore(self, nest: str, field: str, **kw) -> "NestedFrame":
         """Per-cell z-score — see
         :func:`operators.timeseries.nest_zscore`."""

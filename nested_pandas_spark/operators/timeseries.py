@@ -43,7 +43,7 @@ __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
            "nest_corr", "nest_describe", "nest_ewm", "nest_cum", "nest_dedup",
            "nest_decimate", "nest_sample", "periodogram", "stetson_jk",
-           "freq_grid", "nest_acf"]
+           "freq_grid", "nest_acf", "structure_function"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -1761,3 +1761,90 @@ def nest_acf(
         ),
     )
     return staged.drop(sorted_c, m_c, d_c, chi_c)
+
+
+def structure_function(
+    df: DataFrame,
+    nest: str,
+    time_field: str,
+    value_field: str,
+    width,
+    origin=0,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-cell first-order structure function — the AGN/quasar
+    variability statistic: for every PAIR of observations, bin the time
+    lag ``t_j - t_i`` (``(t, v)``-ordered, so lags are non-negative) by
+    ``bin = floor((lag - origin) / width)`` and report the mean squared
+    value difference per occupied lag bin.
+
+    Adds ``out`` (default ``{nest}_sf``) =
+    ``array<struct<bin: bigint, n: bigint, sf: double>>`` sorted by bin,
+    where ``n`` counts pairs and ``sf = mean((v_j - v_i)^2)`` (the
+    common SF^2 convention; take ``sqrt`` downstream for the magnitude
+    form). Cells with < 2 usable points get an empty array.
+
+    Exactness: integral (e.g. epoch-nano) time axes bin via exact int64
+    floor division — the pair lag is formed BEFORE any double cast;
+    TIMESTAMP axes reduce to epoch microseconds (``width``/``origin``
+    then in microseconds).
+
+    Scale shape: pure HOFs, zero shuffle — but per-cell cost is
+    O(n^2) pairs (+ bins x pairs for the per-bin reduction). Fine for
+    the reference domain's cells (hundreds-to-thousands of points);
+    for mega-cells, explode the pairs yourself (explode -> self-join on
+    the cell key with AQE -> groupBy (key, bin)) — the docstring trade
+    documented for the other quadratic per-cell operators applies.
+    """
+    fields = nested_field_names(df, nest)
+    for f_ in (time_field, value_field):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    out = out or f"{nest}_sf"
+    qn, qt, qv = quote(nest), quote(time_field), quote(value_field)
+    kind = _time_kind(df, nest, time_field)
+    if kind == "timestamp":
+        t_sql = f"unix_micros(CAST(__x.{qt} AS TIMESTAMP))"
+        integral = True
+    else:
+        t_sql = f"__x.{qt}"
+        integral = kind == "int"
+    sorted_c, pairs_c, bins_c = "__sf_sorted", "__sf_pairs", "__sf_bins"
+    staged = df.withColumn(
+        sorted_c,
+        F.expr(
+            f"array_sort(transform(filter({qn}, __x -> __x.{qt} IS NOT NULL "
+            f"AND __x.{qv} IS NOT NULL), __x -> struct({t_sql} AS t, "
+            f"CAST(__x.{qv} AS DOUBLE) AS v)))"
+        ),
+    )
+    qs = quote(sorted_c)
+    n = f"size({qs})"
+    lag = "(element_at({s}, __j).t - element_at({s}, __i).t)".format(s=qs)
+    bin_sql = _floor_bin_sql(lag, width, origin, integral)
+    dv = (f"(element_at({qs}, __j).v - element_at({qs}, __i).v)")
+    staged = staged.withColumn(
+        pairs_c,
+        F.expr(
+            f"CASE WHEN {n} >= 2 THEN flatten(transform(sequence(1, {n} - 1), "
+            f"__i -> transform(sequence(__i + 1, {n}), __j -> "
+            f"struct({bin_sql} AS b, {dv} * {dv} AS d2)))) "
+            f"ELSE CAST(array() AS array<struct<b: bigint, d2: double>>) END"
+        ),
+    )
+    qp = quote(pairs_c)
+    staged = staged.withColumn(
+        bins_c,
+        F.expr(f"array_sort(array_distinct(transform({qp}, __p -> __p.b)))"),
+    )
+    qb = quote(bins_c)
+    bin_body = (
+        "named_struct('bin', __bb, 'n', CAST(size(__f) AS BIGINT), "
+        "'sf', aggregate(__f, 0.0D, (__a, __p) -> __a + __p.d2) / size(__f))"
+    )
+    per_bin = (
+        f"transform({qb}, __bb -> "
+        f"{_let_sql(f'filter({qp}, __p -> __p.b = __bb)', '__f', bin_body)})"
+    )
+    staged = staged.withColumn(out, F.expr(per_bin))
+    return staged.drop(sorted_c, pairs_c, bins_c)

@@ -938,3 +938,57 @@ def test_freq_grid(spark):
     small = freq_grid(49.0, 50)[:30]
     [r] = periodogram(nf, "lc", "t", "v", small, best=True).collect()
     assert r["lc_pgram_freq"] == pytest.approx(0.05, abs=0.01)
+
+
+def _sf_ref(pts, width, origin=0):
+    """Reference structure function: {bin: (n, mean_sq_diff)}."""
+    pts = sorted(pts)
+    out = {}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            lag = pts[j][0] - pts[i][0]
+            b = math.floor((lag - origin) / width)
+            d2 = (pts[j][1] - pts[i][1]) ** 2
+            out.setdefault(b, []).append(d2)
+    return {b: (len(v), sum(v) / len(v)) for b, v in out.items()}
+
+
+def test_structure_function_matches_python_reference(spark):
+    from nested_pandas_spark import structure_function
+
+    pts0 = [(float(i) + 0.1 * (i % 3), math.sin(i * 0.5) * 2 + 0.2 * i)
+            for i in range(15)]
+    rows = [(0, t, v) for t, v in pts0]
+    rows += [(1, 1.0, 5.0)]   # n=1 -> empty
+    df = spark.createDataFrame(rows, "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    out = structure_function(nf, "lc", "t", "v", width=3.0)
+    got = {r["oid"]: {e["bin"]: (e["n"], e["sf"]) for e in r["lc_sf"]}
+           for r in out.collect()}
+    ref = _sf_ref(pts0, 3.0)
+    assert set(got[0]) == set(ref)
+    for b, (n, sf) in ref.items():
+        assert got[0][b][0] == n
+        assert got[0][b][1] == pytest.approx(sf, rel=1e-9)
+    assert got[1] == {}
+
+
+def test_structure_function_exact_int64_axis(spark):
+    from nested_pandas_spark import structure_function
+
+    day = 86_400 * 10 ** 9
+    base = 1_700_000_000_000_000_000
+    rows = [(0, base + i * day + (i % 2), float(i * i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "oid long, t long, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    out = structure_function(nf, "lc", "t", "v", width=day)
+    [r] = out.collect()
+    got = {e["bin"]: (e["n"], e["sf"]) for e in r["lc_sf"]}
+    ref = _sf_ref([(t, v) for _, t, v in rows], day)
+    assert got.keys() == ref.keys()
+    for b in ref:
+        assert got[b][0] == ref[b][0]
+        assert got[b][1] == pytest.approx(ref[b][1], rel=1e-12)
+    # fractional width on an integral axis must raise (exactness contract)
+    with pytest.raises(ValueError):
+        structure_function(nf, "lc", "t", "v", width=0.5)
