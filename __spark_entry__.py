@@ -2246,6 +2246,23 @@ def q121_structure_function(spark, sf):
     )
 
 
+def q122_theil_sen(spark, sf):
+    """Per-cell Theil-Sen robust slope (operators/timeseries.py
+    theil_sen): median of all pairwise value-per-day slopes of each
+    user's event series — the outlier-immune companion to q87's OLS
+    trend. Oracle replays the pair self-join and SQL median (both sides
+    use the interpolated even-count convention)."""
+    from nested_pandas_spark import pack, theil_sen
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "ts", "value"), "lc", on="user_id",
+              sort_within=["ts"])
+    out = theil_sen(nf, "lc", "ts", "value", time_scale=86_400 * 10**9)
+    return out.select(
+        "user_id", F.round("lc_ts_slope", 6).alias("slope_r6")
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2450,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_bpe_encode": q119_bpe_encode,
         "q120_dsir_weights": q120_dsir_weights,
         "q121_structure_function": q121_structure_function,
+        "q122_theil_sen": q122_theil_sen,
     }
 
 
@@ -3812,6 +3830,28 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q122_theil_sen": """
+            WITH pts AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS tn,
+                       value AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), xr AS (
+                SELECT user_id,
+                       CAST(tn AS DOUBLE) / 86400000000000.0 AS x, v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY tn, v) AS rn
+                FROM pts
+            ), sl AS (
+                SELECT a.user_id, (b.v - a.v) / (b.x - a.x) AS s
+                FROM xr a JOIN xr b
+                  ON a.user_id = b.user_id AND a.rn < b.rn AND a.x <> b.x
+            ), med AS (
+                SELECT user_id, median(s) AS m FROM sl GROUP BY user_id
+            )
+            SELECT b.user_id, round(med.m, 6) AS slope_r6
+            FROM (SELECT DISTINCT user_id FROM events) b
+            LEFT JOIN med USING (user_id)
         """,
         "q121_structure_function": """
             WITH pts AS (

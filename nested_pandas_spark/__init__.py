@@ -19,7 +19,7 @@ from .operators.aggregates import (
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
-    freq_grid, nest_acf, structure_function,
+    freq_grid, nest_acf, structure_function, theil_sen,
     nest_corr, nest_cum, nest_decimate, nest_dedup, nest_describe,
     nest_diff, nest_ewm, nest_interp, nest_sample,
     nest_rolling, nest_topk, nest_wmean, nest_zscore, periodogram, phase_fold,
@@ -68,6 +68,7 @@ __all__ = [
     "freq_grid",
     "nest_acf",
     "structure_function",
+    "theil_sen",
     "nest_zscore",
     "nest_topk",
     "nest_wmean",

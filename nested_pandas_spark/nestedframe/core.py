@@ -1038,6 +1038,16 @@ class NestedFrame:
                                           value_field, width, **kw)
         )
 
+    def theil_sen(self, nest: str, time_field: str, value_field: str,
+                  **kw) -> "NestedFrame":
+        """Per-cell Theil-Sen robust slope — see
+        :func:`operators.timeseries.theil_sen`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.theil_sen(self.df, nest, time_field, value_field, **kw)
+        )
+
     def nest_zscore(self, nest: str, field: str, **kw) -> "NestedFrame":
         """Per-cell z-score — see
         :func:`operators.timeseries.nest_zscore`."""

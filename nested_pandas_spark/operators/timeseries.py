@@ -43,7 +43,7 @@ __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
            "nest_corr", "nest_describe", "nest_ewm", "nest_cum", "nest_dedup",
            "nest_decimate", "nest_sample", "periodogram", "stetson_jk",
-           "freq_grid", "nest_acf", "structure_function"]
+           "freq_grid", "nest_acf", "structure_function", "theil_sen"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -1848,3 +1848,72 @@ def structure_function(
     )
     staged = staged.withColumn(out, F.expr(per_bin))
     return staged.drop(sorted_c, pairs_c, bins_c)
+
+
+def theil_sen(
+    df: DataFrame,
+    nest: str,
+    time_field: str,
+    value_field: str,
+    out: str | None = None,
+    time_scale: float = 1.0,
+) -> DataFrame:
+    """Per-cell Theil-Sen slope: the MEDIAN of all pairwise slopes
+    ``(v_j - v_i) / (x_j - x_i)`` — the robust companion to
+    :func:`trend_slope` (OLS), immune to ~29% outlier contamination; the
+    estimator astronomers reach for on glitchy photometry.
+
+    ``x`` is the time axis divided by ``time_scale`` (TIMESTAMP axes
+    reduce to epoch microseconds first); pairs with equal times are
+    skipped. Median convention: even pair counts average the two middle
+    slopes (interpolated median — matches SQL ``median()``). Adds
+    ``out`` (default ``{nest}_ts_slope``); NULL when fewer than 2
+    usable points or all times equal.
+
+    Pure HOFs, zero shuffle; O(n^2) pairs + an O(p log p) ``array_sort``
+    per cell (same documented trade as :func:`structure_function`).
+    """
+    fields = nested_field_names(df, nest)
+    for f_ in (time_field, value_field):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    if not (float(time_scale) > 0.0):
+        raise ValueError(f"time_scale must be > 0, got {time_scale!r}")
+    out = out or f"{nest}_ts_slope"
+    qn, qt, qv = quote(nest), quote(time_field), quote(value_field)
+    if _time_kind(df, nest, time_field) == "timestamp":
+        t_sql = f"unix_micros(CAST(__x.{qt} AS TIMESTAMP))"
+    else:
+        t_sql = f"__x.{qt}"
+    pts_c, sl_c = "__th_pts", "__th_slopes"
+    staged = df.withColumn(
+        pts_c,
+        F.expr(
+            f"array_sort(transform(filter({qn}, __x -> __x.{qt} IS NOT NULL "
+            f"AND __x.{qv} IS NOT NULL), __x -> struct("
+            f"CAST({t_sql} AS DOUBLE) / CAST({float(time_scale)!r} AS DOUBLE) AS x, "
+            f"CAST(__x.{qv} AS DOUBLE) AS y)))"
+        ),
+    )
+    qp = quote(pts_c)
+    n = f"size({qp})"
+    pair_slopes = (
+        f"CASE WHEN {n} >= 2 THEN array_sort(flatten(transform("
+        f"sequence(1, {n} - 1), __i -> filter(transform("
+        f"sequence(__i + 1, {n}), __j -> CASE WHEN "
+        f"element_at({qp}, __j).x <> element_at({qp}, __i).x THEN "
+        f"(element_at({qp}, __j).y - element_at({qp}, __i).y) / "
+        f"(element_at({qp}, __j).x - element_at({qp}, __i).x) END), "
+        f"__s -> __s IS NOT NULL)))) "
+        f"ELSE CAST(array() AS array<double>) END"
+    )
+    staged = staged.withColumn(sl_c, F.expr(pair_slopes))
+    qs = quote(sl_c)
+    p = f"size({qs})"
+    median = (
+        f"CASE WHEN {p} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN {p} % 2 = 1 THEN element_at({qs}, CAST(({p} + 1) DIV 2 AS INT)) "
+        f"ELSE (element_at({qs}, CAST({p} DIV 2 AS INT)) + "
+        f"element_at({qs}, CAST({p} DIV 2 + 1 AS INT))) / 2.0D END"
+    )
+    return staged.withColumn(out, F.expr(median)).drop(pts_c, sl_c)

@@ -992,3 +992,31 @@ def test_structure_function_exact_int64_axis(spark):
     # fractional width on an integral axis must raise (exactness contract)
     with pytest.raises(ValueError):
         structure_function(nf, "lc", "t", "v", width=0.5)
+
+
+def test_theil_sen_matches_python_reference(spark):
+    from nested_pandas_spark import theil_sen
+
+    # linear trend with two gross outliers: TS must recover slope ~2, OLS not
+    pts = [(float(i), 2.0 * i + 1.0) for i in range(12)]
+    pts[3] = (3.0, 500.0)
+    pts[8] = (8.0, -400.0)
+    rows = [(0, t, v) for t, v in pts]
+    rows += [(1, 1.0, 5.0)]                 # n=1 -> NULL
+    rows += [(2, 4.0, 1.0), (2, 4.0, 9.0)]  # equal times -> NULL
+    df = spark.createDataFrame(rows, "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    out = theil_sen(nf, "lc", "t", "v")
+    got = {r["oid"]: r["lc_ts_slope"] for r in out.collect()}
+
+    slopes = sorted(
+        (b[1] - a[1]) / (b[0] - a[0])
+        for i, a in enumerate(pts) for b in pts[i + 1:] if b[0] != a[0])
+    p = len(slopes)
+    ref = (slopes[p // 2] if p % 2 == 1
+           else (slopes[p // 2 - 1] + slopes[p // 2]) / 2)
+    assert got[0] == pytest.approx(ref, rel=1e-9)
+    assert abs(got[0] - 2.0) < 0.2   # robust to the outliers
+    assert got[1] is None and got[2] is None
+    with pytest.raises(ValueError):
+        theil_sen(nf, "lc", "t", "v", time_scale=0)
