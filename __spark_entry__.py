@@ -2263,6 +2263,33 @@ def q122_theil_sen(spark, sf):
     )
 
 
+def q123_lightcurve_features(spark, sf):
+    """Per-cell variability feature vector (operators/timeseries.py
+    lightcurve_features): amplitude, MAD, beyond-1-sigma fraction, von
+    Neumann eta, moment skew/kurtosis, max consecutive slope — the
+    FEETS-style classification features, one HOF pass per user series.
+    Oracle replays every feature with SQL aggregates, median(), and
+    lag() windows under the same (x, v) total order."""
+    from nested_pandas_spark import lightcurve_features, pack
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    nf = pack(ev.select("user_id", "ts", "value"), "lc", on="user_id",
+              sort_within=["ts"])
+    out = lightcurve_features(nf, "lc", "ts", "value",
+                              time_scale=86_400 * 10**9)
+    return out.select(
+        "user_id",
+        F.col("lc_feat_n").alias("n"),
+        F.round("lc_feat_amp", 6).alias("amp_r6"),
+        F.round("lc_feat_mad", 6).alias("mad_r6"),
+        F.round("lc_feat_beyond1", 6).alias("beyond1_r6"),
+        F.round("lc_feat_eta", 6).alias("eta_r6"),
+        F.round("lc_feat_skew", 6).alias("skew_r6"),
+        F.round("lc_feat_kurt", 6).alias("kurt_r6"),
+        F.round("lc_feat_maxslope", 6).alias("maxslope_r6"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2468,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_dsir_weights": q120_dsir_weights,
         "q121_structure_function": q121_structure_function,
         "q122_theil_sen": q122_theil_sen,
+        "q123_lightcurve_features": q123_lightcurve_features,
     }
 
 
@@ -3830,6 +3858,75 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q123_lightcurve_features": """
+            WITH pts AS (
+                SELECT user_id,
+                       CAST(CAST(epoch_us(ts) AS BIGINT) * 1000 AS DOUBLE)
+                           / 86400000000000.0 AS x,
+                       value AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), agg AS (
+                SELECT user_id, count(*) AS n, avg(v) AS m,
+                       max(v) AS mx, min(v) AS mn, median(v) AS med
+                FROM pts GROUP BY user_id
+            ), sd AS (
+                SELECT p.user_id,
+                       sqrt(sum((p.v - a.m) * (p.v - a.m)) / (a.n - 1)) AS sd,
+                       sum((p.v - a.m) * (p.v - a.m)) / a.n AS m2,
+                       sum((p.v - a.m) * (p.v - a.m) * (p.v - a.m)) / a.n AS m3,
+                       sum((p.v - a.m) * (p.v - a.m) * (p.v - a.m)
+                           * (p.v - a.m)) / a.n AS m4
+                FROM pts p JOIN agg a USING (user_id)
+                WHERE a.n >= 2
+                GROUP BY p.user_id, a.n
+            ), b1 AS (
+                SELECT p.user_id,
+                       CAST(sum(CASE WHEN abs(p.v - a.m) > s.sd
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                           / a.n AS beyond1
+                FROM pts p JOIN agg a USING (user_id)
+                JOIN sd s ON s.user_id = p.user_id
+                WHERE s.sd > 0
+                GROUP BY p.user_id, a.n
+            ), mad AS (
+                SELECT p.user_id, median(abs(p.v - a.med)) AS mad
+                FROM pts p JOIN agg a USING (user_id)
+                GROUP BY p.user_id
+            ), dif AS (
+                SELECT user_id, n,
+                       v - lag(v) OVER w AS dv,
+                       x - lag(x) OVER w AS dx
+                FROM (SELECT p.user_id, a.n, p.x, p.v
+                      FROM pts p JOIN agg a USING (user_id))
+                WINDOW w AS (PARTITION BY user_id ORDER BY x, v)
+            ), dsum AS (
+                SELECT user_id,
+                       sum(dv * dv) / (max(n) - 1) AS etanum,
+                       max(CASE WHEN dx <> 0 THEN abs(dv / dx) END) AS maxslope
+                FROM dif WHERE dv IS NOT NULL GROUP BY user_id
+            )
+            SELECT b.user_id,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+                   round((a.mx - a.mn) / 2.0, 6) AS amp_r6,
+                   round(mad.mad, 6) AS mad_r6,
+                   round(CASE WHEN s.sd > 0 THEN b1.beyond1 END, 6)
+                       AS beyond1_r6,
+                   round(CASE WHEN s.sd > 0 THEN d.etanum / (s.sd * s.sd) END,
+                         6) AS eta_r6,
+                   round(CASE WHEN s.sd > 0 THEN s.m3 / pow(s.m2, 1.5) END, 6)
+                       AS skew_r6,
+                   round(CASE WHEN s.sd > 0
+                              THEN s.m4 / (s.m2 * s.m2) - 3.0 END, 6)
+                       AS kurt_r6,
+                   round(CASE WHEN a.n >= 2 THEN d.maxslope END, 6)
+                       AS maxslope_r6
+            FROM (SELECT DISTINCT user_id FROM events) b
+            LEFT JOIN agg a USING (user_id)
+            LEFT JOIN sd s USING (user_id)
+            LEFT JOIN b1 USING (user_id)
+            LEFT JOIN mad USING (user_id)
+            LEFT JOIN dsum d USING (user_id)
         """,
         "q122_theil_sen": """
             WITH pts AS (

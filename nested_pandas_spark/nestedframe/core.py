@@ -1048,6 +1048,17 @@ class NestedFrame:
             timeseries.theil_sen(self.df, nest, time_field, value_field, **kw)
         )
 
+    def lightcurve_features(self, nest: str, time_field: str,
+                            value_field: str, **kw) -> "NestedFrame":
+        """Per-cell variability feature vector — see
+        :func:`operators.timeseries.lightcurve_features`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.lightcurve_features(self.df, nest, time_field,
+                                           value_field, **kw)
+        )
+
     def nest_zscore(self, nest: str, field: str, **kw) -> "NestedFrame":
         """Per-cell z-score — see
         :func:`operators.timeseries.nest_zscore`."""

@@ -43,7 +43,7 @@ __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
            "nest_corr", "nest_describe", "nest_ewm", "nest_cum", "nest_dedup",
            "nest_decimate", "nest_sample", "periodogram", "stetson_jk",
-           "freq_grid", "nest_acf", "structure_function", "theil_sen"]
+           "freq_grid", "nest_acf", "structure_function", "theil_sen", "lightcurve_features"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -1917,3 +1917,120 @@ def theil_sen(
         f"element_at({qs}, CAST({p} DIV 2 + 1 AS INT))) / 2.0D END"
     )
     return staged.withColumn(out, F.expr(median)).drop(pts_c, sl_c)
+
+
+def lightcurve_features(
+    df: DataFrame,
+    nest: str,
+    time_field: str,
+    value_field: str,
+    time_scale: float = 1.0,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """The standard per-object variability feature vector (the FEETS /
+    Richards et al. 2011 basics) in ONE pass of per-cell HOFs — what the
+    reference's users assemble from a dozen ``reduce`` lambdas before
+    classification. Adds, with ``prefix = out_prefix or f"{nest}_feat"``
+    and points ``(t, v)``-ordered, values non-NULL:
+
+    * ``{p}_n`` — usable point count (bigint; 0 for empty cells)
+    * ``{p}_amp`` — amplitude ``(max - min) / 2`` (NULL when n == 0)
+    * ``{p}_mad`` — median absolute deviation from the median
+      (interpolated even-count median, same convention as
+      :func:`theil_sen`; NULL when n == 0)
+    * ``{p}_beyond1`` — fraction of points beyond 1 sample-std of the
+      mean (NULL when n < 2 or zero spread)
+    * ``{p}_eta`` — von Neumann ratio ``mean((v[i+1]-v[i])^2) /
+      sample_variance`` (NULL when n < 2 or zero spread)
+    * ``{p}_skew`` — moment skewness ``m3 / m2^1.5`` (population
+      moments; NULL when n < 2 or zero spread)
+    * ``{p}_kurt`` — excess kurtosis ``m4 / m2^2 - 3`` (same guards)
+    * ``{p}_maxslope`` — max |consecutive slope| on the
+      ``time_scale``-divided axis (NULL when no pair has distinct times)
+
+    Zero shuffle; two ``array_sort``s (time order + value order) plus
+    single-pass staged reductions. TIMESTAMP axes reduce to epoch
+    microseconds; centered moments keep epoch-scale magnitudes out of
+    the sums (:func:`trend_slope`'s lesson).
+    """
+    fields = nested_field_names(df, nest)
+    for f_ in (time_field, value_field):
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    if not (float(time_scale) > 0.0):
+        raise ValueError(f"time_scale must be > 0, got {time_scale!r}")
+    p = out_prefix or f"{nest}_feat"
+    qn, qt, qv = quote(nest), quote(time_field), quote(value_field)
+    if _time_kind(df, nest, time_field) == "timestamp":
+        t_sql = f"unix_micros(CAST(__x.{qt} AS TIMESTAMP))"
+    else:
+        t_sql = f"__x.{qt}"
+    s_c, v_c, m_c, sd_c, med_c = ("__lf_s", "__lf_v", "__lf_m", "__lf_sd",
+                                  "__lf_med")
+    staged = df.withColumn(
+        s_c,
+        F.expr(
+            f"array_sort(transform(filter({qn}, __x -> __x.{qt} IS NOT NULL "
+            f"AND __x.{qv} IS NOT NULL), __x -> struct("
+            f"CAST({t_sql} AS DOUBLE) / CAST({float(time_scale)!r} AS DOUBLE) AS x, "
+            f"CAST(__x.{qv} AS DOUBLE) AS v)))"
+        ),
+    ).withColumn(v_c, F.expr("array_sort(transform(__lf_s, __p -> __p.v))"))
+    qs, qvv = quote(s_c), quote(v_c)
+    n = f"size({qs})"
+
+    def med_of(arr: str) -> str:
+        m = f"size({arr})"
+        return (
+            f"CASE WHEN {m} = 0 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {m} % 2 = 1 THEN element_at({arr}, CAST(({m} + 1) DIV 2 AS INT)) "
+            f"ELSE (element_at({arr}, CAST({m} DIV 2 AS INT)) + "
+            f"element_at({arr}, CAST({m} DIV 2 + 1 AS INT))) / 2.0D END"
+        )
+
+    staged = staged.withColumn(
+        m_c,
+        F.expr(f"CASE WHEN {n} > 0 THEN aggregate({qvv}, 0.0D, "
+               f"(__a, __v) -> __a + __v) / {n} END"),
+    ).withColumn(med_c, F.expr(med_of(qvv)))
+    qm, qmed = quote(m_c), quote(med_c)
+    staged = staged.withColumn(
+        sd_c,
+        F.expr(f"CASE WHEN {n} >= 2 THEN sqrt(aggregate({qvv}, 0.0D, "
+               f"(__a, __v) -> __a + (__v - {qm}) * (__v - {qm})) "
+               f"/ ({n} - 1)) END"),
+    )
+    qsd = quote(sd_c)
+    absdev = f"array_sort(transform({qvv}, __v -> abs(__v - {qmed})))"
+    m_k = {
+        k: (f"aggregate({qvv}, 0.0D, (__a, __v) -> __a + "
+            + " * ".join([f"(__v - {qm})"] * k) + f") / {n}")
+        for k in (2, 3, 4)
+    }
+    diffs = (f"zip_with(slice({qs}, 2, {n} - 1), slice({qs}, 1, {n} - 1), "
+             f"(__b, __a) -> struct(__b.v - __a.v AS dv, __b.x - __a.x AS dx))")
+    eta_num = (f"aggregate({diffs}, 0.0D, (__a, __d) -> __a + __d.dv * __d.dv)"
+               f" / ({n} - 1)")
+    maxslope = (
+        f"array_max(transform(filter({diffs}, __d -> __d.dx <> 0.0D), "
+        f"__d -> abs(__d.dv / __d.dx)))"
+    )
+    ok2 = f"{n} >= 2 AND {qsd} > 0.0D"
+    exprs = {
+        f"{p}_n": f"CAST({n} AS BIGINT)",
+        f"{p}_amp": (f"CASE WHEN {n} > 0 THEN "
+                     f"(array_max({qvv}) - array_min({qvv})) / 2.0D END"),
+        f"{p}_mad": med_of(absdev),
+        f"{p}_beyond1": (
+            f"CASE WHEN {ok2} THEN CAST(size(filter({qvv}, "
+            f"__v -> abs(__v - {qm}) > {qsd})) AS DOUBLE) / {n} END"),
+        f"{p}_eta": f"CASE WHEN {ok2} THEN ({eta_num}) / ({qsd} * {qsd}) END",
+        f"{p}_skew": (f"CASE WHEN {ok2} THEN ({m_k[3]}) / "
+                      f"pow({m_k[2]}, 1.5D) END"),
+        f"{p}_kurt": (f"CASE WHEN {ok2} THEN ({m_k[4]}) / "
+                      f"(({m_k[2]}) * ({m_k[2]})) - 3.0D END"),
+        f"{p}_maxslope": f"CASE WHEN {n} >= 2 THEN {maxslope} END",
+    }
+    for name, sql in exprs.items():
+        staged = staged.withColumn(name, F.expr(sql))
+    return staged.drop(s_c, v_c, m_c, sd_c, med_c)

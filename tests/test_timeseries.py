@@ -1020,3 +1020,61 @@ def test_theil_sen_matches_python_reference(spark):
     assert got[1] is None and got[2] is None
     with pytest.raises(ValueError):
         theil_sen(nf, "lc", "t", "v", time_scale=0)
+
+
+def _lcf_ref(pts, time_scale=1.0):
+    """Reference lightcurve features of one cell."""
+    pts = sorted((t / time_scale, v) for t, v in pts)
+    vs = sorted(v for _, v in pts)
+    n = len(vs)
+    out = {"n": n, "amp": None, "mad": None, "beyond1": None, "eta": None,
+           "skew": None, "kurt": None, "maxslope": None}
+    if n == 0:
+        return out
+
+    def med(a):
+        m = len(a)
+        return a[m // 2] if m % 2 else (a[m // 2 - 1] + a[m // 2]) / 2
+
+    out["amp"] = (max(vs) - min(vs)) / 2
+    out["mad"] = med(sorted(abs(v - med(vs)) for v in vs))
+    if n >= 2:
+        mean = sum(vs) / n
+        sd = math.sqrt(sum((v - mean) ** 2 for v in vs) / (n - 1))
+        dvs = [(b[1] - a[1], b[0] - a[0]) for a, b in zip(pts[:-1], pts[1:])]
+        slopes = [abs(dv / dx) for dv, dx in dvs if dx != 0]
+        out["maxslope"] = max(slopes) if slopes else None
+        if sd > 0:
+            out["beyond1"] = sum(1 for v in vs if abs(v - mean) > sd) / n
+            out["eta"] = (sum(dv * dv for dv, _ in dvs) / (n - 1)) / sd ** 2
+            m2 = sum((v - mean) ** 2 for v in vs) / n
+            m3 = sum((v - mean) ** 3 for v in vs) / n
+            m4 = sum((v - mean) ** 4 for v in vs) / n
+            out["skew"] = m3 / m2 ** 1.5
+            out["kurt"] = m4 / m2 ** 2 - 3
+    return out
+
+
+def test_lightcurve_features_match_python_reference(spark):
+    from nested_pandas_spark import lightcurve_features
+
+    pts0 = [(float(i) * 2 + (i % 2) * 0.3, math.sin(i) * 3 + 0.1 * i)
+            for i in range(17)]
+    rows = [(0, t, v) for t, v in pts0]
+    rows += [(1, 1.0, 4.0)]                 # n=1
+    rows += [(2, 1.0, 7.0), (2, 2.0, 7.0)]  # zero spread
+    df = spark.createDataFrame(rows, "oid long, t double, v double")
+    nf = pack(df, "lc", on="oid", sort_within=["t"])
+    out = lightcurve_features(nf, "lc", "t", "v")
+    got = {r["oid"]: r.asDict() for r in out.collect()}
+    for oid, pts in [(0, pts0), (1, [(1.0, 4.0)]),
+                     (2, [(1.0, 7.0), (2.0, 7.0)])]:
+        ref = _lcf_ref(pts)
+        for k, v in ref.items():
+            g = got[oid][f"lc_feat_{k}"]
+            if v is None:
+                assert g is None, (oid, k, g)
+            else:
+                assert g == pytest.approx(v, rel=1e-9), (oid, k)
+    with pytest.raises(ValueError):
+        lightcurve_features(nf, "lc", "t", "v", time_scale=0)
