@@ -2290,6 +2290,27 @@ def q123_lightcurve_features(spark, sf):
     )
 
 
+def q124_semantic_decontaminate(spark, sf):
+    """Embedding-space benchmark decontamination (pipeline/similarity.py
+    semantic_decontaminate): every 20th embedding acts as the held-out
+    benchmark; the rest of the corpus is flagged when its max cosine
+    against ANY benchmark vector reaches 0.9. The benchmark collapses to
+    one broadcast row of pre-normalized vectors; the corpus side is a
+    zero-shuffle HOF max. Oracle replays with an explicit cross join +
+    list_cosine_similarity."""
+    from nested_pandas_spark.pipeline.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf, "embeddings")
+    bench = emb.where(F.col("vec_id") % 20 == 0)
+    corpus = emb.where(F.col("vec_id") % 20 != 0)
+    out = semantic_decontaminate(corpus, bench, 0.9)
+    return out.select(
+        "vec_id",
+        F.round("max_bench_sim", 6).alias("sim_r6"),
+        F.col("contaminated"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2496,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_structure_function": q121_structure_function,
         "q122_theil_sen": q122_theil_sen,
         "q123_lightcurve_features": q123_lightcurve_features,
+        "q124_semantic_decontaminate": q124_semantic_decontaminate,
     }
 
 
@@ -3858,6 +3880,25 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q124_semantic_decontaminate": """
+            WITH bench AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS b
+                FROM embeddings
+                WHERE vec_id % 20 = 0 AND embedding IS NOT NULL
+            ), corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 20 <> 0
+            ), sims AS (
+                SELECT c.vec_id,
+                       max(list_cosine_similarity(c.v, bench.b)) AS s
+                FROM corpus c, bench
+                WHERE c.v IS NOT NULL
+                GROUP BY c.vec_id
+            )
+            SELECT c.vec_id, round(s.s, 6) AS sim_r6,
+                   coalesce(s.s >= 0.9, FALSE) AS contaminated
+            FROM corpus c LEFT JOIN sims s USING (vec_id)
         """,
         "q123_lightcurve_features": """
             WITH pts AS (

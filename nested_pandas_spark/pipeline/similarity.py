@@ -24,7 +24,7 @@ __all__ = [
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
-    "knn_join", "recall_at_k",
+    "knn_join", "recall_at_k", "semantic_decontaminate",
 ]
 
 
@@ -941,4 +941,71 @@ def recall_at_k(
             "recall",
             F.col("n_hit").cast("double") / F.col("n_exact"),
         )
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus row
+    whose embedding has cosine similarity >= ``threshold`` to ANY
+    benchmark embedding — the semantic companion to the n-gram
+    :func:`~nested_pandas_spark.pipeline.corpus.decontaminate` (catches
+    paraphrased/translated eval leakage that shares no n-grams).
+
+    Returns the corpus ids plus ``max_bench_sim`` (highest cosine against
+    the benchmark; NULL when the corpus vector is NULL or the benchmark
+    is empty) and ``contaminated`` (boolean; false when NULL sim).
+
+    Scale shape: evaluation benchmarks are small (10^3-10^5 vectors), so
+    the benchmark collapses into ONE broadcast single-row frame of
+    pre-normalized vectors; the corpus-side max-cosine is then a per-row
+    HOF reduction over that array — zero shuffle, no join on the corpus
+    side, one corpus scan. For benchmarks too big to broadcast, run
+    :func:`lsh_bucket_join` / :func:`brute_force_topk` instead.
+    """
+    if not (0.0 < float(threshold) <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
+    bvec = bench_vec_col or vec_col
+    bench_arr = benchmark.where(F.col(bvec).isNotNull()).agg(
+        F.collect_list(
+            F.transform(
+                F.col(bvec).cast("array<double>"),
+                lambda v: v / F.sqrt(F.aggregate(
+                    F.col(bvec).cast("array<double>"), F.lit(0.0),
+                    lambda a, x: a + x * x)),
+            )
+        ).alias("__bench")
+    )
+    sim = (
+        "CASE WHEN __v IS NOT NULL AND size(__bench) > 0 THEN "
+        "array_max(transform(__bench, __b -> "
+        "aggregate(zip_with(__v, __b, (__x, __y) -> __x * __y), 0.0D, "
+        "(__a, __p) -> __a + __p))) END"
+    )
+    staged = (
+        corpus.crossJoin(F.broadcast(bench_arr))
+        .withColumn(
+            "__v",
+            F.expr(
+                f"CASE WHEN {quote(vec_col)} IS NOT NULL THEN "
+                f"transform(CAST({quote(vec_col)} AS array<double>), "
+                f"__x -> __x / sqrt(aggregate("
+                f"CAST({quote(vec_col)} AS array<double>), 0.0D, "
+                f"(__a, __y) -> __a + __y * __y))) END"
+            ),
+        )
+        .withColumn("max_bench_sim", F.expr(sim))
+    )
+    return staged.select(
+        F.col(id_col),
+        "max_bench_sim",
+        F.coalesce(
+            F.col("max_bench_sim") >= F.lit(float(threshold)), F.lit(False)
+        ).alias("contaminated"),
     )

@@ -1609,3 +1609,41 @@ def test_dsir_weights_match_bruteforce(spark):
         dsir_weights(raw_df, tgt_df, dim=1)
     with _pt.raises(ValueError):
         dsir_sample(raw_df, tgt_df, 0)
+
+
+def test_semantic_decontaminate_matches_bruteforce(spark):
+    from nested_pandas_spark.pipeline.similarity import semantic_decontaminate
+
+    import math as _m
+    corpus = [(0, [1.0, 0.0, 0.0]),
+              (1, [0.9, 0.1, 0.0]),
+              (2, [0.0, 1.0, 0.0]),
+              (3, None),
+              (4, [0.0, 0.0, 2.0])]
+    bench = [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0])]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+           for r in semantic_decontaminate(cdf, bdf, 0.95).collect()}
+
+    def cos(a, b):
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    for i, v in corpus:
+        if v is None:
+            assert got[i] == (None, False)
+        else:
+            ref = max(cos(v, b) for _, b in bench)
+            assert got[i][0] == pytest.approx(ref, rel=1e-9)
+            assert got[i][1] == (ref >= 0.95)
+    assert got[0][1] and got[4][1] and not got[2][1]
+    # empty benchmark -> nothing contaminated, sims NULL
+    empty = bdf.where("vec_id < 0")
+    got2 = {r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+            for r in semantic_decontaminate(cdf, empty, 0.9).collect()}
+    assert all(v == (None, False) for v in got2.values())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        semantic_decontaminate(cdf, bdf, 0.0)
