@@ -2311,6 +2311,21 @@ def q124_semantic_decontaminate(spark, sf):
     )
 
 
+def q125_token_entropy(spark, sf):
+    """Lexical-diversity quality signal (pipeline/text.py token_entropy):
+    Shannon entropy of each document's word distribution — near 0 for
+    repeated-token gibberish, log2(n) for fully diverse text. One
+    zero-shuffle HOF projection; oracle replays with unnest + GROUP BY
+    word counts ( +0.0 guards the IEEE -0.0 of zero-entropy docs)."""
+    from nested_pandas_spark.pipeline.text import token_entropy
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(token_entropy("text") + F.lit(0.0), 6).alias("entropy_r6"),
+    )
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2518,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_theil_sen": q122_theil_sen,
         "q123_lightcurve_features": q123_lightcurve_features,
         "q124_semantic_decontaminate": q124_semantic_decontaminate,
+        "q125_token_entropy": q125_token_entropy,
     }
 
 
@@ -3880,6 +3896,30 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q125_token_entropy": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, unnest(w) AS g, len(w) AS n
+                FROM toks WHERE len(w) > 0
+            ), cnt AS (
+                SELECT doc_id, n, count(*) AS c
+                FROM ex GROUP BY doc_id, g, n
+            ), h AS (
+                SELECT doc_id,
+                       -sum((CAST(c AS DOUBLE) / n)
+                            * log2(CAST(c AS DOUBLE) / n)) AS h
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(CASE WHEN d.text IS NULL THEN NULL
+                              ELSE coalesce(h.h, 0.0) + 0.0 END, 6)
+                       AS entropy_r6
+            FROM documents d LEFT JOIN h USING (doc_id)
         """,
         "q124_semantic_decontaminate": """
             WITH bench AS (

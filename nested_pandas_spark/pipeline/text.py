@@ -16,6 +16,7 @@ from ..nestedframe.expr import _sql_literal
 
 __all__ = [
     "token_count",
+    "token_entropy",
     "bpe_ish_token_count",
     "words",
     "word_ngrams",
@@ -766,3 +767,44 @@ def bpe_encode(
         F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
         .otherwise(F.size(F.col(out)).cast("long")),
     )
+
+
+def token_entropy(text: Column | str, alias: str = "token_entropy") -> Column:
+    """Shannon entropy (bits) of the document's word distribution:
+    ``H = -sum_w p_w * log2(p_w)`` over lower-cased whitespace tokens —
+    near 0 for repeated-token gibberish ("buy buy buy..."), ``log2(n)``
+    for fully diverse text; the cheap lexical-diversity signal quality
+    stacks threshold alongside :func:`repetition_ratio`.
+
+    NULL text -> NULL; empty/whitespace-only text -> 0.0. Pure HOFs
+    (O(distinct x tokens) per doc), zero shuffle, no UDF; the token
+    array binds once via a single-element ``transform`` so the text is
+    tokenized exactly once.
+
+    Examples
+    --------
+    >>> df = spark.createDataFrame(
+    ...     [(0, "spam spam spam spam"), (1, "all four words differ"),
+    ...      (2, None)], "id long, text string")
+    >>> [r["token_entropy"] for r in
+    ...  df.select("id", token_entropy("text")).orderBy("id").collect()]
+    [0.0, 2.0, None]
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    def _ent(arr: Column) -> Column:
+        n = F.size(arr)
+
+        def contrib(acc: Column, d: Column) -> Column:
+            # subtract inside the fold: 0.0 - 0.0 stays +0.0 (a leading
+            # unary minus would surface -0.0 for zero-entropy docs)
+            cnt = F.size(F.filter(arr, lambda t: t == d)).cast("double")
+            return acc - cnt * F.log2(cnt / n.cast("double"))
+
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            F.aggregate(F.array_distinct(arr), F.lit(0.0), contrib)
+            / n.cast("double")
+        )
+
+    ent = F.element_at(F.transform(F.array(words(c)), _ent), 1)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(ent).alias(alias)

@@ -1647,3 +1647,27 @@ def test_semantic_decontaminate_matches_bruteforce(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         semantic_decontaminate(cdf, bdf, 0.0)
+
+
+def test_token_entropy_matches_reference(spark):
+    import math as _m
+
+    from nested_pandas_spark.pipeline.text import token_entropy
+
+    docs = [(0, "a b a b a b"), (1, "x"), (2, ""), (3, None),
+            (4, "one two three four"), (5, "a a a b")]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {r["id"]: r["token_entropy"]
+           for r in df.select("id", token_entropy("text")).collect()}
+    for i, t in docs:
+        if t is None:
+            assert got[i] is None
+            continue
+        w = t.lower().split()
+        if not w:
+            assert got[i] == 0.0
+            continue
+        from collections import Counter
+        ref = -sum((c / len(w)) * _m.log2(c / len(w))
+                   for c in Counter(w).values())
+        assert got[i] == pytest.approx(ref, rel=1e-12), i
