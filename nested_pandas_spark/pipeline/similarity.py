@@ -972,15 +972,19 @@ def semantic_decontaminate(
     if not (0.0 < float(threshold) <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
     bvec = bench_vec_col or vec_col
-    bench_arr = benchmark.where(F.col(bvec).isNotNull()).agg(
-        F.collect_list(
-            F.transform(
-                F.col(bvec).cast("array<double>"),
-                lambda v: v / F.sqrt(F.aggregate(
-                    F.col(bvec).cast("array<double>"), F.lit(0.0),
-                    lambda a, x: a + x * x)),
-            )
-        ).alias("__bench")
+    bench_arr = (
+        benchmark.where(F.col(bvec).isNotNull())
+        .withColumn(
+            "__bn",
+            F.sqrt(F.aggregate(F.col(bvec).cast("array<double>"),
+                               F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .agg(
+            F.collect_list(
+                F.transform(F.col(bvec).cast("array<double>"),
+                            lambda v: v / F.col("__bn"))
+            ).alias("__bench")
+        )
     )
     sim = (
         "CASE WHEN __v IS NOT NULL AND size(__bench) > 0 THEN "
@@ -988,16 +992,23 @@ def semantic_decontaminate(
         "aggregate(zip_with(__v, __b, (__x, __y) -> __x * __y), 0.0D, "
         "(__a, __p) -> __a + __p))) END"
     )
+    # stage the norm ONCE per row — normalizing inside the transform would
+    # recompute the O(d) reduction per element (O(d^2) per corpus row)
     staged = (
         corpus.crossJoin(F.broadcast(bench_arr))
+        .withColumn(
+            "__nrm",
+            F.expr(
+                f"sqrt(aggregate(CAST({quote(vec_col)} AS array<double>), "
+                f"0.0D, (__a, __y) -> __a + __y * __y))"
+            ),
+        )
         .withColumn(
             "__v",
             F.expr(
                 f"CASE WHEN {quote(vec_col)} IS NOT NULL THEN "
                 f"transform(CAST({quote(vec_col)} AS array<double>), "
-                f"__x -> __x / sqrt(aggregate("
-                f"CAST({quote(vec_col)} AS array<double>), 0.0D, "
-                f"(__a, __y) -> __a + __y * __y))) END"
+                f"__x -> __x / __nrm) END"
             ),
         )
         .withColumn("max_bench_sim", F.expr(sim))
