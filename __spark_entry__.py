@@ -2326,6 +2326,87 @@ def q125_token_entropy(spark, sf):
     )
 
 
+def q126_gopher_repetition(spark, sf):
+    """Gopher Table A1 n-gram repetition signals (pipeline/text.py
+    gopher_repetition): top-{2,3,4}-gram word fraction (deterministic
+    count-desc/gram-asc tie-break) and duplicate-{5..10}-gram position
+    coverage, per document, one zero-shuffle scan. Oracle replays each
+    signal with grouped gram counts, a row_number argmax, and distinct
+    position-coverage counting."""
+    from nested_pandas_spark.pipeline.text import gopher_repetition
+
+    docs = _t(spark, sf, "documents")
+    out = gopher_repetition(docs)
+    cols = [F.col("doc_id")]
+    for n in (2, 3, 4):
+        cols.append(F.round(f"gopher_top{n}_frac", 6).alias(f"top{n}_r6"))
+    for n in (5, 6, 7, 8, 9, 10):
+        cols.append(F.round(f"gopher_dup{n}_frac", 6).alias(f"dup{n}_r6"))
+    return out.select(*cols)
+
+
+def _gopher_rep_oracle() -> str:
+    """Build q126's oracle: per-n CTEs for top-gram argmax and duplicate
+    position coverage, joined into one row per document."""
+    ctes = ["""toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), base AS (
+                SELECT doc_id, text, w, len(w) AS nw FROM toks
+            )"""]
+    sel = ["b.doc_id"]
+    joins = []
+    for n in (2, 3, 4):
+        ctes.append(f"""g{n} AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(w, CAST(i AS INT),
+                           CAST(i AS INT) + {n} - 1), ' ') AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, len(w) - {n} + 2)) AS i
+                      FROM base WHERE nw >= {n})
+            ), top{n} AS (
+                SELECT doc_id, c FROM (
+                    SELECT doc_id, count(*) AS c, g,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY count(*) DESC, g ASC) AS rn
+                    FROM g{n} GROUP BY doc_id, g
+                ) WHERE rn = 1
+            )""")
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        sel.append(
+            f"round(CASE WHEN b.text IS NULL THEN NULL WHEN b.nw = 0 "
+            f"THEN 0.0 ELSE coalesce({n}.0 * top{n}.c, 0.0) / b.nw END, 6) "
+            f"AS top{n}_r6")
+    for n in (5, 6, 7, 8, 9, 10):
+        ctes.append(f"""gd{n} AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS i,
+                       array_to_string(list_slice(w, CAST(i AS INT),
+                           CAST(i AS INT) + {n} - 1), ' ') AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, len(w) - {n} + 2)) AS i
+                      FROM base WHERE nw >= {n})
+            ), cd{n} AS (
+                SELECT doc_id, g FROM gd{n}
+                GROUP BY doc_id, g HAVING count(*) >= 2
+            ), cov{n} AS (
+                SELECT doc_id, count(DISTINCT p) AS cov FROM (
+                    SELECT d.doc_id, unnest(range(d.i, d.i + {n})) AS p
+                    FROM gd{n} d JOIN cd{n} c USING (doc_id, g)
+                ) GROUP BY doc_id
+            )""")
+        joins.append(f"LEFT JOIN cov{n} USING (doc_id)")
+        sel.append(
+            f"round(CASE WHEN b.text IS NULL THEN NULL WHEN b.nw = 0 "
+            f"THEN 0.0 ELSE coalesce(cov{n}.cov, 0) * 1.0 / b.nw END, 6) "
+            f"AS dup{n}_r6")
+    return ("WITH " + ",\n            ".join(ctes)
+            + "\n            SELECT " + ",\n                   ".join(sel)
+            + "\n            FROM base b\n            "
+            + "\n            ".join(joins))
+
+
 def q68_stream_dedup(spark, sf):
     """STATEFUL streaming dedup through the gate (streaming/events.py
     stream_dedup): the same events file staged TWICE, delivered as two
@@ -2534,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_lightcurve_features": q123_lightcurve_features,
         "q124_semantic_decontaminate": q124_semantic_decontaminate,
         "q125_token_entropy": q125_token_entropy,
+        "q126_gopher_repetition": q126_gopher_repetition,
     }
 
 
@@ -3897,6 +3979,7 @@ def oracle_sql() -> dict[str, str]:
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
         """,
+        "q126_gopher_repetition": _gopher_rep_oracle(),
         "q125_token_entropy": """
             WITH toks AS (
                 SELECT doc_id, text,

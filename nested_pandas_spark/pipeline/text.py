@@ -35,6 +35,7 @@ __all__ = [
     "bpe_train",
     "bpe_encode",
     "gopher_rules",
+    "gopher_repetition",
     "STOPWORDS",
     "vocab",
 ]
@@ -808,3 +809,87 @@ def token_entropy(text: Column | str, alias: str = "token_entropy") -> Column:
 
     ent = F.element_at(F.transform(F.array(words(c)), _ent), 1)
     return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(ent).alias(alias)
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    prefix: str = "gopher",
+) -> DataFrame:
+    """The n-gram repetition signals of Gopher Table A1 (Rae et al. 2021)
+    that :func:`gopher_rules` doesn't cover — word-fraction variants of
+    the published character fractions (same thresholding behavior,
+    cleaner exact semantics):
+
+    * ``{prefix}_top{n}_frac`` (n in ``top_ns``): ``n * count(most
+      frequent word n-gram) / n_words``. Ties break deterministically
+      (count desc, then gram asc). Overlapping repeats can push the
+      value above 1 — the published filters threshold it, not clamp it.
+    * ``{prefix}_dup{n}_frac`` (n in ``dup_ns``): fraction of word
+      POSITIONS covered by any n-gram occurring >= 2 times in the doc
+      (each position counted once — the coverage semantics of
+      exact-substring dedup, within-document).
+
+    Signals are 0.0 for docs too short for the n-gram; NULL text yields
+    NULL signals. One scan; the token and per-n gram arrays are staged
+    once so every signal reads, not re-splits. Per-doc cost is
+    O(grams^2) per n — bounded by document length, embarrassingly
+    parallel across rows, zero shuffle.
+    """
+    for n in list(top_ns) + list(dup_ns):
+        if int(n) < 1:
+            raise ValueError(f"n-gram sizes must be >= 1, got {n}")
+    c = F.col(text_col)
+    staged = df.select("*", words(c).alias("__gr_w"))
+    w = "__gr_w"
+    ns = sorted(set(int(n) for n in list(top_ns) + list(dup_ns)))
+    for n in ns:
+        staged = staged.withColumn(
+            f"__gr_g{n}",
+            F.expr(
+                f"CASE WHEN size({w}) >= {n} THEN "
+                f"transform(sequence(0, size({w}) - {n}), "
+                f"__i -> array_join(slice({w}, __i + 1, {n}), ' ')) "
+                f"ELSE CAST(array() AS array<string>) END"
+            ),
+        )
+    nw = f"size({w})"
+    outs: dict[str, str] = {}
+    for n in top_ns:
+        g = f"__gr_g{int(n)}"
+        step = (
+            f"element_at(transform(array(size(filter({g}, __x -> __x = __d))), "
+            f"__c -> CASE WHEN __c > __a.c OR (__c = __a.c AND "
+            f"(__a.g IS NULL OR __d < __a.g)) THEN "
+            f"named_struct('c', __c, 'g', __d) ELSE __a END), 1)"
+        )
+        top = (
+            f"aggregate(array_distinct({g}), "
+            f"named_struct('c', 0, 'g', CAST(NULL AS STRING)), "
+            f"(__a, __d) -> {step})"
+        )
+        outs[f"{prefix}_top{int(n)}_frac"] = (
+            f"CASE WHEN {text_col} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {nw} = 0 THEN 0.0D "
+            f"ELSE CAST({int(n)} * ({top}).c AS DOUBLE) / {nw} END"
+        )
+    for n in dup_ns:
+        g = f"__gr_g{int(n)}"
+        dup_starts = (
+            f"filter(sequence(0, size({g}) - 1), __i -> "
+            f"size(filter({g}, __x -> __x = element_at({g}, __i + 1))) >= 2)"
+        )
+        covered = (
+            f"array_distinct(flatten(transform({dup_starts}, "
+            f"__s -> sequence(__s, __s + {int(n)} - 1))))"
+        )
+        outs[f"{prefix}_dup{int(n)}_frac"] = (
+            f"CASE WHEN {text_col} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {nw} = 0 OR size({g}) = 0 THEN 0.0D "
+            f"ELSE CAST(size({covered}) AS DOUBLE) / {nw} END"
+        )
+    for name, sql in outs.items():
+        staged = staged.withColumn(name, F.expr(sql))
+    return staged.drop(w, *[f"__gr_g{n}" for n in ns])

@@ -1671,3 +1671,66 @@ def test_token_entropy_matches_reference(spark):
         ref = -sum((c / len(w)) * _m.log2(c / len(w))
                    for c in Counter(w).values())
         assert got[i] == pytest.approx(ref, rel=1e-12), i
+
+
+def _gopher_rep_ref(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    if text is None:
+        return {f"top{n}": None for n in top_ns} | {f"dup{n}": None for n in dup_ns}
+    w = text.lower().split()
+    out = {}
+    for n in top_ns:
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        if not w:
+            out[f"top{n}"] = 0.0
+            continue
+        if not grams:
+            out[f"top{n}"] = 0.0
+            continue
+        from collections import Counter
+        cnt = Counter(grams)
+        c, g = max(((c, g) for g, c in cnt.items()),
+                   key=lambda t: (t[0], [-ord(ch) for ch in t[1]]))
+        # tie-break: count desc then gram asc
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out[f"top{n}"] = n * best[1] / len(w)
+    for n in dup_ns:
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        if not w or not grams:
+            out[f"dup{n}"] = 0.0
+            continue
+        from collections import Counter
+        cnt = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered.update(range(i, i + n))
+        out[f"dup{n}"] = len(covered) / len(w)
+    return out
+
+
+def test_gopher_repetition_matches_reference(spark):
+    from nested_pandas_spark.pipeline.text import gopher_repetition
+
+    docs = [
+        (0, "spam " * 30),                          # overlapping 2-gram repeat
+        (1, "the quick brown fox jumps over the lazy dog near the bank "
+            "the quick brown fox jumps over the lazy dog near the river"),
+        (2, " ".join(f"w{i}" for i in range(40))),  # fully diverse
+        (3, None),
+        (4, ""),
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_repetition(df).collect()}
+    for i, t in docs:
+        ref = _gopher_rep_ref(t)
+        for k, v in ref.items():
+            col = f"gopher_{k}_frac"
+            if v is None:
+                assert got[i][col] is None, (i, k)
+            else:
+                assert got[i][col] == pytest.approx(v, rel=1e-12), (i, k, got[i][col])
+    assert got[0]["gopher_top2_frac"] > 1.5       # overlap-heavy spam
+    assert got[1]["gopher_dup5_frac"] > 0.5       # long duplicated span
+    assert got[2]["gopher_dup5_frac"] == 0.0
