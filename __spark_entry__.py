@@ -2326,6 +2326,23 @@ def q125_token_entropy(spark, sf):
     )
 
 
+def q127_bigram_logprob(spark, sf):
+    """Sequence-aware LM quality scoring (pipeline/text.py
+    bigram_logprob): mean add-alpha-smoothed bigram log-probability of
+    each document against the corpus's own bigram model — word-salad
+    text with natural unigrams scores low. Oracle replays the bigram
+    and context count tables, the vocabulary size, and the per-doc
+    mean."""
+    from nested_pandas_spark.pipeline.text import bigram_logprob
+
+    docs = _t(spark, sf, "documents")
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("mean_logp", 6).alias("mean_logp_r6"),
+    )
+
+
 def q126_gopher_repetition(spark, sf):
     """Gopher Table A1 n-gram repetition signals (pipeline/text.py
     gopher_repetition): top-{2,3,4}-gram word fraction (deterministic
@@ -2616,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_semantic_decontaminate": q124_semantic_decontaminate,
         "q125_token_entropy": q125_token_entropy,
         "q126_gopher_repetition": q126_gopher_repetition,
+        "q127_bigram_logprob": q127_bigram_logprob,
     }
 
 
@@ -3978,6 +3996,39 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q127_bigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, w[CAST(i AS INT)] AS w1,
+                       w[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                      FROM toks WHERE len(w) >= 2)
+            ), bc AS (
+                SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+            ), cc AS (
+                SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+            ), vv AS (
+                SELECT count(DISTINCT t) AS V
+                FROM (SELECT unnest(w) AS t FROM toks)
+            ), sc AS (
+                SELECT g.doc_id, count(*) AS n,
+                       avg(ln((coalesce(bc.c12, 0) + 1.0)
+                              / (coalesce(cc.c1, 0)
+                                 + 1.0 * ((SELECT V FROM vv) + 1)))) AS lp
+                FROM bg g
+                LEFT JOIN bc USING (w1, w2)
+                LEFT JOIN cc USING (w1)
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n, 0) AS BIGINT) AS n_bigrams,
+                   round(sc.lp, 6) AS mean_logp_r6
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "q126_gopher_repetition": _gopher_rep_oracle(),
         "q125_token_entropy": """

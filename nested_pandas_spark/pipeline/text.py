@@ -29,6 +29,7 @@ __all__ = [
     "REDACTION_PATTERNS",
     "fingerprint",
     "unigram_logprob",
+    "bigram_logprob",
     "hashed_tfidf",
     "add_text_stats",
     "bpe_pair_stats",
@@ -893,3 +894,91 @@ def gopher_repetition(
     for name, sql in outs.items():
         staged = staged.withColumn(name, F.expr(sql))
     return staged.drop(w, *[f"__gr_g{n}" for n in ns])
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_docs: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability — the sequence-aware step
+    up from :func:`unigram_logprob` toward the CCNet 5-gram-LM
+    perplexity filter: word-salad documents whose unigrams look fine
+    (common words, wrong order) score poorly here.
+
+    Model: over ``model_docs`` (defaults to ``docs``),
+    ``P(w2|w1) = (c(w1 w2) + alpha) / (ctx(w1) + alpha * (V + 1))``
+    where ``ctx(w1)`` counts w1 as a bigram CONTEXT (= sum of its
+    continuation counts) and ``V`` is the model unigram vocabulary;
+    unseen bigrams/contexts take count 0 (pure add-alpha backoff).
+
+    Output: (``id_col``, ``n_bigrams``, ``mean_logp``) — every input doc
+    appears; docs with < 2 tokens get ``n_bigrams = 0`` and NULL mean.
+
+    Scale shape (same as the unigram scorer): the model is one
+    partial-agg shuffle at bigram grain and one at context grain; the
+    doc side joins on (w1, w2) then w1 (AQE splits hot words), V rides
+    along broadcast, and the per-doc mean is a final partial agg. No
+    Python, no all-pairs.
+    """
+    model_docs = docs if model_docs is None else model_docs
+
+    def bigrams(df: DataFrame, with_id: bool):
+        w = words(F.col(text_col))
+        cols = [F.col(id_col).alias("__doc")] if with_id else []
+        return (
+            df.select(*cols, w.alias("__w"))
+            .where(F.size("__w") >= 2)
+            .select(
+                *(["__doc"] if with_id else []),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__w) - 1), __i -> "
+                        "struct(element_at(__w, __i) AS w1, "
+                        "element_at(__w, __i + 1) AS w2))"
+                    )
+                ).alias("__b"),
+            )
+            .select(*(["__doc"] if with_id else []),
+                    F.col("__b.w1").alias("__w1"),
+                    F.col("__b.w2").alias("__w2"))
+        )
+
+    model_bi = bigrams(model_docs, with_id=False)
+    bi_counts = model_bi.groupBy("__w1", "__w2").agg(
+        F.count("*").alias("__c12"))
+    ctx_counts = model_bi.groupBy("__w1").agg(F.count("*").alias("__c1"))
+    v = (
+        model_docs.select(F.explode(words(F.col(text_col))).alias("__t"))
+        .agg(F.countDistinct("__t").alias("__V"))
+    )
+    a = float(alpha)
+    scored = (
+        bigrams(docs, with_id=True)
+        .join(bi_counts, ["__w1", "__w2"], "left")
+        .join(ctx_counts, ["__w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__doc",
+            F.log(
+                (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(a))
+                / (F.coalesce(F.col("__c1"), F.lit(0))
+                   + F.lit(a) * (F.col("__V") + 1))
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy("__doc").agg(
+        F.count("*").alias("n_bigrams"), F.avg("__lp").alias("mean_logp")
+    )
+    base = docs.select(F.col(id_col).alias("__doc"))
+    return (
+        base.join(per_doc, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.col("mean_logp"),
+        )
+    )

@@ -1734,3 +1734,39 @@ def test_gopher_repetition_matches_reference(spark):
     assert got[0]["gopher_top2_frac"] > 1.5       # overlap-heavy spam
     assert got[1]["gopher_dup5_frac"] > 0.5       # long duplicated span
     assert got[2]["gopher_dup5_frac"] == 0.0
+
+
+def test_bigram_logprob_matches_bruteforce(spark):
+    import math as _m
+    from collections import Counter
+
+    from nested_pandas_spark.pipeline.text import bigram_logprob
+
+    docs = [(0, "the cat sat on the mat"),
+            (1, "mat the on sat cat the"),   # same unigrams, scrambled order
+            (2, "one"), (3, None), (4, "the cat sat")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_logp"])
+           for r in bigram_logprob(df).collect()}
+
+    toks = {i: (t.lower().split() if t else []) for i, t in docs}
+    bi = Counter()
+    ctx = Counter()
+    vocab = set()
+    for w in toks.values():
+        vocab.update(w)
+        for a, b in zip(w[:-1], w[1:]):
+            bi[(a, b)] += 1
+            ctx[a] += 1
+    V = len(vocab)
+    for i, w in toks.items():
+        pairs = list(zip(w[:-1], w[1:]))
+        if not pairs:
+            assert got[i] == (0, None)
+            continue
+        lps = [_m.log((bi[p] + 1.0) / (ctx[p[0]] + 1.0 * (V + 1)))
+               for p in pairs]
+        assert got[i][0] == len(pairs)
+        assert got[i][1] == pytest.approx(sum(lps) / len(lps), rel=1e-12), i
+    # natural order must outscore the scramble built from the same words
+    assert got[0][1] > got[1][1]
