@@ -2326,6 +2326,37 @@ def q125_token_entropy(spark, sf):
     )
 
 
+def q128_nest_align(spark, sf):
+    """Per-cell nearest-time series alignment (operators/timeseries.py
+    nest_align): each user's click series matched to the nearest error
+    observation within 6 hours — the in-row as-of join that builds
+    color curves from two bands. Deltas subtract in int64 nanos (exact);
+    ties break to the earlier right time. Oracle replays the argmin with
+    a row_number window over the per-user pair join."""
+    from nested_pandas_spark import nest_align, pack
+
+    ev = _t(spark, sf, "events")  # ts normalized to int64 epoch nanos
+    clicks = pack(
+        ev.where(F.col("event_type") == "click")
+          .select("user_id", "event_id", "ts", "value"),
+        "a", on="user_id", sort_within=["ts"])
+    errs = pack(
+        ev.where(F.col("event_type") == "error")
+          .select("user_id", "ts", "value"),
+        "b", on="user_id", sort_within=["ts"])
+    both = clicks.join(errs.select("user_id", "b"), "user_id", "inner")
+    out = nest_align(both, "a", "b", "ts", "value",
+                     tolerance=21_600 * 10**9)
+    return out.select(
+        "user_id", F.explode("a").alias("e")
+    ).select(
+        "user_id",
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.value_near").alias("v_near"),
+        F.col("e.value_near_dt").alias("dt"),
+    )
+
+
 def q127_bigram_logprob(spark, sf):
     """Sequence-aware LM quality scoring (pipeline/text.py
     bigram_logprob): mean add-alpha-smoothed bigram log-probability of
@@ -2634,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_token_entropy": q125_token_entropy,
         "q126_gopher_repetition": q126_gopher_repetition,
         "q127_bigram_logprob": q127_bigram_logprob,
+        "q128_nest_align": q128_nest_align,
     }
 
 
@@ -3996,6 +4028,38 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q128_nest_align": """
+            WITH cl AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) * 1000 AS t, value AS v
+                FROM events WHERE event_type = 'click'
+            ), er AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS t,
+                       value AS v
+                FROM events WHERE event_type = 'error'
+            ), users AS (
+                SELECT DISTINCT cl.user_id
+                FROM cl JOIN (SELECT DISTINCT user_id FROM er) e
+                  USING (user_id)
+            ), cand AS (
+                SELECT user_id, t, v FROM er WHERE t IS NOT NULL
+            ), best AS (
+                SELECT event_id, vn, dt FROM (
+                    SELECT c.event_id, cd.v AS vn, cd.t - c.t AS dt,
+                           row_number() OVER (PARTITION BY c.event_id
+                               ORDER BY abs(cd.t - c.t), cd.t) AS rn
+                    FROM cl c JOIN cand cd USING (user_id)
+                    WHERE c.t IS NOT NULL
+                ) WHERE rn = 1
+            )
+            SELECT c.user_id, c.event_id,
+                   CASE WHEN abs(b.dt) <= 21600000000000 THEN b.vn END
+                       AS v_near,
+                   CASE WHEN abs(b.dt) <= 21600000000000 THEN b.dt END
+                       AS dt
+            FROM cl c JOIN users USING (user_id)
+            LEFT JOIN best b USING (event_id)
         """,
         "q127_bigram_logprob": """
             WITH toks AS (

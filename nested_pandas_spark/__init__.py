@@ -19,7 +19,8 @@ from .operators.aggregates import (
 from .operators.cleaning import dropna, fillna
 from .operators.sorting import sort_values
 from .operators.timeseries import (
-    freq_grid, lightcurve_features, nest_acf, structure_function, theil_sen,
+    freq_grid, lightcurve_features, nest_acf, nest_align, structure_function,
+    theil_sen,
     nest_corr, nest_cum, nest_decimate, nest_dedup, nest_describe,
     nest_diff, nest_ewm, nest_interp, nest_sample,
     nest_rolling, nest_topk, nest_wmean, nest_zscore, periodogram, phase_fold,
@@ -70,6 +71,7 @@ __all__ = [
     "structure_function",
     "theil_sen",
     "lightcurve_features",
+    "nest_align",
     "nest_zscore",
     "nest_topk",
     "nest_wmean",

@@ -1059,6 +1059,17 @@ class NestedFrame:
                                            value_field, **kw)
         )
 
+    def nest_align(self, left_nest: str, right_nest: str, time_field: str,
+                   value_field: str, **kw) -> "NestedFrame":
+        """Per-cell nearest-time alignment of two nested series — see
+        :func:`operators.timeseries.nest_align`."""
+        from ..operators import timeseries
+
+        return NestedFrame(
+            timeseries.nest_align(self.df, left_nest, right_nest,
+                                  time_field, value_field, **kw)
+        )
+
     def nest_zscore(self, nest: str, field: str, **kw) -> "NestedFrame":
         """Per-cell z-score — see
         :func:`operators.timeseries.nest_zscore`."""

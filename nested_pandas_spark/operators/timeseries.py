@@ -43,7 +43,7 @@ __all__ = ["rebin", "phase_fold", "nest_diff", "nest_rolling", "sigma_clip",
            "trend_slope", "nest_zscore", "nest_topk", "nest_wmean", "nest_interp",
            "nest_corr", "nest_describe", "nest_ewm", "nest_cum", "nest_dedup",
            "nest_decimate", "nest_sample", "periodogram", "stetson_jk",
-           "freq_grid", "nest_acf", "structure_function", "theil_sen", "lightcurve_features"]
+           "freq_grid", "nest_acf", "structure_function", "theil_sen", "lightcurve_features", "nest_align"]
 
 
 def _time_kind(df: DataFrame, nest: str, time_field: str) -> str:
@@ -2034,3 +2034,123 @@ def lightcurve_features(
     for name, sql in exprs.items():
         staged = staged.withColumn(name, F.expr(sql))
     return staged.drop(s_c, v_c, m_c, sd_c, med_c)
+
+
+def nest_align(
+    df: DataFrame,
+    left_nest: str,
+    right_nest: str,
+    time_field: str,
+    value_field: str,
+    right_time_field: str | None = None,
+    right_value_field: str | None = None,
+    tolerance=None,
+    out_field: str | None = None,
+) -> DataFrame:
+    """Per-cell NEAREST-TIME alignment of two nested series in the same
+    row — the in-row as-of join astronomers run to build color curves
+    (each g-band point matched to the nearest r-band point) and ops
+    teams run to pair two metric streams of one entity.
+
+    For every element of ``left_nest``, find the ``right_nest`` element
+    whose time is nearest (ties: the EARLIER right time wins —
+    deterministic); append its value as ``out_field`` (default
+    ``{right_value_field}_near``) and the signed time delta
+    ``{out_field}_dt`` (right minus left) to the left element struct.
+    ``tolerance`` (same units as the time axis) nulls matches farther
+    than the bound. Left elements with NULL time, cells with no usable
+    right elements, and right values that are NULL all yield NULL
+    matches.
+
+    Exactness: integral axes compare and subtract in int64 (epoch-nano
+    safe); TIMESTAMP axes reduce to epoch microseconds (``tolerance``
+    then in microseconds, ``_dt`` in microseconds). Mixed
+    integral/float axes are rejected.
+
+    Scale shape: pure HOFs, zero shuffle, O(n_left * n_right) per cell
+    — the documented per-cell quadratic trade (cells are small by
+    construction; for mega-cells explode both sides and use
+    :func:`~nested_pandas_spark.operators.asof.asof_join`).
+    """
+    rt = right_time_field or time_field
+    rv = right_value_field or value_field
+    for nest, f_ in ((left_nest, time_field), (left_nest, value_field),
+                     (right_nest, rt), (right_nest, rv)):
+        fields = nested_field_names(df, nest)
+        if f_ not in fields:
+            raise KeyError(f"Nested column '{nest}' has no field '{f_}'")
+    out_field = out_field or f"{rv}_near"
+    lfields = nested_field_names(df, left_nest)
+    if out_field in lfields:
+        raise ValueError(
+            f"Nested column '{left_nest}' already has field '{out_field}'")
+    lkind = _time_kind(df, left_nest, time_field)
+    rkind = _time_kind(df, right_nest, rt)
+    if {lkind, rkind} == {"int", "float"}:
+        raise ValueError(
+            "left and right time axes must share a kind (both integral or "
+            f"both float), got {lkind!r} vs {rkind!r}")
+    integral = "float" not in (lkind, rkind)
+    if tolerance is not None:
+        if integral:
+            tolerance = _int_param("tolerance", tolerance, positive=True)
+        else:
+            tolerance = float(tolerance)
+            if not (tolerance > 0):
+                raise ValueError("tolerance must be > 0")
+    ql, qr = quote(left_nest), quote(right_nest)
+    qlt, qrt, qrv = quote(time_field), quote(rt), quote(rv)
+    # SQL type names for the CAST(NULL AS ...) accumulator seeds
+    t_type = "BIGINT" if integral else "DOUBLE"
+    v_type = None
+    for f_ in df.schema.fields:
+        if f_.name == right_nest:
+            v_type = f_.dataType.elementType[rv].dataType.simpleString()
+    assert v_type is not None
+
+    def t_sql(kind: str, var: str, field: str) -> str:
+        if kind == "timestamp":
+            return f"unix_micros(CAST({var}.{field} AS TIMESTAMP))"
+        return f"{var}.{field}"
+
+    # usable right candidates staged once per row: struct(t, v)
+    cand_c = "__na_r"
+    staged = df.withColumn(
+        cand_c,
+        F.expr(
+            f"transform(filter({qr}, __y -> __y.{qrt} IS NOT NULL), "
+            f"__y -> struct(CAST({t_sql(rkind, '__y', qrt)} AS {t_type}) AS t, "
+            f"__y.{qrv} AS v))"
+        ),
+    )
+    qc = quote(cand_c)
+    absd = "abs(__y.t - __lt)"
+    pick = (
+        f"aggregate({qc}, named_struct("
+        f"'t', CAST(NULL AS {t_type}), 'v', CAST(NULL AS {v_type}), "
+        f"'d', CAST(NULL AS {t_type})), "
+        f"(__a, __y) -> CASE WHEN __a.d IS NULL OR {absd} < __a.d OR "
+        f"({absd} = __a.d AND __y.t < __a.t) THEN "
+        f"named_struct('t', __y.t, 'v', __y.v, 'd', {absd}) ELSE __a END)"
+    )
+    tol_guard = "" if tolerance is None else f" AND __b.d <= {tolerance!r}"
+    lt = t_sql(lkind, "__x", qlt)
+    # bind left time, then the single-pass argmin, then build the element
+    keep_inner = {f: f"__x.{quote(f)}" for f in lfields}
+    keep_inner[out_field] = (
+        f"CASE WHEN __b.d IS NOT NULL{tol_guard} THEN __b.v END")
+    keep_inner[f"{out_field}_dt"] = (
+        f"CASE WHEN __b.d IS NOT NULL{tol_guard} THEN __b.t - __lt END")
+    with_match = _let_sql(pick, "__b", struct_sql(keep_inner))
+    keep_null = {f: f"__x.{quote(f)}" for f in lfields}
+    keep_null[out_field] = f"CAST(NULL AS {v_type})"
+    keep_null[f"{out_field}_dt"] = f"CAST(NULL AS {t_type})"
+    body = (
+        f"CASE WHEN __x.{qlt} IS NOT NULL AND size({qc}) > 0 THEN "
+        f"{_let_sql(f'CAST({lt} AS {t_type})', '__lt', with_match)} "
+        f"ELSE {struct_sql(keep_null)} END"
+    )
+    staged = staged.withColumn(
+        left_nest, F.expr(f"transform({ql}, __x -> {body})")
+    )
+    return staged.drop(cand_c)

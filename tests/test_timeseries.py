@@ -1078,3 +1078,72 @@ def test_lightcurve_features_match_python_reference(spark):
                 assert g == pytest.approx(v, rel=1e-9), (oid, k)
     with pytest.raises(ValueError):
         lightcurve_features(nf, "lc", "t", "v", time_scale=0)
+
+
+def _align_ref(left, right, tol=None):
+    """Reference nearest-time alignment: [(v_near, dt)] per left elem."""
+    out = []
+    cands = [(t, v) for t, v in right if t is not None]
+    for t, _v in left:
+        if t is None or not cands:
+            out.append((None, None))
+            continue
+        best = min(cands, key=lambda c: (abs(c[0] - t), c[0]))
+        d = abs(best[0] - t)
+        if tol is not None and d > tol:
+            out.append((None, None))
+        else:
+            out.append((best[1], best[0] - t))
+    return out
+
+
+def test_nest_align_matches_python_reference(spark):
+    from nested_pandas_spark import nest_align
+
+    g = [(1.0, 10.0), (5.0, 11.0), (9.0, None), (None, 99.0)]
+    r = [(1.4, 20.0), (5.6, None), (8.0, 21.0)]
+    rows = ([(0, "g", t, v) for t, v in g] + [(0, "r", t, v) for t, v in r]
+            + [(1, "g", 2.0, 7.0)])  # row with EMPTY right cell
+    df = spark.createDataFrame(rows, "oid long, band string, t double, v double")
+    from nested_pandas_spark import pack
+    gdf = pack(df.where("band = 'g'").drop("band"), "lc_g", on="oid",
+               sort_within=["t"])
+    rdf = pack(df.where("band = 'r'").drop("band"), "lc_r", on="oid",
+               sort_within=["t"])
+    both = gdf.join(rdf.select("oid", "lc_r"), "oid", "left")
+    both = both.withColumn("lc_r", F.coalesce(
+        "lc_r", F.expr("CAST(array() AS array<struct<t: double, v: double>>)")))
+    out = nest_align(both, "lc_g", "lc_r", "t", "v")
+    got = {row["oid"]: [(e["v_near"], e["v_near_dt"]) for e in row["lc_g"]]
+           for row in out.collect()}
+    assert got[0] == [(x, pytest.approx(d) if d is not None else None)
+                      for x, d in _align_ref(g, r)]
+    assert got[1] == [(None, None)]
+    # tolerance cuts the distant matches
+    out2 = nest_align(both, "lc_g", "lc_r", "t", "v", tolerance=0.5)
+    got2 = {row["oid"]: [(e["v_near"], e["v_near_dt"]) for e in row["lc_g"]]
+            for row in out2.collect()}
+    assert got2[0] == [(x, pytest.approx(d) if d is not None else None)
+                       for x, d in _align_ref(g, r, tol=0.5)]
+
+
+def test_nest_align_exact_int64_and_validation(spark):
+    from nested_pandas_spark import nest_align, pack
+
+    day = 86_400 * 10 ** 9
+    base = 1_700_000_000_000_000_000
+    lrows = [(0, base + i * day, float(i)) for i in range(4)]
+    rrows = [(0, base + i * day + 7, 100.0 + i) for i in range(4)]
+    ldf = spark.createDataFrame(lrows, "oid long, t long, v double")
+    rdf = spark.createDataFrame(rrows, "oid long, t long, v double")
+    both = pack(ldf, "a", on="oid").join(
+        pack(rdf, "b", on="oid").select("oid", "b"), "oid")
+    out = nest_align(both, "a", "b", "t", "v")
+    [row] = out.collect()
+    # every left point matches the right point 7 ns later — EXACTLY
+    assert [(e["v_near"], e["v_near_dt"]) for e in row["a"]] == [
+        (100.0, 7), (101.0, 7), (102.0, 7), (103.0, 7)]
+    with pytest.raises(ValueError):
+        nest_align(both, "a", "b", "t", "v", tolerance=0.5)  # frac on int64
+    with pytest.raises(KeyError):
+        nest_align(both, "a", "b", "nope", "v")
