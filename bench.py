@@ -456,6 +456,21 @@ def main() -> None:
 
     bench_extra("dedup_passages", x_dedup_passages)
 
+    def x_lc_features():
+        # the 8-feature variability vector: one HOF pass per user series
+        from nested_pandas_spark import lightcurve_features, pack
+
+        ev = t("events").select("user_id", "ts", "value")
+        day = 86_400 * (10**9 if dict(ev.dtypes)["ts"] == "bigint" else 10**6)
+        nf = pack(ev, "series", on="user_id", sort_within=["ts"])
+        out = lightcurve_features(nf, "series", "ts", "value",
+                                  time_scale=float(day))
+        return out.select(
+            F.count("*"), F.sum("series_feat_amp"),
+            F.sum("series_feat_eta")).collect()
+
+    bench_extra("lightcurve_features", x_lc_features)
+
     # headline total stays the round-1..3 query set so round-over-round
     # totals compare; the bucketed variants are reported per-query + ratio
     headline = [q for q in queries if not q.endswith("_bucketed")]
