@@ -972,6 +972,9 @@ def semantic_decontaminate(
     if not (0.0 < float(threshold) <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
     bvec = bench_vec_col or vec_col
+    # zero-norm vectors are dropped (bench) / yield NULL sim (corpus): a
+    # single NaN-normalized benchmark vector would otherwise poison EVERY
+    # corpus row's array_max
     bench_arr = (
         benchmark.where(F.col(bvec).isNotNull())
         .withColumn(
@@ -979,6 +982,7 @@ def semantic_decontaminate(
             F.sqrt(F.aggregate(F.col(bvec).cast("array<double>"),
                                F.lit(0.0), lambda a, x: a + x * x)),
         )
+        .where(F.col("__bn") > 0)
         .agg(
             F.collect_list(
                 F.transform(F.col(bvec).cast("array<double>"),
@@ -1006,8 +1010,8 @@ def semantic_decontaminate(
         .withColumn(
             "__v",
             F.expr(
-                f"CASE WHEN {quote(vec_col)} IS NOT NULL THEN "
-                f"transform(CAST({quote(vec_col)} AS array<double>), "
+                f"CASE WHEN {quote(vec_col)} IS NOT NULL AND __nrm > 0.0D "
+                f"THEN transform(CAST({quote(vec_col)} AS array<double>), "
                 f"__x -> __x / __nrm) END"
             ),
         )

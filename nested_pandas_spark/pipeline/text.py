@@ -630,6 +630,8 @@ def bpe_train(
         raise ValueError("n_merges must be >= 1")
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     if end_marker is not None and (" " in end_marker or end_marker == ""):
         raise ValueError("end_marker must be a non-empty token without spaces")
     from pyspark import StorageLevel
@@ -842,6 +844,7 @@ def gopher_repetition(
     for n in list(top_ns) + list(dup_ns):
         if int(n) < 1:
             raise ValueError(f"n-gram sizes must be >= 1, got {n}")
+    qt = "`" + text_col.replace("`", "``") + "`"
     c = F.col(text_col)
     staged = df.select("*", words(c).alias("__gr_w"))
     w = "__gr_w"
@@ -872,7 +875,7 @@ def gopher_repetition(
             f"(__a, __d) -> {step})"
         )
         outs[f"{prefix}_top{int(n)}_frac"] = (
-            f"CASE WHEN {text_col} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"CASE WHEN {qt} IS NULL THEN CAST(NULL AS DOUBLE) "
             f"WHEN {nw} = 0 THEN 0.0D "
             f"ELSE CAST({int(n)} * ({top}).c AS DOUBLE) / {nw} END"
         )
@@ -887,7 +890,7 @@ def gopher_repetition(
             f"__s -> sequence(__s, __s + {int(n)} - 1))))"
         )
         outs[f"{prefix}_dup{int(n)}_frac"] = (
-            f"CASE WHEN {text_col} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"CASE WHEN {qt} IS NULL THEN CAST(NULL AS DOUBLE) "
             f"WHEN {nw} = 0 OR size({g}) = 0 THEN 0.0D "
             f"ELSE CAST(size({covered}) AS DOUBLE) / {nw} END"
         )
