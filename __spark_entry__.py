@@ -2326,6 +2326,47 @@ def q125_token_entropy(spark, sf):
     )
 
 
+def q129_bucketed_pack(spark, sf):
+    """The shuffle-free pack over BUCKETED storage (sources/bucketing.py,
+    the layout bench's add_nested_bucketed demonstrates): lineitem is
+    written bucketBy(o_orderkey)+sortBy once (ingest cost), read back
+    through the catalog, and packed under orders — at query time the
+    child groupBy reads pre-partitioned buckets with no Exchange
+    (plan-asserted in test_bucketed_pack_no_exchange). The oracle is the
+    plain GROUP-BY replay, proving the bucketed path changes the PLAN,
+    never the answer. Files live under the system tempdir with a fixed
+    name + overwrite so the query is idempotent."""
+    import os
+    import tempfile
+
+    from nested_pandas_spark import NestedFrame
+    from nested_pandas_spark.sources.bucketing import (
+        read_bucketed, write_bucketed,
+    )
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey",
+                                                     "o_orderkey")
+    orders = _t(spark, sf, "orders")
+    path = os.path.join(tempfile.gettempdir(), "q129_li_bucketed")
+    write_bucketed(li, "q129_li_bucketed", "o_orderkey", num_buckets=8,
+                   sort_by="o_orderkey", path=path)
+    lib = read_bucketed(spark, "q129_li_bucketed")
+    nf = NestedFrame(orders.select("o_orderkey")).join_nested(
+        lib.select("o_orderkey", "l_quantity"), "items",
+        on="o_orderkey", how="left")
+    return nf.df.select(
+        "o_orderkey",
+        F.coalesce(F.size("items"), F.lit(0)).cast("long").alias("n_items"),
+        F.round(
+            F.coalesce(
+                F.expr("aggregate(items, 0.0D, (__a, __x) -> __a + "
+                       "coalesce(__x.l_quantity, 0.0D))"),
+                F.lit(0.0),
+            ), 6
+        ).alias("sum_qty_r6"),
+    )
+
+
 def q128_nest_align(spark, sf):
     """Per-cell nearest-time series alignment (operators/timeseries.py
     nest_align): each user's click series matched to the nearest error
@@ -2666,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_gopher_repetition": q126_gopher_repetition,
         "q127_bigram_logprob": q127_bigram_logprob,
         "q128_nest_align": q128_nest_align,
+        "q129_bucketed_pack": q129_bucketed_pack,
     }
 
 
@@ -4028,6 +4070,15 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([CAST(1 AS INT), CAST(2 AS INT),
                                        CAST(3 AS INT)]) AS lag) lg
             LEFT JOIN agg a USING (user_id)
+        """,
+        "q129_bucketed_pack": """
+            SELECT o.o_orderkey,
+                   CAST(count(l.o_orderkey) AS BIGINT) AS n_items,
+                   round(coalesce(sum(l.l_quantity), 0.0), 6) AS sum_qty_r6
+            FROM orders o
+            LEFT JOIN (SELECT l_orderkey AS o_orderkey, l_quantity
+                       FROM lineitem) l USING (o_orderkey)
+            GROUP BY o.o_orderkey
         """,
         "q128_nest_align": """
             WITH cl AS (
