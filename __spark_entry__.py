@@ -3016,12 +3016,16 @@ _BPE_TRAIN_CTES = """ws AS (
             ), m1 AS (
                 SELECT l, r, n FROM p1 ORDER BY n DESC, l ASC, r ASC LIMIT 1
             ), w1 AS (
+                -- doubled-boundary replace = Sennrich re.sub semantics
+                -- (adjacent repeats all merge), mirroring _merge_sql
                 SELECT w, wc,
-                       trim(replace(' ' || syms || ' ',
-                           ' ' || (SELECT l FROM m1) || ' '
+                       trim(replace(replace(
+                           ' ' || replace(syms, ' ', '  ') || ' ',
+                           ' ' || (SELECT l FROM m1) || '  '
                                || (SELECT r FROM m1) || ' ',
                            ' ' || (SELECT l FROM m1)
-                               || (SELECT r FROM m1) || ' ')) AS syms
+                               || (SELECT r FROM m1) || ' '),
+                           '  ', ' ')) AS syms
                 FROM w0
             ), p2 AS (
                 SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
@@ -3034,11 +3038,13 @@ _BPE_TRAIN_CTES = """ws AS (
                 SELECT l, r, n FROM p2 ORDER BY n DESC, l ASC, r ASC LIMIT 1
             ), w2 AS (
                 SELECT w, wc,
-                       trim(replace(' ' || syms || ' ',
-                           ' ' || (SELECT l FROM m2) || ' '
+                       trim(replace(replace(
+                           ' ' || replace(syms, ' ', '  ') || ' ',
+                           ' ' || (SELECT l FROM m2) || '  '
                                || (SELECT r FROM m2) || ' ',
                            ' ' || (SELECT l FROM m2)
-                               || (SELECT r FROM m2) || ' ')) AS syms
+                               || (SELECT r FROM m2) || ' '),
+                           '  ', ' ')) AS syms
                 FROM w1
             ), p3 AS (
                 SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
@@ -4353,17 +4359,22 @@ def oracle_sql() -> dict[str, str]:
                            list_filter(string_split_regex(lower(d.text),
                                                           '\\s+'),
                                        x -> x <> ''),
-                           w -> trim(replace(replace(replace(
+                           -- doubled-boundary chain (mirrors
+                           -- _bpe_per_word_sql): two-space joins, each
+                           -- ' l  r ' match leaves one boundary space,
+                           -- one final collapse restores single spacing
+                           w -> trim(replace(replace(replace(replace(
                                ' ' || array_to_string(list_transform(
                                    range(1, length(w) + 1),
-                                   i -> substr(w, CAST(i AS INT), 1)), ' ')
-                               || ' </w> ',
-                               ' ' || m1.l || ' ' || m1.r || ' ',
+                                   i -> substr(w, CAST(i AS INT), 1)), '  ')
+                               || '  </w> ',
+                               ' ' || m1.l || '  ' || m1.r || ' ',
                                ' ' || m1.l || m1.r || ' '),
-                               ' ' || m2.l || ' ' || m2.r || ' ',
+                               ' ' || m2.l || '  ' || m2.r || ' ',
                                ' ' || m2.l || m2.r || ' '),
-                               ' ' || m3.l || ' ' || m3.r || ' ',
-                               ' ' || m3.l || m3.r || ' '))
+                               ' ' || m3.l || '  ' || m3.r || ' ',
+                               ' ' || m3.l || m3.r || ' '),
+                               '  ', ' '))
                        ) AS we
                 FROM documents d, m1, m2, m3
             )

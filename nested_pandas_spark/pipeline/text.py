@@ -586,6 +586,32 @@ def bpe_pair_stats(
     return out
 
 
+def _merge_sql(syms_sql: str, left: str, right: str) -> str:
+    """SQL applying one BPE merge ``(left, right)`` to a single-spaced
+    symbol string with Sennrich semantics (re.sub of the zero-width
+    ``(?<!\\S)l r(?!\\S)`` pattern): every boundary-delimited occurrence
+    merges, including back-to-back repeats.
+
+    DuckDB's RE2 has no lookarounds, so the oracle could not mirror a
+    regex — instead both sides use the doubled-boundary trick, pure
+    ``replace``: double every boundary space, so matching
+    ``' l  r '`` consumes only ONE of the two spaces on each side and
+    the leftover space still delimits the neighbouring occurrence
+    ('a  a  a  a' -> ' aa  aa ', where the naive single-space replace
+    yields 'aa a a'). The replacement ``' lr '`` plus the leftover
+    spaces keeps the interior-boundaries-doubled invariant, so the
+    final collapse of '  ' -> ' ' + trim restores the single-spaced
+    form. Symbols never contain spaces, so plain (non-regex) replace
+    is exact and needs no escaping.
+    """
+    return (
+        f"trim(replace(replace(' ' || replace({syms_sql}, ' ', '  ') || ' ', "
+        f"' ' || {_sql_literal(left)} || '  ' || {_sql_literal(right)} || ' ', "
+        f"' ' || {_sql_literal(left)} || {_sql_literal(right)} || ' '), "
+        f"'  ', ' '))"
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
@@ -602,16 +628,24 @@ def bpe_train(
       (deterministic argmax: n desc, then the pair itself asc);
     * ``vocab`` — the distinct-word table after all merges:
       ``(word, wc, syms)`` with ``syms`` the space-joined symbol string.
+      The returned frame IS the persisted training table — the caller
+      owns the cache and should ``vocab.unpersist()`` (or let the
+      session end) once done encoding with it.
 
     Scale shape — the reference trainer's trick, distributed: the corpus
     collapses ONCE to a distinct-word frequency table (the only
     corpus-sized shuffle, word-grain); every merge step then runs against
     that small table. Each step is one partial-agg ``groupBy`` over
     adjacent symbol pairs plus a one-row ``collect`` of the argmax — the
-    driver never sees more than ``n_merges`` rows. Merge application is a
-    single literal ``replace`` on the padded symbol string, whose
-    left-to-right non-overlapping semantics are exactly BPE's greedy
-    scan. The vocab table is persisted and re-persisted (with a
+    driver never sees more than ``n_merges`` rows. Merge application
+    uses the doubled-boundary ``replace`` (see :func:`_merge_sql`) so
+    back-to-back occurrences of the pair all merge in one pass —
+    matching Sennrich's zero-width ``(?<!\\S)l r(?!\\S)`` ``re.sub``
+    exactly (property-tested against a Python reference in
+    ``tests/test_text_pipeline.py``). A plain padded ``replace`` would
+    consume the shared delimiter space and skip every second adjacent
+    occurrence ('a a a a' -> 'aa a a' instead of 'aa aa').
+    The vocab table is persisted and re-persisted (with a
     ``localCheckpoint`` every ``checkpoint_every`` steps to keep the
     lineage bounded) so step ``k`` never recomputes steps ``1..k-1``.
 
@@ -684,12 +718,7 @@ def bpe_train(
         merges.append((step, l_, r_, n_))
         old = vocab_df
         vocab_df = vocab_df.withColumn(
-            "syms",
-            F.expr(
-                f"trim(replace(' ' || syms || ' ', "
-                f"' ' || {_sql_literal(l_)} || ' ' || {_sql_literal(r_)} || ' ', "
-                f"' ' || {_sql_literal(l_)} || {_sql_literal(r_)} || ' '))"
-            ),
+            "syms", F.expr(_merge_sql("syms", l_, r_))
         )
         if step % checkpoint_every == 0:
             vocab_df = vocab_df.localCheckpoint(eager=True)
@@ -700,7 +729,11 @@ def bpe_train(
     merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, n long"
     )
-    return merges_df, vocab_df.select("word", "wc", "syms")
+    # Return the persisted/checkpointed frame itself (columns are already
+    # exactly (word, wc, syms)): the CALLER owns the cached copy and can
+    # release it with `vocab.unpersist()` when done — a projection wrapper
+    # would orphan the handle and leak the cache for the session lifetime.
+    return merges_df, vocab_df
 
 
 def bpe_encode(
@@ -719,13 +752,13 @@ def bpe_encode(
 
     Scale shape: the whole encoder is ONE projection — per word, the
     symbol string is built by a char ``transform`` and each merge is a
-    literal ``replace`` on the padded string (left-to-right non-overlap
-    = the BPE greedy scan, same as training). No shuffle, no UDF, no
-    join: the merge list rides in the plan as O(n_merges) nested
-    ``replace`` calls. For vocabularies of thousands of merges, encode
-    against the TRAINED VOCAB instead (join words to
-    ``bpe_train``'s vocab table on word — one broadcast join) — this
-    literal path is for the plan-only regime (hundreds of merges).
+    literal doubled-boundary ``replace`` (Sennrich ``re.sub``
+    semantics, same as training — see :func:`_merge_sql`). No shuffle,
+    no UDF, no join: the merge list rides in the plan as O(n_merges)
+    nested ``replace`` calls. For vocabularies of thousands of merges,
+    use :func:`bpe_encode_vocab` instead (one broadcast join against
+    ``bpe_train``'s vocab table) — this literal path is for the
+    plan-only regime (hundreds of merges).
 
     >>> df = spark.createDataFrame([(0, "low lower"), (1, None)],
     ...                            "id long, text string")
@@ -734,30 +767,8 @@ def bpe_encode(
     ...  .orderBy("id").collect()]
     [['low', 'low', 'e', 'r'], None]
     """
-    if hasattr(merges, "collect"):
-        merges = merges.collect()
-    pairs = []
-    for m in merges:
-        # Row subclasses tuple — prefer named fields when present
-        if hasattr(m, "__fields__") and "left" in m.__fields__:
-            pairs.append((m["left"], m["right"]))
-        else:
-            pairs.append((m[0], m[1]))
-    marker_sql = (
-        f" || ' ' || {_sql_literal(end_marker)}" if end_marker is not None else ""
-    )
-    syms = (
-        "array_join(transform(sequence(1, length(__w)), "
-        "__i -> substring(__w, __i, 1)), ' ')" + marker_sql
-    )
-    expr = f"' ' || {syms} || ' '"
-    for l_, r_ in pairs:
-        expr = (
-            f"replace({expr}, "
-            f"' ' || {_sql_literal(l_)} || ' ' || {_sql_literal(r_)} || ' ', "
-            f"' ' || {_sql_literal(l_)} || {_sql_literal(r_)} || ' ')"
-        )
-    per_word = f"split(trim({expr}), ' ')"
+    pairs = _normalize_merges(merges)
+    per_word = _bpe_per_word_sql(pairs, end_marker)
     qt = "`" + text_col.replace("`", "``") + "`"
     # same tokenization as bpe_train's words(): lower-cased whitespace split
     w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
@@ -771,6 +782,142 @@ def bpe_encode(
         F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
         .otherwise(F.size(F.col(out)).cast("long")),
     )
+
+
+def _normalize_merges(merges) -> list[tuple[str, str]]:
+    """Accept a merges DataFrame, collected Rows, or (left, right)
+    tuples and return a plain list of (left, right) pairs in order."""
+    if hasattr(merges, "collect"):
+        merges = merges.collect()
+    pairs = []
+    for m in merges:
+        # Row subclasses tuple — prefer named fields when present
+        if hasattr(m, "__fields__") and "left" in m.__fields__:
+            pairs.append((m["left"], m["right"]))
+        else:
+            pairs.append((m[0], m[1]))
+    return pairs
+
+
+def _bpe_per_word_sql(pairs: list[tuple[str, str]], end_marker: str | None) -> str:
+    """SQL (over a bound string ``__w``) encoding ONE word with the
+    literal merge chain: char symbolization (+ ``end_marker``), every
+    merge applied in training order with Sennrich semantics via the
+    doubled-boundary ``replace`` (see :func:`_merge_sql` — symbols join
+    with TWO spaces, each ``' l  r '`` match consumes one space per
+    side so adjacent repeats all merge; the ``' lr '`` replacement plus
+    leftover spaces preserves the doubled invariant across the chain,
+    so one final collapse of '  ' -> ' ' suffices). Returns an
+    ``array<string>`` expression."""
+    marker_sql = (
+        f" || '  ' || {_sql_literal(end_marker)}" if end_marker is not None else ""
+    )
+    syms = (
+        "array_join(transform(sequence(1, length(__w)), "
+        "__i -> substring(__w, __i, 1)), '  ')" + marker_sql
+    )
+    expr = f"' ' || {syms} || ' '"
+    for l_, r_ in pairs:
+        expr = (
+            f"replace({expr}, "
+            f"' ' || {_sql_literal(l_)} || '  ' || {_sql_literal(r_)} || ' ', "
+            f"' ' || {_sql_literal(l_)} || {_sql_literal(r_)} || ' ')"
+        )
+    return f"split(trim(replace({expr}, '  ', ' ')), ' ')"
+
+
+def bpe_encode_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    merges=None,
+    text_col: str = "text",
+    out: str = "tokens",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Encode documents against a TRAINED vocab table (from
+    :func:`bpe_train`: ``(word, syms)`` with ``syms`` the space-joined
+    post-merge symbols) — the scale path for realistic vocabularies
+    (32k merges), where :func:`bpe_encode`'s literal path would blow
+    the plan with an O(n_merges) nested-``replace`` chain.
+
+    Output schema matches :func:`bpe_encode` exactly: adds ``out`` =
+    ``array<string>`` of BPE tokens in document order and ``{out}_n`` =
+    token count; NULL text -> NULL tokens/count, empty text -> empty
+    array / 0.
+
+    Out-of-vocabulary words (absent from the training corpus) fall back
+    to plain character symbolization (+ ``end_marker``); pass the
+    ``merges`` table to instead apply the literal merge chain to OOV
+    words only (exact :func:`bpe_encode` parity, at the cost of the
+    chain riding in the plan — sized for the merge count you pass).
+
+    Scale shape: stamp each row with ``monotonically_increasing_id``,
+    ``posexplode`` words, ONE BroadcastHashJoin against the vocab
+    (word-distinct, merge-collapsed — small even for huge corpora),
+    re-assemble per row with a single ``collect_list`` shuffle on the
+    synthetic id (uniform by construction, no key skew), then one
+    join-back to the stamped frame. Document text never rides through
+    the word-grain shuffle — only (id, pos, token-array) triples.
+    """
+    from pyspark.sql import functions as F
+
+    qt = "`" + text_col.replace("`", "``") + "`"
+    stamped = docs.withColumn("__row_id", F.monotonically_increasing_id())
+    w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
+    exploded = stamped.where(F.col(text_col).isNotNull()).select(
+        F.col("__row_id"),
+        F.posexplode(F.expr(w_arr)).alias("__pos", "__w"),
+    )
+    joined = exploded.join(
+        F.broadcast(
+            vocab.select(F.col("word").alias("__w"), F.col("syms").alias("__syms"))
+        ),
+        on="__w",
+        how="left",
+    )
+    if merges is not None:
+        fallback = _bpe_per_word_sql(_normalize_merges(merges), end_marker)
+    else:
+        marker = (
+            f" || ' ' || {_sql_literal(end_marker)}"
+            if end_marker is not None
+            else ""
+        )
+        fallback = (
+            "split(array_join(transform(sequence(1, length(__w)), "
+            f"__i -> substring(__w, __i, 1)), ' '){marker}, ' ')"
+        )
+    per_word = joined.select(
+        "__row_id",
+        "__pos",
+        F.expr(
+            f"CASE WHEN __syms IS NOT NULL THEN split(__syms, ' ') "
+            f"ELSE {fallback} END"
+        ).alias("__wt"),
+    )
+    assembled = per_word.groupBy("__row_id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(__pos, __wt))), "
+            "__s -> __s.__wt))"
+        ).alias("__tokens")
+    )
+    out_df = (
+        stamped.join(assembled, on="__row_id", how="left")
+        .withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN {qt} IS NULL THEN NULL "
+                f"ELSE coalesce(__tokens, array()) END"
+            ),
+        )
+        .withColumn(
+            f"{out}_n",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(F.size(F.col(out)).cast("long")),
+        )
+        .drop("__row_id", "__tokens")
+    )
+    return out_df
 
 
 def token_entropy(text: Column | str, alias: str = "token_entropy") -> Column:

@@ -1463,8 +1463,12 @@ def _bpe_ref(word_counts, n_merges, end_marker=None):
 def test_bpe_train_matches_reference(spark):
     from nested_pandas_spark.pipeline.text import bpe_train
 
+    # adjacent-repeat words ("aaaa", "haha", "....") are the adversarial
+    # class: a naive single-space padded replace consumes the shared
+    # delimiter and skips every second occurrence (round-4 verdict bug)
     texts = ["low lower lowest low low", "newer newest new low",
-             "wider wide wide new", None, "low newer"]
+             "wider wide wide new", None, "low newer",
+             "aaaa haha hahahaha .... aaaa aaaa haha"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "id long, text string")
     wc = {}
@@ -1542,6 +1546,114 @@ def test_bpe_encode_matches_reference(spark):
         got2 = bpe_encode(enc_df.where("id = 0"), mlist,
                           end_marker=marker).collect()[0]
         assert got2["tokens"] == ref
+
+
+def test_bpe_adjacent_repeats_sennrich_semantics(spark):
+    """Regression for the round-4 verdict defect: merges on back-to-back
+    pair repeats must follow Sennrich's greedy scan ('abab' with merge
+    (a,b) -> ['ab','ab'], 'aaaa' with (a,a) -> ['aa','aa']), which the
+    old single-space padded replace got wrong ('ab a b' / 'aa a a')."""
+    from nested_pandas_spark.pipeline.text import bpe_encode, bpe_train
+
+    got = bpe_encode(
+        spark.createDataFrame([(0, "abab")], "id long, text string"),
+        [("a", "b")], end_marker=None).collect()[0]
+    assert got["tokens"] == ["ab", "ab"]
+    got = bpe_encode(
+        spark.createDataFrame([(0, "aaaa aaa")], "id long, text string"),
+        [("a", "a")], end_marker=None).collect()[0]
+    assert got["tokens"] == ["aa", "aa", "aa", "a"]
+    # second-round merge on the merged symbol: aa+aa -> aaaa
+    got = bpe_encode(
+        spark.createDataFrame([(0, "aaaa aaaaaa")], "id long, text string"),
+        [("a", "a"), ("aa", "aa")], end_marker=None).collect()[0]
+    assert got["tokens"] == ["aaaa", "aaaa", "aa"]
+    # train end-to-end on a repeat-heavy corpus vs the Python reference
+    texts = ["haha hahahaha haha", "...... .... ..", "aaaa aa aaaa aaaa"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    for marker in (None, "</w>"):
+        merges, vocab = bpe_train(df, 5, end_marker=marker,
+                                  checkpoint_every=2)
+        ref_m, ref_v = _bpe_ref(wc, 5, marker)
+        got_m = [(r["step"], r["left"], r["right"], r["n"])
+                 for r in merges.orderBy("step").collect()]
+        assert got_m == ref_m, f"marker={marker}"
+        assert {r["word"]: r["syms"] for r in vocab.collect()} == ref_v
+        vocab.unpersist()
+
+
+def test_bpe_encode_vocab_join_path(spark):
+    from nested_pandas_spark.pipeline.text import (
+        bpe_encode, bpe_encode_vocab, bpe_train)
+
+    train_texts = ["low lower lowest low low haha hahahaha",
+                   "newer newest new low haha aaaa aaaa"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(train_texts)],
+                               "id long, text string")
+    merges, vocab = bpe_train(df, 6)
+    enc_df = spark.createDataFrame(
+        [(0, "low newest haha aaaa"), (1, None), (2, ""),
+         (3, "LOW Lower")],  # case-folds onto trained words
+        "id long, text string")
+    # seen-word parity with the literal path (all words in vocab)
+    lit = {r["id"]: (r["tokens"], r["tokens_n"])
+           for r in bpe_encode(enc_df, merges).collect()}
+    via_vocab = {r["id"]: (r["tokens"], r["tokens_n"])
+                 for r in bpe_encode_vocab(enc_df, vocab).collect()}
+    assert via_vocab == lit
+    # schema parity too (driver hash-compare relies on it)
+    assert (bpe_encode_vocab(enc_df, vocab).schema
+            == bpe_encode(enc_df, merges).schema)
+    # OOV word: char fallback without merges, literal-chain with merges
+    oov = spark.createDataFrame([(0, "zzap low")], "id long, text string")
+    got_char = bpe_encode_vocab(oov, vocab).collect()[0]["tokens"]
+    assert got_char[:5] == ["z", "z", "a", "p", "</w>"]
+    got_m = bpe_encode_vocab(oov, vocab, merges=merges).collect()[0]
+    assert got_m["tokens"] == bpe_encode(oov, merges).collect()[0]["tokens"]
+    vocab.unpersist()
+
+
+def test_bpe_encode_vocab_large_merge_table(spark):
+    """The 32k-merge regime the literal path can't serve: train with the
+    Python Sennrich reference (driver-side, fast), ship only the VOCAB
+    table to Spark, and check the join-encode matches the reference
+    token stream with >= 1000 merges."""
+    import random
+
+    from nested_pandas_spark.pipeline.text import bpe_encode_vocab
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abcdef") for _ in range(rng.randint(3, 12)))
+             for _ in range(400)]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    ref_m, ref_v = _bpe_ref(wc, 1200, "</w>")
+    assert len(ref_m) >= 1000
+    vocab = spark.createDataFrame(
+        [(w, 1, s) for w, s in ref_v.items()],
+        "word string, wc long, syms string")
+    doc = " ".join(words[:100])
+    df = spark.createDataFrame([(0, doc)], "id long, text string")
+    got = bpe_encode_vocab(df, vocab).collect()[0]
+    expect = []
+    for w in doc.split():
+        expect.extend(ref_v[w].split(" "))
+    assert got["tokens"] == expect
+    assert got["tokens_n"] == len(expect)
+    # plan shape: despite 1200 merges, the encode is ONE broadcast hash
+    # join of words against the vocab — the merge chain must NOT ride in
+    # the plan as a nested replace tower (vocab here has clean lineage,
+    # so any replace( in the plan would come from the encode itself)
+    plan = (bpe_encode_vocab(df, vocab)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("replace(") == 0
 
 
 def _dsir_ref(raw_docs, target_docs, dim, smoothing=1.0):
