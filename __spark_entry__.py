@@ -4196,12 +4196,18 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN sims s USING (vec_id)
         """,
         "q123_lightcurve_features": """
-            WITH pts AS (
-                SELECT user_id,
-                       CAST(CAST(epoch_us(ts) AS BIGINT) * 1000 AS DOUBLE)
-                           / 86400000000000.0 AS x,
+            WITH raw AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) * 1000 AS tn,
                        value AS v
                 FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), pts AS (
+                -- center on the cell-min time in exact BIGINT before the
+                -- double division, mirroring lightcurve_features
+                SELECT user_id,
+                       CAST(tn - min(tn) OVER (PARTITION BY user_id)
+                            AS DOUBLE) / 86400000000000.0 AS x,
+                       v
+                FROM raw
             ), agg AS (
                 SELECT user_id, count(*) AS n, avg(v) AS m,
                        max(v) AS mx, min(v) AS mn, median(v) AS med
@@ -4270,8 +4276,12 @@ def oracle_sql() -> dict[str, str]:
                        value AS v
                 FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
             ), xr AS (
+                -- exact BIGINT centering on the cell min before the double
+                -- division, mirroring theil_sen (slopes are
+                -- translation-invariant)
                 SELECT user_id,
-                       CAST(tn AS DOUBLE) / 86400000000000.0 AS x, v,
+                       CAST(tn - min(tn) OVER (PARTITION BY user_id)
+                            AS DOUBLE) / 86400000000000.0 AS x, v,
                        row_number() OVER (PARTITION BY user_id
                                           ORDER BY tn, v) AS rn
                 FROM pts

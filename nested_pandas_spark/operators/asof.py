@@ -33,14 +33,23 @@ def _col_type(df: DataFrame, col: str) -> T.DataType:
 
 
 def _check_int_bucket(bucket, *dtypes: T.DataType) -> bool:
-    """True when any axis column is integral — the exact-int64 path.
+    """True when ALL axis columns are integral — the exact-int64 path.
 
     On that path ``bucket`` must be a positive integer: int64-ns axes
     (~1.7e18) exceed double's 2^53 exact range, so a fractional bucket
     would force the inexact double path (and ``int(bucket)`` truncation
     would silently change the bucket width — the rebin/phase_fold lesson).
+
+    ALL, not ANY (round-4 advice fix): callers pass every axis column
+    that feeds a join's bucket expressions, across BOTH sides, so one
+    global decision guarantees both sides bucket with the same
+    arithmetic. With any(), a mixed integral/double axis pair routed
+    ``greatest(bigint, double)`` (type double) into the int64 ``DIV``
+    path, which Spark rejects with DATATYPE_MISMATCH — and even a
+    per-side decision would bucket the two sides of an equi-join with
+    different rounding. Mixed axes now take the double path end to end.
     """
-    integral = any(isinstance(t, _INTEGRAL) for t in dtypes)
+    integral = all(isinstance(t, _INTEGRAL) for t in dtypes)
     if integral and (bucket != int(bucket) or int(bucket) <= 0):
         raise ValueError(
             f"bucket must be a positive integer for integral axis columns, got {bucket!r}"
@@ -216,19 +225,24 @@ def range_join(
     # negative timestamps (-1 and +1 would share bucket 0 and boundary
     # intervals would miss their matches). Integral axes stay in exact
     # int64 arithmetic end to end — see _bucket_sql.
-    l_int = _check_int_bucket(bucket, _col_type(left, left_ts))
-    r_int = _check_int_bucket(
-        bucket, _col_type(right, right_start), _col_type(right, right_end)
+    # ONE global integral decision across every axis column on both sides:
+    # the equi-join on __bk requires identical bucket arithmetic everywhere
+    # (see _check_int_bucket — mixed axes fall back to the double path)
+    axis_int = _check_int_bucket(
+        bucket,
+        _col_type(left, left_ts),
+        _col_type(right, right_start),
+        _col_type(right, right_end),
     )
     l = left.withColumn(
-        "__bk", F.expr(_bucket_sql(quote(left_ts), bucket, l_int)).cast("long")
+        "__bk", F.expr(_bucket_sql(quote(left_ts), bucket, axis_int)).cast("long")
     )
     r = right.withColumn(
         "__bk",
         F.explode(
             F.sequence(
-                F.expr(_bucket_sql(quote(right_start), bucket, r_int)).cast("long"),
-                F.expr(_bucket_sql(quote(right_end), bucket, r_int)).cast("long"),
+                F.expr(_bucket_sql(quote(right_start), bucket, axis_int)).cast("long"),
+                F.expr(_bucket_sql(quote(right_end), bucket, axis_int)).cast("long"),
             )
         ),
     )
@@ -292,14 +306,26 @@ def interval_join(
     right_start = renames.get(right_start, right_start)
     right_end = renames.get(right_end, right_end)
 
+    # ONE global integral decision across all four axis columns: the
+    # equi-join on __bk and the first-live dedup bucket must use the same
+    # arithmetic on both sides, and greatest(bigint, double) is double —
+    # routing it into the int64 DIV path is an analysis error (round-4
+    # advice). Mixed axes take the double path end to end.
+    axis_int = _check_int_bucket(
+        bucket,
+        _col_type(left, left_start),
+        _col_type(left, left_end),
+        _col_type(right, right_start),
+        _col_type(right, right_end),
+    )
+
     def spans(df, s, e):
-        integral = _check_int_bucket(bucket, _col_type(df, s), _col_type(df, e))
         return df.withColumn(
             "__bk",
             F.explode(
                 F.sequence(
-                    F.expr(_bucket_sql(quote(s), bucket, integral)).cast("long"),
-                    F.expr(_bucket_sql(quote(e), bucket, integral)).cast("long"),
+                    F.expr(_bucket_sql(quote(s), bucket, axis_int)).cast("long"),
+                    F.expr(_bucket_sql(quote(e), bucket, axis_int)).cast("long"),
                 )
             ),
         )
@@ -309,12 +335,9 @@ def interval_join(
     overlap = (F.col(left_start) < F.col(right_end)) & (
         F.col(right_start) < F.col(left_end)
     )
-    fl_int = _check_int_bucket(
-        bucket, _col_type(left, left_start), _col_type(right, right_start)
-    )
     first_live = F.expr(
         _bucket_sql(
-            f"greatest({quote(left_start)}, {quote(right_start)})", bucket, fl_int
+            f"greatest({quote(left_start)}, {quote(right_start)})", bucket, axis_int
         )
     ).cast("long")
     return (

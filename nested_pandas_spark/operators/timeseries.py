@@ -106,20 +106,28 @@ def _floor_bin_sql(expr: str, width, origin, integral: bool) -> str:
 
 
 def _stamped(df: DataFrame) -> DataFrame:
-    """Row-id-stamped and PERSISTED frame for the explode engine.
+    """Row-id-stamped, eagerly SNAPSHOTTED frame for the explode engine.
 
     ``monotonically_increasing_id`` is deterministic only for one physical
     execution of one plan; the explode engine references the stamped frame
     from two plan branches (the exploded side and the join-back side), so
-    it must be persisted before branching or a recomputation could
-    renumber rows and silently mis-join. The cache is the price of the
-    escape hatch — the explode engine is for mega-cell frames where the
-    per-cell O(n^2) HOFs are the bigger cost.
-    """
-    from pyspark import StorageLevel
+    it must be materialized once before branching or a recomputation could
+    renumber rows and silently mis-join.
 
+    ``localCheckpoint(eager=True)`` rather than ``persist`` (round-4
+    advice): a persist rides in the CacheManager until someone calls
+    ``unpersist`` — but the lazy result needs the stamp on EVERY action,
+    so no safe unpersist point exists inside the operator, and repeated
+    explode-engine calls accumulated cached mega-cell frames for the
+    session lifetime. The local checkpoint is a one-time eager snapshot
+    (also immune to cache eviction-then-recompute renumbering) whose
+    blocks the ContextCleaner releases as soon as the result DataFrame is
+    garbage-collected — lifetime tied to the result, not the session.
+    The snapshot is the price of the escape hatch — the explode engine is
+    for mega-cell frames where per-cell O(n^2) HOFs are the bigger cost.
+    """
     stamped = df.withColumn("__rid", F.monotonically_increasing_id())
-    return stamped.persist(StorageLevel.MEMORY_AND_DISK)
+    return stamped.localCheckpoint(eager=True)
 
 
 def _check_engine(engine: str) -> None:
@@ -174,7 +182,7 @@ def _rebin_explode(
     kind, integral,
 ) -> DataFrame:
     """Mega-cell path for :func:`rebin`: explode -> groupBy(row, bin) ->
-    repack. Two shuffles of element rows + a persist of the stamped
+    repack. Two shuffles of element rows + a snapshot of the stamped
     input, but O(n) work per cell instead of O(bins x elements) — wins
     when cells hold ~10^4+ elements. Bit-identical to the HOF engine:
     a single row's elements never split across input partitions, so the
@@ -484,7 +492,7 @@ def nest_rolling(
 
     ``engine='explode'``: the mega-cell escape hatch — posexplode ->
     sliding ROWS window partitioned by row id -> repack in element order.
-    Costs one persist + two shuffles of element rows, but O(n x window)
+    Costs one snapshot + two shuffles of element rows, but O(n x window)
     total work spread across tasks instead of concentrated per row; use
     it when cells hold ~10^4+ elements. Bit-identical results: the
     sliding window frame folds the same non-NULL doubles in the same
@@ -1187,7 +1195,7 @@ def nest_cum(
     to a ``ROWS UNBOUNDED PRECEDING`` window replay — which is exactly
     what ``engine='explode'`` runs (posexplode -> running window ->
     repack): the mega-cell escape hatch, O(n) total work per cell at the
-    cost of a persist + two element shuffles. Results are bit-identical
+    cost of a snapshot + two element shuffles. Results are bit-identical
     between engines (same additions in the same order).
     """
     allowed = {"sum", "min", "max"}
@@ -1263,7 +1271,7 @@ def nest_dedup(
 
     ``engine='explode'``: the mega-cell escape hatch — posexplode ->
     ``row_number`` per (row, key) -> keep the first -> order-preserving
-    repack. Linear per cell (persist + two element shuffles, as with
+    repack. Linear per cell (snapshot + two element shuffles, as with
     :func:`nest_rolling`); identical results (window PARTITION BY groups
     NULL keys together, matching ``IS NOT DISTINCT FROM``).
     """
@@ -1553,10 +1561,16 @@ def periodogram(
             f"(__a.p IS NULL OR __e.power > __a.p) THEN "
             f"named_struct('f', __e.freq, 'p', __e.power) ELSE __a END)"
         )
-        staged = staged.withColumn(
-            f"{out}_freq", F.expr(f"({best_val}).f")
-        ).withColumn(
-            f"{out}_power", F.expr(f"({best_val}).p")
+        # materialize the argmax struct ONCE in its own projection, then
+        # pick .f/.p from it — inlining best_val into both output columns
+        # would scan the periodogram array twice per row (HOF lambdas
+        # defeat codegen CSE, the hazard this module's comments warn about)
+        best_c = "__pg_best"
+        staged = (
+            staged.withColumn(best_c, F.expr(best_val))
+            .withColumn(f"{out}_freq", F.col(best_c).getField("f"))
+            .withColumn(f"{out}_power", F.col(best_c).getField("p"))
+            .drop(best_c)
         )
     return staged.drop(raw_c, xy_c, ym_c, p_c, chi_c)
 
@@ -1886,13 +1900,29 @@ def theil_sen(
     else:
         t_sql = f"__x.{qt}"
     pts_c, sl_c = "__th_pts", "__th_slopes"
+    # center on the cell-min time BEFORE the double cast (the q47 /
+    # periodogram lesson): slopes are translation-invariant, and at
+    # epoch-nano magnitude (~1.7e18, ulp ~256ns) a raw cast loses up to
+    # ~512ns per pair denominator — distinct times could round equal and
+    # silently drop the pair from the slope median
+    raw = (
+        f"transform(filter({qn}, __x -> __x.{qt} IS NOT NULL "
+        f"AND __x.{qv} IS NOT NULL), __x -> struct({t_sql} AS t, "
+        f"CAST(__x.{qv} AS DOUBLE) AS y))"
+    )
+    centered = (
+        f"array_sort(transform(__r, __p -> struct("
+        f"CAST(__p.t - __t0 AS DOUBLE) / CAST({float(time_scale)!r} AS DOUBLE) AS x, "
+        f"__p.y AS y)))"
+    )
     staged = df.withColumn(
         pts_c,
         F.expr(
-            f"array_sort(transform(filter({qn}, __x -> __x.{qt} IS NOT NULL "
-            f"AND __x.{qv} IS NOT NULL), __x -> struct("
-            f"CAST({t_sql} AS DOUBLE) / CAST({float(time_scale)!r} AS DOUBLE) AS x, "
-            f"CAST(__x.{qv} AS DOUBLE) AS y)))"
+            _let_sql(
+                raw, "__r",
+                _let_sql("array_min(transform(__r, __p -> __p.t))", "__t0",
+                         centered),
+            )
         ),
     )
     qp = quote(pts_c)
@@ -1967,13 +1997,28 @@ def lightcurve_features(
         t_sql = f"__x.{qt}"
     s_c, v_c, m_c, sd_c, med_c = ("__lf_s", "__lf_v", "__lf_m", "__lf_sd",
                                   "__lf_med")
+    # center times on the cell min BEFORE the double cast (the q47 /
+    # periodogram lesson): maxslope's consecutive diffs are
+    # translation-invariant, and raw epoch-nano casts can round distinct
+    # times equal (dropping the pair) or lose ~512ns per denominator
+    raw = (
+        f"transform(filter({qn}, __x -> __x.{qt} IS NOT NULL "
+        f"AND __x.{qv} IS NOT NULL), __x -> struct({t_sql} AS t, "
+        f"CAST(__x.{qv} AS DOUBLE) AS v))"
+    )
+    centered = (
+        f"array_sort(transform(__r, __p -> struct("
+        f"CAST(__p.t - __t0 AS DOUBLE) / CAST({float(time_scale)!r} AS DOUBLE) AS x, "
+        f"__p.v AS v)))"
+    )
     staged = df.withColumn(
         s_c,
         F.expr(
-            f"array_sort(transform(filter({qn}, __x -> __x.{qt} IS NOT NULL "
-            f"AND __x.{qv} IS NOT NULL), __x -> struct("
-            f"CAST({t_sql} AS DOUBLE) / CAST({float(time_scale)!r} AS DOUBLE) AS x, "
-            f"CAST(__x.{qv} AS DOUBLE) AS v)))"
+            _let_sql(
+                raw, "__r",
+                _let_sql("array_min(transform(__r, __p -> __p.t))", "__t0",
+                         centered),
+            )
         ),
     ).withColumn(v_c, F.expr("array_sort(transform(__lf_s, __p -> __p.v))"))
     qs, qvv = quote(s_c), quote(v_c)

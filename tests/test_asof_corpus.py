@@ -689,3 +689,46 @@ def test_interval_join_no_duplicates_across_buckets(spark):
     # touching-but-not-overlapping (half-open) excluded
     r2 = spark.createDataFrame([(3, 0, 1000, 1100)], "rid long, k long, rs long, re long")
     assert interval_join(l, r2, "k", "ls", "le", "rs", "re", bucket=10).count() == 0
+
+
+def test_bucket_joins_mixed_integral_float_axes(spark):
+    """Round-4 advice regression: an integral-axis table joined to a
+    float-axis table must not route greatest(bigint, double) into the
+    int64 DIV bucket path (DATATYPE_MISMATCH) — mixed axes fall back to
+    the consistent double path on BOTH sides."""
+    from nested_pandas_spark.operators.asof import interval_join, range_join
+
+    l = spark.createDataFrame([(1, 0, 0, 10), (2, 0, 30, 40)],
+                              "lid long, k long, ls long, le long")
+    r = spark.createDataFrame([(10, 0, 5.0, 15.0), (11, 0, 100.5, 120.5)],
+                              "rid long, k long, rs double, re double")
+    got = sorted((x["lid"], x["rid"]) for x in
+                 interval_join(l, r, "k", "ls", "le", "rs", "re",
+                               bucket=8).collect())
+    assert got == [(1, 10)]
+    # fractional bucket is legal on the (now-double) mixed path
+    got2 = sorted((x["lid"], x["rid"]) for x in
+                  interval_join(l, r, "k", "ls", "le", "rs", "re",
+                                bucket=7.5).collect())
+    assert got2 == [(1, 10)]
+    # one side mixing an integral start with a float end
+    r3 = spark.createDataFrame([(20, 0, 8, 12.5), (21, 0, 50, 60.0)],
+                               "rid long, k long, rs long, re double")
+    got3 = sorted((x["lid"], x["rid"]) for x in
+                  interval_join(l, r3, "k", "ls", "le", "rs", "re",
+                                bucket=8).collect())
+    assert got3 == [(1, 20)]
+    # range_join: integral points against float intervals
+    pts = spark.createDataFrame([(1, 0, 7), (2, 0, 99)],
+                                "pid long, k long, ts long")
+    iv = spark.createDataFrame([(10, 0, 5.0, 15.0)],
+                               "iid long, k long, s double, e double")
+    got4 = [(x["pid"], x["iid"]) for x in
+            range_join(pts, iv, "k", "ts", "s", "e", bucket=8).collect()]
+    assert got4 == [(1, 10)]
+    # all-integral axes still enforce integer buckets (exact path kept)
+    import pytest
+    with pytest.raises(ValueError):
+        interval_join(l, spark.createDataFrame(
+            [(30, 0, 5, 15)], "rid long, k long, rs long, re long"),
+            "k", "ls", "le", "rs", "re", bucket=7.5)

@@ -1147,3 +1147,42 @@ def test_nest_align_exact_int64_and_validation(spark):
         nest_align(both, "a", "b", "t", "v", tolerance=0.5)  # frac on int64
     with pytest.raises(KeyError):
         nest_align(both, "a", "b", "nope", "v")
+
+
+def test_explode_engine_cache_lifetime(spark):
+    """Round-4 advice: repeated engine='explode' calls must not
+    accumulate session-lifetime cached copies of the input. The stamp is
+    a localCheckpoint whose blocks the ContextCleaner releases once the
+    result frame is garbage-collected — so N sequential calls keep the
+    persisted-RDD census bounded instead of growing by one per call."""
+    import gc
+    import time
+
+    from nested_pandas_spark import NestedFrame, nest_rolling
+
+    child = spark.createDataFrame(
+        [(i % 4, float(i), float(i * 2)) for i in range(200)],
+        "id long, t double, flux double")
+    objects = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    nf = NestedFrame(objects).join_nested(child, "nested", on="id").df
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    for _ in range(5):
+        res = nest_rolling(nf, "nested", "flux", window=3, stat="mean",
+                           engine="explode")
+        assert res.count() == 4
+        del res
+        gc.collect()
+    # let py4j finalizers + the JVM ContextCleaner drain the released
+    # checkpoints (async) — poll instead of sleeping a fixed time
+    deadline = time.time() + 30
+    while n_persistent() > base + 2 and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    assert n_persistent() <= base + 2, (
+        f"persistent RDDs grew from {base} to {n_persistent()} after 5 "
+        f"explode-engine calls — stamped frames are leaking")
