@@ -146,18 +146,34 @@ def asof_join(
         if isinstance(rtypes[c], AtomicType)
     ]
 
+    # carry the matched right row as ONE struct, not per-column
+    # last(ignorenulls): a per-column carry conflates "left-row
+    # placeholder NULL" with "right row whose value IS NULL" and would
+    # stitch the match together from DIFFERENT right rows (a NULL px at
+    # the matched ts inheriting a stale px from an older quote). The
+    # struct is non-null exactly for right rows, so NULL fields ride
+    # along with their own row atomically.
+    unioned = unioned.withColumn(
+        "__r_all",
+        F.when(
+            F.col("__is_left") == 0,
+            F.struct(F.col("__r_ts"), *[F.col(f"__r_{c}") for c in rcols]),
+        ),
+    )
+
     def _carry(prefix: str, backward: bool) -> list:
-        """last-non-null carry over the key partition in one time order."""
+        """last-right-row carry over the key partition in one time order."""
         order_ts = F.col(ts).asc() if backward else F.col(ts).desc()
         w = (
             Window.partitionBy(*keys)
             .orderBy(order_ts, tie, *payload_tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        carried_row = F.last("__r_all", ignorenulls=True).over(w)
         return [
-            F.last("__r_ts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+            carried_row.getField("__r_ts").alias(f"{prefix}ts"),
             *[
-                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+                carried_row.getField(f"__r_{c}").alias(f"{prefix}{c}")
                 for c in rcols
             ],
         ]

@@ -2081,6 +2081,100 @@ def lightcurve_features(
     return staged.drop(s_c, v_c, m_c, sd_c, med_c)
 
 
+def _nest_align_explode(
+    df, left_nest, right_nest, time_field, rt, rv, tolerance, out_field,
+    lkind, rkind, t_type, v_type, lfields,
+) -> DataFrame:
+    """Mega-cell path for :func:`nest_align`: posexplode both series and
+    route the per-cell nearest match through
+    :func:`~nested_pandas_spark.operators.asof.asof_join`
+    (direction='nearest', keyed on the row id), then repack in element
+    order. Linear per cell (snapshot + element shuffles) instead of the
+    HOF engine's O(n_left x n_right) — wins on ~10^4+ element cells.
+
+    Bit-identical to the HOF engine: right elements sharing one time
+    collapse to the FIRST in array order (the HOF argmin's tie rule)
+    before the as-of join, whose 'nearest' tie rule (backward wins) is
+    exactly the HOF's earlier-time-wins."""
+    from .asof import asof_join  # function-level: asof imports this module
+
+    ql = quote(left_nest)
+    qlt, qrt, qrv = quote(time_field), quote(rt), quote(rv)
+
+    def t_sql(kind: str, var: str, field: str) -> str:
+        if kind == "timestamp":
+            return f"unix_micros(CAST({var}.{field} AS TIMESTAMP))"
+        return f"{var}.{field}"
+
+    stamped = _stamped(df)
+    lflat = stamped.select(
+        "__rid", F.posexplode(F.col(left_nest)).alias("__pos", "__x")
+    ).withColumn("__t", F.expr(f"CAST({t_sql(lkind, '__x', qlt)} AS {t_type})"))
+    rflat = (
+        stamped.select(
+            "__rid", F.posexplode(F.col(right_nest)).alias("__rpos", "__y")
+        )
+        .where(F.expr(f"__y.{qrt} IS NOT NULL"))
+        .select(
+            "__rid",
+            F.expr(f"CAST({t_sql(rkind, '__y', qrt)} AS {t_type})").alias("__t"),
+            F.expr(f"__y.{qrv}").alias("__v"),
+            F.col("__rpos"),
+        )
+        # HOF tie rule among equal right times: first in array order wins
+        .groupBy("__rid", "__t")
+        .agg(F.min(F.struct("__rpos", "__v")).alias("__m"))
+        .select("__rid", "__t", F.col("__m").getField("__v").alias("__v"))
+    )
+    matched = asof_join(
+        lflat.where(F.col("__t").isNotNull()),
+        rflat,
+        on="__rid",
+        ts="__t",
+        right_cols=["__v"],
+        suffix="_r",
+        tolerance=tolerance,
+        direction="nearest",
+    ).select("__rid", "__pos", "__x", "__t", "__v_r", "__t_r")
+    unmatched = lflat.where(F.col("__t").isNull()).select(
+        "__rid",
+        "__pos",
+        "__x",
+        "__t",
+        F.expr(f"CAST(NULL AS {v_type})").alias("__v_r"),
+        F.expr(f"CAST(NULL AS {t_type})").alias("__t_r"),
+    )
+    allrows = matched.unionByName(unmatched)
+    newe = F.struct(
+        *[F.col("__x").getField(f).alias(f) for f in lfields],
+        F.col("__v_r").alias(out_field),
+        F.expr("__t_r - __t").alias(f"{out_field}_dt"),
+    )
+    packed = (
+        allrows.select(
+            "__rid",
+            F.struct(F.col("__pos").alias("p"), newe.alias("e")).alias("__pe"),
+        )
+        .groupBy("__rid")
+        .agg(F.array_sort(F.collect_list("__pe")).alias("__arr"))
+        .select(
+            "__rid", F.expr("transform(__arr, __s -> __s.e)").alias("__packed")
+        )
+    )
+    keep_null = {f: f"__x.{quote(f)}" for f in lfields}
+    keep_null[out_field] = f"CAST(NULL AS {v_type})"
+    keep_null[f"{out_field}_dt"] = f"CAST(NULL AS {t_type})"
+    fallback = (
+        f"CASE WHEN {ql} IS NULL THEN NULL ELSE "
+        f"transform({ql}, __x -> {struct_sql(keep_null)}) END"
+    )
+    return (
+        stamped.join(packed, "__rid", "left")
+        .withColumn(left_nest, F.coalesce(F.col("__packed"), F.expr(fallback)))
+        .drop("__rid", "__packed")
+    )
+
+
 def nest_align(
     df: DataFrame,
     left_nest: str,
@@ -2091,6 +2185,7 @@ def nest_align(
     right_value_field: str | None = None,
     tolerance=None,
     out_field: str | None = None,
+    engine: str = "hof",
 ) -> DataFrame:
     """Per-cell NEAREST-TIME alignment of two nested series in the same
     row — the in-row as-of join astronomers run to build color curves
@@ -2114,9 +2209,14 @@ def nest_align(
 
     Scale shape: pure HOFs, zero shuffle, O(n_left * n_right) per cell
     — the documented per-cell quadratic trade (cells are small by
-    construction; for mega-cells explode both sides and use
-    :func:`~nested_pandas_spark.operators.asof.asof_join`).
+    construction). ``engine='explode'``: the mega-cell escape hatch —
+    posexplode both series and route the match through
+    :func:`~nested_pandas_spark.operators.asof.asof_join`
+    (direction='nearest') keyed on a snapshotted row id, then repack in
+    element order; linear per cell at the cost of element shuffles, and
+    bit-identical to the HOF engine (see :func:`_nest_align_explode`).
     """
+    _check_engine(engine)
     rt = right_time_field or time_field
     rv = right_value_field or value_field
     for nest, f_ in ((left_nest, time_field), (left_nest, value_field),
@@ -2152,6 +2252,12 @@ def nest_align(
         if f_.name == right_nest:
             v_type = f_.dataType.elementType[rv].dataType.simpleString()
     assert v_type is not None
+
+    if engine == "explode":
+        return _nest_align_explode(
+            df, left_nest, right_nest, time_field, rt, rv, tolerance,
+            out_field, lkind, rkind, t_type, v_type, lfields,
+        )
 
     def t_sql(kind: str, var: str, field: str) -> str:
         if kind == "timestamp":

@@ -732,3 +732,30 @@ def test_bucket_joins_mixed_integral_float_axes(spark):
         interval_join(l, spark.createDataFrame(
             [(30, 0, 5, 15)], "rid long, k long, rs long, re long"),
             "k", "ls", "le", "rs", "re", bucket=7.5)
+
+
+def test_asof_join_null_right_values_not_stitched(spark):
+    """A matched right row whose value is NULL must yield a NULL value —
+    not inherit a stale value from an OLDER right row (the per-column
+    last(ignorenulls) carry bug): the match is one atomic row."""
+    from nested_pandas_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame([("A", 10), ("A", 30)], "sym string, ts long")
+    quotes = spark.createDataFrame(
+        [("A", 5, 1.0, 100), ("A", 25, None, 200)],
+        "sym string, ts long, px double, qty long")
+    out = {r["ts"]: (r["px_right"], r["qty_right"], r["ts_right"])
+           for r in asof_join(trades, quotes, on="sym", ts="ts").collect()}
+    assert out[10] == (1.0, 100, 5)
+    # ts=30 matches the quote at 25: px is genuinely NULL there; qty=200.
+    # The old carry stitched px=1.0 (from ts=5) onto qty=200 (from ts=25).
+    assert out[30] == (None, 200, 25)
+    # forward + nearest directions share the carry
+    outf = {r["ts"]: (r["px_right"], r["ts_right"])
+            for r in asof_join(trades, quotes, on="sym", ts="ts",
+                               direction="forward").collect()}
+    assert outf[10] == (None, 25)
+    outn = {r["ts"]: (r["px_right"], r["ts_right"])
+            for r in asof_join(trades, quotes, on="sym", ts="ts",
+                               direction="nearest").collect()}
+    assert outn[30] == (None, 25)

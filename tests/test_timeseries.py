@@ -1186,3 +1186,82 @@ def test_explode_engine_cache_lifetime(spark):
     assert n_persistent() <= base + 2, (
         f"persistent RDDs grew from {base} to {n_persistent()} after 5 "
         f"explode-engine calls — stamped frames are leaking")
+
+
+def test_nest_align_explode_engine_matches_hof(spark):
+    """engine='explode' must reproduce the HOF nearest-match engine
+    bit-for-bit — NULL times/values both sides, empty and NULL right
+    cells, duplicate right times (first-in-array tie rule), equidistant
+    ties (earlier right wins), with and without tolerance."""
+    elem = "array<struct<t: double, v: double>>"
+    rows = [
+        # (oid, left elements, right elements)
+        (0, [(1.0, 10.0), (5.0, 11.0), (9.0, None), (None, 99.0)],
+            [(1.4, 20.0), (5.6, None), (8.0, 21.0)]),
+        (1, [(2.0, 7.0)], []),                      # empty right cell
+        (2, [(3.0, 1.0)], None),                    # NULL right cell
+        (3, [], [(1.0, 5.0)]),                      # empty left cell
+        (4, None, [(1.0, 5.0)]),                    # NULL left cell
+        # duplicate right times with DIFFERENT values: array order decides
+        (5, [(4.0, 1.0)], [(4.0, 111.0), (4.0, 222.0), (4.0, 333.0)]),
+        # equidistant candidates: earlier right time wins
+        (6, [(5.0, 1.0)], [(3.0, -1.0), (7.0, -2.0)]),
+        (7, [(0.5, 1.0), (99.0, 2.0)], [(None, 5.0)]),  # all right times NULL
+    ]
+    df = spark.createDataFrame(
+        [(oid, l, r) for oid, l, r in rows],
+        f"oid long, a {elem}, b {elem}")
+    from nested_pandas_spark import nest_align
+
+    def norm(out):
+        return sorted(
+            (r["oid"],
+             None if r["a"] is None else [tuple(e) for e in r["a"]])
+            for r in out.collect())
+
+    for tol in (None, 2.0):
+        hof = norm(nest_align(df, "a", "b", "t", "v", tolerance=tol))
+        exp = norm(nest_align(df, "a", "b", "t", "v", tolerance=tol,
+                              engine="explode"))
+        assert exp == hof, f"tolerance={tol}"
+        # schema parity: names, types, order (nullability flags may
+        # differ — a join-back marks fields nullable)
+        assert (nest_align(df, "a", "b", "t", "v", tolerance=tol,
+                           engine="explode").schema.simpleString()
+                == nest_align(df, "a", "b", "t", "v",
+                              tolerance=tol).schema.simpleString())
+
+
+def test_nest_align_explode_engine_q128_fixture(spark):
+    """The gate-query fixture (sf0.001 events, int64-nano axis, 6h
+    tolerance) through both engines — the equality the round-4 verdict
+    asked for."""
+    import os
+
+    from nested_pandas_spark import nest_align, pack
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(ev.dtypes).get("ts", "") != "bigint":
+        ev = ev.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    clicks = pack(
+        ev.where(F.col("event_type") == "click")
+          .select("user_id", "event_id", "ts", "value"),
+        "a", on="user_id", sort_within=["ts", "event_id"])
+    errs = pack(
+        ev.where(F.col("event_type") == "error")
+          .select("user_id", "ts", "value"),
+        "b", on="user_id", sort_within=["ts", "value"])
+    both = clicks.join(errs.select("user_id", "b"), "user_id", "inner")
+
+    def norm(out):
+        return sorted(
+            (r["user_id"], [tuple(e) for e in r["a"]]) for r in out.collect())
+
+    hof = norm(nest_align(both, "a", "b", "ts", "value",
+                          tolerance=21_600 * 10**9))
+    exp = norm(nest_align(both, "a", "b", "ts", "value",
+                          tolerance=21_600 * 10**9, engine="explode"))
+    assert exp == hof
