@@ -2208,6 +2208,74 @@ def q119_bpe_encode(spark, sf):
     )
 
 
+def q130_bpe_encode_vocab(spark, sf):
+    """Scale-path BPE encode (pipeline/text.py bpe_encode_vocab): train
+    3 merges, then encode via ONE BroadcastHashJoin of the corpus'
+    words against the trained vocab table — no O(n_merges) replace
+    chain in the plan, the path a realistic 32k-merge tokenizer needs.
+    Oracle replays training (q117's unrolled steps), applies the third
+    merge to get the final vocab, and joins words to it with
+    order-preserving reassembly."""
+    from nested_pandas_spark.pipeline.text import bpe_encode_vocab, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    _merges, vocab = bpe_train(docs, 3)
+    out = bpe_encode_vocab(docs.select("doc_id", "text"), vocab)
+    return out.select(
+        "doc_id",
+        F.expr("CASE WHEN text IS NULL THEN NULL ELSE "
+               "array_join(tokens, ' ') END").alias("text_bpe"),
+        F.col("tokens_n"),
+    )
+
+
+def q131_stream_dedup_against(spark, sf):
+    """Continuous-ingest dedup through the gate (streaming/events.py
+    stream_dedup_against): the incoming documents (doc_id % 4 != 0)
+    staged TWICE and delivered as two micro-batches
+    (maxFilesPerTrigger=1), deduped stream-static LEFT ANTI against the
+    accepted corpus's broadcast DISTINCT fingerprints, then within the
+    stream by the state store — each novel fingerprint admitted exactly
+    once. Which duplicate ROW survives is arrival-order dependent, so
+    the gate pins the deterministic part: the admitted fingerprint set.
+    Oracle is the batch set difference."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nested_pandas_spark.pipeline.text import fingerprint
+    from nested_pandas_spark.streaming import events as evs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    d = tempfile.mkdtemp(prefix="q131_stream_")
+    try:
+        shutil.copy(f"{sf}/documents.parquet", f"{d}/part-0.parquet")
+        shutil.copy(f"{sf}/documents.parquet", f"{d}/part-1.parquet")
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .schema(docs.schema)
+            .parquet(d)
+            .where(F.col("doc_id") % 4 != 0)
+        )
+        surv = evs.stream_dedup_against(stream, ref, text_col="text")
+        name = "q131_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            surv.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(fingerprint("text").alias("fp"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -2708,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_bigram_logprob": q127_bigram_logprob,
         "q128_nest_align": q128_nest_align,
         "q129_bucketed_pack": q129_bucketed_pack,
+        "q130_bpe_encode_vocab": q130_bpe_encode_vocab,
+        "q131_stream_dedup_against": q131_stream_dedup_against,
     }
 
 
@@ -4407,6 +4477,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS INT), l, r, n FROM m3
         """,
+        "q130_bpe_encode_vocab": f"""
+            WITH {_BPE_TRAIN_CTES}, w3 AS (
+                SELECT w, wc,
+                       trim(replace(replace(
+                           ' ' || replace(syms, ' ', '  ') || ' ',
+                           ' ' || (SELECT l FROM m3) || '  '
+                               || (SELECT r FROM m3) || ' ',
+                           ' ' || (SELECT l FROM m3)
+                               || (SELECT r FROM m3) || ' '),
+                           '  ', ' ')) AS syms
+                FROM w2
+            ), t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS dws
+                FROM documents
+            ), e AS (
+                SELECT doc_id, unnest(dws) AS w,
+                       generate_subscripts(dws, 1) AS i
+                FROM t
+            ), enc AS (
+                SELECT e.doc_id,
+                       string_agg(w3.syms, ' ' ORDER BY e.i) AS s,
+                       CAST(sum(len(string_split(w3.syms, ' '))) AS BIGINT)
+                           AS ntok
+                FROM e JOIN w3 ON e.w = w3.w
+                GROUP BY e.doc_id
+            )
+            SELECT t.doc_id,
+                   CASE WHEN t.text IS NULL THEN NULL
+                        ELSE coalesce(enc.s, '') END AS text_bpe,
+                   CASE WHEN t.text IS NULL THEN NULL
+                        ELSE coalesce(enc.ntok, 0) END AS tokens_n
+            FROM t LEFT JOIN enc USING (doc_id)
+        """,
         "q116_dedup_passages": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents
@@ -5186,6 +5291,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM survivors
             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        """,
+        "q131_stream_dedup_against": """
+            WITH f AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            ref AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 = 0),
+            batch AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 <> 0)
+            -- LEFT JOIN .. IS NULL, not NOT IN: a NULL fingerprint
+            -- (NULL-text rows) must survive on both sides, matching the
+            -- stream's anti-join-then-state-dedup semantics
+            SELECT b.fp FROM batch b
+            LEFT JOIN ref r ON b.fp = r.fp
+            WHERE r.fp IS NULL
         """,
         "q39_pq_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -27,7 +27,7 @@ __all__ = [
     "hourly_rollup",
     "sessionize",
     "running_user_totals",
-    "stream_interval_join", "windowed_rollup"]
+    "stream_interval_join", "windowed_rollup", "stream_dedup_against"]
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -259,3 +259,56 @@ def stream_dedup(
     if src.isStreaming:
         return src.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)
     return src.dropDuplicates(keys)
+
+
+def stream_dedup_against(
+    stream: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    broadcast_ref: bool = True,
+    within_stream: bool = True,
+) -> DataFrame:
+    """Continuous-ingest exact dedup: the structured-streaming twin of
+    ``pipeline.dedup.dedup_against`` — drop stream rows whose normalized
+    fingerprint already exists in the STATIC accepted corpus ``ref``,
+    then (``within_stream``) drop repeats arriving within the stream
+    itself, so a continuously-growing training corpus admits each
+    document exactly once.
+
+    Scale shape: ``ref`` collapses ONCE to DISTINCT fingerprints
+    (32-hex-char rows, never text) and joins stream-static LEFT ANTI —
+    broadcast by default (at ingest time the accepted-fingerprint set is
+    the small, precomputable side; pass ``broadcast_ref=False`` to
+    shuffle instead). The in-stream stage is a state-store dedup on the
+    fingerprint: with ``ts_col`` given, ``dropDuplicatesWithinWatermark``
+    bounds state to the ``watermark`` horizon; with ``ts_col=None`` the
+    dedup state is UNBOUNDED (exact forever — right for finite backfills
+    via ``trigger(availableNow=True)``; long-lived services should pass
+    an event-time column). Which duplicate row survives within the
+    stream is arrival-order dependent — the surviving fingerprint SET is
+    exact, matching ``dedup_against``'s; batch callers wanting the
+    deterministic min-id row should use ``dedup_against`` itself.
+
+    On a batch DataFrame this degrades to the same anti join plus a
+    plain ``dropDuplicates`` on the fingerprint.
+    """
+    from ..pipeline.text import fingerprint
+
+    ref_fp = ref.select(fingerprint(text_col).alias("__fp")).distinct()
+    if broadcast_ref:
+        ref_fp = F.broadcast(ref_fp)
+    src = stream
+    if within_stream and ts_col is not None:
+        src = with_event_time(src, ts_col)
+    out = src.withColumn("__fp", fingerprint(text_col))
+    out = out.join(ref_fp, "__fp", "left_anti")
+    if within_stream:
+        if out.isStreaming and ts_col is not None:
+            out = out.withWatermark(
+                "event_time", watermark
+            ).dropDuplicatesWithinWatermark(["__fp"])
+        else:
+            out = out.dropDuplicates(["__fp"])
+    return out.drop("__fp")

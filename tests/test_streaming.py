@@ -220,3 +220,57 @@ def test_windowed_rollup_stream_equals_batch(spark, tmp_path):
     want = {(r["window_start"], r["user_id"]): (r["n"], r["min_value"])
             for r in batch.collect()}
     assert got == want
+
+
+def test_stream_dedup_against_matches_batch(spark, tmp_path):
+    """stream_dedup_against (continuous-ingest dedup vs a static accepted
+    corpus) must admit exactly the fingerprint set the batch
+    dedup_against admits — delivered across TWO micro-batches so the
+    second copy of every document is absorbed by the state store."""
+    from nested_pandas_spark.pipeline.dedup import dedup_against
+    from nested_pandas_spark.pipeline.text import fingerprint
+
+    docs_src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(docs_src)
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    new_batch = docs.where(F.col("doc_id") % 4 != 0)
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(docs_src, d / "a.parquet")
+    shutil.copy(docs_src, d / "b.parquet")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(docs.schema)
+        .parquet(str(d))
+        .where(F.col("doc_id") % 4 != 0)
+    )
+    surv = ev.stream_dedup_against(stream, ref, text_col="text")
+    q = (
+        surv.writeStream.format("memory")
+        .queryName("sda")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["fp"]
+        for r in spark.table("sda")
+        .select(fingerprint("text").alias("fp"))
+        .collect()
+    }
+    want = {
+        r["fp"]
+        for r in dedup_against(new_batch, ref)
+        .select(fingerprint("text").alias("fp"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # every admitted fingerprint exactly once despite double delivery
+    assert spark.table("sda").count() == len(got)
+    # batch degrade path: same fingerprint set
+    batch_surv = ev.stream_dedup_against(new_batch, ref, text_col="text")
+    got_b = {r["fp"] for r in
+             batch_surv.select(fingerprint("text").alias("fp")).collect()}
+    assert got_b == want
