@@ -406,6 +406,27 @@ def q29_clean_corpus(spark, sf):
     return out.select("doc_id")
 
 
+def q132_clean_corpus_gopher(spark, sf):
+    """The one-call cleaner with the full Gopher quality stack composed
+    in (pipeline/corpus.py clean_corpus knobs, round-4 advice): quality
+    filter -> Gopher rule filter -> n-gram repetition bounds
+    (top2/dup5) -> bigram-LM floor (self-modelled over the surviving
+    corpus) -> exact dedup -> MinHash-LSH near-dup resolution. Oracle
+    threads the same staged filters between q29's kept1 and its dedup
+    chain."""
+    from nested_pandas_spark.pipeline.corpus import clean_corpus
+
+    docs = _t(spark, sf, "documents")
+    out = clean_corpus(
+        docs, min_quality=0.25, near_dup_threshold=0.8,
+        num_hashes=8, bands=4, shingle_n=3,
+        gopher=dict(min_words=40, min_mean_word_len=4.3, min_stop_hits=1),
+        max_repetition={"top2": 0.4, "dup5": 0.3},
+        min_bigram_logprob=-9.0,
+    )
+    return out.select("doc_id")
+
+
 def q30_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
     pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
@@ -2778,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_bucketed_pack": q129_bucketed_pack,
         "q130_bpe_encode_vocab": q130_bpe_encode_vocab,
         "q131_stream_dedup_against": q131_stream_dedup_against,
+        "q132_clean_corpus_gopher": q132_clean_corpus_gopher,
     }
 
 
@@ -2911,10 +2933,14 @@ def _cc_sql(pairs_cte: str) -> str:
     """
 
 
-def _clean_corpus_oracle(sh3: str, w: str, hits_en: str) -> str:
+def _clean_corpus_oracle(sh3: str, w: str, hits_en: str,
+                         extra_ctes: str = "", kept: str = "kept1") -> str:
     """DuckDB replica of pipeline.corpus.clean_corpus (quality>=0.25, no
     language filter, minhash 8/4 shingle 3, jaccard>=0.8, connected-
-    component duplicate resolution)."""
+    component duplicate resolution). ``extra_ctes`` appends filter CTEs
+    between kept1 and the dedup stages; ``kept`` names the CTE (columns
+    doc_id, text, fp) the dedup stages read — q132 threads the Gopher /
+    repetition / bigram-LM knobs through here."""
     from nested_pandas_spark.pipeline.dedup import _MINHASH_P, minhash_params
 
     sig_items = ", ".join(
@@ -2937,10 +2963,10 @@ def _clean_corpus_oracle(sh3: str, w: str, hits_en: str) -> str:
             FROM documents
         ), kept1 AS (
             SELECT * FROM stats WHERE quality >= 0.25
-        ), keepers AS (
-            SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY fp
+        ){extra_ctes}, keepers AS (
+            SELECT min(doc_id) AS doc_id FROM {kept} GROUP BY fp
         ), kept2 AS (
-            SELECT k.doc_id, k.text FROM kept1 k JOIN keepers USING (doc_id)
+            SELECT k.doc_id, k.text FROM {kept} k JOIN keepers USING (doc_id)
         ), sh AS (
             SELECT doc_id, {sh3} AS s FROM kept2
         ), hashed AS (
@@ -2971,6 +2997,109 @@ def _clean_corpus_oracle(sh3: str, w: str, hits_en: str) -> str:
         SELECT doc_id FROM kept2
         WHERE doc_id NOT IN (SELECT u FROM comp WHERE u <> c)
     """
+
+
+# q132's staged filter chain, threaded between kept1 and the dedup stages
+# of _clean_corpus_oracle: Gopher rule pass (q111's signal SQL over the
+# kept set) -> top2/dup5 repetition bounds (q126's per-n SQL) -> bigram-LM
+# floor self-modelled over the survivors (q127's SQL). Thresholds mirror
+# q132_clean_corpus_gopher's knobs exactly.
+_GOPHER_STACK_CTES = """, gsig AS (
+            SELECT k.doc_id, k.text, k.fp,
+                   list_filter(string_split_regex(lower(k.text), '\\s+'),
+                               x -> x <> '') AS ws,
+                   string_split(k.text, chr(10)) AS ls
+            FROM kept1 k
+        ), gst AS (
+            SELECT doc_id, text, fp, ws, len(ws) AS nw,
+                   CASE WHEN len(ws) > 0 THEN
+                       CAST(list_sum(list_transform(ws, x -> length(x)))
+                            AS DOUBLE) / len(ws) END AS mwl,
+                   CASE WHEN len(ws) > 0 THEN
+                       CAST((length(text) - length(replace(text, '#', '')))
+                         + (length(text)
+                            - length(replace(text, '...', ''))) // 3
+                         + (length(text)
+                            - length(replace(text, chr(8230), '')))
+                            AS DOUBLE) / len(ws) END AS sym,
+                   1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                       / len(ls) AS dupf,
+                   CAST(len(list_filter(ls, l ->
+                       regexp_matches(ltrim(l), '^[-*' || chr(8226) || ']')
+                   )) AS DOUBLE) / len(ls) AS bul,
+                   CAST(len(list_filter(ls, l ->
+                       regexp_matches(rtrim(l),
+                           '(\\.\\.\\.|' || chr(8230) || ')$')
+                   )) AS DOUBLE) / len(ls) AS ell,
+                   len(list_filter(ws, x -> list_contains(
+                       ['the','and','is','of','to','in','that','it',
+                        'was','for'], x))) AS shits
+            FROM gsig
+        ), keptg AS (
+            SELECT doc_id, text, fp, ws, nw FROM gst
+            WHERE COALESCE(nw >= 40 AND nw <= 100000
+                AND mwl >= 4.3 AND mwl <= 10.0 AND sym <= 0.1
+                AND bul <= 0.9 AND ell <= 0.3 AND shits >= 1
+                AND dupf <= 0.3, FALSE)
+        ), g2r AS (
+            SELECT doc_id, array_to_string(list_slice(ws, CAST(i AS INT),
+                       CAST(i AS INT) + 1), ' ') AS g
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                  FROM keptg WHERE nw >= 2)
+        ), t2r AS (
+            SELECT doc_id, c FROM (
+                SELECT doc_id, count(*) AS c, g,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY count(*) DESC, g ASC) AS rn
+                FROM g2r GROUP BY doc_id, g
+            ) WHERE rn = 1
+        ), gd5r AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS i,
+                   array_to_string(list_slice(ws, CAST(i AS INT),
+                       CAST(i AS INT) + 4), ' ') AS g
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+                  FROM keptg WHERE nw >= 5)
+        ), cd5r AS (
+            SELECT doc_id, g FROM gd5r
+            GROUP BY doc_id, g HAVING count(*) >= 2
+        ), cov5r AS (
+            SELECT doc_id, count(DISTINCT p) AS cov FROM (
+                SELECT d.doc_id, unnest(range(d.i, d.i + 5)) AS p
+                FROM gd5r d JOIN cd5r c USING (doc_id, g)
+            ) GROUP BY doc_id
+        ), keptr AS (
+            SELECT k.doc_id, k.text, k.fp, k.ws FROM keptg k
+            LEFT JOIN t2r USING (doc_id)
+            LEFT JOIN cov5r USING (doc_id)
+            WHERE (CASE WHEN k.nw = 0 THEN 0.0
+                        ELSE coalesce(2.0 * t2r.c, 0.0) / k.nw END) <= 0.4
+              AND (CASE WHEN k.nw = 0 THEN 0.0
+                        ELSE coalesce(cov5r.cov, 0) * 1.0 / k.nw END) <= 0.3
+        ), bgr AS (
+            SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                   ws[CAST(i AS INT) + 1] AS w2
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                  FROM keptr WHERE len(ws) >= 2)
+        ), bcr AS (
+            SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY w1, w2
+        ), ccr AS (
+            SELECT w1, count(*) AS c1 FROM bgr GROUP BY w1
+        ), vvr AS (
+            SELECT count(DISTINCT t) AS V
+            FROM (SELECT unnest(ws) AS t FROM keptr)
+        ), scr AS (
+            SELECT g.doc_id,
+                   avg(ln((coalesce(bcr.c12, 0) + 1.0)
+                          / (coalesce(ccr.c1, 0)
+                             + 1.0 * ((SELECT V FROM vvr) + 1)))) AS lp
+            FROM bgr g
+            LEFT JOIN bcr USING (w1, w2)
+            LEFT JOIN ccr USING (w1)
+            GROUP BY g.doc_id
+        ), keptb AS (
+            SELECT k.doc_id, k.text, k.fp FROM keptr k
+            JOIN scr ON scr.doc_id = k.doc_id AND scr.lp >= -9.0
+        )"""
 
 
 def _dd_cos(a: str, b: str, dim: int = 64) -> str:
@@ -3490,6 +3619,9 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rn <= 2
         """,
         "q29_clean_corpus": _clean_corpus_oracle(sh3, w, hits["en"]),
+        "q132_clean_corpus_gopher": _clean_corpus_oracle(
+            sh3, w, hits["en"],
+            extra_ctes=_GOPHER_STACK_CTES, kept="keptb"),
         "q30_embedding_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             b AS (

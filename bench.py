@@ -10,6 +10,17 @@ workflow notebook (BASELINE.md) on the driver's star schema:
                         pay-once-at-ingest — the reference's in-memory analogue)
   query_nested      ~ NestedFrameQuery       (element filter)
   query_nested_bucketed same filter over the bucketed layout
+
+Matched-ratio methodology (ratio.* in the JSON): the reference library is
+an in-memory single-node engine — its timed region starts AFTER pandas has
+loaded the parquet and set_index() has organized both frames by the join
+key. Our bucketed variants are the storage-equal comparison (key
+organization paid once at ingest, outside the timed region), so they are
+the PRIMARY matched entries (ratio.per_query / ratio.matched_*). The
+cold-scan variants time parquet scan + shuffle + pack end-to-end — work
+the reference never performs inside its timed region — and are reported
+as ratio.per_query_cold / ratio.matched_cold_* so the fixed-cost gap
+stays visible without skewing the apples-to-apples number.
   count_by          ~ CountNestedBy          (per-category counts)
   reduce_hof        ~ NestedFrameReduce      (per-row mean, HOF fast path)
   reduce_udf        ~ NestedFrameReduce      (per-row mean via pandas UDF)
@@ -308,6 +319,33 @@ def main() -> None:
 
     bench("topk_cosine", topk)
 
+    # -- ANN quality: mean recall@10 of each approximate index against the
+    # exact baseline on the same query sample, recorded EVERY round so
+    # quality regressions are as visible as speed regressions (an ANN
+    # tweak that got faster by returning worse neighbors must show up
+    # here). Untimed — quality numbers, not throughput.
+    def _mean_recall(approx_df, exact_df) -> float:
+        r = sim.recall_at_k(approx_df, exact_df).agg(
+            F.avg("recall").alias("r")).collect()[0]["r"]
+        return round(float(r), 4)
+
+    emb_r = t("embeddings")
+    qs_r = emb_r.where(F.col("vec_id") < 10)
+    exact10 = sim.brute_force_topk(emb_r, qs_r, k=10)
+    recall = {
+        "lsh@10": _mean_recall(
+            sim.lsh_topk(emb_r, qs_r, k=10, num_planes=4, num_tables=2),
+            exact10),
+        "ivf@10": _mean_recall(
+            sim.ivf_topk(emb_r, qs_r, k=10, n_centroids=8, n_probe=3,
+                         n_iters=2),
+            exact10),
+        "pq@10": _mean_recall(
+            sim.pq_topk(emb_r, qs_r, k=10, n_sub=4, n_centroids=8,
+                        refine=4),
+            exact10),
+    }
+
     # -- beyond-reference extras: timed for visibility, kept OUT of the
     # headline total so round-over-round totals stay comparable ---------
     extras = {}
@@ -484,23 +522,53 @@ def main() -> None:
         _time_reference(sf_dir)
     ratios = None
     if reference:
-        matched = ["add_nested", "query_nested", "count_by",
-                   "explode_roundtrip", "ztf_workflow"]
-        ours_m = sum(queries[m] for m in matched)
-        ref_m = sum(reference[m] for m in matched)
-        # per-query map (ours/reference); *_bucketed rows compare the same
-        # operator from bucketed storage against the same reference number
-        per_query_ref = {
-            "add_nested": "add_nested",
+        # MATCHED-SUITE METHODOLOGY (round-5 re-baselining, per the
+        # round-4 verdict): the reference is an in-memory engine — its
+        # add_nested/query_nested start from pandas frames that are
+        # already loaded AND index-organized by the join key, so the
+        # storage-equal comparison for the pack-shaped queries is the
+        # bucketed layout (partitioning paid once at ingest, exactly as
+        # the reference pays its set_index once before the timed region).
+        # The bucketed rows are therefore the PRIMARY matched entries;
+        # the cold-scan rows (full parquet scan + shuffle inside the
+        # timed region, which the reference never pays) stay recorded as
+        # per_query_cold / matched_cold_* so the fixed-cost gap remains
+        # visible round-over-round.
+        matched = {
             "add_nested_bucketed": "add_nested",
-            "query_nested": "query_nested",
             "query_nested_bucketed": "query_nested",
             "count_by": "count_by",
-            "reduce_hof": "reduce",
-            "reduce_udf": "reduce",
             "explode_roundtrip": "explode_roundtrip",
             "ztf_workflow": "ztf_workflow",
         }
+        ours_m = sum(queries[o] for o in matched)
+        ref_m = sum(reference[r] for r in matched.values())
+        cold_m = (sum(queries[m] for m in
+                      ("add_nested", "query_nested", "count_by",
+                       "explode_roundtrip", "ztf_workflow")))
+        # primary per-query ratios, keyed by the reference's benchmark
+        # name: layout-matched where a bucketed variant exists
+        per_query_primary = {
+            "add_nested": ("add_nested_bucketed", "add_nested"),
+            "query_nested": ("query_nested_bucketed", "query_nested"),
+            "count_by": ("count_by", "count_by"),
+            "reduce_hof": ("reduce_hof", "reduce"),
+            "reduce_udf": ("reduce_udf", "reduce"),
+            "explode_roundtrip": ("explode_roundtrip", "explode_roundtrip"),
+            "ztf_workflow": ("ztf_workflow", "ztf_workflow"),
+        }
+        per_query_cold = {
+            "add_nested": ("add_nested", "add_nested"),
+            "query_nested": ("query_nested", "query_nested"),
+        }
+
+        def _ratio_map(pairs):
+            return {
+                key: round(queries[ours] / reference[ref], 4)
+                for key, (ours, ref) in pairs.items()
+                if ours in queries and reference.get(ref)
+            }
+
         ratios = {
             "matched_with_hof_reduce": round(
                 (ours_m + queries["reduce_hof"])
@@ -508,11 +576,14 @@ def main() -> None:
             "matched_with_udf_reduce": round(
                 (ours_m + queries["reduce_udf"])
                 / (ref_m + reference["reduce"]), 4),
-            "per_query": {
-                ours: round(queries[ours] / reference[ref], 4)
-                for ours, ref in per_query_ref.items()
-                if ours in queries and reference.get(ref)
-            },
+            "matched_cold_with_hof_reduce": round(
+                (cold_m + queries["reduce_hof"])
+                / (ref_m + reference["reduce"]), 4),
+            "matched_cold_with_udf_reduce": round(
+                (cold_m + queries["reduce_udf"])
+                / (ref_m + reference["reduce"]), 4),
+            "per_query": _ratio_map(per_query_primary),
+            "per_query_cold": _ratio_map(per_query_cold),
         }
 
     print(json.dumps({
@@ -523,6 +594,7 @@ def main() -> None:
         "rows": rows,
         "checksums": checksums,
         "extras": extras,
+        "recall": recall,
         "reference": reference,
         "ratio": ratios,
         "sf": float(sf),

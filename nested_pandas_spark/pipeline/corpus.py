@@ -688,6 +688,9 @@ def clean_corpus(
     shingle_n: int = 3,
     model_threshold: float | None = None,
     model_weights: dict[str, float] | None = None,
+    gopher: bool | dict = False,
+    max_repetition: dict[str, float] | None = None,
+    min_bigram_logprob: float | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus (stats columns attached), with exact and
     verified near-duplicates removed (the lowest id of each group survives).
@@ -696,8 +699,24 @@ def clean_corpus(
     score ``quality_model_score(...) >= model_threshold`` (a logistic model
     evaluated JVM-side in the same scan as the heuristic stats — no extra
     pass over the text).
+
+    The Gopher-stack knobs compose the standalone signal operators into
+    the one-call cleaner, in this order (filters stack before dedup):
+
+    * ``gopher=True`` (or a dict of :func:`~.text.gopher_rules` kwargs)
+      keeps only rows passing the Gopher rule filter; the
+      ``gopher_*`` signal columns stay attached.
+    * ``max_repetition={"top2": 0.2, "dup5": 0.15}`` bounds the
+      :func:`~.text.gopher_repetition` signals — keys name the signal
+      (``top{n}`` / ``dup{n}``, ``_frac`` suffix optional), values are
+      inclusive maxima.
+    * ``min_bigram_logprob=-9.0`` keeps rows whose
+      :func:`~.text.bigram_logprob` mean (self-modelled over the corpus
+      surviving the previous stages) meets the floor; rows too short to
+      have bigrams fail it.
     """
-    from .text import quality_model_score
+    from .text import (
+        bigram_logprob, gopher_repetition, gopher_rules, quality_model_score)
 
     stats = add_text_stats(docs, text_col)
     kept = stats.where(F.col("quality") >= min_quality)
@@ -708,6 +727,45 @@ def clean_corpus(
         )
     if languages:
         kept = kept.where(F.col("lang_pred").isin(languages))
+    if gopher:
+        gkw = dict(gopher) if isinstance(gopher, dict) else {}
+        gkw.setdefault("prefix", "gopher")
+        kept = gopher_rules(kept, text_col=text_col, **gkw)
+        kept = kept.where(F.col(f"{gkw['prefix']}_pass"))
+    if max_repetition:
+        import re as _re
+
+        tops, dups, bounds = [], [], {}
+        for k, vmax in max_repetition.items():
+            m = _re.fullmatch(r"(top|dup)(\d+)(?:_frac)?", k)
+            if not m:
+                raise ValueError(
+                    "max_repetition keys must look like 'top2' or 'dup5', "
+                    f"got {k!r}")
+            n = int(m.group(2))
+            (tops if m.group(1) == "top" else dups).append(n)
+            bounds[f"gopher_{m.group(1)}{n}_frac"] = float(vmax)
+        kept = gopher_repetition(
+            kept, text_col=text_col,
+            top_ns=tuple(sorted(set(tops))), dup_ns=tuple(sorted(set(dups))))
+        for colname, vmax in bounds.items():
+            kept = kept.where(F.col(colname) <= vmax)
+    if gopher or max_repetition or min_bigram_logprob is not None:
+        # The dedup stages below (and the bigram model's three
+        # aggregations) each re-execute kept's lineage from scratch —
+        # fine when the filters are cheap projections (the q29 path),
+        # ruinous once the O(n^2)-per-doc repetition HOFs are in it.
+        # Snapshot the filtered corpus ONCE; everything downstream reads
+        # the materialized rows. localCheckpoint, not persist, so the
+        # blocks die with the result frame (the _stamped lesson).
+        kept = kept.localCheckpoint(eager=True)
+    if min_bigram_logprob is not None:
+        lp = bigram_logprob(kept, id_col=id_col, text_col=text_col)
+        ok_ids = lp.where(
+            F.col("mean_logp") >= float(min_bigram_logprob)
+        ).select(F.col(id_col).alias("__lp_keep"))
+        kept = kept.join(
+            ok_ids, on=kept[id_col] == ok_ids["__lp_keep"], how="left_semi")
 
     # exact dedup: keep min id per fingerprint
     survivors = exact_dedup(kept, id_col, text_col).select(

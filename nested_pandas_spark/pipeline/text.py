@@ -983,67 +983,89 @@ def gopher_repetition(
       exact-substring dedup, within-document).
 
     Signals are 0.0 for docs too short for the n-gram; NULL text yields
-    NULL signals. One scan; the token and per-n gram arrays are staged
-    once so every signal reads, not re-splits. Per-doc cost is
-    O(grams^2) per n — bounded by document length, embarrassingly
-    parallel across rows, zero shuffle.
+    NULL signals. One scan, embarrassingly parallel across rows, zero
+    shuffle. Per-doc cost is O(grams^2) per n — bounded by document
+    length.
+
+    Each signal is a SELF-CONTAINED let-bound expression (the token and
+    gram arrays are bound once per row via single-element ``transform``
+    — Spark SQL's only let construct). This matters beyond style: when a
+    downstream ``.where(col)`` makes Catalyst substitute the column's
+    expression into a Filter predicate, a *staged-column* formulation
+    would re-substitute the gram-array subexpression at every mention —
+    and a mention inside a per-position lambda re-EVALUATES the whole
+    O(n·len) gram build per position, turning an O(n²) signal into an
+    O(n³·len) one (observed: a composed repetition filter over 500 short
+    docs burned 20+ CPU-minutes in one interpreted task). With the let
+    binding the arrays are computed exactly once per row wherever the
+    optimizer inlines the column.
     """
     for n in list(top_ns) + list(dup_ns):
         if int(n) < 1:
             raise ValueError(f"n-gram sizes must be >= 1, got {n}")
     qt = "`" + text_col.replace("`", "``") + "`"
-    c = F.col(text_col)
-    staged = df.select("*", words(c).alias("__gr_w"))
-    w = "__gr_w"
-    ns = sorted(set(int(n) for n in list(top_ns) + list(dup_ns)))
-    for n in ns:
-        staged = staged.withColumn(
-            f"__gr_g{n}",
-            F.expr(
-                f"CASE WHEN size({w}) >= {n} THEN "
-                f"transform(sequence(0, size({w}) - {n}), "
-                f"__i -> array_join(slice({w}, __i + 1, {n}), ' ')) "
-                f"ELSE CAST(array() AS array<string>) END"
-            ),
+
+    def let(val: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+    # words() as SQL text (must stay semantically identical to words())
+    w_sql = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t != '')"
+
+    def grams(n: int) -> str:
+        # word n-grams over the bound token array __w
+        return (
+            f"CASE WHEN size(__w) >= {n} THEN "
+            f"transform(sequence(0, size(__w) - {n}), "
+            f"__i -> array_join(slice(__w, __i + 1, {n}), ' ')) "
+            f"ELSE CAST(array() AS array<string>) END"
         )
-    nw = f"size({w})"
+
+    def wrap(n: int, body: str) -> str:
+        # NULL text -> NULL; empty doc -> 0.0; else bind __w then __g
+        return (
+            f"CASE WHEN {qt} IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
+            + let(
+                w_sql, "__w",
+                f"CASE WHEN size(__w) = 0 THEN 0.0D ELSE "
+                + let(grams(n), "__g", body) + " END",
+            )
+            + " END"
+        )
+
     outs: dict[str, str] = {}
     for n in top_ns:
-        g = f"__gr_g{int(n)}"
         step = (
-            f"element_at(transform(array(size(filter({g}, __x -> __x = __d))), "
+            f"element_at(transform(array(size(filter(__g, __x -> __x = __d))), "
             f"__c -> CASE WHEN __c > __a.c OR (__c = __a.c AND "
             f"(__a.g IS NULL OR __d < __a.g)) THEN "
             f"named_struct('c', __c, 'g', __d) ELSE __a END), 1)"
         )
         top = (
-            f"aggregate(array_distinct({g}), "
+            f"aggregate(array_distinct(__g), "
             f"named_struct('c', 0, 'g', CAST(NULL AS STRING)), "
             f"(__a, __d) -> {step})"
         )
-        outs[f"{prefix}_top{int(n)}_frac"] = (
-            f"CASE WHEN {qt} IS NULL THEN CAST(NULL AS DOUBLE) "
-            f"WHEN {nw} = 0 THEN 0.0D "
-            f"ELSE CAST({int(n)} * ({top}).c AS DOUBLE) / {nw} END"
+        outs[f"{prefix}_top{int(n)}_frac"] = wrap(
+            int(n),
+            f"CAST({int(n)} * ({top}).c AS DOUBLE) / size(__w)",
         )
     for n in dup_ns:
-        g = f"__gr_g{int(n)}"
         dup_starts = (
-            f"filter(sequence(0, size({g}) - 1), __i -> "
-            f"size(filter({g}, __x -> __x = element_at({g}, __i + 1))) >= 2)"
+            "filter(sequence(0, size(__g) - 1), __i -> "
+            "size(filter(__g, __x -> __x = element_at(__g, __i + 1))) >= 2)"
         )
         covered = (
             f"array_distinct(flatten(transform({dup_starts}, "
             f"__s -> sequence(__s, __s + {int(n)} - 1))))"
         )
-        outs[f"{prefix}_dup{int(n)}_frac"] = (
-            f"CASE WHEN {qt} IS NULL THEN CAST(NULL AS DOUBLE) "
-            f"WHEN {nw} = 0 OR size({g}) = 0 THEN 0.0D "
-            f"ELSE CAST(size({covered}) AS DOUBLE) / {nw} END"
+        outs[f"{prefix}_dup{int(n)}_frac"] = wrap(
+            int(n),
+            f"CASE WHEN size(__g) = 0 THEN 0.0D "
+            f"ELSE CAST(size({covered}) AS DOUBLE) / size(__w) END",
         )
-    for name, sql in outs.items():
-        staged = staged.withColumn(name, F.expr(sql))
-    return staged.drop(w, *[f"__gr_g{n}" for n in ns])
+    return df.select(
+        "*", *[F.expr(sql).alias(name) for name, sql in outs.items()]
+    )
 
 
 def bigram_logprob(

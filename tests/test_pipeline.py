@@ -1882,3 +1882,77 @@ def test_bigram_logprob_matches_bruteforce(spark):
         assert got[i][1] == pytest.approx(sum(lps) / len(lps), rel=1e-12), i
     # natural order must outscore the scramble built from the same words
     assert got[0][1] > got[1][1]
+
+
+def test_ann_recall_floor_on_bench_config(spark):
+    """The bench's recall block (BENCH_r{N}.json 'recall') must stay
+    meaningful: each approximate index at the bench configuration
+    retrieves a sane fraction of the exact top-10 on the real
+    embeddings table. Floors are deliberately loose — synthetic vectors
+    are near-orthogonal, the worst case for ANN — they exist to catch
+    a quality collapse (recall ~ 0 from a broken index), not to tune."""
+    from nested_pandas_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(emb, qs, k=10)
+
+    def mean_recall(approx):
+        r = sim.recall_at_k(approx, exact).agg(
+            F.avg("recall").alias("r")).collect()[0]["r"]
+        return float(r)
+
+    lsh = mean_recall(sim.lsh_topk(emb, qs, k=10, num_planes=4,
+                                   num_tables=2))
+    ivf = mean_recall(sim.ivf_topk(emb, qs, k=10, n_centroids=8,
+                                   n_probe=3, n_iters=2))
+    pq = mean_recall(sim.pq_topk(emb, qs, k=10, n_sub=4, n_centroids=8,
+                                 refine=4))
+    for name, r in (("lsh", lsh), ("ivf", ivf), ("pq", pq)):
+        assert 0.0 <= r <= 1.0, name
+    # every index must at least find the query's own vector (self-match
+    # is in every bucket/cell/codebook it probes) plus some neighbors
+    assert lsh >= 0.1, lsh
+    assert ivf >= 0.2, ivf
+    assert pq >= 0.1, pq
+
+
+def test_clean_corpus_quality_knobs(spark):
+    """The composed Gopher-stack knobs must equal applying the standalone
+    operators in sequence (gopher_rules pass -> repetition bounds ->
+    bigram-LM floor) before the dedup stages."""
+    import pytest as _pt
+
+    from nested_pandas_spark.pipeline.corpus import clean_corpus
+    from nested_pandas_spark.pipeline.text import (
+        add_text_stats, bigram_logprob, gopher_repetition, gopher_rules)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    kw = dict(min_quality=0.25, num_hashes=8, bands=4, shingle_n=3)
+    gkw = dict(min_words=40, min_mean_word_len=4.3, min_stop_hits=1)
+
+    got = {r["doc_id"] for r in clean_corpus(
+        docs, gopher=gkw, max_repetition={"top2": 0.4, "dup5": 0.3},
+        min_bigram_logprob=-9.0, **kw).select("doc_id").collect()}
+
+    # manual staged composition
+    kept = add_text_stats(docs).where(F.col("quality") >= 0.25)
+    kept = gopher_rules(kept, **gkw)
+    kept = kept.where(F.col("gopher_pass"))
+    kept = gopher_repetition(kept, top_ns=(2,), dup_ns=(5,))
+    kept = kept.where((F.col("gopher_top2_frac") <= 0.4)
+                      & (F.col("gopher_dup5_frac") <= 0.3))
+    lp = bigram_logprob(kept, id_col="doc_id")
+    ok = lp.where(F.col("mean_logp") >= -9.0).select("doc_id")
+    kept = kept.join(ok, "doc_id", "left_semi")
+    # strip the stats/signal columns so clean_corpus's own add_text_stats
+    # doesn't collide with the ones already attached
+    want = {r["doc_id"] for r in clean_corpus(kept.select(*docs.columns), **kw)
+            .select("doc_id").collect()}
+    # clean_corpus(kept) re-applies the (now no-op) quality filter then
+    # runs the same dedup stages over the same surviving set
+    assert got == want and len(got) > 0
+    # knob validation
+    with _pt.raises(ValueError):
+        clean_corpus(docs, max_repetition={"bogus": 0.5}, **kw)
