@@ -427,6 +427,71 @@ def q132_clean_corpus_gopher(spark, sf):
     return out.select("doc_id")
 
 
+def q133_chunk_documents(spark, sf):
+    """Context-window chunking (pipeline/corpus.py chunk_documents):
+    split each doc's whitespace tokens into windows of <= 16 tokens
+    starting every 12 (4-token overlap) — the chunker pack_sequences
+    defers over-length docs to. Pure-HOF projection + explode, zero
+    shuffle. Oracle rebuilds the same exact-int chunk arithmetic with
+    DuckDB list ops."""
+    from nested_pandas_spark.pipeline.corpus import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    out = chunk_documents(docs, max_tokens=16, stride=12)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+def q134_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprints (pipeline/dedup.py winnow_fingerprints;
+    Schleimer et al. SIGMOD 2003): hash word 3-grams, keep the rightmost
+    minimal hash of each 4-hash window, dedup — any shared >= 6-word
+    substring shares a fingerprint. Oracle winnows relationally: grams
+    with positions, window starts, row_number ORDER BY hash ASC, pos
+    DESC per (doc, window), DISTINCT the rank-1 picks."""
+    from nested_pandas_spark.pipeline.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents")
+    out = winnow_fingerprints(docs, k=3, window=4)
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "fp")
+
+
+def q135_quality_bins(spark, sf):
+    """Exact global ntile quality binning (pipeline/corpus.py
+    quality_bins): 5 curriculum bins over a deterministic score
+    (text length), ties broken by doc_id — computed with the
+    distributed prefix-sum (range-partition + per-partition running
+    counts + broadcast offsets), NEVER a single-task global window.
+    Oracle is DuckDB's own ntile(5)."""
+    from nested_pandas_spark.pipeline.corpus import quality_bins
+
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id", F.length("text").cast("double").alias("score"))
+    out = quality_bins(scored, "score", 5)
+    return out.select("doc_id", "score", F.col("bin").cast("int").alias("bin"))
+
+
+def q136_quality_bins_grouped(spark, sf):
+    """Per-group quality binning (quality_bins(by='source')): ntile(3)
+    of text length within each source — the per-domain curriculum
+    variant (window partitioned by group; the global prefix-sum form is
+    the mega-group escape hatch). Oracle: ntile(3) OVER (PARTITION BY
+    source)."""
+    from nested_pandas_spark.pipeline.corpus import quality_bins
+
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id", "source", F.length("text").cast("double").alias("score"))
+    out = quality_bins(scored, "score", 3, by="source")
+    return out.select(
+        "doc_id", "source", "score", F.col("bin").cast("int").alias("bin"))
+
+
 def q30_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
     pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
@@ -2800,6 +2865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_bpe_encode_vocab": q130_bpe_encode_vocab,
         "q131_stream_dedup_against": q131_stream_dedup_against,
         "q132_clean_corpus_gopher": q132_clean_corpus_gopher,
+        "q133_chunk_documents": q133_chunk_documents,
+        "q134_winnow_fingerprints": q134_winnow_fingerprints,
+        "q135_quality_bins": q135_quality_bins,
+        "q136_quality_bins_grouped": q136_quality_bins_grouped,
     }
 
 
@@ -3622,6 +3691,77 @@ def oracle_sql() -> dict[str, str]:
         "q132_clean_corpus_gopher": _clean_corpus_oracle(
             sh3, w, hits["en"],
             extra_ctes=_GOPHER_STACK_CTES, kept="keptb"),
+        # max_tokens=16, stride=12; n_chunks = 1 if n<=16 else
+        # 1 + ceil((n-16)/12); DuckDB list_slice is inclusive [a, b]
+        "q133_chunk_documents": f"""
+            WITH w AS (
+                SELECT doc_id, {w} AS ws FROM documents
+                WHERE text IS NOT NULL
+            ), s AS (
+                SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0
+            ), c AS (
+                SELECT doc_id, ws, n,
+                       unnest(range(0, CASE WHEN n <= 16 THEN 1
+                           ELSE 1 + (n - 16 + 11) // 12 END)) AS cid
+                FROM s
+            )
+            SELECT doc_id, cid AS chunk_id,
+                   least(16, n - cid * 12) AS n_tokens,
+                   array_to_string(list_slice(ws, CAST(cid * 12 + 1 AS INT),
+                       CAST(cid * 12 + least(16, n - cid * 12) AS INT)),
+                       ' ') AS chunk_text
+            FROM c
+        """,
+        # k=3, window=4: per (doc, window-start) pick min hash, rightmost
+        # on ties; m = n_grams; short docs (< window grams) use one window
+        "q134_winnow_fingerprints": f"""
+            WITH w AS (
+                SELECT doc_id, {w} AS ws FROM documents
+                WHERE text IS NOT NULL
+            ), g AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+                       substr(md5(array_to_string(list_slice(ws,
+                           CAST(i AS INT), CAST(i + 2 AS INT)), ' ')),
+                           1, 8) AS h,
+                       CAST(len(ws) - 2 AS BIGINT) AS m
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, len(ws) - 1)) AS i
+                      FROM w WHERE len(ws) >= 3)
+            ), wins AS (
+                SELECT DISTINCT doc_id, m,
+                       unnest(range(0, greatest(m - 4, 0) + 1)) AS s
+                FROM g
+            ), cand AS (
+                SELECT v.doc_id, v.s, g.p, g.h,
+                       row_number() OVER (PARTITION BY v.doc_id, v.s
+                           ORDER BY g.h ASC, g.p DESC) AS rn
+                FROM wins v JOIN g
+                  ON g.doc_id = v.doc_id
+                 AND g.p >= v.s AND g.p < least(v.s + 4, v.m)
+            )
+            SELECT DISTINCT doc_id, p AS pos, h AS fp
+            FROM cand WHERE rn = 1
+        """,
+        "q135_quality_bins": """
+            WITH s AS (
+                SELECT doc_id, CAST(length(text) AS DOUBLE) AS score
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, score,
+                   ntile(5) OVER (ORDER BY score, doc_id) AS bin
+            FROM s
+        """,
+        "q136_quality_bins_grouped": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       CAST(length(text) AS DOUBLE) AS score
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, source, score,
+                   ntile(3) OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) AS bin
+            FROM s
+        """,
         "q30_embedding_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             b AS (

@@ -33,6 +33,8 @@ from .text import add_text_stats, token_count, word_ngrams
 
 __all__ = [
     "assign_shards",
+    "chunk_documents",
+    "quality_bins",
     "dsir_weights",
     "dsir_sample",
     "boilerplate_ngrams",
@@ -935,3 +937,145 @@ def dsir_sample(
         .orderBy(F.col("dsir_logw").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's whitespace tokens into context-window chunks
+    of at most ``max_tokens``, starting every ``stride`` tokens — the
+    chunker that :func:`pack_sequences`'s docstring defers over-length
+    documents to (GPT-style pretraining prep: chunk long docs, then pack
+    the chunks).
+
+    ``stride`` defaults to ``max_tokens`` (disjoint chunks); a smaller
+    stride overlaps consecutive chunks by ``max_tokens - stride`` tokens
+    (the standard sliding-window trick so no span near a boundary is lost
+    to truncation). Every token appears in at least one chunk; the last
+    chunk of a document may be shorter. Empty/NULL documents produce no
+    chunks.
+
+    Output: ``(id_col, chunk_id, n_tokens, chunk_text)`` with ``chunk_id``
+    counting from 0 per document.
+
+    Scale shape: one pure-HOF projection plus an explode — zero shuffle,
+    embarrassingly parallel, text bytes never leave their partition. All
+    chunk arithmetic is exact int64 (``DIV``, no float rounding at any
+    corpus size).
+    """
+    max_tokens = int(max_tokens)
+    stride = max_tokens if stride is None else int(stride)
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not (1 <= stride <= max_tokens):
+        raise ValueError(
+            f"stride must be in [1, max_tokens], got {stride}")
+    qt = "`" + text_col.replace("`", "``") + "`"
+    w_sql = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t != '')"
+    n_chunks = (
+        f"CASE WHEN size(__w) <= {max_tokens} THEN 1 "
+        f"ELSE 1 + (size(__w) - {max_tokens} + {stride} - 1) DIV {stride} "
+        f"END"
+    )
+    chunk = (
+        f"named_struct("
+        f"'chunk_id', __c, "
+        f"'n_tokens', least({max_tokens}, size(__w) - __c * {stride}), "
+        f"'chunk_text', array_join(slice(__w, CAST(__c * {stride} + 1 AS INT), "
+        f"{max_tokens}), ' '))"
+    )
+    chunks = (
+        f"CASE WHEN {qt} IS NULL OR size({w_sql}) = 0 THEN "
+        f"CAST(array() AS array<struct<chunk_id: bigint, n_tokens: bigint, "
+        f"chunk_text: string>>) ELSE "
+        f"element_at(transform(array({w_sql}), __w -> "
+        f"transform(sequence(0, {n_chunks} - 1), __c -> {chunk})), 1) END"
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.expr(chunks)).alias("__ch"))
+        .select(
+            F.col(id_col),
+            F.col("__ch.chunk_id").alias("chunk_id"),
+            F.col("__ch.n_tokens").alias("n_tokens"),
+            F.col("__ch.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def quality_bins(
+    docs: DataFrame,
+    score_col: str,
+    n_bins: int,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    ascending: bool = True,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Assign each document an exact quantile bin of ``score_col`` —
+    ``bin`` in 1..n_bins with ANSI ``ntile`` semantics (bucket sizes
+    differ by at most one; earlier buckets take the remainder) — the
+    curriculum/quality-binning step of a data-ordering pipeline
+    (e.g. train on high-quality bins first, or mix bins at fixed rates).
+
+    Ties broken deterministically by ``id_col``. ``ascending=False``
+    puts the highest scores in bin 1. NULL scores raise at runtime
+    (filter them first — a NULL has no quantile).
+
+    Scale shape: the global variant computes exact row numbers with the
+    same distributed prefix-sum :func:`pack_sequences` uses (range-
+    partition on (score, id), per-partition running counts, driver-side
+    offsets over one tiny row per partition) — a global ``ntile() OVER
+    (ORDER BY score)`` would funnel the corpus through ONE task; this
+    never does. Only (id, score) pairs shuffle; the bin map joins back
+    to the input by id. With ``by=`` the window partitions per group
+    (fine when every group fits an executor — mega-group skew wants the
+    global form per group instead). ``checkpoint=`` as in
+    :func:`pack_sequences`.
+    """
+    n_bins = int(n_bins)
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    sc = F.col(score_col)
+    if by is not None:
+        w = Window.partitionBy(by).orderBy(
+            sc.asc() if ascending else sc.desc(), F.col(id_col).asc()
+        )
+        return docs.withColumn(
+            "bin",
+            F.when(sc.isNull(), F.expr(
+                "raise_error('quality_bins: NULL score')"))
+            .otherwise(F.ntile(n_bins).over(w)),
+        )
+    order = F.struct(
+        (sc if ascending else -sc).alias("s"), F.col(id_col).alias("i")
+    )
+    starts = _stream_starts(docs.select(
+        F.col(id_col),
+        F.when(sc.isNull(), F.expr(
+            "raise_error('quality_bins: NULL score')")).otherwise(sc)
+        .alias(score_col),
+    ), id_col, F.lit(1), order, checkpoint=checkpoint)
+    total = int(starts.agg(
+        F.max(F.col("__start") + F.col("__sz")).alias("t")
+    ).collect()[0]["t"])
+    # exact ANSI ntile from the 0-based global row index: the first
+    # (total % n) buckets take ceil(total/n) rows, the rest floor —
+    # remainders FRONT-LOADED (floor(rn0*n/total) would spread them
+    # evenly and disagree with every SQL engine's ntile)
+    q, r = total // n_bins, total % n_bins
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    bin_sql = (
+        f"CASE WHEN __start < {big} THEN __start DIV {q + 1} "
+        f"ELSE {r} + (__start - {big}) DIV {max(q, 1)} END"
+    )
+    bins = starts.select(
+        F.col(id_col).alias("__qb_id"),
+        (F.expr(bin_sql).cast("int") + 1).alias("bin"),
+    )
+    return docs.join(
+        bins, on=docs[id_col] == bins["__qb_id"], how="inner"
+    ).drop("__qb_id")

@@ -38,6 +38,7 @@ __all__ = [
     "semantic_dedup",
     "connected_components",
     "resolve_duplicates",
+    "winnow_fingerprints",
 ]
 
 
@@ -1110,4 +1111,75 @@ def dedup_passages(
         F.when(F.col("__text").isNull(), F.lit(0).cast("long")).otherwise(
             (F.col("__n") - F.size(F.expr(kept))).cast("long")
         ).alias("n_removed"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkinson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, then
+    in each sliding window of ``window`` consecutive hashes keep the
+    minimum (rightmost occurrence on ties), deduplicated. The selected
+    (position, hash) pairs are the document's fingerprint set — the
+    guarantee is any shared substring of at least ``k + window - 1``
+    words produces at least one shared fingerprint, at ~2/(window+1)
+    sampling density.
+
+    Output: one row per selected fingerprint ``(id_col, pos, fp)`` where
+    ``pos`` is the 0-based k-gram position and ``fp`` an 8-hex-digit hash
+    (``substr(md5(gram),1,8)`` — engine-portable: any total order works
+    for winnowing, and fixed-width hex compares identically as a string
+    everywhere). Documents with fewer than ``k`` words yield no rows;
+    fewer than ``window`` k-grams winnow over the single short window.
+
+    Scale shape: one pure-HOF projection (token array, hash array, and
+    per-window argmin scans all let-bound so Catalyst inlining can't
+    re-evaluate them — see gopher_repetition) plus an explode. Zero
+    shuffle; text never leaves its partition. Downstream matching joins
+    on ``fp`` — hash-only shuffle, the same shape as exact-substring
+    dedup (`dedup_passages`).
+    """
+    k, window = int(k), int(window)
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    qt = "`" + text_col.replace("`", "``") + "`"
+    w_sql = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t != '')"
+    grams = (
+        f"CASE WHEN size(__w) >= {k} THEN "
+        f"transform(sequence(0, size(__w) - {k}), "
+        f"__i -> substring(md5(array_join(slice(__w, __i + 1, {k}), ' ')), 1, 8)) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    # per-window argmin, rightmost on ties: scanning j ascending and
+    # replacing on <= leaves the rightmost minimal hash
+    argmin = (
+        f"aggregate(sequence(__s, least(__s + {window}, size(__h)) - 1), "
+        f"named_struct('pos', CAST(-1 AS BIGINT), 'fp', CAST(NULL AS STRING)), "
+        f"(__a, __j) -> CASE WHEN __a.fp IS NULL "
+        f"OR element_at(__h, CAST(__j + 1 AS INT)) <= __a.fp "
+        f"THEN named_struct('pos', __j, 'fp', element_at(__h, CAST(__j + 1 AS INT))) "
+        f"ELSE __a END)"
+    )
+    fps = (
+        f"CASE WHEN {qt} IS NULL THEN "
+        f"CAST(array() AS array<struct<pos: bigint, fp: string>>) ELSE "
+        f"element_at(transform(array({w_sql}), __w -> "
+        f"element_at(transform(array({grams}), __h -> "
+        f"CASE WHEN size(__h) = 0 THEN "
+        f"CAST(array() AS array<struct<pos: bigint, fp: string>>) ELSE "
+        f"array_distinct(transform(sequence(0, greatest(size(__h) - {window}, 0)), "
+        f"__s -> {argmin})) END), 1)), 1) END"
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.expr(fps)).alias("__fp"))
+        .select(
+            F.col(id_col),
+            F.col("__fp.pos").alias("pos"),
+            F.col("__fp.fp").alias("fp"),
+        )
     )

@@ -1956,3 +1956,142 @@ def test_clean_corpus_quality_knobs(spark):
     # knob validation
     with _pt.raises(ValueError):
         clean_corpus(docs, max_repetition={"bogus": 0.5}, **kw)
+
+
+def test_chunk_documents_bruteforce(spark):
+    """chunk_documents must reproduce the exact sliding-window chunking:
+    every token covered, stride overlap, short-last-chunk, and empty/NULL
+    docs dropped."""
+    import pytest as _pt
+
+    from nested_pandas_spark.pipeline.corpus import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    MAX, STRIDE = 16, 12
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+           for r in chunk_documents(docs, MAX, STRIDE).collect()}
+    want = {}
+    for row in docs.select("doc_id", "text").collect():
+        t = row["text"]
+        if t is None:
+            continue
+        w = [x for x in t.lower().split() if x]
+        n = len(w)
+        if n == 0:
+            continue
+        nch = 1 if n <= MAX else 1 + -(-(n - MAX) // STRIDE)
+        for c in range(nch):
+            s = c * STRIDE
+            want[(row["doc_id"], c)] = (min(MAX, n - s),
+                                        " ".join(w[s:s + MAX]))
+    assert got == want
+    # disjoint default stride; edge shapes
+    e = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, None), (4, "x")],
+        "doc_id long, text string")
+    rows = chunk_documents(e, 2).orderBy("doc_id", "chunk_id").collect()
+    assert [(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in rows] == [
+        (1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (4, 0, "x")]
+    with _pt.raises(ValueError):
+        chunk_documents(e, 4, stride=5)
+    with _pt.raises(ValueError):
+        chunk_documents(e, 0)
+
+
+def test_winnow_fingerprints_bruteforce(spark):
+    """winnow_fingerprints must equal a direct Python implementation of
+    Schleimer et al.'s winnowing (rightmost minimal hash per window,
+    deduplicated) and honor the shared-substring guarantee."""
+    import hashlib
+
+    from nested_pandas_spark.pipeline.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    K, W = 3, 4
+    got = {(r["doc_id"], r["pos"], r["fp"])
+           for r in winnow_fingerprints(docs, K, W).collect()}
+    want = set()
+    for row in docs.select("doc_id", "text").collect():
+        t = row["text"]
+        if t is None:
+            continue
+        w = [x for x in t.lower().split() if x]
+        if len(w) < K:
+            continue
+        hs = [hashlib.md5(" ".join(w[i:i + K]).encode()).hexdigest()[:8]
+              for i in range(len(w) - K + 1)]
+        m = len(hs)
+        for s in range(max(m - W, 0) + 1):
+            best_p, best_h = -1, None
+            for j in range(s, min(s + W, m)):
+                if best_h is None or hs[j] <= best_h:
+                    best_p, best_h = j, hs[j]
+            want.add((row["doc_id"], best_p, best_h))
+    assert got == want and len(got) > 0
+    # guarantee: docs sharing a >= k+window-1 word substring share a fp
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    d2 = spark.createDataFrame(
+        [(1, "xx yy " + a), (2, a + " qq rr")], "doc_id long, text string")
+    f = winnow_fingerprints(d2, K, W).collect()
+    s1 = {r["fp"] for r in f if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in f if r["doc_id"] == 2}
+    assert s1 & s2
+
+
+def test_quality_bins_matches_ntile(spark):
+    """quality_bins' distributed prefix-sum binning must equal SQL
+    ntile exactly (remainder buckets front-loaded), for bin counts that
+    do and don't divide the row count, grouped and descending too."""
+    import pytest as _pt
+
+    from nested_pandas_spark.pipeline.corpus import quality_bins
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id", "source", F.length("text").cast("double").alias("score"))
+    for nb in (4, 7):
+        got = {r["doc_id"]: r["bin"]
+               for r in quality_bins(scored, "score", nb).collect()}
+        ora = {r["doc_id"]: r["b"] for r in scored.selectExpr(
+            "doc_id",
+            f"ntile({nb}) OVER (ORDER BY score, doc_id) AS b").collect()}
+        assert got == ora, nb
+    gotg = {r["doc_id"]: r["bin"] for r in
+            quality_bins(scored, "score", 3, by="source").collect()}
+    orag = {r["doc_id"]: r["b"] for r in scored.selectExpr(
+        "doc_id",
+        "ntile(3) OVER (PARTITION BY source ORDER BY score, doc_id) AS b"
+    ).collect()}
+    assert gotg == orag
+    gd = {r["doc_id"]: r["bin"] for r in
+          quality_bins(scored, "score", 3, ascending=False).collect()}
+    od = {r["doc_id"]: r["b"] for r in scored.selectExpr(
+        "doc_id",
+        "ntile(3) OVER (ORDER BY score DESC, doc_id) AS b").collect()}
+    assert gd == od
+    with _pt.raises(ValueError):
+        quality_bins(scored, "score", 0)
+
+
+def test_gopher_repetition_filter_no_blowup(spark):
+    """Regression: consuming the repetition signals in a .where() makes
+    Catalyst inline them into the Filter predicate; the let-bound
+    formulation must keep that evaluation O(n^2) per doc. The staged-
+    column formulation this replaced took 20+ CPU-minutes on this shape
+    (gram arrays re-evaluated per window position)."""
+    import time
+
+    from nested_pandas_spark.pipeline.text import gopher_repetition
+
+    big = " ".join(["lorem ipsum dolor sit amet"] * 120)  # 600 words
+    pdf = spark.createDataFrame(
+        [(i, big) for i in range(200)], "doc_id long, text string")
+    t0 = time.time()
+    n = (gopher_repetition(pdf, top_ns=(2,), dup_ns=(5,))
+         .where((F.col("gopher_top2_frac") <= 0.4)
+                & (F.col("gopher_dup5_frac") <= 0.3)).count())
+    took = time.time() - t0
+    assert n == 0  # maximally repetitive: everything filtered
+    assert took < 120, took
