@@ -628,6 +628,56 @@ def main() -> int:
         )[:500],
     ))
 
+    # -- 25. chunk_documents / winnow_fingerprints: zero shuffle ------------
+    from nested_pandas_spark.pipeline.corpus import chunk_documents, quality_bins
+    from nested_pandas_spark.pipeline.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p25a = explain_str(chunk_documents(docs, 64, 48))
+    p25b = explain_str(winnow_fingerprints(docs, k=3, window=4))
+    check("chunk_documents zero shuffle", "Exchange" not in p25a,
+          "chunker plans an Exchange")
+    check("winnow_fingerprints zero shuffle", "Exchange" not in p25b,
+          "winnowing plans an Exchange")
+    sections.append((
+        "Chunking & winnowing: pure projection + generate, zero Exchange",
+        "Both operators are one let-bound HOF projection followed by an "
+        "explode — text bytes never leave their partition; downstream "
+        "matching shuffles only the 8-hex fingerprints.",
+        "\n".join(
+            ln.strip() for ln in (p25a + p25b).splitlines()
+            if "Generate" in ln or "Exchange" in ln or "Scan" in ln
+        )[:500],
+    ))
+
+    # -- 26. quality_bins: global ntile WITHOUT a single-task window --------
+    scored = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.length("text").cast("double").alias("score"))
+    p26 = explain_str(quality_bins(scored, "score", 5))
+    check(
+        "quality_bins no global window",
+        "Exchange SinglePartition" not in p26,
+        "global ntile funnels through one partition",
+    )
+    check(
+        "quality_bins range partitioning",
+        "rangepartitioning" in p26 or "REPARTITION_BY_NUM" in p26
+        or "Exchange range" in p26,
+        "prefix sum not range-partitioned",
+    )
+    sections.append((
+        "quality_bins: exact global ntile via distributed prefix sum",
+        "The global row index comes from range-partitioned per-partition "
+        "running counts plus broadcast driver offsets — no `ntile() OVER "
+        "(ORDER BY ...)` single-task Exchange anywhere in the plan; only "
+        "(id, score) pairs shuffle. The join back to the input is id-keyed "
+        "(broadcast at this toy scale; a co-partitioned hash join at 100 TB).",
+        "\n".join(
+            ln.strip() for ln in p26.splitlines()
+            if "Exchange" in ln or "Window" in ln or "Join" in ln
+        )[:500],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",

@@ -220,6 +220,45 @@ def main() -> int:
             from nested_pandas_spark.pipeline.text import bpe_pair_stats
             bpe_pair_stats(t(d, "documents"), top_k=50).count()
 
+        def chunker():
+            from nested_pandas_spark.pipeline.corpus import chunk_documents
+            chunk_documents(t(d, "documents"), 64, 48).count()
+
+        def winnow():
+            from nested_pandas_spark.pipeline.dedup import winnow_fingerprints
+            winnow_fingerprints(t(d, "documents"), k=3, window=4).count()
+
+        def qbins():
+            # global path: the distributed prefix-sum (range partition +
+            # driver offsets) — the part that must NOT become a
+            # single-task window at scale
+            from nested_pandas_spark.pipeline.corpus import quality_bins
+            docs = t(d, "documents").where(F.col("text").isNotNull())
+            scored = docs.select(
+                "doc_id", F.col("n_chars").cast("double").alias("score"))
+            quality_bins(scored, "score", 10).groupBy("bin").count().count()
+
+        def align_explode_mega():
+            # skewed MEGA-CELLS (user_id % 5) through the explode engine:
+            # per-cell nearest-time alignment must stay linear where the
+            # HOF engine's O(n_left*n_right) per cell would blow up
+            from nested_pandas_spark import nest_align, pack
+            ev = t(d, "events")
+            nanos = dict(ev.dtypes)["ts"] == "bigint"
+            tol = 21_600 * (10**9 if nanos else 10**6)
+            base = ev.select((F.col("user_id") % 5).alias("k"),
+                             "event_id", "ts", "value", "event_type")
+            a = pack(base.where(F.col("event_type") == "click")
+                     .select("k", "event_id", "ts", "value"),
+                     "a", on="k", sort_within=["ts"])
+            b = pack(base.where(F.col("event_type") == "error")
+                     .select("k", "ts", "value"),
+                     "b", on="k", sort_within=["ts"])
+            both = a.join(b.select("k", "b"), "k", "inner")
+            nest_align(both, "a", "b", "ts", "value", tolerance=tol,
+                       engine="explode").select(
+                F.sum(F.size("a"))).collect()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -240,6 +279,10 @@ def main() -> int:
             "periodogram": pgram,
             "dedup_passages": passages,
             "bpe_pair_stats": bpe_pairs,
+            "chunk_documents": chunker,
+            "winnow_fingerprints": winnow,
+            "quality_bins": qbins,
+            "align_explode_mega": align_explode_mega,
         }
 
     # warm-up
