@@ -492,6 +492,35 @@ def q136_quality_bins_grouped(spark, sf):
         "doc_id", "source", "score", F.col("bin").cast("int").alias("bin"))
 
 
+def q137_winnow_near_pairs(spark, sf):
+    """MOSS matching step (pipeline/dedup.py winnow_near_pairs): doc
+    pairs sharing >= 2 distinct winnowing fingerprints, with the share
+    count — substring-overlap near-dup detection complementary to
+    MinHash. Oracle extends q134's winnowing chain with DISTINCT
+    (doc, fp), a fingerprint self-join, and HAVING count >= 2."""
+    from nested_pandas_spark.pipeline.dedup import winnow_near_pairs
+
+    docs = _t(spark, sf, "documents")
+    out = winnow_near_pairs(docs, k=3, window=4, min_shared=2)
+    return out.select(
+        "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
+
+
+def q138_ivfpq_topk(spark, sf):
+    """IVF+PQ composed ANN (pipeline/similarity.py ivfpq_topk — the
+    FAISS IVFx,PQy shape): 8 cosine-refined IVF cells (2 Lloyd rounds),
+    3-probe; PQ 4x8 codebooks (2 squared-L2 Lloyd rounds) ADC scan
+    inside the probed cells only; exact re-rank of 4*k. Rank-only
+    output (float policy as q22). Oracle composes q31's IVF CTEs with
+    q39's PQ CTEs."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    out = sim.ivfpq_topk(emb, q, k=3, n_centroids=8, n_probe=3, n_sub=4,
+                         pq_centroids=8, refine=4, n_iters=2, pq_iters=2)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
 def q30_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
     pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
@@ -2869,6 +2898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_winnow_fingerprints": q134_winnow_fingerprints,
         "q135_quality_bins": q135_quality_bins,
         "q136_quality_bins_grouped": q136_quality_bins_grouped,
+        "q137_winnow_near_pairs": q137_winnow_near_pairs,
+        "q138_ivfpq_topk": q138_ivfpq_topk,
     }
 
 
@@ -3761,6 +3792,106 @@ def oracle_sql() -> dict[str, str]:
                    ntile(3) OVER (PARTITION BY source
                                   ORDER BY score, doc_id) AS bin
             FROM s
+        """,
+        # q134's winnowing chain -> DISTINCT (doc, fp) -> posting
+        # self-join -> HAVING shared >= 2
+        "q137_winnow_near_pairs": f"""
+            WITH w AS (
+                SELECT doc_id, {w} AS ws FROM documents
+                WHERE text IS NOT NULL
+            ), g AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+                       substr(md5(array_to_string(list_slice(ws,
+                           CAST(i AS INT), CAST(i + 2 AS INT)), ' ')),
+                           1, 8) AS h,
+                       CAST(len(ws) - 2 AS BIGINT) AS m
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, len(ws) - 1)) AS i
+                      FROM w WHERE len(ws) >= 3)
+            ), wins AS (
+                SELECT DISTINCT doc_id, m,
+                       unnest(range(0, greatest(m - 4, 0) + 1)) AS s
+                FROM g
+            ), cand AS (
+                SELECT v.doc_id, v.s, g.p, g.h,
+                       row_number() OVER (PARTITION BY v.doc_id, v.s
+                           ORDER BY g.h ASC, g.p DESC) AS rn
+                FROM wins v JOIN g
+                  ON g.doc_id = v.doc_id
+                 AND g.p >= v.s AND g.p < least(v.s + 4, v.m)
+            ), sel AS (
+                SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM sel a JOIN sel b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+        """,
+        # q31's IVF CTEs (cosine assignment, 3-probe) composed with
+        # q39's PQ CTEs (squared-L2 codes, ADC over reconstructions
+        # restricted to the probed cells), exact re-rank of 12
+        "q138_ivfpq_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            {ivf_km},
+            {pq_km},
+            assign AS (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           {_dd_cos('e.v', 'c.cv')} DESC, c.cid ASC) AS rn
+                FROM e, {ivf_cent} c
+            ),
+            cvec AS (SELECT vec_id AS neighbor_id, cid
+                     FROM assign WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, v AS qv, cid
+                       FROM assign WHERE rn <= 3 AND vec_id < 10),
+            codes AS (
+                SELECT e.vec_id, b.s, b.cid,
+                       row_number() OVER (PARTITION BY e.vec_id, b.s
+                           ORDER BY list_sum(list_transform(range(0, 16), i ->
+                               (e.v[b.s * 16 + i + 1] - b.cv[i + 1])
+                               * (e.v[b.s * 16 + i + 1] - b.cv[i + 1])))
+                               ASC, b.cid ASC) AS rn
+                FROM e, {pq_books} b
+                QUALIFY rn = 1
+            ),
+            recon AS (
+                SELECT c.vec_id,
+                       flatten(list(b.cv ORDER BY c.s)) AS rv
+                FROM codes c JOIN {pq_books} b ON b.s = c.s AND b.cid = c.cid
+                GROUP BY c.vec_id
+            ),
+            adc AS (
+                SELECT p.query_id, c.neighbor_id,
+                       list_sum(list_transform(range(0, 64), i ->
+                           (p.qv[i + 1] - r.rv[i + 1])
+                           * (p.qv[i + 1] - r.rv[i + 1]))) AS d2
+                FROM probes p
+                JOIN cvec c USING (cid)
+                JOIN recon r ON r.vec_id = c.neighbor_id
+                WHERE c.neighbor_id <> p.query_id
+            ),
+            cand AS (
+                SELECT query_id, neighbor_id
+                FROM adc
+                QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY d2 ASC, neighbor_id ASC) <= 12
+            ),
+            exact AS (
+                SELECT c.query_id, c.neighbor_id,
+                       list_sum(list_transform(range(0, 64), i ->
+                           (eq.v[i + 1] - en.v[i + 1])
+                           * (eq.v[i + 1] - en.v[i + 1]))) AS d2
+                FROM cand c
+                JOIN e eq ON eq.vec_id = c.query_id
+                JOIN e en ON en.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM exact
+            QUALIFY rank <= 3
         """,
         "q30_embedding_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -39,6 +39,7 @@ __all__ = [
     "connected_components",
     "resolve_duplicates",
     "winnow_fingerprints",
+    "winnow_near_pairs",
 ]
 
 
@@ -1182,4 +1183,59 @@ def winnow_fingerprints(
             F.col("__fp.pos").alias("pos"),
             F.col("__fp.fp").alias("fp"),
         )
+    )
+
+
+def winnow_near_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing fingerprints
+    (the MOSS matching step over :func:`winnow_fingerprints`): pairs of
+    documents sharing at least ``min_shared`` DISTINCT selected
+    fingerprints, with the share count. Winnowing's guarantee makes this
+    a substring-overlap detector — any common run of ``k + window - 1``
+    words is caught — complementary to MinHash (whole-document Jaccard)
+    and exact-substring dedup (fixed-width passages).
+
+    Output: ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    Scale shape: fingerprints (8-hex strings) shuffle, text never; pairs
+    enumerate only within a fingerprint's posting list — the classic
+    blocked similarity join. A fingerprint shared by p documents
+    contributes O(p^2) pairs, so corpus-wide boilerplate makes a posting
+    quadratic — ``max_posting`` (>= 2) drops any fingerprint shared by
+    more than that many documents (boilerplate this common is better
+    handled by strip_boilerplate_lines first; the same valve and caveat
+    as :func:`fuzzy_pairs`).
+    """
+    min_shared = int(min_shared)
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_posting is not None and int(max_posting) < 2:
+        raise ValueError(f"max_posting must be >= 2, got {max_posting}")
+    fps = (
+        winnow_fingerprints(docs, k=k, window=window,
+                            id_col=id_col, text_col=text_col)
+        .select(F.col(id_col), "fp").distinct()
+    )
+    if max_posting is not None:
+        ok = (fps.groupBy("fp")
+              .agg(F.count(F.lit(1)).alias("__df"))
+              .where(F.col("__df") <= int(max_posting))
+              .select("fp"))
+        fps = fps.join(ok, "fp", "left_semi")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )

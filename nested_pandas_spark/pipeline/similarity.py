@@ -23,7 +23,7 @@ __all__ = [
     "random_projection",
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
-    "pq_codebooks", "pq_encode", "pq_decode", "pq_topk",
+    "pq_codebooks", "pq_encode", "pq_decode", "pq_topk", "ivfpq_topk",
     "knn_join", "recall_at_k", "semantic_decontaminate",
 ]
 
@@ -1024,3 +1024,92 @@ def semantic_decontaminate(
             F.col("max_bench_sim") >= F.lit(float(threshold)), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    pq_centroids: int = 8,
+    refine: int = 4,
+    n_iters: int = 0,
+    pq_iters: int = 0,
+) -> DataFrame:
+    """IVF + PQ composed ANN — the standard billion-scale index shape
+    (FAISS ``IVFx,PQy``; Jégou et al. 2011): the inverted file prunes
+    WHICH rows are scanned (each query touches ~n_probe/n_centroids of
+    the corpus) and product quantization prunes WHAT is read per row
+    (n_sub code bytes instead of the raw vector). ADC scoring runs
+    against PQ reconstructions inside the probed cells only; the
+    ``refine * k`` survivors per query are re-ranked exactly. Output
+    (query_id, neighbor_id, rank) by ascending exact squared-L2 —
+    the same contract as :func:`pq_topk`.
+
+    This non-residual formulation (codes quantize the raw vectors, not
+    the cell residuals) keeps every stage replayable by the oracle; at
+    ingest the corpus would store ``centroid_id`` + ``pq_code``
+    (pq_encode + the IVF assignment) so the search never touches raw
+    vectors until the final re-rank of ~refine*k rows per query.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids, pq_iters)
+    c = pq_encode(corpus, cbs, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_decode(F.col("pq_code"), cbs).alias("__recon"),
+        _nearest_centroids(
+            F.col(vec_col).cast("array<double>"), cents, 1
+        )[0].alias("__cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.explode(
+            _nearest_centroids(F.col(vec_col).cast("array<double>"), cents,
+                               n_probe)
+        ).alias("__cid"),
+    )
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    # each corpus row lives in exactly ONE cell, so the probe join yields
+    # each (query, neighbor) pair at most once — no dedup needed
+    adc = (
+        c.join(F.broadcast(q), on="__cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-l2sq(F.col("__qv"), F.col("__recon"))).alias("cos_sim"),
+        )
+    )
+    cand = _per_query_topk(adc, refine * k).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    exact = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("__cv"),
+            ),
+            on="neighbor_id",
+        )
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-l2sq(F.col("__qv"), F.col("__cv"))).alias("cos_sim"),
+        )
+    )
+    return _per_query_topk(exact, k).select("query_id", "neighbor_id", "rank")

@@ -2095,3 +2095,92 @@ def test_gopher_repetition_filter_no_blowup(spark):
     took = time.time() - t0
     assert n == 0  # maximally repetitive: everything filtered
     assert took < 120, took
+
+
+def test_winnow_near_pairs_bruteforce(spark):
+    """winnow_near_pairs must equal counting shared distinct fingerprints
+    between every doc pair; max_posting drops over-shared fingerprints."""
+    import hashlib
+    from collections import defaultdict
+
+    import pytest as _pt
+
+    from nested_pandas_spark.pipeline.dedup import winnow_near_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    K, W = 3, 4
+    sets = defaultdict(set)
+    for row in docs.select("doc_id", "text").collect():
+        t = row["text"]
+        if t is None:
+            continue
+        w = [x for x in t.lower().split() if x]
+        if len(w) < K:
+            continue
+        hs = [hashlib.md5(" ".join(w[i:i + K]).encode()).hexdigest()[:8]
+              for i in range(len(w) - K + 1)]
+        m = len(hs)
+        for s in range(max(m - W, 0) + 1):
+            best = None
+            for j in range(s, min(s + W, m)):
+                if best is None or hs[j] <= best:
+                    best = hs[j]
+            sets[row["doc_id"]].add(best)
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n >= 2:
+                want[(a, b)] = n
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in winnow_near_pairs(docs, K, W, min_shared=2).collect()}
+    assert got == want and len(got) > 0
+    # max_posting: a fingerprint shared by > p docs contributes nothing
+    df = sets  # fingerprint doc-frequencies
+    freq = defaultdict(int)
+    for s in df.values():
+        for h in s:
+            freq[h] += 1
+    keep = {h for h, c in freq.items() if c <= 3}
+    want_p = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(sets[a] & sets[b] & keep)
+            if n >= 2:
+                want_p[(a, b)] = n
+    got_p = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_near_pairs(docs, K, W, min_shared=2,
+                                        max_posting=3).collect()}
+    assert got_p == want_p
+    with _pt.raises(ValueError):
+        winnow_near_pairs(docs, K, W, min_shared=0)
+    with _pt.raises(ValueError):
+        winnow_near_pairs(docs, K, W, max_posting=1)
+
+
+def test_ivfpq_topk_full_probe_equals_pq(spark):
+    """With every cell probed and the same codebooks, IVF adds no pruning
+    — ivfpq_topk must return exactly pq_topk's answer. And at the bench
+    configuration the composed index must keep a sane recall floor."""
+    from nested_pandas_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 8)
+    full = sim.ivfpq_topk(emb, qs, k=3, n_centroids=4, n_probe=4,
+                          n_sub=4, pq_centroids=8, refine=4, pq_iters=1)
+    ref = sim.pq_topk(emb, qs, k=3, n_sub=4, n_centroids=8, refine=4,
+                      n_iters=1)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in full.collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ref.collect()}
+    assert got == want and len(got) > 0
+    # pruned config still finds a sane fraction of the exact top-10
+    exact = sim.brute_force_topk(emb, qs, k=10)
+    approx = sim.ivfpq_topk(emb, qs, k=10, n_centroids=8, n_probe=3,
+                            n_sub=4, pq_centroids=8, refine=4,
+                            n_iters=2, pq_iters=2)
+    r = sim.recall_at_k(approx, exact).agg(
+        F.avg("recall").alias("r")).collect()[0]["r"]
+    assert 0.05 <= r <= 1.0, r
