@@ -521,6 +521,52 @@ def q138_ivfpq_topk(spark, sf):
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q139_ivfpq_store(spark, sf):
+    """The MATERIALIZED IVF+PQ index through the gate
+    (sources/ivf_store.py write_ivfpq_index/ivfpq_search): embeddings
+    written partitioned by refined-centroid id WITH per-row PQ codes and
+    a centroids+codebooks sidecar; search probes 3 cells via a literal
+    partition filter, ADC-scans only (id, pq_code), and exact-reranks.
+    Same centroids, codebooks, probes, and rerank math as q138, so the
+    oracle is q138's SQL — the storage path computes exactly the inline
+    answer."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.sources.ivf_store import (
+        ivfpq_search,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    d = tempfile.mkdtemp(prefix="q139_ivfpq_")
+    try:
+        write_ivfpq_index(emb, d, n_centroids=8, n_iters=2, n_sub=4,
+                          pq_centroids=8, pq_iters=2)
+        out = ivfpq_search(spark, d, q, k=3, n_probe=3, refine=4)
+        out = out.select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q140_sample_per_group(spark, sf):
+    """Deterministic exact-n per-group sampling (pipeline/corpus.py
+    sample_per_group): the 20 rows with the smallest md5(seed:id) per
+    source — reproducible eval-set carving, computed with a two-stage
+    tournament (no mega-group single-task window). Oracle replays the
+    hash ranking with a plain window."""
+    from nested_pandas_spark.pipeline.corpus import sample_per_group
+
+    docs = _t(spark, sf, "documents")
+    out = sample_per_group(docs, "source", 20, seed=42)
+    return out.select("doc_id", "source")
+
+
 def q30_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
     pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
@@ -2900,6 +2946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_quality_bins_grouped": q136_quality_bins_grouped,
         "q137_winnow_near_pairs": q137_winnow_near_pairs,
         "q138_ivfpq_topk": q138_ivfpq_topk,
+        "q139_ivfpq_store": q139_ivfpq_store,
+        "q140_sample_per_group": q140_sample_per_group,
     }
 
 
@@ -3828,6 +3876,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 2
+        """,
+        "q140_sample_per_group": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY md5('42:' || doc_id::VARCHAR),
+                                    doc_id) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 20
         """,
         # q31's IVF CTEs (cosine assignment, 3-probe) composed with
         # q39's PQ CTEs (squared-L2 codes, ADC over reconstructions
@@ -5834,4 +5892,7 @@ def oracle_sql() -> dict[str, str]:
     # q56 drives the materialized IVF store; its relational answer is
     # q31's by construction (same centroids, probes, rerank)
     out["q56_ivf_store"] = out["q31_ivf_topk"]
+    # q139 drives the materialized IVF+PQ store; its relational answer is
+    # q138's by construction (same centroids, codebooks, probes, rerank)
+    out["q139_ivfpq_store"] = out["q138_ivfpq_topk"]
     return out

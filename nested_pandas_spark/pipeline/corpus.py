@@ -35,6 +35,7 @@ __all__ = [
     "assign_shards",
     "chunk_documents",
     "quality_bins",
+    "sample_per_group",
     "dsir_weights",
     "dsir_sample",
     "boilerplate_ngrams",
@@ -1079,3 +1080,52 @@ def quality_bins(
     return docs.join(
         bins, on=docs[id_col] == bins["__qb_id"], how="inner"
     ).drop("__qb_id")
+
+
+def sample_per_group(
+    docs: DataFrame,
+    by: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic EXACT-``n`` sample per group: keep the ``n`` rows
+    with the smallest ``md5(seed:id)`` within each ``by`` group — the
+    reproducible counterpart of per-group reservoir sampling
+    (:func:`stratified_sample` gives Bernoulli *fractions*; this gives
+    exact counts, e.g. "200 eval docs per source", and any engine
+    replays the selection bit-for-bit from the same seed).
+
+    Groups with fewer than ``n`` rows keep everything. Output: the
+    selected input rows, original columns.
+
+    Scale shape: a two-stage tournament (the :func:`_per_query_topk`
+    trick) — stage 1 ranks within (group, salt) slices so a mega-group
+    never funnels through one task; only the <= n-per-slice survivors
+    reach the per-group final window. Exact top-n is invariant under
+    the tournament. The hash ranks 32-hex strings: engine-portable,
+    no float rounding anywhere.
+    """
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from ..session import default_parallelism
+
+    buckets = default_parallelism(docs.sparkSession) * 4
+    h = F.md5(F.concat_ws(":", F.lit(str(int(seed))),
+                          F.col(id_col).cast("string")))
+    order = [h.asc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(F.col(by), F.col("__salt")).orderBy(*order)
+    pre = (
+        docs.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= n)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(F.col(by)).orderBy(*order)
+    return (
+        pre.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

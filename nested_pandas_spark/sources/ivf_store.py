@@ -31,7 +31,8 @@ from ..pipeline.similarity import (
     ivf_centroids,
 )
 
-__all__ = ["write_ivf_index", "read_ivf_centroids", "ivf_search"]
+__all__ = ["write_ivf_index", "read_ivf_centroids", "ivf_search",
+           "write_ivfpq_index", "read_ivfpq_meta", "ivfpq_search"]
 
 _SIDECAR = "_ivf_centroids.json"
 
@@ -120,3 +121,129 @@ def ivf_search(
         )
     )
     return _per_query_topk(scored, k)
+
+
+_PQ_SIDECAR = "_ivfpq_meta.json"
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    n_sub: int = 4,
+    pq_centroids: int = 8,
+    pq_iters: int = 0,
+    mode: str = "overwrite",
+):
+    """Write an IVF+PQ index: corpus parquet partitioned by centroid id
+    (planning-time partition pruning, as :func:`write_ivf_index`) with the
+    PQ code stored per row. The raw vector column is kept for the exact
+    re-rank, but the ADC scan phase selects only (id, pq_code) — parquet
+    column pruning keeps the hot scan at ~n_sub bytes/row, the IVFx,PQy
+    memory story at rest. Centroids AND codebooks persist in an
+    underscore-prefixed sidecar. Returns (centroids, codebooks).
+    """
+    from ..pipeline.similarity import pq_codebooks, pq_encode
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids, pq_iters)
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        pq_encode(corpus, cbs, vec_col)
+        .withColumn("__cid", _nearest_centroids(vec, cents, 1)[0])
+        .repartition(F.col("__cid"))
+        .write.mode(mode)
+        .partitionBy("__cid")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _PQ_SIDECAR), "w") as f:
+        json.dump({
+            "centroids": [[cid, cv] for cid, cv in cents],
+            "codebooks": cbs,
+        }, f)
+    return cents, cbs
+
+
+def read_ivfpq_meta(path: str):
+    with open(os.path.join(path, _PQ_SIDECAR)) as f:
+        data = json.load(f)
+    cents = [(int(cid), list(map(float, cv))) for cid, cv in data["centroids"]]
+    cbs = [[list(map(float, cv)) for cv in cb] for cb in data["codebooks"]]
+    return cents, cbs
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_ivfpq_index` store —
+    identical math (and output) to
+    :func:`~nested_pandas_spark.pipeline.similarity.ivfpq_topk`, but the
+    inverted file and codes are read, not recomputed: probed cells become
+    a literal partition filter (files never opened outside the probe
+    set), the ADC scan projects only (id, pq_code), and the exact re-rank
+    re-reads just the candidate rows' vectors from the same pruned slice.
+    """
+    from ..pipeline.similarity import pq_decode
+
+    cents, cbs = read_ivfpq_meta(path)
+    vec = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec.alias("__qv"),
+        F.explode(_nearest_centroids(vec, cents, n_probe)).alias("__cid"),
+    )
+    probe_cids = sorted(
+        {r["__cid"] for r in q.select("__cid").distinct().collect()})
+    store = spark.read.parquet(path).where(F.col("__cid").isin(probe_cids))
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    # ADC phase: only (id, code, partition col) leave the scan
+    codes = store.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_decode(F.col("pq_code"), cbs).alias("__recon"),
+        F.col("__cid").cast("long").alias("__cid"),
+    )
+    adc = (
+        codes.join(F.broadcast(q), on="__cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-l2sq(F.col("__qv"), F.col("__recon"))).alias("cos_sim"),
+        )
+    )
+    cand = _per_query_topk(adc, refine * k).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), vec.alias("__qv"))
+    exact = (
+        cand.join(
+            store.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("__cv"),
+            ),
+            on="neighbor_id",
+        )
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-l2sq(F.col("__qv"), F.col("__cv"))).alias("cos_sim"),
+        )
+    )
+    return _per_query_topk(exact, k).select("query_id", "neighbor_id", "rank")

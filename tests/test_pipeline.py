@@ -2184,3 +2184,77 @@ def test_ivfpq_topk_full_probe_equals_pq(spark):
     r = sim.recall_at_k(approx, exact).agg(
         F.avg("recall").alias("r")).collect()[0]["r"]
     assert 0.05 <= r <= 1.0, r
+
+
+def test_ivfpq_store_matches_inline(spark, tmp_path):
+    """ivfpq_search over a materialized IVF+PQ index returns exactly what
+    inline ivfpq_topk computes with the same centroids and codebooks, and
+    the scan prunes non-probed partitions at planning time."""
+    from nested_pandas_spark.sources.ivf_store import (
+        ivfpq_search,
+        read_ivfpq_meta,
+        write_ivfpq_index,
+    )
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 6)
+    path = str(tmp_path / "ivfpq_index")
+    cents, cbs = write_ivfpq_index(
+        emb, path, n_centroids=4, n_iters=2, n_sub=4, pq_centroids=8,
+        pq_iters=1)
+    rc, rb = read_ivfpq_meta(path)
+    assert rc == cents and rb == cbs
+
+    inline = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.ivfpq_topk(
+            emb, q, k=3, n_centroids=4, n_probe=2, n_sub=4,
+            pq_centroids=8, refine=4, n_iters=2, pq_iters=1
+        ).collect()
+    }
+    stored = ivfpq_search(spark, path, q, k=3, n_probe=2, refine=4)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in stored.collect()
+    }
+    assert got == inline and len(got) > 0
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__cid" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_sample_per_group_exact_and_deterministic(spark):
+    """sample_per_group must pick exactly the n smallest md5(seed:id)
+    rows per group (tournament == plain window), keep short groups
+    whole, and change the selection with the seed."""
+    import hashlib
+
+    import pytest as _pt
+
+    from nested_pandas_spark.pipeline.corpus import sample_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "source").collect()
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["source"]].append(r["doc_id"])
+    N = 7
+    want = set()
+    for src, ids in groups.items():
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(f"42:{i}".encode()).hexdigest(), i))
+        want |= {(i, src) for i in ranked[:N]}
+    got = {(r["doc_id"], r["source"]) for r in
+           sample_per_group(docs, "source", N, seed=42).collect()}
+    assert got == want
+    # short groups survive whole
+    tiny = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    assert sample_per_group(tiny, "source", 5).count() == 3
+    # seed changes the pick
+    got2 = {(r["doc_id"], r["source"]) for r in
+            sample_per_group(docs, "source", N, seed=43).collect()}
+    assert got2 != got
+    with _pt.raises(ValueError):
+        sample_per_group(docs, "source", 0)
