@@ -509,6 +509,32 @@ def main() -> None:
 
     bench_extra("lightcurve_features", x_lc_features)
 
+    def x_ivfpq():
+        # the composed IVFx,PQy index: coarse pruning + code-space ADC +
+        # exact rerank — the realistic billion-scale ANN shape
+        emb = t("embeddings")
+        q = emb.where(F.col("vec_id") < 10)
+        return sim.ivfpq_topk(emb, q, k=5, n_centroids=8, n_probe=3,
+                              n_sub=4, pq_centroids=8, refine=4,
+                              n_iters=1, pq_iters=1).count()
+
+    bench_extra("ivfpq_topk", x_ivfpq)
+
+    def x_winnow():
+        # MOSS winnowing fingerprints + shared-fingerprint pair matching
+        return dd.winnow_near_pairs(
+            t("documents"), k=3, window=4, min_shared=2,
+            max_posting=64).count()
+
+    bench_extra("winnow_near_pairs", x_winnow)
+
+    def x_chunk():
+        from nested_pandas_spark.pipeline.corpus import chunk_documents
+        return chunk_documents(t("documents"), 64, 48).select(
+            F.count("*"), F.sum("n_tokens")).collect()
+
+    bench_extra("chunk_documents", x_chunk)
+
     # headline total stays the round-1..3 query set so round-over-round
     # totals compare; the bucketed variants are reported per-query + ratio
     headline = [q for q in queries if not q.endswith("_bucketed")]

@@ -1060,9 +1060,12 @@ def quality_bins(
             "raise_error('quality_bins: NULL score')")).otherwise(sc)
         .alias(score_col),
     ), id_col, F.lit(1), order, checkpoint=checkpoint)
-    total = int(starts.agg(
+    raw_total = starts.agg(
         F.max(F.col("__start") + F.col("__sz")).alias("t")
-    ).collect()[0]["t"])
+    ).collect()[0]["t"]
+    if raw_total is None:  # empty input: empty output, schema intact
+        return docs.withColumn("bin", F.lit(None).cast("int"))
+    total = int(raw_total)
     # exact ANSI ntile from the 0-based global row index: the first
     # (total % n) buckets take ceil(total/n) rows, the rest floor —
     # remainders FRONT-LOADED (floor(rn0*n/total) would spread them

@@ -2258,3 +2258,12 @@ def test_sample_per_group_exact_and_deterministic(spark):
     assert got2 != got
     with _pt.raises(ValueError):
         sample_per_group(docs, "source", 0)
+
+
+def test_quality_bins_empty_input(spark):
+    """Empty input yields an empty frame with the bin column attached."""
+    from nested_pandas_spark.pipeline.corpus import quality_bins
+
+    e = spark.createDataFrame([], "doc_id long, score double")
+    out = quality_bins(e, "score", 4)
+    assert out.count() == 0 and "bin" in out.columns
