@@ -247,6 +247,36 @@ def main() -> None:
                        bucket=half_hour)
     print("click/signup half-hour overlaps:", ov.count())
 
+    # -- 12j. training-data prep: chunk, bin, sample, fingerprint -----------
+    from nested_pandas_spark.pipeline.corpus import (
+        chunk_documents,
+        quality_bins,
+        sample_per_group,
+    )
+    from nested_pandas_spark.pipeline.dedup import winnow_near_pairs
+
+    docs2 = docs.where(F.col("text").isNotNull())
+    chunks = chunk_documents(docs2, max_tokens=64, stride=48)
+    print("context-window chunks (64/48):", chunks.count())
+    binned = quality_bins(
+        docs2.select("doc_id", F.length("text").cast("double").alias("score")),
+        "score", 5)
+    print("curriculum bins:",
+          sorted((r["bin"], r["count"]) for r in
+                 binned.groupBy("bin").count().collect()))
+    eval_set = sample_per_group(docs2, "source", 5, seed=7)
+    print("deterministic eval sample (5/source):", eval_set.count())
+    overlaps = winnow_near_pairs(docs2, k=3, window=4, min_shared=2)
+    print("winnowing substring-overlap pairs:", overlaps.count())
+
+    # -- 12k. composed IVF+PQ ANN (the FAISS IVFx,PQy shape) ----------------
+    from nested_pandas_spark.pipeline.similarity import ivfpq_topk
+
+    hits = ivfpq_topk(emb, emb.where(F.col("vec_id") < 3), k=3,
+                      n_centroids=4, n_probe=2, n_sub=4, pq_centroids=8,
+                      refine=4)
+    print("ivf+pq neighbors:", hits.count())
+
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
 

@@ -228,6 +228,13 @@ def main() -> int:
             from nested_pandas_spark.pipeline.dedup import winnow_fingerprints
             winnow_fingerprints(t(d, "documents"), k=3, window=4).count()
 
+        def winnow_pairs():
+            # posting-list pair join with the boilerplate valve — the join
+            # volume must scale with the data, not quadratically
+            from nested_pandas_spark.pipeline.dedup import winnow_near_pairs
+            winnow_near_pairs(t(d, "documents"), k=3, window=4,
+                              min_shared=2, max_posting=64).count()
+
         def qbins():
             # global path: the distributed prefix-sum (range partition +
             # driver offsets) — the part that must NOT become a
@@ -281,6 +288,7 @@ def main() -> int:
             "bpe_pair_stats": bpe_pairs,
             "chunk_documents": chunker,
             "winnow_fingerprints": winnow,
+            "winnow_near_pairs": winnow_pairs,
             "quality_bins": qbins,
             "align_explode_mega": align_explode_mega,
         }
