@@ -567,6 +567,22 @@ def q140_sample_per_group(spark, sf):
     return out.select("doc_id", "source")
 
 
+def q141_filter_paragraphs(spark, sf):
+    """CCNet-style paragraph-grain LM filtering (pipeline/corpus.py
+    filter_paragraphs; Wenzek et al. 2020): self-modelled paragraph
+    bigram LM, paragraphs below the -3.47 floor dropped, survivors
+    reassembled in order (unscorable paragraphs kept). The floor sits
+    between the corpus' 1% and 5% score quantiles — away from the score
+    mass, so engine summation-order ulps can't flip a keep/drop.
+    Oracle replays the paragraph split, the bigram model, and the
+    ordered string_agg reassembly."""
+    from nested_pandas_spark.pipeline.corpus import filter_paragraphs
+
+    docs = _t(spark, sf, "documents")
+    out = filter_paragraphs(docs, -3.47)
+    return out.select("doc_id", "text", "n_paras_removed")
+
+
 def q30_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
     pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
@@ -2948,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_ivfpq_topk": q138_ivfpq_topk,
         "q139_ivfpq_store": q139_ivfpq_store,
         "q140_sample_per_group": q140_sample_per_group,
+        "q141_filter_paragraphs": q141_filter_paragraphs,
     }
 
 
@@ -3876,6 +3893,59 @@ def oracle_sql() -> dict[str, str]:
               ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 2
+        """,
+        "q141_filter_paragraphs": """
+            WITH pr AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+                       ps[CAST(i AS INT)] AS para
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ps,
+                             unnest(range(1, len(string_split(text, chr(10)))
+                                             + 1)) AS i
+                      FROM documents WHERE text IS NOT NULL)
+            ), ptoks AS (
+                SELECT doc_id, idx,
+                       list_filter(string_split_regex(lower(para), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM pr
+            ), pbg AS (
+                SELECT doc_id, idx, w[CAST(i AS INT)] AS w1,
+                       w[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT doc_id, idx, w, unnest(range(1, len(w))) AS i
+                      FROM ptoks WHERE len(w) >= 2)
+            ), pbc AS (
+                SELECT w1, w2, count(*) AS c12 FROM pbg GROUP BY w1, w2
+            ), pcc AS (
+                SELECT w1, count(*) AS c1 FROM pbg GROUP BY w1
+            ), pvv AS (
+                SELECT count(DISTINCT t) AS V
+                FROM (SELECT unnest(w) AS t FROM ptoks)
+            ), psc AS (
+                SELECT g.doc_id, g.idx,
+                       avg(ln((coalesce(pbc.c12, 0) + 1.0)
+                              / (coalesce(pcc.c1, 0)
+                                 + 1.0 * ((SELECT V FROM pvv) + 1)))) AS lp
+                FROM pbg g
+                LEFT JOIN pbc USING (w1, w2)
+                LEFT JOIN pcc USING (w1)
+                GROUP BY g.doc_id, g.idx
+            ), flg AS (
+                SELECT p.doc_id, p.idx, p.para,
+                       (psc.lp IS NULL OR psc.lp >= -3.47) AS kp
+                FROM pr p LEFT JOIN psc
+                  ON psc.doc_id = p.doc_id AND psc.idx = p.idx
+            ), agg AS (
+                SELECT doc_id,
+                       coalesce(string_agg(CASE WHEN kp THEN para END,
+                           chr(10) ORDER BY idx), '') AS new_text,
+                       CAST(sum(CASE WHEN kp THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_paras_removed
+                FROM flg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE agg.new_text END AS text,
+                   coalesce(agg.n_paras_removed, 0) AS n_paras_removed
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "q140_sample_per_group": """
             WITH r AS (

@@ -41,6 +41,7 @@ __all__ = [
     "boilerplate_ngrams",
     "clean_corpus",
     "decontaminate",
+    "filter_paragraphs",
     "dedup_lines",
     "mixture_weights",
     "pack_segments",
@@ -1131,4 +1132,101 @@ def sample_per_group(
         pre.withColumn("__rn", F.row_number().over(w2))
         .where(F.col("__rn") <= n)
         .drop("__rn")
+    )
+
+
+def filter_paragraphs(
+    docs: DataFrame,
+    min_logprob: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    model_docs: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style PARAGRAPH-grain LM filtering (Wenzek et al. 2020 —
+    the step the doc-level ``min_bigram_logprob`` knob of
+    :func:`clean_corpus` approximates): split each document on ``sep``,
+    score every paragraph with a bigram LM trained on the model corpus'
+    paragraphs (default: the input's own — self-modelled), DROP
+    paragraphs whose mean bigram log-prob falls below ``min_logprob``,
+    and reassemble the survivors in original order.
+
+    Paragraphs too short to score (fewer than 2 tokens — headings,
+    blank lines) are KEPT: an unscorable paragraph is structure, not
+    evidence of noise. A document whose every paragraph drops keeps an
+    empty string; NULL text stays NULL with 0 removed.
+
+    Output: the input columns with ``text_col`` rewritten, plus
+    ``n_paras_removed``.
+
+    Scale shape: paragraphs move through the bigram model's count
+    shuffles as (surrogate id, paragraph) rows; reassembly is ONE
+    text-grain groupBy (the same budget as strip_boilerplate_lines).
+    No Python anywhere.
+    """
+    from .text import bigram_logprob
+
+    pat = re.escape(sep)
+    c = F.col(text_col)
+
+    def paras(df: DataFrame) -> DataFrame:
+        return (
+            df.where(c.isNotNull())
+            .select(
+                F.col(id_col),
+                F.posexplode(F.split(c, pat)).alias("__idx", "__para"),
+            )
+        )
+
+    p = paras(docs)
+    pf = p.select(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col("__idx").cast("string")
+        ).alias("__ppid"),
+        F.col("__para"),
+    )
+    mf = pf if model_docs is None else paras(model_docs).select("__para")
+    scores = bigram_logprob(
+        pf, id_col="__ppid", text_col="__para", model_docs=mf, alpha=alpha
+    ).select("__ppid", "mean_logp")
+    keep = (
+        F.col("mean_logp").isNull()
+        | (F.col("mean_logp") >= float(min_logprob))
+    )
+    flagged = (
+        p.withColumn(
+            "__ppid",
+            F.concat_ws(":", F.col(id_col).cast("string"),
+                        F.col("__idx").cast("string")),
+        )
+        .join(scores, "__ppid")
+        .withColumn("__keep", keep)
+    )
+    # collect_list skips the NULLs the failed CASE leaves, array_sort
+    # orders by __idx (unique per doc) — reassembly preserves order
+    agg = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__keep"),
+                           F.struct(F.col("__idx"), F.col("__para"))))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("__new_text"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1))
+        .cast("long").alias("__n_removed"),
+    )
+    joined = docs.join(agg, id_col, "left")
+    out_cols = [
+        (F.when(c.isNull(), F.lit(None).cast("string"))
+         .otherwise(F.col("__new_text")).alias(text_col))
+        if name == text_col else F.col(name)
+        for name in docs.columns
+    ]
+    return joined.select(
+        *out_cols,
+        F.coalesce(F.col("__n_removed"), F.lit(0).cast("long"))
+        .alias("n_paras_removed"),
     )

@@ -2267,3 +2267,74 @@ def test_quality_bins_empty_input(spark):
     e = spark.createDataFrame([], "doc_id long, score double")
     out = quality_bins(e, "score", 4)
     assert out.count() == 0 and "bin" in out.columns
+
+
+def test_filter_paragraphs_bruteforce(spark):
+    """filter_paragraphs must equal a direct Python replay of the
+    paragraph-grain bigram LM (model over paragraphs: cross-boundary
+    bigrams excluded), with unscorable paragraphs kept, order preserved,
+    and NULL/empty/all-dropped docs handled."""
+    import math
+    from collections import Counter
+
+    from nested_pandas_spark.pipeline.corpus import filter_paragraphs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    FLOOR = -3.44
+    got = {r["doc_id"]: (r["text"], r["n_paras_removed"])
+           for r in filter_paragraphs(docs, FLOOR).collect()}
+
+    rows = docs.select("doc_id", "text").collect()
+
+    def toks(s):
+        return [t for t in s.lower().split() if t]
+
+    bg, ctx, vocab = Counter(), Counter(), set()
+    for r in rows:
+        if r["text"] is None:
+            continue
+        for p in r["text"].split("\n"):
+            w = toks(p)
+            vocab.update(w)
+            for a, b in zip(w, w[1:]):
+                bg[(a, b)] += 1
+                ctx[a] += 1
+    V = len(vocab)
+    want, total_removed = {}, 0
+    for r in rows:
+        if r["text"] is None:
+            want[r["doc_id"]] = (None, 0)
+            continue
+        kept, removed = [], 0
+        for p in r["text"].split("\n"):
+            w = toks(p)
+            if len(w) < 2:
+                kept.append(p)
+                continue
+            lps = [math.log((bg[(a, b)] + 1.0) / (ctx[a] + 1.0 * (V + 1)))
+                   for a, b in zip(w, w[1:])]
+            if sum(lps) / len(lps) >= FLOOR:
+                kept.append(p)
+            else:
+                removed += 1
+        want[r["doc_id"]] = ("\n".join(kept), removed)
+        total_removed += removed
+    assert got == want
+    assert total_removed > 0  # the floor must actually bite
+
+    # NULL + empty + scrambled-paragraph edges, reference-corpus model:
+    # the model knows 'good text flows nicely'; its reversal has only
+    # unseen bigrams and must fall below the floor while the in-model
+    # paragraph survives
+    model = spark.createDataFrame(
+        [(i, "good text flows nicely") for i in range(20)],
+        "doc_id long, text string")
+    e = spark.createDataFrame(
+        [(1, None), (2, ""),
+         (3, "good text flows nicely\nnicely flows text good")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_paras_removed"])
+           for r in filter_paragraphs(e, -1.0, model_docs=model).collect()}
+    assert out[1] == (None, 0)
+    assert out[2] == ("", 0)
+    assert out[3] == ("good text flows nicely", 1)
