@@ -268,6 +268,10 @@ def main() -> None:
     print("deterministic eval sample (5/source):", eval_set.count())
     overlaps = winnow_near_pairs(docs2, k=3, window=4, min_shared=2)
     print("winnowing substring-overlap pairs:", overlaps.count())
+    from nested_pandas_spark.pipeline.corpus import filter_paragraphs
+    cleaned = filter_paragraphs(docs, -3.47)
+    print("paragraphs removed by LM floor:",
+          cleaned.agg(F.sum("n_paras_removed")).collect()[0][0])
 
     # -- 12k. composed IVF+PQ ANN (the FAISS IVFx,PQy shape) ----------------
     from nested_pandas_spark.pipeline.similarity import ivfpq_topk

@@ -2338,3 +2338,31 @@ def test_filter_paragraphs_bruteforce(spark):
     assert out[1] == (None, 0)
     assert out[2] == ("", 0)
     assert out[3] == ("good text flows nicely", 1)
+
+
+def test_chunk_documents_param_grid(spark):
+    """Chunk arithmetic parity across a grid of (max_tokens, stride)
+    shapes — tiny windows, full overlap, degenerate one-token docs."""
+    from nested_pandas_spark.pipeline.corpus import chunk_documents
+
+    texts = [
+        (1, "a"), (2, "a b"), (3, "a b c d e f g"), (4, " ".join("w%d" % i for i in range(23))),
+        (5, "  x   y  "), (6, None), (7, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for mx, st in [(1, 1), (2, 1), (3, 2), (5, 5), (7, 3)]:
+        got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+               for r in chunk_documents(df, mx, st).collect()}
+        want = {}
+        for did, t in texts:
+            if t is None:
+                continue
+            w = [x for x in t.lower().split() if x]
+            n = len(w)
+            if n == 0:
+                continue
+            nch = 1 if n <= mx else 1 + -(-(n - mx) // st)
+            for c in range(nch):
+                s = c * st
+                want[(did, c)] = (min(mx, n - s), " ".join(w[s:s + mx]))
+        assert got == want, (mx, st)

@@ -245,6 +245,11 @@ def main() -> int:
                 "doc_id", F.col("n_chars").cast("double").alias("score"))
             quality_bins(scored, "score", 10).groupBy("bin").count().count()
 
+        def filter_paras():
+            from nested_pandas_spark.pipeline.corpus import filter_paragraphs
+            filter_paragraphs(t(d, "documents"), -3.47).select(
+                F.sum("n_paras_removed")).collect()
+
         def align_explode_mega():
             # skewed MEGA-CELLS (user_id % 5) through the explode engine:
             # per-cell nearest-time alignment must stay linear where the
@@ -290,6 +295,7 @@ def main() -> int:
             "winnow_fingerprints": winnow,
             "winnow_near_pairs": winnow_pairs,
             "quality_bins": qbins,
+            "filter_paragraphs": filter_paras,
             "align_explode_mega": align_explode_mega,
         }
 
