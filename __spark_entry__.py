@@ -583,6 +583,23 @@ def q141_filter_paragraphs(spark, sf):
     return out.select("doc_id", "text", "n_paras_removed")
 
 
+def q142_winnow_dedup(spark, sf):
+    """End-to-end winnowing near-dup REMOVAL: MOSS pairs (>= 8 shared
+    fingerprints — substring-level evidence) -> connected components ->
+    keep each group's smallest id (pipeline/dedup.py winnow_near_pairs +
+    resolve_duplicates). The substring-overlap counterpart of q29's
+    Jaccard pipeline. Oracle: q137's chain with HAVING >= 8 feeding the
+    recursive-CTE components."""
+    from nested_pandas_spark.pipeline.dedup import (
+        resolve_duplicates,
+        winnow_near_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = winnow_near_pairs(docs, k=3, window=4, min_shared=8)
+    return resolve_duplicates(docs, pairs, "doc_id").select("doc_id")
+
+
 def q30_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
     pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
@@ -2965,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_ivfpq_store": q139_ivfpq_store,
         "q140_sample_per_group": q140_sample_per_group,
         "q141_filter_paragraphs": q141_filter_paragraphs,
+        "q142_winnow_dedup": q142_winnow_dedup,
     }
 
 
@@ -3956,6 +3974,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source FROM r WHERE rn <= 20
+        """,
+        "q142_winnow_dedup": f"""
+            WITH RECURSIVE w AS (
+                SELECT doc_id, {w} AS ws FROM documents
+                WHERE text IS NOT NULL
+            ), g AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+                       substr(md5(array_to_string(list_slice(ws,
+                           CAST(i AS INT), CAST(i + 2 AS INT)), ' ')),
+                           1, 8) AS h,
+                       CAST(len(ws) - 2 AS BIGINT) AS m
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, len(ws) - 1)) AS i
+                      FROM w WHERE len(ws) >= 3)
+            ), wins AS (
+                SELECT DISTINCT doc_id, m,
+                       unnest(range(0, greatest(m - 4, 0) + 1)) AS s
+                FROM g
+            ), cand AS (
+                SELECT v.doc_id, v.s, g.p, g.h,
+                       row_number() OVER (PARTITION BY v.doc_id, v.s
+                           ORDER BY g.h ASC, g.p DESC) AS rn
+                FROM wins v JOIN g
+                  ON g.doc_id = v.doc_id
+                 AND g.p >= v.s AND g.p < least(v.s + 4, v.m)
+            ), sel AS (
+                SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1
+            ), wp AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sel a JOIN sel b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING count(*) >= 8
+            ), {_cc_sql("wp").strip().lstrip()}
+            SELECT d.doc_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+            WHERE c.c IS NULL OR c.c = d.doc_id
         """,
         # q31's IVF CTEs (cosine assignment, 3-probe) composed with
         # q39's PQ CTEs (squared-L2 codes, ADC over reconstructions

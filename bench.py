@@ -344,6 +344,11 @@ def main() -> None:
             sim.pq_topk(emb_r, qs_r, k=10, n_sub=4, n_centroids=8,
                         refine=4),
             exact10),
+        "ivfpq@10": _mean_recall(
+            sim.ivfpq_topk(emb_r, qs_r, k=10, n_centroids=8, n_probe=3,
+                           n_sub=4, pq_centroids=8, refine=4,
+                           n_iters=1, pq_iters=1),
+            exact10),
     }
 
     # -- beyond-reference extras: timed for visibility, kept OUT of the
