@@ -600,6 +600,51 @@ def q142_winnow_dedup(spark, sf):
     return resolve_duplicates(docs, pairs, "doc_id").select("doc_id")
 
 
+def q143_train_classifier(spark, sf):
+    """Distributed TRAINING of a quality classifier
+    (pipeline/classifier.py train_quality_classifier): full-batch logistic
+    regression over md5-hashed bag-of-words presence features,
+    label = (lang = 'en'), 2 epochs, lr 1.0. The gate value-checks the
+    TRAINED WEIGHTS — the oracle replays the whole unrolled GD loop in
+    SQL, which is possible because full-batch GD from w=0 is
+    deterministic (no sampling, no order dependence)."""
+    from nested_pandas_spark.pipeline.classifier import (
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "__y", (F.col("lang") == "en").cast("int")
+    )
+    wdf = train_quality_classifier(docs, "__y", dim=32, epochs=2, lr=1.0)
+    return wdf.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("weight", 6).alias("w_r6"),
+    )
+
+
+def q144_classifier_filter(spark, sf):
+    """Train-then-filter end to end (pipeline/classifier.py): the q143
+    classifier scores every document (broadcast weight join + per-doc dot
+    product, sigmoid) and thresholds at 0.5 — the classifier-filtering
+    stage GPT-3/LLaMA-style pipelines run over the whole crawl. Oracle
+    extends q143's unrolled-GD CTE chain with the scoring pass."""
+    from nested_pandas_spark.pipeline.classifier import (
+        classifier_score,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "__y", (F.col("lang") == "en").cast("int")
+    )
+    wdf = train_quality_classifier(docs, "__y", dim=32, epochs=2, lr=1.0)
+    scored = classifier_score(docs, wdf, dim=32, threshold=0.5)
+    return scored.select(
+        "doc_id",
+        F.round("clf_score", 6).alias("score_r6"),
+        F.col("clf_score_keep").alias("keep"),
+    )
+
+
 def q30_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
     pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
@@ -2983,6 +3028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_sample_per_group": q140_sample_per_group,
         "q141_filter_paragraphs": q141_filter_paragraphs,
         "q142_winnow_dedup": q142_winnow_dedup,
+        "q143_train_classifier": q143_train_classifier,
+        "q144_classifier_filter": q144_classifier_filter,
     }
 
 
@@ -3440,10 +3487,49 @@ _BPE_TRAIN_CTES = """ws AS (
             )"""
 
 
+def _gd_ctes(epochs: int, lr: float) -> tuple[str, str]:
+    """Unrolled full-batch logistic-regression gradient descent as a DuckDB
+    CTE chain — the oracle replica of pipeline/classifier.py
+    train_quality_classifier. Expects the caller to define CTEs
+    ``feats(doc_id, bucket, x)``, ``labels(doc_id, y)`` and ``nn(n)``.
+    Returns (cte_sql, final_weights_cte). w0 is an empty relation (zero
+    vector via COALESCE), so every epoch unrolls identically; full-batch
+    GD has no discrete decisions, so raw doubles replay across engines to
+    ~1e-12 and the gate's round-to-6 output is exact."""
+    parts = [
+        "gw0 AS (SELECT CAST(NULL AS INT) AS bucket, "
+        "CAST(NULL AS DOUBLE) AS w WHERE false)"
+    ]
+    for it in range(1, epochs + 1):
+        prev = f"gw{it - 1}"
+        parts.append(f"""gm{it} AS (
+                SELECT f.doc_id, sum(COALESCE(pw.w, 0) * f.x) AS m
+                FROM feats f LEFT JOIN {prev} pw USING (bucket)
+                GROUP BY f.doc_id
+            )""")
+        parts.append(f"""gr{it} AS (
+                SELECT l.doc_id,
+                       1.0 / (1.0 + exp(-COALESCE(m.m, 0))) - l.y AS r
+                FROM labels l LEFT JOIN gm{it} m USING (doc_id)
+            )""")
+        parts.append(f"""gg{it} AS (
+                SELECT f.bucket, sum(r.r * f.x) / nn.n AS g
+                FROM feats f JOIN gr{it} r USING (doc_id), nn
+                GROUP BY f.bucket, nn.n
+            )""")
+        parts.append(f"""gw{it} AS (
+                SELECT COALESCE(pw.bucket, g.bucket) AS bucket,
+                       COALESCE(pw.w, 0) - {lr!r} * COALESCE(g.g, 0) AS w
+                FROM {prev} pw FULL JOIN gg{it} g USING (bucket)
+            )""")
+    return ", ".join(parts), f"gw{epochs}"
+
+
 def oracle_sql() -> dict[str, str]:
     # unrolled deterministic k-means refinements (q31 IVF / q39 PQ)
     ivf_km, ivf_cent = _kmeans_cos_ctes(2, 8)
     pq_km, pq_books = _pq_kmeans_ctes(2, 8, 4, 16)
+    gd2, gdw = _gd_ctes(2, 1.0)
     sh3 = _shingles(3)
     sh2 = _shingles(2)
     w = _WORDS
@@ -3974,6 +4060,57 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source FROM r WHERE rn <= 20
+        """,
+        "q143_train_classifier": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({w}) AS term FROM documents
+            ), bf AS (
+                SELECT DISTINCT doc_id,
+                       CAST(({h32.format(x='term')}) % 32 AS INT) AS bucket
+                FROM toks
+            ), feats AS (
+                SELECT doc_id, bucket, CAST(1.0 AS DOUBLE) AS x FROM bf
+                UNION ALL
+                SELECT doc_id, CAST(-1 AS INT), CAST(1.0 AS DOUBLE)
+                FROM documents
+            ), labels AS (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM documents WHERE lang IS NOT NULL
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM labels
+            ), {gd2}
+            SELECT CAST(bucket AS BIGINT) AS bucket, round(w, 6) AS w_r6
+            FROM {gdw}
+        """,
+        "q144_classifier_filter": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({w}) AS term FROM documents
+            ), bf AS (
+                SELECT DISTINCT doc_id,
+                       CAST(({h32.format(x='term')}) % 32 AS INT) AS bucket
+                FROM toks
+            ), feats AS (
+                SELECT doc_id, bucket, CAST(1.0 AS DOUBLE) AS x FROM bf
+                UNION ALL
+                SELECT doc_id, CAST(-1 AS INT), CAST(1.0 AS DOUBLE)
+                FROM documents
+            ), labels AS (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM documents WHERE lang IS NOT NULL
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM labels
+            ), {gd2}, sm AS (
+                SELECT f.doc_id, sum(COALESCE(fw.w, 0) * f.x) AS m
+                FROM feats f LEFT JOIN {gdw} fw USING (bucket)
+                GROUP BY f.doc_id
+            )
+            SELECT d.doc_id,
+                   round(1.0 / (1.0 + exp(-COALESCE(sm.m, 0))), 6)
+                       AS score_r6,
+                   (1.0 / (1.0 + exp(-COALESCE(sm.m, 0))) >= 0.5) AS keep
+            FROM documents d LEFT JOIN sm USING (doc_id)
         """,
         "q142_winnow_dedup": f"""
             WITH RECURSIVE w AS (
