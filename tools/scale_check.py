@@ -271,6 +271,15 @@ def main() -> int:
                        engine="explode").select(
                 F.sum(F.size("a"))).collect()
 
+        def train_clf():
+            from nested_pandas_spark.pipeline.classifier import (
+                train_quality_classifier,
+            )
+            labeled = t(d, "documents").withColumn(
+                "y", (F.col("lang") == "en").cast("int"))
+            train_quality_classifier(labeled, "y", dim=64, epochs=2,
+                                     lr=1.0).count()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -297,6 +306,7 @@ def main() -> int:
             "quality_bins": qbins,
             "filter_paragraphs": filter_paras,
             "align_explode_mega": align_explode_mega,
+            "train_classifier": train_clf,
         }
 
     # warm-up
