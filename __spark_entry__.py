@@ -645,6 +645,25 @@ def q144_classifier_filter(spark, sf):
     )
 
 
+def q145_hard_negatives(spark, sf):
+    """Hard-negative mining (pipeline/similarity.py hard_negatives): for
+    every embedding, the top-3 most-similar vectors with a DIFFERENT label
+    under cosine <= 0.999 (the false-negative guard) — the DPR/SimCSE
+    contrastive-training recipe as q72's SRP bucket join restricted across
+    labels. Oracle replays both hash tables, the cross-label self-join,
+    the similarity ceiling, and the per-anchor top-3."""
+    emb = _t(spark, sf, "embeddings")
+    out = sim.hard_negatives(
+        emb, "label", k=3, num_planes=8, num_tables=2, max_sim=0.999
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q30_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup: 2 SRP hash tables x 4 planes -> candidate
     pairs -> exact cosine >= 0.35 (the synthetic vectors are near-orthogonal,
@@ -3030,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_winnow_dedup": q142_winnow_dedup,
         "q143_train_classifier": q143_train_classifier,
         "q144_classifier_filter": q144_classifier_filter,
+        "q145_hard_negatives": q145_hard_negatives,
     }
 
 
@@ -4395,6 +4415,39 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id
                            ORDER BY cs DESC, neighbor_id ASC) AS rnk
                 FROM scored
+            ) WHERE rnk <= 3
+        """,
+        "q145_hard_negatives": f"""
+            WITH cb AS (
+                SELECT vec_id, label, 0 AS tbl,
+                       {_srp_bucket_sql('embedding', 0)} AS b
+                FROM embeddings WHERE label IS NOT NULL
+                UNION ALL
+                SELECT vec_id, label, 1 AS tbl,
+                       {_srp_bucket_sql('embedding', 8)} AS b
+                FROM embeddings WHERE label IS NOT NULL
+            ), pairs AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       c.label AS neighbor_label
+                FROM cb q JOIN cb c
+                  ON q.tbl = c.tbl AND q.b = c.b
+                 AND q.label <> c.label
+            ), ev AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), scored AS (
+                SELECT p.query_id, p.neighbor_id, p.neighbor_label,
+                       {_dd_cos('qe.v', 'ce.v')} AS cs
+                FROM pairs p
+                JOIN ev qe ON qe.vec_id = p.query_id
+                JOIN ev ce ON ce.vec_id = p.neighbor_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(neighbor_label AS BIGINT) AS neighbor_label,
+                   CAST(rnk AS BIGINT) AS rank FROM (
+                SELECT query_id, neighbor_id, neighbor_label,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cs DESC, neighbor_id ASC) AS rnk
+                FROM scored WHERE cs <= 0.999
             ) WHERE rnk <= 3
         """,
         "q72_knn_join": f"""

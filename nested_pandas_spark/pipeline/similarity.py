@@ -24,7 +24,7 @@ __all__ = [
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk", "ivfpq_topk",
-    "knn_join", "recall_at_k", "semantic_decontaminate",
+    "knn_join", "hard_negatives", "recall_at_k", "semantic_decontaminate",
 ]
 
 
@@ -731,6 +731,79 @@ def knn_join(
         )
         .distinct()  # a pair can collide in several tables
     )
+    return _per_query_topk(scored, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    label_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    max_sim: float | None = None,
+    num_planes: int = 8,
+    num_tables: int = 2,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training (the DPR
+    / SimCSE recipe): for EVERY corpus vector, the ``k`` most-similar
+    vectors carrying a DIFFERENT ``label_col`` value.  ``max_sim`` caps
+    the similarity of an admissible negative — the standard false-negative
+    guard (a cross-label neighbor at cosine ~1.0 is almost certainly a
+    mislabeled positive; dropping the top of the range keeps negatives
+    hard but true).
+
+    Same scale shape as :func:`knn_join` (this is its cross-label
+    restriction): SRP bucket self-join on (table, bucket) — never
+    all-pairs, never broadcast of the corpus — exact cosine on candidates
+    only, tournament top-k.  Rows whose label is NULL produce no anchors
+    and serve as no one's negative (their label is unknowable).
+
+    Returns ``(query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rank)`` with rank 1..k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_sim is not None and not (-1.0 <= max_sim <= 1.0):
+        raise ValueError("max_sim must be within [-1, 1]")
+
+    def buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                srp_bucket(vec, num_planes, plane_offset=t * num_planes)
+                for t in range(num_tables)
+            ]
+        )
+
+    labeled = corpus.where(F.col(label_col).isNotNull())
+    c = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+    )
+    q = labeled.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+    )
+    scored = (
+        q.join(c, on=["__tbl", "__bucket"])
+        .where(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(
+                F.col("__qv").cast("array<double>"),
+                F.col("__cv").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a pair can collide in several tables
+    )
+    if max_sim is not None:
+        scored = scored.where(F.col("cos_sim") <= F.lit(float(max_sim)))
     return _per_query_topk(scored, k)
 
 

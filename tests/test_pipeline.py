@@ -1035,6 +1035,52 @@ def test_knn_join_self_neighbors(spark):
     assert all(r["query_id"] != r["neighbor_id"] for r in rowsc)
 
 
+def test_hard_negatives_cross_label_only(spark):
+    rng = np.random.RandomState(9)
+    base = [rng.randn(16).astype(float) for _ in range(20)]
+    rows = [(i, v.tolist(), i % 3) for i, v in enumerate(base)]
+    # clone of vector 0 with a DIFFERENT label: its hardest negative
+    rows.append((100, base[0].tolist(), 1))
+    # clone of vector 1 with the SAME label: must never be 1's negative
+    rows.append((101, base[1].tolist(), 1 % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sim.hard_negatives(emb, "label", k=3, num_planes=4, num_tables=2)
+    rowsc = out.collect()
+    assert all(r["query_label"] != r["neighbor_label"] for r in rowsc)
+    assert all(1 <= r["rank"] <= 3 for r in rowsc)
+    nn = {r["query_id"]: r["neighbor_id"] for r in rowsc if r["rank"] == 1}
+    assert nn[0] == 100 and nn[100] == 0   # cross-label twin is rank 1
+    assert nn.get(1) != 101                # same-label twin never surfaces
+    # max_sim false-negative guard drops the cosine~1.0 twin pair
+    guarded = sim.hard_negatives(
+        emb, "label", k=3, num_planes=4, num_tables=2, max_sim=0.95
+    ).collect()
+    assert all(r["cos_sim"] <= 0.95 for r in guarded)
+    gnn = {r["query_id"]: r["neighbor_id"] for r in guarded if r["rank"] == 1}
+    assert gnn.get(0) != 100
+
+
+def test_hard_negatives_null_labels_and_validation(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], None),  # unlabeled: no anchor, no negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sim.hard_negatives(emb, "label", k=2, num_planes=2,
+                             num_tables=2).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 2 not in ids
+    with pytest.raises(ValueError, match="k"):
+        sim.hard_negatives(emb, "label", k=0)
+    with pytest.raises(ValueError, match="max_sim"):
+        sim.hard_negatives(emb, "label", max_sim=2.0)
+
+
 def test_quantize_embeddings_roundtrip_and_bounds(spark):
     rng = np.random.RandomState(11)
     rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(10)]
