@@ -645,6 +645,22 @@ def q144_classifier_filter(spark, sf):
     )
 
 
+def q146_kn_bigram(spark, sf):
+    """Interpolated Kneser-Ney bigram LM scoring (pipeline/text.py
+    kn_bigram_logprob): the KenLM-family smoothing CCNet-style pipelines
+    use, self-modelled over documents with the Ney counts-of-counts
+    discount. Oracle replays bigram/context/continuation counts, the
+    estimated discount, the add-one continuation distribution, and the
+    per-doc mean."""
+    from nested_pandas_spark.pipeline.text import kn_bigram_logprob
+
+    docs = _t(spark, sf, "documents")
+    out = kn_bigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("mean_logp", 6).alias("mean_logp_r6")
+    )
+
+
 def q145_hard_negatives(spark, sf):
     """Hard-negative mining (pipeline/similarity.py hard_negatives): for
     every embedding, the top-3 most-similar vectors with a DIFFERENT label
@@ -3050,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_train_classifier": q143_train_classifier,
         "q144_classifier_filter": q144_classifier_filter,
         "q145_hard_negatives": q145_hard_negatives,
+        "q146_kn_bigram": q146_kn_bigram,
     }
 
 
@@ -4416,6 +4433,59 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cs DESC, neighbor_id ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= 3
+        """,
+        "q146_kn_bigram": f"""
+            WITH wt AS (
+                SELECT doc_id, {w} AS ws FROM documents
+            ), mb AS (
+                SELECT ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                      FROM wt WHERE len(ws) >= 2)
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12 FROM mb GROUP BY 1, 2
+            ), ctx AS (
+                SELECT w1, sum(c12) AS c1, count(*) AS nfwd
+                FROM bi GROUP BY 1
+            ), cont AS (
+                SELECT w2, count(*) AS nbwd FROM bi GROUP BY 1
+            ), vv AS (
+                SELECT count(DISTINCT t) AS v
+                FROM (SELECT unnest(ws) AS t FROM wt)
+            ), tot AS (
+                SELECT count(*) AS tt,
+                       sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+                       sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+                FROM bi
+            ), dd AS (
+                SELECT tt, v,
+                       CASE WHEN n1 + 2 * n2 > 0
+                            THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END AS d
+                FROM tot, vv
+            ), db AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM wt WHERE len(ws) >= 2)
+            ), scored AS (
+                SELECT db.doc_id,
+                       ln(CASE WHEN COALESCE(ctx.c1, 0) > 0 THEN
+                              (greatest(COALESCE(bi.c12, 0) - dd.d, 0.0)
+                               + dd.d * ctx.nfwd
+                                 * (COALESCE(cont.nbwd, 0) + 1.0)
+                                 / (dd.tt + dd.v + 1.0)) / ctx.c1
+                          ELSE (COALESCE(cont.nbwd, 0) + 1.0)
+                               / (dd.tt + dd.v + 1.0) END) AS lp
+                FROM db
+                LEFT JOIN bi USING (w1, w2)
+                LEFT JOIN ctx USING (w1)
+                LEFT JOIN cont USING (w2), dd
+            ), pd AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       avg(lp) AS mean_logp
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+                   round(pd.mean_logp, 6) AS mean_logp_r6
+            FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         "q145_hard_negatives": f"""
             WITH cb AS (

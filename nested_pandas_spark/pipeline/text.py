@@ -30,6 +30,7 @@ __all__ = [
     "fingerprint",
     "unigram_logprob",
     "bigram_logprob",
+    "kn_bigram_logprob",
     "hashed_tfidf",
     "add_text_stats",
     "bpe_pair_stats",
@@ -1140,6 +1141,142 @@ def bigram_logprob(
                    + F.lit(a) * (F.col("__V") + 1))
             ).alias("__lp"),
         )
+    )
+    per_doc = scored.groupBy("__doc").agg(
+        F.count("*").alias("n_bigrams"), F.avg("__lp").alias("mean_logp")
+    )
+    base = docs.select(F.col(id_col).alias("__doc"))
+    return (
+        base.join(per_doc, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.col("mean_logp"),
+        )
+    )
+
+
+def kn_bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_docs: DataFrame | None = None,
+    discount: float | None = None,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under INTERPOLATED
+    KNESER-NEY smoothing (Kneser & Ney 1995; Chen & Goodman 1999) — the
+    smoothing family behind the KenLM models CCNet-style pipelines score
+    with, where :func:`bigram_logprob`'s add-alpha is the classroom
+    baseline.  KN's insight: the backoff weight of a word should be how
+    many distinct CONTEXTS it completes ("francisco" is frequent but only
+    ever follows "san"), not its raw frequency.
+
+        P(w2|w1) = (max(c(w1 w2) - D, 0) + D * N1+(w1,.) * Pcont(w2))
+                   / ctx(w1)                          if ctx(w1) > 0
+                 = Pcont(w2)                          otherwise (unseen ctx)
+
+        Pcont(w2) = (N1+(., w2) + 1) / (T + V + 1)
+
+    with ``ctx(w1)`` the total bigram count of context w1, ``N1+(w1,.)``
+    / ``N1+(., w2)`` the distinct continuation / context type counts,
+    ``T`` the number of distinct bigram types and ``V`` the unigram
+    vocabulary.  The continuation distribution carries add-one mass over
+    ``V + 1`` outcomes so unseen words stay scoreable (a documented
+    deviation from the textbook formula, which leaves OOV at zero).
+    ``discount=None`` estimates the absolute discount from the model's
+    counts-of-counts, ``D = n1 / (n1 + 2 * n2)`` (Ney's formula; 0.5 when
+    degenerate); pass a float in [0, 1) to pin it.
+
+    Output: (``id_col``, ``n_bigrams``, ``mean_logp``) — every input doc
+    appears; docs with < 2 tokens get ``n_bigrams = 0`` and NULL mean.
+
+    Scale shape: identical to :func:`bigram_logprob` — the model is three
+    partial-agg shuffles at bigram / context / continuation grain; the
+    counts-of-counts totals ride as ONE broadcast row; the doc side joins
+    on (w1, w2) then w1 then w2 (AQE splits hot words) and finishes with
+    a per-doc partial agg.  No Python, no all-pairs, no driver loop.
+    """
+    if discount is not None and not (0.0 <= discount < 1.0):
+        raise ValueError("discount must be within [0, 1)")
+    model_docs = docs if model_docs is None else model_docs
+
+    def bigrams(df: DataFrame, with_id: bool):
+        w = words(F.col(text_col))
+        cols = [F.col(id_col).alias("__doc")] if with_id else []
+        return (
+            df.select(*cols, w.alias("__w"))
+            .where(F.size("__w") >= 2)
+            .select(
+                *(["__doc"] if with_id else []),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__w) - 1), __i -> "
+                        "struct(element_at(__w, __i) AS w1, "
+                        "element_at(__w, __i + 1) AS w2))"
+                    )
+                ).alias("__b"),
+            )
+            .select(*(["__doc"] if with_id else []),
+                    F.col("__b.w1").alias("__w1"),
+                    F.col("__b.w2").alias("__w2"))
+        )
+
+    model_bi = bigrams(model_docs, with_id=False)
+    bi_counts = model_bi.groupBy("__w1", "__w2").agg(
+        F.count("*").alias("__c12"))
+    ctx = bi_counts.groupBy("__w1").agg(
+        F.sum("__c12").alias("__c1"),
+        F.count("*").alias("__nfwd"),   # N1+(w1, .)
+    )
+    cont = bi_counts.groupBy("__w2").agg(
+        F.count("*").alias("__nbwd"))   # N1+(., w2)
+    v = (
+        model_docs.select(F.explode(words(F.col(text_col))).alias("__t"))
+        .agg(F.countDistinct("__t").alias("__V"))
+    )
+    totals = (
+        bi_counts.agg(
+            F.count("*").alias("__T"),
+            F.sum((F.col("__c12") == 1).cast("long")).alias("__n1"),
+            F.sum((F.col("__c12") == 2).cast("long")).alias("__n2"),
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__T", "__V",
+            (
+                F.lit(float(discount))
+                if discount is not None
+                else F.when(
+                    F.col("__n1") + 2 * F.col("__n2") > 0,
+                    F.col("__n1")
+                    / (F.col("__n1") + 2.0 * F.col("__n2")),
+                ).otherwise(F.lit(0.5))
+            ).alias("__D"),
+        )
+    )
+    pcont = (
+        (F.coalesce(F.col("__nbwd"), F.lit(0)) + 1.0)
+        / (F.col("__T") + F.col("__V") + 1.0)
+    )
+    p = F.when(
+        F.coalesce(F.col("__c1"), F.lit(0)) > 0,
+        (
+            F.greatest(
+                F.coalesce(F.col("__c12"), F.lit(0)) - F.col("__D"),
+                F.lit(0.0),
+            )
+            + F.col("__D") * F.col("__nfwd") * pcont
+        )
+        / F.col("__c1"),
+    ).otherwise(pcont)
+    scored = (
+        bigrams(docs, with_id=True)
+        .join(bi_counts, ["__w1", "__w2"], "left")
+        .join(ctx, ["__w1"], "left")
+        .join(cont, ["__w2"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select("__doc", F.log(p).alias("__lp"))
     )
     per_doc = scored.groupBy("__doc").agg(
         F.count("*").alias("n_bigrams"), F.avg("__lp").alias("mean_logp")

@@ -1930,6 +1930,99 @@ def test_bigram_logprob_matches_bruteforce(spark):
     assert got[0][1] > got[1][1]
 
 
+def _kn_reference(score_docs, model_docs, discount=None):
+    """Dense Python replay of interpolated Kneser-Ney bigram scoring with
+    the add-one continuation distribution (the module's documented
+    variant)."""
+    import math as _m
+    from collections import Counter
+
+    toks = {i: (t.lower().split() if t else []) for i, t in model_docs}
+    bi = Counter()
+    vocab = set()
+    for w in toks.values():
+        vocab.update(w)
+        for a, b in zip(w[:-1], w[1:]):
+            bi[(a, b)] += 1
+    ctx = Counter()
+    nfwd = Counter()
+    nbwd = Counter()
+    for (a, b), c in bi.items():
+        ctx[a] += c
+        nfwd[a] += 1
+        nbwd[b] += 1
+    T, V = len(bi), len(vocab)
+    if discount is None:
+        n1 = sum(1 for c in bi.values() if c == 1)
+        n2 = sum(1 for c in bi.values() if c == 2)
+        discount = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.5
+
+    def pcont(w2):
+        return (nbwd.get(w2, 0) + 1.0) / (T + V + 1.0)
+
+    out = {}
+    for i, t in score_docs:
+        w = t.lower().split() if t else []
+        pairs = list(zip(w[:-1], w[1:]))
+        if not pairs:
+            out[i] = (0, None)
+            continue
+        lps = []
+        for a, b in pairs:
+            if ctx.get(a, 0) > 0:
+                p = (max(bi.get((a, b), 0) - discount, 0.0)
+                     + discount * nfwd[a] * pcont(b)) / ctx[a]
+            else:
+                p = pcont(b)
+            lps.append(_m.log(p))
+        out[i] = (len(pairs), sum(lps) / len(lps))
+    return out
+
+
+@pytest.mark.parametrize("discount", [None, 0.4])
+def test_kn_bigram_logprob_matches_bruteforce(spark, discount):
+    from nested_pandas_spark.pipeline.text import kn_bigram_logprob
+
+    docs = [(0, "the cat sat on the mat"),
+            (1, "mat the on sat cat the"),   # same unigrams, scrambled
+            (2, "one"), (3, None), (4, "the cat sat"),
+            (5, "unseen words entirely here")]
+    model = [(0, "the cat sat on the mat"), (1, "the dog sat on a mat"),
+             (2, "a cat and a dog"), (3, "the cat ran")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mdf = spark.createDataFrame(model, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_logp"])
+           for r in kn_bigram_logprob(df, model_docs=mdf,
+                                      discount=discount).collect()}
+    ref = _kn_reference(docs, model, discount)
+    for i, (n, lp) in ref.items():
+        assert got[i][0] == n, i
+        if lp is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(lp, rel=1e-12), i
+    # natural order outscores the scramble of the same words
+    assert got[0][1] > got[1][1]
+
+
+def test_kn_bigram_logprob_self_model_and_validation(spark):
+    from nested_pandas_spark.pipeline.text import kn_bigram_logprob
+
+    docs = [(0, "a b a b a b"), (1, "b a"), (2, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_logp"])
+           for r in kn_bigram_logprob(df).collect()}
+    ref = _kn_reference(docs, docs)
+    for i, (n, lp) in ref.items():
+        assert got[i][0] == n
+        if lp is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(lp, rel=1e-12)
+    with pytest.raises(ValueError, match="discount"):
+        kn_bigram_logprob(df, discount=1.0)
+
+
 def test_ann_recall_floor_on_bench_config(spark):
     """The bench's recall block (BENCH_r{N}.json 'recall') must stay
     meaningful: each approximate index at the bench configuration
