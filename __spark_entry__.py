@@ -645,6 +645,23 @@ def q144_classifier_filter(spark, sf):
     )
 
 
+def q147_build_mixture(spark, sf):
+    """Token-budget mixture materialization (pipeline/corpus.py
+    build_mixture): per-source md5(seed:id)-ranked prefix under an exact
+    token budget split 50/30/20 across three sources — the step that turns
+    DoReMi/LLaMA-style mixture proportions into an actual corpus. The
+    budget deliberately exceeds one source's supply (whole-group path) and
+    truncates the others (boundary path). Oracle replays rank order,
+    per-source exclusive cumsum, and the budget comparison."""
+    from nested_pandas_spark.pipeline.corpus import build_mixture
+
+    docs = _t(spark, sf, "documents")
+    out = build_mixture(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 5000
+    )
+    return out.select("doc_id", "source")
+
+
 def q146_kn_bigram(spark, sf):
     """Interpolated Kneser-Ney bigram LM scoring (pipeline/text.py
     kn_bigram_logprob): the KenLM-family smoothing CCNet-style pipelines
@@ -3067,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_classifier_filter": q144_classifier_filter,
         "q145_hard_negatives": q145_hard_negatives,
         "q146_kn_bigram": q146_kn_bigram,
+        "q147_build_mixture": q147_build_mixture,
     }
 
 
@@ -4433,6 +4451,26 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cs DESC, neighbor_id ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= 3
+        """,
+        "q147_build_mixture": f"""
+            WITH tk AS (
+                SELECT doc_id, source,
+                       len({w}) AS tok,
+                       md5('42:' || doc_id::VARCHAR) AS rk
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, source,
+                       sum(tok) OVER (PARTITION BY source
+                           ORDER BY rk, doc_id
+                           ROWS UNBOUNDED PRECEDING) - tok AS pos
+                FROM tk
+            )
+            SELECT doc_id, source FROM cum
+            WHERE pos < CASE source
+                            WHEN 'src0' THEN 2500.0
+                            WHEN 'src1' THEN 1500.0
+                            WHEN 'src2' THEN 1000.0
+                            ELSE 0.0 END
         """,
         "q146_kn_bigram": f"""
             WITH wt AS (

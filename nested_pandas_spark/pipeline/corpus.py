@@ -33,6 +33,7 @@ from .text import add_text_stats, token_count, word_ngrams
 
 __all__ = [
     "assign_shards",
+    "build_mixture",
     "chunk_documents",
     "quality_bins",
     "sample_per_group",
@@ -1230,3 +1231,91 @@ def filter_paragraphs(
         F.coalesce(F.col("__n_removed"), F.lit(0).cast("long"))
         .alias("n_paras_removed"),
     )
+
+
+def build_mixture(
+    docs: DataFrame,
+    target: dict[str, float],
+    token_budget: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    seed: int = 42,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """MATERIALIZE a training mixture: select documents so each ``by``
+    group contributes ``token_budget * target[group] / sum(target)``
+    tokens — the step that turns :func:`mixture_weights`-style proportions
+    (DoReMi / LLaMA data recipes) into an actual corpus, with EXACT token
+    budgets instead of Bernoulli expectation.
+
+    Selection is deterministic and engine-replayable: within each group,
+    documents are ordered by ``md5(seed:id)`` (the :func:`sample_per_group`
+    ranking) and taken while the group's EXCLUSIVE running token sum is
+    below its budget — so the document that crosses the boundary is kept
+    (budgets overshoot by at most one document; a positive budget always
+    yields at least one document). Groups absent from ``target`` (and any
+    group once its budget is filled) are dropped. Groups whose corpus runs
+    out simply contribute everything they have — no upsampling.
+
+    Scale shape: the running sum is the :func:`pack_sequences` distributed
+    prefix sum over the composite key (group, rank, id) — range-partitioned
+    per-partition windows plus broadcast driver offsets, never a
+    single-task global window; per-group offsets come from a
+    groups-count-sized totals frame (broadcast). Only (id, group, tokens,
+    32-hex rank) rows shuffle — never text; the final id-keyed semi-join
+    brings back full rows. ``checkpoint=`` as in :func:`pack_sequences`
+    (executor-loss durability for the prefix sum at scale).
+    """
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
+    if not target:
+        raise ValueError("target mixture must not be empty")
+    tot_w = float(sum(target.values()))
+    if tot_w <= 0 or any(v < 0 for v in target.values()):
+        raise ValueError("target weights must be >= 0 with a positive sum")
+
+    tok = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    rk = F.md5(F.concat_ws(":", F.lit(str(int(seed))),
+                           F.col(id_col).cast("string")))
+    key = F.struct(
+        F.col(by).cast("string").alias("s"),
+        rk.alias("r"),
+        F.col(id_col).alias("i"),
+    )
+    st = _stream_starts(docs, id_col, tok, key, checkpoint=checkpoint)
+
+    # group offsets: one row per group — exclusive prefix of group totals
+    # in the SAME (string-ascending) order the composite key sorts by.
+    # The frame is groups-count-sized, so the single-partition window is
+    # a dim-table operation, not a data-volume one.
+    grp = st.groupBy(F.col("__k.s").alias("__src")).agg(
+        F.sum("__sz").alias("__gt"))
+    w_off = (
+        Window.orderBy("__src")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.withColumn(
+        "__goff", F.coalesce(F.sum("__gt").over(w_off), F.lit(0)))
+
+    budget = F.coalesce(
+        *(
+            [
+                F.when(F.col("__src") == k,
+                       F.lit(float(v) * token_budget / tot_w))
+                for k, v in target.items()
+            ]
+            + [F.lit(0.0)]
+        )
+    )
+    kept = (
+        st.join(F.broadcast(grp), on=st["__k.s"] == grp["__src"])
+        .where((F.col("__start") - F.col("__goff")) < budget)
+        .select(F.col(id_col).alias("__keep_id"))
+    )
+    return docs.join(
+        kept, on=docs[id_col] == kept["__keep_id"], how="inner"
+    ).drop("__keep_id")

@@ -2362,6 +2362,55 @@ def test_ivfpq_store_matches_inline(spark, tmp_path):
     assert "__cid" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_build_mixture_matches_bruteforce(spark):
+    """build_mixture must keep, per group, exactly the md5(seed:id)-ranked
+    prefix whose exclusive token cumsum stays under the group budget —
+    replayed densely in Python — and drop untargeted groups."""
+    import hashlib
+
+    from nested_pandas_spark.pipeline.corpus import build_mixture
+
+    rows = []
+    for i in range(60):
+        src = f"s{i % 3}"
+        text = " ".join(["tok"] * (3 + i % 7))
+        rows.append((i, src, text))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = {"s0": 0.6, "s1": 0.4}      # s2 untargeted -> dropped
+    budget = 120
+    out = build_mixture(docs, target, budget, seed=7)
+    got = {r["doc_id"] for r in out.collect()}
+
+    expect = set()
+    for src, share in target.items():
+        b = budget * share / sum(target.values())
+        grp = [(hashlib.md5(f"7:{i}".encode()).hexdigest(), i, t)
+               for i, s, t in rows if s == src]
+        run = 0
+        for _, i, t in sorted(grp):
+            if run < b:
+                expect.add(i)
+            run += len(t.split())
+    assert got == expect and got
+    assert not any(r["source"] == "s2" for r in out.collect())
+    # over-large budget keeps whole groups; zero-weight group dropped
+    all_out = build_mixture(docs, {"s0": 1.0, "s1": 0.0}, 10**9)
+    assert {r["doc_id"] for r in all_out.collect()} == {
+        i for i, s, _ in rows if s == "s0"}
+    # determinism + seed sensitivity
+    again = {r["doc_id"] for r in build_mixture(docs, target, budget,
+                                                seed=7).collect()}
+    other = {r["doc_id"] for r in build_mixture(docs, target, budget,
+                                                seed=8).collect()}
+    assert again == got and other != got
+    with pytest.raises(ValueError, match="token_budget"):
+        build_mixture(docs, target, 0)
+    with pytest.raises(ValueError, match="target"):
+        build_mixture(docs, {}, 10)
+    with pytest.raises(ValueError, match="weights"):
+        build_mixture(docs, {"s0": -1.0, "s1": 0.5}, 10)
+
+
 def test_sample_per_group_exact_and_deterministic(spark):
     """sample_per_group must pick exactly the n smallest md5(seed:id)
     rows per group (tournament == plain window), keep short groups
