@@ -645,6 +645,58 @@ def q144_classifier_filter(spark, sf):
     )
 
 
+def q148_stream_quality_filter(spark, sf):
+    """Continuous-ingest classifier filtering through the gate
+    (streaming/events.py stream_quality_filter): train the q143 classifier
+    batch-side, then deliver the documents as two micro-batches
+    (maxFilesPerTrigger=1) through the stateless inline scorer and keep
+    score >= 0.85 (a threshold that genuinely splits this corpus).
+    Stateless means both copies score identically, so the gate pins
+    DISTINCT (doc_id, score); oracle is q144's unrolled-GD chain
+    restricted to kept rows."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nested_pandas_spark.pipeline.classifier import (
+        train_quality_classifier,
+    )
+    from nested_pandas_spark.streaming.events import stream_quality_filter
+
+    docs = _t(spark, sf, "documents")
+    wdf = train_quality_classifier(
+        docs.withColumn("__y", (F.col("lang") == "en").cast("int")),
+        "__y", dim=32, epochs=2, lr=1.0,
+    )
+    wd = {r["bucket"]: r["weight"] for r in wdf.collect()}
+    d = tempfile.mkdtemp(prefix="q148_stream_")
+    try:
+        shutil.copy(f"{sf}/documents.parquet", f"{d}/part-0.parquet")
+        shutil.copy(f"{sf}/documents.parquet", f"{d}/part-1.parquet")
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .schema(docs.schema)
+            .parquet(d)
+        )
+        kept = stream_quality_filter(stream, wd, dim=32, threshold=0.85)
+        name = "q148_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "doc_id", F.round("clf_score", 6).alias("score_r6")
+        ).distinct()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q147_build_mixture(spark, sf):
     """Token-budget mixture materialization (pipeline/corpus.py
     build_mixture): per-source md5(seed:id)-ranked prefix under an exact
@@ -3085,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_hard_negatives": q145_hard_negatives,
         "q146_kn_bigram": q146_kn_bigram,
         "q147_build_mixture": q147_build_mixture,
+        "q148_stream_quality_filter": q148_stream_quality_filter,
     }
 
 
@@ -4451,6 +4504,35 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cs DESC, neighbor_id ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= 3
+        """,
+        "q148_stream_quality_filter": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({w}) AS term FROM documents
+            ), bf AS (
+                SELECT DISTINCT doc_id,
+                       CAST(({h32.format(x='term')}) % 32 AS INT) AS bucket
+                FROM toks
+            ), feats AS (
+                SELECT doc_id, bucket, CAST(1.0 AS DOUBLE) AS x FROM bf
+                UNION ALL
+                SELECT doc_id, CAST(-1 AS INT), CAST(1.0 AS DOUBLE)
+                FROM documents
+            ), labels AS (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM documents WHERE lang IS NOT NULL
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM labels
+            ), {gd2}, sm AS (
+                SELECT f.doc_id, sum(COALESCE(fw.w, 0) * f.x) AS m
+                FROM feats f LEFT JOIN {gdw} fw USING (bucket)
+                GROUP BY f.doc_id
+            )
+            SELECT d.doc_id,
+                   round(1.0 / (1.0 + exp(-COALESCE(sm.m, 0))), 6)
+                       AS score_r6
+            FROM documents d LEFT JOIN sm USING (doc_id)
+            WHERE 1.0 / (1.0 + exp(-COALESCE(sm.m, 0))) >= 0.85
         """,
         "q147_build_mixture": f"""
             WITH tk AS (

@@ -50,6 +50,7 @@ __all__ = [
     "hashed_bow",
     "train_quality_classifier",
     "classifier_score",
+    "classifier_score_inline",
 ]
 
 INTERCEPT_BUCKET = -1
@@ -261,3 +262,87 @@ def classifier_score(
             f"{out}_keep", F.col(out) >= F.lit(float(threshold))
         )
     return result
+
+
+def classifier_score_inline(
+    docs: DataFrame,
+    weights: DataFrame | dict[int, float],
+    dim: int = 64,
+    text_col: str = "text",
+    features: str = "binary",
+    out: str = "clf_score",
+    threshold: float | None = None,
+) -> DataFrame:
+    """STATELESS scoring path: the weight vector folds into the plan as a
+    literal map and the margin is one higher-order-function fold per row —
+    no join, no aggregation, no shuffle.  This is the path for Structured
+    Streaming (stateless projections compose with any sink/watermark) and
+    for minimum-latency batch filters; :func:`classifier_score` (broadcast
+    join) is the path for large ``dim``, since a plan-literal map of
+    100k+ entries hits codegen limits (the ``random_projection`` lesson).
+
+    ``weights``: the (bucket, weight) DataFrame from
+    :func:`train_quality_classifier` (collected here — dim+1 rows), or an
+    equivalent dict.  ``features`` supports ``'binary'`` (fold over
+    DISTINCT token buckets) and ``'tf'`` (fold over every token — the
+    margin is the same sum reordered); ``'log_tf'`` has no per-row
+    closed form and must use :func:`classifier_score`.
+
+    Appends ``out`` (sigmoid margin; NULL text scores the intercept
+    alone, matching the join path's intercept-only row) and, with
+    ``threshold``, boolean ``{out}_keep``.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if features not in ("binary", "tf"):
+        raise ValueError(
+            "inline scoring supports features 'binary' or 'tf'; use "
+            f"classifier_score for {features!r}"
+        )
+    if isinstance(weights, dict):
+        wmap = {int(b): float(v) for b, v in weights.items()}
+    else:
+        wmap = {
+            int(r["bucket"]): float(r["weight"]) for r in weights.collect()
+        }
+    bias = wmap.get(INTERCEPT_BUCKET, 0.0)
+    buckets = {b: v for b, v in wmap.items() if b != INTERCEPT_BUCKET}
+    if buckets:
+        entries = ", ".join(
+            f"{b}, CAST({v!r} AS DOUBLE)" for b, v in sorted(buckets.items())
+        )
+        wmap_sql = f"map({entries})"
+    else:
+        wmap_sql = "map()"
+    toks = (
+        f"filter(split(lower({quote_ident(text_col)}), '\\\\s+'), "
+        "__t -> __t != '')"
+    )
+    bks = (
+        f"transform({toks}, __t -> "
+        "pmod(CAST(conv(substring(md5(__t), 1, 8), 16, 10) AS BIGINT), "
+        f"{dim}))"
+    )
+    if features == "binary":
+        bks = f"array_distinct({bks})"
+    margin = (
+        f"aggregate({bks}, CAST({bias!r} AS DOUBLE), "
+        f"(__a, __b) -> __a + coalesce(element_at({wmap_sql}, "
+        "CAST(__b AS INT)), CAST(0.0 AS DOUBLE)))"
+    )
+    score = (
+        f"CASE WHEN {quote_ident(text_col)} IS NULL "
+        f"THEN 1.0D / (1.0D + exp(-CAST({bias!r} AS DOUBLE))) "
+        f"ELSE 1.0D / (1.0D + exp(-({margin}))) END"
+    )
+    result = docs.withColumn(out, F.expr(score))
+    if threshold is not None:
+        result = result.withColumn(
+            f"{out}_keep", F.col(out) >= F.lit(float(threshold))
+        )
+    return result
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL expression."""
+    return "`" + name.replace("`", "``") + "`"

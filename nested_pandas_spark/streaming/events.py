@@ -27,7 +27,8 @@ __all__ = [
     "hourly_rollup",
     "sessionize",
     "running_user_totals",
-    "stream_interval_join", "windowed_rollup", "stream_dedup_against"]
+    "stream_interval_join", "windowed_rollup", "stream_dedup_against",
+    "stream_quality_filter"]
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -312,3 +313,38 @@ def stream_dedup_against(
         else:
             out = out.dropDuplicates(["__fp"])
     return out.drop("__fp")
+
+
+def stream_quality_filter(
+    stream: DataFrame,
+    weights,
+    dim: int = 64,
+    text_col: str = "text",
+    features: str = "binary",
+    threshold: float = 0.5,
+    out: str = "clf_score",
+) -> DataFrame:
+    """Continuous-ingest classifier filtering: apply a trained quality
+    classifier (``pipeline.classifier.train_quality_classifier``) to a
+    document stream and keep rows scoring at or above ``threshold`` — the
+    streaming twin of ``classifier_score(threshold=)``, completing the
+    ingest story next to :func:`stream_dedup_against`.
+
+    Built on ``classifier_score_inline``: the weight vector folds into the
+    plan as a literal map and the margin is a per-row HOF fold, so the
+    whole filter is a STATELESS projection — it composes with any sink,
+    watermark, or downstream stateful stage, and the identical code path
+    serves batch DataFrames (used by the stream==batch parity test).
+
+    ``weights`` is the trained (bucket, weight) DataFrame or a dict;
+    training itself stays a batch job (full-batch GD needs the whole
+    corpus) — retrain periodically and restart the query with fresh
+    weights, the standard model-refresh pattern for stateless scoring.
+    """
+    from ..pipeline.classifier import classifier_score_inline
+
+    scored = classifier_score_inline(
+        stream, weights, dim=dim, text_col=text_col, features=features,
+        out=out, threshold=threshold,
+    )
+    return scored.where(F.col(f"{out}_keep")).drop(f"{out}_keep")

@@ -160,3 +160,83 @@ def test_training_releases_cache(spark, docs):
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     train_quality_classifier(docs, "y", dim=8, epochs=2)
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+@pytest.mark.parametrize("features", ["binary", "tf"])
+def test_inline_score_matches_join_path(spark, docs, features):
+    from nested_pandas_spark.pipeline.classifier import (
+        classifier_score_inline,
+    )
+
+    wdf = train_quality_classifier(docs, "y", dim=16, epochs=3, lr=0.7,
+                                   features=features)
+    join_path = {r["doc_id"]: r["clf_score"]
+                 for r in classifier_score(docs, wdf, dim=16,
+                                           features=features).collect()}
+    inline = {r["doc_id"]: r["clf_score"]
+              for r in classifier_score_inline(docs, wdf, dim=16,
+                                               features=features).collect()}
+    assert set(inline) == set(join_path)
+    for k in join_path:
+        assert inline[k] == pytest.approx(join_path[k], abs=1e-12), k
+
+
+def test_inline_score_accepts_dict_and_validates(spark, docs):
+    from nested_pandas_spark.pipeline.classifier import (
+        classifier_score_inline,
+    )
+
+    wdf = train_quality_classifier(docs, "y", dim=8, epochs=2)
+    wd = {r["bucket"]: r["weight"] for r in wdf.collect()}
+    a = {r["doc_id"]: r["clf_score"]
+         for r in classifier_score_inline(docs, wdf, dim=8).collect()}
+    b = {r["doc_id"]: r["clf_score"]
+         for r in classifier_score_inline(docs, wd, dim=8).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="inline"):
+        classifier_score_inline(docs, wd, dim=8, features="log_tf")
+
+
+def test_stream_quality_filter_matches_batch(spark, docs, tmp_path):
+    """The streaming classifier filter must keep exactly the rows the
+    batch inline path keeps, across two micro-batches (stateless: each
+    copy scores identically)."""
+    import shutil
+
+    from nested_pandas_spark.pipeline.classifier import (
+        classifier_score_inline,
+    )
+    from nested_pandas_spark.streaming.events import stream_quality_filter
+
+    wdf = train_quality_classifier(docs, "y", dim=16, epochs=10, lr=1.0)
+    wd = {r["bucket"]: r["weight"] for r in wdf.collect()}
+
+    src = tmp_path / "docs_parquet"
+    docs.write.parquet(str(src))
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    for i, f in enumerate(sorted(src.glob("*.parquet"))):
+        shutil.copy(f, d / f"a{i}.parquet")
+        shutil.copy(f, d / f"b{i}.parquet")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(docs.schema)
+        .parquet(str(d))
+    )
+    kept = stream_quality_filter(stream, wd, dim=16, threshold=0.5)
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("sqf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["doc_id"], round(r["clf_score"], 9))
+           for r in spark.table("sqf").collect()}
+    want = {
+        (r["doc_id"], round(r["clf_score"], 9))
+        for r in classifier_score_inline(docs, wd, dim=16, threshold=0.5)
+        .where("clf_score_keep").collect()
+    }
+    assert got == want and got
