@@ -540,6 +540,33 @@ def main() -> None:
 
     bench_extra("chunk_documents", x_chunk)
 
+    def x_train_clf():
+        # distributed full-batch GD: per epoch, one broadcast of dim+1
+        # weights out and one map-side-combined dim+1-row gradient back
+        from nested_pandas_spark.pipeline.classifier import (
+            train_quality_classifier,
+        )
+        labeled = t("documents").withColumn(
+            "y", (F.col("lang") == "en").cast("int"))
+        return train_quality_classifier(labeled, "y", dim=64, epochs=2,
+                                        lr=1.0).count()
+
+    bench_extra("train_classifier", x_train_clf)
+
+    def x_kn_bigram():
+        from nested_pandas_spark.pipeline.text import kn_bigram_logprob
+        return kn_bigram_logprob(t("documents")).agg(
+            F.sum("n_bigrams")).collect()
+
+    bench_extra("kn_bigram_logprob", x_kn_bigram)
+
+    def x_hard_neg():
+        return sim.hard_negatives(t("embeddings"), "label", k=3,
+                                  num_planes=8, num_tables=2,
+                                  max_sim=0.999).count()
+
+    bench_extra("hard_negatives", x_hard_neg)
+
     # headline total stays the round-1..3 query set so round-over-round
     # totals compare; the bucketed variants are reported per-query + ratio
     headline = [q for q in queries if not q.endswith("_bucketed")]

@@ -273,6 +273,31 @@ def main() -> None:
     print("paragraphs removed by LM floor:",
           cleaned.agg(F.sum("n_paras_removed")).collect()[0][0])
 
+    # -- 12j2. trained quality classifier + mixture materialization ---------
+    from nested_pandas_spark.pipeline.classifier import (
+        classifier_score_inline,
+        train_quality_classifier,
+    )
+    from nested_pandas_spark.pipeline.corpus import build_mixture
+    from nested_pandas_spark.pipeline.text import kn_bigram_logprob
+
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    wdf = train_quality_classifier(labeled, "y", dim=32, epochs=3)
+    kept_clf = classifier_score_inline(
+        docs, wdf, dim=32, threshold=0.5).where("clf_score_keep")
+    print("classifier-kept docs:", kept_clf.count())
+    kn = kn_bigram_logprob(docs)
+    print("KN bigram mean logp (corpus avg): %.3f" %
+          kn.agg(F.avg("mean_logp")).collect()[0][0])
+    mix = build_mixture(docs, {"src0": 0.5, "src1": 0.5}, 1000)
+    print("mixture docs (50/50, 1k tokens):", mix.count())
+
+    # -- 12j3. hard negatives for contrastive training ----------------------
+    from nested_pandas_spark.pipeline.similarity import hard_negatives
+
+    negs = hard_negatives(emb, "label", k=2, num_planes=4, num_tables=2)
+    print("hard-negative pairs:", negs.count())
+
     # -- 12k. composed IVF+PQ ANN (the FAISS IVFx,PQy shape) ----------------
     from nested_pandas_spark.pipeline.similarity import ivfpq_topk
 

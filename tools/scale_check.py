@@ -271,6 +271,13 @@ def main() -> int:
                        engine="explode").select(
                 F.sum(F.size("a"))).collect()
 
+        def mixture():
+            from nested_pandas_spark.pipeline.corpus import build_mixture
+            srcs = [r[0] for r in t(d, "documents").select("source")
+                    .distinct().collect()]
+            target = {s: 1.0 for s in srcs[: max(1, len(srcs) // 2)]}
+            build_mixture(t(d, "documents"), target, 50_000).count()
+
         def train_clf():
             from nested_pandas_spark.pipeline.classifier import (
                 train_quality_classifier,
@@ -307,6 +314,7 @@ def main() -> int:
             "filter_paragraphs": filter_paras,
             "align_explode_mega": align_explode_mega,
             "train_classifier": train_clf,
+            "build_mixture": mixture,
         }
 
     # warm-up
