@@ -561,6 +561,10 @@ def main() -> None:
     bench_extra("kn_bigram_logprob", x_kn_bigram)
 
     def x_hard_neg():
+        # ~6 stages (bucket explode x2, pair join, distinct, 2-stage
+        # tournament): at this toy vector count the time is per-stage
+        # scheduling/codegen overhead, not data (knn_join costs the same;
+        # the ivf_refined_topk story) — amortizes at scale
         return sim.hard_negatives(t("embeddings"), "label", k=3,
                                   num_planes=8, num_tables=2,
                                   max_sim=0.999).count()

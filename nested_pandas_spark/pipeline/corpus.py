@@ -696,6 +696,10 @@ def clean_corpus(
     gopher: bool | dict = False,
     max_repetition: dict[str, float] | None = None,
     min_bigram_logprob: float | None = None,
+    classifier=None,
+    classifier_dim: int = 64,
+    classifier_threshold: float = 0.5,
+    classifier_features: str = "binary",
 ) -> DataFrame:
     """Return the cleaned corpus (stats columns attached), with exact and
     verified near-duplicates removed (the lowest id of each group survives).
@@ -719,6 +723,15 @@ def clean_corpus(
       :func:`~.text.bigram_logprob` mean (self-modelled over the corpus
       surviving the previous stages) meets the floor; rows too short to
       have bigrams fail it.
+
+    ``classifier=`` adds the TRAINED-model stage (GPT-3/LLaMA-style): pass
+    the (bucket, weight) table from
+    :func:`~.classifier.train_quality_classifier` (or an equivalent dict)
+    and rows must score ``>= classifier_threshold`` under
+    :func:`~.classifier.classifier_score_inline` with ``classifier_dim`` /
+    ``classifier_features`` matching training — a stateless plan-literal
+    projection, no extra shuffle; the ``clf_score`` column stays attached.
+    Training itself stays the caller's batch step (it needs labels).
     """
     from .text import (
         bigram_logprob, gopher_repetition, gopher_rules, quality_model_score)
@@ -732,6 +745,13 @@ def clean_corpus(
         )
     if languages:
         kept = kept.where(F.col("lang_pred").isin(languages))
+    if classifier is not None:
+        from .classifier import classifier_score_inline
+
+        kept = classifier_score_inline(
+            kept, classifier, dim=classifier_dim,
+            text_col=text_col, features=classifier_features,
+        ).where(F.col("clf_score") >= F.lit(float(classifier_threshold)))
     if gopher:
         gkw = dict(gopher) if isinstance(gopher, dict) else {}
         gkw.setdefault("prefix", "gopher")

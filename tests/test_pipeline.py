@@ -2097,6 +2097,42 @@ def test_clean_corpus_quality_knobs(spark):
         clean_corpus(docs, max_repetition={"bogus": 0.5}, **kw)
 
 
+def test_clean_corpus_classifier_knob(spark):
+    """The classifier= knob must equal scoring with
+    classifier_score_inline and filtering before the dedup stages."""
+    from nested_pandas_spark.pipeline.classifier import (
+        classifier_score_inline,
+        train_quality_classifier,
+    )
+    from nested_pandas_spark.pipeline.corpus import clean_corpus
+    from nested_pandas_spark.pipeline.text import add_text_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    wdf = train_quality_classifier(labeled, "y", dim=16, epochs=2)
+    kw = dict(min_quality=0.25, num_hashes=8, bands=4, shingle_n=3)
+    # median score as the threshold: guaranteed to split this corpus
+    scores = sorted(
+        r["clf_score"] for r in
+        classifier_score_inline(docs, wdf, dim=16).collect())
+    thr = scores[len(scores) // 2]
+
+    got = clean_corpus(docs, classifier=wdf, classifier_dim=16,
+                       classifier_threshold=thr, **kw)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert "clf_score" in got.columns
+
+    kept = add_text_stats(docs).where(F.col("quality") >= 0.25)
+    kept = classifier_score_inline(kept, wdf, dim=16).where(
+        F.col("clf_score") >= thr)
+    want = {r["doc_id"] for r in
+            clean_corpus(kept.select(*docs.columns), **kw)
+            .select("doc_id").collect()}
+    assert got_ids == want and got_ids
+    # the threshold must actually drop something at this config
+    assert len(got_ids) < clean_corpus(docs, **kw).count()
+
+
 def test_chunk_documents_bruteforce(spark):
     """chunk_documents must reproduce the exact sliding-window chunking:
     every token covered, stride overlap, short-last-chunk, and empty/NULL
