@@ -863,7 +863,17 @@ def bpe_encode_vocab(
     from pyspark.sql import functions as F
 
     qt = "`" + text_col.replace("`", "``") + "`"
-    stamped = docs.withColumn("__row_id", F.monotonically_increasing_id())
+    # monotonically_increasing_id is deterministic only for one physical
+    # execution of one plan; this frame is referenced from TWO branches
+    # (the posexplode side and the join-back below), so it must be
+    # materialized once before branching — otherwise an upstream shuffle
+    # could renumber rows between evaluations and silently attach token
+    # arrays to the wrong documents. Same hazard + same remedy as
+    # operators/timeseries.py _stamped: an eager localCheckpoint whose
+    # blocks the ContextCleaner frees when the result is GC'd.
+    stamped = docs.withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
     exploded = stamped.where(F.col(text_col).isNotNull()).select(
         F.col("__row_id"),
