@@ -4284,21 +4284,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM e, {pq_books} b
                 QUALIFY rn = 1
             ),
-            recon AS (
-                SELECT c.vec_id,
-                       flatten(list(b.cv ORDER BY c.s)) AS rv
-                FROM codes c JOIN {pq_books} b ON b.s = c.s AND b.cid = c.cid
-                GROUP BY c.vec_id
+            -- LUT-based ADC (Jégou et al. 2011 asymmetric distance): the
+            -- per-(query, subspace, code) distance table replaces any
+            -- reconstruction; total d2 sums the 4 subspace distances in
+            -- subspace order, exactly the Spark _pq_adc_expr fold grouping
+            subd AS (
+                SELECT p.query_id, cv.neighbor_id, c.s,
+                       list_sum(list_transform(range(0, 16), i ->
+                           (p.qv[c.s * 16 + i + 1] - b.cv[i + 1])
+                           * (p.qv[c.s * 16 + i + 1] - b.cv[i + 1]))) AS ds
+                FROM probes p
+                JOIN cvec cv USING (cid)
+                JOIN codes c ON c.vec_id = cv.neighbor_id
+                JOIN {pq_books} b ON b.s = c.s AND b.cid = c.cid
+                WHERE cv.neighbor_id <> p.query_id
             ),
             adc AS (
-                SELECT p.query_id, c.neighbor_id,
-                       list_sum(list_transform(range(0, 64), i ->
-                           (p.qv[i + 1] - r.rv[i + 1])
-                           * (p.qv[i + 1] - r.rv[i + 1]))) AS d2
-                FROM probes p
-                JOIN cvec c USING (cid)
-                JOIN recon r ON r.vec_id = c.neighbor_id
-                WHERE c.neighbor_id <> p.query_id
+                SELECT query_id, neighbor_id,
+                       list_sum(list(ds ORDER BY s)) AS d2
+                FROM subd GROUP BY query_id, neighbor_id
             ),
             cand AS (
                 SELECT query_id, neighbor_id

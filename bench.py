@@ -525,6 +525,18 @@ def main() -> None:
 
     bench_extra("ivfpq_topk", x_ivfpq)
 
+    def x_ivf_largek():
+        # the large-centroid-count path: 256 centroids exceeds
+        # _LITERAL_CENTROID_MAX, so assignment runs against a broadcast
+        # centroid TABLE (O(1) plan nodes) instead of plan literals — the
+        # regime a real 100 TB IVF (10^4-10^5 centroids) lives in
+        emb = t("embeddings")
+        q = emb.where(F.col("vec_id") < 10)
+        return sim.ivf_topk(emb, q, k=5, n_centroids=256, n_probe=16,
+                            n_iters=1).count()
+
+    bench_extra("ivf_topk_c256", x_ivf_largek)
+
     def x_winnow():
         # MOSS winnowing fingerprints + shared-fingerprint pair matching
         return dd.winnow_near_pairs(

@@ -872,13 +872,16 @@ def semantic_dedup(
     pipeline family (exact/minhash/simhash/embedding-LSH) with the
     embedding-clustering variant used for web-scale pretraining corpora.
     """
-    from .similarity import _nearest_centroids, cosine, ivf_centroids
+    from .similarity import cosine, ivf_centroids, with_nearest_ids
 
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
-    base = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("cid", _nearest_centroids(F.col("__v"), cents, 1)[0])
+    base = with_nearest_ids(
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        F.col("__v"), cents, 1,
+    ).withColumn("cid", F.col("__cids")[0]).drop("__cids")
     a = base.select("cid", F.col("__id").alias("__ida"), F.col("__v").alias("__va"))
     b = base.select("cid", F.col("__id").alias("__idb"), F.col("__v").alias("__vb"))
     # the dropped set: ids with a SMALLER-id near-dup in the same cluster.

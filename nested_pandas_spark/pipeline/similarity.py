@@ -207,29 +207,6 @@ def _round_half_up(x: float, decimals: int) -> float:
     )
 
 
-def _nearest_l2(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Id of the centroid nearest to ``vec`` by squared L2 (ties to the
-    smaller id) — the classic k-means assignment, matching the PQ code
-    metric. Centroids are plan literals: pure projection, zero shuffle."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec, F.array(*[F.lit(x) for x in cv]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ).alias("d2"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cv in centroids
-        ]
-    )
-    return F.array_sort(scored)[0]["cid"]
-
-
 def kmeans_refine(
     corpus: DataFrame,
     seeds: list[tuple[int, list[float]]],
@@ -275,12 +252,11 @@ def kmeans_refine(
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cents = seeds
     for _ in range(n_iters):
-        if metric == "l2":
-            cid = _nearest_l2(F.col("__v"), cents)
-        else:
-            cid = _nearest_centroids(F.col("__v"), cents, 1)[0]
+        assigned = with_nearest_ids(
+            base, F.col("__v"), cents, 1, "__cids", metric
+        ).withColumn("__cid", F.col("__cids")[0])
         rows = (
-            base.withColumn("__cid", cid)
+            assigned
             .groupBy("__cid")
             .agg(
                 F.count("*").alias("__n"),
@@ -325,6 +301,124 @@ def _nearest_centroids(
     return F.transform(top, lambda s: -s["ncid"])
 
 
+# Above this many centroids (per codebook, for PQ) the plan-literal
+# assignment expressions switch to a broadcast centroid TABLE: a literal
+# F.array of n_centroids struct(vector) entries means O(n_centroids x dim)
+# Column nodes — at the 10^4-10^5 centroids a real 100 TB IVF needs, the
+# plan alone is tens of MB and whole-stage codegen overflows the JVM's
+# 64KB method limit (the same failure random_projection hit with a literal
+# out_dim x dim matrix). Below the threshold the literal path wins: the
+# constants fold straight into codegen with no extra join node.
+_LITERAL_CENTROID_MAX = 32
+
+
+def _centroid_table_df(spark, centroids: list[tuple[int, list[float]]]):
+    """ONE-row frame carrying the centroid table as
+    ``array<struct<cid: long, v: array<double>>>`` — crossJoined broadcast
+    (a BroadcastNestedLoopJoin of one row, i.e. a constant), so assignment
+    stays a per-row projection with O(1) plan nodes at any centroid count.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(
+            "__cent_tbl",
+            T.ArrayType(T.StructType([
+                T.StructField("cid", T.LongType()),
+                T.StructField("v", T.ArrayType(T.DoubleType())),
+            ])),
+        )
+    ])
+    data = [([(int(cid), [float(x) for x in cv]) for cid, cv in centroids],)]
+    return spark.createDataFrame(data, schema)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 as the same left fold every assignment path uses, so the
+    literal and broadcast-table paths are bit-identical per centroid."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_ids_tbl(vec: Column, tbl: Column, n: int, metric: str) -> Column:
+    """``array<long>`` of the n nearest centroid ids where ``tbl`` is a
+    centroid-table COLUMN (``array<struct<cid, v>>``) instead of plan
+    literals. Same per-centroid math and tie rules as the literal
+    expressions (:func:`_nearest_centroids` / :func:`_nearest_l2_ids`), so the
+    two paths agree bit-for-bit; the HOF form just keeps plan size O(1)."""
+    if metric == "l2":
+        scored = F.transform(
+            tbl,
+            lambda c: F.struct(
+                _l2sq(vec, c["v"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"]
+        )
+    scored = F.transform(
+        tbl,
+        lambda c: F.struct(
+            cosine(vec, c["v"]).alias("cs"), (-c["cid"]).alias("ncid")
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda s: -s["ncid"])
+
+
+def _nearest_l2_ids(
+    vec: Column, centroids: list[tuple[int, list[float]]], n: int
+) -> Column:
+    """n-ids generalization of :func:`_nearest_l2` (literal path)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _l2sq(vec, F.array(*[F.lit(x) for x in cv])).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
+
+
+def with_nearest_ids(
+    df: DataFrame,
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    n: int = 1,
+    out: str = "__cids",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Add ``out`` = ``array<long>`` of the ``n`` nearest centroid ids to
+    ``vec`` (cosine desc or squared-L2 asc; ties to the smaller id).
+
+    The scale switch of the whole ANN family: at or below
+    ``_LITERAL_CENTROID_MAX`` centroids the assignment is the plan-literal
+    projection (constants folded into codegen, zero extra plan nodes);
+    above it the centroid matrix rides as ONE broadcast single-row table
+    and the argmin is a HOF over that array column — O(1) plan nodes and
+    no codegen blow-up at 10^4+ centroids. Both paths compute the same
+    per-centroid fold, so results are bit-identical.
+    """
+    if len(centroids) <= _LITERAL_CENTROID_MAX:
+        col = (
+            _nearest_l2_ids(vec, centroids, n)
+            if metric == "l2"
+            else _nearest_centroids(vec, centroids, n)
+        )
+        return df.withColumn(out, col)
+    tbl = _centroid_table_df(df.sparkSession, centroids)
+    return (
+        df.crossJoin(F.broadcast(tbl))
+        .withColumn(out, _nearest_ids_tbl(vec, F.col("__cent_tbl"), n, metric))
+        .drop("__cent_tbl")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -349,19 +443,23 @@ def ivf_topk(
     layer if the corpus is written partitioned/bucketed by ``centroid_id``.
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-        _nearest_centroids(
-            F.col(vec_col).cast("array<double>"), cents, 1
-        )[0].alias("__cid"),
+    c = with_nearest_ids(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ),
+        F.col("__cv"), cents, 1,
+    ).select(
+        "neighbor_id", "__cv", F.col("__cids")[0].alias("__cid")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-        F.explode(
-            _nearest_centroids(F.col(vec_col).cast("array<double>"), cents, n_probe)
-        ).alias("__cid"),
+    q = with_nearest_ids(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        ),
+        F.col("__qv"), cents, n_probe,
+    ).select(
+        "query_id", "__qv", F.explode(F.col("__cids")).alias("__cid")
     )
     scored = (
         c.join(F.broadcast(q), on="__cid")
@@ -446,6 +544,77 @@ def _pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     return F.array(*codes)
 
 
+def _codebook_table_df(spark, codebooks: list[list[list[float]]]):
+    """ONE-row frame carrying the PQ codebooks as
+    ``array<array<array<double>>>`` (``[subspace][centroid][dim]``) — the
+    broadcast twin of the plan-literal codebook, same rationale as
+    :func:`_centroid_table_df`."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(
+            "__cb_tbl",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+        )
+    ])
+    data = [([[list(map(float, cv)) for cv in cb] for cb in codebooks],)]
+    return spark.createDataFrame(data, schema)
+
+
+def _cb_literal(codebooks: list[list[list[float]]]) -> Column:
+    """The codebooks as one literal nested-array expression."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in cvec]) for cvec in cb])
+            for cb in codebooks
+        ]
+    )
+
+
+def _pq_code_expr_tbl(
+    vec: Column, cbt: Column, n_sub: int, d_sub: int
+) -> Column:
+    """``array<int>`` of per-subspace nearest-centroid ids where ``cbt``
+    is a codebook-table COLUMN — bit-identical math and tie rule (smaller
+    id) to :func:`_pq_code_expr`, O(1) plan nodes at any centroid count."""
+    return F.transform(
+        cbt,
+        lambda cb_s, s: F.array_sort(
+            F.transform(
+                cb_s,
+                lambda cvec, c: F.struct(
+                    _l2sq(
+                        F.slice(vec, s * d_sub + 1, F.lit(d_sub)), cvec
+                    ).alias("d2"),
+                    c.cast("long").alias("cid"),
+                ),
+            )
+        )[0]["cid"].cast("int"),
+    )
+
+
+def _with_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec: Column,
+    out: str,
+) -> DataFrame:
+    """Threshold switch for PQ code assignment: plan-literal codebooks at
+    or below ``_LITERAL_CENTROID_MAX`` centroids per codebook, ONE
+    broadcast single-row codebook table above (see
+    :func:`with_nearest_ids` for why)."""
+    if len(codebooks[0]) <= _LITERAL_CENTROID_MAX:
+        return df.withColumn(out, _pq_code_expr(vec, codebooks))
+    n_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    tbl = _codebook_table_df(df.sparkSession, codebooks)
+    return (
+        df.crossJoin(F.broadcast(tbl))
+        .withColumn(out, _pq_code_expr_tbl(vec, F.col("__cb_tbl"), n_sub, d_sub))
+        .drop("__cb_tbl")
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -454,9 +623,11 @@ def pq_encode(
 ) -> DataFrame:
     """Compress each vector to ``n_sub`` small ints — the 100 TB storage
     story: a 64-dim float vector (256 B) becomes 4-16 code bytes, and search
-    runs against codes + codebooks without touching raw vectors."""
-    return corpus.withColumn(
-        code_col, _pq_code_expr(F.col(vec_col).cast("array<double>"), codebooks)
+    runs against codes + codebooks without touching raw vectors. Above
+    ``_LITERAL_CENTROID_MAX`` centroids per codebook the assignment runs
+    against a broadcast codebook table instead of plan literals."""
+    return _with_pq_codes(
+        corpus, codebooks, F.col(vec_col).cast("array<double>"), code_col
     )
 
 
@@ -466,12 +637,7 @@ def pq_decode(
     """Reconstruction vector from PQ codes: concatenate each subspace's
     selected centroid. Codebook is a plan-literal nested array; the lookup
     is ``element_at`` per subspace — per-row, JVM-side."""
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in cvec]) for cvec in cb])
-            for cb in codebooks
-        ]
-    )
+    cb_lit = _cb_literal(codebooks)
     n_sub = len(codebooks)
     return F.flatten(
         F.transform(
@@ -481,6 +647,87 @@ def pq_decode(
                 (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
             ),
         )
+    )
+
+
+def _pq_recon_expr_tbl(codes: Column, cbt: Column) -> Column:
+    """Reconstruction where the codebook is a table COLUMN: zip each
+    subspace's codebook with its code and pick the centroid — O(1) plan
+    nodes (broadcast twin of :func:`pq_decode`)."""
+    return F.flatten(
+        F.zip_with(
+            cbt, codes, lambda cb_s, c: F.element_at(cb_s, (c + 1).cast("int"))
+        )
+    )
+
+
+def _with_pq_recon(
+    df: DataFrame,
+    codes: Column,
+    codebooks: list[list[list[float]]],
+    out: str,
+) -> DataFrame:
+    """Threshold switch for PQ reconstruction (literal vs broadcast
+    codebook table), mirroring :func:`_with_pq_codes`."""
+    if len(codebooks[0]) <= _LITERAL_CENTROID_MAX:
+        return df.withColumn(out, pq_decode(codes, codebooks))
+    tbl = _codebook_table_df(df.sparkSession, codebooks)
+    return (
+        df.crossJoin(F.broadcast(tbl))
+        .withColumn(out, _pq_recon_expr_tbl(codes, F.col("__cb_tbl")))
+        .drop("__cb_tbl")
+    )
+
+
+def _with_pq_lut(
+    df: DataFrame,
+    qvec: Column,
+    codebooks: list[list[list[float]]],
+    out: str,
+) -> DataFrame:
+    """Per-QUERY-row ADC lookup tables: ``out[s][c]`` = squared L2 between
+    the query's subspace-``s`` slice and codebook entry ``c`` — the
+    standard PQ asymmetric-distance table (Jégou et al. 2011 §III-B,
+    FAISS's LUT scan). Computed ONCE per query row (queries are the small
+    side by contract), so candidate scoring becomes O(n_sub) table
+    lookups instead of an O(dim) reconstruction distance per (query,
+    candidate) pair. Codebooks ride as plan literals below the threshold,
+    as a broadcast table above."""
+    n_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+
+    def lut_expr(cbt: Column) -> Column:
+        return F.transform(
+            cbt,
+            lambda cb_s, s: F.transform(
+                cb_s,
+                lambda cvec: _l2sq(
+                    F.slice(qvec, s * d_sub + 1, F.lit(d_sub)), cvec
+                ),
+            ),
+        )
+
+    if len(codebooks[0]) <= _LITERAL_CENTROID_MAX:
+        return df.withColumn(out, lut_expr(_cb_literal(codebooks)))
+    tbl = _codebook_table_df(df.sparkSession, codebooks)
+    return (
+        df.crossJoin(F.broadcast(tbl))
+        .withColumn(out, lut_expr(F.col("__cb_tbl")))
+        .drop("__cb_tbl")
+    )
+
+
+def _pq_adc_expr(lut: Column, codes: Column) -> Column:
+    """ADC distance from a per-query LUT and a candidate's codes:
+    ``sum_s lut[s][codes[s]]`` — n_sub lookups + adds per pair. The
+    subspace-grouped summation order is the contract the oracles replay
+    (it differs from a full-dimension fold only in FP association)."""
+    return F.aggregate(
+        F.zip_with(
+            lut, codes, lambda t, c: F.element_at(t, (c + 1).cast("int"))
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -508,10 +755,9 @@ def pq_topk(
     standard memory-bound ANN formulation alongside IVF's compute-bound one.
     """
     cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, n_centroids, n_iters)
-    encoded = pq_encode(corpus, cbs, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_decode(F.col("pq_code"), cbs).alias("__recon"),
-    )
+    encoded = _with_pq_recon(
+        pq_encode(corpus, cbs, vec_col), F.col("pq_code"), cbs, "__recon"
+    ).select(F.col(id_col).alias("neighbor_id"), "__recon")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -1131,38 +1377,42 @@ def ivfpq_topk(
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
     cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids, pq_iters)
-    c = pq_encode(corpus, cbs, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_decode(F.col("pq_code"), cbs).alias("__recon"),
-        _nearest_centroids(
-            F.col(vec_col).cast("array<double>"), cents, 1
-        )[0].alias("__cid"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-        F.explode(
-            _nearest_centroids(F.col(vec_col).cast("array<double>"), cents,
-                               n_probe)
-        ).alias("__cid"),
+    c = with_nearest_ids(
+        pq_encode(corpus, cbs, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("pq_code"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ),
+        F.col("__cv"), cents, 1,
+    ).select("neighbor_id", "pq_code", F.col("__cids")[0].alias("__cid"))
+    q = _with_pq_lut(
+        with_nearest_ids(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("__qv"),
+            ),
+            F.col("__qv"), cents, n_probe,
+        ),
+        F.col("__qv"), cbs, "__lut",
+    ).select(
+        "query_id", "__lut", F.explode(F.col("__cids")).alias("__cid")
     )
 
     def l2sq(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
+        return _l2sq(a, b)
 
     # each corpus row lives in exactly ONE cell, so the probe join yields
-    # each (query, neighbor) pair at most once — no dedup needed
+    # each (query, neighbor) pair at most once — no dedup needed. ADC is
+    # LUT-based: the probed scan reads only (id, pq_code, cid) — never a
+    # vector — and each pair costs n_sub lookups, not an O(dim) fold over
+    # a pq_decode reconstruction.
     adc = (
         c.join(F.broadcast(q), on="__cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (-l2sq(F.col("__qv"), F.col("__recon"))).alias("cos_sim"),
+            (-_pq_adc_expr(F.col("__lut"), F.col("pq_code"))).alias("cos_sim"),
         )
     )
     cand = _per_query_topk(adc, refine * k).select("query_id", "neighbor_id")

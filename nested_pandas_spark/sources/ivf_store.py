@@ -25,10 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.similarity import (
-    _nearest_centroids,
     _per_query_topk,
     cosine,
     ivf_centroids,
+    with_nearest_ids,
 )
 
 __all__ = ["write_ivf_index", "read_ivf_centroids", "ivf_search",
@@ -58,7 +58,9 @@ def write_ivf_index(
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
     vec = F.col(vec_col).cast("array<double>")
     (
-        corpus.withColumn("__cid", _nearest_centroids(vec, cents, 1)[0])
+        with_nearest_ids(corpus, vec, cents, 1)
+        .withColumn("__cid", F.col("__cids")[0])
+        .drop("__cids")
         .repartition(F.col("__cid"))
         .write.mode(mode)
         .partitionBy("__cid")
@@ -97,11 +99,12 @@ def ivf_search(
     """
     cents = read_ivf_centroids(path)
     vec = F.col(vec_col).cast("array<double>")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        vec.alias("__qv"),
-        F.explode(_nearest_centroids(vec, cents, n_probe)).alias("__cid"),
-    )
+    q = with_nearest_ids(
+        queries.select(
+            F.col(id_col).alias("query_id"), vec.alias("__qv")
+        ),
+        F.col("__qv"), cents, n_probe,
+    ).select("query_id", "__qv", F.explode(F.col("__cids")).alias("__cid"))
     # driver-side probe set: tiny (<= queries x n_probe ints), and turning
     # it into a literal is exactly what enables static partition pruning
     probe_cids = sorted({r["__cid"] for r in q.select("__cid").distinct().collect()})
@@ -152,8 +155,9 @@ def write_ivfpq_index(
     cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids, pq_iters)
     vec = F.col(vec_col).cast("array<double>")
     (
-        pq_encode(corpus, cbs, vec_col)
-        .withColumn("__cid", _nearest_centroids(vec, cents, 1)[0])
+        with_nearest_ids(pq_encode(corpus, cbs, vec_col), vec, cents, 1)
+        .withColumn("__cid", F.col("__cids")[0])
+        .drop("__cids")
         .repartition(F.col("__cid"))
         .write.mode(mode)
         .partitionBy("__cid")
@@ -193,30 +197,33 @@ def ivfpq_search(
     set), the ADC scan projects only (id, pq_code), and the exact re-rank
     re-reads just the candidate rows' vectors from the same pruned slice.
     """
-    from ..pipeline.similarity import pq_decode
+    from ..pipeline.similarity import _l2sq, _pq_adc_expr, _with_pq_lut
 
     cents, cbs = read_ivfpq_meta(path)
     vec = F.col(vec_col).cast("array<double>")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        vec.alias("__qv"),
-        F.explode(_nearest_centroids(vec, cents, n_probe)).alias("__cid"),
-    )
+    q = _with_pq_lut(
+        with_nearest_ids(
+            queries.select(
+                F.col(id_col).alias("query_id"), vec.alias("__qv")
+            ),
+            F.col("__qv"), cents, n_probe,
+        ),
+        F.col("__qv"), cbs, "__lut",
+    ).select("query_id", "__lut", F.explode(F.col("__cids")).alias("__cid"))
     probe_cids = sorted(
         {r["__cid"] for r in q.select("__cid").distinct().collect()})
     store = spark.read.parquet(path).where(F.col("__cid").isin(probe_cids))
 
     def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
+        return _l2sq(a, b)
 
-    # ADC phase: only (id, code, partition col) leave the scan
+    # ADC phase: only (id, code, partition col) leave the scan; scoring
+    # is LUT-based (per-query subspace distance tables built once above),
+    # so each (query, candidate) pair costs n_sub lookups, never an
+    # O(dim) reconstruction distance
     codes = store.select(
         F.col(id_col).alias("neighbor_id"),
-        pq_decode(F.col("pq_code"), cbs).alias("__recon"),
+        F.col("pq_code"),
         F.col("__cid").cast("long").alias("__cid"),
     )
     adc = (
@@ -225,7 +232,7 @@ def ivfpq_search(
         .select(
             "query_id",
             "neighbor_id",
-            (-l2sq(F.col("__qv"), F.col("__recon"))).alias("cos_sim"),
+            (-_pq_adc_expr(F.col("__lut"), F.col("pq_code"))).alias("cos_sim"),
         )
     )
     cand = _per_query_topk(adc, refine * k).select("query_id", "neighbor_id")

@@ -2590,3 +2590,72 @@ def test_chunk_documents_param_grid(spark):
                 s = c * st
                 want[(did, c)] = (min(mx, n - s), " ".join(w[s:s + mx]))
         assert got == want, (mx, st)
+
+
+def test_broadcast_assignment_matches_literal(spark, monkeypatch):
+    """The broadcast centroid-table path (used above _LITERAL_CENTROID_MAX
+    centroids) is bit-identical to the plan-literal path across the whole
+    ANN family — ivf (q31 shape), pq (q39 shape), ivfpq (q138 shape), and
+    kmeans refinement — because both paths compute the same per-centroid
+    fold; only plan representation differs."""
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4)
+
+    def run_all():
+        ivf = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in sim.ivf_topk(
+                emb, q, k=3, n_centroids=4, n_probe=2, n_iters=2
+            ).collect()
+        )
+        pq = sorted(
+            tuple(r)
+            for r in sim.pq_topk(
+                emb, q, k=3, n_sub=2, n_centroids=4, refine=4, n_iters=1
+            ).collect()
+        )
+        ivfpq = sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(
+                emb, q, k=3, n_centroids=4, n_probe=2, n_sub=2,
+                pq_centroids=4, refine=4,
+            ).collect()
+        )
+        cents = sim.kmeans_refine(
+            emb, sim.ivf_centroids(emb, n_centroids=4), n_iters=2, metric="l2"
+        )
+        return ivf, pq, ivfpq, cents
+
+    lit = run_all()
+    monkeypatch.setattr(sim, "_LITERAL_CENTROID_MAX", 0)
+    bc = run_all()
+    assert lit == bc
+
+
+def test_large_centroid_count_is_not_plan_literal(spark):
+    """At 256 centroids/codebook entries the assignment plan must carry NO
+    literal centroid matrix (a distinctive coordinate appears nowhere in
+    the analyzed plan) and plan size must stay O(1) in n_centroids — the
+    100 TB guard: at 10^4+ centroids a literal matrix overflows codegen."""
+    marker = 123.456789
+    cents = [(i, [marker + i] + [float(i % 7)] * 7) for i in range(256)]
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    out = sim.with_nearest_ids(
+        emb, F.col("embedding").cast("array<double>"), cents, 2
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "123.456" not in plan
+    assert len(plan) < 20000
+    assert len(out.collect()[0]["__cids"]) == 2
+
+    cbs = [[[marker + c] * 4 for c in range(256)] for _ in range(2)]
+    enc = sim.pq_encode(emb, cbs)
+    plan = enc._jdf.queryExecution().analyzed().toString()
+    assert "123.456" not in plan
+    assert len(plan) < 20000
+    codes = enc.collect()[0]["pq_code"]
+    assert len(codes) == 2 and all(isinstance(c, int) for c in codes)

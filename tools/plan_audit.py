@@ -727,6 +727,45 @@ def main() -> int:
         )[:600],
     ))
 
+    # -- 28. ANN assignment above the literal threshold: broadcast table ----
+    from nested_pandas_spark.pipeline import similarity as sim
+
+    big_cents = [
+        (i, [123.456789 + i] + [float(i % 7)] * 63) for i in range(256)
+    ]
+    p28 = explain_str(
+        sim.with_nearest_ids(
+            emb, F.col("embedding").cast("array<double>"), big_cents, 4
+        )
+    )
+    p28a = sim.with_nearest_ids(
+        emb, F.col("embedding").cast("array<double>"), big_cents, 4
+    )._jdf.queryExecution().analyzed().toString()
+    check(
+        "large-centroid assignment not plan-literal",
+        "123.456" not in p28a and len(p28a) < 20000,
+        f"centroid coordinates leaked into the plan (len={len(p28a)})",
+    )
+    check(
+        "large-centroid assignment broadcasts the table",
+        "BroadcastNestedLoopJoin" in p28 or "BroadcastExchange" in p28,
+        "centroid table not broadcast",
+    )
+    sections.append((
+        "ANN centroid assignment at 256+ centroids: broadcast table, O(1) plan",
+        "Above `_LITERAL_CENTROID_MAX` (32) the centroid/codebook matrix "
+        "rides as ONE broadcast single-row table and the argmin is a HOF "
+        "over that array column — the analyzed plan contains no centroid "
+        "coordinate and stays constant-size in n_centroids, so whole-stage "
+        "codegen never sees an O(n_centroids x dim) expression tree (the "
+        "regime a real 100 TB IVF with 10^4-10^5 centroids lives in). "
+        "Below the threshold the literal path still wins and is kept.",
+        "\n".join(
+            ln.strip() for ln in p28.splitlines()
+            if "Join" in ln or "Exchange" in ln or "Scan" in ln
+        )[:500],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
