@@ -1024,18 +1024,36 @@ def hard_negatives(
     c = labeled.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
-        F.col(vec_col).alias("__cv"),
         F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
     )
     q = labeled.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
-        F.col(vec_col).alias("__qv"),
         F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
     )
-    scored = (
+    # dedup BEFORE scoring: a pair can collide in several LSH tables, so
+    # distinct-ing first means (a) each surviving pair's cosine is
+    # evaluated exactly once instead of once per collision, (b) the
+    # distinct shuffle carries four small key columns — no vectors and no
+    # double, so float-representation dedup surprises are impossible by
+    # construction — and (c) the bucket self-join above shuffles only
+    # (id, label, table, bucket), never an embedding. Vectors are fetched
+    # by id-keyed joins on the (much smaller) deduped pair set.
+    cand = (
         q.join(c, on=["__tbl", "__bucket"])
         .where(F.col("query_label") != F.col("neighbor_label"))
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label")
+        .distinct()
+    )
+    qv = labeled.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        cand.join(qv, on="query_id")
+        .join(cv, on="neighbor_id")
         .select(
             "query_id",
             "query_label",
@@ -1046,7 +1064,6 @@ def hard_negatives(
                 F.col("__cv").cast("array<double>"),
             ).alias("cos_sim"),
         )
-        .distinct()  # a pair can collide in several tables
     )
     if max_sim is not None:
         scored = scored.where(F.col("cos_sim") <= F.lit(float(max_sim)))
