@@ -351,6 +351,40 @@ def main() -> None:
             exact10),
     }
 
+    # -- planted-cluster recall: the driver embeddings are isotropic random
+    # vectors (pairwise cos ~ N(0, 0.13)) — an information-theoretic worst
+    # case where ANY index scores near-random, so the numbers above are
+    # only an adversarial lower bound. This fixture plants the structure an
+    # index is SUPPOSED to exploit (64 clusters + near-dup pairs); recall
+    # here is the signal-bearing number, floor-asserted in
+    # tests/test_pipeline.py::test_planted_cluster_recall_floors.
+    from nested_pandas_spark.datasets import generate_clustered_embeddings
+
+    emb_c = generate_clustered_embeddings(
+        spark, n_clusters=64, per_cluster=32, dim=64, seed=7
+    ).cache()
+    qs_c = emb_c.where(F.col("vec_id") < 10)
+    exact_c = sim.brute_force_topk(emb_c, qs_c, k=10)
+    recall_clustered = {
+        "lsh@10": _mean_recall(
+            sim.lsh_topk(emb_c, qs_c, k=10, num_planes=8, num_tables=4),
+            exact_c),
+        "ivf@10": _mean_recall(
+            sim.ivf_topk(emb_c, qs_c, k=10, n_centroids=64, n_probe=4,
+                         n_iters=2),
+            exact_c),
+        "pq@10": _mean_recall(
+            sim.pq_topk(emb_c, qs_c, k=10, n_sub=4, n_centroids=16,
+                        refine=4, n_iters=1),
+            exact_c),
+        "ivfpq@10": _mean_recall(
+            sim.ivfpq_topk(emb_c, qs_c, k=10, n_centroids=64, n_probe=4,
+                           n_sub=4, pq_centroids=16, refine=4,
+                           n_iters=2, pq_iters=1),
+            exact_c),
+    }
+    emb_c.unpersist()
+
     # -- beyond-reference extras: timed for visibility, kept OUT of the
     # headline total so round-over-round totals stay comparable ---------
     extras = {}
@@ -669,6 +703,7 @@ def main() -> None:
         "checksums": checksums,
         "extras": extras,
         "recall": recall,
+        "recall_clustered": recall_clustered,
         "reference": reference,
         "ratio": ratios,
         "sf": float(sf),

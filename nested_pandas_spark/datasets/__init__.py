@@ -1,1 +1,5 @@
-from .generation import generate_data, generate_parquet_file
+from .generation import (
+    generate_clustered_embeddings,
+    generate_data,
+    generate_parquet_file,
+)

@@ -2659,3 +2659,39 @@ def test_large_centroid_count_is_not_plan_literal(spark):
     assert len(plan) < 20000
     codes = enc.collect()[0]["pq_code"]
     assert len(codes) == 2 and all(isinstance(c, int) for c in codes)
+
+
+def test_planted_cluster_recall_floors(spark):
+    """ANN recall floors on data with planted structure. The isotropic
+    driver embeddings make low recall an information-theoretic certainty
+    (pairwise cos ~ N(0, 0.13)), so they can't distinguish a regression
+    from noise; the clustered fixture can. Floors sit comfortably below
+    the deterministic seed's measured values (ivf 1.0, pq/ivfpq 0.82,
+    lsh 0.47) so only a real quality regression trips them."""
+    from nested_pandas_spark.datasets import generate_clustered_embeddings
+
+    emb = generate_clustered_embeddings(
+        spark, n_clusters=16, per_cluster=24, dim=32, seed=7
+    ).cache()
+    q = emb.where(F.col("vec_id") < 12)
+    exact = sim.brute_force_topk(emb, q, k=10)
+
+    def mean_recall(approx):
+        r = sim.recall_at_k(approx, exact).agg(
+            F.avg("recall").alias("r")).collect()[0]["r"]
+        return float(r)
+
+    assert mean_recall(
+        sim.ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4, n_iters=2)
+    ) >= 0.8
+    assert mean_recall(
+        sim.pq_topk(emb, q, k=10, n_sub=4, n_centroids=8, refine=4, n_iters=1)
+    ) >= 0.6
+    assert mean_recall(
+        sim.ivfpq_topk(emb, q, k=10, n_centroids=16, n_probe=4, n_sub=4,
+                       pq_centroids=8, refine=4, n_iters=2, pq_iters=1)
+    ) >= 0.6
+    assert mean_recall(
+        sim.lsh_topk(emb, q, k=10, num_planes=8, num_tables=4)
+    ) >= 0.3
+    emb.unpersist()
