@@ -2278,6 +2278,41 @@ def q106_bmp_decode(spark, sf):
     )
 
 
+def q149_image_phash_pairs(spark, sf):
+    """Image perceptual near-duplicate pairs (pipeline/multimodal.py
+    phash_df + image_near_pairs; shared pigeonhole pairing
+    pipeline/dedup.py hamming_near_pairs): q106's REAL-BMP fixture (each
+    document's first 48 text bytes become a genuine 4x4 24-bit BMP),
+    decoded in STRICT mode, aHash-ed on an 8x8 grid (integer-exact:
+    grayscale = channel sum, threshold = sample*64 > total), then paired
+    by Hamming distance <= 3 via 16-bit pigeonhole blocks. The oracle
+    replays the BMP byte layout, the grayscale/threshold integer math,
+    and the Hamming radius all-pairs (exactness of the blocked join)."""
+    import struct
+
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    header = (
+        b"BM" + struct.pack("<IHHI", 102, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 2835, 2835, 0, 0)
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"concat(X'{header.hex()}', rpad(substring("
+            "encode(coalesce(text, ''), 'utf-8'), 1, 48), 48, X'00'))"
+        ).alias("payload"),
+    )
+    decoded = mm.decode_image(docs, "payload", strict=True)
+    pairs = mm.image_near_pairs(
+        decoded, "doc_id", in_height=4, in_width=4, method="ahash",
+        max_hamming=3, block_bits=16,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q107_wav_features(spark, sf):
     """REAL audio decode through the gate (pipeline/multimodal.py
     decode_wav): each document's first 64 text bytes (zero-padded) become
@@ -3138,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_kn_bigram": q146_kn_bigram,
         "q147_build_mixture": q147_build_mixture,
         "q148_stream_quality_filter": q148_stream_quality_filter,
+        "q149_image_phash_pairs": q149_image_phash_pairs,
     }
 
 
@@ -4866,6 +4902,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN i = 11 THEN v END) AS BIGINT) AS last_r,
                    CAST(max(CASE WHEN i = 9 THEN v END) AS BIGINT) AS last_b
             FROM v GROUP BY doc_id
+        """,
+        "q149_image_phash_pairs": """
+            -- replay: BMP data byte i of doc = text byte i or 0; decoded
+            -- gray(y=3-(i DIV 12), x=(i%12) DIV 3) = sum of that pixel's 3
+            -- bytes (channel order cancels in the sum); aHash samples the
+            -- 8x8 grid (nearest-neighbor: source (yy DIV 2, xx DIV 2)),
+            -- bit j = sample*64 > total (integer-exact), pairs by Hamming
+            -- radius 3 (all-pairs here == the pigeonhole-blocked join)
+            WITH b AS (
+                SELECT doc_id, text, unnest(range(48)) AS i FROM documents
+            ), v AS (
+                SELECT doc_id, i,
+                       CASE WHEN i < length(coalesce(text, ''))
+                            THEN ascii(substr(text, i + 1, 1)) ELSE 0
+                       END AS v
+                FROM b
+            ), gray AS (
+                SELECT doc_id,
+                       3 - (i // 12) AS y,
+                       (i % 12) // 3 AS x,
+                       sum(v) AS g
+                FROM v GROUP BY doc_id, i // 12, (i % 12) // 3
+            ), grid AS (
+                SELECT doc_id, unnest(range(64)) AS j FROM documents
+            ), samp AS (
+                SELECT grid.doc_id, grid.j, gray.g
+                FROM grid JOIN gray ON gray.doc_id = grid.doc_id
+                 AND gray.y = (grid.j // 8) // 2
+                 AND gray.x = (grid.j % 8) // 2
+            ), tot AS (
+                SELECT doc_id, sum(g) AS total FROM samp GROUP BY doc_id
+            ), h AS (
+                SELECT s.doc_id,
+                       -- DuckDB range-checks 1<<63; bit 63 is the BIGINT
+                       -- sign bit, spelled as its two's-complement value
+                       bit_or(CASE WHEN s.g * 64 <= t.total THEN 0::BIGINT
+                              WHEN s.j = 63 THEN (-9223372036854775807 - 1)
+                              ELSE (1::BIGINT << CAST(s.j AS INT))
+                              END) AS ph
+                FROM samp s JOIN tot t USING (doc_id)
+                GROUP BY s.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 3
         """,
         "q107_wav_features": """
             -- replay the PCM-16 LE samples: v_i = b[2i] + 256*b[2i+1]

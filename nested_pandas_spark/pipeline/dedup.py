@@ -34,6 +34,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
+    "hamming_near_pairs",
     "embedding_neardup",
     "semantic_dedup",
     "connected_components",
@@ -654,14 +655,42 @@ def simhash_near_pairs(
     d < #blocks must agree on at least one full block), so the join is on
     block equality, never all-pairs.
     """
-    n_blocks = bits // block_bits
-    if max_hamming >= n_blocks:
-        raise ValueError("need max_hamming < number of blocks for pigeonhole blocking")
     sh = (
         simhash_df(df, id_col, text_col, bits, shingle_n, alias="__sh")
         .withColumnRenamed(id_col, "__id")
         .where(F.col("__sh").isNotNull())
     )
+    return hamming_near_pairs(
+        sh, "__id", "__sh", bits=bits, max_hamming=max_hamming,
+        block_bits=block_bits,
+    )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """All pairs with Hamming distance <= ``max_hamming`` between values of
+    an integer ``hash_col`` — the blocked pairing shared by text SimHash
+    (:func:`simhash_near_pairs`) and image perceptual hashes
+    (:func:`~nested_pandas_spark.pipeline.multimodal.image_near_pairs`).
+
+    Pigeonhole blocking: two hashes within Hamming distance d < #blocks
+    must agree on at least one full ``block_bits`` block, so candidates
+    join on block equality — never all-pairs. Pairs are enumerated
+    in-array per bucket (one aggregation, ``id_a < id_b``); output
+    ``(id_a, id_b, hamming)``, exact within the radius.
+    """
+    n_blocks = bits // block_bits
+    if max_hamming >= n_blocks:
+        raise ValueError("need max_hamming < number of blocks for pigeonhole blocking")
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__sh")
+    ).where(F.col("__sh").isNotNull())
     mask = (1 << block_bits) - 1
     blocked = sh.select(
         "__id",
@@ -674,7 +703,7 @@ def simhash_near_pairs(
         ).alias("blk_idx", "blk_key"),
     )
     # group-and-enumerate (see lsh_candidate_pairs): one aggregation per
-    # block bucket, simhashes computed once, pairs enumerated in-array
+    # block bucket, hashes computed once, pairs enumerated in-array
     buckets = (
         blocked.groupBy("blk_idx", "blk_key")
         .agg(F.sort_array(F.collect_list(F.struct("__id", "__sh"))).alias("ms"))

@@ -43,6 +43,8 @@ __all__ = [
     "resize_image",
     "sample_video_frames",
     "audio_features",
+    "phash_df",
+    "image_near_pairs",
 ]
 
 # Typed metadata carried next to every binary media column.
@@ -480,3 +482,125 @@ def audio_features(
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def _grid_gray_sql(
+    pixels_col: str, j: str, in_h: int, in_w: int, channels: int,
+    grid_h: int, grid_w: int,
+) -> str:
+    """SQL for the integer grayscale value of grid sample ``j`` (row-major
+    over a ``grid_h x grid_w`` nearest-neighbor sampling of the source):
+    gray = SUM of the channel bytes (monotone-equivalent to the mean, so
+    thresholds/comparisons are unchanged and everything stays integer)."""
+    sy = f"(({j}) DIV {grid_w}) * {in_h} DIV {grid_h}"
+    sx = f"(({j}) % {grid_w}) * {in_w} DIV {grid_w}"
+    idx = f"((({sy}) * {in_w} + ({sx})) * {channels})"
+    return " + ".join(
+        f"element_at({pixels_col}, CAST({idx} + {c + 1} AS INT))"
+        for c in range(channels)
+    )
+
+
+def phash_df(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    in_height: int = 8,
+    in_width: int = 8,
+    channels: int = 3,
+    method: str = "ahash",
+    hash_h: int = 8,
+    hash_w: int = 8,
+    out: str = "phash",
+) -> DataFrame:
+    """Perceptual image hash (64-bit aHash or dHash) from a decoded flat
+    pixel array — pure integer JVM HOFs: no Python, no floats.
+
+    * ``ahash`` (average hash): sample an ``hash_h x hash_w`` grid
+      (nearest-neighbor, the :func:`resize_image` convention), bit ``j`` =
+      1 iff sample ``j`` is brighter than the grid mean. The threshold is
+      evaluated as ``sample * n_bits > total`` — exact integer arithmetic,
+      so any SQL engine replays the hash bit-for-bit.
+    * ``dhash`` (difference hash): sample ``hash_h x (hash_w+1)``, bit
+      ``(y, x)`` = 1 iff ``g(y, x) > g(y, x+1)`` — the gradient-direction
+      variant, robust to global brightness shifts.
+
+    Grayscale is the channel SUM (monotone-equivalent to the mean for
+    both comparisons). Bits OR-accumulate into one BIGINT (never an
+    additive overflow at bit 63). NULL pixels -> NULL hash. The staged
+    sample array is let-bound so a caller filtering on the hash can't
+    trigger the per-position re-evaluation blow-up.
+    """
+    from ..operators.timeseries import _let_sql
+
+    n_bits = hash_h * hash_w
+    if n_bits > 64:
+        raise ValueError(f"hash_h*hash_w must be <= 64, got {n_bits}")
+    if method not in ("ahash", "dhash"):
+        raise ValueError(f"method must be 'ahash' or 'dhash', got {method!r}")
+    grid_w = hash_w + 1 if method == "dhash" else hash_w
+    n_samples = hash_h * grid_w
+    sampled = (
+        f"transform(sequence(0, {n_samples - 1}), __j -> "
+        + _grid_gray_sql(pixels_col, "__j", in_height, in_width, channels,
+                         hash_h, grid_w)
+        + ")"
+    )
+    bit = "shiftleft(CAST(1 AS BIGINT), __b)"
+    zero = "CAST(0 AS BIGINT)"
+    if method == "ahash":
+        pred = f"element_at(__s, CAST(__b + 1 AS INT)) * {n_bits} > __tot"
+        body = _let_sql(
+            f"aggregate(__s, {zero}, (__a, __v) -> __a + __v)",
+            "__tot",
+            f"aggregate(sequence(0, {n_bits - 1}), {zero}, (__a, __b) -> "
+            f"__a | (CASE WHEN {pred} THEN {bit} ELSE {zero} END))",
+        )
+    else:
+        left = f"element_at(__s, CAST(__b DIV {hash_w} * {grid_w} + __b % {hash_w} + 1 AS INT))"
+        right = f"element_at(__s, CAST(__b DIV {hash_w} * {grid_w} + __b % {hash_w} + 2 AS INT))"
+        body = (
+            f"aggregate(sequence(0, {n_bits - 1}), {zero}, (__a, __b) -> "
+            f"__a | (CASE WHEN {left} > {right} THEN {bit} ELSE {zero} END))"
+        )
+    sql = _let_sql(sampled, "__s", body)
+    return df.withColumn(
+        out,
+        F.when(F.col(pixels_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.expr(sql)),
+    )
+
+
+def image_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    pixels_col: str = "pixels",
+    in_height: int = 8,
+    in_width: int = 8,
+    channels: int = 3,
+    method: str = "ahash",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+    hash_h: int = 8,
+    hash_w: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the multimodal twin of text SimHash dedup: :func:`phash_df` computes
+    a 64-bit aHash/dHash per row (pure-JVM projection), then the shared
+    pigeonhole block join
+    (:func:`~nested_pandas_spark.pipeline.dedup.hamming_near_pairs`)
+    pairs candidates on block equality — never all-pairs, and only
+    (id, hash) ever shuffles; pixel arrays and payloads stay put.
+
+    Output ``(id_a, id_b, hamming)`` with ``id_a < id_b``, exact within
+    ``max_hamming`` (requires ``max_hamming < 64/block_bits`` blocks).
+    """
+    from .dedup import hamming_near_pairs
+
+    hashed = phash_df(
+        df, pixels_col, in_height, in_width, channels, method,
+        hash_h, hash_w, out="__ph",
+    ).select(F.col(id_col), F.col("__ph"))
+    return hamming_near_pairs(
+        hashed, id_col, "__ph", bits=hash_h * hash_w,
+        max_hamming=max_hamming, block_bits=block_bits,
+    )

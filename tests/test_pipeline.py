@@ -2695,3 +2695,61 @@ def test_planted_cluster_recall_floors(spark):
         sim.lsh_topk(emb, q, k=10, num_planes=8, num_tables=4)
     ) >= 0.3
     emb.unpersist()
+
+
+def test_phash_invariants(spark):
+    """aHash/dHash: identical pixels -> identical hash; a tiny perturbation
+    moves few bits; NULL pixels -> NULL hash; aHash has a ~balanced bit
+    population on random pixels (it thresholds at the mean)."""
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 256, 4 * 4 * 3).tolist()
+    near = list(base)
+    near[5] = (near[5] + 4) % 256
+    df = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, near), (4, None)],
+        "img_id long, pixels array<int>",
+    )
+    for method in ("ahash", "dhash"):
+        d = {
+            r["img_id"]: r["phash"]
+            for r in mm.phash_df(df, in_height=4, in_width=4,
+                                 method=method).collect()
+        }
+        assert d[1] == d[2]
+        assert d[4] is None
+        assert bin((d[1] ^ d[3]) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_image_near_pairs_matches_brute_force(spark):
+    """The pigeonhole-blocked Hamming pairing is EXACT within the radius:
+    it returns the same pair set as brute-force all-pairs over the hashes."""
+    rng = np.random.RandomState(7)
+    imgs = []
+    for i in range(40):
+        if i % 4 == 0 and i > 0:
+            src = list(imgs[i - 1][1])
+            j = rng.randint(0, len(src))
+            src[j] = (src[j] + rng.randint(1, 10)) % 256
+            imgs.append((i, src))
+        else:
+            imgs.append((i, rng.randint(0, 256, 8 * 8 * 3).tolist()))
+    df = spark.createDataFrame(imgs, "img_id long, pixels array<int>")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in mm.image_near_pairs(
+            df, "img_id", in_height=8, in_width=8, method="dhash",
+            max_hamming=3, block_bits=16,
+        ).collect()
+    )
+    hashes = {
+        r["img_id"]: r["phash"]
+        for r in mm.phash_df(df, in_height=8, in_width=8,
+                             method="dhash").collect()
+    }
+    expected = sorted(
+        (a, b, bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1"))
+        for a in hashes for b in hashes
+        if a < b and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert got == expected
+    assert len(expected) > 0
