@@ -2313,6 +2313,66 @@ def q149_image_phash_pairs(spark, sf):
     )
 
 
+_MESSY_URL = (
+    "concat('HTTPS://', CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN 'Sub.' ELSE '' END, "
+    "upper(source), '.Example.COM', "
+    "CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END, "
+    "'/Docs/', CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 2 = 0 THEN concat('/?utm_source=feed&page=', "
+    "CAST(doc_id % 7 AS STRING), '&fbclid=xyz') ELSE '/' END, "
+    "'#section')"
+)
+
+
+def q150_normalize_url(spark, sf):
+    """URL canonicalization (pipeline/web.py normalize_url / url_domain):
+    deterministic messy URLs synthesized per document (upper-cased scheme
+    and host, www. prefix, default :443 port, trailing slash, tracking
+    params, fragment) must normalize to the clean form. The oracle does
+    NOT replay our regexes — it constructs the expected canonical URL
+    independently from doc_id/source, so the check is ground truth."""
+    from nested_pandas_spark.pipeline.web import normalize_url, url_domain
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_MESSY_URL).alias("url")
+    )
+    return docs.select(
+        "doc_id", normalize_url("url"), url_domain("url")
+    )
+
+
+def q151_domain_caps(spark, sf):
+    """Per-domain dominance cap (pipeline/web.py domain_caps over
+    corpus.py sample_per_group): at most 15 rows per normalized domain,
+    selected by the deterministic md5(seed:id) tournament. The oracle
+    recomputes the domain from doc_id/source and replays the rank."""
+    from nested_pandas_spark.pipeline.web import domain_caps
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.expr(_MESSY_URL).alias("url")
+    )
+    return domain_caps(docs, "url", 15).select("doc_id", "source")
+
+
+def q152_blocklist_filter(spark, sf):
+    """Domain blocklist with subdomain semantics (pipeline/web.py
+    blocklist_filter): blocking src1/src3/src7.example.com must also drop
+    sub.src1.example.com rows — the suffix-chain explode keeps the match
+    a broadcast equi-join. Oracle: the surviving sources, ground truth."""
+    from nested_pandas_spark.pipeline.web import blocklist_filter
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.expr(_MESSY_URL).alias("url")
+    )
+    kept = blocklist_filter(
+        docs,
+        ["src1.example.com", "src3.example.com", "src7.example.com"],
+        "url",
+    )
+    return kept.select("doc_id", "source")
+
+
 def q107_wav_features(spark, sf):
     """REAL audio decode through the gate (pipeline/multimodal.py
     decode_wav): each document's first 64 text bytes (zero-padded) become
@@ -3174,6 +3234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_build_mixture": q147_build_mixture,
         "q148_stream_quality_filter": q148_stream_quality_filter,
         "q149_image_phash_pairs": q149_image_phash_pairs,
+        "q150_normalize_url": q150_normalize_url,
+        "q151_domain_caps": q151_domain_caps,
+        "q152_blocklist_filter": q152_blocklist_filter,
     }
 
 
@@ -4948,6 +5011,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
             FROM h a JOIN h b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        """,
+        "q150_normalize_url": """
+            -- ground truth constructed independently from doc_id/source
+            SELECT doc_id,
+                   'https://' ||
+                   CASE WHEN doc_id % 11 = 0 THEN 'sub.' ELSE '' END ||
+                   lower(source) || '.example.com' ||
+                   '/Docs/' || doc_id::VARCHAR ||
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '?page=' || (doc_id % 7)::VARCHAR
+                        ELSE '' END AS norm_url,
+                   CASE WHEN doc_id % 11 = 0 THEN 'sub.' ELSE '' END ||
+                   lower(source) || '.example.com' AS domain
+            FROM documents
+        """,
+        "q151_domain_caps": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 11 = 0 THEN 'sub.' ELSE '' END ||
+                       lower(source) || '.example.com' AS domain
+                FROM documents
+            ), r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY domain
+                           ORDER BY md5('42:' || doc_id::VARCHAR),
+                                    doc_id) AS rn
+                FROM d
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 15
+        """,
+        "q152_blocklist_filter": """
+            -- subdomain semantics: sub.srcN.example.com is dropped when
+            -- srcN.example.com is blocked, so survival is purely by source
+            SELECT doc_id, source FROM documents
+            WHERE lower(source) NOT IN ('src1', 'src3', 'src7')
         """,
         "q107_wav_features": """
             -- replay the PCM-16 LE samples: v_i = b[2i] + 256*b[2i+1]

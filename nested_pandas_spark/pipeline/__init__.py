@@ -1,1 +1,1 @@
-from . import corpus, dedup, multimodal, similarity, text
+from . import corpus, dedup, multimodal, similarity, text, web

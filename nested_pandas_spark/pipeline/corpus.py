@@ -700,6 +700,9 @@ def clean_corpus(
     classifier_dim: int = 64,
     classifier_threshold: float = 0.5,
     classifier_features: str = "binary",
+    url_col: str | None = None,
+    blocked_domains=None,
+    domain_cap: int | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus (stats columns attached), with exact and
     verified near-duplicates removed (the lowest id of each group survives).
@@ -732,9 +735,28 @@ def clean_corpus(
     ``classifier_features`` matching training — a stateless plan-literal
     projection, no extra shuffle; the ``clf_score`` column stays attached.
     Training itself stays the caller's batch step (it needs labels).
+
+    ``url_col=`` enables URL-grain curation BEFORE any text stage (the
+    RefinedWeb order): ``blocked_domains=`` (DataFrame or list; subdomains
+    included) drops blocklisted hosts via
+    :func:`~.web.blocklist_filter`, ``domain_cap=`` keeps at most that
+    many rows per domain via :func:`~.web.domain_caps`.
     """
     from .text import (
         bigram_logprob, gopher_repetition, gopher_rules, quality_model_score)
+
+    if url_col is not None and (blocked_domains is not None
+                                or domain_cap is not None):
+        # URL-grain curation runs FIRST (the RefinedWeb order): blocklist
+        # and per-domain caps shrink the corpus before any text operator
+        # touches a byte of it
+        from .web import blocklist_filter, domain_caps
+
+        if blocked_domains is not None:
+            docs = blocklist_filter(docs, blocked_domains, url_col,
+                                    id_col=id_col)
+        if domain_cap is not None:
+            docs = domain_caps(docs, url_col, domain_cap, id_col=id_col)
 
     stats = add_text_stats(docs, text_col)
     kept = stats.where(F.col("quality") >= min_quality)

@@ -1,0 +1,176 @@
+"""URL / domain-grain corpus curation — the front end of a RefinedWeb-class
+pretraining pipeline (Penedo et al. 2023): web corpora are filtered and
+capped by normalized URL/domain BEFORE any text operator runs, because a
+handful of hosts (link farms, mirrors, boilerplate-heavy domains) otherwise
+dominate the token budget.
+
+The reference library has no web-curation surface (SURVEY §2); this extends
+the LLM-pipeline family. Everything is engine-portable string arithmetic
+(``regexp_extract`` / ``regexp_replace`` / HOF filters — no UDF, no
+network), so DuckDB oracles replay results exactly.
+
+Scale shape: normalization and domain extraction are per-row projections
+(zero shuffle); the per-domain cap reuses :func:`~.corpus.sample_per_group`
+(two-stage tournament — a mega-domain never funnels through one task); the
+blocklist filter is a suffix-explode + broadcast join (a blocklist is small
+by contract) — only (id, domain-suffix) pairs ever shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_url",
+    "url_domain",
+    "domain_caps",
+    "blocklist_filter",
+]
+
+# the params every major tracker injects; stripped by normalize_url
+_TRACKING_RE = (
+    "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)="
+)
+
+_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+
+def _col(url: Column | str) -> Column:
+    return F.col(url) if isinstance(url, str) else url
+
+
+def url_domain(url: Column | str, alias: str = "domain") -> Column:
+    """Registrable host of a URL: lowercase, userinfo/port stripped, one
+    leading ``www.`` removed. NULL when the value has no ``scheme://``
+    part (an opaque string is not attributed to a domain).
+
+    Production note: capping at true eTLD+1 grain needs the public-suffix
+    list (``co.uk`` vs ``uk``); host grain is the dependency-free default
+    here, and a PSL-derived mapping table composes as one extra broadcast
+    join if needed.
+    """
+    u = F.trim(_col(url))
+    host = F.lower(
+        F.regexp_extract(u, _SCHEME_RE + "(?:[^@/?#]*@)?([^/?#:]*)", 1)
+    )
+    host = F.regexp_replace(host, "^www\\.", "")
+    return F.nullif(host, F.lit("")).alias(alias)
+
+
+def normalize_url(url: Column | str, alias: str = "norm_url") -> Column:
+    """Canonical URL for dedup / grouping: fragment stripped, scheme and
+    host lowercased (path/query case is significant and preserved),
+    userinfo and default ports (``:80`` http / ``:443`` https) dropped,
+    one leading ``www.`` removed, tracking query parameters
+    (``utm_*``/``fbclid``/``gclid``/...) filtered out, trailing path
+    slashes dropped. Values without a ``scheme://`` part are returned
+    trimmed and fragment-stripped only (nothing to parse). NULL -> NULL.
+
+    Pure ``regexp_extract``/``regexp_replace``/HOF-filter arithmetic —
+    per-row projection, zero shuffle, replayable in any SQL engine.
+    """
+    u = F.regexp_replace(F.trim(_col(url)), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "(" + _SCHEME_RE[1:-3] + ")://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, _SCHEME_RE + "(?:[^@/?#]*@)?([^/?#]*)", 1)
+    )
+    hostport = F.regexp_replace(hostport, "^www\\.", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_replace(
+        F.regexp_extract(u, _SCHEME_RE + "[^/?#]*([^?#]*)", 1), "/+$", ""
+    )
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    kept_params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    q_norm = F.array_join(kept_params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q_norm == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_norm)),
+    )
+    return F.when(_col(url).isNull(), F.lit(None).cast("string")).when(
+        scheme == "", u
+    ).otherwise(rebuilt).alias(alias)
+
+
+def domain_caps(
+    docs: DataFrame,
+    url_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``n`` rows per domain — the RefinedWeb-style dominance
+    cap, applied before any text operator so one link farm can't flood the
+    token budget. Selection is the deterministic exact-``n``
+    :func:`~.corpus.sample_per_group` tournament on md5(seed:id) (engine-
+    replayable, no mega-domain hotspot task). Rows whose URL yields no
+    domain (NULL) form their own capped group. Output: the surviving input
+    rows, original columns.
+    """
+    d = docs.withColumn("__domain", url_domain(F.col(url_col)))
+    from .corpus import sample_per_group
+
+    return sample_per_group(d, "__domain", n, id_col=id_col, seed=seed).drop(
+        "__domain"
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked: DataFrame | list[str],
+    url_col: str,
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL's domain is on a blocklist (broadcast
+    anti-join). With ``include_subdomains`` (the standard semantics:
+    blocking ``example.com`` also blocks ``a.b.example.com``), each row's
+    domain explodes to its suffix chain (``a.b.c`` -> ``a.b.c``, ``b.c``,
+    ``c``) so the match stays a plain broadcast EQUI-join — no per-pair
+    ``endswith`` nested-loop against the corpus. Rows with NULL domains
+    are kept (nothing to attribute).
+    """
+    from ..operators.timeseries import _let_sql
+
+    if isinstance(blocked, list):
+        blocked = docs.sparkSession.createDataFrame(
+            [(d,) for d in blocked], f"{domain_col} string"
+        )
+    bl = blocked.select(
+        F.lower(F.col(domain_col)).alias("__blk")
+    ).distinct()
+    d = docs.withColumn("__domain", url_domain(F.col(url_col)))
+    if include_subdomains:
+        sufs = _let_sql(
+            "split(__domain, '[.]')",
+            "__p",
+            "transform(sequence(0, size(__p) - 1), "
+            "__i -> array_join(slice(__p, __i + 1, size(__p) - __i), '.'))",
+        )
+        keys = d.select(
+            F.col(id_col).alias("__bid"),
+            F.explode(F.expr(sufs)).alias("__blk"),
+        )
+    else:
+        keys = d.select(
+            F.col(id_col).alias("__bid"), F.col("__domain").alias("__blk")
+        )
+    hit_ids = (
+        keys.join(F.broadcast(bl), on="__blk")
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return (
+        d.join(hit_ids, on=id_col, how="left_anti").drop("__domain")
+    )

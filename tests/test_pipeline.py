@@ -2753,3 +2753,93 @@ def test_image_near_pairs_matches_brute_force(spark):
     )
     assert got == expected
     assert len(expected) > 0
+
+
+def test_normalize_url_cases(spark):
+    from nested_pandas_spark.pipeline.web import normalize_url, url_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://User:p@WWW.Example.COM:443/Path/A/?utm_source=x&page=3&fbclid=z#frag"),
+            (2, "http://sub.Example.com:80/x"),
+            (3, "example.com/no-scheme#f"),
+            (4, None),
+            (5, "ftp://Files.Example.net:2121/data//"),
+            (6, "https://Example.com/?utm_campaign=only"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: (r["norm_url"], r["domain"])
+        for r in df.select("doc_id", normalize_url("url"),
+                           url_domain("url")).collect()
+    }
+    assert out[1] == ("https://example.com/Path/A?page=3", "example.com")
+    assert out[2] == ("http://sub.example.com/x", "sub.example.com")
+    assert out[3] == ("example.com/no-scheme", None)  # opaque: kept as-is
+    assert out[4] == (None, None)
+    # non-default port on a non-http scheme is preserved
+    assert out[5] == ("ftp://files.example.net:2121/data", "files.example.net")
+    assert out[6] == ("https://example.com", "example.com")
+
+
+def test_blocklist_filter_subdomains(spark):
+    from nested_pandas_spark.pipeline.web import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://bad.com/a"),
+            (2, "https://a.b.bad.com/x"),     # subdomain -> blocked
+            (3, "https://notbad.com/x"),      # suffix chain never substring-matches
+            (4, "https://good.org/x"),
+            (5, "no-scheme-at-all"),          # NULL domain -> kept
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(df, ["bad.com"], "url").collect()
+    )
+    assert kept == [3, 4, 5]
+    kept2 = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(
+            df, ["bad.com"], "url", include_subdomains=False
+        ).collect()
+    )
+    assert kept2 == [2, 3, 4, 5]
+
+
+def test_domain_caps_exact_n(spark):
+    from nested_pandas_spark.pipeline.web import domain_caps
+
+    rows = [(i, f"https://d{i % 3}.com/p/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_caps(df, "url", 7)
+    assert out.count() == 21
+    per = (
+        out.groupBy(F.regexp_extract("url", "https://([^/]*)", 1))
+        .count().collect()
+    )
+    assert all(r["count"] == 7 for r in per)
+    # deterministic: same seed -> same rows
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in domain_caps(df, "url", 7).collect())
+    assert ids1 == ids2
+
+
+def test_clean_corpus_url_stages(spark, docs):
+    from nested_pandas_spark.pipeline.corpus import clean_corpus
+
+    d = docs.withColumn(
+        "url",
+        F.expr("concat('https://', CASE WHEN doc_id % 2 = 0 THEN 'bad.com' "
+               "ELSE 'ok.com' END, '/d/', doc_id)"),
+    )
+    out = clean_corpus(
+        d, min_quality=0.0, url_col="url", blocked_domains=["bad.com"],
+        domain_cap=2,
+    )
+    urls = [r["url"] for r in out.select("url").collect()]
+    assert all("ok.com" in u for u in urls)
+    assert len(urls) <= 2
