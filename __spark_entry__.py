@@ -2714,6 +2714,56 @@ def q131_stream_dedup_against(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q153_stream_neardup_against(spark, sf):
+    """Continuous-ingest NEAR-dup dedup through the gate
+    (streaming/events.py stream_neardup_against): incoming documents
+    (doc_id % 4 != 0) staged TWICE and delivered as two micro-batches,
+    each row dropped when ANY of its MinHash band keys (q50's banding:
+    num_hashes=8, bands=4) appears in the accepted corpus — a chain of
+    stateless stream-static broadcast ANTI joins, no state store. Both
+    deliveries survive identically (the filter is stateless), so the
+    gate pins the deterministic part: the DISTINCT surviving doc_id
+    set. Oracle replays the MinHash banding and keeps new docs with no
+    band collision against the accepted side."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nested_pandas_spark.streaming import events as evs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    d = tempfile.mkdtemp(prefix="q153_stream_")
+    try:
+        shutil.copy(f"{sf}/documents.parquet", f"{d}/part-0.parquet")
+        shutil.copy(f"{sf}/documents.parquet", f"{d}/part-1.parquet")
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .schema(docs.schema)
+            .parquet(d)
+            .where(F.col("doc_id") % 4 != 0)
+        )
+        surv = evs.stream_neardup_against(
+            stream, ref, text_col="text", num_hashes=8, bands=4,
+            shingle_n=3,
+        )
+        name = "q153_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            surv.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select("doc_id").distinct()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3237,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_normalize_url": q150_normalize_url,
         "q151_domain_caps": q151_domain_caps,
         "q152_blocklist_filter": q152_blocklist_filter,
+        "q153_stream_neardup_against": q153_stream_neardup_against,
     }
 
 
@@ -3908,6 +3959,18 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band_idx = r.band_idx AND l.band_key = r.band_key
              AND l.doc_id % 4 <> 0 AND r.doc_id % 4 = 0
+            """,
+        ),
+        "q153_stream_neardup_against": _minhash_oracle(
+            sh3, num_hashes=8, bands=4,
+            final_select="""
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 4 <> 0
+              AND NOT EXISTS (
+                SELECT 1 FROM bands l JOIN bands r
+                  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+                WHERE l.doc_id = d.doc_id AND r.doc_id % 4 = 0
+              )
             """,
         ),
         "q51_quality_model": _qmodel_oracle(),

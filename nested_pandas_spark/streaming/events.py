@@ -28,7 +28,7 @@ __all__ = [
     "sessionize",
     "running_user_totals",
     "stream_interval_join", "windowed_rollup", "stream_dedup_against",
-    "stream_quality_filter"]
+    "stream_neardup_against", "stream_quality_filter"]
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -313,6 +313,84 @@ def stream_dedup_against(
         else:
             out = out.dropDuplicates(["__fp"])
     return out.drop("__fp")
+
+
+def stream_neardup_against(
+    stream: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Continuous-ingest NEAR-duplicate dedup: drop stream rows that are
+    MinHash-LSH candidates against the static accepted corpus ``ref`` —
+    the near-dup complement of :func:`stream_dedup_against` (exact
+    fingerprints only), using the same banding as the batch
+    ``pipeline.dedup.lsh_candidate_pairs_between`` (a row collides when
+    ANY of its ``bands`` signature-band keys appears in the accepted
+    corpus).
+
+    Semantics are candidate-grain, deliberately: LSH positives drop
+    unverified, matching the recall/precision contract of the batch
+    candidate generator — at ingest time a conservative drop is the
+    standard choice (an exact-Jaccard verify needs the accepted TEXT,
+    which must never ride a stream-static join at scale). Rows too short
+    to shingle yield NULL band keys and are always admitted.
+
+    Scale shape: ``ref`` collapses ONCE per band to a DISTINCT band-key
+    set (32-hex rows, never text); the stream side is a chain of
+    ``bands`` STATELESS stream-static LEFT ANTI joins (broadcast by
+    default) — no state store, no watermark, composable with any sink; a
+    row survives iff no band collides. Within-stream near-dup needs
+    bucket memory the state store can't bound without event time — run
+    the batch LSH over the accepted sink periodically for that half.
+
+    On a batch DataFrame this degrades to the same anti-join chain.
+    """
+    from ..pipeline.dedup import minhash_signature
+
+    rows_per_band = num_hashes // bands
+
+    def band_keys(col) -> "F.Column":
+        # ONE let-bound signature evaluation per row (the array(sig) ->
+        # transform trick), NULL for un-shingle-able rows so their md5
+        # never becomes a shared "empty" bucket
+        sig = minhash_signature(col, num_hashes, shingle_n)
+        return F.element_at(
+            F.transform(
+                F.array(sig),
+                lambda s: F.when(
+                    s.isNotNull(),
+                    F.array(*[
+                        F.md5(F.concat_ws(",", *[
+                            F.element_at(s, b * rows_per_band + i + 1)
+                            for i in range(rows_per_band)
+                        ]))
+                        for b in range(bands)
+                    ]),
+                ),
+            ),
+            1,
+        )
+
+    out = stream.withColumn("__bk", band_keys(F.col(text_col)))
+    ref_bk = ref.select(band_keys(F.col(text_col)).alias("__rbk"))
+    for b in range(bands):
+        keys_b = (
+            ref_bk.select(F.col("__rbk")[b].alias(f"__bk{b}"))
+            .where(F.col(f"__bk{b}").isNotNull())
+            .distinct()
+        )
+        if broadcast_ref:
+            keys_b = F.broadcast(keys_b)
+        out = (
+            out.withColumn(f"__bk{b}", F.col("__bk")[b])
+            .join(keys_b, f"__bk{b}", "left_anti")
+            .drop(f"__bk{b}")
+        )
+    return out.drop("__bk")
 
 
 def stream_quality_filter(

@@ -274,3 +274,53 @@ def test_stream_dedup_against_matches_batch(spark, tmp_path):
     got_b = {r["fp"] for r in
              batch_surv.select(fingerprint("text").alias("fp")).collect()}
     assert got_b == want
+
+
+def test_stream_neardup_against_matches_batch(spark, tmp_path):
+    """stream_neardup_against (continuous-ingest MinHash near-dup vs a
+    static accepted corpus) must admit exactly the rows with NO
+    cross-corpus LSH candidate per the batch generator
+    lsh_candidate_pairs_between — delivered across TWO micro-batches;
+    the filter is stateless so both deliveries survive identically."""
+    from nested_pandas_spark.pipeline.dedup import lsh_candidate_pairs_between
+
+    docs_src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(docs_src)
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    new_batch = docs.where(F.col("doc_id") % 4 != 0)
+
+    d = tmp_path / "neardup_stream"
+    d.mkdir()
+    shutil.copy(docs_src, d / "a.parquet")
+    shutil.copy(docs_src, d / "b.parquet")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(docs.schema)
+        .parquet(str(d))
+        .where(F.col("doc_id") % 4 != 0)
+    )
+    surv = ev.stream_neardup_against(stream, ref, text_col="text")
+    q = (
+        surv.writeStream.format("memory")
+        .queryName("snda")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.table("snda").select("doc_id").collect()}
+    cand = {
+        r["new_id"]
+        for r in lsh_candidate_pairs_between(new_batch, ref).collect()
+    }
+    allnew = {r["doc_id"] for r in new_batch.select("doc_id").collect()}
+    want = allnew - cand
+    assert got == want and len(got) > 0 and len(cand) > 0
+    # stateless filter: both micro-batch deliveries survive -> 2x rows
+    assert spark.table("snda").count() == 2 * len(got)
+    # batch degrade path: same surviving set
+    got_b = {
+        r["doc_id"]
+        for r in ev.stream_neardup_against(new_batch, ref).select("doc_id").collect()
+    }
+    assert got_b == want
