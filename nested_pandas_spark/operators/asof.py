@@ -250,6 +250,16 @@ def range_join(
         _col_type(right, right_start),
         _col_type(right, right_end),
     )
+    # Double-path boundary guard (round-5 advice): mixed integral/double
+    # axes bucket through double division, where an int64-ns value within
+    # ~1 ulp of a bucket boundary can round into the adjacent bucket and a
+    # true match would silently miss the equi-join. Widening the interval
+    # span by one bucket each way means a miss now needs TWO simultaneous
+    # opposite-direction rounding errors (~ulp^2 — not constructible from
+    # one boundary); the exact range predicate below keeps the output
+    # precise regardless. Axes needing guaranteed exactness should be
+    # integral on both sides (the int64 DIV path, zero rounding).
+    pad = 0 if axis_int else 1
     l = left.withColumn(
         "__bk", F.expr(_bucket_sql(quote(left_ts), bucket, axis_int)).cast("long")
     )
@@ -257,8 +267,8 @@ def range_join(
         "__bk",
         F.explode(
             F.sequence(
-                F.expr(_bucket_sql(quote(right_start), bucket, axis_int)).cast("long"),
-                F.expr(_bucket_sql(quote(right_end), bucket, axis_int)).cast("long"),
+                F.expr(_bucket_sql(quote(right_start), bucket, axis_int)).cast("long") - pad,
+                F.expr(_bucket_sql(quote(right_end), bucket, axis_int)).cast("long") + pad,
             )
         ),
     )
@@ -335,13 +345,20 @@ def interval_join(
         _col_type(right, right_end),
     )
 
+    # same double-path boundary guard as range_join: widen each span by
+    # one bucket so a single rounding error can't hide a truly-overlapping
+    # pair from the equi-join (the exact overlap predicate still filters);
+    # the first-live dedup is unaffected — widening only ADDS buckets, and
+    # exactly one of them equals the first-live bucket
+    pad = 0 if axis_int else 1
+
     def spans(df, s, e):
         return df.withColumn(
             "__bk",
             F.explode(
                 F.sequence(
-                    F.expr(_bucket_sql(quote(s), bucket, axis_int)).cast("long"),
-                    F.expr(_bucket_sql(quote(e), bucket, axis_int)).cast("long"),
+                    F.expr(_bucket_sql(quote(s), bucket, axis_int)).cast("long") - pad,
+                    F.expr(_bucket_sql(quote(e), bucket, axis_int)).cast("long") + pad,
                 )
             ),
         )

@@ -759,3 +759,41 @@ def test_asof_join_null_right_values_not_stitched(spark):
             for r in asof_join(trades, quotes, on="sym", ts="ts",
                                direction="nearest").collect()}
     assert outn[30] == (None, 25)
+
+
+def test_range_join_mixed_axis_boundary_precision(spark):
+    """Mixed integral/double axes take the double bucket path, where an
+    int64 value within ~1 ulp of a bucket boundary can round into the
+    adjacent bucket; the ±1 span widening must keep every true match
+    (round-5 advice). Checked against an exact theta join over int64
+    points clustered at bucket boundaries near 2^60 (double ulp = 256)."""
+    from nested_pandas_spark.operators.asof import range_join
+
+    b = 512
+    base = 1 << 60
+    pts = [
+        base + k * b + off
+        for k in range(-3, 4)
+        for off in (-2, -1, 0, 1, 2, 255, 256, 257)
+    ]
+    left = spark.createDataFrame(
+        [(1, int(t)) for t in pts], "k long, ts long"
+    )
+    ivals = [
+        (1, float(base + k * b - 300), float(base + k * b + 300))
+        for k in range(-3, 4)
+    ] + [(1, float(base - 5 * b), float(base + 5 * b))]
+    right = spark.createDataFrame(ivals, "k long, s double, e double")
+    got = sorted(
+        (r["ts"], r["s"], r["e"])
+        for r in range_join(left, right, on="k", left_ts="ts",
+                            right_start="s", right_end="e",
+                            bucket=b).collect()
+    )
+    want = sorted(
+        (r["ts"], r["s"], r["e"])
+        for r in left.crossJoin(
+            right.withColumnRenamed("k", "k2")
+        ).where("s <= ts AND ts < e AND k = k2").collect()
+    )
+    assert got == want and len(want) > 0
