@@ -307,42 +307,38 @@ def classifier_score_inline(
         }
     bias = wmap.get(INTERCEPT_BUCKET, 0.0)
     buckets = {b: v for b, v in wmap.items() if b != INTERCEPT_BUCKET}
-    if buckets:
-        entries = ", ".join(
-            f"{b}, CAST({v!r} AS DOUBLE)" for b, v in sorted(buckets.items())
-        )
-        wmap_sql = f"map({entries})"
-    else:
-        wmap_sql = "map()"
-    toks = (
-        f"filter(split(lower({quote_ident(text_col)}), '\\\\s+'), "
-        "__t -> __t != '')"
-    )
-    bks = (
-        f"transform({toks}, __t -> "
-        "pmod(CAST(conv(substring(md5(__t), 1, 8), 16, 10) AS BIGINT), "
-        f"{dim}))"
+    # Single-source the feature formula (round-5 advice): tokenization and
+    # bucketing below are the SAME Column helpers hashed_bow trains on
+    # (words() from pipeline.text, _h32 from pipeline.dedup), so the inline
+    # scorer cannot drift from the training features — any change to either
+    # helper flows into both paths by construction.
+    bks = F.transform(
+        words(F.col(text_col)),
+        lambda t: F.pmod(_h32(t), F.lit(dim)).cast("int"),
     )
     if features == "binary":
-        bks = f"array_distinct({bks})"
-    margin = (
-        f"aggregate({bks}, CAST({bias!r} AS DOUBLE), "
-        f"(__a, __b) -> __a + coalesce(element_at({wmap_sql}, "
-        "CAST(__b AS INT)), CAST(0.0 AS DOUBLE)))"
-    )
-    score = (
-        f"CASE WHEN {quote_ident(text_col)} IS NULL "
-        f"THEN 1.0D / (1.0D + exp(-CAST({bias!r} AS DOUBLE))) "
-        f"ELSE 1.0D / (1.0D + exp(-({margin}))) END"
-    )
-    result = docs.withColumn(out, F.expr(score))
+        bks = F.array_distinct(bks)
+    if buckets:
+        items = sorted(buckets.items())
+        wmap_col = F.map_from_arrays(
+            F.array(*[F.lit(int(b)).cast("int") for b, _ in items]),
+            F.array(*[F.lit(float(v)) for _, v in items]),
+        )
+        margin = F.aggregate(
+            bks,
+            F.lit(float(bias)),
+            lambda acc, b: acc
+            + F.coalesce(F.element_at(wmap_col, b), F.lit(0.0)),
+        )
+    else:
+        margin = F.lit(float(bias))
+    sigmoid = lambda m: F.lit(1.0) / (F.lit(1.0) + F.exp(-m))  # noqa: E731
+    score = F.when(
+        F.col(text_col).isNull(), sigmoid(F.lit(float(bias)))
+    ).otherwise(sigmoid(margin))
+    result = docs.withColumn(out, score)
     if threshold is not None:
         result = result.withColumn(
             f"{out}_keep", F.col(out) >= F.lit(float(threshold))
         )
     return result
-
-
-def quote_ident(name: str) -> str:
-    """Backtick-quote a column name for embedding in a SQL expression."""
-    return "`" + name.replace("`", "``") + "`"
