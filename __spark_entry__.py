@@ -2764,6 +2764,109 @@ def q153_stream_neardup_against(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q154_jpeg_decode(spark, sf):
+    """REAL compressed-image decode through the gate (pipeline/jpeg.py):
+    each document becomes a 32x32 grayscale image of sixteen constant
+    8x8 blocks — block k's gray value is the first byte of
+    md5(doc_id || ':' || k) — encoded as a genuine baseline JPEG at
+    quality 100 (unit quantization) inside mapInPandas, then decoded by
+    decode_image in STRICT mode. Constant blocks at unit quant are the
+    one JPEG case that round-trips BIT-EXACTLY (DC-only, F(0,0) = 8 *
+    (v - 128) is integral), so the oracle can replay the decoded pixels
+    value-for-value from the md5 arithmetic alone: pix_sum is 64x the
+    block sum, and the five positional probes only match if Huffman
+    decode, dequantization, IDCT, level shift, AND block placement in
+    raster order are all correct."""
+    import hashlib
+
+    import numpy as np
+
+    from nested_pandas_spark.pipeline import multimodal as mm
+    from nested_pandas_spark.pipeline.jpeg import encode_jpeg
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                vals = [
+                    int(hashlib.md5(f"{did}:{k}".encode()).hexdigest()[:2], 16)
+                    for k in range(16)
+                ]
+                blocks = np.asarray(vals, dtype=np.uint8).reshape(4, 4)
+                img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                payloads.append(encode_jpeg(img, quality=100))
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = payloads
+            yield out
+
+    imgs = docs.mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    dec = mm.decode_image(imgs, "payload", strict=True)
+    p = F.col("pixels")
+    return dec.select(
+        "doc_id",
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("pix_sum"),
+        F.element_at(p, 1).cast("long").alias("px_tl"),      # (0,0)  block 0
+        F.element_at(p, 32).cast("long").alias("px_tr"),     # (0,31) block 3
+        F.element_at(p, 993).cast("long").alias("px_bl"),    # (31,0) block 12
+        F.element_at(p, 1024).cast("long").alias("px_br"),   # (31,31) block 15
+        F.element_at(p, 405).cast("long").alias("px_mid"),   # (12,20) block 6
+    )
+
+
+def q155_png_decode(spark, sf):
+    """REAL PNG decode through the gate (pipeline/png.py): each document
+    becomes a 4x6 RGB image whose flattened byte j is the first byte of
+    md5(doc_id || ':' || j), encoded as a genuine PNG (zlib IDAT) inside
+    mapInPandas and decoded by decode_image in STRICT mode. PNG is
+    lossless, so the oracle replays every probe exactly from the md5
+    arithmetic — the sum over all 72 bytes plus first/middle/last
+    positional probes (wrong unfiltering or channel order would shuffle
+    them)."""
+    import hashlib
+
+    import numpy as np
+
+    from nested_pandas_spark.pipeline import multimodal as mm
+    from nested_pandas_spark.pipeline.png import encode_png
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                vals = [
+                    int(hashlib.md5(f"{did}:{j}".encode()).hexdigest()[:2], 16)
+                    for j in range(72)
+                ]
+                img = np.asarray(vals, dtype=np.uint8).reshape(4, 6, 3)
+                payloads.append(encode_png(img))
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = payloads
+            yield out
+
+    imgs = docs.mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    dec = mm.decode_image(imgs, "payload", strict=True)
+    p = F.col("pixels")
+    return dec.select(
+        "doc_id",
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("pix_sum"),
+        F.element_at(p, 1).cast("long").alias("px_first"),
+        F.element_at(p, 36).cast("long").alias("px_mid"),
+        F.element_at(p, 72).cast("long").alias("px_last"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3288,6 +3391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_domain_caps": q151_domain_caps,
         "q152_blocklist_filter": q152_blocklist_filter,
         "q153_stream_neardup_against": q153_stream_neardup_against,
+        "q154_jpeg_decode": q154_jpeg_decode,
+        "q155_png_decode": q155_png_decode,
     }
 
 
@@ -3973,6 +4078,47 @@ def oracle_sql() -> dict[str, str]:
               )
             """,
         ),
+        "q154_jpeg_decode": """
+            -- replay the JPEG gate's md5 block values: constant 8x8
+            -- blocks at quality 100 decode bit-exactly, so decoded pixel
+            -- (y, x) IS the md5 byte of its raster block k = (y DIV 8)*4
+            -- + (x DIV 8); pix_sum = 64 * sum(v_k), probes pick blocks
+            -- 0 / 3 / 12 / 15 / 6
+            WITH b AS (
+                SELECT doc_id, unnest(range(16)) AS k FROM documents
+            ), v AS (
+                SELECT doc_id, k,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS v
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(64 * sum(v) AS BIGINT) AS pix_sum,
+                   CAST(max(CASE WHEN k = 0 THEN v END) AS BIGINT) AS px_tl,
+                   CAST(max(CASE WHEN k = 3 THEN v END) AS BIGINT) AS px_tr,
+                   CAST(max(CASE WHEN k = 12 THEN v END) AS BIGINT) AS px_bl,
+                   CAST(max(CASE WHEN k = 15 THEN v END) AS BIGINT) AS px_br,
+                   CAST(max(CASE WHEN k = 6 THEN v END) AS BIGINT) AS px_mid
+            FROM v GROUP BY doc_id
+        """,
+        "q155_png_decode": """
+            -- PNG is lossless: decoded byte j equals the md5-derived
+            -- source byte j, full stop
+            WITH b AS (
+                SELECT doc_id, unnest(range(72)) AS j FROM documents
+            ), v AS (
+                SELECT doc_id, j,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(j AS VARCHAR)), 1, 2))::BIGINT AS v
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(sum(v) AS BIGINT) AS pix_sum,
+                   CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS px_first,
+                   CAST(max(CASE WHEN j = 35 THEN v END) AS BIGINT) AS px_mid,
+                   CAST(max(CASE WHEN j = 71 THEN v END) AS BIGINT) AS px_last
+            FROM v GROUP BY doc_id
+        """,
         "q51_quality_model": _qmodel_oracle(),
         "q54_kmeans_centroids": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -285,13 +285,17 @@ def decode_image(
 ) -> DataFrame:
     """Decode image payloads to a flat uint8 pixel array column.
 
-    REAL for uncompressed formats: payloads sniffed as 24-bit BMP
-    (``BM`` magic) or binary PPM (``P6``) decode genuinely via
-    :func:`decode_bmp` / :func:`decode_ppm` — their actual dimensions are
-    used, ``height``/``width``/``channels`` apply only to the stub path.
-    Other formats (JPEG/PNG/...) need a codec library not in this
-    container: ``strict=True`` raises ``NotImplementedError`` for them,
-    ``strict=False`` produces the deterministic md5 fake.
+    REAL decode paths, sniffed by payload magic: 24-bit BMP (``BM``) and
+    binary PPM (``P6``) via :func:`decode_bmp` / :func:`decode_ppm`;
+    baseline JPEG (``FF D8 FF``) via the pure-NumPy codec in
+    :mod:`~nested_pandas_spark.pipeline.jpeg` (Huffman + IDCT,
+    ImageIO-cross-validated); PNG (``89 50 4E 47``) via the stdlib-zlib
+    codec in :mod:`~nested_pandas_spark.pipeline.png`. Actual image
+    dimensions are used — ``height``/``width``/``channels`` apply only
+    to the stub path. Remaining formats (progressive JPEG, GIF, WebP,
+    ...) need a codec library not in this container: ``strict=True``
+    raises ``NotImplementedError`` for them, ``strict=False`` produces
+    the deterministic md5 fake.
 
     Output schema: ``out_col: array<int>`` (h*w*c flattened, row-major
     RGB) plus pass-through columns minus the payload (dropped immediately
@@ -309,11 +313,19 @@ def decode_image(
             return decode_bmp(payload).ravel().tolist()
         if payload[:2] == b"P6":
             return decode_ppm(payload).ravel().tolist()
+        if payload[:3] == b"\xff\xd8\xff":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload).ravel().tolist()
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from .png import decode_png
+
+            return decode_png(payload).ravel().tolist()
         if strict:
             raise NotImplementedError(
-                "only uncompressed BMP/PPM decode without a codec library "
-                "(PIL/cv2 not present); run with strict=False for the "
-                "deterministic stub"
+                "only BMP/PPM/baseline-JPEG/PNG decode without a codec "
+                "library (PIL/cv2 not present); run with strict=False "
+                "for the deterministic stub"
             )
         return _fake_pixels(payload, height, width, channels).ravel().tolist()
 
