@@ -2867,6 +2867,44 @@ def q155_png_decode(spark, sf):
     )
 
 
+def q156_image_reencode_loop(spark, sf):
+    """The FULL media loop through the gate: md5-derived 4x6 RGB source
+    pixels -> resize_image to 2x3 (pure-JVM nearest-neighbor HOF) ->
+    encode_image as REAL PNG (pipeline/multimodal.py encode_image sink)
+    -> decode_image STRICT. PNG is lossless and the resize is exact
+    integer index arithmetic, so the oracle replays the whole loop:
+    output pixel i reads source byte 36*(i DIV 9) + 6*((i % 9) DIV 3)
+    + (i % 3) (sy = 2*oy, sx = 2*ox at 4->2 / 6->3)."""
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 71), j -> CAST(conv(substring("
+            "md5(concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING))), "
+            "1, 2), 16, 10) AS INT))"
+        ).alias("pixels"),
+    )
+    small = mm.resize_image(
+        docs, "pixels", in_height=4, in_width=6, channels=3,
+        out_height=2, out_width=3,
+    )
+    enc = mm.encode_image(
+        small, "pixels", height=2, width=3, channels=3, format="png"
+    )
+    dec = mm.decode_image(enc, "payload", strict=True)
+    p = F.col("pixels")
+    return dec.select(
+        "doc_id",
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("pix_sum"),
+        F.element_at(p, 1).cast("long").alias("px_first"),
+        F.element_at(p, 10).cast("long").alias("px_mid"),
+        F.element_at(p, 18).cast("long").alias("px_last"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3393,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_stream_neardup_against": q153_stream_neardup_against,
         "q154_jpeg_decode": q154_jpeg_decode,
         "q155_png_decode": q155_png_decode,
+        "q156_image_reencode_loop": q156_image_reencode_loop,
     }
 
 
@@ -4099,6 +4138,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN k = 12 THEN v END) AS BIGINT) AS px_bl,
                    CAST(max(CASE WHEN k = 15 THEN v END) AS BIGINT) AS px_br,
                    CAST(max(CASE WHEN k = 6 THEN v END) AS BIGINT) AS px_mid
+            FROM v GROUP BY doc_id
+        """,
+        "q156_image_reencode_loop": """
+            -- replay resize + lossless reencode: output pixel i of the
+            -- 2x3 resize reads source byte j = 36*oy + 6*ox + ch
+            WITH b AS (
+                SELECT doc_id, unnest(range(18)) AS i FROM documents
+            ), v AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(36 * (i // 9) + 6 * ((i % 9) // 3)
+                                    + (i % 3) AS VARCHAR)), 1, 2))::BIGINT AS v
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(sum(v) AS BIGINT) AS pix_sum,
+                   CAST(max(CASE WHEN i = 0 THEN v END) AS BIGINT) AS px_first,
+                   CAST(max(CASE WHEN i = 9 THEN v END) AS BIGINT) AS px_mid,
+                   CAST(max(CASE WHEN i = 17 THEN v END) AS BIGINT) AS px_last
             FROM v GROUP BY doc_id
         """,
         "q155_png_decode": """

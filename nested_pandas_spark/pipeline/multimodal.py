@@ -39,6 +39,7 @@ __all__ = [
     "decode_wav",
     "decode_y4m",
     "decode_image",
+    "encode_image",
     "image_features",
     "resize_image",
     "sample_video_frames",
@@ -333,6 +334,66 @@ def decode_image(
         for pdf in batches:
             out = pdf[keep].copy()
             out[out_col] = [_decode_one(p) for p in pdf[payload_col]]
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def encode_image(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    out_col: str = "payload",
+    height: int = 8,
+    width: int = 8,
+    channels: int = 3,
+    format: str = "png",
+    quality: int = 85,
+    subsampling: str = "444",
+    drop_pixels: bool = True,
+) -> DataFrame:
+    """Encode a decoded flat pixel array back into a REAL compressed
+    payload — the sink half of the media loop (decode -> transform ->
+    encode): thumbnail materialization, re-encoding after resize, or
+    normalizing a mixed-format corpus to one codec.
+
+    ``format``: ``'png'`` (lossless, stdlib zlib —
+    :func:`~nested_pandas_spark.pipeline.png.encode_png`) or ``'jpeg'``
+    (baseline, quality/subsampling apply —
+    :func:`~nested_pandas_spark.pipeline.jpeg.encode_jpeg`). The pixel
+    array must hold ``height*width*channels`` values (row-major RGB /
+    grayscale, the :func:`decode_image` layout). NULL pixels -> NULL
+    payload. Arrow-batched ``mapInPandas``, same scale shape as decode:
+    payloads are produced at the very end, never shuffled."""
+    if format not in ("png", "jpeg"):
+        raise ValueError(f"format must be 'png' or 'jpeg', got {format!r}")
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    from .jpeg import encode_jpeg
+    from .png import encode_png
+
+    keep = [c for c in df.columns if c != pixels_col or not drop_pixels]
+    fields = [df.schema[c] for c in keep]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.BinaryType())])
+    n = height * width * channels
+
+    def _encode_one(px) -> bytes | None:
+        if px is None:
+            return None
+        arr = np.asarray(px, dtype=np.int64)
+        if arr.size != n:
+            raise ValueError(
+                f"pixel array has {arr.size} values, expected "
+                f"{height}x{width}x{channels} = {n}"
+            )
+        img = np.clip(arr, 0, 255).astype(np.uint8).reshape(height, width, channels)
+        if format == "png":
+            return encode_png(img)
+        return encode_jpeg(img, quality=quality, subsampling=subsampling)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[out_col] = [_encode_one(p) for p in pdf[pixels_col]]
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)

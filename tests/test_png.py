@@ -165,3 +165,34 @@ def test_decode_image_strict_png(spark):
     row = decode_image(df, "payload", strict=True).collect()[0]
     got = np.asarray(row["pixels"], dtype=np.uint8).reshape(6, 9, 3)
     assert np.array_equal(got, img)
+
+
+def test_encode_image_sink_roundtrip(spark):
+    """encode_image (PNG) is the sink half of the media loop: pixels ->
+    payload -> strict decode must be the identity (PNG lossless)."""
+    from nested_pandas_spark.pipeline.multimodal import decode_image, encode_image
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(7, img.ravel().tolist())], "id long, pixels array<int>"
+    )
+    enc = encode_image(df, "pixels", height=5, width=4, channels=3, format="png")
+    assert enc.columns == ["id", "payload"]
+    back = decode_image(enc, "payload", strict=True).collect()[0]
+    assert np.array_equal(
+        np.asarray(back["pixels"]).reshape(5, 4, 3), img
+    )
+    # jpeg path: q100 constant image is exact too
+    flat = np.full(5 * 4, 77, np.uint8)
+    df2 = spark.createDataFrame(
+        [(1, flat.tolist())], "id long, pixels array<int>"
+    )
+    enc2 = encode_image(
+        df2, "pixels", height=5, width=4, channels=1, format="jpeg", quality=100
+    )
+    back2 = decode_image(enc2, "payload", strict=True).collect()[0]
+    assert np.asarray(back2["pixels"]).tolist() == flat.tolist()
+    # null pixels -> null payload
+    df3 = spark.createDataFrame([(1, None)], "id long, pixels array<int>")
+    assert encode_image(df3, "pixels").collect()[0]["payload"] is None
