@@ -617,6 +617,40 @@ def main() -> None:
 
     bench_extra("hard_negatives", x_hard_neg)
 
+    def x_jpeg_loop():
+        # full media loop: encode 16x16 grayscale JPEGs per document,
+        # strict-decode, aHash, and count near-dup pairs — Arrow-batched
+        # mapInPandas end to end, payloads never shuffle
+        import numpy as np
+
+        from nested_pandas_spark.pipeline.jpeg import encode_jpeg
+        from nested_pandas_spark.pipeline.multimodal import (
+            decode_image,
+            image_near_pairs,
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                out = pdf[["doc_id"]].copy()
+                out["payload"] = [
+                    encode_jpeg(
+                        np.random.default_rng(int(d))
+                        .integers(0, 256, (16, 16), dtype=np.uint8)
+                        .astype(np.uint8),
+                        quality=90,
+                    )
+                    for d in pdf["doc_id"]
+                ]
+                yield out
+
+        media = t("documents").select("doc_id").mapInPandas(
+            gen, "doc_id long, payload binary")
+        pix = decode_image(media, "payload", strict=True)
+        return image_near_pairs(pix, "doc_id", in_height=16, in_width=16,
+                                channels=1, max_hamming=2).count()
+
+    bench_extra("jpeg_decode_loop", x_jpeg_loop)
+
     # headline total stays the round-1..3 query set so round-over-round
     # totals compare; the bucketed variants are reported per-query + ratio
     headline = [q for q in queries if not q.endswith("_bucketed")]

@@ -306,6 +306,44 @@ def main() -> None:
                       refine=4)
     print("ivf+pq neighbors:", hits.count())
 
+    # -- 12l. media loop: real JPEG/PNG decode -> resize -> re-encode --------
+    import numpy as np
+
+    from nested_pandas_spark.pipeline.jpeg import encode_jpeg
+    from nested_pandas_spark.pipeline.multimodal import (
+        decode_image,
+        encode_image,
+        image_near_pairs,
+        resize_image,
+    )
+
+    def _jpegs(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [
+                encode_jpeg(
+                    np.random.default_rng(int(d))
+                    .integers(0, 256, (16, 16), dtype=np.uint8),
+                    quality=90,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield out
+
+    media = docs.limit(64).select("doc_id").mapInPandas(
+        _jpegs, "doc_id long, payload binary")
+    pix = decode_image(media, "payload", strict=True)  # REAL jpeg decode
+    thumbs = encode_image(
+        resize_image(pix, in_height=16, in_width=16, channels=1,
+                     out_height=8, out_width=8),
+        height=8, width=8, channels=1, format="png")
+    print("jpeg->resize->png thumbnails:", thumbs.where(
+        F.col("payload").isNotNull()).count())
+    near = image_near_pairs(
+        pix, "doc_id", in_height=16, in_width=16, channels=1,
+        max_hamming=3)
+    print("perceptual near-dup image pairs:", near.count())
+
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
 

@@ -287,6 +287,31 @@ def main() -> int:
             train_quality_classifier(labeled, "y", dim=64, epochs=2,
                                      lr=1.0).count()
 
+        def hard_negs():
+            # SRP bucket self-join across labels: candidate count should
+            # scale with collisions per bucket, never all-pairs
+            from nested_pandas_spark.pipeline.similarity import hard_negatives
+            hard_negatives(t(d, "embeddings"), "label", k=3, num_planes=8,
+                           num_tables=2, max_sim=0.999).count()
+
+        def kn_bigram():
+            # three partial-agg count shuffles + one broadcast row
+            from nested_pandas_spark.pipeline.text import kn_bigram_logprob
+            kn_bigram_logprob(t(d, "documents")).select(
+                F.sum("n_bigrams")).collect()
+
+        def ivfpq():
+            # 10x CORPUS, fixed query set: probe pruning + LUT ADC must
+            # keep the scan linear in the probed cells
+            from nested_pandas_spark.pipeline.similarity import ivfpq_topk
+            emb = t(d, "embeddings")
+            # vec_id < 10 exists only in the unshifted copy: the query
+            # set stays FIXED while the corpus grows 10x
+            q = emb.where(F.col("vec_id") < 10)
+            ivfpq_topk(emb, q, k=3, n_centroids=8, n_probe=3, n_sub=4,
+                       pq_centroids=8, refine=4, n_iters=2,
+                       pq_iters=2).count()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -315,6 +340,9 @@ def main() -> int:
             "align_explode_mega": align_explode_mega,
             "train_classifier": train_clf,
             "build_mixture": mixture,
+            "hard_negatives": hard_negs,
+            "kn_bigram": kn_bigram,
+            "ivfpq_topk": ivfpq,
         }
 
     # warm-up
