@@ -2905,6 +2905,38 @@ def q156_image_reencode_loop(spark, sf):
     )
 
 
+def q157_html_extract(spark, sf):
+    """HTML visible-text extraction (pipeline/web.py extract_text_html):
+    each document's text is wrapped into a synthetic HTML page (title +
+    style + paragraph + script + div, entities injected), then the pure
+    regexp_replace chain extracts the visible text. The chain uses only
+    inline-flag RE2-compatible patterns, so the oracle replays every
+    step — whatever markup-like characters the source text contains,
+    both engines transform them identically."""
+    from nested_pandas_spark.pipeline.web import extract_text_html
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), "
+            "'</title><style>p{margin:0}</style></head><body><h1>Doc ', "
+            "CAST(doc_id AS STRING), '</h1><p>', "
+            "substring(coalesce(text, ''), 1, 80), "
+            "' <b>bold</b> &amp; rest</p><script>var x = 1;</script>"
+            "<div>', substring(coalesce(text, ''), 81, 120), "
+            "'</div></body></html>')"
+        ).alias("html"),
+    )
+    out = docs.select(
+        "doc_id", extract_text_html("html", alias="extracted")
+    )
+    return out.select(
+        "doc_id",
+        F.length("extracted").cast("long").alias("n_chars"),
+        F.md5(F.col("extracted")).alias("text_md5"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3432,7 +3464,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_jpeg_decode": q154_jpeg_decode,
         "q155_png_decode": q155_png_decode,
         "q156_image_reencode_loop": q156_image_reencode_loop,
+        "q157_html_extract": q157_html_extract,
     }
+
+
+def _html_extract_sql(col: str) -> str:
+    """DuckDB replay of pipeline/web.py extract_text_html, generated from
+    the SAME pattern tables the Spark chain uses (single source — drift
+    between engine and oracle is impossible by construction)."""
+    from nested_pandas_spark.pipeline.web import (
+        HTML_ENTITIES,
+        HTML_STRIP_STEPS,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = col
+    for pat, rep in HTML_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, {lit(pat)}, {lit(rep)}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        expr = f"replace({expr}, {lit(ent)}, {lit(ch)})"
+    nl_run = lit("[ \t\r\f]*\n[ \t\r\f\n]*")
+    sp_run = lit("[ \t\r\f]+")
+    expr = f"regexp_replace({expr}, {nl_run}, chr(10), 'g')"
+    expr = f"regexp_replace({expr}, {sp_run}, ' ', 'g')"
+    expr = f"trim({expr}, ' ' || chr(9) || chr(10) || chr(13) || chr(12))"
+    return expr
 
 
 # DuckDB fragments shared by several oracles -------------------------------
@@ -4139,6 +4197,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN k = 15 THEN v END) AS BIGINT) AS px_br,
                    CAST(max(CASE WHEN k = 6 THEN v END) AS BIGINT) AS px_mid
             FROM v GROUP BY doc_id
+        """,
+        "q157_html_extract": f"""
+            -- replay the HTML synthesis AND the extraction chain, the
+            -- latter GENERATED from the same pattern tables the engine
+            -- uses (see _html_extract_sql)
+            WITH page AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</title><style>p{{margin:0}}</style></head>'
+                       || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</h1><p>' || substring(coalesce(text, ''), 1, 80)
+                       || ' <b>bold</b> &amp; rest</p>'
+                       || '<script>var x = 1;</script><div>'
+                       || substring(coalesce(text, ''), 81, 120)
+                       || '</div></body></html>' AS html
+                FROM documents
+            ), ext AS (
+                SELECT doc_id, {_html_extract_sql('html')} AS extracted
+                FROM page
+            )
+            SELECT doc_id,
+                   CAST(length(extracted) AS BIGINT) AS n_chars,
+                   md5(extracted) AS text_md5
+            FROM ext
         """,
         "q156_image_reencode_loop": """
             -- replay resize + lossless reencode: output pixel i of the

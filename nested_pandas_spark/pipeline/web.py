@@ -26,6 +26,7 @@ __all__ = [
     "url_domain",
     "domain_caps",
     "blocklist_filter",
+    "extract_text_html",
 ]
 
 # the params every major tracker injects; stripped by normalize_url
@@ -100,6 +101,70 @@ def normalize_url(url: Column | str, alias: str = "norm_url") -> Column:
     return F.when(_col(url).isNull(), F.lit(None).cast("string")).when(
         scheme == "", u
     ).otherwise(rebuilt).alias(alias)
+
+
+# (pattern, replacement) chain applied IN ORDER by extract_text_html.
+# Inline (?is) flags keep the chain portable: Java regex (Spark) and RE2
+# (DuckDB) both honor them, so a SQL oracle replays extraction exactly.
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    # invisible content goes first, whole-element
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines so paragraphs survive
+    (r"(?i)<(?:br|hr)\b[^>]*>", "\n"),
+    (r"(?i)</(?:p|div|li|tr|h[1-6]|blockquote|pre|section|article)\s*>",
+     "\n"),
+    # every remaining tag vanishes
+    (r"(?s)<[^>]*>", " "),
+]
+
+# minimal named-entity set (unescaped AFTER tag stripping, so literal
+# "&lt;script&gt;" in the source text stays text — the standard order)
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # last: "&amp;lt;" must yield "&lt;", not "<"
+]
+
+
+def extract_text_html(html: Column | str, alias: str = "text") -> Column:
+    """Visible text of an HTML document — the boilerplate-free extraction
+    stage every crawl pipeline (CCNet / RefinedWeb trafilatura-class)
+    runs before text filters. Pure ``regexp_replace`` chain, per-row
+    projection, zero shuffle, zero Python:
+
+    1. drop ``<script>``/``<style>`` elements whole and HTML comments,
+    2. turn block-level boundaries (``<br>``, ``</p>``, ``</div>``,
+       ``</li>``, headings, ...) into newlines so paragraph structure
+       survives for the paragraph-grain filters downstream,
+    3. strip every remaining tag,
+    4. unescape the common named entities (after tag stripping, so
+       escaped markup in the source stays literal text),
+    5. collapse whitespace: runs containing a newline become one
+       newline, other runs one space; trimmed.
+
+    NULL -> NULL. This is the dependency-free 95% extractor: it does not
+    implement the HTML5 tree algorithm (malformed-tag recovery, CDATA in
+    non-XML mode) — rows needing that go through an external extractor
+    upstream.
+    """
+    c = _col(html)
+    out = c
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"[ \t\r\f]*\n[ \t\r\f\n]*", "\n")
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
+    # explicit char class (not \s): Java \s includes \x0B where SQL
+    # engines' trim lists don't — keep the chain engine-portable
+    out = F.regexp_replace(out, "^[ \t\r\f\n]+|[ \t\r\f\n]+$", "")
+    return out.alias(alias)
 
 
 def domain_caps(

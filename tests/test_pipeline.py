@@ -2843,3 +2843,34 @@ def test_clean_corpus_url_stages(spark, docs):
     urls = [r["url"] for r in out.select("url").collect()]
     assert all("ok.com" in u for u in urls)
     assert len(urls) <= 2
+
+
+def test_extract_text_html(spark):
+    """HTML extraction: script/style/comments vanish, block boundaries
+    become newlines, tags strip, entities unescape AFTER stripping (so
+    escaped markup stays literal), whitespace collapses."""
+    from nested_pandas_spark.pipeline.web import extract_text_html
+
+    cases = [
+        ("<html><head><title>T</title><style>p{color:red}</style></head>"
+         "<body><p>Hello <b>world</b>!</p><script>var x=1;</script>"
+         "<div>Second &amp; third</div><ul><li>a</li><li>b</li></ul>"
+         "</body></html>",
+         "T Hello world !\nSecond & third\na\nb"),
+        ("Plain text, no tags", "Plain text, no tags"),
+        ("a &lt;tag&gt; literal &amp;lt; stays",
+         "a <tag> literal &lt; stays"),
+        ("<p>line1</p>\n\n<p>line2<br>line3</p>", "line1\nline2\nline3"),
+        ("<!-- hidden --><h1>Title</h1>text &nbsp; spaced&#39;s",
+         "Title\ntext spaced's"),
+        ("<SCRIPT>upper case</SCRIPT><P>kept</P>", "kept"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "id long, html string"
+    )
+    got = {r["id"]: r["text"]
+           for r in df.select("id", extract_text_html("html")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
