@@ -2937,6 +2937,74 @@ def q157_html_extract(spark, sf):
     )
 
 
+def q158_warc_pipeline(spark, sf):
+    """The crawl front door end to end (sources/warc.py read_warc +
+    pipeline/web.py extract_text_html): documents are written as REAL
+    WARC files (ISO 28500 response records with HTTP envelopes; half the
+    files gzip'd in the standard one-stream layout), read back through
+    the distributed binaryFile + mapInPandas parser, HTTP envelopes
+    split, payloads decoded and HTML-stripped. The oracle replays the
+    HTML synthesis and extraction chain straight from the documents
+    table — parse(write(x)) must be the identity for every byte of every
+    record, or lengths/hashes diverge."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.pipeline.web import extract_text_html
+    from nested_pandas_spark.sources.warc import read_warc
+
+    pdf = _t(spark, sf, "documents").select("doc_id", "text").toPandas()
+    d = tempfile.mkdtemp(prefix="q158_warc_")
+    try:
+        n_files = 4
+        chunks: list[bytearray] = [bytearray() for _ in range(n_files)]
+        for _, row in pdf.iterrows():
+            did = int(row["doc_id"])
+            text = row["text"] if row["text"] is not None else ""
+            body = (
+                f"<html><body><h1>Doc {did}</h1><p>{text}</p></body></html>"
+            ).encode("utf-8")
+            http = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:doc:{did}>\r\n"
+                f"WARC-Target-URI: http://corpus.test/{did}\r\n"
+                f"Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode() + http + b"\r\n\r\n"
+            chunks[did % n_files] += rec
+        for i, chunk in enumerate(chunks):
+            if i % 2 == 0:
+                open(f"{d}/part-{i}.warc", "wb").write(bytes(chunk))
+            else:
+                open(f"{d}/part-{i}.warc.gz", "wb").write(
+                    gzip.compress(bytes(chunk))
+                )
+        recs = read_warc(spark, d)
+        out = recs.select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("http_status").cast("long").alias("http_status"),
+            extract_text_html(
+                F.decode(F.col("payload"), "utf-8"), alias="extracted"
+            ),
+        ).select(
+            "doc_id",
+            "http_status",
+            F.length("extracted").cast("long").alias("n_chars"),
+            F.md5(F.col("extracted")).alias("text_md5"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3465,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_png_decode": q155_png_decode,
         "q156_image_reencode_loop": q156_image_reencode_loop,
         "q157_html_extract": q157_html_extract,
+        "q158_warc_pipeline": q158_warc_pipeline,
     }
 
 
@@ -4197,6 +4266,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN k = 15 THEN v END) AS BIGINT) AS px_br,
                    CAST(max(CASE WHEN k = 6 THEN v END) AS BIGINT) AS px_mid
             FROM v GROUP BY doc_id
+        """,
+        "q158_warc_pipeline": f"""
+            -- parse(write(x)) is the identity, so the oracle replays the
+            -- HTML synthesis + extraction from documents directly (the
+            -- extraction chain generated from the engine's own tables)
+            WITH page AS (
+                SELECT doc_id,
+                       '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</h1><p>' || coalesce(text, '')
+                       || '</p></body></html>' AS html
+                FROM documents
+            ), ext AS (
+                SELECT doc_id, {_html_extract_sql('html')} AS extracted
+                FROM page
+            )
+            SELECT doc_id,
+                   CAST(200 AS BIGINT) AS http_status,
+                   CAST(length(extracted) AS BIGINT) AS n_chars,
+                   md5(extracted) AS text_md5
+            FROM ext
         """,
         "q157_html_extract": f"""
             -- replay the HTML synthesis AND the extraction chain, the

@@ -1,0 +1,139 @@
+"""WARC source tests (sources/warc.py).
+
+Fixtures are built by an independent writer here (records assembled
+byte-by-byte per ISO 28500, gzip one-member-per-record), so the parser
+is checked against the spec layout, not against itself.
+"""
+
+import gzip
+
+import pytest
+
+from nested_pandas_spark.sources.warc import parse_warc_bytes, read_warc
+
+
+def _record(warc_type: str, uri: str, block: bytes, rid: str) -> bytes:
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: 2024-01-15T10:30:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + (
+            "Content-Type: application/http; msgtype=response\r\n"
+            if warc_type == "response"
+            else "Content-Type: application/warc-fields\r\n"
+        )
+        + f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode()
+    return headers + block + b"\r\n\r\n"
+
+
+def _http_response(body: bytes, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _warc_file(n: int = 3) -> bytes:
+    out = b""
+    out += _record("warcinfo", "", b"software: test\r\n", "info-0")
+    for i in range(n):
+        body = f"<html><body><p>doc {i}</p></body></html>".encode()
+        out += _record(
+            "request", f"http://example.com/{i}", b"GET / HTTP/1.1\r\n\r\n",
+            f"req-{i}",
+        )
+        out += _record(
+            "response", f"http://example.com/{i}", _http_response(body),
+            f"resp-{i}",
+        )
+    return out
+
+
+def test_parse_plain_responses():
+    recs = parse_warc_bytes(_warc_file(3), "f.warc")
+    assert len(recs) == 7  # warcinfo + 3x(request, response)
+    resp = [r for r in recs if r["warc_type"] == "response"]
+    assert len(resp) == 3
+    r0 = resp[0]
+    assert r0["target_uri"] == "http://example.com/0"
+    assert r0["http_status"] == 200
+    assert r0["http_content_type"] == "text/html"
+    assert r0["payload"] == b"<html><body><p>doc 0</p></body></html>"
+    assert r0["record_id"] == "<urn:uuid:resp-0>"
+    assert r0["warc_date"] == "2024-01-15T10:30:00Z"
+    # request blocks keep their raw block (no HTTP envelope split applied
+    # to non-http content-types; requests ARE application/http? no — our
+    # writer marks them warc-fields, so the block stays whole)
+    req = [r for r in recs if r["warc_type"] == "request"][0]
+    assert req["payload"].startswith(b"GET /")
+
+
+def test_parse_gzip_members():
+    plain = _warc_file(2)
+    recs_plain = parse_warc_bytes(plain)
+    # standard layout: one gzip member PER RECORD, concatenated
+    members = b""
+    pos = 0
+    for r in recs_plain:
+        # re-split by parsing again is circular; instead gzip the whole
+        # file as two arbitrary member chunks — the member loop must
+        # reassemble the identical stream either way
+        pass
+    half = len(plain) // 2
+    members = gzip.compress(plain[:half]) + gzip.compress(plain[half:])
+    recs_gz = parse_warc_bytes(members)
+    assert [r["record_id"] for r in recs_gz] == [
+        r["record_id"] for r in recs_plain
+    ]
+    assert [r["payload"] for r in recs_gz] == [
+        r["payload"] for r in recs_plain
+    ]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError, match="version line"):
+        parse_warc_bytes(b"NOT A WARC\r\n\r\n")
+    rec = _record("response", "http://x", b"abc", "r")
+    with pytest.raises(ValueError, match="truncated WARC block"):
+        parse_warc_bytes(rec[: len(rec) - 5])  # cuts into the 3-byte block
+    bad = rec.replace(b"Content-Length: 3", b"Content-Lengthx: 3")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(bad)
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_warc_file(3))
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_warc_file(2)))
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 5  # responses only by default
+    assert {r["warc_type"] for r in rows} == {"response"}
+    assert all(r["http_status"] == 200 for r in rows)
+    # payload -> html extraction composes
+    from pyspark.sql import functions as F
+
+    from nested_pandas_spark.pipeline.web import extract_text_html
+
+    texts = sorted(
+        r["text"]
+        for r in df.select(
+            extract_text_html(
+                F.decode(F.col("payload"), "utf-8"), alias="text"
+            )
+        ).collect()
+    )
+    assert texts == ["doc 0", "doc 0", "doc 1", "doc 1", "doc 2"]
+
+    # all record types, metadata-only scan
+    meta = read_warc(spark, str(tmp_path), warc_types=None,
+                     with_payload=False)
+    assert "payload" not in meta.columns
+    assert meta.count() == 7 + 5
+    by_type = {
+        r["warc_type"]: r["count"]
+        for r in meta.groupBy("warc_type").count().collect()
+    }
+    assert by_type == {"warcinfo": 2, "request": 5, "response": 5}
