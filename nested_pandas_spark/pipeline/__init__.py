@@ -1,1 +1,12 @@
-from . import corpus, dedup, multimodal, similarity, text, web
+from . import (
+    classifier,
+    corpus,
+    dedup,
+    jpeg,
+    multimodal,
+    png,
+    search,
+    similarity,
+    text,
+    web,
+)
