@@ -6,10 +6,12 @@ JPEG cover the overwhelming majority of crawl/web images.
 
 * :func:`decode_png`: chunk walk (IHDR/PLTE/IDAT/IEND), zlib inflate,
   per-row unfilter (None/Sub/Up/Average/Paeth, RFC 2083 section 6),
-  palette expansion. Supports bit depth 8, color types 0 (gray),
-  2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
-  16-bit depth and Adam7 interlacing raise ``ValueError`` (rare in
-  crawl data; the strict-mode contract reports them honestly).
+  palette expansion. Supports bit depths 1/2/4/8 (gray scaled to the
+  full 8-bit range, palette indices raw), color types 0 (gray), 2
+  (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), and Adam7 interlacing
+  (validated bit-exact against ImageIO on libpng's pngtest.png).
+  16-bit depth and tRNS palette alpha raise/omit respectively — the
+  remaining documented gaps.
 * :func:`encode_png`: the matching encoder (filter 0 rows, one zlib
   IDAT) for gray/RGB/RGBA — deterministic REAL fixtures for tests and
   correctness gates, and a lossless thumbnail sink.
@@ -37,9 +39,80 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 pass layout (x0, y0, dx, dy), from the canonical 8x8 tile:
+#   1 6 4 6 2 6 4 6
+#   7 7 7 7 7 7 7 7
+#   5 6 5 6 5 6 5 6   (passes 4 and 6 START at y=0 — a classic
+#   ...                off-by-tile bug is putting them at y=4 / y=2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(chunk: bytes, hp: int, stride: int, fu: int) -> np.ndarray:
+    """Invert the per-row filters of one (sub-)image: ``hp`` rows of
+    ``1 + stride`` bytes; ``fu`` is the filter unit (bytes per pixel,
+    min 1 — RFC 2083: sub-byte depths filter at byte grain)."""
+    if len(chunk) != hp * (stride + 1):
+        raise ValueError(
+            f"PNG data size {len(chunk)} != expected {hp * (stride + 1)}"
+        )
+    rows = np.frombuffer(chunk, np.uint8).reshape(hp, stride + 1)
+    ftypes, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((hp, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(hp):
+        f, cur = int(ftypes[y]), data[y].astype(np.int64)
+        if f == 0:  # None
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            line = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = line[i - fu] if i >= fu else 0
+                if f == 1:
+                    line[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    line[i] = (cur[i] + (a + prev[i]) // 2) & 0xFF
+                else:
+                    b = prev[i]
+                    cc = prev[i - fu] if i >= fu else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    line[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = line.astype(np.uint8)
+        prev = line
+    return out
+
+
+def _row_samples(rows: np.ndarray, wp: int, c: int, depth: int) -> np.ndarray:
+    """Rows of filtered bytes -> (hp, wp, c) uint8 RAW samples (sub-byte
+    depths unpacked MSB-first; NO range scaling here — palette indices
+    must stay raw)."""
+    hp = rows.shape[0]
+    if depth == 8:
+        return rows[:, : wp * c].reshape(hp, wp, c)
+    # depth 1/2/4 is only valid for 1-channel color types (gray/palette)
+    bits = np.unpackbits(rows, axis=1)  # MSB-first per byte
+    per = depth
+    n = wp  # samples per row
+    idx = np.arange(n * per).reshape(n, per)
+    vals = np.zeros((hp, n), np.uint8)
+    for b in range(per):
+        vals = (vals << 1) | bits[:, idx[:, b]]
+    return vals.reshape(hp, n, 1)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to an ``(h, w, c)`` uint8 array (c = 1 gray,
-    2 gray+alpha, 3 RGB — including palette expansion — or 4 RGBA)."""
+    2 gray+alpha, 3 RGB — including palette expansion — or 4 RGBA).
+    Bit depths 1/2/4/8 (gray scaled to full 8-bit range, palette indices
+    raw) and Adam7 interlacing are supported; 16-bit raises."""
     if payload[:8] != _SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, plte, idat = 8, None, None, bytearray()
@@ -58,53 +131,40 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported PNG bit depth {depth} (1/2/4/8)")
     if color not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
+    if depth != 8 and color not in (0, 3):
+        raise ValueError(
+            f"bit depth {depth} is only valid for gray/palette PNGs"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     c = _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * c
-    if len(raw) != h * (stride + 1):
+    fu = max(1, c * depth // 8)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    img = np.zeros((h, w, c), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = (wp * c * depth + 7) // 8
+        need = hp * (stride + 1)
+        rows = _unfilter(raw[pos : pos + need], hp, stride, fu)
+        pos += need
+        img[y0::dy, x0::dx] = _row_samples(rows, wp, c, depth)
+    if pos != len(raw):
         raise ValueError(
-            f"PNG data size {len(raw)} != expected {h * (stride + 1)}"
+            f"PNG data size {len(raw)} != consumed {pos}"
         )
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    ftypes, data = rows[:, 0], rows[:, 1:]
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int64)
-    for y in range(h):
-        f, cur = int(ftypes[y]), data[y].astype(np.int64)
-        if f == 0:  # None
-            line = cur
-        elif f == 2:  # Up
-            line = (cur + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
-            line = np.empty(stride, np.int64)
-            for i in range(stride):
-                a = line[i - c] if i >= c else 0
-                if f == 1:
-                    line[i] = (cur[i] + a) & 0xFF
-                elif f == 3:
-                    line[i] = (cur[i] + (a + prev[i]) // 2) & 0xFF
-                else:
-                    b = prev[i]
-                    cc = prev[i - c] if i >= c else 0
-                    p = a + b - cc
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
-                    line[i] = (cur[i] + pr) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f} on row {y}")
-        out[y] = line.astype(np.uint8)
-        prev = line
-    img = out.reshape(h, w, c)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -112,6 +172,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         img = plte[idx]
+    elif depth != 8:  # grayscale: scale to the full 8-bit range
+        img = (img.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     return img.copy()
 
 

@@ -107,11 +107,101 @@ def test_rejections():
     bad = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(bad)
-    # interlaced rejected
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    # sub-byte depth on a multi-channel color type rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     bad = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="gray/palette"):
         decode_png(bad)
+    # unknown interlace method rejected (Adam7 itself is supported)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+    bad = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad)
+
+
+def _adam7_png(img: np.ndarray) -> bytes:
+    """Independent Adam7 writer (filter-0 rows) for decode validation."""
+    from nested_pandas_spark.pipeline.png import _ADAM7
+
+    h, w, c = img.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw += row.tobytes()
+    color = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(9, 13, 3), (8, 8, 1), (1, 5, 4), (11, 2, 3)])
+def test_adam7_interlaced_decode(shape):
+    """Adam7 de-interlacing reassembles exactly, including the edge
+    cases (dims below a full 8x8 tile, empty passes)."""
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(_adam7_png(img)), img)
+
+
+def _lowdepth_gray_png(samples: np.ndarray, depth: int) -> bytes:
+    """Independent low-bit-depth grayscale writer (filter-0 rows)."""
+    h, w = samples.shape
+    raw = bytearray()
+    for row in samples:
+        bits = np.zeros(((w * depth + 7) // 8 * 8,), np.uint8)
+        for i, v in enumerate(row):
+            for b in range(depth):
+                bits[i * depth + b] = (int(v) >> (depth - 1 - b)) & 1
+        raw.append(0)
+        raw += np.packbits(bits).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_low_bit_depth_gray(depth):
+    """1/2/4-bit grayscale unpacks MSB-first and scales to the full
+    8-bit range (v * 255/(2^d - 1)), including non-byte-aligned rows."""
+    rng = np.random.default_rng(depth)
+    samples = rng.integers(0, 1 << depth, (5, 7), dtype=np.uint8)
+    out = decode_png(_lowdepth_gray_png(samples, depth))
+    scale = 255 // ((1 << depth) - 1)
+    assert np.array_equal(out[..., 0], samples * scale)
+
+
+def test_low_bit_depth_palette():
+    """2-bit palette indices stay RAW (not range-scaled) before lookup."""
+    plte = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 50, 60])
+    samples = np.array([[0, 1, 2, 3, 3]], np.uint8)
+    payload = _lowdepth_gray_png(samples, 2)
+    # rewrite color type to palette and inject PLTE
+    ihdr = struct.pack(">IIBBBBB", 5, 1, 2, 3, 0, 0, 0)
+    body = payload[8:]
+    idat_start = body.index(b"IDAT") - 4
+    rebuilt = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + body[idat_start:]
+    )
+    out = decode_png(rebuilt)
+    assert out.shape == (1, 5, 3)
+    assert out[0].tolist() == [
+        [10, 0, 0], [0, 20, 0], [0, 0, 30], [40, 50, 60], [40, 50, 60],
+    ]
 
 
 def test_real_container_pngs_match_imageio(spark, tmp_path):
