@@ -1,16 +1,22 @@
 """Baseline JPEG codec in pure NumPy + stdlib — no codec library.
 
 Closes the engine's standing multimodal limitation (compressed image
-formats previously strict-raised): ITU-T T.81 baseline sequential DCT,
-Huffman-coded, 8-bit precision — the profile every camera/web JPEG
-decoder must support and the overwhelming majority of crawl images use.
+formats previously strict-raised): ITU-T T.81 Huffman-coded DCT JPEG at
+8-bit precision — both BASELINE/extended sequential (SOF0/SOF1) and
+PROGRESSIVE (SOF2), which together cover essentially every camera/web
+JPEG a crawl contains.
 
-* :func:`decode_jpeg`: SOI/DQT/DHT/SOF0/DRI/SOS marker walk, canonical
+* :func:`decode_jpeg`: SOI/DQT/DHT/SOF/DRI/SOS marker walk, canonical
   Huffman decode, dequantize + de-zigzag, vectorized 8x8 IDCT (one
   ``einsum`` per component over all blocks), chroma upsampling for any
   integer sampling ratio, JFIF YCbCr->RGB. Restart markers supported.
-  Progressive (SOF2) / arithmetic coding raise ``ValueError`` — they are
-  rare in crawl data and genuinely out of the baseline profile.
+  Progressive streams decode through the full T.81 Annex G machinery:
+  spectral-selection bands, successive approximation (DC bit refinement
+  and the AC correction-bit algorithm of G.1.2.3), EOB runs,
+  interleaved DC and single-component AC scans — validated against JVM
+  ImageIO on real libjpeg progressive files (max code-value diff 2).
+  Arithmetic coding and hierarchical/lossless modes raise
+  ``ValueError``.
 * :func:`encode_jpeg`: the matching baseline encoder (Annex K quant
   tables scaled by IJG quality, standard Huffman tables, 4:4:4 or 4:2:0,
   optional restart intervals). Exists so tests and correctness gates can
@@ -229,15 +235,8 @@ class _BitReader:
     def skip_rst(self, index: int) -> None:
         """Byte-align (discarding pad bits) and consume the expected
         RSTm marker (m = index mod 8)."""
-        self.cur = self.n = 0
+        self.finish()
         buf = self.buf
-        # a 0xFF pad byte gets stuffed; consume the pair if fully unread
-        while (
-            self.pos + 1 < len(buf)
-            and buf[self.pos] == 0xFF
-            and buf[self.pos + 1] == 0x00
-        ):
-            self.pos += 2
         want = 0xD0 + (index % 8)
         if (
             self.pos + 1 >= len(buf)
@@ -247,15 +246,31 @@ class _BitReader:
             raise ValueError(f"expected RST{index % 8} marker at byte {self.pos}")
         self.pos += 2
 
+    def finish(self) -> int:
+        """Byte-align, dropping pad bits and any fully-unread stuffed
+        0xFF pad byte; returns the byte position of the next marker."""
+        self.cur = self.n = 0
+        buf = self.buf
+        while (
+            self.pos + 1 < len(buf)
+            and buf[self.pos] == 0xFF
+            and buf[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        return self.pos
+
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG payload to ``(h, w, 3)`` uint8 RGB (or
-    ``(h, w, 1)`` for single-component grayscale).
+    """Decode a JPEG payload to ``(h, w, 3)`` uint8 RGB (or ``(h, w, 1)``
+    for single-component grayscale).
 
-    Supports SOF0/SOF1 (baseline + extended sequential, Huffman, 8-bit),
-    any integer chroma sampling ratio, restart intervals, multiple
-    DQT/DHT segments. Raises ``ValueError`` for progressive (SOF2),
-    arithmetic coding, 12-bit precision, or malformed streams.
+    Supports baseline/extended sequential (SOF0/SOF1) AND progressive
+    (SOF2) Huffman coding, 8-bit precision: spectral selection,
+    successive approximation (DC + AC refinement with EOB runs),
+    interleaved and single-component scans, any integer chroma sampling
+    ratio, restart intervals, multiple DQT/DHT segments. Raises
+    ``ValueError`` for arithmetic coding, hierarchical/lossless modes,
+    12-bit precision, or malformed streams.
     """
     if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
@@ -264,6 +279,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     dri = 0
     frame = None
+    state = None  # per-component raw zigzag coefficients + DC preds
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -299,20 +315,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = list(seg[i + 17 : i + 17 + n])
                 huff[(cls, tid)] = _decode_table(counts, symbols)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if h == 0 or w == 0:
+                raise ValueError(f"bad JPEG dimensions {w}x{h}")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1:
+                raise ValueError("bad JPEG sampling factors")
+            frame = {
+                "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mcux": -(-w // (8 * hmax)), "mcuy": -(-h // (8 * vmax)),
+                "progressive": marker == 0xC2,
+            }
+            state = {
+                "coef": [
+                    np.zeros(
+                        (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                        np.int32,
+                    )
+                    for c in comps
+                ],
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding (SOF marker 0xFF{marker:02X}); "
-                "only baseline/extended sequential Huffman decodes here"
+                "only sequential/progressive Huffman decodes here"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
@@ -323,74 +358,211 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cid)
-                scan.append((comp, tabs >> 4, tabs & 15))
-            return _decode_scan(payload, pos, frame, scan, qt, huff, dri)
+                ci = next(
+                    i for i, x in enumerate(frame["comps"]) if x["id"] == cid
+                )
+                scan.append((ci, tabs >> 4, tabs & 15))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_scan_into(
+                payload, pos, frame, scan, huff, dri, state,
+                ss, se, a >> 4, a & 15,
+            )
         # else: APPn / COM — skipped
-    raise ValueError("JPEG has no SOS scan")
+    if frame is None or state is None:
+        raise ValueError("JPEG has no frame")
+    return _reconstruct(frame, state, qt)
 
 
-def _decode_scan(payload, pos, frame, scan, qt, huff, dri) -> np.ndarray:
-    h, w, comps = frame["h"], frame["w"], [s[0] for s in scan]
-    if h == 0 or w == 0:
-        raise ValueError(f"bad JPEG dimensions {w}x{h}")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1:
-        raise ValueError("bad JPEG sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component dequantized coefficient store: (by, bx, 8, 8)
-    coeffs = [
-        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), np.float64)
-        for c in comps
-    ]
+def _ac_first(reader, ac_t, coef, ss, se, al, eobrun) -> int:
+    """First AC scan of a spectral band (T.81 G.1.2.2): run-length coded
+    new coefficients, shifted by the approximation low bit; EOBn symbols
+    start a run of entirely-skipped blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC coefficient overrun")
+        coef[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, ac_t, coef, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement (T.81 G.1.2.3): every
+    already-nonzero coefficient traversed gets a correction bit; runs
+    count only zero-history positions; EOB runs refine the remainder."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break  # remainder handled by the EOB sweep below
+                # r == 15 (ZRL): skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if reader.read(1) else m1
+            while k <= se:
+                t = int(coef[k])
+                if t != 0:
+                    if reader.read(1) and (abs(t) & p1) == 0:
+                        coef[k] = t + (p1 if t >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overrun")
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            t = int(coef[k])
+            if t != 0 and reader.read(1) and (abs(t) & p1) == 0:
+                coef[k] = t + (p1 if t >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_into(
+    payload, pos, frame, scan, huff, dri, state, ss, se, ah, al
+) -> int:
+    """Decode one scan's entropy data into the frame coefficient store;
+    returns the byte position after the scan (next marker)."""
+    comps = frame["comps"]
+    progressive = frame["progressive"]
     tables = []
-    for comp, tdc, tac in scan:
-        if (0, tdc) not in huff or (1, tac) not in huff:
-            raise ValueError("JPEG scan references an undefined Huffman table")
-        if comp["tq"] not in qt:
-            raise ValueError("JPEG scan references an undefined quant table")
-        tables.append((huff[(0, tdc)], huff[(1, tac)], qt[comp["tq"]]))
+    for ci, tdc, tac in scan:
+        dc_t = huff.get((0, tdc))
+        ac_t = huff.get((1, tac))
+        need_dc = not progressive or ss == 0
+        need_ac = not progressive or ss > 0
+        refining = progressive and ah != 0
+        if need_dc and dc_t is None and not (refining and ss == 0):
+            raise ValueError("JPEG scan references an undefined DC table")
+        if need_ac and ac_t is None:
+            raise ValueError("JPEG scan references an undefined AC table")
+        tables.append((dc_t, ac_t))
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("bad progressive spectral selection")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0
     reader = _BitReader(payload, pos)
     preds = [0] * len(comps)
-    block = np.empty(64, np.int64)
-    for m in range(mcux * mcuy):
+    eobrun = 0
+    interleaved = len(scan) > 1
+
+    def dc_block(ci, coef, dc_t):
+        if not progressive or ah == 0:
+            t = reader.read_huff(dc_t)
+            preds[ci] += _extend(reader.read(t), t) if t else 0
+            coef[0] = preds[ci] << al
+        else:
+            if reader.read(1):
+                coef[0] = int(coef[0]) | (1 << al)
+
+    def full_block(ci, coef, dc_t, ac_t):
+        dc_block(ci, coef, dc_t)
+        k = 1
+        while k < 64:
+            rs = reader.read_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC coefficient overrun")
+            coef[k] = _extend(reader.read(s), s)
+            k += 1
+
+    if interleaved:
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        n_units = mcux * mcuy
+    else:
+        ci0 = scan[0][0]
+        comp = comps[ci0]
+        # full-sample dims of this component, then whole-block grid
+        bw = (-(-frame["w"] * comp["h"] // frame["hmax"]) + 7) // 8
+        bh = (-(-frame["h"] * comp["v"] // frame["vmax"]) + 7) // 8
+        n_units = bw * bh
+    rst = 0
+    for m in range(n_units):
         if dri and m and m % dri == 0:
-            reader.skip_rst(m // dri - 1)
+            reader.skip_rst(rst)
+            rst += 1
             preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, comp in enumerate(comps):
-            dc_t, ac_t, q = tables[ci]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    block[:] = 0
-                    t = reader.read_huff(dc_t)
-                    preds[ci] += _extend(reader.read(t), t) if t else 0
-                    block[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.read_huff(ac_t)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC coefficient overrun")
-                        block[k] = _extend(reader.read(s), s)
-                        k += 1
-                    nat = np.zeros(64, np.int64)
-                    nat[_ZIGZAG] = block
-                    coeffs[ci][
-                        my * comp["v"] + by, mx * comp["h"] + bx
-                    ] = nat.reshape(8, 8) * q
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(m, frame["mcux"])
+            for (ci, _tdc, _tac), (dc_t, ac_t) in zip(scan, tables):
+                comp = comps[ci]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = state["coef"][ci][
+                            my * comp["v"] + by, mx * comp["h"] + bx
+                        ]
+                        if progressive:
+                            dc_block(ci, coef, dc_t)
+                        else:
+                            full_block(ci, coef, dc_t, ac_t)
+        else:
+            ci, _tdc, _tac = scan[0]
+            dc_t, ac_t = tables[0]
+            by, bx = divmod(m, bw)
+            coef = state["coef"][ci][by, bx]
+            if not progressive:
+                full_block(ci, coef, dc_t, ac_t)
+            elif ss == 0:
+                dc_block(ci, coef, dc_t)
+            elif ah == 0:
+                eobrun = _ac_first(reader, ac_t, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(reader, ac_t, coef, ss, se, al, eobrun)
+    return reader.finish()
+
+
+def _reconstruct(frame, state, qt) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for ci, comp in enumerate(comps):
-        spatial = np.einsum("ux,ijuv,vy->ijxy", _A, coeffs[ci], _A) + 128.0
-        by, bx = coeffs[ci].shape[:2]
+    for ci, comp in enumerate(frame["comps"]):
+        if comp["tq"] not in qt:
+            raise ValueError("JPEG frame references an undefined quant table")
+        q = qt[comp["tq"]].astype(np.float64)
+        zz = state["coef"][ci]
+        by, bx = zz.shape[:2]
+        nat = np.zeros((by, bx, 64), np.float64)
+        nat[..., _ZIGZAG] = zz
+        blocks = nat.reshape(by, bx, 8, 8) * q
+        spatial = np.einsum("ux,ijuv,vy->ijxy", _A, blocks, _A) + 128.0
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if vmax % comp["v"] or hmax % comp["h"]:

@@ -92,14 +92,64 @@ def test_decoder_rejects_non_jpeg_and_truncation():
         decode_jpeg(payload[: len(payload) // 2])
 
 
-def test_decoder_rejects_progressive():
-    # flip the SOF0 marker of a valid stream to SOF2 (progressive)
+def test_decoder_rejects_arithmetic_coding():
+    # flip the SOF0 marker of a valid stream to SOF9 (arithmetic)
     payload = bytearray(encode_jpeg(np.full((8, 8), 90, np.uint8)))
     i = payload.find(b"\xff\xc0")
     assert i > 0
-    payload[i + 1] = 0xC2
+    payload[i + 1] = 0xC9
     with pytest.raises(ValueError, match="SOF marker"):
         decode_jpeg(bytes(payload))
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/usr/share/doc/nodejs/thin-white-stripe.jpg")
+    and not os.path.isdir(_SPARK_IMAGES),
+    reason="no progressive sample JPEGs present",
+)
+def test_progressive_files_match_imageio(spark):
+    """Real libjpeg PROGRESSIVE files (SOF2: spectral selection +
+    successive approximation + EOB runs) must match the independent JVM
+    ImageIO decode almost exactly — same coefficients, so the only slack
+    is IDCT rounding (max code-value diff 2 observed)."""
+    import shutil
+    import tempfile
+
+    candidates = [
+        f"{_SPARK_IMAGES}/multi-channel/grayscale.jpg",
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+    ]
+    files = [f for f in candidates if os.path.exists(f)]
+    if not files:
+        pytest.skip("no progressive samples")
+    # confirm they are actually SOF2 streams (guards fixture rot)
+    assert all(b"\xff\xc2" in open(f, "rb").read() for f in files)
+    d = tempfile.mkdtemp()
+    for f in files:
+        shutil.copy(f, d)
+    rows = (
+        spark.read.format("image").load(d).select("image.*").collect()
+    )
+    checked = 0
+    for r in rows:
+        path = r["origin"].replace("file:", "")
+        mine = decode_jpeg(open(path, "rb").read())
+        nc, mode = r["nChannels"], r["mode"]
+        ref = np.frombuffer(bytes(r["data"]), np.uint8).reshape(
+            r["height"], r["width"], nc
+        )
+        if mode == 16:
+            ref = ref[..., ::-1]
+        elif nc != mine.shape[2]:
+            continue
+        assert mine.shape == ref.shape, path
+        diff = np.abs(mine.astype(int) - ref.astype(int))
+        assert diff.max() <= 4, (path, diff.max())
+        assert diff.mean() < 0.5, (path, diff.mean())
+        checked += 1
+    assert checked >= 1
+    shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.mark.skipif(
