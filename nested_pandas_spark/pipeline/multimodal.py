@@ -10,7 +10,7 @@ UDF signatures) is real and tested. Codecs come in two tiers:
   (:func:`decode_wav`). ``decode_image`` / ``audio_features`` sniff the
   payload magic and use these automatically — a real end-to-end decode
   path, oracle-checkable with deterministic synthetic payloads.
-* **Stubs** for compressed formats (JPEG/PNG/MP4/...) whose codec
+* **Stubs** for the remaining compressed formats (GIF/WebP/MP4/...) whose codec
   libraries (PIL/ffmpeg) are not in this container: strict mode raises
   ``NotImplementedError``; non-strict produces a deterministic md5 fake,
   clearly marked.
@@ -288,15 +288,15 @@ def decode_image(
 
     REAL decode paths, sniffed by payload magic: 24-bit BMP (``BM``) and
     binary PPM (``P6``) via :func:`decode_bmp` / :func:`decode_ppm`;
-    baseline JPEG (``FF D8 FF``) via the pure-NumPy codec in
-    :mod:`~nested_pandas_spark.pipeline.jpeg` (Huffman + IDCT,
-    ImageIO-cross-validated); PNG (``89 50 4E 47``) via the stdlib-zlib
-    codec in :mod:`~nested_pandas_spark.pipeline.png`. Actual image
-    dimensions are used — ``height``/``width``/``channels`` apply only
-    to the stub path. Remaining formats (progressive JPEG, GIF, WebP,
-    ...) need a codec library not in this container: ``strict=True``
-    raises ``NotImplementedError`` for them, ``strict=False`` produces
-    the deterministic md5 fake.
+    JPEG (``FF D8 FF``, baseline AND progressive) via the pure-NumPy
+    codec in :mod:`~nested_pandas_spark.pipeline.jpeg` (Huffman + IDCT,
+    ImageIO-cross-validated); PNG (``89 50 4E 47``, incl. Adam7 and
+    1/2/4-bit depths) via the stdlib-zlib codec in
+    :mod:`~nested_pandas_spark.pipeline.png`. Actual image dimensions
+    are used — ``height``/``width``/``channels`` apply only to the stub
+    path. Remaining formats (GIF, WebP, ...) need a codec library not
+    in this container: ``strict=True`` raises ``NotImplementedError``
+    for them, ``strict=False`` produces the deterministic md5 fake.
 
     Output schema: ``out_col: array<int>`` (h*w*c flattened, row-major
     RGB) plus pass-through columns minus the payload (dropped immediately
