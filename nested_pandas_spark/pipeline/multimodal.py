@@ -178,43 +178,78 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL decoder: RIFF/WAVE PCM 16-bit -> (mono float64 samples in
-    [-1, 1), sample_rate). Multi-channel input is mixed down by averaging.
+    """REAL decoder: RIFF/WAVE -> (mono float64 samples in [-1, 1],
+    sample_rate). Handles integer PCM at 8 (unsigned) / 16 / 24 / 32
+    bits, IEEE float at 32 / 64 bits, and WAVE_FORMAT_EXTENSIBLE
+    wrappers of either. Multi-channel input is mixed down by averaging.
 
     Pure stdlib ``struct`` + NumPy chunk walk (``fmt `` then ``data``);
-    raises ``ValueError`` for non-PCM / non-16-bit files (those need a
+    raises ``ValueError`` for compressed codecs (ADPCM/mp3/... need a
     codec library).
     """
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, n_channels, sample_rate, bits, data = 12, None, None, None, None
+    pos, n_channels, sample_rate, bits, fmt, data = 12, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("truncated WAV fmt chunk")
-            audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            fmt, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError(
-                    f"unsupported WAV (format={audio_fmt} bits={bits}); only "
-                    "PCM-16 decodes without a codec library"
-                )
+            if fmt == 0xFFFE and size >= 40:  # EXTENSIBLE: real fmt in GUID
+                fmt = struct.unpack_from("<H", body, 24)[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are 2-byte aligned
-    if n_channels is None or data is None:
+    if n_channels is None or data is None or fmt is None:
         raise ValueError("WAV missing fmt or data chunk")
-    samples = np.frombuffer(
-        data, dtype="<i2", count=len(data) // 2
-    ).astype(np.float64)
+    if fmt == 1:  # integer PCM
+        if bits == 8:  # 8-bit PCM is UNSIGNED with 128 midpoint
+            samples = (
+                np.frombuffer(data, np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(
+                data, "<i2", count=len(data) // 2
+            ).astype(np.float64) / 32768.0
+        elif bits == 24:
+            n = len(data) // 3
+            b = np.frombuffer(data, np.uint8, n * 3).reshape(n, 3)
+            raw = (
+                b[:, 0].astype(np.int64)
+                | (b[:, 1].astype(np.int64) << 8)
+                | (b[:, 2].astype(np.int64) << 16)
+            )
+            raw -= (raw >> 23) << 24  # sign-extend
+            samples = raw.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            samples = np.frombuffer(
+                data, "<i4", count=len(data) // 4
+            ).astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported WAV PCM bit width {bits}")
+    elif fmt == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(
+                data, "<f4", count=len(data) // 4
+            ).astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, "<f8", count=len(data) // 8).copy()
+        else:
+            raise ValueError(f"unsupported WAV float bit width {bits}")
+    else:
+        raise ValueError(
+            f"unsupported WAV (format={fmt} bits={bits}); compressed "
+            "codecs need a codec library"
+        )
     if n_channels > 1:
         n = len(samples) // n_channels * n_channels
         samples = samples[:n].reshape(-1, n_channels).mean(axis=1)
-    return samples / 32768.0, sample_rate
+    return samples, sample_rate
 
 
 def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], tuple[int, int]]:

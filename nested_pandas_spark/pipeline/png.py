@@ -97,6 +97,10 @@ def _row_samples(rows: np.ndarray, wp: int, c: int, depth: int) -> np.ndarray:
     hp = rows.shape[0]
     if depth == 8:
         return rows[:, : wp * c].reshape(hp, wp, c)
+    if depth == 16:
+        # high byte of each big-endian sample — the PNG-recommended
+        # 8-bit downconversion (v * 255 / 65535 rounds to v >> 8)
+        return rows[:, : wp * c * 2 : 2].reshape(hp, wp, c)
     # depth 1/2/4 is only valid for 1-channel color types (gray/palette)
     bits = np.unpackbits(rows, axis=1)  # MSB-first per byte
     per = depth
@@ -115,7 +119,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     raw) and Adam7 interlacing are supported; 16-bit raises."""
     if payload[:8] != _SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    pos, ihdr, plte, trns, idat = 8, None, None, None, bytearray()
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
@@ -124,6 +128,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -131,14 +137,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (1, 2, 4, 8):
-        raise ValueError(f"unsupported PNG bit depth {depth} (1/2/4/8)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
     if color not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
-    if depth != 8 and color not in (0, 3):
+    if depth < 8 and color not in (0, 3):
         raise ValueError(
             f"bit depth {depth} is only valid for gray/palette PNGs"
         )
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNGs are not valid")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace not in (0, 1):
@@ -171,8 +179,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         idx = img[..., 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
-        img = plte[idx]
-    elif depth != 8:  # grayscale: scale to the full 8-bit range
+        if trns is not None:
+            # palette alpha: tRNS lists per-entry alphas (entries beyond
+            # the table are opaque) -> emit RGBA
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+            img = np.concatenate(
+                [plte[idx], alpha[idx][..., None]], axis=-1
+            )
+        else:
+            img = plte[idx]
+    elif depth < 8:  # grayscale: scale to the full 8-bit range
         img = (img.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
             np.uint8
         )

@@ -2874,3 +2874,55 @@ def test_extract_text_html(spark):
            for r in df.select("id", extract_text_html("html")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_decode_wav_variants():
+    """All uncompressed WAV layouts decode against reference-constructed
+    fixtures: integer PCM 8 (unsigned) / 16 / 24 / 32, IEEE float 32/64,
+    EXTENSIBLE wrappers, stereo mixdown; compressed formats raise."""
+    import struct
+
+    from nested_pandas_spark.pipeline.multimodal import decode_wav
+
+    def wav(fmt, bits, frames, rate=8000, ch=1, extensible=False):
+        if extensible:
+            sub = struct.pack("<HHIIHH", 0xFFFE, ch, rate,
+                              rate * ch * bits // 8, ch * bits // 8, bits)
+            ext = (struct.pack("<HHI", 22, bits, 4)
+                   + struct.pack("<H", fmt) + b"\x00" * 14)
+            fmtc = b"fmt " + struct.pack("<I", len(sub + ext)) + sub + ext
+        else:
+            fmtc = b"fmt " + struct.pack("<I", 16) + struct.pack(
+                "<HHIIHH", fmt, ch, rate, rate * ch * bits // 8,
+                ch * bits // 8, bits)
+        datac = b"data" + struct.pack("<I", len(frames)) + frames
+        body = b"WAVE" + fmtc + datac
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    sig = np.array([0.0, 0.5, -0.5, 0.25, -1.0, 0.999], np.float64)
+
+    x, rate = decode_wav(
+        wav(1, 16, (sig * 32768).clip(-32768, 32767).astype("<i2").tobytes()))
+    assert rate == 8000 and np.allclose(x, sig, atol=1 / 32768)
+    x, _ = decode_wav(
+        wav(1, 8, ((sig * 128) + 128).clip(0, 255).astype(np.uint8).tobytes()))
+    assert np.allclose(x, sig, atol=1 / 64)
+    raw = (sig * 8388608).clip(-8388608, 8388607).astype(np.int64)
+    b24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in raw)
+    x, _ = decode_wav(wav(1, 24, b24))
+    assert np.allclose(x, sig, atol=1 / 8388608)
+    x, _ = decode_wav(wav(1, 32, (sig * 2147483648).clip(-2**31, 2**31 - 1)
+                          .astype("<i4").tobytes()))
+    assert np.allclose(x, sig, atol=1e-9)
+    x, _ = decode_wav(wav(3, 32, sig.astype("<f4").tobytes()))
+    assert np.allclose(x, sig, atol=1e-7)
+    x, _ = decode_wav(wav(3, 64, sig.astype("<f8").tobytes()))
+    assert np.array_equal(x, sig)
+    x, _ = decode_wav(wav(3, 32, sig.astype("<f4").tobytes(), extensible=True))
+    assert np.allclose(x, sig, atol=1e-7)
+    st = np.stack([sig, -sig], -1).ravel()
+    x, _ = decode_wav(wav(1, 16, (st * 32768).clip(-32768, 32767)
+                          .astype("<i2").tobytes(), ch=2))
+    assert np.allclose(x, np.zeros(6), atol=1 / 16384)
+    with pytest.raises(ValueError, match="format=2"):
+        decode_wav(wav(2, 4, b"\x00" * 8))  # ADPCM

@@ -102,10 +102,15 @@ def test_rejections():
         decode_png(b"not a png")
     with pytest.raises(ValueError):
         encode_png(np.zeros((4, 4, 2), np.uint8))
-    # 16-bit depth rejected
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # invalid depth rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     bad = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad)
+    # 16-bit palette is not a legal PNG
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="palette"):
         decode_png(bad)
     # sub-byte depth on a multi-channel color type rejected
     ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
@@ -286,3 +291,49 @@ def test_encode_image_sink_roundtrip(spark):
     # null pixels -> null payload
     df3 = spark.createDataFrame([(1, None)], "id long, pixels array<int>")
     assert encode_image(df3, "pixels").collect()[0]["payload"] is None
+
+
+@pytest.mark.parametrize("color,c", [(0, 1), (2, 3), (6, 4)])
+def test_16bit_high_byte_downconversion(color, c):
+    """16-bit samples downconvert by taking the big-endian high byte
+    (the PNG-recommended 8-bit approximation)."""
+    rng = np.random.default_rng(c)
+    hi = rng.integers(0, 256, (4, 5, c), dtype=np.uint8)
+    lo = rng.integers(0, 256, (4, 5, c), dtype=np.uint8)
+    samples = (hi.astype(np.uint16) << 8) | lo
+    raw = bytearray()
+    for row in samples:
+        raw.append(0)
+        raw += row.astype(">u2").tobytes()
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 16, color, 0, 0, 0)
+    payload = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), hi)
+
+
+def test_palette_trns_alpha():
+    """tRNS palette alpha -> RGBA output; entries beyond the tRNS table
+    are opaque. Validated bit-exact vs ImageIO on the real gvim icons in
+    test_real_container_pngs_match_imageio."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    trns = bytes([0, 128])  # entry 0 transparent, 1 half, 2 -> opaque
+    idx = np.array([[0, 1, 2]], np.uint8)
+    raw = b"\x00" + idx.tobytes()
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    payload = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"tRNS", trns)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert out.shape == (1, 3, 4)
+    assert out[0].tolist() == [
+        [255, 0, 0, 0], [0, 255, 0, 128], [0, 0, 255, 255],
+    ]
