@@ -2,6 +2,7 @@ from . import (
     classifier,
     corpus,
     dedup,
+    gif,
     jpeg,
     multimodal,
     png,

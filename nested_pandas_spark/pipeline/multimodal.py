@@ -10,7 +10,7 @@ UDF signatures) is real and tested. Codecs come in two tiers:
   (:func:`decode_wav`). ``decode_image`` / ``audio_features`` sniff the
   payload magic and use these automatically — a real end-to-end decode
   path, oracle-checkable with deterministic synthetic payloads.
-* **Stubs** for the remaining compressed formats (GIF/WebP/MP4/...) whose codec
+* **Stubs** for the remaining compressed formats (WebP/MP4/...) whose codec
   libraries (PIL/ffmpeg) are not in this container: strict mode raises
   ``NotImplementedError``; non-strict produces a deterministic md5 fake,
   clearly marked.
@@ -357,9 +357,13 @@ def decode_image(
             from .png import decode_png
 
             return decode_png(payload).ravel().tolist()
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+
+            return decode_gif(payload).ravel().tolist()
         if strict:
             raise NotImplementedError(
-                "only BMP/PPM/baseline-JPEG/PNG decode without a codec "
+                "only BMP/PPM/JPEG/PNG/GIF decode without a codec "
                 "library (PIL/cv2 not present); run with strict=False "
                 "for the deterministic stub"
             )
@@ -509,12 +513,31 @@ def sample_video_frames(
     )
     out_schema = T.StructType(fields + [T.StructField("frames", T.ArrayType(frame_t))])
 
+    def _luma_planes(payload: bytes) -> list[np.ndarray] | None:
+        if payload.startswith(b"YUV4MPEG2"):
+            planes, _wh = decode_y4m(payload)
+            return planes
+        if payload[:6] in (b"GIF87a", b"GIF89a"):  # animated GIF as video
+            from .gif import decode_gif_frames
+
+            out = []
+            for rgba, _delay in decode_gif_frames(payload):
+                rgb = rgba[..., :3].astype(np.float64)
+                luma = (
+                    0.299 * rgb[..., 0]
+                    + 0.587 * rgb[..., 1]
+                    + 0.114 * rgb[..., 2]
+                )
+                out.append(np.clip(np.round(luma), 0, 255).astype(np.uint8))
+            return out
+        return None
+
     def _frames_of(p) -> list | None:
         if p is None:
             return None
         payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
-        if payload.startswith(b"YUV4MPEG2"):
-            planes, _wh = decode_y4m(payload)
+        planes = _luma_planes(payload)
+        if planes is not None:
             total = len(planes)
             idxs = sorted({j * total // n_frames for j in range(n_frames)
                            if total > 0})
@@ -524,8 +547,8 @@ def sample_video_frames(
             ]
         if strict:
             raise NotImplementedError(
-                "only YUV4MPEG2 (.y4m) decodes without ffmpeg; run with "
-                "strict=False for the deterministic stub"
+                "only YUV4MPEG2 (.y4m) and animated GIF decode without "
+                "ffmpeg; run with strict=False for the deterministic stub"
             )
         return [
             {
