@@ -561,9 +561,9 @@ def main() -> None:
 
     def x_ivf_largek():
         # the large-centroid-count path: 256 centroids exceeds
-        # _LITERAL_CENTROID_MAX, so assignment runs against a broadcast
-        # centroid TABLE (O(1) plan nodes) instead of plan literals — the
-        # regime a real 100 TB IVF (10^4-10^5 centroids) lives in
+        # _HOF_CENTROID_MAX, so assignment runs as Arrow-batched NumPy
+        # matmul (one BLAS call per batch, O(1) plan nodes) — the regime
+        # a real 100 TB IVF (10^4-10^5 centroids) lives in
         emb = t("embeddings")
         q = emb.where(F.col("vec_id") < 10)
         return sim.ivf_topk(emb, q, k=5, n_centroids=256, n_probe=16,

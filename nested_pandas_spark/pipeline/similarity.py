@@ -369,6 +369,81 @@ def _nearest_ids_tbl(vec: Column, tbl: Column, n: int, metric: str) -> Column:
     return F.transform(top, lambda s: -s["ncid"])
 
 
+# Above this many centroids the broadcast-table HOF fold (interpreted
+# per element: n_centroids x dim lambda evaluations PER ROW) becomes the
+# CPU bottleneck — the third tier switches to Arrow-batched NumPy matmul
+# (BLAS, the FAISS assignment shape): one (batch x dim) @ (dim x k) per
+# batch. The HOF tier stays the default in 33..128 because it is
+# bit-identical to the literal path (same fold order); the matmul tier is
+# mathematically identical but sums in a different order, so exact ties
+# between centroids could in principle break differently (measure-zero on
+# real embeddings; tie rule is still smallest-cid on EXACT float ties).
+_HOF_CENTROID_MAX = 128
+
+
+def _with_nearest_ids_matmul(
+    df: DataFrame,
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    n: int,
+    out: str,
+    metric: str,
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment: the centroid matrix ships
+    once inside the serialized task (O(1) plan nodes, like the broadcast
+    table) and every Arrow batch is one NumPy matmul + argsort — the
+    10^4-10^5-centroid regime where interpreted HOF folds would burn
+    n_centroids x dim lambda evaluations per row. NULL/empty vectors get
+    a NULL id array."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    tagged = df.withColumn("__mmv", vec.cast("array<double>"))
+    cids = np.asarray([int(c) for c, _ in centroids], np.int64)
+    mat = np.asarray([v for _, v in centroids], np.float64)  # (k, dim)
+    if metric == "cosine":
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+    else:
+        c2 = (mat * mat).sum(axis=1)
+    keep = [f for f in tagged.schema.fields if f.name != "__mmv"]
+    schema = T.StructType(
+        keep + [T.StructField(out, T.ArrayType(T.LongType()))]
+    )
+    names = [f.name for f in keep]
+
+    def gen(batches):
+        for pdf in batches:
+            res = [None] * len(pdf)
+            vecs = pdf["__mmv"]
+            ok = [
+                i for i, v in enumerate(vecs)
+                if v is not None and len(v) == mat.shape[1]
+            ]
+            if ok:
+                V = np.stack([np.asarray(vecs.iloc[i], np.float64)
+                              for i in ok])
+                if metric == "cosine":
+                    vn = np.linalg.norm(V, axis=1)
+                    vn[vn == 0] = 1.0
+                    scores = -((V / vn[:, None]) @ matn.T)  # asc = best
+                else:
+                    scores = (V * V).sum(1)[:, None] - 2.0 * (V @ mat.T) + c2
+                # stable sort: exact ties resolve to the smaller cid
+                order = np.argsort(scores, axis=1, kind="stable")[:, :n]
+                picked = cids[order]
+                for j, i in enumerate(ok):
+                    res[i] = picked[j].tolist()
+            o = pdf[names].copy()
+            o[out] = res
+            yield o
+
+    return tagged.mapInPandas(gen, schema=schema)
+
+
 def _nearest_l2_ids(
     vec: Column, centroids: list[tuple[int, list[float]]], n: int
 ) -> Column:
@@ -396,13 +471,18 @@ def with_nearest_ids(
     """Add ``out`` = ``array<long>`` of the ``n`` nearest centroid ids to
     ``vec`` (cosine desc or squared-L2 asc; ties to the smaller id).
 
-    The scale switch of the whole ANN family: at or below
-    ``_LITERAL_CENTROID_MAX`` centroids the assignment is the plan-literal
-    projection (constants folded into codegen, zero extra plan nodes);
-    above it the centroid matrix rides as ONE broadcast single-row table
-    and the argmin is a HOF over that array column — O(1) plan nodes and
-    no codegen blow-up at 10^4+ centroids. Both paths compute the same
-    per-centroid fold, so results are bit-identical.
+    The scale switch of the whole ANN family, three tiers:
+
+    * <= ``_LITERAL_CENTROID_MAX`` (32): plan-literal projection —
+      constants fold into codegen, zero extra plan nodes.
+    * <= ``_HOF_CENTROID_MAX`` (128): the centroid matrix rides as ONE
+      broadcast single-row table and the argmin is a HOF over that array
+      column — O(1) plan nodes, bit-identical to the literal path (same
+      fold order).
+    * above: Arrow-batched NumPy matmul assignment
+      (:func:`_with_nearest_ids_matmul`) — the FAISS shape; interpreted
+      HOF folds would cost n_centroids x dim lambda evaluations per row,
+      which at 10^4+ centroids dominates the whole scan.
     """
     if len(centroids) <= _LITERAL_CENTROID_MAX:
         col = (
@@ -411,12 +491,16 @@ def with_nearest_ids(
             else _nearest_centroids(vec, centroids, n)
         )
         return df.withColumn(out, col)
-    tbl = _centroid_table_df(df.sparkSession, centroids)
-    return (
-        df.crossJoin(F.broadcast(tbl))
-        .withColumn(out, _nearest_ids_tbl(vec, F.col("__cent_tbl"), n, metric))
-        .drop("__cent_tbl")
-    )
+    if len(centroids) <= _HOF_CENTROID_MAX:
+        tbl = _centroid_table_df(df.sparkSession, centroids)
+        return (
+            df.crossJoin(F.broadcast(tbl))
+            .withColumn(
+                out, _nearest_ids_tbl(vec, F.col("__cent_tbl"), n, metric)
+            )
+            .drop("__cent_tbl")
+        )
+    return _with_nearest_ids_matmul(df, vec, centroids, n, out, metric)
 
 
 def ivf_topk(

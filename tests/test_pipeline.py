@@ -2926,3 +2926,67 @@ def test_decode_wav_variants():
     assert np.allclose(x, np.zeros(6), atol=1 / 16384)
     with pytest.raises(ValueError, match="format=2"):
         decode_wav(wav(2, 4, b"\x00" * 8))  # ADPCM
+
+
+def test_matmul_assignment_matches_hof_tier(spark):
+    """The Arrow-matmul assignment tier (>_HOF_CENTROID_MAX centroids)
+    returns the same nearest-ids as the broadcast-HOF tier for both
+    metrics (ties are measure-zero on random data; tie rule is still
+    smallest-cid), and NULL/wrong-dim vectors yield NULL."""
+    rng = np.random.RandomState(11)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(i, rng.randn(8).tolist()) for i in range(150)]
+    for metric in ("cosine", "l2"):
+        mm = {
+            r["vec_id"]: r["__cids"]
+            for r in sim._with_nearest_ids_matmul(
+                emb, F.col("embedding"), cents, 3, "__cids", metric
+            ).collect()
+        }
+        tbl = sim._centroid_table_df(spark, cents)
+        hof = {
+            r["vec_id"]: r["__cids"]
+            for r in emb.crossJoin(F.broadcast(tbl))
+            .withColumn(
+                "__cids",
+                sim._nearest_ids_tbl(
+                    F.col("embedding"), F.col("__cent_tbl"), 3, metric
+                ),
+            )
+            .select("vec_id", "__cids")
+            .collect()
+        }
+        assert mm == hof, metric
+    nulls = spark.createDataFrame(
+        [(1, None), (2, [0.5, 0.5]), (3, [0.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["__cids"]
+        for r in sim.with_nearest_ids(
+            nulls, F.col("embedding"), cents, 2
+        ).collect()
+    }
+    assert out[1] is None and out[2] is None  # null + wrong-dim
+    assert out[3] is not None and len(out[3]) == 2
+
+
+def test_matmul_tier_end_to_end_ivf(spark):
+    """ivf_topk at a matmul-tier centroid count returns sane ranked
+    neighbors (the three tiers share everything downstream)."""
+    rng = np.random.RandomState(12)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") < 3)
+    out = sim.ivf_topk(emb, q, k=2, n_centroids=150, n_probe=150)
+    rows = out.collect()
+    assert len(rows) == 6  # 3 queries x k=2 (full probe => exact top-2)
+    exact = sim.brute_force_topk(emb, q, k=2).collect()
+    assert sorted((r["query_id"], r["neighbor_id"]) for r in rows) == sorted(
+        (r["query_id"], r["neighbor_id"]) for r in exact
+    )

@@ -727,43 +727,65 @@ def main() -> int:
         )[:600],
     ))
 
-    # -- 28. ANN assignment above the literal threshold: broadcast table ----
+    # -- 28. ANN assignment above the literal threshold ---------------------
     from nested_pandas_spark.pipeline import similarity as sim
 
-    big_cents = [
-        (i, [123.456789 + i] + [float(i % 7)] * 63) for i in range(256)
+    # mid tier (33..128): broadcast table + HOF, bit-identical to literal
+    mid_cents = [
+        (i, [123.456789 + i] + [float(i % 7)] * 63) for i in range(100)
     ]
     p28 = explain_str(
         sim.with_nearest_ids(
-            emb, F.col("embedding").cast("array<double>"), big_cents, 4
+            emb, F.col("embedding").cast("array<double>"), mid_cents, 4
         )
     )
     p28a = sim.with_nearest_ids(
-        emb, F.col("embedding").cast("array<double>"), big_cents, 4
+        emb, F.col("embedding").cast("array<double>"), mid_cents, 4
     )._jdf.queryExecution().analyzed().toString()
     check(
-        "large-centroid assignment not plan-literal",
+        "mid-tier centroid assignment not plan-literal",
         "123.456" not in p28a and len(p28a) < 20000,
         f"centroid coordinates leaked into the plan (len={len(p28a)})",
     )
     check(
-        "large-centroid assignment broadcasts the table",
+        "mid-tier centroid assignment broadcasts the table",
         "BroadcastNestedLoopJoin" in p28 or "BroadcastExchange" in p28,
         "centroid table not broadcast",
     )
+    # top tier (>128): Arrow matmul — no join at all, still no literals
+    big_cents = [
+        (i, [123.456789 + i] + [float(i % 7)] * 63) for i in range(256)
+    ]
+    big_df = sim.with_nearest_ids(
+        emb, F.col("embedding").cast("array<double>"), big_cents, 4
+    )
+    p28b = big_df._jdf.queryExecution().analyzed().toString()
+    p28bp = explain_str(big_df)
+    check(
+        "matmul-tier centroid assignment not plan-literal",
+        "123.456" not in p28b and len(p28b) < 20000,
+        f"centroid coordinates leaked into the plan (len={len(p28b)})",
+    )
+    check(
+        "matmul-tier assignment is Arrow-batched (MapInPandas), no join",
+        "MapInPandas" in p28bp and "Join" not in p28bp,
+        "expected a join-free MapInPandas plan for the matmul tier",
+    )
     sections.append((
-        "ANN centroid assignment at 256+ centroids: broadcast table, O(1) plan",
+        "ANN centroid assignment above 32 centroids: O(1) plan, three tiers",
         "Above `_LITERAL_CENTROID_MAX` (32) the centroid/codebook matrix "
-        "rides as ONE broadcast single-row table and the argmin is a HOF "
-        "over that array column — the analyzed plan contains no centroid "
-        "coordinate and stays constant-size in n_centroids, so whole-stage "
-        "codegen never sees an O(n_centroids x dim) expression tree (the "
-        "regime a real 100 TB IVF with 10^4-10^5 centroids lives in). "
-        "Below the threshold the literal path still wins and is kept.",
+        "never appears as plan literals: up to `_HOF_CENTROID_MAX` (128) "
+        "it rides as ONE broadcast single-row table with a HOF argmin "
+        "(bit-identical to the literal fold); above that the assignment is "
+        "an Arrow-batched NumPy matmul (the FAISS shape) — one BLAS call "
+        "per batch instead of n_centroids x dim interpreted lambda "
+        "evaluations per row, which is what a 10^4-10^5-centroid 100 TB "
+        "IVF needs. All tiers: no centroid coordinate in the plan, "
+        "constant plan size in n_centroids.",
         "\n".join(
-            ln.strip() for ln in p28.splitlines()
-            if "Join" in ln or "Exchange" in ln or "Scan" in ln
-        )[:500],
+            ln.strip() for ln in (p28 + p28bp).splitlines()
+            if "Join" in ln or "Exchange" in ln or "MapInPandas" in ln
+        )[:600],
     ))
 
     # -- write PLANS.md -----------------------------------------------------
