@@ -3005,6 +3005,51 @@ def q158_warc_pipeline(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# robots.txt fixture shared by q159's Spark side and its DuckDB oracle:
+# the SAME literal per-domain bodies feed both engines (group selection,
+# longest-prefix precedence, allow-beats-disallow, no-star-group, and
+# missing-robots cases all represented)
+ROBOTS_FIXTURE: dict[str, str] = {
+    "src0.corpus.test": (
+        "User-agent: *\nDisallow: /sec1\nAllow: /sec1/doc1\n"
+        "Disallow: /sec3/"
+    ),
+    "src1.corpus.test": (
+        "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /sec2"
+    ),
+    "src2.corpus.test": "User-agent: *\nDisallow: /",
+    "src3.corpus.test": "User-agent: otherbot\nDisallow: /",
+    # src4.corpus.test intentionally absent: no robots -> allowed
+}
+
+
+def q159_robots_filter(spark, sf):
+    """robots.txt compliance filtering (pipeline/web.py parse_robots +
+    robots_filter): every document gets a URL on one of five synthetic
+    domains; four carry robots.txt bodies (ROBOTS_FIXTURE) exercising
+    RFC 9309 group selection (a badbot group that must NOT apply to
+    '*', a domain whose only group names another agent), 1994-REP
+    longest-prefix matching, and allow-beats-disallow precedence. The
+    oracle replays the ENTIRE pipeline in SQL — line split, comment
+    strip, group windows, agent selection, prefix match, precedence
+    ranking — from the same literal bodies."""
+    from nested_pandas_spark.pipeline.web import robots_filter
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat('https://src', CAST(doc_id % 5 AS STRING), "
+            "'.corpus.test/sec', CAST(doc_id % 7 AS STRING), "
+            "'/doc', CAST(doc_id AS STRING))"
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        list(ROBOTS_FIXTURE.items()), "domain string, robots_txt string"
+    )
+    kept = robots_filter(docs, robots, "url", agent="*")
+    return kept.select("doc_id", "url")
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3534,7 +3579,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_image_reencode_loop": q156_image_reencode_loop,
         "q157_html_extract": q157_html_extract,
         "q158_warc_pipeline": q158_warc_pipeline,
+        "q159_robots_filter": q159_robots_filter,
     }
+
+
+def _robots_values_sql() -> str:
+    """ROBOTS_FIXTURE as a DuckDB VALUES list, newlines via chr(10) so the
+    SQL literal carries the identical bodies the Spark side parses."""
+    rows = []
+    for dom, txt in ROBOTS_FIXTURE.items():
+        parts = " || chr(10) || ".join(
+            "'" + ln.replace("'", "''") + "'" for ln in txt.split("\n")
+        )
+        rows.append(f"('{dom}', {parts})")
+    return ",\n                ".join(rows)
 
 
 def _html_extract_sql(col: str) -> str:
@@ -4266,6 +4324,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN k = 15 THEN v END) AS BIGINT) AS px_br,
                    CAST(max(CASE WHEN k = 6 THEN v END) AS BIGINT) AS px_mid
             FROM v GROUP BY doc_id
+        """,
+        "q159_robots_filter": f"""
+            -- full robots.txt replay: line split -> comment strip ->
+            -- group windows -> agent selection ('*', specific groups
+            -- supersede) -> usable rules -> longest-prefix precedence
+            -- (allow < disallow on equal length sorts first and wins)
+            WITH robots(domain, robots_txt) AS (
+                VALUES {_robots_values_sql()}
+            ),
+            lines AS (
+                SELECT domain, t.i AS ln,
+                       trim(regexp_replace(
+                           string_split(robots_txt, chr(10))[t.i],
+                           '#.*$', '')) AS line
+                FROM robots,
+                     unnest(range(1, len(string_split(robots_txt, chr(10)))
+                                  + 1)) AS t(i)
+            ),
+            parsed AS (
+                SELECT domain, ln,
+                       lower(trim(split_part(line, ':', 1))) AS key,
+                       trim(substr(line, strpos(line, ':') + 1)) AS val
+                FROM lines
+                WHERE line <> '' AND strpos(line, ':') > 0
+                  AND lower(trim(split_part(line, ':', 1)))
+                      IN ('user-agent', 'allow', 'disallow')
+            ),
+            grouped AS (
+                SELECT *,
+                       CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
+                       CASE WHEN key = 'user-agent' AND coalesce(
+                              lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0
+                                  END) OVER (PARTITION BY domain
+                                             ORDER BY ln), 0) = 0
+                            THEN 1 ELSE 0 END AS new_grp
+                FROM parsed
+            ),
+            g2 AS (
+                SELECT *, sum(new_grp) OVER (PARTITION BY domain ORDER BY ln
+                                             ROWS UNBOUNDED PRECEDING) AS grp
+                FROM grouped
+            ),
+            agents AS (
+                SELECT domain, grp, list(lower(val)) AS ags
+                FROM g2 WHERE is_ua = 1 GROUP BY domain, grp
+            ),
+            applicable AS (
+                -- gate queries with agent='*': the specific-vs-star
+                -- supersession collapses to "groups naming '*'" (the
+                -- pytest covers the specific-agent branch)
+                SELECT domain, grp FROM agents
+                WHERE list_contains(ags, '*')
+            ),
+            rules AS (
+                SELECT g2.domain, g2.key AS rule, g2.val AS path
+                FROM g2 JOIN applicable
+                  ON g2.domain = applicable.domain
+                 AND g2.grp = applicable.grp
+                WHERE g2.is_ua = 0 AND g2.val <> ''
+                  AND strpos(g2.val, '*') = 0
+                  AND NOT g2.val LIKE '%$'
+            ),
+            docs AS (
+                SELECT doc_id,
+                       'https://src' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.corpus.test/sec' || CAST(doc_id % 7 AS VARCHAR)
+                       || '/doc' || CAST(doc_id AS VARCHAR) AS url,
+                       'src' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.corpus.test' AS domain,
+                       '/sec' || CAST(doc_id % 7 AS VARCHAR) || '/doc'
+                       || CAST(doc_id AS VARCHAR) AS path
+                FROM documents
+            ),
+            hits AS (
+                SELECT d.doc_id, r.rule, r.path AS rp
+                FROM docs d JOIN rules r ON d.domain = r.domain
+                WHERE starts_with(d.path, r.path)
+            ),
+            ranked AS (
+                SELECT doc_id, rule,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY length(rp) DESC, rule ASC) AS rk
+                FROM hits
+            ),
+            denied AS (
+                SELECT doc_id FROM ranked WHERE rk = 1 AND rule = 'disallow'
+            )
+            SELECT doc_id, url FROM docs
+            WHERE doc_id NOT IN (SELECT doc_id FROM denied)
         """,
         "q158_warc_pipeline": f"""
             -- parse(write(x)) is the identity, so the oracle replays the

@@ -27,6 +27,8 @@ __all__ = [
     "domain_caps",
     "blocklist_filter",
     "extract_text_html",
+    "parse_robots",
+    "robots_filter",
 ]
 
 # the params every major tracker injects; stripped by normalize_url
@@ -239,3 +241,154 @@ def blocklist_filter(
     return (
         d.join(hit_ids, on=id_col, how="left_anti").drop("__domain")
     )
+
+
+def parse_robots(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse per-domain ``robots.txt`` bodies into an applicable-rules
+    table ``(domain, rule 'allow'|'disallow', path)`` for the given
+    user agent — crawl compliance as a DataFrame op.
+
+    Semantics (RFC 9309 group model, 1994-REP path matching):
+
+    * lines split on ``\\n``; ``#`` comments stripped; keys
+      case-insensitive; blank/unknown lines ignored,
+    * consecutive ``User-agent`` lines start ONE group; the group's
+      rules apply to every listed agent,
+    * if any group names ``agent`` (case-insensitive exact token),
+      only those groups apply; otherwise the ``*`` groups apply,
+    * rules with empty paths are the spec's "allow all" no-ops and are
+      dropped. Path matching downstream is PREFIX matching (the 1994
+      REP); ``*``/``$`` wildcard extensions are not interpreted —
+      wildcard rules are dropped here with the boundary documented.
+
+    Everything is window/string arithmetic over the per-domain line
+    list (robots files are KB-sized — the per-domain window is bounded),
+    so a SQL oracle replays parsing exactly.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("__ln", "__raw"),
+    ).select(
+        "domain",
+        "__ln",
+        F.trim(F.regexp_replace(F.col("__raw"), "#.*$", "")).alias("__line"),
+    ).where(F.col("__line") != "")
+    parsed = lines.select(
+        "domain",
+        "__ln",
+        F.lower(F.trim(F.substring_index(F.col("__line"), ":", 1))).alias(
+            "__key"
+        ),
+        F.trim(
+            F.expr("substring(__line, instr(__line, ':') + 1)")
+        ).alias("__val"),
+    ).where(
+        F.col("__line").contains(":")
+        & F.col("__key").isin("user-agent", "allow", "disallow")
+    )
+    w = Window.partitionBy("domain").orderBy("__ln")
+    grouped = parsed.withColumn(
+        "__is_ua", (F.col("__key") == "user-agent").cast("int")
+    ).withColumn(
+        "__new_grp",
+        (
+            (F.col("__is_ua") == 1)
+            & (F.coalesce(F.lag("__is_ua").over(w), F.lit(0)) == 0)
+        ).cast("int"),
+    ).withColumn("__grp", F.sum("__new_grp").over(w))
+    agents = (
+        grouped.where(F.col("__is_ua") == 1)
+        .groupBy("domain", "__grp")
+        .agg(F.collect_set(F.lower(F.col("__val"))).alias("__agents"))
+    )
+    a = agent.lower()
+    flagged = agents.select(
+        "domain",
+        "__grp",
+        F.array_contains("__agents", a).alias("__specific"),
+        F.array_contains("__agents", "*").alias("__star"),
+    )
+    has_specific = flagged.groupBy("domain").agg(
+        F.max(F.col("__specific").cast("int")).alias("__has_spec")
+    )
+    applicable = flagged.join(has_specific, "domain").where(
+        F.when(F.col("__has_spec") == 1, F.col("__specific")).otherwise(
+            F.col("__star")
+        )
+    ).select("domain", "__grp")
+    rules = grouped.where(F.col("__is_ua") == 0).select(
+        "domain", "__grp", F.col("__key").alias("rule"),
+        F.col("__val").alias("path"),
+    )
+    return (
+        rules.join(applicable, ["domain", "__grp"])
+        .where(
+            (F.col("path") != "")
+            & ~F.col("path").contains("*")
+            & ~F.col("path").endswith("$")
+        )
+        .select("domain", "rule", "path")
+    )
+
+
+def robots_filter(
+    docs: DataFrame,
+    robots: DataFrame,
+    url_col: str,
+    agent: str = "*",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Drop rows whose URL a domain's ``robots.txt`` disallows for
+    ``agent`` — the crawl-compliance gate RefinedWeb-class pipelines run
+    before any text operator.
+
+    Per URL: rules for its domain (:func:`parse_robots`) prefix-match
+    the URL path (1994 REP); the LONGEST matching rule wins and allow
+    beats disallow on equal length (RFC 9309 precedence). No robots
+    entry / no matching rule / un-parseable URL => allowed.
+
+    Scale shape: rules live at (domain, rule) grain — KB per domain —
+    so the join is a plain equi-join on domain (broadcastable when the
+    robots corpus is small, hash-partitioned otherwise); only
+    (id, domain, path) leaves the docs side before the verdict.
+    """
+    rules = parse_robots(robots, domain_col, text_col, agent)
+    d = docs.withColumn("__domain", url_domain(F.col(url_col)))
+    d = d.withColumn(
+        "__path",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.trim(F.col(url_col)), _SCHEME_RE + "[^/?#]*([^?#]*)", 1
+                ),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ),
+    )
+    hits = (
+        d.select(F.col(id_col).alias("__rid"), "__domain", "__path")
+        .join(rules, d["__domain"] == rules["domain"])
+        .where(F.col("__path").startswith(F.col("path")))
+    )
+    from pyspark.sql import Window
+
+    best = Window.partitionBy("__rid").orderBy(
+        F.length("path").desc(), F.col("rule").asc()  # 'allow' < 'disallow'
+    )
+    denied = (
+        hits.withColumn("__rk", F.row_number().over(best))
+        .where((F.col("__rk") == 1) & (F.col("rule") == "disallow"))
+        .select(F.col("__rid").alias(id_col))
+    )
+    return d.join(denied, id_col, "left_anti").drop("__domain", "__path")

@@ -2990,3 +2990,64 @@ def test_matmul_tier_end_to_end_ivf(spark):
     assert sorted((r["query_id"], r["neighbor_id"]) for r in rows) == sorted(
         (r["query_id"], r["neighbor_id"]) for r in exact
     )
+
+
+def test_robots_filter_semantics(spark):
+    """robots.txt compliance: RFC 9309 group selection (specific agent
+    supersedes '*', consecutive User-agent lines share a group), 1994-REP
+    longest-prefix matching, allow-beats-disallow on ties, empty and
+    wildcard rules dropped, missing robots => allowed."""
+    from nested_pandas_spark.pipeline.web import parse_robots, robots_filter
+
+    txt_a = "\n".join([
+        "# site a",
+        "User-agent: *",
+        "Disallow: /private",
+        "Allow: /private/ok",
+        "Disallow:",          # empty => allow-all no-op, dropped
+        "Disallow: /tmp*",    # wildcard rule: dropped (documented boundary)
+        "",
+        "User-agent: badbot",
+        "User-agent: worsebot",
+        "Disallow: /",
+    ])
+    txt_b = "\n".join([
+        "User-agent: *",
+        "Disallow: /",
+        "User-agent: mybot",
+        "Disallow: /secret",
+    ])
+    robots = spark.createDataFrame(
+        [("a.com", txt_a), ("b.com", txt_b)],
+        "domain string, robots_txt string",
+    )
+    # parse: '*' agent on a.com sees 3 usable rules; badbot group excluded
+    rules = {(r["rule"], r["path"])
+             for r in parse_robots(robots, agent="*").collect()
+             if r["domain"] == "a.com"}
+    assert rules == {("disallow", "/private"), ("allow", "/private/ok")}
+    # badbot: the specific group supersedes '*'
+    rules_bad = {(r["rule"], r["path"])
+                 for r in parse_robots(robots, agent="BadBot").collect()
+                 if r["domain"] == "a.com"}
+    assert rules_bad == {("disallow", "/")}
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.com/public/x"),        # no match -> kept
+            (2, "https://a.com/private/doc"),     # disallow /private
+            (3, "https://a.com/private/ok/doc"),  # longer allow wins
+            (4, "https://b.com/anything"),        # disallow / for '*'
+            (5, "https://c.com/x"),               # no robots -> kept
+            (6, None),                            # unparseable -> kept
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in robots_filter(docs, robots, "url").collect()}
+    assert kept == {1, 3, 5, 6}
+    # mybot on b.com: specific group only blocks /secret
+    kept_my = {
+        r["doc_id"]
+        for r in robots_filter(docs, robots, "url", agent="mybot").collect()
+    }
+    assert 4 in kept_my
