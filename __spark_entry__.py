@@ -3050,6 +3050,38 @@ def q159_robots_filter(spark, sf):
     return kept.select("doc_id", "url")
 
 
+_PII_TEXT = (
+    "concat(coalesce(text, ''), ' contact user', CAST(doc_id AS STRING), "
+    "'@mail', CAST(doc_id % 5 AS STRING), '.example.org tel 555-', "
+    "CAST(100 + doc_id % 900 AS STRING), '-', "
+    "CAST(1000 + doc_id % 9000 AS STRING), "
+    "' ip 10.', CAST(doc_id % 256 AS STRING), '.0.', "
+    "CAST(doc_id % 200 AS STRING), "
+    "' card 4111 1111 1111 1111 ref 4111111111111112 ssn 078-05-1120')"
+)
+
+
+def q160_redact_pii(spark, sf):
+    """PII scrubbing (pipeline/pii.py redact_pii): every document gets a
+    deterministic doc_id-derived email, phone, IP, a Luhn-VALID grouped
+    card number, a Luhn-INVALID 16-digit run, and an SSN appended. The
+    redactor must replace exactly the five valid spans with typed
+    placeholders and leave the invalid card run verbatim (the HOF Luhn
+    gate). The oracle does not replay the regexes — it constructs the
+    expected redacted text independently from doc_id/text, so the check
+    is ground truth."""
+    from nested_pandas_spark.pipeline.pii import redact_pii
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_PII_TEXT).alias("text")
+    )
+    out = redact_pii(docs, "text", out="redacted")
+    return out.select(
+        "doc_id", "redacted",
+        "email_n", "ssn_n", "credit_card_n", "phone_n", "ip_n",
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3580,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_html_extract": q157_html_extract,
         "q158_warc_pipeline": q158_warc_pipeline,
         "q159_robots_filter": q159_robots_filter,
+        "q160_redact_pii": q160_redact_pii,
     }
 
 
@@ -4413,6 +4446,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, url FROM docs
             WHERE doc_id NOT IN (SELECT doc_id FROM denied)
+        """,
+        "q160_redact_pii": """
+            -- ground truth: the expected redacted text is constructed
+            -- independently from doc_id/text (no regex replay); the
+            -- Luhn-invalid 16-digit run must survive verbatim
+            SELECT doc_id,
+                   coalesce(text, '')
+                   || ' contact [EMAIL] tel [PHONE] ip [IP]'
+                   || ' card [CARD] ref 4111111111111112 ssn [SSN]'
+                       AS redacted,
+                   CAST(1 AS BIGINT) AS email_n,
+                   CAST(1 AS BIGINT) AS ssn_n,
+                   CAST(1 AS BIGINT) AS credit_card_n,
+                   CAST(1 AS BIGINT) AS phone_n,
+                   CAST(1 AS BIGINT) AS ip_n
+            FROM documents
         """,
         "q158_warc_pipeline": f"""
             -- parse(write(x)) is the identity, so the oracle replays the

@@ -5,6 +5,7 @@ from . import (
     gif,
     jpeg,
     multimodal,
+    pii,
     png,
     search,
     similarity,
