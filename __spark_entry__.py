@@ -3082,6 +3082,55 @@ def q160_redact_pii(spark, sf):
     )
 
 
+_CODE_TEXT = (
+    "concat("
+    "CASE WHEN doc_id % 7 = 0 THEN 'SPDX-License-Identifier: MIT' || chr(10) "
+    "     WHEN doc_id % 7 = 1 THEN '# Apache License, Version 2.0' || chr(10) "
+    "     WHEN doc_id % 7 = 2 THEN '# GNU General Public License' || chr(10) "
+    "     ELSE '' END, "
+    "translate(coalesce(text, ''), ' ', chr(10)), "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(10) || repeat('QmFzZTY0', 10) ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END, "
+    "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'auto-generated; do not edit' ELSE '' END, "
+    "CASE WHEN doc_id % 17 = 0 THEN chr(10) || repeat('deadbeef', 5) ELSE '' END)"
+)
+
+
+def q161_code_quality(spark, sf):
+    """StarCoder-style code curation (pipeline/code.py): documents are
+    rendered as code files (one word per line) with doc_id-scheduled
+    license headers, base64/hex payload blobs, minified 1200-char lines
+    and auto-generated markers injected. Signals, license detection
+    (SPDX tag beats phrase heuristics) and the default quality filter
+    must all reproduce the schedule. The oracle replays line stats from
+    the same construction and derives blob/marker/license/kept columns
+    as ground truth from doc_id."""
+    from nested_pandas_spark.pipeline.code import (
+        code_quality_filter,
+        with_code_signals,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_CODE_TEXT).alias("text")
+    )
+    sig = with_code_signals(docs, "text")
+    kept = code_quality_filter(docs, "text").select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    out = sig.join(kept, on="doc_id", how="left").fillna(False, ["kept"])
+    return out.select(
+        "doc_id", "n_lines", "max_line_len",
+        F.round("avg_line_len", 6).alias("avg_r6"),
+        F.round("alnum_frac", 6).alias("alnum_r6"),
+        "base64_n", "hex_n", "autogen", "license_id",
+        F.when(F.col("permissive").isNull(), "unknown")
+        .when(F.col("permissive"), "yes")
+        .otherwise("no")
+        .alias("permissive3"),
+        "kept",
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3613,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_warc_pipeline": q158_warc_pipeline,
         "q159_robots_filter": q159_robots_filter,
         "q160_redact_pii": q160_redact_pii,
+        "q161_code_quality": q161_code_quality,
     }
 
 
@@ -4462,6 +4512,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS phone_n,
                    CAST(1 AS BIGINT) AS ip_n
             FROM documents
+        """,
+        "q161_code_quality": """
+            -- replay line stats from the same rendered text; blobs,
+            -- markers, licenses and the keep verdict are ground truth
+            -- from the doc_id schedule (the 1200-char minified line is
+            -- itself a 64+ base64-class run, so it counts there too)
+            WITH c AS (
+                SELECT doc_id,
+                       concat(
+                         CASE WHEN doc_id % 7 = 0 THEN 'SPDX-License-Identifier: MIT' || chr(10)
+                              WHEN doc_id % 7 = 1 THEN '# Apache License, Version 2.0' || chr(10)
+                              WHEN doc_id % 7 = 2 THEN '# GNU General Public License' || chr(10)
+                              ELSE '' END,
+                         translate(coalesce(text, ''), ' ', chr(10)),
+                         CASE WHEN doc_id % 5 = 0 THEN chr(10) || repeat('QmFzZTY0', 10) ELSE '' END,
+                         CASE WHEN doc_id % 11 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END,
+                         CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'auto-generated; do not edit' ELSE '' END,
+                         CASE WHEN doc_id % 17 = 0 THEN chr(10) || repeat('deadbeef', 5) ELSE '' END
+                       ) AS ct
+                FROM documents
+            ), s AS (
+                SELECT doc_id, ct,
+                       str_split(ct, chr(10)) AS lines
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(list_max(list_transform(lines, x -> length(x))) AS BIGINT)
+                       AS max_line_len,
+                   round(list_sum(list_transform(lines, x -> length(x)))::DOUBLE
+                         / len(lines), 6) AS avg_r6,
+                   round(length(regexp_replace(ct, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                         / length(ct), 6) AS alnum_r6,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                        + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS base64_n,
+                   CAST(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS hex_n,
+                   doc_id % 13 = 0 AS autogen,
+                   CASE WHEN doc_id % 7 = 0 THEN 'MIT'
+                        WHEN doc_id % 7 = 1 THEN 'Apache-2.0'
+                        WHEN doc_id % 7 = 2 THEN 'GPL-3.0-only' END AS license_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'yes'
+                        WHEN doc_id % 7 = 1 THEN 'yes'
+                        WHEN doc_id % 7 = 2 THEN 'no'
+                        ELSE 'unknown' END AS permissive3,
+                   NOT (doc_id % 5 = 0 OR doc_id % 11 = 0
+                        OR doc_id % 13 = 0 OR doc_id % 17 = 0) AS kept
+            FROM s
         """,
         "q158_warc_pipeline": f"""
             -- parse(write(x)) is the identity, so the oracle replays the
