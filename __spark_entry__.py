@@ -3131,6 +3131,46 @@ def q161_code_quality(spark, sf):
     )
 
 
+def q162_chat_assembly(spark, sf):
+    """SFT conversation assembly (pipeline/chat.py): events become chat
+    turns per user (role mapped from event_type, deterministic per-turn
+    token padding from event_id), ordered by (ts, event_id) inside ONE
+    groupBy via array_sort — then ChatML rendering and keep-last budget
+    truncation as pure HOFs over the turns array. The oracle replays
+    ordering with string_agg(ORDER BY) and the truncation with a
+    reverse-cumulative window sum; renders are compared by md5."""
+    from nested_pandas_spark.pipeline.chat import (
+        assemble_conversations,
+        render_template,
+        truncate_to_budget,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(
+            "CASE WHEN event_type IN ('click', 'view') THEN 'user' "
+            "WHEN event_type IN ('purchase', 'error') THEN 'assistant' "
+            "ELSE 'system' END"
+        ).alias("role"),
+        F.expr(
+            "concat(event_type, ' ', coalesce(props, ''), "
+            "repeat(' tok', CAST(event_id % 4 AS INT)))"
+        ).alias("content"),
+    )
+    conv = assemble_conversations(
+        ev, "user_id", "ts", "role", "content", tiebreak="event_id"
+    )
+    kept, total = truncate_to_budget("turns", budget=64, out_tokens=True)
+    return conv.select(
+        "user_id",
+        F.size("turns").cast("long").alias("n_turns"),
+        F.md5(render_template("turns")).alias("render_md5"),
+        F.size(kept).cast("long").alias("kept_n"),
+        total.cast("long").alias("kept_tokens"),
+        F.md5(render_template(kept)).alias("kept_md5"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3663,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_robots_filter": q159_robots_filter,
         "q160_redact_pii": q160_redact_pii,
         "q161_code_quality": q161_code_quality,
+        "q162_chat_assembly": q162_chat_assembly,
     }
 
 
@@ -4561,6 +4602,50 @@ def oracle_sql() -> dict[str, str]:
                    NOT (doc_id % 5 = 0 OR doc_id % 11 = 0
                         OR doc_id % 13 = 0 OR doc_id % 17 = 0) AS kept
             FROM s
+        """,
+        "q162_chat_assembly": """
+            -- ordering replayed with string_agg(ORDER BY ts, event_id);
+            -- keep-last truncation replayed with a reverse-cumulative
+            -- window sum over per-turn whitespace token counts
+            WITH t AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                            WHEN event_type IN ('purchase', 'error') THEN 'assistant'
+                            ELSE 'system' END AS role,
+                       event_type || ' ' || coalesce(props, '')
+                           || repeat(' tok', CAST(event_id % 4 AS INT)) AS content
+                FROM events
+            ), tok AS (
+                SELECT *,
+                       len(list_filter(regexp_split_to_array(content, '\\s+'),
+                                       x -> x <> '')) AS tk,
+                       '<|' || role || '|>' || chr(10) || content || '<|end|>' AS piece
+                FROM t
+            ), cum AS (
+                SELECT *,
+                       sum(tk) OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC
+                                     ROWS UNBOUNDED PRECEDING) AS rcum
+                FROM tok
+            ), full_agg AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       md5(string_agg(piece, chr(10) ORDER BY ts, event_id))
+                           AS render_md5
+                FROM tok GROUP BY user_id
+            ), kept_agg AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS kept_n,
+                       CAST(max(rcum) AS BIGINT) AS kept_tokens,
+                       md5(string_agg(piece, chr(10) ORDER BY ts, event_id))
+                           AS kept_md5
+                FROM cum WHERE rcum <= 64 GROUP BY user_id
+            )
+            SELECT f.user_id, f.n_turns, f.render_md5,
+                   coalesce(k.kept_n, 0) AS kept_n,
+                   coalesce(k.kept_tokens, 0) AS kept_tokens,
+                   coalesce(k.kept_md5, md5('')) AS kept_md5
+            FROM full_agg f LEFT JOIN kept_agg k USING (user_id)
         """,
         "q158_warc_pipeline": f"""
             -- parse(write(x)) is the identity, so the oracle replays the
