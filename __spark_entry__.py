@@ -3171,6 +3171,23 @@ def q162_chat_assembly(spark, sf):
     )
 
 
+def q163_hash_sample(spark, sf):
+    """Engine-portable deterministic sampling (pipeline/corpus.py
+    hash_sample): per-language Bernoulli rebalance keyed on
+    md5(seed:doc_id) compared lexicographically against per-stratum hex
+    thresholds — no RNG state, so DuckDB replays the exact selection
+    (es/zh absent from the dict are dropped entirely)."""
+    from nested_pandas_spark.pipeline.corpus import hash_sample
+
+    docs = _t(spark, sf, "documents")
+    out = hash_sample(
+        docs, by="lang",
+        fractions={"en": 0.7, "de": 0.35, "fr": 0.1},
+        seed=11,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3704,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_redact_pii": q160_redact_pii,
         "q161_code_quality": q161_code_quality,
         "q162_chat_assembly": q162_chat_assembly,
+        "q163_hash_sample": q163_hash_sample,
     }
 
 
@@ -4646,6 +4664,14 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.kept_tokens, 0) AS kept_tokens,
                    coalesce(k.kept_md5, md5('')) AS kept_md5
             FROM full_agg f LEFT JOIN kept_agg k USING (user_id)
+        """,
+        "q163_hash_sample": """
+            -- exact replay of the md5-threshold selection: lowercase hex
+            -- compares lexicographically as it compares numerically
+            SELECT doc_id, lang FROM documents
+            WHERE (lang = 'en' AND substr(md5('11:' || doc_id::VARCHAR), 1, 8) < 'b3333333')
+               OR (lang = 'de' AND substr(md5('11:' || doc_id::VARCHAR), 1, 8) < '59999999')
+               OR (lang = 'fr' AND substr(md5('11:' || doc_id::VARCHAR), 1, 8) < '19999999')
         """,
         "q158_warc_pipeline": f"""
             -- parse(write(x)) is the identity, so the oracle replays the

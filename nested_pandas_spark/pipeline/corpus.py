@@ -49,6 +49,7 @@ __all__ = [
     "pack_sequences",
     "source_stats",
     "split_by_cluster",
+    "hash_sample",
     "stratified_sample",
     "strip_boilerplate_lines",
     "write_sharded",
@@ -375,6 +376,60 @@ def stratified_sample(
         for v in present - set(fr):
             fr[v] = default_fraction
     return docs.sampleBy(strata_col, fractions=fr, seed=seed)
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float | None = None,
+    by: str | None = None,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff ``md5(seed:id)``
+    is lexicographically below the fraction's hex threshold.
+
+    The engine-portable counterpart of :func:`stratified_sample`
+    (``sampleBy``'s RNG is Spark-private, so its selection cannot be
+    replayed elsewhere): lowercase-hex md5 compares lexicographically
+    exactly as it compares numerically, so ``h < hex(floor(p * 16^8))``
+    keeps a uniform ``p``-fraction, bit-reproducible from (seed, id) in
+    any engine — DuckDB, Trino, a later Spark version, a resumed run.
+    Pass ``fraction`` for a global rate or ``by`` + ``fractions`` for
+    per-stratum rates (strata absent from the dict are DROPPED, the
+    rebalancing default). The selection is a pure filter predicate —
+    no shuffle, no RNG state, fused into the scan at any corpus size.
+    """
+    if (fraction is None) == (fractions is None):
+        raise ValueError("pass exactly one of fraction= or fractions=")
+    if fractions is not None and by is None:
+        raise ValueError("fractions= needs by=")
+
+    def thr(p: float) -> str:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {p}")
+        # 32-bit granularity on the first 8 hex digits; 'g' sorts above
+        # every hex char, so p=1.0 keeps all rows
+        return "g" if p >= 1.0 else format(int(p * 16**8), "08x")
+
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(str(int(seed))), F.col(id_col).cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+    if fraction is not None:
+        return docs.where(h < F.lit(thr(fraction)))
+    pred = None
+    for value, p in sorted(fractions.items()):
+        match = (F.col(by).cast("string") == F.lit(str(value))) & (
+            h < F.lit(thr(p))
+        )
+        pred = match if pred is None else (pred | match)
+    return docs.where(pred if pred is not None else F.lit(False))
 
 
 def split_by_cluster(
