@@ -3188,6 +3188,23 @@ def q163_hash_sample(spark, sf):
     return out.select("doc_id", "lang")
 
 
+def q164_bloom_dedup(spark, sf):
+    """Bloom-prefiltered incremental dedup (pipeline/dedup.py
+    bloom_dedup_against): batch rows probe a broadcast bitmap built from
+    the reference corpus's fingerprints; definite-new rows skip the join
+    and only Bloom hits take the exact LEFT ANTI that removes false
+    positives. The bitmap is deliberately small (2^16 bits) so both
+    routes carry rows. The oracle is the plain anti-join ground truth —
+    the Bloom layer must be output-invariant."""
+    from nested_pandas_spark.pipeline.dedup import bloom_dedup_against
+
+    docs = _t(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    out = bloom_dedup_against(new, ref, num_bits=1 << 16, num_hashes=4)
+    return out.select("doc_id")
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3722,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_code_quality": q161_code_quality,
         "q162_chat_assembly": q162_chat_assembly,
         "q163_hash_sample": q163_hash_sample,
+        "q164_bloom_dedup": q164_bloom_dedup,
     }
 
 
@@ -4672,6 +4690,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE (lang = 'en' AND substr(md5('11:' || doc_id::VARCHAR), 1, 8) < 'b3333333')
                OR (lang = 'de' AND substr(md5('11:' || doc_id::VARCHAR), 1, 8) < '59999999')
                OR (lang = 'fr' AND substr(md5('11:' || doc_id::VARCHAR), 1, 8) < '19999999')
+        """,
+        "q164_bloom_dedup": """
+            -- ground truth is the exact anti-join; the Bloom prefilter
+            -- must be output-invariant (no false negatives, and the
+            -- LEFT ANTI removes every false positive)
+            WITH f AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            ref AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+            batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0)
+            SELECT b.doc_id FROM batch b
+            LEFT JOIN ref r ON b.fp = r.fp
+            WHERE r.fp IS NULL
         """,
         "q158_warc_pipeline": f"""
             -- parse(write(x)) is the identity, so the oracle replays the

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from .text import fingerprint, word_ngrams, words
 
 __all__ = [
+    "BloomBitmap",
+    "build_fingerprint_bloom",
+    "bloom_dedup_against",
     "dedup_against",
     "dedup_passages",
     "fuzzy_pairs",
@@ -1271,3 +1274,127 @@ def winnow_near_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+class BloomBitmap:
+    """A built Bloom filter over reference fingerprints.
+
+    ``words`` is the bitmap as ``num_bits // 64`` longs. At the default
+    2^23 bits the object is 1 MiB — ship it executor-side as a broadcast
+    one-row DataFrame (``_bloom_df``), NEVER as plan literals (the
+    centroid-assignment lesson: a literal array this size explodes the
+    plan and codegen).
+    """
+
+    __slots__ = ("words", "num_bits", "num_hashes")
+
+    def __init__(self, words: list[int], num_bits: int, num_hashes: int):
+        if num_bits % 64:
+            raise ValueError("num_bits must be a multiple of 64")
+        self.words = words
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+
+
+def _bloom_positions(fp: Column, num_bits: int, num_hashes: int) -> Column:
+    """The k bit positions of one fingerprint: xxhash64(fp:j) mod m."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.pmod(
+            F.xxhash64(F.concat(fp, F.lit(":"), j.cast("string"))),
+            F.lit(num_bits),
+        ),
+    )
+
+
+def build_fingerprint_bloom(
+    ref: DataFrame,
+    text_col: str = "text",
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> BloomBitmap:
+    """Build a Bloom bitmap of ``ref``'s normalized fingerprints.
+
+    Fully distributed: fingerprints explode to k bit positions, a
+    map-side-combined ``bit_or`` per 64-bit word builds the bitmap, and
+    only the set words (<= num_bits/64 rows, 128 KiB per MiB of bitmap)
+    ever reach the driver. Build once per accepted-corpus snapshot,
+    reuse across every ingest batch.
+
+    Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k; the 2^23-bit
+    default holds ~1M fingerprints at <2% FP with k=5. At 10^9
+    fingerprints use num_bits=2^33 (1 GiB — still one broadcast).
+    """
+    fp = ref.select(fingerprint(text_col).alias("__fp")).where(
+        F.col("__fp").isNotNull()
+    ).distinct()
+    pos = fp.select(
+        F.explode(_bloom_positions(F.col("__fp"), num_bits, num_hashes)).alias("p")
+    )
+    rows = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.call_function("shiftleft", F.lit(1).cast("long"),
+                            (F.col("p") % 64).cast("int")).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return BloomBitmap(words, num_bits, num_hashes)
+
+
+def bloom_dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bloom: BloomBitmap | None = None,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`dedup_against` with a Bloom pre-filter on the batch side.
+
+    Rows of ``new`` with any unset bit are *definitely* not in ``ref``
+    (Bloom filters have no false negatives) and skip the join entirely;
+    only candidate hits — true duplicates plus the ~FP-rate tail — take
+    the exact LEFT ANTI join against ``ref``'s fingerprints, which
+    removes the false positives. Output rows and semantics are
+    IDENTICAL to ``dedup_against(within_batch=False)``; the bitmap only
+    routes rows around the join.
+
+    Scale shape: every ingest batch reuses the once-built broadcast
+    bitmap (pass ``bloom=``), so the recurring cost is a map-only bit
+    probe over the batch plus an anti-join whose left side is ~the true
+    duplicates — instead of re-shuffling the full batch against a
+    billion-row fingerprint table on every ingest. NULL-text rows
+    bypass the filter and survive (anti-join semantics: NULL never
+    matches).
+    """
+    if bloom is None:
+        bloom = build_fingerprint_bloom(ref, text_col, num_bits, num_hashes)
+    spark = new.sparkSession
+    bitmap_df = spark.createDataFrame(
+        [(bloom.words,)], "__bloom array<long>"
+    )
+    stamped = new.withColumn("__fp", fingerprint(text_col)).crossJoin(
+        F.broadcast(bitmap_df)
+    )
+    hit = F.forall(
+        _bloom_positions(F.col("__fp"), bloom.num_bits, bloom.num_hashes),
+        lambda p: (
+            F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1)
+            .bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"),
+                                        (p % 64).cast("int")))
+            != 0
+        ),
+    )
+    maybe_dup = F.col("__fp").isNotNull() & F.coalesce(hit, F.lit(False))
+    definite_new = stamped.where(~maybe_dup).drop("__bloom")
+    candidates = stamped.where(maybe_dup).drop("__bloom")
+    ref_fp = ref.select(fingerprint(text_col).alias("__fp")).distinct()
+    survivors = candidates.join(ref_fp, on="__fp", how="left_anti")
+    return definite_new.unionByName(survivors).drop("__fp")
