@@ -3205,6 +3205,119 @@ def q164_bloom_dedup(spark, sf):
     return out.select("doc_id")
 
 
+def q165_extract_links(spark, sf):
+    """Link extraction (pipeline/web.py extract_links): per-document
+    HTML with a doc_id-scheduled number of absolute anchors (mixed
+    quote styles and attribute case), one root-relative link resolved
+    against the page URL, and a fragment link that must be dropped.
+    Oracle constructs the expected edge rows independently."""
+    from nested_pandas_spark.pipeline.web import extract_links
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>"),
+        F.when(
+            d % 4 >= 1,
+            F.concat(
+                F.lit('<a href="https://hub.example.com/d/'),
+                (d * 7 + 13).cast("string"),
+                F.lit('">a</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 >= 2,
+            F.concat(
+                F.lit("<A HREF='https://hub.example.com/d/"),
+                (d * 7 + 26).cast("string"),
+                F.lit("'>b</A>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 4 >= 3, F.lit('<a href="#frag">c</a>')).otherwise(F.lit("")),
+        F.lit('<a href="/self">s</a></body></html>'),
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/dir/page.html")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    out = extract_links(docs, "html", base_url_col="url")
+    return out.select("doc_id", "link")
+
+
+def q166_pagerank(spark, sf):
+    """Fixed-iteration PageRank (pipeline/graph.py pagerank) over a
+    deterministic doc_id link graph (out-degree doc_id%4; every 4th doc
+    dangling, so the uniform mass redistribution is load-bearing). Five
+    power iterations, each one join + one aggregation with the rank
+    frame lineage-cut per step. The oracle replays all five iterations
+    as chained CTEs — contributions, dangling mass, damping — from the
+    same edge construction."""
+    from nested_pandas_spark.pipeline.graph import pagerank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n_docs = docs.count()
+    ks = spark.range(1, 4).withColumnRenamed("id", "k")
+    edges = (
+        docs.crossJoin(F.broadcast(ks))
+        .where(F.col("k") <= F.col("doc_id") % 4)
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("k") * 13) % n_docs).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, iters=5)
+    return pr.select("node", F.round("rank", 9).alias("rank_r9"))
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE replay of q166's power iteration. (1-d) is embedded
+    as the Python-evaluated double so both engines run bit-identical
+    IEEE arithmetic."""
+    base = f"""
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        e AS (
+            SELECT DISTINCT d.doc_id AS src,
+                   (d.doc_id * 7 + k.k * 13) % (SELECT n FROM nd) AS dst
+            FROM documents d, (SELECT unnest(range(1, 4)) AS k) k
+            WHERE k.k <= d.doc_id % 4
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src AS node, count(*)::DOUBLE AS outdeg
+                FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nd) AS rank FROM nodes)"""
+    one_minus_d = repr(1.0 - damping)
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""
+        r{i} AS (
+            SELECT n.node,
+                   {one_minus_d} / (SELECT n FROM nd)
+                   + {damping!r} * (
+                       coalesce(c.contrib, 0)
+                       + (SELECT coalesce(sum(r.rank), 0) FROM {p} r
+                          LEFT JOIN deg dg ON r.node = dg.node
+                          WHERE dg.node IS NULL) / (SELECT n FROM nd)
+                   ) AS rank
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS contrib
+                FROM e
+                JOIN {p} r ON e.src = r.node
+                JOIN deg dg ON e.src = dg.node
+                GROUP BY e.dst
+            ) c ON n.node = c.node
+        )""")
+    return (
+        base + "," + ",".join(steps)
+        + f"\n        SELECT node, round(rank, 9) AS rank_r9 FROM r{iters}"
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3740,6 +3853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_chat_assembly": q162_chat_assembly,
         "q163_hash_sample": q163_hash_sample,
         "q164_bloom_dedup": q164_bloom_dedup,
+        "q165_extract_links": q165_extract_links,
+        "q166_pagerank": q166_pagerank,
     }
 
 
@@ -4706,6 +4821,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ref r ON b.fp = r.fp
             WHERE r.fp IS NULL
         """,
+        "q165_extract_links": """
+            -- expected edge rows constructed independently: the two
+            -- absolute anchors per the doc_id schedule plus the
+            -- root-relative link resolved against the page origin;
+            -- fragment links contribute nothing
+            SELECT doc_id,
+                   'https://hub.example.com/d/' || (doc_id * 7 + 13)::VARCHAR AS link
+            FROM documents WHERE doc_id % 4 >= 1
+            UNION ALL
+            SELECT doc_id,
+                   'https://hub.example.com/d/' || (doc_id * 7 + 26)::VARCHAR
+            FROM documents WHERE doc_id % 4 >= 2
+            UNION ALL
+            SELECT doc_id, 'https://' || source || '.example.com/self'
+            FROM documents
+        """,
+        "q166_pagerank": _pagerank_oracle_sql(),
         "q158_warc_pipeline": f"""
             -- parse(write(x)) is the identity, so the oracle replays the
             -- HTML synthesis + extraction from documents directly (the

@@ -27,6 +27,7 @@ __all__ = [
     "domain_caps",
     "blocklist_filter",
     "extract_text_html",
+    "extract_links",
     "parse_robots",
     "robots_filter",
 ]
@@ -167,6 +168,69 @@ def extract_text_html(html: Column | str, alias: str = "text") -> Column:
     # engines' trim lists don't — keep the chain engine-portable
     out = F.regexp_replace(out, "^[ \t\r\f\n]+|[ \t\r\f\n]+$", "")
     return out.alias(alias)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    base_url_col: str | None = None,
+    out: str = "link",
+) -> DataFrame:
+    """One row per ``<a href=...>`` target — the edge-extraction stage a
+    link-graph build (PageRank/harmonic curation, Common Crawl's
+    web-graph releases) runs over every crawled page.
+
+    ``href`` values are pulled with one ``regexp_extract_all`` (both
+    quote styles, any attribute order before/after ``href``), exploded
+    to rows, and absolutized: protocol-relative ``//host/p`` inherits
+    the base scheme, root-relative ``/p`` inherits scheme+host (when
+    ``base_url_col`` is given), fragment-only / ``javascript:`` /
+    ``mailto:`` targets are dropped. Map-side extract + explode, no
+    shuffle; at crawl scale this fuses into the WARC scan.
+    """
+    hrefs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"""<[aA][^>]*\s[hH][rR][eE][fF]\s*=\s*(["'])([^"']*)\1"""),
+        F.lit(2),
+    )
+    exploded = df.withColumn("__href", F.explode_outer(hrefs)).where(
+        F.col("__href").isNotNull()
+        & (F.col("__href") != "")
+        & ~F.col("__href").startswith("#")
+        & ~F.lower(F.col("__href")).rlike("^(javascript|mailto|tel|data):")
+    )
+    href = F.col("__href")
+    if base_url_col is not None:
+        base = F.col(base_url_col)
+        scheme = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+        origin = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)", 1)
+        resolved = (
+            F.when(href.rlike(_SCHEME_RE), href)
+            .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+            .when(href.startswith("/"), F.concat(origin, href))
+            .otherwise(
+                # relative path: against the base's directory (greedy
+                # ".*/" = through the LAST slash); a path-less base
+                # resolves against origin + "/"
+                F.concat(
+                    F.coalesce(
+                        F.nullif(
+                            F.regexp_extract(
+                                F.regexp_replace(base, "[?#].*$", ""),
+                                "^([a-zA-Z][a-zA-Z0-9+.-]*://.*/)",
+                                1,
+                            ),
+                            F.lit(""),
+                        ),
+                        F.concat(origin, F.lit("/")),
+                    ),
+                    href,
+                )
+            )
+        )
+    else:
+        resolved = href
+    return exploded.withColumn(out, resolved).drop("__href")
 
 
 def domain_caps(
