@@ -3318,6 +3318,48 @@ def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def q167_corpus_divergence(spark, sf):
+    """Corpus drift metrics (pipeline/text.py corpus_divergence): KL and
+    Jensen-Shannon divergence between the English and German document
+    subsets over add-0.5-smoothed unigram distributions on the union
+    vocabulary. The oracle replays counts, smoothing, and the reductions
+    in DuckDB; both engines' doubles agree to the rounded 9 digits."""
+    from nested_pandas_spark.pipeline.text import corpus_divergence
+
+    docs = _t(spark, sf, "documents")
+    out = corpus_divergence(
+        docs.where(F.col("lang") == "en"), docs.where(F.col("lang") == "de")
+    )
+    return out.select(
+        F.round("kl_ab", 9).alias("kl_ab_r9"),
+        F.round("kl_ba", 9).alias("kl_ba_r9"),
+        F.round("js", 9).alias("js_r9"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("tokens_a").cast("long").alias("tokens_a"),
+        F.col("tokens_b").cast("long").alias("tokens_b"),
+    )
+
+
+def q168_divergent_tokens(spark, sf):
+    """Drift attribution (pipeline/text.py divergent_tokens): the 25
+    tokens with the largest |smoothed log-odds| between the en and de
+    subsets (Monroe et al. fightin' words), tie-broken by token. The
+    oracle replays the full word-grain computation and the same
+    order-by-limit."""
+    from nested_pandas_spark.pipeline.text import divergent_tokens
+
+    docs = _t(spark, sf, "documents")
+    out = divergent_tokens(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") == "de"),
+        k=25,
+    )
+    return out.select(
+        "token", "count_a", "count_b",
+        F.round("log_odds", 9).alias("log_odds_r9"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3855,6 +3897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_bloom_dedup": q164_bloom_dedup,
         "q165_extract_links": q165_extract_links,
         "q166_pagerank": q166_pagerank,
+        "q167_corpus_divergence": q167_corpus_divergence,
+        "q168_divergent_tokens": q168_divergent_tokens,
     }
 
 
@@ -4838,6 +4882,77 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q167_corpus_divergence": """
+            -- full replay: unigram counts per subset, union vocabulary,
+            -- add-0.5 smoothing, KL/JS reductions
+            WITH wa AS (
+                SELECT w, count(*) AS ca FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents WHERE lang = 'en')
+                GROUP BY w
+            ), wb AS (
+                SELECT w, count(*) AS cb FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents WHERE lang = 'de')
+                GROUP BY w
+            ), j AS (
+                SELECT coalesce(wa.w, wb.w) AS w,
+                       coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                FROM wa FULL OUTER JOIN wb ON wa.w = wb.w
+            ), t AS (
+                SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j
+            ), pq AS (
+                SELECT (ca + 0.5) / (na + 0.5 * v) AS p,
+                       (cb + 0.5) / (nb + 0.5 * v) AS q,
+                       na, nb, v
+                FROM j, t
+            )
+            SELECT round(sum(p * ln(p / q)), 9) AS kl_ab_r9,
+                   round(sum(q * ln(q / p)), 9) AS kl_ba_r9,
+                   round(sum(p / 2 * ln(p / ((p + q) / 2))
+                             + q / 2 * ln(q / ((p + q) / 2))), 9) AS js_r9,
+                   CAST(max(v) AS BIGINT) AS vocab,
+                   CAST(max(na) AS BIGINT) AS tokens_a,
+                   CAST(max(nb) AS BIGINT) AS tokens_b
+            FROM pq
+        """,
+        "q168_divergent_tokens": """
+            WITH wa AS (
+                SELECT w, count(*) AS ca FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents WHERE lang = 'en')
+                GROUP BY w
+            ), wb AS (
+                SELECT w, count(*) AS cb FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents WHERE lang = 'de')
+                GROUP BY w
+            ), j AS (
+                SELECT coalesce(wa.w, wb.w) AS token,
+                       coalesce(ca, 0) AS count_a, coalesce(cb, 0) AS count_b
+                FROM wa FULL OUTER JOIN wb ON wa.w = wb.w
+            ), t AS (
+                SELECT sum(count_a) AS na, sum(count_b) AS nb,
+                       count(*) AS v FROM j
+            )
+            SELECT token, count_a, count_b,
+                   round(ln(((count_a + 0.5) / (na + 0.5 * v))
+                            / ((count_b + 0.5) / (nb + 0.5 * v))), 9)
+                       AS log_odds_r9
+            FROM j, t
+            ORDER BY abs(ln(((count_a + 0.5) / (na + 0.5 * v))
+                            / ((count_b + 0.5) / (nb + 0.5 * v)))) DESC,
+                     token ASC
+            LIMIT 25
+        """,
         "q158_warc_pipeline": f"""
             -- parse(write(x)) is the identity, so the oracle replays the
             -- HTML synthesis + extraction from documents directly (the

@@ -17,6 +17,14 @@ Python in the hot path, embarrassingly parallel (no shuffle at all), so
 it scales to 100 TB as a map-only stage fused into whatever scan or
 filter surrounds it.
 
+Relation to :func:`..text.redact_pii`: the text.py helper is the
+RE2-safe single-pass Column variant (replayable verbatim in DuckDB, no
+lookarounds, no checksum). This module is the full scrubber — Java
+lookaround-anchored patterns, per-kind counts, and checksum-gated card
+redaction — whose gate oracle is ground-truth-constructed instead of
+regex-replayed. Both stay: RE2 portability and Luhn precision are
+different contracts.
+
 Credit-card candidates are validated with the Luhn checksum *inside the
 expression layer*: candidates come from ``regexp_extract_all``, the
 checksum is an ``aggregate`` HOF over the digit string, and only

@@ -40,6 +40,8 @@ __all__ = [
     "gopher_repetition",
     "STOPWORDS",
     "vocab",
+    "corpus_divergence",
+    "divergent_tokens",
 ]
 
 # Tiny stopword lists per language. Deliberately small and hard-coded: the
@@ -1301,3 +1303,117 @@ def kn_bigram_logprob(
             F.col("mean_logp"),
         )
     )
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution drift between two corpora: KL and Jensen-Shannon
+    divergence over add-``alpha``-smoothed unigram distributions.
+
+    The drift monitor of a continuously-ingested training corpus (and
+    the distance DSIR-style domain matching optimizes): both corpora
+    collapse to word-count tables (one shuffle each, partial-aggregated
+    map-side), full-outer-join on the union vocabulary, totals ride in
+    on a broadcast one-row aggregate, and the divergences reduce in a
+    single final aggregation. Nothing driver-side, nothing quadratic;
+    the widest state is one row per distinct word.
+
+    Smoothing: ``p_i = (count_i + alpha) / (N + alpha * V)`` with ``V``
+    the union vocabulary — both distributions sum to exactly 1 over the
+    union, so KL is finite even for one-sided words.
+
+    Returns one row: ``kl_ab, kl_ba, js, vocab, tokens_a, tokens_b``.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(words(F.col(text_col))).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias(name))
+        )
+
+    j = (
+        counts(a, "ca")
+        .join(counts(b, "cb"), on="w", how="full_outer")
+        .fillna(0, ["ca", "cb"])
+    )
+    tot = j.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    al = F.lit(float(alpha))
+    x = j.crossJoin(F.broadcast(tot))
+    p = (F.col("ca") + al) / (F.col("na") + al * F.col("v"))
+    q = (F.col("cb") + al) / (F.col("nb") + al * F.col("v"))
+    m = (p + q) / 2
+    return (
+        x.select(
+            (p * F.log(p / q)).alias("__ab"),
+            (q * F.log(q / p)).alias("__ba"),
+            (p / 2 * F.log(p / m) + q / 2 * F.log(q / m)).alias("__js"),
+            "na", "nb", "v",
+        )
+        .groupBy()
+        .agg(
+            F.sum("__ab").alias("kl_ab"),
+            F.sum("__ba").alias("kl_ba"),
+            F.sum("__js").alias("js"),
+            F.first("v").alias("vocab"),
+            F.first("na").alias("tokens_a"),
+            F.first("nb").alias("tokens_b"),
+        )
+    )
+
+
+def divergent_tokens(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The ``k`` tokens most responsible for corpus drift, by absolute
+    smoothed log-odds ratio ``|log(p_a/p_b)|`` (Monroe et al. 2008's
+    fightin'-words statistic, unregularized form), tie-broken by token
+    for determinism. Same shuffle shape as :func:`corpus_divergence`;
+    the top-k is a global sort over the word-grain table — at corpus
+    scale that table is vocabulary-sized, not document-sized.
+
+    Returns ``(token, count_a, count_b, log_odds)`` sorted by
+    ``|log_odds|`` descending.
+    """
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(words(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(name))
+        )
+
+    j = (
+        counts(a, "count_a")
+        .join(counts(b, "count_b"), on="token", how="full_outer")
+        .fillna(0, ["count_a", "count_b"])
+    )
+    tot = j.agg(
+        F.sum("count_a").alias("na"),
+        F.sum("count_b").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    al = F.lit(float(alpha))
+    x = j.crossJoin(F.broadcast(tot))
+    p = (F.col("count_a") + al) / (F.col("na") + al * F.col("v"))
+    q = (F.col("count_b") + al) / (F.col("nb") + al * F.col("v"))
+    scored = x.select(
+        "token", "count_a", "count_b", F.log(p / q).alias("log_odds")
+    )
+    return scored.orderBy(
+        F.abs(F.col("log_odds")).desc(), F.col("token").asc()
+    ).limit(int(k))
