@@ -3360,6 +3360,46 @@ def q168_divergent_tokens(spark, sf):
     )
 
 
+def q169_audio_spectrum(spark, sf):
+    """Frequency-domain audio decode through the gate (pipeline/
+    multimodal.py audio_spectrum): every document becomes a REAL PCM-16
+    WAV holding a pure sine at exact FFT bin k = 3 + doc_id % 13 of a
+    64-sample window — an on-bin tone has its rFFT peak exactly at k,
+    so the decoded dominant bin and its Hz (k * 8000/64, exact in
+    binary) are ground truth from doc_id alone. strict=True: the WAV
+    header walk and the FFT must both be real."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    ids = [int(r["doc_id"]) for r in
+           _t(spark, sf, "documents").select("doc_id").collect()]
+    n, rate = 64, 8000
+
+    def wav(doc_id: int) -> bytearray:
+        k = 3 + doc_id % 13
+        samples = [
+            int(round(12000 * np.sin(2 * np.pi * k * i / n))) for i in range(n)
+        ]
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return bytearray(
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "payload": [wav(i) for i in ids]}),
+        "doc_id long, payload binary",
+    )
+    out = mm.audio_spectrum(bdf, strict=True)
+    return out.select("doc_id", "dominant_bin", "dominant_hz")
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3899,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_pagerank": q166_pagerank,
         "q167_corpus_divergence": q167_corpus_divergence,
         "q168_divergent_tokens": q168_divergent_tokens,
+        "q169_audio_spectrum": q169_audio_spectrum,
     }
 
 
@@ -4882,6 +4923,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q169_audio_spectrum": """
+            -- ground truth: an on-bin sine's rFFT peak is exactly its
+            -- bin; Hz = bin * 8000/64 = bin * 125 (exact in binary)
+            SELECT doc_id,
+                   CAST(3 + doc_id % 13 AS BIGINT) AS dominant_bin,
+                   (3 + doc_id % 13) * 125.0 AS dominant_hz
+            FROM documents
+        """,
         "q167_corpus_divergence": """
             -- full replay: unigram counts per subset, union vocabulary,
             -- add-0.5 smoothing, KL/JS reductions

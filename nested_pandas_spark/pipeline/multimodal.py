@@ -44,6 +44,7 @@ __all__ = [
     "resize_image",
     "sample_video_frames",
     "audio_features",
+    "audio_spectrum",
     "phash_df",
     "image_near_pairs",
 ]
@@ -610,6 +611,79 @@ def audio_features(
             out = pdf[keep].copy()
             out["rms"] = [f[0] for f in feats]
             out["zcr"] = [f[1] for f in feats]
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def audio_spectrum(
+    df: DataFrame,
+    payload_col: str = "payload",
+    strict: bool = False,
+    n_fft: int | None = None,
+) -> DataFrame:
+    """Frequency-domain audio features per payload via a real rFFT.
+
+    Decodes like :func:`audio_features` (REAL for RIFF/WAVE PCM;
+    ``strict=True`` raises on other formats, ``strict=False`` falls back
+    to the raw-uint8 stub with an assumed 8 kHz rate), then NumPy
+    ``rfft`` over the first ``n_fft`` samples (zero-padded; default the
+    whole clip):
+
+    * ``dominant_bin`` — argmax of the magnitude spectrum excluding DC,
+    * ``dominant_hz``  — that bin scaled to Hz (``bin * rate / N``),
+    * ``centroid_hz``  — magnitude-weighted mean frequency.
+
+    Arrow-batched ``mapInPandas``; payloads never shuffle — the
+    embarrassing-parallel shape of every decode stage here. Empty/NULL
+    payloads yield NULL features.
+    """
+    keep = [c for c in df.columns if c != payload_col]
+    fields = [df.schema[c] for c in keep]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("dominant_bin", T.LongType()),
+            T.StructField("dominant_hz", T.DoubleType()),
+            T.StructField("centroid_hz", T.DoubleType()),
+        ]
+    )
+
+    def _spectrum(p):
+        if p is None:
+            return None, None, None
+        payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            x, rate = decode_wav(payload)
+        elif strict:
+            raise NotImplementedError(
+                "only RIFF/WAVE PCM decodes without a codec library; "
+                "run with strict=False for the raw-bytes stub"
+            )
+        else:
+            x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 127.5
+            rate = 8000
+        n = n_fft or len(x)
+        if n < 2 or len(x) == 0:
+            return None, None, None
+        if len(x) < n:
+            x = np.pad(x, (0, n - len(x)))
+        mag = np.abs(np.fft.rfft(x[:n]))
+        k = int(np.argmax(mag[1:])) + 1  # skip DC
+        freqs = np.arange(len(mag)) * (rate / n)
+        total = float(mag.sum())
+        centroid = float((freqs * mag).sum() / total) if total > 0 else 0.0
+        return k, float(k * rate / n), centroid
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_spectrum(p) for p in pdf[payload_col]]
+            out = pdf[keep].copy()
+            out["dominant_bin"] = pd.array(
+                [f[0] for f in feats], dtype="Int64"
+            )
+            out["dominant_hz"] = [f[1] for f in feats]
+            out["centroid_hz"] = [f[2] for f in feats]
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)

@@ -3051,3 +3051,52 @@ def test_robots_filter_semantics(spark):
         for r in robots_filter(docs, robots, "url", agent="mybot").collect()
     }
     assert 4 in kept_my
+
+
+def test_audio_spectrum_pure_tone(spark):
+    # exact-bin sine: N=64 samples at bin k=5 -> argmax is exactly k
+    n, k, rate = 64, 5, 8000
+    samples = [int(round(12000 * np.sin(2 * np.pi * k * i / n)))
+               for i in range(n)]
+    bdf = spark.createDataFrame(
+        [(1, bytearray(_make_wav(samples, rate=rate)))],
+        "id int, payload binary",
+    )
+    [r] = mm.audio_spectrum(bdf, strict=True).collect()
+    assert r["dominant_bin"] == k
+    assert r["dominant_hz"] == pytest.approx(k * rate / n)
+    # centroid parity with a direct NumPy computation
+    x = np.array(samples, dtype=np.float64) / 32768.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.arange(len(mag)) * rate / n
+    assert r["centroid_hz"] == pytest.approx(float((freqs * mag).sum() / mag.sum()))
+
+
+def test_audio_spectrum_edge_cases(spark):
+    bdf = spark.createDataFrame(
+        [(1, bytearray(_make_wav([0]))), (2, None)],
+        "id int, payload binary",
+    )
+    rows = {r["id"]: r for r in mm.audio_spectrum(bdf).collect()}
+    assert rows[1]["dominant_bin"] is None  # single sample: no spectrum
+    assert rows[2]["dominant_bin"] is None
+    junk = spark.createDataFrame([(1, bytearray(b"oggdata"))],
+                                 "id int, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.audio_spectrum(junk, strict=True).collect()
+    # stub path: raw uint8 bytes still produce a spectrum
+    [r] = mm.audio_spectrum(junk, strict=False).collect()
+    assert r["dominant_bin"] is not None
+
+
+def test_audio_spectrum_nfft_padding(spark):
+    n, k, rate = 32, 3, 8000
+    samples = [int(round(9000 * np.sin(2 * np.pi * k * i / n)))
+               for i in range(n)]
+    bdf = spark.createDataFrame(
+        [(1, bytearray(_make_wav(samples, rate=rate)))],
+        "id int, payload binary",
+    )
+    # zero-padding to 64 doubles the bin index resolution: peak at 2k
+    [r] = mm.audio_spectrum(bdf, strict=True, n_fft=64).collect()
+    assert r["dominant_bin"] == 2 * k
