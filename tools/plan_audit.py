@@ -788,6 +788,159 @@ def main() -> int:
         )[:600],
     ))
 
+    # -- 29. PII / code-quality filters are map-only ------------------------
+    from nested_pandas_spark.pipeline.code import with_code_signals
+    from nested_pandas_spark.pipeline.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p29 = explain_str(redact_pii(docs, "text"))
+    p29c = explain_str(with_code_signals(docs, "text"))
+    check(
+        "redact_pii adds no shuffle",
+        "Exchange" not in p29,
+        "PII scrub should be a pure projection",
+    )
+    check(
+        "code signals add no shuffle",
+        "Exchange" not in p29c,
+        "code-quality signals should be a pure projection",
+    )
+    check(
+        "PII/code filters never leave the JVM",
+        all(
+            marker not in p29 and marker not in p29c
+            for marker in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython")
+        ),
+        "scrub/signal projections fell back to Python",
+    )
+    sections.append((
+        "PII scrub and code-quality signals: map-only, JVM-side",
+        "`redact_pii` (Luhn-gated) and `with_code_signals` plan as pure "
+        "projections over the scan — zero Exchange, zero Python (the HOF "
+        "pieces are CodegenFallback: interpreted Catalyst expressions, "
+        "still JVM-side and fused into the scan stage) — so at 100 TB they "
+        "ride along whatever stage reads the corpus.",
+        "\n".join(
+            ln.strip() for ln in (p29 + p29c).splitlines()
+            if "Exchange" in ln or "WholeStageCodegen" in ln or "Scan" in ln
+        )[:400],
+    ))
+
+    # -- 30. Bloom dedup: broadcast bitmap, no cartesian --------------------
+    from nested_pandas_spark.pipeline.dedup import (
+        BloomBitmap,
+        bloom_dedup_against,
+    )
+
+    bloom = BloomBitmap([0] * (1 << 10), 1 << 16, 4)
+    p30 = explain_str(
+        bloom_dedup_against(docs, docs.limit(10), bloom=bloom)
+    )
+    check(
+        "bloom bitmap is broadcast",
+        "BroadcastExchange" in p30 or "BroadcastNestedLoopJoin" in p30,
+        "the one-row bitmap frame should broadcast",
+    )
+    check(
+        "bloom dedup no CartesianProduct",
+        "CartesianProduct" not in p30,
+        "bitmap cross join planned as a real cartesian",
+    )
+    sections.append((
+        "Bloom-prefiltered dedup: broadcast bitmap, hash-only anti-join",
+        "The bitmap rides as ONE broadcast single-row table (the "
+        "random_projection pattern — never plan literals); definite-new rows "
+        "skip the anti-join entirely, and only Bloom hits shuffle their "
+        "32-hex fingerprints. Per-ingest cost at 100 TB: a map-only bit "
+        "probe plus an anti-join whose left side is ~the true duplicates.",
+        "\n".join(
+            ln.strip() for ln in p30.splitlines()
+            if "Join" in ln or "Exchange" in ln
+        )[:400],
+    ))
+
+    # -- 31. PageRank: O(1) lineage across iterations -----------------------
+    from nested_pandas_spark.pipeline.graph import pagerank
+
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 13) % 100).alias("dst"),
+    )
+    pr2 = pagerank(edges, iters=2)
+    pr5 = pagerank(edges, iters=5)
+    p31a, p31b = explain_str(pr2), explain_str(pr5)
+    check(
+        "pagerank lineage is cut per iteration",
+        "ExistingRDD" in p31b,
+        "rank frame should scan the checkpointed RDD, not replay lineage",
+    )
+    check(
+        "pagerank plan size is O(1) in iterations",
+        len(p31b) < 1.5 * len(p31a) + 2000,
+        f"plan grows with iterations ({len(p31a)} -> {len(p31b)} chars)",
+    )
+    check(
+        "pagerank no CartesianProduct",
+        "CartesianProduct" not in p31b,
+        "dangling-mass fold planned as a real cartesian",
+    )
+    sections.append((
+        "PageRank: checkpoint-cut lineage, broadcast dangling mass",
+        "Each iteration's rank frame is eagerly localCheckpoint-ed, so the "
+        "plan of iteration N reads ExistingRDD and its SIZE does not grow "
+        "with N (no lineage replay, no codegen blowup at iters=50). The "
+        "dangling-mass one-row aggregate folds back via broadcast; the only "
+        "per-iteration shuffles are the contribution groupBy(dst) and the "
+        "node join — the irreducible PageRank shape.",
+        "\n".join(
+            ln.strip() for ln in p31b.splitlines()
+            if "Join" in ln or "Exchange" in ln or "ExistingRDD" in ln
+        )[:500],
+    ))
+
+    # -- 32. Chat assembly: ONE shuffle -------------------------------------
+    from nested_pandas_spark.pipeline.chat import (
+        assemble_conversations,
+        render_template,
+        truncate_to_budget,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    conv = assemble_conversations(
+        ev.withColumn("role", F.lit("user")).withColumn(
+            "content", F.col("event_type")
+        ),
+        "user_id", "ts", "role", "content", tiebreak="event_id",
+    ).select(
+        "user_id",
+        render_template("turns").alias("txt"),
+        truncate_to_budget("turns", 64).alias("kept"),
+    )
+    p32 = explain_str(conv)
+    n_exchanges = p32.count("Arguments: hashpartitioning")
+    check(
+        "chat assembly is one shuffle",
+        n_exchanges == 1,
+        f"expected exactly 1 hash exchange, saw {n_exchanges}",
+    )
+    check(
+        "render/truncate add no shuffle or Python",
+        "MapInPandas" not in p32 and "BatchEvalPython" not in p32,
+        "template render / budget truncation left the JVM",
+    )
+    sections.append((
+        "Conversation assembly: one groupBy shuffle, HOF render/truncate",
+        "assemble_conversations plans exactly ONE hash exchange (the "
+        "conversation-key groupBy; ordering happens inside array_sort in "
+        "the aggregation buffer). Template rendering and keep-last budget "
+        "truncation are pure HOF projections on the turns array — no "
+        "second shuffle, no Python, no explode.",
+        "\n".join(
+            ln.strip() for ln in p32.splitlines()
+            if "Exchange" in ln or "Aggregate" in ln
+        )[:400],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
