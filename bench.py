@@ -651,6 +651,68 @@ def main() -> None:
 
     bench_extra("jpeg_decode_loop", x_jpeg_loop)
 
+    def x_pii():
+        from nested_pandas_spark.pipeline.pii import redact_pii
+
+        return redact_pii(t("documents"), "text").select(
+            F.sum("email_n"), F.sum("credit_card_n")
+        ).collect()
+
+    bench_extra("redact_pii", x_pii)
+
+    def x_chat():
+        from nested_pandas_spark.pipeline.chat import (
+            assemble_conversations,
+            render_template,
+            truncate_to_budget,
+        )
+
+        ev = t("events").withColumn("role", F.lit("user")).withColumn(
+            "content", F.col("event_type"))
+        conv = assemble_conversations(
+            ev, "user_id", "ts", "role", "content", tiebreak="event_id")
+        return conv.select(
+            F.sum(F.length(render_template("turns"))),
+            F.sum(F.size(truncate_to_budget("turns", 64))),
+        ).collect()
+
+    bench_extra("chat_assembly", x_chat)
+
+    def x_bloom():
+        from nested_pandas_spark.pipeline.dedup import bloom_dedup_against
+
+        docs = t("documents")
+        return bloom_dedup_against(
+            docs.where(F.col("doc_id") % 3 != 0),
+            docs.where(F.col("doc_id") % 3 == 0),
+            num_bits=1 << 20, num_hashes=4,
+        ).count()
+
+    bench_extra("bloom_dedup", x_bloom)
+
+    def x_pagerank():
+        from nested_pandas_spark.pipeline.graph import pagerank
+
+        docs = t("documents").select("doc_id")
+        n = docs.count()
+        edges = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 13) % n).alias("dst"))
+        return pagerank(edges, iters=5).select(F.sum("rank")).collect()
+
+    bench_extra("pagerank_5it", x_pagerank)
+
+    def x_divergence():
+        from nested_pandas_spark.pipeline.text import corpus_divergence
+
+        docs = t("documents")
+        return corpus_divergence(
+            docs.where(F.col("lang") == "en"),
+            docs.where(F.col("lang") == "de"),
+        ).collect()
+
+    bench_extra("corpus_divergence", x_divergence)
+
     # headline total stays the round-1..3 query set so round-over-round
     # totals compare; the bucketed variants are reported per-query + ratio
     headline = [q for q in queries if not q.endswith("_bucketed")]

@@ -42,6 +42,7 @@ __all__ = [
     "vocab",
     "corpus_divergence",
     "divergent_tokens",
+    "oov_rate",
 ]
 
 # Tiny stopword lists per language. Deliberately small and hard-coded: the
@@ -1417,3 +1418,62 @@ def divergent_tokens(
     return scored.orderBy(
         F.abs(F.col("log_odds")).desc(), F.col("token").asc()
     ).limit(int(k))
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_df: DataFrame,
+    text_col: str = "text",
+    word_col: str = "word",
+) -> DataFrame:
+    """Per-document out-of-vocabulary statistics against a vocabulary
+    table — the tokenizer-coverage eval run before/after vocab training
+    (and the canary for domain shift: OOV spikes when ingest drifts).
+
+    Zero shuffle: the vocabulary collapses to ONE row (``collect_set``),
+    rides to executors via a broadcast cross join as a lookup map, and
+    each document scores itself with a HOF filter over its own tokens.
+    The right shape while the vocab fits an executor (10^6 words ≈ tens
+    of MB — the practical tokenizer regime); a larger-than-memory vocab
+    would flip to the exploded word-grain broadcast join of
+    :func:`bpe_encode_vocab` instead.
+
+    Adds ``token_n``, ``oov_n``, ``oov_rate`` (NULL text -> NULLs;
+    empty token list -> rate 0.0).
+    """
+    vocab_map = vocab_df.agg(
+        F.map_from_arrays(
+            F.collect_set(F.col(word_col).cast("string")),
+            F.transform(
+                F.collect_set(F.col(word_col).cast("string")),
+                lambda _: F.lit(True),
+            ),
+        ).alias("__vmap")
+    )
+    w = words(F.col(text_col))
+    out = docs.crossJoin(F.broadcast(vocab_map))
+    token_n = F.size(w)
+    oov_n = F.size(
+        F.filter(w, lambda t: F.element_at(F.col("__vmap"), t).isNull())
+    )
+    return (
+        out.withColumn(
+            "token_n",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                token_n.cast("long")
+            ),
+        )
+        .withColumn(
+            "oov_n",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                oov_n.cast("long")
+            ),
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("double"))
+            .when(token_n == 0, F.lit(0.0))
+            .otherwise(oov_n / token_n),
+        )
+        .drop("__vmap")
+    )

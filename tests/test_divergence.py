@@ -79,3 +79,38 @@ def test_divergent_tokens_ranking(spark):
     # ranking is by |log_odds| descending
     scores = [abs(r["log_odds"]) for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_oov_rate(spark):
+    from nested_pandas_spark.pipeline.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "quantum flux"),
+            (3, ""),
+            (4, None),
+            (5, "THE Cat"),  # words() lower-cases before lookup
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("mat",)], "word string"
+    )
+    rows = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert (rows[1]["token_n"], rows[1]["oov_n"]) == (6, 1)  # only 'on'
+    assert abs(rows[1]["oov_rate"] - 1 / 6) < 1e-12
+    assert rows[2]["oov_rate"] == 1.0
+    assert rows[3]["oov_rate"] == 0.0 and rows[3]["token_n"] == 0
+    assert rows[4]["oov_rate"] is None and rows[4]["token_n"] is None
+    assert rows[5]["oov_n"] == 0
+
+
+def test_oov_rate_zero_shuffle_plan(spark):
+    from nested_pandas_spark.pipeline.text import oov_rate
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",)], "word string")
+    plan = oov_rate(docs, vocab)._jdf.queryExecution().executedPlan().toString()
+    # the doc side must not shuffle; the vocab rides as a broadcast one-row
+    assert "hashpartitioning" not in plan

@@ -312,6 +312,53 @@ def main() -> int:
                        pq_centroids=8, refine=4, n_iters=2,
                        pq_iters=2).count()
 
+        def pii():
+            from nested_pandas_spark.pipeline.pii import redact_pii
+            redact_pii(t(d, "documents"), "text").select(
+                F.sum("email_n"), F.max(F.length("text_redacted"))).collect()
+
+        def code_quality():
+            from nested_pandas_spark.pipeline.code import with_code_signals
+            with_code_signals(t(d, "documents"), "text").select(
+                F.sum("n_lines"), F.sum("max_line_len"),
+                F.count("license_id")).collect()
+
+        def chat():
+            from nested_pandas_spark.pipeline.chat import (
+                assemble_conversations, render_template, truncate_to_budget)
+            ev = t(d, "events").withColumn(
+                "role", F.lit("user")).withColumn("content", F.col("event_type"))
+            conv = assemble_conversations(ev, "user_id", "ts", "role",
+                                          "content", tiebreak="event_id")
+            conv.select(
+                F.sum(F.length(render_template("turns"))),
+                F.sum(F.size(truncate_to_budget("turns", 64)))).collect()
+
+        def bloom_dd():
+            from nested_pandas_spark.pipeline.dedup import bloom_dedup_against
+            docs = t(d, "documents")
+            bloom_dedup_against(
+                docs.where(F.col("doc_id") % 3 != 0),
+                docs.where(F.col("doc_id") % 3 == 0),
+                num_bits=1 << 20, num_hashes=4).count()
+
+        def pr():
+            # 10x nodes AND 10x edges: per-iteration join/agg must scale
+            from nested_pandas_spark.pipeline.graph import pagerank
+            docs = t(d, "documents").select("doc_id")
+            n = docs.count()
+            edges = docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 7 + 13) % n).alias("dst"))
+            pagerank(edges, iters=3).select(F.sum("rank")).collect()
+
+        def divergence():
+            from nested_pandas_spark.pipeline.text import corpus_divergence
+            docs = t(d, "documents")
+            corpus_divergence(
+                docs.where(F.col("lang") == "en"),
+                docs.where(F.col("lang") == "de")).collect()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -343,6 +390,12 @@ def main() -> int:
             "hard_negatives": hard_negs,
             "kn_bigram": kn_bigram,
             "ivfpq_topk": ivfpq,
+            "redact_pii": pii,
+            "code_quality": code_quality,
+            "chat_assembly": chat,
+            "bloom_dedup": bloom_dd,
+            "pagerank_3it": pr,
+            "corpus_divergence": divergence,
         }
 
     # warm-up
