@@ -3400,6 +3400,28 @@ def q169_audio_spectrum(spark, sf):
     return out.select("doc_id", "dominant_bin", "dominant_hz")
 
 
+def q170_oov_rate(spark, sf):
+    """Vocabulary coverage (pipeline/text.py oov_rate): score every
+    document's OOV fraction against the vocabulary observed in the
+    doc_id%5==0 subset. The vocab collapses to one broadcast lookup map;
+    each document scores itself with a HOF filter — zero shuffle
+    (plan-asserted in tests). Oracle replays tokenization and the
+    NOT-IN membership per token."""
+    from nested_pandas_spark.pipeline.text import oov_rate, words
+
+    docs = _t(spark, sf, "documents")
+    vocab = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(F.explode(words(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    out = oov_rate(docs, vocab)
+    return out.select(
+        "doc_id", "token_n", "oov_n",
+        F.round("oov_rate", 9).alias("rate_r9"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3940,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_corpus_divergence": q167_corpus_divergence,
         "q168_divergent_tokens": q168_divergent_tokens,
         "q169_audio_spectrum": q169_audio_spectrum,
+        "q170_oov_rate": q170_oov_rate,
     }
 
 
@@ -4923,6 +4946,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q170_oov_rate": """
+            WITH v AS (
+                SELECT DISTINCT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents WHERE doc_id % 5 = 0
+            ), tk AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents WHERE text IS NOT NULL
+            ), c AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS token_n,
+                       CAST(count(*) FILTER (
+                           WHERE w NOT IN (SELECT word FROM v)
+                       ) AS BIGINT) AS oov_n
+                FROM tk GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(c.token_n, 0) END AS token_n,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(c.oov_n, 0) END AS oov_n,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        WHEN coalesce(c.token_n, 0) = 0 THEN 0.0
+                        ELSE round(c.oov_n::DOUBLE / c.token_n, 9)
+                   END AS rate_r9
+            FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+        """,
         "q169_audio_spectrum": """
             -- ground truth: an on-bin sine's rFFT peak is exactly its
             -- bin; Hz = bin * 8000/64 = bin * 125 (exact in binary)
