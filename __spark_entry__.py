@@ -3422,6 +3422,62 @@ def q170_oov_rate(spark, sf):
     )
 
 
+def q171_wet_pipeline(spark, sf):
+    """WET front door (sources/warc.py read_wet): documents are written
+    as REAL WET files (WARC conversion records, text/plain payloads,
+    half the files gzip'd, a warcinfo record per file that must be
+    filtered out), read back through the distributed parser, decoded,
+    and scored with token_count. parse(write(x)) must be the identity —
+    the oracle replays counts and hashes straight off documents."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.pipeline.text import token_count
+    from nested_pandas_spark.sources.warc import read_wet
+
+    pdf = _t(spark, sf, "documents").select("doc_id", "text").toPandas()
+    d = tempfile.mkdtemp(prefix="q171_wet_")
+    try:
+        n_files = 4
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: 4\r\n\r\nk: v\r\n\r\n"
+        )
+        chunks = [bytearray(info) for _ in range(n_files)]
+        for _, row in pdf.iterrows():
+            did = int(row["doc_id"])
+            body = (row["text"] if row["text"] is not None else "").encode()
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Record-ID: <urn:doc:{did}>\r\n"
+                f"WARC-Target-URI: http://corpus.test/{did}\r\n"
+                f"Content-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body + b"\r\n\r\n"
+            chunks[did % n_files] += rec
+        for i, chunk in enumerate(chunks):
+            if i % 2 == 0:
+                open(f"{d}/part-{i}.warc.wet", "wb").write(bytes(chunk))
+            else:
+                open(f"{d}/part-{i}.warc.wet.gz", "wb").write(
+                    gzip.compress(bytes(chunk))
+                )
+        out = read_wet(spark, d).select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.length("text").cast("long").alias("n_chars"),
+            token_count("text").cast("long").alias("token_n"),
+            F.md5(F.col("text")).alias("text_md5"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -3963,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_divergent_tokens": q168_divergent_tokens,
         "q169_audio_spectrum": q169_audio_spectrum,
         "q170_oov_rate": q170_oov_rate,
+        "q171_wet_pipeline": q171_wet_pipeline,
     }
 
 
@@ -4946,6 +5003,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q171_wet_pipeline": """
+            -- parse(write(x)) identity: counts and hashes replay
+            -- straight off the documents table
+            SELECT doc_id,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS token_n,
+                   md5(coalesce(text, '')) AS text_md5
+            FROM documents
+        """,
         "q170_oov_rate": """
             WITH v AS (
                 SELECT DISTINCT unnest(list_filter(

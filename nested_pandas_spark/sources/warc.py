@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["parse_warc_bytes", "read_warc", "WARC_RECORD_SCHEMA"]
+__all__ = ["parse_warc_bytes", "read_warc", "read_wet", "WARC_RECORD_SCHEMA"]
 
 WARC_RECORD_SCHEMA = T.StructType(
     [
@@ -197,3 +197,25 @@ def read_warc(
             yield pd.DataFrame(rows, columns=names)
 
     return files.mapInPandas(gen, schema=schema)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET archives (Common Crawl's extracted-text distribution)
+    into a text-grain DataFrame.
+
+    WET files ARE WARC files whose records are ``conversion`` blocks
+    with ``text/plain`` payloads — the crawl's pre-extracted visible
+    text, the usual starting corpus when you don't need the raw HTML.
+    This rides :func:`read_warc` (same distributed binaryFile +
+    mapInPandas parse, same gzip handling) and decodes payloads to a
+    ``text`` column (UTF-8, invalid bytes replaced — crawl text is not
+    guaranteed clean).
+
+    Output: ``(path, record_idx, record_id, target_uri, warc_date,
+    text)``.
+    """
+    recs = read_warc(spark, path, warc_types=("conversion",))
+    return recs.select(
+        "path", "record_idx", "record_id", "target_uri", "warc_date",
+        F.expr("decode(payload, 'UTF-8')").alias("text"),
+    )

@@ -137,3 +137,41 @@ def test_read_warc_distributed(spark, tmp_path):
         for r in meta.groupBy("warc_type").count().collect()
     }
     assert by_type == {"warcinfo": 2, "request": 5, "response": 5}
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET = WARC conversion records with text/plain payloads; read_wet
+    filters to them and decodes text (gzip'd and plain members alike)."""
+    import gzip
+
+    from nested_pandas_spark.sources.warc import read_wet
+
+    def wet_record(i, text):
+        body = text.encode("utf-8")
+        return (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:wet:{i}>\r\n"
+            f"WARC-Target-URI: http://t.test/{i}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+
+    # one warcinfo record that must be filtered out
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 4\r\n\r\nk: v\r\n\r\n"
+    )
+    plain = info + wet_record(0, "hello wet") + wet_record(1, "unicode éü")
+    gz = wet_record(2, "gzipped text")
+    (tmp_path / "a.warc.wet").write_bytes(plain)
+    (tmp_path / "b.warc.wet.gz").write_bytes(gzip.compress(gz))
+
+    out = read_wet(spark, str(tmp_path)).collect()
+    texts = {r["target_uri"]: r["text"] for r in out}
+    assert texts == {
+        "http://t.test/0": "hello wet",
+        "http://t.test/1": "unicode éü",
+        "http://t.test/2": "gzipped text",
+    }
+    assert all(r["record_id"].startswith("<urn:wet:") for r in out)
