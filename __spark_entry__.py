@@ -3478,6 +3478,26 @@ def q171_wet_pipeline(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q172_hll_registers(spark, sf):
+    """Mergeable HyperLogLog cardinality sketch (pipeline/sketches.py
+    hll_registers, Flajolet et al. 2007): distinct l_partkey per
+    l_returnflag reduced to 2**6 integer registers. The only exchange
+    carries (flag, reg_idx, partial-max rho) — map-side partial
+    aggregation caps each task's contribution at m rows per group, so
+    the shuffle is sketch-sized at any data scale, and register tables
+    from separate corpus slices merge with a plain max (property-tested
+    in test_sketches.py). The oracle replays the md5 bucket/rank
+    arithmetic — pure integer/string ops, bit-identical in DuckDB."""
+    from nested_pandas_spark.pipeline.sketches import hll_registers
+
+    li = _t(spark, sf, "lineitem")
+    return hll_registers(li, "l_partkey", b=6, by=["l_returnflag"]).select(
+        "l_returnflag",
+        F.col("reg_idx").cast("long").alias("reg_idx"),
+        F.col("rho").cast("int").alias("rho"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4020,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_audio_spectrum": q169_audio_spectrum,
         "q170_oov_rate": q170_oov_rate,
         "q171_wet_pipeline": q171_wet_pipeline,
+        "q172_hll_registers": q172_hll_registers,
     }
 
 
@@ -5003,6 +5024,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q172_hll_registers": """
+            -- HLL register replay: md5 -> 32-bit bucket, 60-bit rank tail,
+            -- rho = leading zero bits + 1, max per (group, register)
+            WITH h AS (
+                SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), r AS (
+                SELECT l_returnflag,
+                       ('0x' || substr(h, 1, 8))::BIGINT % 64 AS reg_idx,
+                       CASE WHEN regexp_replace(substr(h, 9, 15), '^0+', '') = ''
+                            THEN 61
+                            ELSE 4 * (15 - length(regexp_replace(substr(h, 9, 15), '^0+', '')))
+                                 + CASE WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 8 THEN 0
+                                        WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 4 THEN 1
+                                        WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 2 THEN 2
+                                        ELSE 3 END + 1 END AS rho
+                FROM h
+            )
+            SELECT l_returnflag, reg_idx, CAST(max(rho) AS INT) AS rho
+            FROM r GROUP BY l_returnflag, reg_idx
+        """,
         "q171_wet_pipeline": """
             -- parse(write(x)) identity: counts and hashes replay
             -- straight off the documents table

@@ -1,0 +1,178 @@
+"""Mergeable cardinality sketches (HyperLogLog) for corpus monitoring.
+
+At 100 TB you cannot ``count_distinct`` every slice you care about — the
+distinct-key shuffle is the whole dataset.  A HyperLogLog sketch reduces a
+group's distinct count to ``m = 2**b`` small integer registers that
+
+* aggregate with a plain ``max`` (so Spark's partial aggregation collapses
+  each map task's contribution to at most ``m`` rows per group before the
+  shuffle — the exchange carries registers, never values), and
+* merge across sketches with the same ``max`` (register-wise), so daily
+  sketches roll up into monthly ones without touching the raw data.
+
+Everything is md5-derived and pure integer/string arithmetic, so the
+register table is bit-identical between Spark and the DuckDB oracle
+(Flajolet et al. 2007, "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm"; the small-range linear-counting
+correction follows the HLL paper's empirical rule).
+
+Spark's builtin ``approx_count_distinct`` is the production fast path; this
+module exists for when the *sketch itself* must be a first-class,
+persistable, mergeable dataset (incremental corpus monitoring), and to make
+the estimate deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_rho",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "hll_count_distinct",
+]
+
+# Registers use the first 8 hex chars of md5 for the bucket index and the
+# next 15 hex chars (60 bits) for the rank; rho in [1, 61].
+_TAIL_HEX = 15
+_RHO_EMPTY = 4 * _TAIL_HEX + 1
+
+
+def _hll_cols(value: Column, b: int) -> tuple[Column, Column]:
+    """(register index, rho) for one value — pure string/integer ops.
+
+    rho = 1 + number of leading zero *bits* in the 60-bit tail, computed
+    from the hex string directly (leading '0' hex digits count 4 bits each;
+    the first non-zero digit contributes 0-3 more) so no float ``log2`` can
+    round differently between engines.
+    """
+    h = F.md5(value.cast("string"))
+    idx = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(2**b)
+    )
+    tail = F.substring(h, 9, _TAIL_HEX)
+    stripped = F.regexp_replace(tail, "^0+", "")
+    zhex = F.lit(_TAIL_HEX) - F.length(stripped)
+    d = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    extra = (
+        F.when(d >= 8, F.lit(0))
+        .when(d >= 4, F.lit(1))
+        .when(d >= 2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rho = F.when(stripped == "", F.lit(_RHO_EMPTY)).otherwise(
+        F.lit(4) * zhex + extra + F.lit(1)
+    )
+    return idx.alias("reg_idx"), rho.cast("int").alias("rho")
+
+
+def hll_rho(value: Column, b: int = 6) -> tuple[Column, Column]:
+    """Expose the (reg_idx, rho) column pair for composition."""
+    return _hll_cols(value, b)
+
+
+def hll_registers(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    b: int = 6,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Sketch ``value`` into an HLL register table.
+
+    Returns one row per (group, occupied register): ``by... , reg_idx,
+    rho``.  ``max`` is idempotent, so duplicated input values are free —
+    no pre-``distinct`` (and its full-width shuffle) is ever needed.
+
+    100 TB: the only exchange is ``groupBy(by, reg_idx)`` with map-side
+    partial ``max`` — at most ``2**b`` rows per group per map task.
+    """
+    c = F.col(value) if isinstance(value, str) else value
+    keys = list(by or [])
+    idx, rho = _hll_cols(c, b)
+    return (
+        df.where(c.isNotNull())
+        .select(*keys, idx, rho)
+        .groupBy(*keys, "reg_idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_dfs: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge sketches: union the register tables, keep max rho per register.
+
+    ``estimate(merge(sketch(A), sketch(B))) == estimate(sketch(A union B))``
+    exactly — the property that makes incremental corpus monitoring free.
+    """
+    keys = list(by or [])
+    out = register_dfs[0]
+    for other in register_dfs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy(*keys, "reg_idx").agg(F.max("rho").alias("rho"))
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(
+    registers: DataFrame, *, b: int = 6, by: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table.
+
+    Standard error is about ``1.04 / sqrt(2**b)`` (13% at b=6, 3.3% at
+    b=10).  Small-range correction: when the raw estimate is under 2.5*m
+    and empty registers remain, fall back to linear counting
+    ``m * ln(m / V_empty)``.
+    """
+    m = 2**b
+    keys = list(by or [])
+    alpha = _alpha(m)
+    agg = registers.groupBy(*keys).agg(
+        F.count("*").alias("__used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__ssum"),
+    )
+    v_empty = F.lit(m) - F.col("__used")
+    raw = F.lit(alpha * m * m) / (F.col("__ssum") + v_empty.cast("double"))
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0), linear).otherwise(raw)
+    return agg.select(
+        *keys,
+        est.alias("estimate"),
+        v_empty.cast("int").alias("empty_registers"),
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    b: int = 10,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Convenience: sketch then estimate in one call."""
+    return hll_estimate(
+        hll_registers(df, value, b=b, by=by), b=b, by=by
+    )
+
+
+def hll_estimate_py(rhos: list[int], b: int) -> float:
+    """Driver-side reference estimator (test parity target)."""
+    m = 2**b
+    ssum = sum(2.0**-r for r in rhos) + (m - len(rhos))
+    raw = _alpha(m) * m * m / ssum
+    v = m - len(rhos)
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw

@@ -1,0 +1,106 @@
+"""HyperLogLog sketch: engine parity, merge law, estimate accuracy."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nested_pandas_spark.pipeline.sketches import (
+    hll_count_distinct,
+    hll_estimate,
+    hll_estimate_py,
+    hll_merge,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 5000 rows, ~1200 distinct keys, skewed groups, with duplicates
+    rows = [(i % 3, f"k{(i * 7919) % 1200}") for i in range(5000)]
+    return spark.createDataFrame(rows, "grp int, v string")
+
+
+def _duckdb_registers(rows, b):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp INT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    return sorted(
+        con.execute(
+            f"""
+        WITH h AS (SELECT grp, md5(v) AS h FROM t WHERE v IS NOT NULL),
+        r AS (SELECT grp,
+            ('0x' || substr(h, 1, 8))::BIGINT % {2**b} AS reg_idx,
+            CASE WHEN regexp_replace(substr(h, 9, 15), '^0+', '') = '' THEN 61
+                 ELSE 4 * (15 - length(regexp_replace(substr(h, 9, 15), '^0+', '')))
+                      + CASE WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 8 THEN 0
+                             WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 4 THEN 1
+                             WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 2 THEN 2
+                             ELSE 3 END + 1 END AS rho
+          FROM h)
+        SELECT grp, reg_idx, CAST(max(rho) AS INT) AS rho
+        FROM r GROUP BY grp, reg_idx
+        """
+        ).fetchall()
+    )
+
+
+def test_register_parity_vs_duckdb(spark, values):
+    reg = hll_registers(values, "v", b=6, by=["grp"])
+    got = sorted(tuple(r) for r in reg.collect())
+    want = _duckdb_registers([tuple(r) for r in values.collect()], b=6)
+    assert got == want
+
+
+def test_estimate_within_hll_error(spark, values):
+    # standard error 1.04/sqrt(m): b=8 -> 6.5%; allow 4 sigma
+    est = {
+        r["grp"]: r["estimate"]
+        for r in hll_count_distinct(values, "v", b=8, by=["grp"]).collect()
+    }
+    truth = {
+        r["grp"]: r["n"]
+        for r in values.groupBy("grp")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    for g, n in truth.items():
+        assert abs(est[g] - n) / n < 4 * 1.04 / math.sqrt(2**8)
+
+
+def test_small_range_linear_counting(spark):
+    # 10 distinct values in m=64 registers -> linear-counting branch
+    df = spark.createDataFrame([(f"x{i % 10}",) for i in range(100)], "v string")
+    reg = hll_registers(df, "v", b=6)
+    used = reg.count()
+    est = hll_estimate(reg, b=6).collect()[0]
+    assert est["empty_registers"] == 64 - used
+    assert est["estimate"] == pytest.approx(64 * math.log(64 / (64 - used)))
+    assert abs(est["estimate"] - 10) < 3
+
+
+def test_merge_equals_union(spark, values):
+    a = hll_registers(values.where("grp = 0"), "v", b=6)
+    b = hll_registers(values.where("grp <> 0"), "v", b=6)
+    merged = sorted(tuple(r) for r in hll_merge(a, b).collect())
+    full = sorted(tuple(r) for r in hll_registers(values, "v", b=6).collect())
+    assert merged == full
+
+
+def test_python_reference_parity(spark, values):
+    reg = hll_registers(values, "v", b=6)
+    rhos = [r["rho"] for r in reg.collect()]
+    got = hll_estimate(reg, b=6).collect()[0]["estimate"]
+    assert got == pytest.approx(hll_estimate_py(rhos, b=6), rel=1e-12)
+
+
+def test_nulls_ignored_and_duplicates_free(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",)], "v string"
+    )
+    reg = hll_registers(df, "v", b=4)
+    reg2 = hll_registers(
+        spark.createDataFrame([("a",), ("b",)], "v string"), "v", b=4
+    )
+    assert sorted(map(tuple, reg.collect())) == sorted(map(tuple, reg2.collect()))
