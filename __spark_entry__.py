@@ -3498,6 +3498,20 @@ def q172_hll_registers(spark, sf):
     )
 
 
+def q173_span_corrupt(spark, sf):
+    """T5 denoising-objective prep (pipeline/masking.py span_corrupt,
+    Raffel et al. 2020 §3.1.4): md5-threshold token masking, adjacent
+    masked tokens collapsed into <extra_id_k> sentinel spans, targets
+    closed with the final sentinel. ONE Exchange total (window and
+    groupBy share the doc_id partitioning — plan-asserted in
+    test_masking.py). The oracle replays the mask decision, the
+    gaps-and-islands span numbering, and both string assemblies."""
+    from nested_pandas_spark.pipeline.masking import span_corrupt
+
+    docs = _t(spark, sf, "documents")
+    return span_corrupt(docs, "text", noise_density=0.15, seed=42)
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4041,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_oov_rate": q170_oov_rate,
         "q171_wet_pipeline": q171_wet_pipeline,
         "q172_hll_registers": q172_hll_registers,
+        "q173_span_corrupt": q173_span_corrupt,
     }
 
 
@@ -5024,6 +5039,54 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q173_span_corrupt": """
+            -- full replay: md5-threshold mask (0.15 -> first 8 hex chars
+            -- < hex(floor(.15 * 16^8)) = '26666666'), lag-based span
+            -- starts, running-sum span ids, sentinel string assembly
+            WITH d AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+                    i -> struct_pack(pos := i, w := ws[i + 1]))) AS t
+                FROM d WHERE len(ws) > 0
+            ), tok AS (
+                SELECT doc_id, t.pos AS pos, t.w AS w,
+                       substr(md5('42:' || CAST(doc_id AS VARCHAR) || ':'
+                           || CAST(t.pos AS VARCHAR)), 1, 8)
+                           < '26666666' AS masked
+                FROM tk
+            ), marked AS (
+                SELECT *, masked AND NOT coalesce(
+                    lag(masked) OVER (PARTITION BY doc_id ORDER BY pos),
+                    FALSE) AS is_start
+                FROM tok
+            ), spn AS (
+                SELECT *, SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+                FROM marked
+            ), pieces AS (
+                SELECT doc_id, pos,
+                    CASE WHEN NOT masked THEN w
+                         WHEN is_start THEN '<extra_id_' || span_id || '>'
+                    END AS in_piece,
+                    CASE WHEN masked AND is_start
+                         THEN '<extra_id_' || span_id || '> ' || w
+                         WHEN masked THEN w END AS tgt_piece,
+                    CASE WHEN is_start THEN 1 ELSE 0 END AS s
+                FROM spn
+            )
+            SELECT doc_id,
+                   string_agg(in_piece, ' ' ORDER BY pos) AS input_text,
+                   CASE WHEN SUM(s) > 0
+                        THEN string_agg(tgt_piece, ' ' ORDER BY pos)
+                             || ' <extra_id_' || SUM(s) || '>'
+                        ELSE '<extra_id_0>' END AS target_text,
+                   CAST(SUM(s) AS INT) AS n_spans
+            FROM pieces GROUP BY doc_id
+        """,
         "q172_hll_registers": """
             -- HLL register replay: md5 -> 32-bit bucket, 60-bit rank tail,
             -- rho = leading zero bits + 1, max per (group, register)
