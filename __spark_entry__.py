@@ -3512,6 +3512,21 @@ def q173_span_corrupt(spark, sf):
     return span_corrupt(docs, "text", noise_density=0.15, seed=42)
 
 
+def q174_embedding_covariance(spark, sf):
+    """Distributed covariance for PCA/whitening (pipeline/embeddings.py
+    embedding_moments): every partition reduces to ONE (n, sum, gram)
+    moment row via mapInArrow, the driver combines numPartitions rows —
+    the collect is O(partitions * d^2), never the corpus. The d*d
+    covariance grid is a bounded output at any scale. Rounded to 9 on
+    both sides (the float sums associate differently per engine; the
+    combined relative error ~1e-13 is far inside the rounding)."""
+    from nested_pandas_spark.pipeline.embeddings import covariance_matrix
+
+    emb = _t(spark, sf, "embeddings")
+    out = covariance_matrix(emb, "embedding", dim=64)
+    return out.select("i", "j", F.round("cov", 9).alias("cov_r9"))
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4056,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_wet_pipeline": q171_wet_pipeline,
         "q172_hll_registers": q172_hll_registers,
         "q173_span_corrupt": q173_span_corrupt,
+        "q174_embedding_covariance": q174_embedding_covariance,
     }
 
 
@@ -5039,6 +5055,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q174_embedding_covariance": """
+            -- population covariance replay: cross join the d x d index
+            -- grid with the vectors, one grouped sum per (i, j)
+            WITH e AS (
+                SELECT embedding AS v FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+            ), g AS (
+                SELECT i.range AS i, j.range AS j
+                FROM range(0, 64) i, range(0, 64) j
+            ), s AS (
+                SELECT g.i, g.j, count(*) AS n,
+                       sum(CAST(v[g.i + 1] AS DOUBLE)
+                           * CAST(v[g.j + 1] AS DOUBLE)) AS sxy,
+                       sum(CAST(v[g.i + 1] AS DOUBLE)) AS sx,
+                       sum(CAST(v[g.j + 1] AS DOUBLE)) AS sy
+                FROM g, e GROUP BY g.i, g.j
+            )
+            SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                   ROUND(sxy / n - (sx / n) * (sy / n), 9) AS cov_r9
+            FROM s
+        """,
         "q173_span_corrupt": """
             -- full replay: md5-threshold mask (0.15 -> first 8 hex chars
             -- < hex(floor(.15 * 16^8)) = '26666666'), lag-based span
