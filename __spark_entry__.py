@@ -3527,6 +3527,17 @@ def q174_embedding_covariance(spark, sf):
     return out.select("i", "j", F.round("cov", 9).alias("cov_r9"))
 
 
+def q175_sentence_stats(spark, sf):
+    """Sentence segmentation profile (pipeline/text.py split_sentences /
+    sentence_stats): RE2-safe maximal-run extraction — the identical
+    pattern executes in Spark's Java regex and DuckDB's RE2 (no
+    lookbehind). Pure HOF expressions over the per-row sentence array:
+    zero shuffle, fused into the scan."""
+    from nested_pandas_spark.pipeline.text import sentence_stats
+
+    return sentence_stats(_t(spark, sf, "documents"))
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4072,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_hll_registers": q172_hll_registers,
         "q173_span_corrupt": q173_span_corrupt,
         "q174_embedding_covariance": q174_embedding_covariance,
+        "q175_sentence_stats": q175_sentence_stats,
     }
 
 
@@ -5055,6 +5067,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q175_sentence_stats": """
+            -- identical RE2 pattern, trim, empty-drop; word counts via
+            -- the shared whitespace tokenization
+            SELECT doc_id,
+                   CAST(len(ss) AS INT) AS n_sentences,
+                   CAST(coalesce(list_sum(list_transform(ss,
+                       s -> len(list_filter(
+                           regexp_split_to_array(lower(s), '\\s+'),
+                           x -> x <> '')))), 0) AS INT) AS sent_words,
+                   CAST(coalesce(list_max(list_transform(ss,
+                       s -> length(s))), 0) AS INT) AS max_sent_chars
+            FROM (
+                SELECT doc_id, list_filter(list_transform(
+                    regexp_extract_all(coalesce(text, ''),
+                                       '[^.!?]+[.!?]*'),
+                    s -> trim(s)), s -> s <> '') AS ss
+                FROM documents
+            )
+        """,
         "q174_embedding_covariance": """
             -- population covariance replay: cross join the d x d index
             -- grid with the vectors, one grouped sum per (i, j)

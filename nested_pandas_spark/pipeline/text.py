@@ -43,6 +43,8 @@ __all__ = [
     "corpus_divergence",
     "divergent_tokens",
     "oov_rate",
+    "split_sentences",
+    "sentence_stats",
 ]
 
 # Tiny stopword lists per language. Deliberately small and hard-coded: the
@@ -1476,4 +1478,40 @@ def oov_rate(
             .otherwise(oov_n / token_n),
         )
         .drop("__vmap")
+    )
+
+
+def split_sentences(text: Column | str) -> Column:
+    """Sentence array via an RE2-safe extraction (no lookbehind, so the
+    same pattern runs in Spark's Java regex AND DuckDB's RE2): each
+    sentence is a maximal run of non-terminator chars plus its trailing
+    ``.!?`` run, trimmed, empties dropped. NULL text -> empty array."""
+    c = F.col(text) if isinstance(text, str) else text
+    raw = F.regexp_extract_all(
+        F.coalesce(c, F.lit("")), F.lit("[^.!?]+[.!?]*"), F.lit(0)
+    )
+    return F.filter(
+        F.transform(raw, lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def sentence_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence profile: count, total words across
+    sentences, longest sentence (chars). Pure HOF expressions over the
+    sentence array — zero shuffle, fused into the scan at any scale."""
+    ss = split_sentences(F.col(text_col))
+    n_words = F.aggregate(
+        F.transform(ss, lambda s: F.size(words(s))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(ss).cast("int").alias("n_sentences"),
+        n_words.cast("int").alias("sent_words"),
+        F.coalesce(
+            F.array_max(F.transform(ss, lambda s: F.length(s))), F.lit(0)
+        ).cast("int").alias("max_sent_chars"),
     )

@@ -3100,3 +3100,49 @@ def test_audio_spectrum_nfft_padding(spark):
     # zero-padding to 64 doubles the bin index resolution: peak at 2k
     [r] = mm.audio_spectrum(bdf, strict=True, n_fft=64).collect()
     assert r["dominant_bin"] == 2 * k
+
+
+# ---------------------------------------------------------------- sentences
+
+
+def test_split_sentences_basics(spark):
+    from nested_pandas_spark.pipeline.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello world. How are you? Fine!! Trailing tail"),
+            (1, None),
+            (2, ""),
+            (3, "..."),
+            (4, "One"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["ss"]
+        for r in df.select("doc_id", split_sentences("text").alias("ss")).collect()
+    }
+    assert got[0] == ["Hello world.", "How are you?", "Fine!!", "Trailing tail"]
+    assert got[1] == [] and got[2] == []
+    assert got[3] == []  # terminator-only text has no sentence content
+    assert got[4] == ["One"]
+
+
+def test_sentence_stats_values_and_no_shuffle(spark):
+    from nested_pandas_spark.pipeline.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [(0, "A b c. D e? F"), (1, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in sentence_stats(df).collect()}
+    assert rows[0]["n_sentences"] == 3
+    assert rows[0]["sent_words"] == 6
+    assert rows[0]["max_sent_chars"] == 6  # "A b c."
+    assert rows[1]["n_sentences"] == 0 and rows[1]["sent_words"] == 0
+    plan = sentence_stats(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert not [
+        l for l in plan.splitlines()
+        if l.startswith("(") and l.split(") ")[1].startswith("Exchange")
+    ]
