@@ -3538,6 +3538,42 @@ def q175_sentence_stats(spark, sf):
     return sentence_stats(_t(spark, sf, "documents"))
 
 
+def q176_unigram_seed(spark, sf):
+    """Unigram-tokenizer seed vocabulary (pipeline/unigram.py
+    unigram_seed, Kudo 2018 §3): substring counts over the distinct-word
+    frequency table — all single chars plus the top-500 multi-char
+    pieces by (count desc, piece asc). One corpus shuffle (word counts),
+    one piece-grain count, one DISTRIBUTED top-k
+    (TakeOrderedAndProject, never a single-partition sort). The oracle
+    replays the substring explosion and ranking in DuckDB list ops."""
+    from nested_pandas_spark.pipeline.unigram import unigram_seed
+
+    return unigram_seed(_t(spark, sf, "documents"), 500)
+
+
+def q177_unigram_encode(spark, sf):
+    """Unigram-LM tokenization end-to-end (pipeline/unigram.py): hard-EM
+    training over the distinct-word table (2 iterations, vocab 200) then
+    Viterbi encoding through the stamped-row assembly. EM is iterative
+    and Viterbi a per-word DP — the documented non-SQL-expressible case,
+    so this entry is rows-only; bit-level correctness is pinned by the
+    pure-Python reference parity suite (tests/test_unigram.py, 8 tests
+    incl. full train/encode equality)."""
+    from nested_pandas_spark.pipeline.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf, "documents")
+    vocab = unigram_train(docs, vocab_size=200, n_iters=2, min_count=2)
+    out = unigram_encode(docs, vocab)
+    return out.select(
+        "doc_id",
+        F.col("pieces_n"),
+        F.md5(F.array_join(F.col("pieces"), " ")).alias("pieces_md5"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4084,6 +4120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_span_corrupt": q173_span_corrupt,
         "q174_embedding_covariance": q174_embedding_covariance,
         "q175_sentence_stats": q175_sentence_stats,
+        "q176_unigram_seed": q176_unigram_seed,
+        "q177_unigram_encode": q177_unigram_encode,
     }
 
 
@@ -5067,6 +5105,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q176_unigram_seed": """
+            -- substring-seed replay: word counts, all substrings of
+            -- length 1..6 weighted by word frequency, chars kept
+            -- unconditionally, top-500 multi by (n desc, piece asc)
+            WITH wc AS (
+                SELECT w AS word, count(*) AS wc FROM (
+                    SELECT unnest(list_filter(regexp_split_to_array(
+                        lower(coalesce(text, '')), '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents
+                ) GROUP BY w
+            ), subs AS (
+                SELECT unnest(flatten(list_transform(
+                    range(1, length(word) + 1), i ->
+                    list_transform(range(i, least(length(word), i + 5) + 1),
+                        j -> word[i:j])))) AS piece, wc
+                FROM wc
+            ), cnt AS (
+                SELECT piece, CAST(sum(wc) AS BIGINT) AS n
+                FROM subs GROUP BY piece
+            )
+            SELECT piece, n FROM cnt WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, n FROM (
+                SELECT piece, n FROM cnt WHERE length(piece) > 1
+                ORDER BY n DESC, piece LIMIT 500
+            )
+        """,
         "q175_sentence_stats": """
             -- identical RE2 pattern, trim, empty-drop; word counts via
             -- the shared whitespace tokenization

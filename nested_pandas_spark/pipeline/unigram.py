@@ -1,0 +1,281 @@
+"""Unigram-LM (SentencePiece-style) subword tokenizer, distributed.
+
+The other major subword family next to BPE (``text.bpe_train``): a
+unigram language model over pieces, trained by EM and decoded by Viterbi
+(Kudo 2018, "Subword Regularization", §3; the SentencePiece trainer).
+This implementation is the deterministic *hard*-EM variant — the E-step
+assigns each word its single Viterbi-best segmentation instead of
+forward-backward expected counts — which keeps every quantity an exact
+integer-weighted count and makes training reproducible to the bit.
+The difference from soft EM is documented, deliberate, and test-pinned
+against a pure-Python reference of the identical algorithm.
+
+Scale shape (the same trick as ``bpe_train``): the corpus collapses ONCE
+to a distinct-word frequency table — the only corpus-sized shuffle.
+Seeding explodes substrings of *words* (bounded by max_piece_len x word
+length), ranks them with a distributed top-k (TakeOrderedAndProject —
+never a single-partition sort). Each EM iteration is one Arrow-batched
+pass over the persisted word table with the current piece table riding
+in the task closure (vocab-sized, ~10^4 entries), followed by a
+piece-grain count aggregation; the driver only ever collects
+vocab-sized count rows. Encoding Viterbi-segments the document corpus's
+own distinct words and joins the (word -> pieces) table back through
+the stamped-row assembly used by ``bpe_encode_vocab`` — document text
+never rides a word-grain shuffle.
+
+EM is iterative and Viterbi is a per-word DP: not expressible in one
+SQL statement, so the driver gate for encode is rows-only; correctness
+is pinned by the Python-reference parity suite in
+``tests/test_unigram.py`` and the fully SQL-oracled seed stage.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+__all__ = [
+    "unigram_seed",
+    "unigram_train",
+    "unigram_encode",
+    "viterbi_segment",
+]
+
+# OOV single characters (absent even from the seed) get this logprob so
+# the DP always completes; they surface as their own pieces.
+_UNK_LOGP = -100.0
+
+
+def viterbi_segment(word: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """Min-cost segmentation of ``word`` under piece logprobs.
+
+    Deterministic tie-break: strictly-better-only updates while scanning
+    split points left to right, so the EARLIEST predecessor (longest
+    first piece among equals) wins. Unknown single chars cost
+    ``_UNK_LOGP``."""
+    n = len(word)
+    best = [math.inf] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for end in range(1, n + 1):
+        for start in range(max(0, end - max_len), end):
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None:
+                if end - start > 1:
+                    continue
+                lp = _UNK_LOGP
+            cost = best[start] - lp
+            if cost < best[end]:
+                best[end] = cost
+                back[end] = start
+    out = []
+    end = n
+    while end > 0:
+        start = back[end]
+        out.append(word[start:end])
+        end = start
+    return out[::-1]
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def unigram_seed(
+    docs: DataFrame,
+    seed_size: int,
+    text_col: str = "text",
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Seed piece table: every substring (length 1..max_piece_len) of
+    every word, weighted by word frequency; all single characters are
+    kept unconditionally (coverage guarantee), multi-char pieces are the
+    top ``seed_size`` by (count desc, piece asc).
+
+    One corpus-sized shuffle (word counts) + one piece-grain count +
+    one distributed top-k. Fully SQL-replayable (oracle-gated)."""
+    if seed_size < 1:
+        raise ValueError("seed_size must be >= 1")
+    wc = _word_counts(docs, text_col)
+    # substring(word, i, l) with column start/len needs the expr form
+    subs = F.expr(
+        f"flatten(transform(sequence(1, length(word)), i -> "
+        f"transform(sequence(i, least(length(word), i + {max_piece_len - 1})), "
+        f"j -> substring(word, i, j - i + 1))))"
+    )
+    counts = (
+        wc.select(F.explode(subs).alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("n"))
+    )
+    chars = counts.where(F.length("piece") == 1)
+    multi = (
+        counts.where(F.length("piece") > 1)
+        .orderBy(F.col("n").desc(), F.col("piece"))
+        .limit(seed_size)
+    )
+    return chars.unionByName(multi).select("piece", F.col("n").cast("long").alias("n"))
+
+
+def _viterbi_table(word_df: DataFrame, logp: dict[str, float], max_len: int) -> DataFrame:
+    """(word, wc, pieces array) via one Arrow-batched pass; the piece
+    table rides in the closure (vocab-sized)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            ws = batch.column(0).to_pylist()
+            wcs = batch.column(1).to_pylist()
+            pieces = [viterbi_segment(w, logp, max_len) for w in ws]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "word": pa.array(ws, pa.string()),
+                    "wc": pa.array(wcs, pa.int64()),
+                    "pieces": pa.array(pieces, pa.list_(pa.string())),
+                }
+            )
+
+    return word_df.select("word", "wc").mapInArrow(
+        gen, "word string, wc long, pieces array<string>"
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    *,
+    max_piece_len: int = 6,
+    seed_size: int | None = None,
+    n_iters: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Train a unigram piece vocabulary; returns (piece, logprob, count).
+
+    Hard-EM: each iteration Viterbi-segments the distinct-word table
+    under the current piece probabilities, re-counts pieces (weighted by
+    word frequency), drops multi-char pieces seen fewer than
+    ``min_count`` times, and renormalizes. After ``n_iters`` the vocab
+    is pruned to the surviving single chars + the top multi-char pieces
+    by (count desc, piece asc) up to ``vocab_size``. A char whose every
+    occurrence is absorbed into larger pieces can drop out entirely —
+    encode still covers any input via the UNK single-char fallback
+    (``_UNK_LOGP``), so coverage never breaks.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    if seed_size is None:
+        seed_size = max(vocab_size * 4, 64)
+    spark = docs.sparkSession
+    word_df = _word_counts(docs, text_col).persist()
+    try:
+        seed = unigram_seed(docs, seed_size, text_col, max_piece_len)
+        counts = {r["piece"]: int(r["n"]) for r in seed.collect()}
+        logp = _normalize(counts)
+        for _ in range(n_iters):
+            seg = _viterbi_table(word_df, logp, max_piece_len)
+            rows = (
+                seg.select(F.explode("pieces").alias("piece"), "wc")
+                .groupBy("piece")
+                .agg(F.sum("wc").alias("n"))
+                .collect()
+            )
+            counts = {r["piece"]: int(r["n"]) for r in rows}
+            kept = {
+                p: n
+                for p, n in counts.items()
+                if len(p) == 1 or n >= min_count
+            }
+            logp = _normalize(kept)
+            counts = kept
+        chars = {p: n for p, n in counts.items() if len(p) == 1}
+        multi = sorted(
+            ((p, n) for p, n in counts.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[: max(0, vocab_size - len(chars))]
+        final = dict(chars)
+        final.update(dict(multi))
+        logp = _normalize(final)
+        return spark.createDataFrame(
+            sorted(
+                ((p, logp[p], n) for p, n in final.items()),
+                key=lambda t: (-t[2], t[0]),
+            ),
+            "piece string, logprob double, count long",
+        )
+    finally:
+        word_df.unpersist()
+
+
+def _normalize(counts: dict[str, int]) -> dict[str, float]:
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("empty corpus: no pieces to normalize")
+    return {p: math.log(n / total) for p, n in counts.items()}
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    out: str = "pieces",
+    *,
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Viterbi-encode documents against a trained (piece, logprob) table.
+
+    The corpus's own distinct words are segmented once (word-grain
+    Arrow pass, piece table in the closure), then joined back through
+    the stamped-row assembly of ``bpe_encode_vocab`` (text.py): stamp,
+    posexplode, join on word, ``collect_list`` on the synthetic row id,
+    one join back. NULL text -> NULL pieces; empty -> empty array."""
+    logp = {r["piece"]: float(r["logprob"]) for r in vocab.collect()}
+    if not logp:
+        raise ValueError("empty vocab")
+    stamped = docs.withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    exploded = stamped.where(F.col(text_col).isNotNull()).select(
+        "__row_id", F.posexplode(words(F.col(text_col))).alias("__pos", "__w")
+    )
+    word_df = exploded.groupBy(F.col("__w").alias("word")).agg(
+        F.count("*").alias("wc")
+    )
+    seg = _viterbi_table(word_df, logp, max_piece_len).select(
+        F.col("word").alias("__w"), F.col("pieces").alias("__wp")
+    )
+    per_word = exploded.join(seg, on="__w", how="left")
+    assembled = per_word.groupBy("__row_id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(__pos, __wp))), "
+            "s -> s.__wp))"
+        ).alias("__pieces")
+    )
+    qt = "`" + text_col.replace("`", "``") + "`"
+    return (
+        stamped.join(assembled, on="__row_id", how="left")
+        .withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN {qt} IS NULL THEN NULL "
+                f"ELSE coalesce(__pieces, array()) END"
+            ),
+        )
+        .withColumn(
+            f"{out}_n",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(F.size(F.col(out)).cast("long")),
+        )
+        .drop("__row_id", "__pieces")
+    )
