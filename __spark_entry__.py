@@ -3574,6 +3574,85 @@ def q177_unigram_encode(spark, sf):
     )
 
 
+def q178_cms_sketch(spark, sf):
+    """Count-Min frequency sketch (pipeline/sketches.py cms_sketch,
+    Cormode & Muthukrishnan 2005) over the corpus token stream: 4 x 256
+    integer cells, overestimate-only error <= 2n/width at confidence
+    1 - 2^-4, mergeable by cell-wise sum (property-tested). The shuffle
+    carries at most depth*width partial-count rows per task — sketch
+    cells, never tokens. The oracle replays the md5 row-hash family."""
+    from nested_pandas_spark.pipeline.sketches import cms_sketch
+
+    docs = _t(spark, sf, "documents")
+    from nested_pandas_spark.pipeline.text import words
+
+    tokens = docs.select(F.explode(words(F.col("text"))).alias("w"))
+    return cms_sketch(tokens, "w", depth=4, width=256).select(
+        F.col("d").cast("int").alias("d"),
+        F.col("w_idx").cast("long").alias("w_idx"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q179_stream_hll(spark, sf):
+    """Streaming cardinality monitoring: hll_registers is
+    streaming-ready AS-IS because max is a supported streaming
+    aggregate — the events table arrives as two micro-batches
+    (maxFilesPerTrigger=1), distinct-user registers accumulate in the
+    state store (bounded: 2^b rows per event_type, forever), and the
+    final complete-mode table equals the batch sketch exactly, so the
+    batch SQL replay is a FULL oracle for the streaming run
+    (stream==batch also pinned in test_sketches.py)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nested_pandas_spark.pipeline.sketches import hll_registers
+
+    ev = _t(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="q179_stream_")
+    try:
+        import glob as _g
+        import os as _os
+
+        stage = f"{d}/flat"
+        _os.makedirs(stage)
+        for i, half in enumerate(
+            (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+        ):
+            ev.where(half).coalesce(1).write.parquet(
+                f"{d}/h{i}", mode="overwrite"
+            )
+            shutil.copy(
+                sorted(_g.glob(f"{d}/h{i}/*.parquet"))[0],
+                f"{stage}/{i:03d}.parquet",
+            )
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .schema(ev.schema)
+            .parquet(stage)
+        )
+        reg = hll_registers(stream, "user_id", b=6, by=["event_type"])
+        name = "q179_mem_" + uuid.uuid4().hex[:8]
+        q = (
+            reg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            "event_type",
+            F.col("reg_idx").cast("long").alias("reg_idx"),
+            F.col("rho").cast("int").alias("rho"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4122,6 +4201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_sentence_stats": q175_sentence_stats,
         "q176_unigram_seed": q176_unigram_seed,
         "q177_unigram_encode": q177_unigram_encode,
+        "q178_cms_sketch": q178_cms_sketch,
+        "q179_stream_hll": q179_stream_hll,
     }
 
 
@@ -5105,6 +5186,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q178_cms_sketch": """
+            -- Count-Min cell replay: depth row-hashes from the shared
+            -- md5 family, one grouped count per non-empty cell
+            WITH tk AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS w
+                FROM documents
+            ), cells AS (
+                SELECT d.range AS d,
+                       ('0x' || substr(md5(CAST(d.range AS VARCHAR)
+                           || ':' || w), 1, 8))::BIGINT % 256 AS w_idx
+                FROM tk, range(0, 4) d
+            )
+            SELECT CAST(d AS INT) AS d, w_idx, count(*) AS cnt
+            FROM cells GROUP BY d, w_idx
+        """,
+        "q179_stream_hll": """
+            -- the streaming complete-mode result equals the batch
+            -- sketch: replay the HLL register arithmetic over events
+            WITH h AS (
+                SELECT event_type,
+                       md5(CAST(user_id AS VARCHAR)) AS h
+                FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+                SELECT event_type,
+                       ('0x' || substr(h, 1, 8))::BIGINT % 64 AS reg_idx,
+                       CASE WHEN regexp_replace(substr(h, 9, 15), '^0+', '') = ''
+                            THEN 61
+                            ELSE 4 * (15 - length(regexp_replace(substr(h, 9, 15), '^0+', '')))
+                                 + CASE WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 8 THEN 0
+                                        WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 4 THEN 1
+                                        WHEN ('0x' || substr(regexp_replace(substr(h, 9, 15), '^0+', ''), 1, 1))::INT >= 2 THEN 2
+                                        ELSE 3 END + 1 END AS rho
+                FROM h
+            )
+            SELECT event_type, reg_idx, CAST(max(rho) AS INT) AS rho
+            FROM r GROUP BY event_type, reg_idx
+        """,
         "q176_unigram_seed": """
             -- substring-seed replay: word counts, all substrings of
             -- length 1..6 weighted by word frequency, chars kept

@@ -35,6 +35,9 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_count_distinct",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
 ]
 
 # Registers use the first 8 hex chars of md5 for the bucket index and the
@@ -164,6 +167,95 @@ def hll_count_distinct(
     """Convenience: sketch then estimate in one call."""
     return hll_estimate(
         hll_registers(df, value, b=b, by=by), b=b, by=by
+    )
+
+
+def _cms_idx(value: Column, d: int, width: int) -> Column:
+    """Row d's bucket for ``value``: md5(d:value) first 8 hex as int mod
+    width — the same engine-portable hash family as the HLL bucket."""
+    h = F.md5(F.concat_ws(":", F.lit(str(d)), value.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width)
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): frequency
+    estimates for EVERY value in ``depth * width`` integer cells, with
+    overestimate-only error ``<= 2n/width`` at confidence
+    ``1 - 2^-depth``.
+
+    Returns one row per non-empty cell: ``by..., d, w_idx, cnt``. Cells
+    merge across sketches by summing (see :func:`cms_merge`) — the
+    mergeable heavy-hitter counter for incremental corpus monitoring.
+
+    100 TB: the explode is depth x rows, but map-side partial counts
+    collapse each task to at most ``depth * width`` rows per group
+    before the exchange — the shuffle carries sketch cells, never
+    values (same shape as :func:`hll_registers`)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    c = F.col(value) if isinstance(value, str) else value
+    keys = list(by or [])
+    rows = df.where(c.isNotNull()).select(
+        *keys,
+        F.posexplode(
+            F.array(*[_cms_idx(c, d, width) for d in range(depth)])
+        ).alias("d", "w_idx"),
+    )
+    return rows.groupBy(*keys, "d", "w_idx").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge Count-Min sketches: union cells, sum counts per cell."""
+    keys = list(by or [])
+    out = sketches[0]
+    for other in sketches[1:]:
+        out = out.unionByName(other)
+    return out.groupBy(*keys, "d", "w_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Estimated frequency of each item: ``min_d cnt[d, h_d(item)]``.
+
+    ``items`` fans out to its depth probe cells, joins the sketch
+    (broadcast when the sketch is one group: depth*width cells), and
+    takes the per-item min; absent cells count 0. Estimates are always
+    ``>= true count`` (property-tested)."""
+    keys = list(by or [])
+    c = F.col(item_col)
+    probes = items.select(
+        *keys,
+        item_col,
+        F.posexplode(
+            F.array(*[_cms_idx(c, d, width) for d in range(depth)])
+        ).alias("d", "w_idx"),
+    )
+    joined = probes.join(sketch, on=[*keys, "d", "w_idx"], how="left")
+    return (
+        joined.groupBy(*keys, item_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
     )
 
 

@@ -104,3 +104,99 @@ def test_nulls_ignored_and_duplicates_free(spark):
         spark.createDataFrame([("a",), ("b",)], "v string"), "v", b=4
     )
     assert sorted(map(tuple, reg.collect())) == sorted(map(tuple, reg2.collect()))
+
+
+# ------------------------------------------------------------- Count-Min
+
+
+def test_cms_never_underestimates_and_bounds(spark, values):
+    from nested_pandas_spark.pipeline.sketches import cms_estimate, cms_sketch
+
+    sk = cms_sketch(values, "v", depth=4, width=256)
+    items = values.select("v").distinct()
+    est = {r["v"]: r["est"] for r in cms_estimate(sk, items, "v", depth=4, width=256).collect()}
+    true = {
+        r["v"]: r["n"]
+        for r in values.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = values.count()
+    for v, t in true.items():
+        assert est[v] >= t  # CMS never underestimates
+        assert est[v] - t <= 2 * n_total / 256 * 4  # loose epsilon bound
+
+
+def test_cms_merge_equals_union(spark, values):
+    from nested_pandas_spark.pipeline.sketches import cms_merge, cms_sketch
+
+    a = cms_sketch(values.where("grp = 0"), "v")
+    b = cms_sketch(values.where("grp <> 0"), "v")
+    merged = sorted(tuple(r) for r in cms_merge(a, b).collect())
+    full = sorted(tuple(r) for r in cms_sketch(values, "v").collect())
+    assert merged == full
+
+
+def test_cms_duckdb_parity(spark, values):
+    from nested_pandas_spark.pipeline.sketches import cms_sketch
+
+    got = sorted(tuple(r) for r in cms_sketch(values, "v", depth=3, width=64).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp INT, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [tuple(r) for r in values.collect()])
+    want = sorted(
+        con.execute(
+            """
+        WITH cells AS (
+            SELECT d.range AS d,
+                   ('0x' || substr(md5(CAST(d.range AS VARCHAR) || ':' || v), 1, 8))::BIGINT % 64 AS w_idx
+            FROM t, range(0, 3) d WHERE v IS NOT NULL
+        )
+        SELECT CAST(d AS INT) AS d, w_idx, count(*) AS cnt
+        FROM cells GROUP BY d, w_idx
+        """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hll_streaming_equals_batch(spark, tmp_path):
+    """hll_registers is streaming-ready as-is: max is a supported
+    streaming aggregate, so two micro-batches in complete mode land on
+    the exact batch register table."""
+    import shutil
+    import uuid
+
+    from nested_pandas_spark.pipeline.sketches import hll_registers
+
+    src = spark.createDataFrame(
+        [(i % 4, f"u{i % 37}") for i in range(500)], "grp int, v string"
+    )
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    src.where("grp < 2").write.parquet(str(d / "p0"))
+    src.where("grp >= 2").write.parquet(str(d / "p1"))
+    # flatten into one dir of files for maxFilesPerTrigger
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for sub in ["p0", "p1"]:
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, flat / f"{n:03d}.parquet")
+            n += 1
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", str(max(1, n // 2)))
+        .schema(src.schema)
+        .parquet(str(flat))
+    )
+    reg_s = hll_registers(stream, "v", b=5, by=["grp"])
+    name = "hllmem_" + uuid.uuid4().hex[:8]
+    q = (
+        reg_s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(tuple(r) for r in hll_registers(src, "v", b=5, by=["grp"]).collect())
+    assert got == want
