@@ -713,6 +713,69 @@ def main() -> None:
 
     bench_extra("corpus_divergence", x_divergence)
 
+    def x_hll():
+        from nested_pandas_spark.pipeline.sketches import (
+            hll_count_distinct,
+        )
+
+        return hll_count_distinct(
+            t("lineitem"), "l_partkey", b=10, by=["l_returnflag"]
+        ).collect()
+
+    bench_extra("hll_count_distinct", x_hll)
+
+    def x_cms():
+        from nested_pandas_spark.pipeline.sketches import cms_sketch
+        from nested_pandas_spark.pipeline.text import words
+
+        tokens = t("documents").select(
+            F.explode(words(F.col("text"))).alias("w"))
+        return cms_sketch(tokens, "w", depth=4, width=256).count()
+
+    bench_extra("cms_sketch", x_cms)
+
+    def x_span_corrupt():
+        from nested_pandas_spark.pipeline.masking import span_corrupt
+
+        return span_corrupt(t("documents"), "text").select(
+            F.sum("n_spans")).collect()
+
+    bench_extra("span_corrupt", x_span_corrupt)
+
+    def x_pca():
+        from nested_pandas_spark.pipeline.embeddings import (
+            pca_fit, pca_transform,
+        )
+
+        emb = t("embeddings")
+        model = pca_fit(emb, k=16, vec_col="embedding", dim=64,
+                        whiten=True)
+        return pca_transform(emb, model, "embedding").select(
+            F.sum(F.element_at("pca", 1))).collect()
+
+    bench_extra("pca_fit_transform", x_pca)
+
+    def x_unigram():
+        from nested_pandas_spark.pipeline.unigram import (
+            unigram_encode, unigram_train,
+        )
+
+        docs = t("documents")
+        vocab = unigram_train(docs, vocab_size=200, n_iters=2,
+                              min_count=2)
+        return unigram_encode(docs, vocab).select(
+            F.sum("pieces_n")).collect()
+
+    bench_extra("unigram_train_encode", x_unigram)
+
+    def x_sentences():
+        from nested_pandas_spark.pipeline.text import sentence_stats
+
+        return sentence_stats(t("documents")).select(
+            F.sum("sent_words")).collect()
+
+    bench_extra("sentence_stats", x_sentences)
+
     # headline total stays the round-1..3 query set so round-over-round
     # totals compare; the bucketed variants are reported per-query + ratio
     headline = [q for q in queries if not q.endswith("_bucketed")]

@@ -941,6 +941,99 @@ def main() -> int:
         )[:400],
     ))
 
+    # -- 33. Sketches: partial agg caps the shuffle at sketch size ----------
+    from nested_pandas_spark.pipeline.sketches import cms_sketch, hll_registers
+    from nested_pandas_spark.pipeline.text import words as _words
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p33 = explain_str(
+        hll_registers(li, "l_partkey", b=6, by=["l_returnflag"])
+    )
+    check(
+        "HLL partial max runs map-side before the exchange",
+        "partial_max" in p33
+        and p33.index("partial_max") > p33.index("Exchange"),
+        "no map-side partial_max below the exchange in the HLL plan",
+    )
+    tokens = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.explode(_words(F.col("text"))).alias("w")
+    )
+    p33b = explain_str(cms_sketch(tokens, "w", depth=4, width=64))
+    check(
+        "CMS partial count runs map-side before the exchange",
+        "partial_count" in p33b
+        and p33b.index("partial_count") > p33b.index("Exchange"),
+        "no map-side partial_count below the exchange in the CMS plan",
+    )
+    sections.append((
+        "HLL / Count-Min sketches: the exchange carries cells, not values",
+        "Both sketch builders aggregate with partial map-side functions "
+        "(max of rho / count per cell), so each task contributes at most "
+        "2^b (HLL) or depth*width (CMS) rows per group to the shuffle — "
+        "the sketch property that makes cardinality/frequency monitoring "
+        "affordable at 100 TB. (In 'formatted' explain the Exchange node "
+        "prints above its input HashAggregate, hence the index check.)",
+        "\n".join(
+            ln.strip() for ln in p33.splitlines()
+            if "Exchange" in ln or "partial" in ln or "Functions" in ln
+        )[:400],
+    ))
+
+    # -- 34. span_corrupt: window + groupBy share ONE exchange --------------
+    from nested_pandas_spark.pipeline.masking import span_corrupt
+
+    p34 = explain_str(
+        span_corrupt(spark.read.parquet(f"{sf}/documents.parquet"), "text")
+    )
+    n_ex34 = p34.count("Arguments: hashpartitioning")
+    check(
+        "span_corrupt plans exactly one hash exchange",
+        n_ex34 == 1,
+        f"expected 1 hash exchange (window+groupBy shared), saw {n_ex34}",
+    )
+    sections.append((
+        "T5 span corruption: one doc_id exchange for window AND re-group",
+        "The token window (lag/running-sum span ids) and the final "
+        "per-document string assembly groupBy both key on doc_id, so "
+        "Catalyst reuses one hashpartitioning exchange for the whole "
+        "operator — corpus text crosses the wire once.",
+        "\n".join(
+            ln.strip() for ln in p34.splitlines()
+            if "Exchange" in ln or "Window" in ln or "Aggregate" in ln
+        )[:400],
+    ))
+
+    # -- 35. PCA transform: broadcast matrix, zero shuffle, pure JVM --------
+    from nested_pandas_spark.pipeline.embeddings import pca_fit, pca_transform
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    model = pca_fit(emb, k=8, vec_col="embedding", dim=64)
+    p35 = explain_str(pca_transform(emb, model, "embedding"))
+    check(
+        "PCA projection is broadcast + zero shuffle",
+        "BroadcastExchange" in p35
+        and p35.count("Arguments: hashpartitioning") == 0,
+        "projection should broadcast the matrix row and add no exchange",
+    )
+    check(
+        "PCA projection stays in the JVM",
+        "MapInPandas" not in p35 and "BatchEvalPython" not in p35
+        and "MapInArrow" not in p35,
+        "the transform (not the fit) must be a pure HOF projection",
+    )
+    sections.append((
+        "PCA/whitening projection: one broadcast matrix row, no Python",
+        "pca_fit reduces each partition to one (n, sum, gram) moment row "
+        "via mapInArrow (driver collects numPartitions rows, never data); "
+        "the transform ships the (k x d) matrix as ONE broadcast row and "
+        "projects with transform/zip_with/aggregate HOFs — O(1) plan "
+        "nodes, zero shuffle, whole-stage codegen.",
+        "\n".join(
+            ln.strip() for ln in p35.splitlines()
+            if "Broadcast" in ln or "Project" in ln
+        )[:400],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",

@@ -359,6 +359,49 @@ def main() -> int:
                 docs.where(F.col("lang") == "en"),
                 docs.where(F.col("lang") == "de")).collect()
 
+        def hll():
+            # sketch-sized shuffle: partial max caps each task at m rows
+            # per group regardless of data volume
+            from nested_pandas_spark.pipeline.sketches import hll_registers
+            hll_registers(t(d, "lineitem"), "l_partkey", b=8,
+                          by=["l_returnflag"]).count()
+
+        def cms():
+            from nested_pandas_spark.pipeline.sketches import cms_sketch
+            from nested_pandas_spark.pipeline.text import words
+            tokens = t(d, "documents").select(
+                F.explode(words(F.col("text"))).alias("w"))
+            cms_sketch(tokens, "w", depth=4, width=256).count()
+
+        def spancorr():
+            # window + groupBy share one doc_id Exchange (plan-asserted)
+            from nested_pandas_spark.pipeline.masking import span_corrupt
+            span_corrupt(t(d, "documents"), "text").select(
+                F.sum("n_spans")).collect()
+
+        def pca_moments():
+            # one moment row per partition; collect is O(parts * d^2)
+            from nested_pandas_spark.pipeline.embeddings import (
+                embedding_moments,
+            )
+            embedding_moments(t(d, "embeddings"), "embedding", dim=64)
+
+        def sent_stats():
+            from nested_pandas_spark.pipeline.text import sentence_stats
+            sentence_stats(t(d, "documents")).select(
+                F.sum("sent_words")).collect()
+
+        def unigram_enc():
+            # train (word-grain EM) + Viterbi encode, both scale with the
+            # distinct-word table, not the corpus text volume
+            from nested_pandas_spark.pipeline.unigram import (
+                unigram_encode, unigram_train,
+            )
+            vocab = unigram_train(t(d, "documents"), 100, n_iters=1,
+                                  min_count=2)
+            unigram_encode(t(d, "documents"), vocab).select(
+                F.sum("pieces_n")).collect()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -396,6 +439,12 @@ def main() -> int:
             "bloom_dedup": bloom_dd,
             "pagerank_3it": pr,
             "corpus_divergence": divergence,
+            "hll_registers": hll,
+            "cms_sketch": cms,
+            "span_corrupt": spancorr,
+            "pca_moments": pca_moments,
+            "sentence_stats": sent_stats,
+            "unigram_encode": unigram_enc,
         }
 
     # warm-up
