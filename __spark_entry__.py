@@ -3653,6 +3653,30 @@ def q179_stream_hll(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q180_histogram_quantiles(spark, sf):
+    """Mergeable equi-width histogram quantiles (pipeline/sketches.py
+    histogram_sketch / histogram_quantiles): the quantile leg of the
+    monitoring sketch triad (HLL cardinality q172/q179, CMS frequency
+    q178). Bin counts are integers, the estimate is
+    lo + (bin + 0.5) * width with width an exact binary double — every
+    compared value is bit-deterministic in both engines. The only
+    shuffles are bin-grain partial counts and a bins-bounded per-group
+    collect."""
+    from nested_pandas_spark.pipeline.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    sk = histogram_sketch(
+        li, "l_extendedprice", 0.0, 110000.0, bins=1100,
+        by=["l_returnflag"],
+    )
+    return histogram_quantiles(
+        sk, [0.5, 0.9], 0.0, 110000.0, bins=1100, by=["l_returnflag"]
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4203,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_unigram_encode": q177_unigram_encode,
         "q178_cms_sketch": q178_cms_sketch,
         "q179_stream_hll": q179_stream_hll,
+        "q180_histogram_quantiles": q180_histogram_quantiles,
     }
 
 
@@ -5186,6 +5211,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q180_histogram_quantiles": """
+            -- bin replay (clamped equi-width), window cumsum, first bin
+            -- whose cumulative count reaches ceil(q * n); width=100.0 is
+            -- an exact binary double so estimates are bit-deterministic
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(least(greatest(floor(
+                           CAST(l_extendedprice AS DOUBLE) / 100.0), 0),
+                           1099) AS INT) AS bin,
+                       count(*) AS cnt
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+                GROUP BY 1, 2
+            ), g AS (
+                SELECT l_returnflag, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY l_returnflag
+                                      ORDER BY bin) AS hi_rank,
+                       sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+                FROM s
+            )
+            SELECT l_returnflag,
+                   CAST(max(n) AS BIGINT) AS n,
+                   (min(CASE WHEN hi_rank >= greatest(1, ceil(0.5 * n))
+                             THEN bin END) + 0.5) * 100.0 AS q50,
+                   (min(CASE WHEN hi_rank >= greatest(1, ceil(0.9 * n))
+                             THEN bin END) + 0.5) * 100.0 AS q90
+            FROM g GROUP BY l_returnflag
+        """,
         "q178_cms_sketch": """
             -- Count-Min cell replay: depth row-hashes from the shared
             -- md5 family, one grouped count per non-empty cell

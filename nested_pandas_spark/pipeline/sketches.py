@@ -38,6 +38,9 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
+    "histogram_sketch",
+    "histogram_merge",
+    "histogram_quantiles",
 ]
 
 # Registers use the first 8 hex chars of md5 for the bucket index and the
@@ -257,6 +260,94 @@ def cms_estimate(
             .alias("est")
         )
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value: Column | str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram sketch: the mergeable quantile companion to
+    :func:`hll_registers` / :func:`cms_sketch`. One row per non-empty
+    bin: ``by..., bin, cnt`` with ``bin = clamp(floor((v - lo) / w))``
+    (values outside [lo, hi) land in the edge bins, so mass is never
+    lost). Merge = cell-wise sum; quantile error is bounded by one bin
+    width. Same shuffle shape as the other sketches: map-side partial
+    counts cap each task at ``bins`` rows per group."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    c = F.col(value) if isinstance(value, str) else value
+    keys = list(by or [])
+    width = (hi - lo) / bins
+    raw = F.floor((c.cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.where(c.isNotNull())
+        .select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_merge(
+    *sketches: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Merge histogram sketches: union bins, sum counts."""
+    keys = list(by or [])
+    out = sketches[0]
+    for other in sketches[1:]:
+        out = out.unionByName(other)
+    return out.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch, one row per group:
+    the value is interpolated within the bin containing the target rank
+    (error <= one bin width). Runs entirely as grouped HOF arithmetic on
+    the collected-per-group bin list — the only shuffle is the
+    group-sized collect_list, bounded at ``bins`` rows per group."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    keys = list(by or [])
+    width = (hi - lo) / bins
+    g = sketch.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bin"), F.col("cnt")))
+        ).alias("__bins"),
+        F.sum("cnt").alias("__n"),
+    )
+    cum = F.expr(
+        "aggregate(__bins, CAST(array() AS array<struct<bin:int,hi_rank:bigint>>), "
+        "(acc, x) -> acc || array(named_struct('bin', x.bin, 'hi_rank', "
+        "coalesce(try_element_at(acc, -1).hi_rank, CAST(0 AS bigint)) + x.cnt)))"
+    )
+    g = g.withColumn("__cum", cum)
+    cols = list(keys) + [F.col("__n").alias("n")]
+    for q in qs:
+        rank = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.lit(float(q)) * F.col("__n")).cast("bigint"),
+        )
+        picked = F.filter(F.col("__cum"), lambda x: x["hi_rank"] >= rank)
+        bin_idx = F.element_at(picked, 1)["bin"]
+        est = F.lit(lo) + (bin_idx.cast("double") + F.lit(0.5)) * F.lit(width)
+        cols.append(est.alias(f"q{int(round(q * 100)):02d}"))
+    return g.select(*cols)
 
 
 def hll_estimate_py(rhos: list[int], b: int) -> float:

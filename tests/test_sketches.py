@@ -200,3 +200,68 @@ def test_hll_streaming_equals_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.table(name).collect())
     want = sorted(tuple(r) for r in hll_registers(src, "v", b=5, by=["grp"]).collect())
     assert got == want
+
+
+# ------------------------------------------------------------ histogram
+
+
+def test_histogram_counts_and_edges(spark):
+    from nested_pandas_spark.pipeline.sketches import histogram_sketch
+
+    df = spark.createDataFrame(
+        [(float(v) if v is not None else None,)
+         for v in [-5, 0, 0.5, 9.99, 10, 15, None]],
+        "v double",
+    )
+    sk = {r["bin"]: r["cnt"] for r in histogram_sketch(df, "v", 0.0, 10.0, bins=10).collect()}
+    # -5 clamps to bin 0; 0 and 0.5 in bin 0; 9.99 in bin 9; 10 and 15 clamp to bin 9
+    assert sk[0] == 3 and sk[9] == 3 and sum(sk.values()) == 6
+
+
+def test_histogram_merge_and_quantiles(spark):
+    import numpy as np
+
+    from nested_pandas_spark.pipeline.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    vals = [(i % 3, float((i * 37) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(vals, "grp int, v double")
+    a = histogram_sketch(df.where("grp = 0"), "v", 0.0, 1000.0, bins=100, by=["grp"])
+    b = histogram_sketch(df.where("grp <> 0"), "v", 0.0, 1000.0, bins=100, by=["grp"])
+    merged = sorted(tuple(r) for r in histogram_merge(a, b, by=["grp"]).collect())
+    full_sk = histogram_sketch(df, "v", 0.0, 1000.0, bins=100, by=["grp"])
+    assert merged == sorted(tuple(r) for r in full_sk.collect())
+    est = {
+        r["grp"]: (r["q50"], r["q90"], r["n"])
+        for r in histogram_quantiles(
+            full_sk, [0.5, 0.9], 0.0, 1000.0, bins=100, by=["grp"]
+        ).collect()
+    }
+    arr = np.array([v for _, v in vals if _ is not None])
+    for g in (0, 1, 2):
+        gv = np.sort(np.array([v for k, v in vals if k == g]))
+        assert est[g][2] == len(gv)
+        # error bounded by one bin width (10.0)
+        assert abs(est[g][0] - gv[int(np.ceil(0.5 * len(gv))) - 1]) <= 10.0
+        assert abs(est[g][1] - gv[int(np.ceil(0.9 * len(gv))) - 1]) <= 10.0
+
+
+def test_histogram_validation(spark):
+    import pytest as _pt
+
+    from nested_pandas_spark.pipeline.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pt.raises(ValueError):
+        histogram_sketch(df, "v", 5.0, 5.0)
+    with _pt.raises(ValueError):
+        histogram_sketch(df, "v", 0.0, 1.0, bins=0)
+    sk = histogram_sketch(df, "v", 0.0, 1.0, bins=4)
+    with _pt.raises(ValueError):
+        histogram_quantiles(sk, [1.5], 0.0, 1.0, bins=4)
