@@ -3677,6 +3677,38 @@ def q180_histogram_quantiles(spark, sf):
     )
 
 
+def q181_jsonl_roundtrip(spark, sf):
+    """JSONL corpus interchange (sources/jsonl.py): documents written as
+    4 gzip'd JSON-Lines shards (uniform round-robin sizing — the shape
+    public corpus releases use), read back through the distributed
+    reader with a MANDATORY schema (inference is a full extra 100 TB
+    pass and silently unions drifting types — refused by contract).
+    write(read(x)) must be the identity; the oracle replays counts and
+    hashes off documents directly."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.pipeline.text import token_count
+    from nested_pandas_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="q181_jsonl_")
+    try:
+        write_jsonl(docs, f"{d}/corpus", compression="gzip", num_files=4)
+        back = read_jsonl(
+            spark, f"{d}/corpus", "doc_id long, text string"
+        ).select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
+            token_count(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("token_n"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4228,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_cms_sketch": q178_cms_sketch,
         "q179_stream_hll": q179_stream_hll,
         "q180_histogram_quantiles": q180_histogram_quantiles,
+        "q181_jsonl_roundtrip": q181_jsonl_roundtrip,
     }
 
 
@@ -5211,6 +5244,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q181_jsonl_roundtrip": """
+            -- write(read(x)) identity: counts/hashes replay straight
+            -- off documents (NULL text serializes as an absent field
+            -- and reads back NULL -> coalesce both sides)
+            SELECT doc_id,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')),
+                                             '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS token_n,
+                   md5(coalesce(text, '')) AS text_md5
+            FROM documents
+        """,
         "q180_histogram_quantiles": """
             -- bin replay (clamped equi-width), window cumsum, first bin
             -- whose cumulative count reaches ceil(q * n); width=100.0 is
