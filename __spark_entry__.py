@@ -3709,6 +3709,47 @@ def q181_jsonl_roundtrip(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q182_audio_fingerprint(spark, sf):
+    """Acoustic fingerprint through a REAL WAV decode (pipeline/
+    multimodal.py audio_fingerprint, Haitsma-Kalker 2002 energy-delta
+    bits): every document becomes a PCM-16 WAV of 33 constant-amplitude
+    frames with a_j = ((doc_id*7 + j*13) % 29) * 400, so frame energy
+    order — hence every fingerprint bit — is ground truth from doc_id
+    alone. strict=True: header walk + energy chain must be real. The
+    oracle rebuilds the 32-bit fingerprint with integer arithmetic."""
+    import struct
+
+    import pandas as pd
+
+    from nested_pandas_spark.pipeline import multimodal as mm
+
+    ids = [int(r["doc_id"]) for r in
+           _t(spark, sf, "documents").select("doc_id").collect()]
+    frame, n_frames = 16, 33
+
+    def wav(doc_id: int) -> bytes:
+        samples = []
+        for j in range(n_frames):
+            a = ((doc_id * 7 + j * 13) % 29) * 400
+            samples.extend([a] * frame)
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return bytes(
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "payload": [wav(i) for i in ids]}),
+        "doc_id long, payload binary",
+    )
+    out = mm.audio_fingerprint(
+        bdf, frame=frame, n_frames=n_frames, strict=True
+    )
+    return out.select("doc_id", F.col("afp").cast("long").alias("afp"))
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4261,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_stream_hll": q179_stream_hll,
         "q180_histogram_quantiles": q180_histogram_quantiles,
         "q181_jsonl_roundtrip": q181_jsonl_roundtrip,
+        "q182_audio_fingerprint": q182_audio_fingerprint,
     }
 
 
@@ -5244,6 +5286,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q182_audio_fingerprint": """
+            -- integer replay of the energy-delta bit chain: constant
+            -- per-frame amplitude means frame-energy order == amplitude
+            -- order; bit j set iff a_{j+1} > a_j
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN ((doc_id * 7 + (j + 1) * 13) % 29)
+                               > ((doc_id * 7 + j * 13) % 29)
+                            THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT)
+                       AS afp
+            FROM documents
+        """,
         "q181_jsonl_roundtrip": """
             -- write(read(x)) identity: counts/hashes replay straight
             -- off documents (NULL text serializes as an absent field

@@ -45,6 +45,8 @@ __all__ = [
     "sample_video_frames",
     "audio_features",
     "audio_spectrum",
+    "audio_fingerprint",
+    "audio_near_pairs",
     "phash_df",
     "image_near_pairs",
 ]
@@ -807,5 +809,91 @@ def image_near_pairs(
     ).select(F.col(id_col), F.col("__ph"))
     return hamming_near_pairs(
         hashed, id_col, "__ph", bits=hash_h * hash_w,
+        max_hamming=max_hamming, block_bits=block_bits,
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    frame: int = 512,
+    n_frames: int = 33,
+    strict: bool = False,
+    out: str = "afp",
+) -> DataFrame:
+    """Energy-delta acoustic fingerprint: ``n_frames - 1`` bits, bit j
+    set iff frame j+1 carries more energy than frame j (the classic
+    Haitsma-Kalker 2002 shape reduced to one band — robust to gain
+    because energy ORDER survives amplitude scaling). Defaults produce
+    a 32-bit fingerprint ready for :func:`audio_near_pairs` /
+    ``dedup.hamming_near_pairs``.
+
+    Decodes like :func:`audio_features` (REAL RIFF/WAVE PCM;
+    ``strict=True`` raises on other formats, ``strict=False`` uses the
+    raw-uint8 stub). Clips shorter than ``frame * n_frames`` samples
+    zero-pad (missing frames have zero energy). Arrow-batched
+    ``mapInPandas``; payloads never shuffle. NULL payload -> NULL."""
+    if frame < 1 or n_frames < 2:
+        raise ValueError("need frame >= 1 and n_frames >= 2")
+    keep = [c for c in df.columns if c != payload_col]
+    fields = [df.schema[c] for c in keep]
+    out_schema = T.StructType(fields + [T.StructField(out, T.LongType())])
+    need = frame * n_frames
+
+    def _fp(p):
+        if p is None:
+            return None
+        payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            x, _rate = decode_wav(payload)
+        elif strict:
+            raise NotImplementedError(
+                "only RIFF/WAVE PCM decodes without a codec library; "
+                "run with strict=False for the raw-bytes stub"
+            )
+        else:
+            x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 127.5
+        if len(x) < need:
+            x = np.pad(x, (0, need - len(x)))
+        e = (x[:need].reshape(n_frames, frame) ** 2).sum(axis=1)
+        bits = e[1:] > e[:-1]
+        return int(sum(1 << j for j, b in enumerate(bits) if b))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            o = pdf[keep].copy()
+            o[out] = pd.array(
+                [_fp(p) for p in pdf[payload_col]], dtype="Int64"
+            )
+            yield o
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def audio_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    *,
+    frame: int = 512,
+    n_frames: int = 33,
+    strict: bool = False,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Acoustic near-duplicate pairs: :func:`audio_fingerprint` then the
+    shared pigeonhole Hamming blocking (``dedup.hamming_near_pairs``) —
+    the same compose as image ``phash_df`` + ``image_near_pairs``, so
+    every modality's near-dup path ends in one bucket join, never
+    all-pairs."""
+    from .dedup import hamming_near_pairs
+
+    fp = audio_fingerprint(
+        df.select(id_col, payload_col), payload_col,
+        frame=frame, n_frames=n_frames, strict=strict, out="__afp",
+    )
+    return hamming_near_pairs(
+        fp, id_col, "__afp", bits=n_frames - 1,
         max_hamming=max_hamming, block_bits=block_bits,
     )

@@ -3146,3 +3146,73 @@ def test_sentence_stats_values_and_no_shuffle(spark):
         l for l in plan.splitlines()
         if l.startswith("(") and l.split(") ")[1].startswith("Exchange")
     ]
+
+
+# --------------------------------------------------------- audio near-dup
+
+
+def _const_frame_wav(amps, frame=16):
+    import struct
+
+    samples = []
+    for a in amps:
+        samples.extend([int(a)] * frame)
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return bytes(
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_audio_fingerprint_bits(spark):
+    from nested_pandas_spark.pipeline.multimodal import audio_fingerprint
+
+    amps = [100, 200, 200, 50, 300]  # bits: 1 (up), 0 (flat), 0 (down), 1 (up)
+    df = spark.createDataFrame(
+        [(0, _const_frame_wav(amps)), (1, None)], "id long, payload binary"
+    )
+    rows = {
+        r["id"]: r["afp"]
+        for r in audio_fingerprint(
+            df, frame=16, n_frames=5, strict=True
+        ).collect()
+    }
+    assert rows[0] == 0b1001
+    assert rows[1] is None
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    from nested_pandas_spark.pipeline.multimodal import audio_fingerprint
+
+    amps = [100, 220, 40, 310, 150, 90, 260, 10, 330]
+    df = spark.createDataFrame(
+        [(0, _const_frame_wav(amps)),
+         (1, _const_frame_wav([a * 3 for a in amps]))],
+        "id long, payload binary",
+    )
+    rows = [r["afp"] for r in audio_fingerprint(
+        df, frame=16, n_frames=9, strict=True).collect()]
+    assert rows[0] == rows[1]  # energy ORDER survives gain
+
+
+def test_audio_near_pairs(spark):
+    from nested_pandas_spark.pipeline.multimodal import audio_near_pairs
+
+    base = [((i * 37) % 200) + 50 for i in range(33)]
+    variant = list(base)
+    variant[5] += 500  # flips a couple of neighboring bits at most
+    far = [((i * 91) % 300) + 20 for i in range(33)]
+    df = spark.createDataFrame(
+        [(0, _const_frame_wav(base, frame=8)),
+         (1, _const_frame_wav(variant, frame=8)),
+         (2, _const_frame_wav(far, frame=8))],
+        "id long, payload binary",
+    )
+    pairs = audio_near_pairs(
+        df, "id", frame=8, n_frames=33, strict=True, max_hamming=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
