@@ -3750,6 +3750,30 @@ def q182_audio_fingerprint(spark, sf):
     return out.select("doc_id", F.col("afp").cast("long").alias("afp"))
 
 
+def q183_dedup_keep_best(spark, sf):
+    """Quality-aware dedup retention (pipeline/dedup.py dedup_keep_best,
+    the RefinedWeb/FineWeb policy: keep the best-scored copy, not an
+    arbitrary one). Duplicate groups are constructed: every document
+    unions with an UPPER-cased copy at doc_id+10000 — same normalized
+    fingerprint, different id — and score = (doc_id * 37) % 101 decides
+    the survivor (ties impossible by construction; the tie rule itself
+    is doctest-pinned). One max_by aggregation on the fingerprint; text
+    never shuffles. Oracle replays fp + row_number retention."""
+    from nested_pandas_spark.pipeline.dedup import dedup_keep_best
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    both = docs.unionByName(shifted).withColumn(
+        "score", ((F.col("doc_id") * 37) % 101).cast("double")
+    )
+    return dedup_keep_best(both, "doc_id", "score").select(
+        "doc_id", "score", F.col("n_dups").cast("long").alias("n_dups")
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4303,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_histogram_quantiles": q180_histogram_quantiles,
         "q181_jsonl_roundtrip": q181_jsonl_roundtrip,
         "q182_audio_fingerprint": q182_audio_fingerprint,
+        "q183_dedup_keep_best": q183_dedup_keep_best,
     }
 
 
@@ -5286,6 +5311,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q183_dedup_keep_best": """
+            -- replay: duplicate construction, normalized fingerprint,
+            -- best-score-then-lowest-id retention via row_number
+            WITH uni AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, upper(text) FROM documents
+            ), k AS (
+                SELECT doc_id,
+                       CAST((doc_id * 37) % 101 AS DOUBLE) AS score,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                           'g'))) AS fp
+                FROM uni
+            )
+            SELECT doc_id, score, n_dups FROM (
+                SELECT doc_id, score,
+                       count(*) OVER (PARTITION BY fp) AS n_dups,
+                       row_number() OVER (PARTITION BY fp
+                           ORDER BY score DESC, doc_id) AS rn
+                FROM k
+            ) WHERE rn = 1
+        """,
         "q182_audio_fingerprint": """
             -- integer replay of the energy-delta bit chain: constant
             -- per-frame amplitude means frame-energy order == amplitude

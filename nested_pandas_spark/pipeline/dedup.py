@@ -28,6 +28,7 @@ __all__ = [
     "build_fingerprint_bloom",
     "bloom_dedup_against",
     "dedup_against",
+    "dedup_keep_best",
     "dedup_passages",
     "fuzzy_pairs",
     "exact_dedup",
@@ -75,6 +76,46 @@ def exact_dedup(
         df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(agg.alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware exact dedup: within each exact-duplicate group keep
+    the row with the HIGHEST ``score_col`` (ties break to the smallest
+    id — fully deterministic), carrying the group size as ``n_dups``.
+
+    The production retention policy (RefinedWeb/FineWeb keep the
+    best-scored copy, not an arbitrary one): one max_by aggregation on
+    the fingerprint — the same single hash-grain shuffle as
+    :func:`exact_dedup`; document text never shuffles, only
+    (fingerprint, id, score).
+
+    >>> docs = spark.createDataFrame(
+    ...     [(1, "a  b", 0.2), (2, "A B", 0.9), (3, "c", 0.5)],
+    ...     "doc_id long, text string, q double")
+    >>> sorted((r["doc_id"], r["n_dups"])
+    ...        for r in dedup_keep_best(docs, "doc_id", "q").collect())
+    [(2, 2), (3, 1)]
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(score_col).cast("double"),
+                   F.lit(float("-inf"))).alias("__score"),
+        fingerprint(text_col).alias("fp"),
+    )
+    # max_by with a composite (score, -id) key: best score, then lowest id
+    best = F.expr(
+        f"max_by({id_col}, named_struct('s', __score, 'i', -{id_col}))"
+    )
+    return keyed.groupBy("fp").agg(
+        best.alias(id_col),
+        F.max("__score").alias(score_col),
+        F.count("*").alias("n_dups"),
     )
 
 
