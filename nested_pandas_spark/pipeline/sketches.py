@@ -41,6 +41,7 @@ __all__ = [
     "histogram_sketch",
     "histogram_merge",
     "histogram_quantiles",
+    "hll_overlap",
 ]
 
 # Registers use the first 8 hex chars of md5 for the bucket index and the
@@ -348,6 +349,33 @@ def histogram_quantiles(
         est = F.lit(lo) + (bin_idx.cast("double") + F.lit(0.5)) * F.lit(width)
         cols.append(est.alias(f"q{int(round(q * 100)):02d}"))
     return g.select(*cols)
+
+
+def hll_overlap(
+    a: DataFrame, b: DataFrame, *, b_bits: int = 10
+) -> dict[str, float]:
+    """Sketch-based overlap estimate via inclusion-exclusion:
+    ``|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)``, with ``est(A ∪ B)``
+    exact-on-registers thanks to :func:`hll_merge`.
+
+    The 100 TB decontamination triage: estimating train/eval n-gram
+    overlap costs two sketch passes + register arithmetic instead of a
+    full distinct join; run the exact ``decontaminate`` pass only on
+    corpora this flags. Inputs are UNGROUPED register tables from
+    :func:`hll_registers` (same ``b``). Intersection error compounds
+    (three ±1.04/sqrt(m) estimates), so treat small overlaps as noise —
+    the returned ``jaccard`` is the decision number."""
+    ea = hll_estimate(a, b=b_bits).collect()[0]["estimate"]
+    eb = hll_estimate(b, b=b_bits).collect()[0]["estimate"]
+    eu = hll_estimate(hll_merge(a, b), b=b_bits).collect()[0]["estimate"]
+    inter = max(0.0, ea + eb - eu)
+    return {
+        "a": ea,
+        "b": eb,
+        "union": eu,
+        "intersection": inter,
+        "jaccard": inter / eu if eu > 0 else 0.0,
+    }
 
 
 def hll_estimate_py(rhos: list[int], b: int) -> float:

@@ -265,3 +265,58 @@ def test_histogram_validation(spark):
     sk = histogram_sketch(df, "v", 0.0, 1.0, bins=4)
     with _pt.raises(ValueError):
         histogram_quantiles(sk, [1.5], 0.0, 1.0, bins=4)
+
+
+def test_hll_overlap_estimate(spark):
+    from nested_pandas_spark.pipeline.sketches import hll_overlap, hll_registers
+
+    # |A| = 1500, |B| = 1500, |A ∩ B| = 500 (ids 1000..1499 shared)
+    a = spark.range(0, 1500).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(1000, 2500).selectExpr("CAST(id AS STRING) AS v")
+    ra = hll_registers(a, "v", b=10)
+    rb = hll_registers(b, "v", b=10)
+    est = hll_overlap(ra, rb, b_bits=10)
+    assert abs(est["a"] - 1500) / 1500 < 0.15
+    assert abs(est["union"] - 2500) / 2500 < 0.15
+    # intersection compounds three estimates: generous 50% band
+    assert 250 < est["intersection"] < 1000
+    assert 0.05 < est["jaccard"] < 0.4
+
+
+def test_cms_streaming_equals_batch(spark, tmp_path):
+    """cms_sketch is streaming-ready as-is (count is a supported
+    streaming aggregate)."""
+    import shutil
+    import uuid
+
+    from nested_pandas_spark.pipeline.sketches import cms_sketch
+
+    src = spark.createDataFrame(
+        [(f"w{i % 53}",) for i in range(400)], "v string"
+    )
+    flat = tmp_path / "cms_flat"
+    flat.mkdir()
+    n = 0
+    src.coalesce(1).write.parquet(str(tmp_path / "h0"))
+    src.coalesce(1).write.parquet(str(tmp_path / "h1"))
+    for sub in ("h0", "h1"):
+        for f in (tmp_path / sub).glob("*.parquet"):
+            shutil.copy(f, flat / f"{n:03d}.parquet")
+            n += 1
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(src.schema).parquet(str(flat))
+    )
+    name = "cmsmem_" + uuid.uuid4().hex[:8]
+    q = (
+        cms_sketch(stream, "v", depth=3, width=64)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(
+        tuple(r)
+        for r in cms_sketch(src.unionAll(src), "v", depth=3, width=64).collect()
+    )
+    assert got == want
