@@ -3678,25 +3678,24 @@ def q180_histogram_quantiles(spark, sf):
 
 
 def q181_jsonl_roundtrip(spark, sf):
-    """JSONL corpus interchange (sources/jsonl.py): documents written as
-    4 gzip'd JSON-Lines shards (uniform round-robin sizing — the shape
-    public corpus releases use), read back through the distributed
-    reader with a MANDATORY schema (inference is a full extra 100 TB
-    pass and silently unions drifting types — refused by contract).
-    write(read(x)) must be the identity; the oracle replays counts and
-    hashes off documents directly."""
+    """JSONL corpus interchange (nestedframe/io.py read_jsonl/to_jsonl):
+    documents written as 4 gzip'd JSON-Lines shards (uniform round-robin
+    sizing — the shape public corpus releases use; gzip parallelizes at
+    FILE grain so shard count IS read parallelism), read back with an
+    explicit schema through the distributed reader. write(read(x)) must
+    be the identity; the oracle replays counts/hashes off documents."""
     import shutil
     import tempfile
 
+    from nested_pandas_spark.nestedframe.io import read_jsonl, to_jsonl
     from nested_pandas_spark.pipeline.text import token_count
-    from nested_pandas_spark.sources.jsonl import read_jsonl, write_jsonl
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     d = tempfile.mkdtemp(prefix="q181_jsonl_")
     try:
-        write_jsonl(docs, f"{d}/corpus", compression="gzip", num_files=4)
+        to_jsonl(docs, f"{d}/corpus", compression="gzip", num_files=4)
         back = read_jsonl(
-            spark, f"{d}/corpus", "doc_id long, text string"
+            spark, f"{d}/corpus", schema="doc_id long, text string"
         ).select(
             "doc_id",
             F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),

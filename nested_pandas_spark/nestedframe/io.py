@@ -414,11 +414,27 @@ def select_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(*proj)
 
 
-def to_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def to_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    num_files: int | None = None,
+) -> None:
     """Write as JSON lines (one object per row; ``array<struct>`` nests
     serialize as arrays of objects). Null fields are omitted per JSON
-    convention — a round-trip restores them as NULLs."""
-    df.write.mode(mode).json(path)
+    convention — a round-trip restores them as NULLs.
+
+    ``compression`` ('gzip', 'zstd' when the codec is present) and
+    ``num_files`` (round-robin repartition — uniform shard sizes)
+    produce the many-medium-shards layout public corpus releases use;
+    gzip JSONL parallelizes at FILE grain on read (gzip is not
+    splittable), so shard count IS the read parallelism."""
+    out = df.repartition(num_files) if num_files else df
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def list_struct_to_struct_of_lists(col, large_list: bool = False):

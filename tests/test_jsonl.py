@@ -1,4 +1,4 @@
-"""JSONL source/sink: round trip, corrupt handling, shard count."""
+"""JSONL interchange via nestedframe.io: round trip, corrupt lines, shards."""
 
 import glob
 import json
@@ -6,23 +6,22 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from nested_pandas_spark.sources.jsonl import read_jsonl, write_jsonl
+from nested_pandas_spark.nestedframe.io import read_jsonl, to_jsonl
 
 SCHEMA = "doc_id long, text string, score double"
 
 
-def test_roundtrip_gzip(spark, tmp_path):
+def test_roundtrip_gzip_shards(spark, tmp_path):
     rows = [(i, f"doc {i}", i / 7.0) for i in range(100)] + [(100, None, None)]
     df = spark.createDataFrame(rows, SCHEMA)
     out = str(tmp_path / "corpus")
-    write_jsonl(df, out, compression="gzip", num_files=4)
-    parts = glob.glob(f"{out}/part-*.json.gz")
-    assert len(parts) == 4
-    back = read_jsonl(spark, out, SCHEMA)
+    to_jsonl(df, out, compression="gzip", num_files=4)
+    assert len(glob.glob(f"{out}/part-*.json.gz")) == 4
+    back = read_jsonl(spark, out, schema=SCHEMA)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
-def test_corrupt_lines(spark, tmp_path):
+def test_corrupt_line_handling(spark, tmp_path):
     p = tmp_path / "raw"
     p.mkdir()
     (p / "a.jsonl").write_text(
@@ -30,19 +29,40 @@ def test_corrupt_lines(spark, tmp_path):
         "THIS IS NOT JSON\n"
         '{"doc_id": 2, "text": "also ok", "score": 2.0}\n'
     )
-    dropped = read_jsonl(spark, str(p), SCHEMA)
+    dropped = read_jsonl(spark, str(p), schema=SCHEMA, mode="DROPMALFORMED")
     assert dropped.count() == 2
-    kept = read_jsonl(spark, str(p), SCHEMA, keep_corrupt=True)
+    kept = read_jsonl(
+        spark, str(p),
+        schema=SCHEMA + ", _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
     bad = kept.where(F.col("_corrupt_record").isNotNull()).collect()
     assert len(bad) == 1 and bad[0]["_corrupt_record"] == "THIS IS NOT JSON"
     assert kept.count() == 3
 
 
-def test_schema_required_and_string_form(spark, tmp_path):
-    p = tmp_path / "s"
+def test_nested_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [{"t": 1.0, "f": 2.0}, {"t": 3.0, "f": 4.0}])],
+        "id long, series array<struct<t: double, f: double>>",
+    )
+    out = str(tmp_path / "nested")
+    to_jsonl(df, out)
+    back = read_jsonl(
+        spark, out, schema="id long, series array<struct<t: double, f: double>>"
+    )
+    assert back.collect() == df.collect()
+
+
+def test_columns_and_filters(spark, tmp_path):
+    p = tmp_path / "cf"
     p.mkdir()
-    (p / "a.jsonl").write_text(json.dumps({"doc_id": 5, "text": "x", "score": 0.5}) + "\n")
-    got = read_jsonl(spark, str(p), SCHEMA).collect()
-    assert got == [(5, "x", 0.5)]
-    with pytest.raises(TypeError):
-        read_jsonl(spark, str(p))  # schema is mandatory
+    lines = [json.dumps({"doc_id": i, "text": f"d{i}", "score": i * 1.0})
+             for i in range(10)]
+    (p / "a.jsonl").write_text("\n".join(lines) + "\n")
+    got = read_jsonl(
+        spark, str(p), schema=SCHEMA, columns=["doc_id"], filters="score >= 5"
+    )
+    assert got.columns == ["doc_id"]
+    assert got.count() == 5
