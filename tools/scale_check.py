@@ -402,6 +402,23 @@ def main() -> int:
             unigram_encode(t(d, "documents"), vocab).select(
                 F.sum("pieces_n")).collect()
 
+        def hist():
+            from nested_pandas_spark.pipeline.sketches import (
+                histogram_quantiles, histogram_sketch,
+            )
+            sk = histogram_sketch(t(d, "lineitem"), "l_extendedprice",
+                                  0.0, 110000.0, bins=1100,
+                                  by=["l_returnflag"])
+            histogram_quantiles(sk, [0.5, 0.9], 0.0, 110000.0, bins=1100,
+                                by=["l_returnflag"]).collect()
+
+        def keep_best():
+            from nested_pandas_spark.pipeline.dedup import dedup_keep_best
+            docs = t(d, "documents")
+            dedup_keep_best(
+                docs.withColumn("q", (F.col("doc_id") % 101).cast("double")),
+                "doc_id", "q").count()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -445,6 +462,8 @@ def main() -> int:
             "pca_moments": pca_moments,
             "sentence_stats": sent_stats,
             "unigram_encode": unigram_enc,
+            "histogram_quantiles": hist,
+            "dedup_keep_best": keep_best,
         }
 
     # warm-up
