@@ -3773,6 +3773,27 @@ def q183_dedup_keep_best(spark, sf):
     )
 
 
+def q184_corpus_diff(spark, sf):
+    """Snapshot diff by content (pipeline/corpus.py corpus_diff): two
+    corpus versions (doc_id%3!=0 vs doc_id%5!=0) classified added /
+    removed / kept on the normalized fingerprint. One full-outer join of
+    per-side min-id+count collapses — 32-hex keys and ids shuffle, text
+    never; mega-duplicate groups cost one row. Oracle replays both
+    collapses and the full outer join."""
+    from nested_pandas_spark.pipeline.corpus import corpus_diff
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    out = corpus_diff(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+    )
+    return out.select(
+        "fp", "status", "old_id", "new_id",
+        F.col("old_n").cast("long").alias("old_n"),
+        F.col("new_n").cast("long").alias("new_n"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4327,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_jsonl_roundtrip": q181_jsonl_roundtrip,
         "q182_audio_fingerprint": q182_audio_fingerprint,
         "q183_dedup_keep_best": q183_dedup_keep_best,
+        "q184_corpus_diff": q184_corpus_diff,
     }
 
 
@@ -5310,6 +5332,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q184_corpus_diff": """
+            -- replay: per-side fingerprint collapse (min id + count),
+            -- full outer join, added/removed/kept classification
+            WITH o AS (
+                SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                           'g'))) AS fp,
+                       min(doc_id) AS old_id,
+                       count(*) AS old_n
+                FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+            ), nw AS (
+                SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                           'g'))) AS fp,
+                       min(doc_id) AS new_id,
+                       count(*) AS new_n
+                FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+            )
+            SELECT coalesce(o.fp, nw.fp) AS fp,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN nw.fp IS NULL THEN 'removed'
+                        ELSE 'kept' END AS status,
+                   old_id, new_id, old_n, new_n
+            FROM o FULL OUTER JOIN nw ON o.fp = nw.fp
+        """,
         "q183_dedup_keep_best": """
             -- replay: duplicate construction, normalized fingerprint,
             -- best-score-then-lowest-id retention via row_number

@@ -35,6 +35,7 @@ __all__ = [
     "assign_shards",
     "build_mixture",
     "chunk_documents",
+    "corpus_diff",
     "quality_bins",
     "sample_per_group",
     "dsir_weights",
@@ -1103,6 +1104,47 @@ def chunk_documents(
             F.col("__ch.n_tokens").alias("n_tokens"),
             F.col("__ch.chunk_text").alias("chunk_text"),
         )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff by content: classify every document of two corpus
+    versions as ``added`` (fingerprint only in ``new``), ``removed``
+    (only in ``old``), or ``kept`` — the audit table an incremental
+    ingest pipeline publishes with each snapshot.
+
+    One full-outer join on the md5 fingerprint: 32-hex keys and ids
+    shuffle, text never. Per-side duplicate groups collapse to their
+    min id + a count first (map-side combined), so a boilerplate
+    mega-group costs one row in the join. Returns
+    ``(fp, status, old_id, new_id, old_n, new_n)``.
+    """
+    from .text import fingerprint
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+            .groupBy("fp")
+            .agg(
+                F.min(id_col).alias(f"{tag}_id"),
+                F.count("*").alias(f"{tag}_n"),
+            )
+        )
+
+    o, n = side(old, "old"), side(new, "new")
+    joined = o.join(n, on="fp", how="full_outer")
+    status = (
+        F.when(F.col("old_id").isNull(), F.lit("added"))
+        .when(F.col("new_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "fp", status.alias("status"), "old_id", "new_id", "old_n", "new_n"
     )
 
 

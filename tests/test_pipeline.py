@@ -3216,3 +3216,20 @@ def test_audio_near_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in got
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_corpus_diff_statuses(spark):
+    from nested_pandas_spark.pipeline.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "b"), (11, "d")], "doc_id long, text string"
+    )
+    rows = {r["status"]: r for r in corpus_diff(old, new).collect()}
+    assert set(rows) == {"added", "removed", "kept"}
+    kept = [r for r in corpus_diff(old, new).collect() if r["status"] == "kept"]
+    assert len(kept) == 1 and kept[0]["old_id"] == 2 and kept[0]["old_n"] == 2
+    removed = [r for r in corpus_diff(old, new).collect() if r["status"] == "removed"]
+    assert {r["old_id"] for r in removed} == {1, 4}
