@@ -3794,6 +3794,23 @@ def q184_corpus_diff(spark, sf):
     )
 
 
+def q185_resolve_keep_best(spark, sf):
+    """Quality-aware NEAR-dup cluster retention (pipeline/dedup.py
+    resolve_duplicates(score_col=)): q41's verified-Jaccard duplicate
+    graph -> connected components -> the HIGHEST-scored member of each
+    cluster survives (score = (doc_id*37)%101; ties to smallest id) —
+    dedup_keep_best generalized from exact groups to near-dup clusters.
+    Loser ids are the only anti-join payload. The oracle replays the
+    pair chain, the recursive-CTE components, and row_number
+    retention."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "score", ((F.col("doc_id") * 37) % 101).cast("double")
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", shingle_n=3, threshold=0.5)
+    out = dd.resolve_duplicates(docs, pairs, "doc_id", score_col="score")
+    return out.select("doc_id", "score")
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4349,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_audio_fingerprint": q182_audio_fingerprint,
         "q183_dedup_keep_best": q183_dedup_keep_best,
         "q184_corpus_diff": q184_corpus_diff,
+        "q185_resolve_keep_best": q185_resolve_keep_best,
     }
 
 
@@ -6445,6 +6463,41 @@ def oracle_sql() -> dict[str, str]:
                 WHERE inter / (na.n + nb.n - inter) >= 0.5
             ), {_cc_sql("ver")}
             SELECT u AS node, c AS component FROM comp
+        """,
+        "q185_resolve_keep_best": f"""
+            -- q41's duplicate graph, recursive-CTE components, then
+            -- highest-score-then-lowest-id retention per component
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, list_distinct({sh3}) AS s FROM documents
+            ), nz AS (
+                SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM nz
+            ), shared AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+                FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            ), ver AS (
+                SELECT id_a, id_b
+                FROM shared
+                JOIN nz na ON na.doc_id = id_a
+                JOIN nz nb ON nb.doc_id = id_b
+                WHERE inter / (na.n + nb.n - inter) >= 0.5
+            ), {_cc_sql("ver")}, scored AS (
+                SELECT u AS node, c AS component,
+                       CAST((u * 37) % 101 AS DOUBLE) AS s
+                FROM comp
+            ), ranked AS (
+                SELECT node, row_number() OVER (
+                    PARTITION BY component ORDER BY s DESC, node) AS rn
+                FROM scored
+            ), losers AS (
+                SELECT node FROM ranked WHERE rn > 1
+            )
+            SELECT d.doc_id,
+                   CAST((d.doc_id * 37) % 101 AS DOUBLE) AS score
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM losers)
         """,
         "q59_cluster_split": f"""
             WITH RECURSIVE sh AS (

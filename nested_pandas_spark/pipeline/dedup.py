@@ -891,18 +891,48 @@ def resolve_duplicates(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    score_col: str | None = None,
 ) -> DataFrame:
-    """Keep one representative (the smallest id) per duplicate group, where
-    groups are CONNECTED COMPONENTS of the verified-pair graph — the
-    transitively-correct version of "drop id_b of every pair".
+    """Keep one representative per duplicate group, where groups are
+    CONNECTED COMPONENTS of the verified-pair graph — the transitively-
+    correct version of "drop id_b of every pair".
+
+    Default representative: the smallest id. With ``score_col``, the
+    HIGHEST-scored member wins instead (ties to smallest id) — the
+    cluster-grain version of :func:`dedup_keep_best`, i.e. the
+    RefinedWeb retention policy applied to NEAR-duplicate clusters, not
+    just exact ones. NULL scores sort lowest.
 
     The anti-join side carries only loser ids (bigint), so at corpus scale
-    it is a bounded shuffle (or a broadcast when the dup fraction is small).
+    it is a bounded shuffle (or a broadcast when the dup fraction is small);
+    the score join touches (id, score) pairs only — never text.
     """
     cc = connected_components(pairs, id_a=id_a, id_b=id_b)
-    losers = cc.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias("__loser")
-    )
+    if score_col is None:
+        losers = cc.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("__loser")
+        )
+    else:
+        scored = cc.join(
+            docs.select(
+                F.col(id_col).alias("node"),
+                F.coalesce(
+                    F.col(score_col).cast("double"), F.lit(float("-inf"))
+                ).alias("__s"),
+            ),
+            on="node",
+            how="left",
+        )
+        winners = scored.groupBy("component").agg(
+            F.expr(
+                "max_by(node, named_struct('s', __s, 'i', -node))"
+            ).alias("__winner")
+        )
+        losers = (
+            scored.join(winners, on="component")
+            .where(F.col("node") != F.col("__winner"))
+            .select(F.col("node").alias("__loser"))
+        )
     return docs.join(
         losers, on=docs[id_col] == losers["__loser"], how="left_anti"
     )

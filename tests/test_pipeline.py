@@ -3233,3 +3233,33 @@ def test_corpus_diff_statuses(spark):
     assert len(kept) == 1 and kept[0]["old_id"] == 2 and kept[0]["old_n"] == 2
     removed = [r for r in corpus_diff(old, new).collect() if r["status"] == "removed"]
     assert {r["old_id"] for r in removed} == {1, 4}
+
+
+def test_resolve_duplicates_keep_best(spark):
+    from nested_pandas_spark.pipeline.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.4), (5, 0.7)],
+        "doc_id long, score double",
+    )
+    # clusters: {1,2,3} (transitively via 1-2, 2-3), {4}, {5}
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in resolve_duplicates(
+            docs, pairs, "doc_id", score_col="score"
+        ).collect()
+    )
+    assert kept == [2, 4, 5]  # 2 beats 1 and 3 on score
+    # default path still keeps the smallest id
+    kept_min = sorted(
+        r["doc_id"]
+        for r in resolve_duplicates(docs, pairs, "doc_id").collect()
+    )
+    assert kept_min == [1, 4, 5]
+    # tie: equal scores -> smallest id wins
+    tie = spark.createDataFrame(
+        [(7, 1.0), (8, 1.0)], "doc_id long, score double"
+    )
+    tp = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    assert [r["doc_id"] for r in resolve_duplicates(tie, tp, "doc_id", score_col="score").collect()] == [7]
