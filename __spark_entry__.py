@@ -3811,6 +3811,49 @@ def q185_resolve_keep_best(spark, sf):
     return out.select("doc_id", "score")
 
 
+def q186_normalize_text(spark, sf):
+    """Unicode cleanup (pipeline/text.py normalize_text, the ftfy-lite
+    pass): control/zero-width chars dropped, curly quotes / dashes /
+    ellipsis / NBSP-family mapped to ASCII, whitespace collapsed. Every
+    document is first augmented with a deterministic junk wrapper
+    (curly quotes, em dash, ellipsis, NBSP, BEL) so the chain is
+    actually exercised; the oracle replays the same wrapper and the
+    same regex/translate chain. Pure projections — zero shuffle."""
+    from nested_pandas_spark.pipeline.text import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.lit("“x "),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" ”–… \x07 t’ail"),
+    )
+    out = normalize_text(aug)
+    return docs.select(
+        "doc_id",
+        F.length(out).cast("long").alias("n_norm"),
+        F.md5(out).alias("norm_md5"),
+    )
+
+
+def q187_zipf_stats(spark, sf):
+    """Zipf rank-frequency profile (pipeline/text.py zipf_stats): top-20
+    tokens with deterministic (count desc, word asc) ranking plus the
+    least-squares slope of log10(count) on log10(rank) — the one-number
+    corpus drift alarm (natural corpora sit near -1; the synthetic
+    fixture's near-uniform vocab honestly reads ~0). One token count
+    shuffle + distributed top-k; the regression aggregates top_k rows.
+    Oracle replays counts, ranking, and the closed-form slope."""
+    from nested_pandas_spark.pipeline.text import zipf_stats
+
+    docs = _t(spark, sf, "documents")
+    out = zipf_stats(docs, top_k=20)
+    return out.select(
+        "rank", "word",
+        F.col("n").cast("long").alias("n"),
+        F.round("slope", 9).alias("slope_r9"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4367,6 +4410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_dedup_keep_best": q183_dedup_keep_best,
         "q184_corpus_diff": q184_corpus_diff,
         "q185_resolve_keep_best": q185_resolve_keep_best,
+        "q186_normalize_text": q186_normalize_text,
+        "q187_zipf_stats": q187_zipf_stats,
     }
 
 
@@ -5350,6 +5395,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q166_pagerank": _pagerank_oracle_sql(),
+        "q186_normalize_text": """
+            -- same wrapper, same chain: control/zero-width strip,
+            -- punctuation translate, ellipsis, whitespace collapse
+            WITH aug AS (
+                SELECT doc_id,
+                       '“x ' || coalesce(text, '') || ' ”–… ' || chr(7)
+                           || ' t’ail' AS t
+                FROM documents
+            ), n1 AS (
+                SELECT doc_id, regexp_replace(t,
+                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' ||
+                    '\\x{0080}-\\x{009f}\\x{feff}\\x{200b}-\\x{200d}]',
+                    '', 'g') AS t
+                FROM aug
+            ), n2 AS (
+                SELECT doc_id, translate(t,
+                    '‘’“”–—' || chr(160) || chr(8199) || chr(8239)
+                        || chr(12288),
+                    '''''""--    ') AS t
+                FROM n1
+            ), n3 AS (
+                SELECT doc_id, replace(t, '…', '...') AS t FROM n2
+            ), n4 AS (
+                SELECT doc_id,
+                       trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t
+                FROM n3
+            )
+            SELECT doc_id, CAST(length(t) AS BIGINT) AS n_norm,
+                   md5(t) AS norm_md5
+            FROM n4
+        """,
+        "q187_zipf_stats": """
+            WITH tk AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS w
+                FROM documents
+            ), cnt AS (
+                SELECT w, count(*) AS n FROM tk GROUP BY w
+            ), top AS (
+                SELECT w AS word, n,
+                       row_number() OVER (ORDER BY n DESC, w) AS rank
+                FROM cnt ORDER BY n DESC, w LIMIT 20
+            ), agg AS (
+                SELECT count(*) AS k,
+                       sum(log10(rank)) AS sx, sum(log10(n)) AS sy,
+                       sum(log10(rank) * log10(n)) AS sxy,
+                       sum(log10(rank) * log10(rank)) AS sxx
+                FROM top
+            )
+            SELECT CAST(rank AS INT) AS rank, word, CAST(n AS BIGINT) AS n,
+                   ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 9)
+                       AS slope_r9
+            FROM top, agg
+        """,
         "q184_corpus_diff": """
             -- replay: per-side fingerprint collapse (min id + count),
             -- full outer join, added/removed/kept classification

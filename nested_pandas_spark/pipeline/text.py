@@ -9,7 +9,7 @@ can mirror them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..nestedframe.expr import _sql_literal
@@ -45,6 +45,8 @@ __all__ = [
     "oov_rate",
     "split_sentences",
     "sentence_stats",
+    "normalize_text",
+    "zipf_stats",
 ]
 
 # Tiny stopword lists per language. Deliberately small and hard-coded: the
@@ -1515,3 +1517,73 @@ def sentence_stats(
             F.array_max(F.transform(ss, lambda s: F.length(s))), F.lit(0)
         ).cast("int").alias("max_sent_chars"),
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Unicode text cleanup as a pure (RE2-safe) regexp/translate chain —
+    the ftfy-lite pass run before fingerprinting or tokenizing web text:
+
+    1. drop C0/C1 control chars (except tab/newline, which become spaces
+       in step 3 anyway) and the BOM/zero-width family,
+    2. map the common Unicode punctuation variants to ASCII (curly
+       quotes, en/em dashes, ellipsis, NBSP and friends to space),
+    3. collapse whitespace runs to one space and trim.
+
+    Deterministic, no Python, replayable in any engine with the same two
+    regex classes + translate table. NULL -> NULL."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\u0080-\u009f\ufeff\u200b\u200c\u200d]", ""
+    )
+    c = F.translate(
+        c,
+        "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0\u2007\u202f\u3000",
+        "''\"\"--    ",
+    )
+    c = F.regexp_replace(c, "\u2026", "...")
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
+def zipf_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus: the ``top_k`` tokens
+    with (rank, count, log10 rank/count) plus the least-squares slope of
+    log10(count) on log10(rank) — healthy natural-language corpora sit
+    near slope -1 (Zipf 1949); template/boilerplate-heavy or synthetic
+    corpora flatten or steepen it, so the slope is a one-number corpus
+    drift alarm.
+
+    One token-grain count shuffle + a distributed top-k
+    (TakeOrderedAndProject); the regression runs as one aggregate over
+    top_k rows. Ranking ties break lexicographically (deterministic).
+    Returns one row per top-k token: (rank, word, n, slope) with the
+    same slope on every row."""
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2 for a slope")
+    tk = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("w"))
+    ranked = tk.select(
+        F.row_number().over(w).alias("rank"), F.col("w").alias("word"), "n"
+    ).withColumn("lx", F.log10("rank")).withColumn("ly", F.log10("n"))
+    agg = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    ).select(
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope")
+    )
+    return ranked.select("rank", "word", "n").crossJoin(F.broadcast(agg))

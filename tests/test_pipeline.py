@@ -3263,3 +3263,45 @@ def test_resolve_duplicates_keep_best(spark):
     )
     tp = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
     assert [r["doc_id"] for r in resolve_duplicates(tie, tp, "doc_id", score_col="score").collect()] == [7]
+
+
+def test_normalize_text_chain(spark):
+    from nested_pandas_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "“Hi” ‘there’ – café…\x07​ok  end"),
+            (1, None),
+            (2, "  already   clean "),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["t"] for r in df.select("id", normalize_text("text").alias("t")).collect()}
+    assert got[0] == "\"Hi\" 'there' - café...ok end"
+    assert got[1] is None
+    assert got[2] == "already clean"
+
+
+def test_zipf_stats_slope_and_ranking(spark):
+    import math
+
+    from nested_pandas_spark.pipeline.text import zipf_stats
+
+    # construct an exact Zipf corpus: word w_r appears round(1000/r) times
+    rows = []
+    for r in range(1, 21):
+        rows.extend((f"w{r:02d}",) for _ in range(round(1000 / r)))
+    df = spark.createDataFrame([(" ".join(w for (w,) in rows),)], "text string")
+    out = zipf_stats(df, top_k=20).collect()
+    assert [r["word"] for r in sorted(out, key=lambda r: r["rank"])][:3] == [
+        "w01", "w02", "w03"
+    ]
+    slope = out[0]["slope"]
+    assert abs(slope - (-1.0)) < 0.01  # near-exact Zipf
+    # parity vs a numpy least-squares on the same points
+    import numpy as np
+
+    lx = np.log10([r["rank"] for r in out])
+    ly = np.log10([r["n"] for r in out])
+    want = np.polyfit(lx, ly, 1)[0]
+    assert slope == pytest.approx(want, rel=1e-9)
