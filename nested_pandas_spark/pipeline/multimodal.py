@@ -46,6 +46,7 @@ __all__ = [
     "audio_features",
     "audio_spectrum",
     "audio_fingerprint",
+    "encode_wav",
     "audio_near_pairs",
     "phash_df",
     "image_near_pairs",
@@ -897,3 +898,48 @@ def audio_near_pairs(
         fp, id_col, "__afp", bits=n_frames - 1,
         max_hamming=max_hamming, block_bits=block_bits,
     )
+
+
+def encode_wav(
+    df: DataFrame,
+    samples_col: str = "samples",
+    out_col: str = "payload",
+    sample_rate: int = 8000,
+    drop_samples: bool = True,
+) -> DataFrame:
+    """Encode float samples in [-1, 1] back into a REAL RIFF/WAVE PCM-16
+    payload — the sink half of the audio loop, symmetric with
+    :func:`decode_wav` (``decode_wav(encode_wav(x)) == x`` up to the
+    int16 quantization step, round-trip-tested). Values are clipped to
+    [-1, 1] and scaled by 32767 with round-half-away (matching the
+    decode normalization direction). NULL samples -> NULL payload.
+    Arrow-batched ``mapInPandas``; payloads are produced at the end,
+    never shuffled."""
+    import struct
+
+    keep = [c for c in df.columns if c != samples_col or not drop_samples]
+    fields = [df.schema[c] for c in keep]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.BinaryType())])
+
+    def _enc(vals) -> bytes | None:
+        if vals is None:
+            return None
+        x = np.clip(np.asarray(vals, dtype=np.float64), -1.0, 1.0)
+        pcm = np.where(x >= 0, np.floor(x * 32767 + 0.5),
+                       np.ceil(x * 32767 - 0.5)).astype(np.int16)
+        data = pcm.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2,
+                          2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            o = pdf[keep].copy()
+            o[out_col] = [_enc(v) for v in pdf[samples_col]]
+            yield o
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -3305,3 +3305,21 @@ def test_zipf_stats_slope_and_ranking(spark):
     ly = np.log10([r["n"] for r in out])
     want = np.polyfit(lx, ly, 1)[0]
     assert slope == pytest.approx(want, rel=1e-9)
+
+
+def test_encode_wav_roundtrip(spark):
+    import numpy as np
+
+    from nested_pandas_spark.pipeline.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(3)
+    vals = (rng.rand(256) * 2 - 1).tolist()
+    df = spark.createDataFrame(
+        [(0, vals), (1, None)], "id long, samples array<double>"
+    )
+    rows = {r["id"]: r["payload"] for r in encode_wav(df, sample_rate=16000).collect()}
+    assert rows[1] is None
+    x, rate = decode_wav(bytes(rows[0]))
+    assert rate == 16000 and len(x) == 256
+    # quantization error bounded by one LSB of int16
+    np.testing.assert_allclose(x, np.clip(vals, -1, 1), atol=1.5 / 32767)

@@ -320,3 +320,41 @@ def test_cms_streaming_equals_batch(spark, tmp_path):
         for r in cms_sketch(src.unionAll(src), "v", depth=3, width=64).collect()
     )
     assert got == want
+
+
+def test_histogram_streaming_equals_batch(spark, tmp_path):
+    """histogram_sketch is streaming-ready as-is (count agg)."""
+    import shutil
+    import uuid
+
+    from nested_pandas_spark.pipeline.sketches import histogram_sketch
+
+    src = spark.createDataFrame(
+        [(float((i * 13) % 97),) for i in range(300)], "v double"
+    )
+    flat = tmp_path / "hist_flat"
+    flat.mkdir()
+    n = 0
+    src.coalesce(1).write.parquet(str(tmp_path / "g0"))
+    src.coalesce(1).write.parquet(str(tmp_path / "g1"))
+    for sub in ("g0", "g1"):
+        for f in (tmp_path / sub).glob("*.parquet"):
+            shutil.copy(f, flat / f"{n:03d}.parquet")
+            n += 1
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(src.schema).parquet(str(flat))
+    )
+    name = "histmem_" + uuid.uuid4().hex[:8]
+    q = (
+        histogram_sketch(stream, "v", 0.0, 100.0, bins=20)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(
+        tuple(r)
+        for r in histogram_sketch(src.unionAll(src), "v", 0.0, 100.0, bins=20).collect()
+    )
+    assert got == want
