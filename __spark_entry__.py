@@ -3854,6 +3854,40 @@ def q187_zipf_stats(spark, sf):
     )
 
 
+def q188_unigram_viterbi(spark, sf):
+    """Viterbi subword decoding with a FULL hash oracle (pipeline/
+    unigram.py unigram_encode against the SQL-computable SEED vocab of
+    q176): the per-word DP is replayed in DuckDB as an UNROLLED chain of
+    level CTEs (word length is bounded, so no recursion — level p takes
+    the min over the last-piece lengths 1..6 against levels p-6..p-1,
+    carrying the argmin path; see _viterbi_sql). Seed logprobs are
+    ln(n/total) of exact integer counts — bit-identical doubles in both
+    engines — so costs, tie-breaks (min cost, earliest start), and the
+    final segmentations replay exactly. This upgrades the tokenizer's
+    decode path from q177's rows-only check to hash-level verification;
+    only EM TRAINING (q177) remains pytest-parity-pinned."""
+    import math
+
+    from nested_pandas_spark.pipeline.unigram import (
+        unigram_encode,
+        unigram_seed,
+    )
+
+    docs = _t(spark, sf, "documents")
+    rows = unigram_seed(docs, 500).collect()
+    total = sum(r["n"] for r in rows)
+    vocab = spark.createDataFrame(
+        [(r["piece"], math.log(r["n"] / total)) for r in rows],
+        "piece string, logprob double",
+    )
+    out = unigram_encode(docs, vocab)
+    return out.select(
+        "doc_id",
+        F.col("pieces_n").cast("long").alias("pieces_n"),
+        F.md5(F.array_join(F.col("pieces"), " ")).alias("pieces_md5"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4412,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_resolve_keep_best": q185_resolve_keep_best,
         "q186_normalize_text": q186_normalize_text,
         "q187_zipf_stats": q187_zipf_stats,
+        "q188_unigram_viterbi": q188_unigram_viterbi,
     }
 
 
@@ -4561,6 +4596,48 @@ def _srp_bucket_sql(vcol: str, offset: int, n_planes: int = 8) -> str:
                        i::VARCHAR), 1, 4))::BIGINT % 2 = 0
                        THEN 1.0 ELSE -1.0 END))) > 0
              THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)"""
+
+
+def _viterbi_sql(max_word: int, max_piece: int) -> str:
+    """Unrolled Viterbi DP as chained CTEs (no recursion needed: word
+    length is bounded, so level p's best cost/path joins levels
+    p-max_piece..p-1 against the piece table). Requires CTEs ``lp``
+    (piece, lp double) and ``wds`` (w) upstream; yields ``seg(w, path)``
+    with the space-joined best segmentation per word. Tie-break matches
+    pipeline/unigram.py viterbi_segment exactly: min cost, then
+    SMALLEST start (the strict-less ascending scan keeps the earliest
+    predecessor); unknown single chars cost -100.0."""
+    parts = [
+        "c0 AS MATERIALIZED (SELECT w, CAST(0 AS DOUBLE) AS cost, '' AS path FROM wds)"
+    ]
+    for p in range(1, max_word + 1):
+        cands = []
+        for s in range(max(0, p - max_piece), p):
+            ln = p - s
+            guard = "TRUE" if ln == 1 else "l.piece IS NOT NULL"
+            cands.append(f"""
+                SELECT c.w, {s} AS s,
+                       c.cost - coalesce(l.lp, -100.0) AS cost,
+                       CASE WHEN c.path = '' THEN c.piece
+                            ELSE c.path || ' ' || c.piece END AS path
+                FROM (SELECT w, cost, path, substr(w, {s + 1}, {ln}) AS piece
+                      FROM c{s} WHERE length(w) >= {p}) c
+                LEFT JOIN lp l ON l.piece = c.piece
+                WHERE {guard}""")
+        union = " UNION ALL ".join(cands)
+        parts.append(f"""c{p} AS MATERIALIZED (
+            SELECT w, cost, path FROM (
+                SELECT w, cost, path, row_number() OVER (
+                    PARTITION BY w ORDER BY cost ASC, s ASC) AS rn
+                FROM ({union})
+            ) WHERE rn = 1
+        )""")
+    finals = " UNION ALL ".join(
+        f"SELECT w, path FROM c{p} WHERE length(w) = {p}"
+        for p in range(1, max_word + 1)
+    )
+    parts.append(f"seg AS ({finals})")
+    return ", ".join(parts)
 
 
 def _cc_sql(pairs_cte: str) -> str:
@@ -6562,6 +6639,67 @@ def oracle_sql() -> dict[str, str]:
                 WHERE inter / (na.n + nb.n - inter) >= 0.5
             ), {_cc_sql("ver")}
             SELECT u AS node, c AS component FROM comp
+        """,
+        "q188_unigram_viterbi": f"""
+            -- seed vocab (q176) -> ln(n/total) logprobs -> UNROLLED
+            -- Viterbi DP (chained level CTEs, see _viterbi_sql) ->
+            -- per-doc reassembly in token order
+            WITH wc AS (
+                SELECT w AS word, count(*) AS wcnt FROM (
+                    SELECT unnest(list_filter(regexp_split_to_array(
+                        lower(coalesce(text, '')), '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents
+                ) GROUP BY w
+            ), subs AS (
+                SELECT unnest(list_transform(range(1, length(word) + 1),
+                    i -> list_transform(
+                        range(i, least(length(word), i + 5) + 1),
+                        j -> word[i:j]))) AS pl, wcnt
+                FROM wc
+            ), cnt AS (
+                SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n
+                FROM (SELECT unnest(pl) AS piece, wcnt FROM subs)
+                GROUP BY piece
+            ), seedcnt AS (
+                SELECT piece, n FROM cnt WHERE length(piece) = 1
+                UNION ALL
+                SELECT piece, n FROM (
+                    SELECT piece, n FROM cnt WHERE length(piece) > 1
+                    ORDER BY n DESC, piece LIMIT 500
+                )
+            ), tot AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS t FROM seedcnt
+            ), lp AS MATERIALIZED (
+                SELECT piece, ln(n / t) AS lp FROM seedcnt, tot
+            ), dd0 AS (
+                SELECT doc_id, text, list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(0, len(ws)), i -> struct_pack(
+                            pos := i, w := ws[i + 1]))) AS t
+                    FROM dd0 WHERE len(ws) > 0
+                )
+            ), wds AS MATERIALIZED (
+                SELECT DISTINCT w FROM tok
+            ), {_viterbi_sql(16, 6)}, agg AS (
+                SELECT tok.doc_id,
+                       CAST(sum(len(string_split(s.path, ' '))) AS BIGINT)
+                           AS n,
+                       md5(string_agg(s.path, ' ' ORDER BY tok.pos)) AS h
+                FROM tok JOIN seg s ON s.w = tok.w
+                GROUP BY tok.doc_id
+            )
+            SELECT d2.doc_id,
+                   CASE WHEN d2.text IS NULL THEN NULL
+                        ELSE coalesce(a.n, 0) END AS pieces_n,
+                   CASE WHEN d2.text IS NULL THEN NULL
+                        ELSE coalesce(a.h, md5('')) END AS pieces_md5
+            FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
         """,
         "q185_resolve_keep_best": f"""
             -- q41's duplicate graph, recursive-CTE components, then
