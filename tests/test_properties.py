@@ -388,3 +388,59 @@ def test_cumulative_trails_invariants(spark, rows):
         if vals:
             lo, hi = min(vals), max(vals)
             assert all(lo - 1e-9 <= v <= hi + 1e-9 for v in seq)
+
+
+# ------------------------------------------------- sketch / masking laws
+
+
+def test_hll_merge_law_random_splits(spark):
+    """Merge law holds for ANY split of the data (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nested_pandas_spark.pipeline.sketches import hll_merge, hll_registers
+
+    rows = [(f"v{(i * 31) % 400}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v string").cache()
+    full = sorted(tuple(r) for r in hll_registers(df, "v", b=5).collect())
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(min_value=2, max_value=97))
+    def check(mod):
+        a = hll_registers(df.where(f"abs(hash(v)) % {mod} < {mod // 2}"), "v", b=5)
+        b = hll_registers(df.where(f"abs(hash(v)) % {mod} >= {mod // 2}"), "v", b=5)
+        assert sorted(tuple(r) for r in hll_merge(a, b).collect()) == full
+
+    check()
+    df.unpersist()
+
+
+def test_span_corrupt_reconstruction_property(spark):
+    """Reconstruction invariant holds across noise densities."""
+    import re
+
+    from nested_pandas_spark.pipeline.masking import span_corrupt
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 13 + j) % 50}" for j in range(30)))
+         for i in range(30)],
+        "doc_id long, text string",
+    ).cache()
+    for p in (0.05, 0.3, 0.7, 0.95):
+        for row in span_corrupt(df, "text", noise_density=p).collect():
+            spans, cur = {}, None
+            for t in row["target_text"].split(" "):
+                m = re.fullmatch(r"<extra_id_(\d+)>", t)
+                if m:
+                    cur = int(m.group(1))
+                    spans[cur] = []
+                else:
+                    spans[cur].append(t)
+            rebuilt = []
+            for t in row["input_text"].split(" "):
+                m = re.fullmatch(r"<extra_id_(\d+)>", t)
+                rebuilt.extend(spans[int(m.group(1))] if m else [t])
+            doc = [w for w in df.where(f"doc_id = {row['doc_id']}")
+                   .collect()[0]["text"].lower().split() if w]
+            assert rebuilt == doc
+    df.unpersist()
