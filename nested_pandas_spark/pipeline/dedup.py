@@ -108,9 +108,12 @@ def dedup_keep_best(
                    F.lit(float("-inf"))).alias("__score"),
         fingerprint(text_col).alias("fp"),
     )
-    # max_by with a composite (score, -id) key: best score, then lowest id
+    # min_by with a composite (-score, id) key: best score, then lowest
+    # id. Negating the SCORE (always numeric — coalesced double above)
+    # instead of the id keeps the tie-break working for string ids
+    # (e.g. WARC record ids), which sibling exact_dedup supports.
     best = F.expr(
-        f"max_by({id_col}, named_struct('s', __score, 'i', -{id_col}))"
+        f"min_by({id_col}, named_struct('s', -__score, 'i', {id_col}))"
     )
     return keyed.groupBy("fp").agg(
         best.alias(id_col),

@@ -119,10 +119,19 @@ def _redact_step(text: Column, kind: str) -> tuple[Column, Column]:
     pattern, token = PII_KINDS[kind]
     if kind == "credit_card":
         valid = _card_candidates(text)
+        # Replace only regex-anchored occurrences: a candidate matched
+        # at one position must not rewrite the same digits where they
+        # appear inside a longer run the lookarounds excluded (e.g. a
+        # valid 16-digit card elsewhere must not rewrite the tail of
+        # "94111111111111111"). Candidates contain only [0-9 -], all
+        # regex-literal, so re-anchoring them is safe without escaping.
+        anchored = lambda c: F.concat(  # noqa: E731
+            F.lit(r"(?<![0-9\-])"), c, F.lit(r"(?![0-9\-])")
+        )
         redacted = F.aggregate(
-            valid,
+            F.array_distinct(valid),
             text,
-            lambda acc, c: F.replace(acc, c, F.lit(token)),
+            lambda acc, c: F.regexp_replace(acc, anchored(c), F.lit(token)),
         )
         return redacted, F.size(valid)
     count = F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))

@@ -365,9 +365,18 @@ def hll_overlap(
     :func:`hll_registers` (same ``b``). Intersection error compounds
     (three ±1.04/sqrt(m) estimates), so treat small overlaps as noise —
     the returned ``jaccard`` is the decision number."""
-    ea = hll_estimate(a, b=b_bits).collect()[0]["estimate"]
-    eb = hll_estimate(b, b=b_bits).collect()[0]["estimate"]
-    eu = hll_estimate(hll_merge(a, b), b=b_bits).collect()[0]["estimate"]
+    def _est(df: DataFrame) -> float:
+        # An empty register table (empty corpus side) is a legitimate
+        # triage input — treat a missing estimate as 0.0 instead of
+        # letting collect()[0] raise IndexError.
+        rows = hll_estimate(df, b=b_bits).collect()
+        if not rows or rows[0]["estimate"] is None:
+            return 0.0
+        return float(rows[0]["estimate"])
+
+    ea = _est(a)
+    eb = _est(b)
+    eu = _est(hll_merge(a, b))
     inter = max(0.0, ea + eb - eu)
     return {
         "a": ea,

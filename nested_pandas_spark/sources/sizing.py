@@ -21,22 +21,43 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["estimate_bytes_per_row", "write_sized_parquet"]
 
 
-def _dir_bytes(path: str) -> int:
+def _fs_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes under ``path`` via the Hadoop FileSystem API.
+
+    Works for whatever filesystem the path resolves to (local, HDFS,
+    S3A, ...) — unlike a driver-local ``os.walk``, which silently
+    returns 0 on any deployment where the default FS is not the
+    driver's disk, collapsing the sizing decision to one giant file.
+    Skips metadata files (``_SUCCESS``, hidden/checksum files).
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            total += st.getLen()
+    return int(total)
+
+
+def _fs_rm(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    fs.delete(p, True)
 
 
 def estimate_bytes_per_row(
@@ -49,18 +70,33 @@ def estimate_bytes_per_row(
     RLE make schema-based guesses wrong by 5-50x). Returns 0.0 for an
     empty frame.
     """
+    spark = df.sparkSession
     tmp = os.path.join(tempfile.gettempdir(), f"__sizing_{uuid.uuid4().hex}")
     try:
         sample = df.limit(int(sample_rows)).coalesce(1)
         sample.write.mode("overwrite").option(
             "compression", compression
         ).parquet(tmp)
-        n = df.sparkSession.read.parquet(tmp).count()
+        n = spark.read.parquet(tmp).count()
         if n == 0:
             return 0.0
-        return _dir_bytes(tmp) / n
+        measured = _fs_bytes(spark, tmp)
+        if measured == 0:
+            # A non-empty parquet write can never be 0 bytes; a zero
+            # here means the measurement path is wrong (e.g. looking at
+            # the wrong filesystem). Failing loudly beats silently
+            # funneling the whole dataset into one file.
+            raise RuntimeError(
+                f"sizing sample wrote {n} rows to {tmp} but the "
+                "filesystem reports 0 data bytes — bytes-per-row "
+                "measurement failed; refusing to size the output"
+            )
+        return measured / n
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            _fs_rm(spark, tmp)
+        except Exception:
+            pass
 
 
 def write_sized_parquet(

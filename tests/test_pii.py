@@ -60,6 +60,23 @@ def test_card_digits_never_rematch_as_phone(spark):
     assert row["phone_n"] == 0
 
 
+def test_card_inside_longer_run_untouched(spark):
+    # the valid card appears verbatim INSIDE a 17-digit run that the
+    # lookarounds excluded — the anchored replacement must leave the
+    # long run intact and count exactly the one standalone span
+    row = _redact_one(
+        spark, "blob 94111111111111111 card 4111111111111111 end"
+    )
+    assert row["text_redacted"] == "blob 94111111111111111 card [CARD] end"
+    assert row["credit_card_n"] == 1
+
+
+def test_repeated_card_counts_each_span(spark):
+    row = _redact_one(spark, "a 4111111111111111 b 4111111111111111")
+    assert row["text_redacted"] == "a [CARD] b [CARD]"
+    assert row["credit_card_n"] == 2
+
+
 def test_long_digit_run_not_ip_not_card(spark):
     row = _redact_one(spark, "id 99999999999999999999999 v 999.1.2.3.4")
     assert row["text_redacted"] == "id 99999999999999999999999 v 999.1.2.3.4"

@@ -3265,6 +3265,40 @@ def test_resolve_duplicates_keep_best(spark):
     assert [r["doc_id"] for r in resolve_duplicates(tie, tp, "doc_id", score_col="score").collect()] == [7]
 
 
+def test_dedup_keep_best_string_ids(spark):
+    """Tie-break must work for non-numeric ids (e.g. WARC record ids):
+    best score wins, equal scores break to the smallest id."""
+    from nested_pandas_spark.pipeline.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            ("rec-b", "a  b", 0.2),
+            ("rec-a", "A B", 0.9),
+            ("rec-c", "A b", 0.9),
+            ("rec-d", "c", 0.5),
+        ],
+        "rid string, text string, q double",
+    )
+    rows = {r["rid"]: r for r in dedup_keep_best(docs, "rid", "q").collect()}
+    # the "a b" group: 0.9 beats 0.2, and rec-a < rec-c on the tie
+    assert set(rows) == {"rec-a", "rec-d"}
+    assert rows["rec-a"]["n_dups"] == 3
+
+
+def test_dedup_keep_best_numeric_ids_unchanged(spark):
+    from nested_pandas_spark.pipeline.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "a  b", 0.2), (2, "A B", 0.9), (3, "c", 0.5), (4, "a b", 0.9)],
+        "doc_id long, text string, q double",
+    )
+    rows = sorted(
+        (r["doc_id"], r["n_dups"])
+        for r in dedup_keep_best(docs, "doc_id", "q").collect()
+    )
+    assert rows == [(2, 3), (3, 1)]  # score tie 2 vs 4 -> smallest id
+
+
 def test_normalize_text_chain(spark):
     from nested_pandas_spark.pipeline.text import normalize_text
 

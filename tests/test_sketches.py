@@ -283,6 +283,20 @@ def test_hll_overlap_estimate(spark):
     assert 0.05 < est["jaccard"] < 0.4
 
 
+def test_hll_overlap_empty_side(spark):
+    from nested_pandas_spark.pipeline.sketches import hll_overlap, hll_registers
+
+    a = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS v")
+    empty = spark.createDataFrame([], "v string")
+    ra = hll_registers(a, "v", b=10)
+    re = hll_registers(empty, "v", b=10)
+    est = hll_overlap(ra, re, b_bits=10)
+    assert est["b"] == 0.0
+    assert est["intersection"] == 0.0 and est["jaccard"] == 0.0
+    both_empty = hll_overlap(re, re, b_bits=10)
+    assert both_empty["jaccard"] == 0.0
+
+
 def test_cms_streaming_equals_batch(spark, tmp_path):
     """cms_sketch is streaming-ready as-is (count is a supported
     streaming aggregate)."""
