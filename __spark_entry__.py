@@ -3888,6 +3888,27 @@ def q188_unigram_viterbi(spark, sf):
     )
 
 
+def q189_ivfpq_residual(spark, sf):
+    """Residual IVFPQ (pipeline/similarity.py ivfpq_topk residual=True —
+    FAISS's default IVFADC, Jégou et al. 2011 §IV): coarse centroids are
+    2-round cosine k-means (the q31 replayable refinement); every corpus
+    vector is assigned to its nearest cell and PQ codes quantize the CELL
+    RESIDUAL v - centroid[cid] (4 subspaces x 8 seed centroids over the
+    residual space, pq_iters=0 so the codebook is the md5-seeded residual
+    slices — exactly computable in SQL); queries probe 2 cells and build
+    one ADC LUT per (query, cell) against q - centroid[cid]; refine*k ADC
+    survivors re-rank exactly. The oracle replays every stage: coarse
+    k-means, residual arithmetic, residual-seed codebooks, code
+    assignment, subspace-grouped ADC sums, and the final exact re-rank.
+    Rank-only output (float policy as q22)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return sim.ivfpq_topk(
+        emb, q, k=3, n_centroids=8, n_probe=2, n_sub=4, pq_centroids=8,
+        refine=4, n_iters=2, pq_iters=0, residual=True,
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4447,6 +4468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_normalize_text": q186_normalize_text,
         "q187_zipf_stats": q187_zipf_stats,
         "q188_unigram_viterbi": q188_unigram_viterbi,
+        "q189_ivfpq_residual": q189_ivfpq_residual,
     }
 
 
@@ -6572,6 +6594,92 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             QUALIFY rank <= 3
         """,
+        "q189_ivfpq_residual": f"""
+            -- residual IVFADC replay: coarse 2-round cosine k-means
+            -- (shared CTE generator with q31), per-vector cell residual
+            -- v - centroid[cid], residual-seed PQ codebooks (md5-smallest
+            -- rows' residual slices), L2 code assignment, per-(query,
+            -- probed-cell) LUT over q - centroid[cid], subspace-grouped
+            -- ADC sums (s-major, the _pq_adc_expr contract), exact rerank
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            {ivf_km},
+            assign AS (
+                SELECT e.vec_id, e.v, c.cid, c.cv,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           {_dd_cos('e.v', 'c.cv')} DESC, c.cid ASC) AS rn
+                FROM e, {ivf_cent} c
+            ),
+            resid AS (
+                SELECT vec_id, cid,
+                       list_transform(range(0, 64),
+                           i -> v[i + 1] - cv[i + 1]) AS r
+                FROM assign WHERE rn = 1
+            ),
+            rseeds AS (
+                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1
+                           AS scid, r AS rv
+                FROM resid
+                QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= 8
+            ),
+            rbooks AS (
+                SELECT ss.s, rs.scid AS bcid,
+                       rs.rv[ss.s * 16 + 1 : ss.s * 16 + 16] AS cv
+                FROM rseeds rs, range(0, 4) ss(s)
+            ),
+            rcodes AS (
+                SELECT rd.vec_id, rd.cid AS cell, b.s, b.bcid AS code,
+                       row_number() OVER (PARTITION BY rd.vec_id, b.s
+                           ORDER BY list_sum(list_transform(range(0, 16),
+                               i -> (rd.r[b.s * 16 + i + 1] - b.cv[i + 1])
+                                  * (rd.r[b.s * 16 + i + 1] - b.cv[i + 1])))
+                               ASC, b.bcid ASC) AS rn
+                FROM resid rd, rbooks b
+                QUALIFY rn = 1
+            ),
+            qres AS (
+                SELECT vec_id AS query_id, cid,
+                       list_transform(range(0, 64),
+                           i -> v[i + 1] - cv[i + 1]) AS qr
+                FROM assign WHERE rn <= 2 AND vec_id < 10
+            ),
+            adc_sub AS (
+                SELECT q.query_id, rc.vec_id AS neighbor_id, rc.s,
+                       list_sum(list_transform(range(0, 16), i ->
+                           (q.qr[rc.s * 16 + i + 1] - b.cv[i + 1])
+                           * (q.qr[rc.s * 16 + i + 1] - b.cv[i + 1])))
+                           AS d2s
+                FROM qres q
+                JOIN rcodes rc ON rc.cell = q.cid
+                               AND rc.vec_id <> q.query_id
+                JOIN rbooks b ON b.s = rc.s AND b.bcid = rc.code
+            ),
+            adc AS (
+                SELECT query_id, neighbor_id,
+                       list_sum(list(d2s ORDER BY s)) AS d2
+                FROM adc_sub
+                GROUP BY query_id, neighbor_id
+            ),
+            cand AS (
+                SELECT query_id, neighbor_id
+                FROM adc
+                QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY d2 ASC, neighbor_id ASC) <= 12
+            ),
+            exact AS (
+                SELECT c.query_id, c.neighbor_id,
+                       list_sum(list_transform(range(0, 64), i ->
+                           (eq.v[i + 1] - en.v[i + 1])
+                           * (eq.v[i + 1] - en.v[i + 1]))) AS d2
+                FROM cand c
+                JOIN e eq ON eq.vec_id = c.query_id
+                JOIN e en ON en.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM exact
+            QUALIFY rank <= 3
+        """,
         "q32_multimodal_features": """
             WITH px AS (
                 SELECT doc_id,
@@ -8655,19 +8763,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM e, {pq_books} b
                 QUALIFY rn = 1
             ),
-            recon AS (
-                SELECT c.vec_id,
-                       flatten(list(b.cv ORDER BY c.s)) AS rv
-                FROM codes c JOIN {pq_books} b ON b.s = c.s AND b.cid = c.cid
-                GROUP BY c.vec_id
+            -- ADC = subspace-grouped summation (the LUT contract,
+            -- similarity.py _pq_adc_expr): per (query, candidate) add the
+            -- per-subspace squared-L2s between the query slice and the
+            -- candidate's selected centroid — s-major order, matching the
+            -- Spark fold over zip_with(lut, codes)
+            adc_sub AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.s,
+                       list_sum(list_transform(range(0, 16), i ->
+                           (q.v[c.s * 16 + i + 1] - b.cv[i + 1])
+                           * (q.v[c.s * 16 + i + 1] - b.cv[i + 1])))
+                           AS d2s
+                FROM e q
+                JOIN codes c ON c.vec_id <> q.vec_id
+                JOIN {pq_books} b ON b.s = c.s AND b.cid = c.cid
+                WHERE q.vec_id < 10
             ),
             adc AS (
-                SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-                       list_sum(list_transform(range(0, 64), i ->
-                           (q.v[i + 1] - r.rv[i + 1]) * (q.v[i + 1] - r.rv[i + 1])))
-                           AS d2
-                FROM e q JOIN recon r ON r.vec_id <> q.vec_id
-                WHERE q.vec_id < 10
+                SELECT query_id, neighbor_id,
+                       list_sum(list(d2s ORDER BY s)) AS d2
+                FROM adc_sub
+                GROUP BY query_id, neighbor_id
             ),
             cand AS (
                 SELECT query_id, neighbor_id

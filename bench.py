@@ -365,9 +365,15 @@ def main() -> None:
     ).cache()
     qs_c = emb_c.where(F.col("vec_id") < 10)
     exact_c = sim.brute_force_topk(emb_c, qs_c, k=10)
+    # operating points: lsh at 7 planes x 8 tables + multi_probe 6 (probes
+    # ~5.5% of buckets per table, ~1/3 of the corpus overall — a real
+    # index, not a scan); ivfpq at residual=True (FAISS IVFADC default —
+    # codes quantize cell residuals). The fixture is unit-normalized so L2
+    # (PQ/ADC) and cosine (IVF/LSH) rankings share one ground truth.
     recall_clustered = {
         "lsh@10": _mean_recall(
-            sim.lsh_topk(emb_c, qs_c, k=10, num_planes=8, num_tables=4),
+            sim.lsh_topk(emb_c, qs_c, k=10, num_planes=7, num_tables=8,
+                         multi_probe=6),
             exact_c),
         "ivf@10": _mean_recall(
             sim.ivf_topk(emb_c, qs_c, k=10, n_centroids=64, n_probe=4,
@@ -380,7 +386,12 @@ def main() -> None:
         "ivfpq@10": _mean_recall(
             sim.ivfpq_topk(emb_c, qs_c, k=10, n_centroids=64, n_probe=4,
                            n_sub=4, pq_centroids=16, refine=4,
-                           n_iters=2, pq_iters=1),
+                           n_iters=2, pq_iters=1, residual=True),
+            exact_c),
+        "ivfpq_nonres@10": _mean_recall(
+            sim.ivfpq_topk(emb_c, qs_c, k=10, n_centroids=64, n_probe=4,
+                           n_sub=4, pq_centroids=16, refine=4,
+                           n_iters=2, pq_iters=1, residual=False),
             exact_c),
     }
     emb_c.unpersist()

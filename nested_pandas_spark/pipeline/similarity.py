@@ -24,6 +24,7 @@ __all__ = [
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk", "ivfpq_topk",
+    "with_ivf_residuals",
     "knn_join", "hard_negatives", "recall_at_k", "semantic_decontaminate",
 ]
 
@@ -699,6 +700,63 @@ def _with_pq_codes(
     )
 
 
+def _with_centroid_vec(
+    df: DataFrame,
+    cid: Column,
+    centroids: list[tuple[int, list[float]]],
+    out: str,
+) -> DataFrame:
+    """Add ``out`` = the centroid VECTOR for the id in ``cid`` — the
+    lookup residual quantization needs (``v - centroid[cid]``). Centroid
+    ids from :func:`ivf_centroids` are dense 0..n-1, so the lookup is one
+    ``element_at(ordered_vectors, cid + 1)``: O(1) per row at any
+    centroid count. Tiered like every other centroid access: plan-literal
+    array at or below ``_LITERAL_CENTROID_MAX``, ONE broadcast single-row
+    table above."""
+    ordered = sorted(centroids, key=lambda c: c[0])
+    if [c for c, _ in ordered] != list(range(len(ordered))):
+        raise ValueError("centroid ids must be dense 0..n-1")
+    idx = (cid + 1).cast("int")
+    if len(ordered) <= _LITERAL_CENTROID_MAX:
+        lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered]
+        )
+        return df.withColumn(out, F.element_at(lit, idx))
+    tbl = _centroid_table_df(df.sparkSession, ordered)
+    return (
+        df.crossJoin(F.broadcast(tbl))
+        .withColumn(
+            out,
+            F.element_at(
+                F.transform(F.col("__cent_tbl"), lambda c: c["v"]), idx
+            ),
+        )
+        .drop("__cent_tbl")
+    )
+
+
+def with_ivf_residuals(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+    residual_col: str = "residual",
+) -> DataFrame:
+    """Ingest-side IVF residual computation: add ``cid_col`` (nearest
+    coarse centroid, cosine — the IVF assignment) and ``residual_col``
+    (``v - centroid[cid]``) to every corpus row. This is what a 100 TB
+    pipeline persists once so that residual-PQ search
+    (:func:`ivfpq_topk` with ``residual=True``) never touches raw
+    vectors in the scan phase. Pure per-row projection — zero shuffle."""
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = with_nearest_ids(corpus, vec, centroids, 1, out="__cids")
+    assigned = assigned.withColumn(cid_col, F.col("__cids")[0]).drop("__cids")
+    assigned = _with_centroid_vec(assigned, F.col(cid_col), centroids, "__cv0")
+    return assigned.withColumn(
+        residual_col, F.zip_with(vec, F.col("__cv0"), lambda a, b: a - b)
+    ).drop("__cv0")
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -731,35 +789,6 @@ def pq_decode(
                 (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
             ),
         )
-    )
-
-
-def _pq_recon_expr_tbl(codes: Column, cbt: Column) -> Column:
-    """Reconstruction where the codebook is a table COLUMN: zip each
-    subspace's codebook with its code and pick the centroid — O(1) plan
-    nodes (broadcast twin of :func:`pq_decode`)."""
-    return F.flatten(
-        F.zip_with(
-            cbt, codes, lambda cb_s, c: F.element_at(cb_s, (c + 1).cast("int"))
-        )
-    )
-
-
-def _with_pq_recon(
-    df: DataFrame,
-    codes: Column,
-    codebooks: list[list[list[float]]],
-    out: str,
-) -> DataFrame:
-    """Threshold switch for PQ reconstruction (literal vs broadcast
-    codebook table), mirroring :func:`_with_pq_codes`."""
-    if len(codebooks[0]) <= _LITERAL_CENTROID_MAX:
-        return df.withColumn(out, pq_decode(codes, codebooks))
-    tbl = _codebook_table_df(df.sparkSession, codebooks)
-    return (
-        df.crossJoin(F.broadcast(tbl))
-        .withColumn(out, _pq_recon_expr_tbl(codes, F.col("__cb_tbl")))
-        .drop("__cb_tbl")
     )
 
 
@@ -827,24 +856,32 @@ def pq_topk(
     partial_buckets: int | None = None,
     n_iters: int = 0,
 ) -> DataFrame:
-    """PQ approximate top-k with exact re-rank (asymmetric distance via the
-    reconstruction): score queries against per-row reconstructions (codes +
-    plan-literal codebooks — the raw corpus vectors are NOT read in the
-    scan phase), keep ``refine * k`` ADC candidates per query, then re-rank
-    those few exactly. Output (query_id, neighbor_id, rank) by ascending
-    exact squared-L2.
+    """PQ approximate top-k with exact re-rank (asymmetric distance via
+    per-query LUTs): each query row precomputes the ``n_sub x
+    n_centroids`` table of subspace squared-L2s once (:func:`_with_pq_lut`
+    — Jégou et al. 2011 §III-B, FAISS's ADC scan), so scoring a candidate
+    is ``n_sub`` lookups + adds over its CODES — the scan phase reads
+    (id, pq_code) only, never raw vectors or O(dim) reconstructions.
+    Keep ``refine * k`` ADC candidates per query, then re-rank those few
+    exactly. Output (query_id, neighbor_id, rank) by ascending exact
+    squared-L2.
 
     At scale the corpus stores ``pq_code`` at ingest (pq_encode) and this
     search touches ~n_sub bytes/row instead of the full vector — the
     standard memory-bound ANN formulation alongside IVF's compute-bound one.
     """
     cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, n_centroids, n_iters)
-    encoded = _with_pq_recon(
-        pq_encode(corpus, cbs, vec_col), F.col("pq_code"), cbs, "__recon"
-    ).select(F.col(id_col).alias("neighbor_id"), "__recon")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
+    encoded = pq_encode(corpus, cbs, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+    q = _with_pq_lut(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        ),
+        F.col("__qv"),
+        cbs,
+        "__lut",
     )
 
     def l2sq(a: Column, b: Column) -> Column:
@@ -854,12 +891,12 @@ def pq_topk(
             lambda acc, v: acc + v,
         )
 
-    adc = encoded.crossJoin(F.broadcast(q)).where(
+    adc = encoded.crossJoin(F.broadcast(q.select("query_id", "__lut"))).where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        (-l2sq(F.col("__qv"), F.col("__recon"))).alias("cos_sim"),
+        (-_pq_adc_expr(F.col("__lut"), F.col("pq_code"))).alias("cos_sim"),
     )
     cand = _per_query_topk(adc, refine * k, partial_buckets).select(
         "query_id", "neighbor_id"
@@ -872,7 +909,7 @@ def pq_topk(
             ),
             on="neighbor_id",
         )
-        .join(F.broadcast(q), on="query_id")
+        .join(F.broadcast(q.select("query_id", "__qv")), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1459,45 +1496,89 @@ def ivfpq_topk(
     refine: int = 4,
     n_iters: int = 0,
     pq_iters: int = 0,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed ANN — the standard billion-scale index shape
     (FAISS ``IVFx,PQy``; Jégou et al. 2011): the inverted file prunes
     WHICH rows are scanned (each query touches ~n_probe/n_centroids of
     the corpus) and product quantization prunes WHAT is read per row
     (n_sub code bytes instead of the raw vector). ADC scoring runs
-    against PQ reconstructions inside the probed cells only; the
+    against per-query LUTs inside the probed cells only; the
     ``refine * k`` survivors per query are re-ranked exactly. Output
     (query_id, neighbor_id, rank) by ascending exact squared-L2 —
     the same contract as :func:`pq_topk`.
 
-    This non-residual formulation (codes quantize the raw vectors, not
-    the cell residuals) keeps every stage replayable by the oracle; at
-    ingest the corpus would store ``centroid_id`` + ``pq_code``
-    (pq_encode + the IVF assignment) so the search never touches raw
-    vectors until the final re-rank of ~refine*k rows per query.
+    ``residual=False`` quantizes the raw vectors — the simplest
+    replayable formulation. ``residual=True`` is FAISS's default IVFADC:
+    codes quantize the CELL RESIDUAL ``v - centroid[cid]``, which
+    concentrates the quantizer's dynamic range on the within-cell
+    geometry and buys substantially better recall at the same code
+    budget; the query-side LUT is then computed per (query, probed cell)
+    against ``q - centroid[cid]`` — n_probe small LUTs per query instead
+    of one. Both variants are exactly replayable (deterministic seeding,
+    HALF_UP-rounded refinement means, fixed fold orders).
+
+    At ingest the corpus would store ``centroid_id`` + ``pq_code``
+    (:func:`with_ivf_residuals` + :func:`pq_encode`) so the search never
+    touches raw vectors until the final re-rank of ~refine*k rows per
+    query.
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
-    cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids, pq_iters)
-    c = with_nearest_ids(
-        pq_encode(corpus, cbs, vec_col).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("pq_code"),
-            F.col(vec_col).cast("array<double>").alias("__cv"),
-        ),
-        F.col("__cv"), cents, 1,
-    ).select("neighbor_id", "pq_code", F.col("__cids")[0].alias("__cid"))
-    q = _with_pq_lut(
-        with_nearest_ids(
+    if residual:
+        resid = with_ivf_residuals(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("__cv"),
+            ),
+            cents, vec_col="__cv", cid_col="__cid", residual_col="__rv",
+        )
+        cbs = pq_codebooks(resid, "neighbor_id", "__rv", n_sub,
+                           pq_centroids, pq_iters)
+        c = pq_encode(resid, cbs, "__rv").select(
+            "neighbor_id", "pq_code", "__cid"
+        )
+        # per-(query, probed-cell) LUT over the query's own residual in
+        # that cell — the residual IVFADC query path
+        probed = with_nearest_ids(
             queries.select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).cast("array<double>").alias("__qv"),
             ),
             F.col("__qv"), cents, n_probe,
-        ),
-        F.col("__qv"), cbs, "__lut",
-    ).select(
-        "query_id", "__lut", F.explode(F.col("__cids")).alias("__cid")
-    )
+        ).select(
+            "query_id", "__qv", F.explode(F.col("__cids")).alias("__cid")
+        )
+        probed = _with_centroid_vec(probed, F.col("__cid"), cents, "__cc")
+        probed = probed.withColumn(
+            "__qres", F.zip_with(F.col("__qv"), F.col("__cc"),
+                                 lambda a, b: a - b)
+        )
+        q = _with_pq_lut(probed, F.col("__qres"), cbs, "__lut").select(
+            "query_id", "__lut", "__cid"
+        )
+    else:
+        cbs = pq_codebooks(corpus, id_col, vec_col, n_sub,
+                           pq_centroids, pq_iters)
+        c = with_nearest_ids(
+            pq_encode(corpus, cbs, vec_col).select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("pq_code"),
+                F.col(vec_col).cast("array<double>").alias("__cv"),
+            ),
+            F.col("__cv"), cents, 1,
+        ).select("neighbor_id", "pq_code", F.col("__cids")[0].alias("__cid"))
+        q = _with_pq_lut(
+            with_nearest_ids(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).cast("array<double>").alias("__qv"),
+                ),
+                F.col("__qv"), cents, n_probe,
+            ),
+            F.col("__qv"), cbs, "__lut",
+        ).select(
+            "query_id", "__lut", F.explode(F.col("__cids")).alias("__cid")
+        )
 
     def l2sq(a: Column, b: Column) -> Column:
         return _l2sq(a, b)

@@ -1034,6 +1034,28 @@ def main() -> int:
         )[:400],
     ))
 
+    # -- 36. pq_topk ADC scan: LUT lookups over codes, no reconstruction ----
+    q36 = emb.where(F.col("vec_id") < 10)
+    pq_df = sim.pq_topk(emb, q36, k=3, n_sub=4, n_centroids=8, refine=4)
+    p36a = pq_df._jdf.queryExecution().analyzed().toString()
+    check(
+        "pq_topk scan scores via per-query LUT, not reconstructions",
+        "__lut" in p36a and "__recon" not in p36a,
+        "expected a __lut column in the analyzed plan and no __recon",
+    )
+    sections.append((
+        "PQ top-k: ADC scan reads codes only (per-query LUT)",
+        "pq_topk's candidate scan scores each corpus row with n_sub "
+        "lookups into a per-query LUT over its pq_code (Jégou 2011 ADC, "
+        "same machinery as ivfpq_topk) — the scan never materializes an "
+        "O(dim) reconstruction per (query, candidate) pair, so at 100 TB "
+        "it touches ~n_sub bytes per corpus row. Raw vectors are read "
+        "only for the refine*k exact re-rank per query.",
+        "\n".join(
+            ln.strip() for ln in p36a.splitlines() if "__lut" in ln
+        )[:400],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
