@@ -3909,6 +3909,45 @@ def q189_ivfpq_residual(spark, sf):
     )
 
 
+def q190_byte_bpe_train(spark, sf):
+    """Byte-level BPE training (pipeline/text.py byte_bpe_train — the
+    GPT-2/LLaMA tokenizer family): GPT-2-style pretokens (contractions /
+    space+letters / space+digits / space+other / whitespace, RE2-safe
+    variant), UTF-8 bytes as two-hex-char symbols, 3 greedy merges with
+    the doubled-boundary replace. Byte fallback is the base alphabet, so
+    OOV = 0 by construction on any input. The oracle replays the
+    pretokenizer regex, the hex symbolization, and each unrolled merge
+    step (same CTE shape as q117's char-level trainer)."""
+    from nested_pandas_spark.pipeline.text import byte_bpe_train
+
+    docs = _t(spark, sf, "documents")
+    merges, vocab = byte_bpe_train(docs, 3)
+    vocab.unpersist()
+    return merges
+
+
+def q191_byte_bpe_encode(spark, sf):
+    """Byte-level BPE application (pipeline/text.py byte_bpe_encode):
+    train 3 byte merges then encode every document as hex-symbol tokens
+    in one shuffle-free projection. Output md5 of the space-joined token
+    stream + token count per doc; NULL text stays NULL. The oracle
+    re-derives the merges and replays the per-pretoken replace chain."""
+    from nested_pandas_spark.pipeline.text import (
+        byte_bpe_encode,
+        byte_bpe_train,
+    )
+
+    docs = _t(spark, sf, "documents")
+    merges, vocab = byte_bpe_train(docs, 3)
+    vocab.unpersist()
+    out = byte_bpe_encode(docs.select("doc_id", "text"), merges)
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join(F.col("tokens"), " ")).alias("tokens_md5"),
+        F.col("tokens_n"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4469,6 +4508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_zipf_stats": q187_zipf_stats,
         "q188_unigram_viterbi": q188_unigram_viterbi,
         "q189_ivfpq_residual": q189_ivfpq_residual,
+        "q190_byte_bpe_train": q190_byte_bpe_train,
+        "q191_byte_bpe_encode": q191_byte_bpe_encode,
     }
 
 
@@ -4939,6 +4980,55 @@ def _pq_kmeans_ctes(n_iters: int, n_cent: int, n_sub: int, d_sub: int) -> tuple[
     return ",\n            ".join(parts), f"books{n_iters}"
 
 
+def _byte_bpe_ctes(n_steps: int) -> tuple[str, str]:
+    """Unrolled byte-level BPE training as DuckDB CTEs — the oracle
+    replica of pipeline/text.py byte_bpe_train: GPT-2-style pretokens
+    (RE2 runs the same leftmost-first alternation Java does), UTF-8
+    bytes as two-hex-char symbols via hex(encode(w)) (uppercase in both
+    engines), then per-step argmax + doubled-boundary replace exactly
+    like _BPE_TRAIN_CTES. Returns (cte_sql, final_vocab_cte_name);
+    merge tables are bm1..bmN."""
+    from nested_pandas_spark.pipeline.text import BYTE_PRETOKEN_PATTERN
+
+    pat = "'" + BYTE_PRETOKEN_PATTERN.replace("'", "''") + "'"
+    parts = [f"""bws AS (
+                SELECT unnest(regexp_extract_all(text, {pat})) AS w
+                FROM documents WHERE text IS NOT NULL
+            )""", """bwc AS (
+                SELECT w, count(*) AS wc FROM bws GROUP BY w
+            )""", """bw0 AS (
+                SELECT w, wc,
+                       array_to_string(regexp_extract_all(
+                           hex(encode(w)), '..'), ' ') AS syms
+                FROM bwc
+            )"""]
+    for it in range(1, n_steps + 1):
+        parts.append(f"""bp{it} AS (
+                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
+                       CAST(sum(wc) AS BIGINT) AS n
+                FROM (SELECT string_split(syms, ' ') AS sl, wc,
+                             unnest(range(1, len(string_split(syms, ' ')))) AS i
+                      FROM bw{it - 1})
+                GROUP BY 1, 2
+            )""")
+        parts.append(f"""bm{it} AS (
+                SELECT l, r, n FROM bp{it}
+                ORDER BY n DESC, l ASC, r ASC LIMIT 1
+            )""")
+        parts.append(f"""bw{it} AS (
+                SELECT w, wc,
+                       trim(replace(replace(
+                           ' ' || replace(syms, ' ', '  ') || ' ',
+                           ' ' || (SELECT l FROM bm{it}) || '  '
+                               || (SELECT r FROM bm{it}) || ' ',
+                           ' ' || (SELECT l FROM bm{it})
+                               || (SELECT r FROM bm{it}) || ' '),
+                           '  ', ' ')) AS syms
+                FROM bw{it - 1}
+            )""")
+    return ",\n            ".join(parts), f"bw{n_steps}"
+
+
 _BPE_TRAIN_CTES = """ws AS (
                 SELECT unnest(list_filter(
                     string_split_regex(lower(text), '\\s+'),
@@ -5047,6 +5137,9 @@ def oracle_sql() -> dict[str, str]:
     # unrolled deterministic k-means refinements (q31 IVF / q39 PQ)
     ivf_km, ivf_cent = _kmeans_cos_ctes(2, 8)
     pq_km, pq_books = _pq_kmeans_ctes(2, 8, 4, 16)
+    bbpe_ctes, _bbpe_final = _byte_bpe_ctes(3)
+    from nested_pandas_spark.pipeline.text import BYTE_PRETOKEN_PATTERN
+    bbpe_pat = "'" + BYTE_PRETOKEN_PATTERN.replace("'", "''") + "'"
     gd2, gdw = _gd_ctes(2, 1.0)
     sh3 = _shingles(3)
     sh2 = _shingles(2)
@@ -7905,6 +7998,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NULL THEN NULL
                         ELSE coalesce(array_to_string(we, ' '), '')
                    END AS text_bpe,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE CAST(len(list_filter(string_split(
+                            coalesce(array_to_string(we, ' '), ''), ' '),
+                            x -> x <> '')) AS BIGINT)
+                   END AS tokens_n
+            FROM enc
+        """,
+        "q190_byte_bpe_train": f"""
+            WITH {bbpe_ctes}
+            SELECT CAST(1 AS INT) AS step, l AS "left", r AS "right", n FROM bm1
+            UNION ALL
+            SELECT CAST(2 AS INT), l, r, n FROM bm2
+            UNION ALL
+            SELECT CAST(3 AS INT), l, r, n FROM bm3
+        """,
+        "q191_byte_bpe_encode": f"""
+            WITH {bbpe_ctes}, enc AS (
+                SELECT d.doc_id, d.text,
+                       list_transform(
+                           regexp_extract_all(d.text, {bbpe_pat}),
+                           -- hex symbolization + the same doubled-
+                           -- boundary chain as q119, byte-grain
+                           w -> trim(replace(replace(replace(replace(
+                               ' ' || array_to_string(regexp_extract_all(
+                                   hex(encode(w)), '..'), '  ') || ' ',
+                               ' ' || bm1.l || '  ' || bm1.r || ' ',
+                               ' ' || bm1.l || bm1.r || ' '),
+                               ' ' || bm2.l || '  ' || bm2.r || ' ',
+                               ' ' || bm2.l || bm2.r || ' '),
+                               ' ' || bm3.l || '  ' || bm3.r || ' ',
+                               ' ' || bm3.l || bm3.r || ' '),
+                               '  ', ' '))
+                       ) AS we
+                FROM documents d, bm1, bm2, bm3
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE md5(coalesce(array_to_string(we, ' '), ''))
+                   END AS tokens_md5,
                    CASE WHEN text IS NULL THEN NULL
                         ELSE CAST(len(list_filter(string_split(
                             coalesce(array_to_string(we, ' '), ''), ' '),

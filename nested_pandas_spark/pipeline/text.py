@@ -36,6 +36,11 @@ __all__ = [
     "bpe_pair_stats",
     "bpe_train",
     "bpe_encode",
+    "BYTE_PRETOKEN_PATTERN",
+    "pretokens",
+    "byte_bpe_train",
+    "byte_bpe_encode",
+    "byte_bpe_decode",
     "gopher_rules",
     "gopher_repetition",
     "STOPWORDS",
@@ -695,7 +700,22 @@ def bpe_train(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    spark = docs.sparkSession
+    return _bpe_merge_loop(
+        docs.sparkSession, vocab_df, n_merges, min_pair_count,
+        checkpoint_every,
+    )
+
+
+def _bpe_merge_loop(
+    spark, vocab_df, n_merges: int, min_pair_count: int, checkpoint_every: int
+):
+    """The shared BPE training loop over a persisted ``(word, wc, syms)``
+    vocab frame — see :func:`bpe_train` for the scale shape. Symbol
+    GRAIN is whatever the caller's symbolization produced (characters
+    for :func:`bpe_train`, hex byte pairs for :func:`byte_bpe_train`);
+    the loop only assumes space-joined symbols without spaces inside."""
+    from pyspark import StorageLevel
+
     merges = []
     for step in range(1, n_merges + 1):
         pairs = (
@@ -832,6 +852,130 @@ def _bpe_per_word_sql(pairs: list[tuple[str, str]], end_marker: str | None) -> s
             f"' ' || {_sql_literal(l_)} || {_sql_literal(r_)} || ' ')"
         )
     return f"split(trim(replace({expr}, '  ', ' ')), ' ')"
+
+
+# GPT-2-style pretokenizer (Radford et al. 2019, encoder.py pat), minus
+# the `\s+(?!\S)` trailing-whitespace alternative: RE2 (the oracle's
+# engine) has no lookarounds, so runs of whitespace group greedily
+# instead of donating their last space to the next word — a documented,
+# engine-portable variant. Alternation order matters (leftmost-first in
+# both Java regex and RE2): contractions, then space+letters, then
+# space+digits, then space+other, then whitespace runs.
+BYTE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def pretokens(text: Column | str) -> Column:
+    """``array<string>`` of GPT-2-style pretokens — case-preserving,
+    whitespace-carrying (a word keeps its leading space), so the
+    concatenation of pretokens reproduces the text exactly. NULL text
+    yields NULL."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0))
+
+
+# Byte symbolization over a bound SQL string `__w`: the pretoken's UTF-8
+# bytes as space-joined two-hex-char symbols ("he" -> "68 65"). Every
+# possible byte is a base symbol, so ANY input tokenizes — byte fallback
+# and OOV rate 0 by construction. hex() is uppercase in both Spark and
+# DuckDB, so trained merges replay across engines.
+_BYTE_SYMS_SQL = (
+    "array_join(regexp_extract_all(hex(encode(__w, 'utf-8')), '..', 0), ' ')"
+)
+
+
+def byte_bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 1,
+    checkpoint_every: int = 8,
+):
+    """Train ``n_merges`` BYTE-level BPE merges (the GPT-2/LLaMA-class
+    tokenizer family): text splits into case-preserving pretokens
+    (:data:`BYTE_PRETOKEN_PATTERN`), each pretoken becomes its UTF-8
+    byte sequence (two-hex-char symbols), and merges run over byte
+    symbols — so vocabulary statistics are byte-grain and any input,
+    code or multilingual, encodes with zero OOV (byte fallback is the
+    base alphabet). Returns ``(merges, vocab)`` shaped exactly like
+    :func:`bpe_train`; token symbols are hex strings (``"6865"`` = the
+    merged bytes of ``"he"``), decodable with :func:`byte_bpe_decode`.
+
+    Scale shape is :func:`bpe_train`'s unchanged: ONE corpus-sized
+    word-grain shuffle collapsing to the distinct-pretoken frequency
+    table, then one partial-agg pair count + a one-row argmax collect
+    per merge (:func:`_bpe_merge_loop`). The reference implementation
+    (Sennrich re.sub over a word-frequency dict) is the same algorithm
+    single-node; cited for parity, not copied."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    from pyspark import StorageLevel
+
+    vocab_df = (
+        docs.select(F.explode(pretokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .withColumn("syms", F.expr(_BYTE_SYMS_SQL.replace("__w", "word")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _bpe_merge_loop(
+        docs.sparkSession, vocab_df, n_merges, min_pair_count,
+        checkpoint_every,
+    )
+
+
+def byte_bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    out: str = "tokens",
+) -> DataFrame:
+    """Apply byte-level BPE merges (from :func:`byte_bpe_train`) to every
+    document: adds ``out`` = ``array<string>`` of hex-symbol tokens and
+    ``{out}_n``. By construction every input byte is covered (OOV = 0);
+    NULL text yields NULL tokens/count.
+
+    One shuffle-free projection, like :func:`bpe_encode`: pretokens via
+    ``regexp_extract_all``, per-pretoken hex symbolization, then the
+    literal doubled-boundary ``replace`` chain in training order."""
+    pairs = _normalize_merges(merges)
+    syms = _BYTE_SYMS_SQL.replace("' ')", "'  ')")  # two-space join
+    expr = f"' ' || {syms} || ' '"
+    for l_, r_ in pairs:
+        expr = (
+            f"replace({expr}, "
+            f"' ' || {_sql_literal(l_)} || '  ' || {_sql_literal(r_)} || ' ', "
+            f"' ' || {_sql_literal(l_)} || {_sql_literal(r_)} || ' ')"
+        )
+    per_tok = f"split(trim(replace({expr}, '  ', ' ')), ' ')"
+    qt = "`" + text_col.replace("`", "``") + "`"
+    w_arr = (
+        f"regexp_extract_all({qt}, "
+        f"{_sql_literal(BYTE_PRETOKEN_PATTERN)}, 0)"
+    )
+    toks = f"flatten(transform({w_arr}, __w -> {per_tok}))"
+    out_df = docs.withColumn(
+        out,
+        F.expr(f"CASE WHEN {qt} IS NULL THEN NULL ELSE {toks} END"),
+    )
+    return out_df.withColumn(
+        f"{out}_n",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size(F.col(out)).cast("long")),
+    )
+
+
+def byte_bpe_decode(tokens: Column | str) -> Column:
+    """Inverse of :func:`byte_bpe_encode`: hex-symbol tokens back to the
+    original text (pretokens carry their whitespace, so concatenation is
+    exact). Pure JVM expression."""
+    col = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.decode(F.unhex(F.array_join(col, "")), "utf-8")
 
 
 def bpe_encode_vocab(

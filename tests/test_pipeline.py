@@ -1475,11 +1475,16 @@ def test_dedup_passages_min_count_and_validation(spark):
             dedup_passages(df, **kw)
 
 
-def _bpe_ref(word_counts, n_merges, end_marker=None):
-    """Reference BPE trainer (Sennrich et al. 2016 greedy merges)."""
+def _bpe_ref(word_counts, n_merges, end_marker=None, symbolize=None):
+    """Reference BPE trainer (Sennrich et al. 2016 greedy merges).
+    ``symbolize`` overrides the default character symbolization (used by
+    the byte-level variant with hex byte pairs)."""
     vocab = {}
     for w, c in word_counts.items():
-        syms = list(w) + ([end_marker] if end_marker else [])
+        if symbolize is not None:
+            syms = symbolize(w)
+        else:
+            syms = list(w) + ([end_marker] if end_marker else [])
         vocab[w] = (tuple(syms), c)
     merges = []
     for step in range(1, n_merges + 1):
@@ -1532,6 +1537,134 @@ def test_bpe_train_matches_reference(spark):
         assert got_m == ref_m, f"marker={marker}"
         got_v = {r["word"]: r["syms"] for r in vocab.collect()}
         assert got_v == ref_v, f"marker={marker}"
+
+
+def _pretokenize_ref(text):
+    """Python reference for BYTE_PRETOKEN_PATTERN: a manual leftmost-first
+    scan over the alternation (contractions | ' ?letters+' | ' ?digits+'
+    | ' ?other+' | 'spaces+') using Unicode categories, replicating what
+    Java regex and RE2 both do on that pattern."""
+    import unicodedata
+
+    contr = ["'s", "'t", "'re", "'ve", "'m", "'ll", "'d"]
+    sp = " \t\n\x0b\f\r"  # Java \s
+
+    def cat(ch):
+        c = unicodedata.category(ch)
+        if c.startswith("L"):
+            return "L"
+        if c.startswith("N"):
+            return "N"
+        if ch in sp:
+            return "S"
+        return "O"
+
+    out, i, n = [], 0, len(text)
+    while i < n:
+        hit = next((c for c in contr if text.startswith(c, i)), None)
+        if hit:
+            out.append(hit)
+            i += len(hit)
+            continue
+        k = i + 1 if text[i] == " " else i
+        matched = False
+        for want in ("L", "N", "O"):
+            if k < n and cat(text[k]) == want:
+                e = k
+                while e < n and cat(text[e]) == want:
+                    e += 1
+                out.append(text[i:e])
+                i = e
+                matched = True
+                break
+        if matched:
+            continue
+        assert cat(text[i]) == "S"
+        e = i
+        while e < n and cat(text[e]) == "S":
+            e += 1
+        out.append(text[i:e])
+        i = e
+    return out
+
+
+def _hex_syms(w):
+    return [f"{b:02X}" for b in w.encode("utf-8")]
+
+
+def test_pretokens_matches_reference(spark):
+    from nested_pandas_spark.pipeline.text import pretokens
+
+    texts = [
+        "low lower  lowest, it's Löwe 42!",
+        "don't we'll they're I'm you've he'd can't",
+        "x=1;y+=2 // comment\n\ttab   spaces",
+        "汉字 and ASCII mixed… naïve café №5",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {r["id"]: r["p"]
+           for r in df.select("id", pretokens("text").alias("p")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _pretokenize_ref(t), t
+        assert "".join(got[i]) == t  # lossless
+
+
+def test_byte_bpe_train_matches_reference(spark):
+    from nested_pandas_spark.pipeline.text import byte_bpe_train
+
+    texts = ["low lower lowest low low", "newer newest new low",
+             None, "aaaa haha hahahaha .... aaaa aaaa haha",
+             "it's Löwe 42! it's"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    wc = {}
+    for t in texts:
+        if t is None:
+            continue
+        for w in _pretokenize_ref(t):
+            wc[w] = wc.get(w, 0) + 1
+    merges, vocab = byte_bpe_train(df, 8, checkpoint_every=3)
+    ref_m, ref_v = _bpe_ref(wc, 8, symbolize=_hex_syms)
+    got_m = [(r["step"], r["left"], r["right"], r["n"])
+             for r in merges.orderBy("step").collect()]
+    assert got_m == ref_m
+    got_v = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert got_v == ref_v
+    vocab.unpersist()
+
+
+def test_byte_bpe_encode_roundtrip_zero_oov(spark):
+    """Any input — code, multilingual, emoji — must encode with zero OOV
+    and decode back to the exact original text."""
+    from nested_pandas_spark.pipeline.text import (
+        byte_bpe_decode,
+        byte_bpe_encode,
+        byte_bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "id long, text string",
+    )
+    merges, vocab = byte_bpe_train(train, 6)
+    vocab.unpersist()
+    # encode text full of symbols the trainer never saw
+    texts = ["汉字テスト🚀", "def f(x):\n\treturn x*2  # ünïcödé",
+             "the dog", "", None]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    rows = {r["id"]: r for r in byte_bpe_encode(df, merges).select(
+        "id", "tokens", "tokens_n",
+        byte_bpe_decode("tokens").alias("rt")).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert rows[i]["tokens"] is None and rows[i]["tokens_n"] is None
+        else:
+            assert rows[i]["rt"] == t  # lossless round trip, OOV = 0
+            assert rows[i]["tokens_n"] == len(rows[i]["tokens"])
 
 
 def test_bpe_train_early_stop_and_validation(spark):
