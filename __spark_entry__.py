@@ -3948,6 +3948,39 @@ def q191_byte_bpe_encode(spark, sf):
     )
 
 
+_PSL_HOST = (
+    "CASE doc_id % 8 "
+    "WHEN 0 THEN 'sub' || doc_id || '.shop.example' || (doc_id % 5) || '.co.uk' "
+    "WHEN 1 THEN 'example' || (doc_id % 5) || '.com.au' "
+    "WHEN 2 THEN 'co.uk' "
+    "WHEN 3 THEN 'x.y.site' || (doc_id % 7) || '.org' "
+    "WHEN 4 THEN 'www.ck' "
+    "WHEN 5 THEN 'a.www.ck' "
+    "WHEN 6 THEN 'z' || doc_id || '.foo.ck' "
+    "ELSE 'localhost' END"
+)
+
+
+def q192_registrable_domain(spark, sf):
+    """eTLD+1 extraction against the checked-in public-suffix snapshot
+    (pipeline/web.py with_registrable_domain): doc_id-scheduled hosts
+    cover plain multi-label rules (co.uk, com.au), the default '*' rule
+    (.org), the wildcard rule (*.ck), the exception rule (!www.ck), a
+    host that IS a public suffix (NULL), and a single label (NULL). The
+    oracle does not replay the lookup — it derives the expected eTLD+1
+    independently from the doc_id schedule, so the check is ground
+    truth. The lookup itself is O(max_rule_depth) map probes per row,
+    zero shuffle (broadcast map above the literal threshold)."""
+    from nested_pandas_spark.pipeline.web import with_registrable_domain
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_PSL_HOST).alias("host")
+    )
+    return with_registrable_domain(docs, host_col="host").select(
+        "doc_id", "host", "registrable_domain"
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4510,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_ivfpq_residual": q189_ivfpq_residual,
         "q190_byte_bpe_train": q190_byte_bpe_train,
         "q191_byte_bpe_encode": q191_byte_bpe_encode,
+        "q192_registrable_domain": q192_registrable_domain,
     }
 
 
@@ -8004,6 +8038,25 @@ def oracle_sql() -> dict[str, str]:
                             x -> x <> '')) AS BIGINT)
                    END AS tokens_n
             FROM enc
+        """,
+        "q192_registrable_domain": f"""
+            -- ground truth from the doc_id schedule, no PSL lookup
+            -- replay: rule class -> expected eTLD+1 derived directly
+            WITH h AS (
+                SELECT doc_id, {_PSL_HOST} AS host FROM documents
+            )
+            SELECT doc_id, host,
+                   CASE doc_id % 8
+                       WHEN 0 THEN 'example' || (doc_id % 5) || '.co.uk'
+                       WHEN 1 THEN 'example' || (doc_id % 5) || '.com.au'
+                       WHEN 2 THEN NULL
+                       WHEN 3 THEN 'site' || (doc_id % 7) || '.org'
+                       WHEN 4 THEN 'www.ck'
+                       WHEN 5 THEN 'www.ck'
+                       WHEN 6 THEN 'z' || doc_id || '.foo.ck'
+                       ELSE NULL
+                   END AS registrable_domain
+            FROM h
         """,
         "q190_byte_bpe_train": f"""
             WITH {bbpe_ctes}

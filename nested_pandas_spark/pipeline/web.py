@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_url",
     "url_domain",
+    "PUBLIC_SUFFIXES",
+    "registrable_domain",
+    "with_registrable_domain",
     "domain_caps",
     "blocklist_filter",
     "extract_text_html",
@@ -60,6 +63,172 @@ def url_domain(url: Column | str, alias: str = "domain") -> Column:
     )
     host = F.regexp_replace(host, "^www\\.", "")
     return F.nullif(host, F.lit("")).alias(alias)
+
+
+# Snapshot SUBSET of the public-suffix list (rule facts from
+# publicsuffix.org's Public Suffix List — volunteer-maintained public
+# registry data; this is a hand-picked subset of the most common
+# multi-label registry suffixes, NOT the full list). Pass your own full
+# PSL-derived rule list via ``suffixes=`` for production coverage; rule
+# syntax follows the PSL: plain rules ("co.uk"), wildcard rules
+# ("*.ck" — every x.ck is a public suffix), exception rules ("!www.ck"
+# — www.ck is registrable despite the wildcard). Single-label TLDs need
+# no entry (the PSL default rule "*" covers them).
+PUBLIC_SUFFIXES: list[str] = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "co.th", "ac.th", "go.th", "or.th", "in.th", "net.th",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "or.id", "web.id", "ac.id", "go.id",
+    "com.ph", "net.ph", "org.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "com.eg", "com.sa", "com.ae", "com.pk", "com.bd",
+    "*.ck", "!www.ck",
+]
+
+# Above this many rules the plan-literal map would bloat the query plan
+# (same rationale as similarity._LITERAL_CENTROID_MAX) — the frame-level
+# API switches to ONE broadcast single-row map table.
+_LITERAL_SUFFIX_MAX = 1024
+
+
+def _psl_rules(suffixes: list[str] | None) -> tuple[dict[str, str], int]:
+    """Parse PSL-syntax rules into a lookup map and the max match depth.
+
+    Keys: exception rules WITHOUT '!' -> 'e'; wildcard rules keyed as
+    written ("*.base") -> 'w'; plain rules -> 'r'. Depth = label count
+    of the longest rule (wildcards count their '*')."""
+    rules = PUBLIC_SUFFIXES if suffixes is None else list(suffixes)
+    m: dict[str, str] = {}
+    maxk = 1
+    for r in rules:
+        r = r.strip().lower()
+        if not r:
+            continue
+        if r.startswith("!"):
+            m[r[1:]] = "e"
+            maxk = max(maxk, r[1:].count(".") + 1)
+        elif r.startswith("*."):
+            m[r] = "w"
+            maxk = max(maxk, r.count(".") + 1)
+        else:
+            m[r] = "r"
+            maxk = max(maxk, r.count(".") + 1)
+    return m, maxk
+
+
+def _registrable_expr(host: Column, rule_map: Column, maxk: int) -> Column:
+    """eTLD+1 from a clean host given a ``map<string,string>`` rule
+    column (literal or broadcast — same expression): scan candidate
+    suffixes longest-first; at each depth an exception rule prevails
+    (the PSL algorithm — exceptions in practice pair with a same-depth
+    wildcard), then a plain rule, then a wildcard; no match falls back
+    to the PSL default rule '*' (the bare TLD). The registrable domain
+    is the public suffix plus one label — NULL when the host IS a
+    public suffix. O(maxk) map lookups per row, zero shuffle."""
+    labels = F.split(host, "[.]")
+    n = F.size(labels)
+
+    def last(k):
+        # array_join of the last k labels (slice is 1-based)
+        return F.array_join(F.slice(labels, n - k + 1, k), ".")
+
+    def at(k):
+        # '' is the in-chain sentinel for "matched a rule, but the host
+        # IS the public suffix" (registrable undefined) — a plain NULL
+        # would fall through the coalesce to the default rule and
+        # wrongly return e.g. 'co.uk' for host 'co.uk'
+        cand = last(k)
+        kind = F.try_element_at(rule_map, cand)
+        wild = F.try_element_at(
+            rule_map, F.concat(F.lit("*."), last(k - 1))
+        ) if k >= 2 else F.lit(None)
+        reg_plus1 = F.when(n > k, last(k + 1)).otherwise(F.lit(""))
+        return F.when(kind == "e", cand).when(
+            (kind == "r") | (wild == "w"), reg_plus1
+        )
+
+    expr = None
+    for k in range(maxk, 0, -1):
+        step = F.when(n >= k, at(k))
+        expr = step if expr is None else F.coalesce(expr, step)
+    # default rule '*': public suffix = bare TLD, registrable = 2 labels
+    default = F.when(n >= 2, last(2)).otherwise(F.lit(""))
+    return F.when(host.isNull() | (host == ""), F.lit(None).cast("string")
+                  ).otherwise(F.nullif(F.coalesce(expr, default), F.lit("")))
+
+
+def registrable_domain(
+    host: Column | str,
+    suffixes: list[str] | None = None,
+    alias: str = "registrable_domain",
+) -> Column:
+    """eTLD+1 of a clean lowercase host (from :func:`url_domain`):
+    ``a.b.example.co.uk`` -> ``example.co.uk``, ``www.ck`` -> ``www.ck``
+    (PSL exception), ``x.foo.ck`` -> ``foo.ck`` (PSL wildcard). Uses the
+    checked-in :data:`PUBLIC_SUFFIXES` snapshot by default — pass the
+    full PSL rule list for production. Plan-literal map: suitable up to
+    ~1k rules; use :func:`with_registrable_domain` for the full list
+    (one broadcast row instead of plan literals)."""
+    m, maxk = _psl_rules(suffixes)
+    lit_map = F.create_map(
+        *[F.lit(x) for kv in m.items() for x in kv]
+    )
+    return _registrable_expr(_col(host), lit_map, maxk).alias(alias)
+
+
+def with_registrable_domain(
+    docs: DataFrame,
+    url_col: str | None = None,
+    host_col: str | None = None,
+    out: str = "registrable_domain",
+    suffixes: list[str] | None = None,
+) -> DataFrame:
+    """Add the eTLD+1 column from a URL (``url_col``) or a clean host
+    (``host_col``). Below ``_LITERAL_SUFFIX_MAX`` rules the map rides as
+    plan literals; above (the full ~10k-rule PSL), it ships as ONE
+    broadcast single-row ``map<string,string>`` — either way the lookup
+    is O(max_rule_depth) ``try_element_at`` calls per row, zero shuffle,
+    so a 100 TB corpus pays one map-side projection."""
+    if (url_col is None) == (host_col is None):
+        raise ValueError("pass exactly one of url_col / host_col")
+    host = (
+        url_domain(F.col(url_col)) if url_col is not None
+        else F.lower(F.col(host_col))
+    )
+    m, maxk = _psl_rules(suffixes)
+    if len(m) <= _LITERAL_SUFFIX_MAX:
+        lit_map = F.create_map(
+            *[F.lit(x) for kv in m.items() for x in kv]
+        )
+        return docs.withColumn(out, _registrable_expr(host, lit_map, maxk))
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(
+            "__psl_map", T.MapType(T.StringType(), T.StringType())
+        )
+    ])
+    tbl = docs.sparkSession.createDataFrame([(m,)], schema)
+    return (
+        docs.crossJoin(F.broadcast(tbl))
+        .withColumn(out, _registrable_expr(host, F.col("__psl_map"), maxk))
+        .drop("__psl_map")
+    )
 
 
 def normalize_url(url: Column | str, alias: str = "norm_url") -> Column:
@@ -239,6 +408,8 @@ def domain_caps(
     n: int,
     id_col: str = "doc_id",
     seed: int = 42,
+    grain: str = "host",
+    suffixes: list[str] | None = None,
 ) -> DataFrame:
     """Keep at most ``n`` rows per domain — the RefinedWeb-style dominance
     cap, applied before any text operator so one link farm can't flood the
@@ -247,8 +418,20 @@ def domain_caps(
     replayable, no mega-domain hotspot task). Rows whose URL yields no
     domain (NULL) form their own capped group. Output: the surviving input
     rows, original columns.
+
+    ``grain="registrable"`` caps at eTLD+1
+    (:func:`with_registrable_domain` — ``a.example.co.uk`` and
+    ``b.example.co.uk`` share one budget), the semantics real per-domain
+    caps need; ``"host"`` (default) is the dependency-free exact grain.
     """
-    d = docs.withColumn("__domain", url_domain(F.col(url_col)))
+    if grain not in ("host", "registrable"):
+        raise ValueError(f"grain must be 'host' or 'registrable', got {grain!r}")
+    if grain == "registrable":
+        d = with_registrable_domain(
+            docs, url_col=url_col, out="__domain", suffixes=suffixes
+        )
+    else:
+        d = docs.withColumn("__domain", url_domain(F.col(url_col)))
     from .corpus import sample_per_group
 
     return sample_per_group(d, "__domain", n, id_col=id_col, seed=seed).drop(
@@ -263,6 +446,8 @@ def blocklist_filter(
     id_col: str = "doc_id",
     domain_col: str = "domain",
     include_subdomains: bool = True,
+    grain: str = "host",
+    suffixes: list[str] | None = None,
 ) -> DataFrame:
     """Drop rows whose URL's domain is on a blocklist (broadcast
     anti-join). With ``include_subdomains`` (the standard semantics:
@@ -271,13 +456,38 @@ def blocklist_filter(
     ``c``) so the match stays a plain broadcast EQUI-join — no per-pair
     ``endswith`` nested-loop against the corpus. Rows with NULL domains
     are kept (nothing to attribute).
+
+    Note an eTLD+1 blocklist entry (``example.co.uk``) already blocks
+    every subdomain via the suffix chain. ``grain="registrable"``
+    instead maps BOTH sides to eTLD+1 (:func:`with_registrable_domain`)
+    and equi-joins — "block the whole registrable site any of these
+    hosts belongs to": a blocklist entry ``a.example.co.uk`` then also
+    blocks ``b.example.co.uk`` (subsumes ``include_subdomains``).
     """
     from ..operators.timeseries import _let_sql
 
+    if grain not in ("host", "registrable"):
+        raise ValueError(f"grain must be 'host' or 'registrable', got {grain!r}")
     if isinstance(blocked, list):
         blocked = docs.sparkSession.createDataFrame(
             [(d,) for d in blocked], f"{domain_col} string"
         )
+    if grain == "registrable":
+        bl = with_registrable_domain(
+            blocked, host_col=domain_col, out="__blk", suffixes=suffixes
+        ).select("__blk").where(F.col("__blk").isNotNull()).distinct()
+        d = with_registrable_domain(
+            docs, url_col=url_col, out="__domain", suffixes=suffixes
+        )
+        keys = d.select(
+            F.col(id_col).alias("__bid"), F.col("__domain").alias("__blk")
+        )
+        hit_ids = (
+            keys.join(F.broadcast(bl), on="__blk")
+            .select(F.col("__bid").alias(id_col))
+            .distinct()
+        )
+        return d.join(hit_ids, on=id_col, how="left_anti").drop("__domain")
     bl = blocked.select(
         F.lower(F.col(domain_col)).alias("__blk")
     ).distinct()

@@ -3019,6 +3019,102 @@ def test_domain_caps_exact_n(spark):
     assert ids1 == ids2
 
 
+def test_registrable_domain_psl_cases(spark):
+    """eTLD+1 against the checked-in PSL snapshot: plain multi-label
+    rules (co.uk, com.au), wildcard (*.ck), exception (!www.ck), the
+    default '*' rule, and the host-IS-a-public-suffix -> NULL cases."""
+    from nested_pandas_spark.pipeline.web import registrable_domain
+
+    cases = {
+        "a.b.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "co.uk": None,                # a public suffix is not registrable
+        "uk": None,
+        "foo.com": "foo.com",
+        "x.y.foo.com": "foo.com",     # default rule: bare TLD + 1
+        "shop.example.com.au": "example.com.au",
+        "www.ck": "www.ck",           # PSL exception rule
+        "sub.www.ck": "www.ck",
+        "x.foo.ck": "x.foo.ck",       # *.ck: foo.ck is the suffix
+        "foo.ck": None,               # *.ck: foo.ck IS a public suffix
+        "localhost": None,            # single label, nothing registrable
+    }
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "id long, host string"
+    )
+    hosts = list(cases)
+    got = {hosts[r["id"]]: r["rd"] for r in df.select(
+        "id", registrable_domain("host", alias="rd")).collect()}
+    assert got == cases
+
+
+def test_with_registrable_domain_tiers_agree(spark):
+    """Literal-map and broadcast-map tiers must return identical results
+    for the same rule set."""
+    from nested_pandas_spark.pipeline.web import (
+        _LITERAL_SUFFIX_MAX,
+        with_registrable_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "http://a.example.co.uk/x"), (1, "https://www.foo.com"),
+         (2, "https://x.foo.ck/p?q=1"), (3, None)],
+        "doc_id long, url string",
+    )
+    small = ["co.uk", "*.ck", "!www.ck"]
+    big = small + [f"pad{i}.zz" for i in range(_LITERAL_SUFFIX_MAX + 5)]
+    lit = {r["doc_id"]: r["registrable_domain"]
+           for r in with_registrable_domain(df, url_col="url",
+                                            suffixes=small).collect()}
+    bc = {r["doc_id"]: r["registrable_domain"]
+          for r in with_registrable_domain(df, url_col="url",
+                                           suffixes=big).collect()}
+    assert lit == bc
+    assert lit[0] == "example.co.uk" and lit[1] == "foo.com"
+    assert lit[2] == "x.foo.ck" and lit[3] is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        with_registrable_domain(df)
+    with _pt.raises(ValueError):
+        with_registrable_domain(df, url_col="url", host_col="url")
+
+
+def test_domain_caps_registrable_grain(spark):
+    """grain='registrable' pools every subdomain of one registrable site
+    into a single cap budget; host grain keeps them separate."""
+    from nested_pandas_spark.pipeline.web import domain_caps
+
+    rows = [(i, f"http://sub{i}.example.co.uk/p") for i in range(10)]
+    rows += [(100 + i, f"http://other{i}.org/p") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    host_kept = domain_caps(df, "url", 2, grain="host").count()
+    reg_kept = domain_caps(df, "url", 2, grain="registrable").count()
+    assert host_kept == 13          # every host unique -> nothing capped
+    assert reg_kept == 2 + 3        # example.co.uk capped to 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        domain_caps(df, "url", 2, grain="etld")
+
+
+def test_blocklist_filter_registrable_grain(spark):
+    """grain='registrable': blocking one host blocks every host of the
+    same registrable site (a.example.co.uk blocks b.example.co.uk)."""
+    from nested_pandas_spark.pipeline.web import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(0, "http://a.example.co.uk/"), (1, "http://b.example.co.uk/"),
+         (2, "http://keep.org/"), (3, None)],
+        "doc_id long, url string",
+    )
+    kept = blocklist_filter(
+        df, ["a.example.co.uk"], "url", grain="registrable"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    # host grain with subdomains would NOT block the sibling host
+    kept_h = blocklist_filter(df, ["a.example.co.uk"], "url")
+    assert sorted(r["doc_id"] for r in kept_h.collect()) == [1, 2, 3]
+
+
 def test_clean_corpus_url_stages(spark, docs):
     from nested_pandas_spark.pipeline.corpus import clean_corpus
 
