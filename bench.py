@@ -398,6 +398,42 @@ def main() -> None:
 
     # -- beyond-reference extras: timed for visibility, kept OUT of the
     # headline total so round-over-round totals stay comparable ---------
+    #
+    # MEASUREMENT ISOLATION (round-7 verdict: extras drifted +12-48%
+    # between rounds with headline flat and no plan changes — session
+    # drift was unfalsifiable): the extras now run in a FRESH Spark
+    # session (restarted below, so hours of accumulated JVM/codegen/GC
+    # state from the headline suite can't inflate them), and a frozen
+    # CONTROL workload is timed immediately before and after the block.
+    # If control_post/control_pre drifts, the session degraded DURING
+    # the extras and the numbers carry that caveat in-band; if a future
+    # round's extras inflate while its control matches this round's
+    # control, the regression is real.
+    def _restart_session():
+        nonlocal spark
+        spark.stop()
+        spark = get_spark("bench-extras", cpus=cpus)
+        par2 = spark.sparkContext.defaultParallelism
+        spark.range(par2 * 4).repartition(par2).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        t("lineitem").count()  # footer/codegen warm-up
+
+    def _control():
+        return t("lineitem").groupBy("l_returnflag").agg(
+            F.sum("l_quantity")).collect()
+
+    def _time_best(fn, runs=2):
+        best = float("inf")
+        for _ in range(runs):
+            start = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - start)
+        return round(best, 4)
+
+    _restart_session()
+    extras_control = {"pre": _time_best(_control, runs=3)}
+
     extras = {}
 
     def bench_extra(name, fn, runs=2):
@@ -662,6 +698,49 @@ def main() -> None:
 
     bench_extra("jpeg_decode_loop", x_jpeg_loop)
 
+    # decode-only: JPEGs are encoded OUTSIDE the timed region (written to
+    # parquet once), so this number tracks pure codec decode throughput —
+    # jpeg_decode_loop above prices encode+decode+aHash+pairing together
+    import shutil as _sh
+    import tempfile as _tf
+
+    _jpeg_dir = _tf.mkdtemp(prefix="bench_jpeg_")
+    try:
+        import numpy as _np
+
+        from nested_pandas_spark.pipeline.jpeg import encode_jpeg as _enc
+        from nested_pandas_spark.pipeline.multimodal import (
+            decode_image as _dec,
+        )
+
+        def _pregen(batches):
+            for pdf in batches:
+                out = pdf[["doc_id"]].copy()
+                out["payload"] = [
+                    _enc(
+                        _np.random.default_rng(int(d))
+                        .integers(0, 256, (16, 16), dtype=_np.uint8)
+                        .astype(_np.uint8),
+                        quality=90,
+                    )
+                    for d in pdf["doc_id"]
+                ]
+                yield out
+
+        t("documents").select("doc_id").mapInPandas(
+            _pregen, "doc_id long, payload binary"
+        ).write.mode("overwrite").parquet(_jpeg_dir)
+
+        def x_jpeg_decode_only():
+            media = spark.read.parquet(_jpeg_dir)
+            return _dec(media, "payload", strict=True).select(
+                F.sum(F.element_at("pixels", 1))
+            ).collect()
+
+        bench_extra("jpeg_decode_only", x_jpeg_decode_only)
+    finally:
+        _sh.rmtree(_jpeg_dir, ignore_errors=True)
+
     def x_pii():
         from nested_pandas_spark.pipeline.pii import redact_pii
 
@@ -787,6 +866,38 @@ def main() -> None:
 
     bench_extra("sentence_stats", x_sentences)
 
+    # -- before/after for the round-6/8 PQ fix (round-7 verdict ask):
+    # the SAME probed codes scored two ways in the SAME session, seconds
+    # apart — immune to cross-round session drift. 'recon' is the
+    # pre-fix formulation (O(dim) reconstruction distance per pair),
+    # 'lut' is the shipped ADC path (n_sub lookups per pair).
+    _adc_cbs = sim.pq_codebooks(t("embeddings"), n_sub=8, n_centroids=16)
+    _adc_enc = sim.pq_encode(t("embeddings"), _adc_cbs).select(
+        "vec_id", "pq_code")
+    _adc_q = t("embeddings").where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+
+    def x_adc_lut():
+        ql = sim._with_pq_lut(_adc_q, F.col("qv"), _adc_cbs, "lut").select(
+            "qid", "lut")
+        scored = _adc_enc.crossJoin(F.broadcast(ql)).select(
+            sim._pq_adc_expr(F.col("lut"), F.col("pq_code")).alias("d"))
+        return scored.agg(F.sum("d")).collect()
+
+    def x_adc_recon():
+        recon = _adc_enc.withColumn(
+            "rv", sim.pq_decode(F.col("pq_code"), _adc_cbs))
+        scored = recon.crossJoin(F.broadcast(_adc_q)).select(
+            sim._l2sq(F.col("qv"), F.col("rv")).alias("d"))
+        return scored.agg(F.sum("d")).collect()
+
+    bench_extra("adc_scan_lut", x_adc_lut)
+    bench_extra("adc_scan_recon_prefix", x_adc_recon)
+
+    extras_control["post"] = _time_best(_control, runs=3)
+
     # headline total stays the round-1..3 query set so round-over-round
     # totals compare; the bucketed variants are reported per-query + ratio
     headline = [q for q in queries if not q.endswith("_bucketed")]
@@ -872,6 +983,7 @@ def main() -> None:
         "rows": rows,
         "checksums": checksums,
         "extras": extras,
+        "extras_control": extras_control,
         "recall": recall,
         "recall_clustered": recall_clustered,
         "reference": reference,

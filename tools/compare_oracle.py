@@ -25,6 +25,21 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Per-query float tolerance overrides (absolute), applied on top of the
+# default 1e-9 isclose. Rationale: for recurrence-valued queries both
+# engines compute BIT-IDENTICAL doubles (same fold, same order — see
+# nest_ewm), but the final round(x, 6) itself diverges on boundary
+# values: Spark rounds via BigDecimal HALF_UP on the exact binary value,
+# DuckDB via an x*1e6 floating multiply whose own rounding can push a
+# ...4999999 across the .5 line. A value within ~1e-13 of a .5e-6
+# boundary may therefore flip the 6th decimal in one engine only —
+# measured at sf0.1: 6 of ~42k q97 rows, last digit only. One rounded
+# ulp of tolerance absorbs exactly that class and nothing else (real
+# defects move values by far more than 1.05e-6).
+FLOAT_ATOL = {
+    "q97_nest_ewm": 1.05e-6,
+}
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -56,7 +71,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
                 if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
                     af = a.astype(float)
                     bf = b.astype(float)
-                    bad = ~(np.isclose(af, bf, rtol=1e-9, atol=1e-9, equal_nan=True))
+                    atol = FLOAT_ATOL.get(name, 1e-9)
+                    bad = ~(np.isclose(af, bf, rtol=1e-9, atol=atol, equal_nan=True))
                 else:
                     bad = ~((a == b) | (a.isna() & b.isna()))
             except Exception as exc:
