@@ -500,6 +500,25 @@ def main() -> int:
         "Generated by `tools/scale_check.py` (re-run after plan changes; "
         "exits non-zero if any operator exceeds 1.3x the data ratio).",
         "",
+        "## Ratio attribution for the table's historical worst entries",
+        "",
+        "(Round-8 profiling, setup-vs-iteration decomposition at sf0.1 vs "
+        "the 10x union — see the round-8 commit for the harness.)",
+        "",
+        "- **pagerank_3it** (~2.4x): the setup phase (node dedup + links "
+        "checkpoint, measured as iters=0) is FLAT across 10x data "
+        "(1.07s -> 0.91s — pure per-job fixed cost), while the "
+        "per-iteration join+agg grows 0.17s -> 0.39s (2.3x at 10x data, "
+        "sublinear — spare cores absorb it). The overall ratio is fixed "
+        "cost amortizing out of a growing total, not a super-linear "
+        "stage; at real scale iterations dominate and scale with the "
+        "edge shuffle, the expected PageRank shape.",
+        "- **dedup_keep_best** (~2.1x): decomposes as a flat fingerprint "
+        "scan (0.125s -> 0.140s) plus a (fp,id,score)-grain shuffle+agg "
+        "delta growing 0.105s -> 0.154s (1.5x at 10x data). Entirely "
+        "fixed-cost amortization; the only data-sized stage is the "
+        "hash-grain exchange, which is the operator's designed shape.",
+        "",
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
