@@ -40,6 +40,7 @@ __all__ = [
     "pretokens",
     "byte_bpe_train",
     "byte_bpe_encode",
+    "byte_bpe_encode_vocab",
     "byte_bpe_decode",
     "gopher_rules",
     "gopher_repetition",
@@ -970,6 +971,42 @@ def byte_bpe_encode(
     )
 
 
+def byte_bpe_encode_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    merges=None,
+    text_col: str = "text",
+    out: str = "tokens",
+) -> DataFrame:
+    """Encode against a trained byte-BPE vocab table (from
+    :func:`byte_bpe_train`: ``(word, syms)`` keyed by PRETOKEN) — the
+    scale path for production merge counts (GPT-2 ships ~50k merges),
+    where :func:`byte_bpe_encode`'s literal replace chain would blow the
+    plan. Same machinery as :func:`bpe_encode_vocab` (stamp, posexplode
+    pretokens, ONE broadcast vocab join, positional reassembly); unseen
+    pretokens fall back to raw hex byte symbols (byte fallback — still
+    zero OOV), or to the literal merge chain when ``merges`` is passed
+    (exact :func:`byte_bpe_encode` parity)."""
+    w_arr = (
+        f"regexp_extract_all(`{text_col.replace('`', '``')}`, "
+        f"{_sql_literal(BYTE_PRETOKEN_PATTERN)}, 0)"
+    )
+    if merges is not None:
+        pairs = _normalize_merges(merges)
+        syms2 = _BYTE_SYMS_SQL.replace("' ')", "'  ')")
+        expr = f"' ' || {syms2} || ' '"
+        for l_, r_ in pairs:
+            expr = (
+                f"replace({expr}, "
+                f"' ' || {_sql_literal(l_)} || '  ' || {_sql_literal(r_)} || ' ', "
+                f"' ' || {_sql_literal(l_)} || {_sql_literal(r_)} || ' ')"
+            )
+        fallback = f"split(trim(replace({expr}, '  ', ' ')), ' ')"
+    else:
+        fallback = f"split({_BYTE_SYMS_SQL}, ' ')"
+    return _encode_with_vocab(docs, vocab, text_col, out, w_arr, fallback)
+
+
 def byte_bpe_decode(tokens: Column | str) -> Column:
     """Inverse of :func:`byte_bpe_encode`: hex-symbol tokens back to the
     original text (pretokens carry their whitespace, so concatenation is
@@ -1011,6 +1048,35 @@ def bpe_encode_vocab(
     join-back to the stamped frame. Document text never rides through
     the word-grain shuffle — only (id, pos, token-array) triples.
     """
+    qt = "`" + text_col.replace("`", "``") + "`"
+    w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
+    if merges is not None:
+        fallback = _bpe_per_word_sql(_normalize_merges(merges), end_marker)
+    else:
+        marker = (
+            f" || ' ' || {_sql_literal(end_marker)}"
+            if end_marker is not None
+            else ""
+        )
+        fallback = (
+            "split(array_join(transform(sequence(1, length(__w)), "
+            f"__i -> substring(__w, __i, 1)), ' '){marker}, ' ')"
+        )
+    return _encode_with_vocab(docs, vocab, text_col, out, w_arr, fallback)
+
+
+def _encode_with_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    out: str,
+    w_arr: str,
+    fallback: str,
+) -> DataFrame:
+    """Shared vocab-join encoder body (see :func:`bpe_encode_vocab` for
+    the scale shape): stamp, posexplode ``w_arr``, broadcast-join the
+    vocab, apply ``fallback`` SQL (over a bound ``__w``) to OOV words,
+    reassemble in position order."""
     from pyspark.sql import functions as F
 
     qt = "`" + text_col.replace("`", "``") + "`"
@@ -1025,7 +1091,6 @@ def bpe_encode_vocab(
     stamped = docs.withColumn(
         "__row_id", F.monotonically_increasing_id()
     ).localCheckpoint(eager=True)
-    w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
     exploded = stamped.where(F.col(text_col).isNotNull()).select(
         F.col("__row_id"),
         F.posexplode(F.expr(w_arr)).alias("__pos", "__w"),
@@ -1037,18 +1102,6 @@ def bpe_encode_vocab(
         on="__w",
         how="left",
     )
-    if merges is not None:
-        fallback = _bpe_per_word_sql(_normalize_merges(merges), end_marker)
-    else:
-        marker = (
-            f" || ' ' || {_sql_literal(end_marker)}"
-            if end_marker is not None
-            else ""
-        )
-        fallback = (
-            "split(array_join(transform(sequence(1, length(__w)), "
-            f"__i -> substring(__w, __i, 1)), ' '){marker}, ' ')"
-        )
     per_word = joined.select(
         "__row_id",
         "__pos",

@@ -140,6 +140,7 @@ def write_ivfpq_index(
     pq_centroids: int = 8,
     pq_iters: int = 0,
     mode: str = "overwrite",
+    residual: bool = False,
 ):
     """Write an IVF+PQ index: corpus parquet partitioned by centroid id
     (planning-time partition pruning, as :func:`write_ivf_index`) with the
@@ -148,17 +149,39 @@ def write_ivfpq_index(
     column pruning keeps the hot scan at ~n_sub bytes/row, the IVFx,PQy
     memory story at rest. Centroids AND codebooks persist in an
     underscore-prefixed sidecar. Returns (centroids, codebooks).
+
+    ``residual=True`` stores codes over the cell residual
+    ``v - centroid[cid]`` (FAISS IVFADC default — better recall at the
+    same code budget; see ``ivfpq_topk(residual=True)``); the flag rides
+    in the sidecar so :func:`ivfpq_search` picks the matching query path
+    automatically.
     """
-    from ..pipeline.similarity import pq_codebooks, pq_encode
+    from ..pipeline.similarity import (
+        pq_codebooks,
+        pq_encode,
+        with_ivf_residuals,
+    )
 
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
-    cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids, pq_iters)
     vec = F.col(vec_col).cast("array<double>")
+    if residual:
+        staged = with_ivf_residuals(
+            corpus, cents, vec_col=vec_col, cid_col="__cid",
+            residual_col="__rv",
+        )
+        cbs = pq_codebooks(staged, id_col, "__rv", n_sub, pq_centroids,
+                           pq_iters)
+        staged = pq_encode(staged, cbs, "__rv").drop("__rv")
+    else:
+        cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids,
+                           pq_iters)
+        staged = (
+            with_nearest_ids(pq_encode(corpus, cbs, vec_col), vec, cents, 1)
+            .withColumn("__cid", F.col("__cids")[0])
+            .drop("__cids")
+        )
     (
-        with_nearest_ids(pq_encode(corpus, cbs, vec_col), vec, cents, 1)
-        .withColumn("__cid", F.col("__cids")[0])
-        .drop("__cids")
-        .repartition(F.col("__cid"))
+        staged.repartition(F.col("__cid"))
         .write.mode(mode)
         .partitionBy("__cid")
         .parquet(path)
@@ -167,13 +190,18 @@ def write_ivfpq_index(
         json.dump({
             "centroids": [[cid, cv] for cid, cv in cents],
             "codebooks": cbs,
+            "residual": bool(residual),
         }, f)
     return cents, cbs
 
 
-def read_ivfpq_meta(path: str):
+def _read_sidecar(path: str) -> dict:
     with open(os.path.join(path, _PQ_SIDECAR)) as f:
-        data = json.load(f)
+        return json.load(f)
+
+
+def read_ivfpq_meta(path: str):
+    data = _read_sidecar(path)
     cents = [(int(cid), list(map(float, cv))) for cid, cv in data["centroids"]]
     cbs = [[list(map(float, cv)) for cv in cb] for cb in data["codebooks"]]
     return cents, cbs
@@ -196,20 +224,50 @@ def ivfpq_search(
     a literal partition filter (files never opened outside the probe
     set), the ADC scan projects only (id, pq_code), and the exact re-rank
     re-reads just the candidate rows' vectors from the same pruned slice.
+    A residual-coded store (``write_ivfpq_index(residual=True)``, flag in
+    the sidecar) automatically gets the residual query path: one LUT per
+    (query, probed cell) against ``q - centroid[cid]``.
     """
-    from ..pipeline.similarity import _l2sq, _pq_adc_expr, _with_pq_lut
+    from ..pipeline.similarity import (
+        _l2sq,
+        _pq_adc_expr,
+        _with_centroid_vec,
+        _with_pq_lut,
+    )
 
+    meta = _read_sidecar(path)
     cents, cbs = read_ivfpq_meta(path)
+    residual = bool(meta.get("residual"))
     vec = F.col(vec_col).cast("array<double>")
-    q = _with_pq_lut(
-        with_nearest_ids(
+    if residual:
+        probed = with_nearest_ids(
             queries.select(
                 F.col(id_col).alias("query_id"), vec.alias("__qv")
             ),
             F.col("__qv"), cents, n_probe,
-        ),
-        F.col("__qv"), cbs, "__lut",
-    ).select("query_id", "__lut", F.explode(F.col("__cids")).alias("__cid"))
+        ).select(
+            "query_id", "__qv", F.explode(F.col("__cids")).alias("__cid")
+        )
+        probed = _with_centroid_vec(probed, F.col("__cid"), cents, "__cc")
+        probed = probed.withColumn(
+            "__qres",
+            F.zip_with(F.col("__qv"), F.col("__cc"), lambda a, b: a - b),
+        )
+        q = _with_pq_lut(probed, F.col("__qres"), cbs, "__lut").select(
+            "query_id", "__lut", "__cid"
+        )
+    else:
+        q = _with_pq_lut(
+            with_nearest_ids(
+                queries.select(
+                    F.col(id_col).alias("query_id"), vec.alias("__qv")
+                ),
+                F.col("__qv"), cents, n_probe,
+            ),
+            F.col("__qv"), cbs, "__lut",
+        ).select(
+            "query_id", "__lut", F.explode(F.col("__cids")).alias("__cid")
+        )
     probe_cids = sorted(
         {r["__cid"] for r in q.select("__cid").distinct().collect()})
     store = spark.read.parquet(path).where(F.col("__cid").isin(probe_cids))

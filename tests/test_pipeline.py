@@ -1667,6 +1667,39 @@ def test_byte_bpe_encode_roundtrip_zero_oov(spark):
             assert rows[i]["tokens_n"] == len(rows[i]["tokens"])
 
 
+def test_byte_bpe_encode_vocab_matches_literal(spark):
+    """The broadcast-vocab scale path must equal the literal replace
+    chain exactly — for in-vocab pretokens (joined syms), OOV with byte
+    fallback, and OOV with the merge chain passed."""
+    from nested_pandas_spark.pipeline.text import (
+        byte_bpe_encode,
+        byte_bpe_encode_vocab,
+        byte_bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "low lower lowest low low it's 42")],
+        "id long, text string",
+    )
+    merges, vocab = byte_bpe_train(train, 6)
+    df = spark.createDataFrame(
+        [(0, "low lower unseen 42 Löwe"), (1, None), (2, "")],
+        "id long, text string",
+    )
+    lit_rows = {r["id"]: (r["tokens"], r["tokens_n"])
+                for r in byte_bpe_encode(df, merges).collect()}
+    # with merges: exact parity including OOV pretokens
+    voc_rows = {r["id"]: (r["tokens"], r["tokens_n"])
+                for r in byte_bpe_encode_vocab(df, vocab, merges).collect()}
+    assert voc_rows == lit_rows
+    # without merges: OOV pretokens fall back to raw byte symbols
+    raw = {r["id"]: r["tokens"]
+           for r in byte_bpe_encode_vocab(df, vocab).collect()}
+    assert raw[1] is None and raw[2] == []
+    assert all(len(t) == 2 or t in lit_rows[0][0] for t in raw[0])
+    vocab.unpersist()
+
+
 def test_bpe_train_early_stop_and_validation(spark):
     from nested_pandas_spark.pipeline.text import bpe_train
 
@@ -2492,6 +2525,32 @@ def test_ivfpq_topk_full_probe_equals_pq(spark):
     r = sim.recall_at_k(approx, exact).agg(
         F.avg("recall").alias("r")).collect()[0]["r"]
     assert 0.05 <= r <= 1.0, r
+
+
+def test_ivfpq_store_residual_matches_inline(spark, tmp_path):
+    """A residual-coded store must return exactly what inline
+    ivfpq_topk(residual=True) computes with the same parameters — the
+    sidecar flag routes the query to the residual LUT path."""
+    from nested_pandas_spark.pipeline import similarity as sim
+    from nested_pandas_spark.sources.ivf_store import (
+        ivfpq_search,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpq_res")
+    write_ivfpq_index(emb, path, n_centroids=8, n_iters=2, n_sub=4,
+                      pq_centroids=8, pq_iters=1, residual=True)
+    stored = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in ivfpq_search(spark, path, q, k=3, n_probe=2,
+                                    refine=4).collect()}
+    inline = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in sim.ivfpq_topk(emb, q, k=3, n_centroids=8,
+                                      n_probe=2, n_sub=4, pq_centroids=8,
+                                      refine=4, n_iters=2, pq_iters=1,
+                                      residual=True).collect()}
+    assert stored == inline and len(stored) > 0
 
 
 def test_with_ivf_residuals_reconstruction(spark):
