@@ -344,6 +344,41 @@ def main() -> None:
         max_hamming=3)
     print("perceptual near-dup image pairs:", near.count())
 
+    # -- 12b. byte-level BPE: train on the corpus, encode anything ----------
+    from nested_pandas_spark.pipeline.text import (
+        byte_bpe_decode,
+        byte_bpe_encode,
+        byte_bpe_train,
+    )
+
+    merges, bvocab = byte_bpe_train(docs.limit(200), n_merges=12)
+    enc = byte_bpe_encode(docs.limit(5), merges)
+    roundtrip = enc.select(
+        (byte_bpe_decode("tokens") == F.coalesce(F.col("text"), F.lit("")))
+        | F.col("text").isNull()
+    ).collect()
+    print("byte-BPE lossless round trip on 5 docs:",
+          all(r[0] for r in roundtrip))
+    bvocab.unpersist()
+
+    # -- 12c. residual IVF+PQ: the FAISS IVFADC shape -----------------------
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5)
+    ann = similarity.ivfpq_topk(
+        emb, qs, k=3, n_centroids=8, n_probe=2, n_sub=4, pq_centroids=8,
+        refine=4, n_iters=1, pq_iters=1, residual=True)
+    print("residual IVFPQ top-3 rows:", ann.count())
+
+    # -- 12d. eTLD+1 domain curation ----------------------------------------
+    from nested_pandas_spark.pipeline.web import with_registrable_domain
+
+    urls = spark.createDataFrame(
+        [(0, "https://a.shop.example.co.uk/x"), (1, "http://www.foo.com/y")],
+        "doc_id long, url string")
+    print("registrable domains:",
+          [r["registrable_domain"] for r in
+           with_registrable_domain(urls, url_col="url").collect()])
+
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
 

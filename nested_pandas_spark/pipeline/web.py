@@ -139,8 +139,27 @@ def _registrable_expr(host: Column, rule_map: Column, maxk: int) -> Column:
     wildcard), then a plain rule, then a wildcard; no match falls back
     to the PSL default rule '*' (the bare TLD). The registrable domain
     is the public suffix plus one label — NULL when the host IS a
-    public suffix. O(maxk) map lookups per row, zero shuffle."""
-    labels = F.split(host, "[.]")
+    public suffix. O(maxk) map lookups per row, zero shuffle.
+
+    The rule map and the label array are LET-BOUND through a
+    single-element ``transform`` lambda so each appears ONCE in the
+    plan: the expression references them ~3*maxk times, and inlining a
+    ~100-entry literal map at every reference overflows the JVM's 64KB
+    codegen method limit (whole-stage codegen falls back to interpreted
+    mode — the same plan-bloat failure the ANN literal threshold
+    guards)."""
+    bound = F.transform(
+        F.array(F.struct(
+            rule_map.alias("m"), F.split(host, "[.]").alias("l")
+        )),
+        lambda b: _registrable_core(b["m"], b["l"], maxk),
+    )[0]
+    return F.when(
+        host.isNull() | (host == ""), F.lit(None).cast("string")
+    ).otherwise(bound)
+
+
+def _registrable_core(rule_map: Column, labels: Column, maxk: int) -> Column:
     n = F.size(labels)
 
     def last(k):
@@ -168,8 +187,7 @@ def _registrable_expr(host: Column, rule_map: Column, maxk: int) -> Column:
         expr = step if expr is None else F.coalesce(expr, step)
     # default rule '*': public suffix = bare TLD, registrable = 2 labels
     default = F.when(n >= 2, last(2)).otherwise(F.lit(""))
-    return F.when(host.isNull() | (host == ""), F.lit(None).cast("string")
-                  ).otherwise(F.nullif(F.coalesce(expr, default), F.lit("")))
+    return F.nullif(F.coalesce(expr, default), F.lit(""))
 
 
 def registrable_domain(
