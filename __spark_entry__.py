@@ -974,6 +974,20 @@ def q44_mixture_weights(spark, sf):
     )
 
 
+def q193_temperature_mixture(spark, sf):
+    """Temperature-scaled mixture shares (pipeline/corpus.py
+    temperature_mixture — the T5/mT5/XLM-R multilingual mixing recipe):
+    target_share_g = share_g^T / sum_h share_h^T at T=0.3, then the same
+    no-upsampling fraction normalization as q44. Closed-form projection
+    over the groups-sized aggregate; oracle replays token counts, the
+    power law, and both normalizations (round(9) absorbs pow/sum-order
+    last-ulp)."""
+    from nested_pandas_spark.pipeline.corpus import temperature_mixture
+
+    docs = _t(spark, sf, "documents")
+    return temperature_mixture(docs, by="source", temperature=0.3)
+
+
 def q45_bm25_search(spark, sf):
     """Keyword search (pipeline/search.py bm25_topk): inverted-index BM25
     top-10 for three query strings. Postings shuffle once on (term,
@@ -4544,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_byte_bpe_train": q190_byte_bpe_train,
         "q191_byte_bpe_encode": q191_byte_bpe_encode,
         "q192_registrable_domain": q192_registrable_domain,
+        "q193_temperature_mixture": q193_temperature_mixture,
     }
 
 
@@ -8806,6 +8821,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST((e - tok) // 1024 AS BIGINT) AS bin_id,
                    CAST((e - tok) % 1024 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "q193_temperature_mixture": f"""
+            WITH per AS (
+                SELECT source, CAST(sum(len({w})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM per),
+            d AS (
+                SELECT source, n_tokens,
+                       n_tokens / tot.t AS share
+                FROM per, tot
+            ), p AS (
+                SELECT *, CASE WHEN share > 0 THEN pow(share, 0.3)
+                               ELSE 0.0::DOUBLE END AS pw
+                FROM d
+            ), z AS (SELECT sum(pw) AS z FROM p),
+            d2 AS (
+                SELECT p.*, CASE WHEN z.z > 0 THEN pw / z.z
+                                 ELSE 0.0::DOUBLE END AS tgt
+                FROM p, z
+            ), d3 AS (
+                SELECT *, CASE WHEN share > 0 THEN tgt / share
+                               ELSE 0.0::DOUBLE END AS demand
+                FROM d2
+            ), m AS (SELECT max(demand) AS md FROM d3)
+            SELECT source, n_tokens,
+                   ROUND(share, 9) AS share,
+                   ROUND(tgt, 9) AS target_share,
+                   ROUND(CASE WHEN m.md > 0 THEN demand / m.md
+                              ELSE 0.0::DOUBLE END, 9) AS fraction
+            FROM d3, m
         """,
         "q44_mixture_weights": f"""
             WITH per AS (

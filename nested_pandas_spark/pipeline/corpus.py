@@ -46,6 +46,7 @@ __all__ = [
     "filter_paragraphs",
     "dedup_lines",
     "mixture_weights",
+    "temperature_mixture",
     "pack_segments",
     "pack_sequences",
     "source_stats",
@@ -342,6 +343,54 @@ def mixture_weights(
         )
     )
     # demand_s = target_s / share_s; scale so max demand -> fraction 1.0
+    demand = F.when(share > 0, tgt / share).otherwise(F.lit(0.0))
+    max_demand = F.max(demand).over(Window.partitionBy())
+    frac = F.when(max_demand > 0, demand / max_demand).otherwise(F.lit(0.0))
+    return per.select(
+        F.col(by),
+        F.col("n_tokens"),
+        F.round(share, 9).alias("share"),
+        F.round(tgt, 9).alias("target_share"),
+        F.round(frac, 9).alias("fraction"),
+    )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    temperature: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled sampling shares — the T5/mT5 multilingual
+    mixing recipe (Raffel et al. 2020 §3.4.1; Conneau et al. 2020 eq. 1
+    for XLM-R): group ``g``'s target share is
+    ``share_g**T / sum_h(share_h**T)``, so ``T=1`` reproduces natural
+    proportions, ``T -> 0`` approaches uniform, and intermediate values
+    up-weight low-resource groups without flattening the head entirely.
+
+    Returns one row per ``by`` value: ``(by, n_tokens, share,
+    target_share, fraction)`` — the exact :func:`mixture_weights` output
+    shape, so the result feeds :func:`stratified_sample` (fractions) or
+    a :func:`build_mixture` target dict directly. One partial-agg
+    shuffle over (group, token-count) pairs; the temperature arithmetic
+    is a closed-form projection over the groups-sized aggregate, fully
+    SQL-replayable.
+    """
+    if not 0 < temperature <= 1:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    tok = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    per = docs.groupBy(by).agg(F.sum(tok).alias("n_tokens"))
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.col("n_tokens") / total
+    powered = F.when(share > 0, F.pow(share, F.lit(float(temperature)))
+                     ).otherwise(F.lit(0.0))
+    z = F.sum(powered).over(Window.partitionBy())
+    tgt = F.when(z > 0, powered / z).otherwise(F.lit(0.0))
+    # same no-upsampling normalization as mixture_weights: the most
+    # over-demanded group keeps fraction 1.0
     demand = F.when(share > 0, tgt / share).otherwise(F.lit(0.0))
     max_demand = F.max(demand).over(Window.partitionBy())
     frac = F.when(max_demand > 0, demand / max_demand).otherwise(F.lit(0.0))

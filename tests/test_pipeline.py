@@ -3645,6 +3645,41 @@ def test_dedup_keep_best_numeric_ids_unchanged(spark):
     assert rows == [(2, 3), (3, 1)]  # score tie 2 vs 4 -> smallest id
 
 
+def test_temperature_mixture_limits_and_math(spark):
+    """T=1 reproduces natural shares; T->0 flattens toward uniform;
+    fractions follow the no-upsampling normalization; validation."""
+    import math
+
+    from nested_pandas_spark.pipeline.corpus import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (90 if i < 9 else 10), "big" if i < 9 else "small")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    # natural shares: big 9*90=810 tokens, small 1*10=10 -> 810/820, 10/820
+    t1 = {r["source"]: r for r in temperature_mixture(
+        docs, temperature=1.0).collect()}
+    assert abs(t1["big"]["target_share"] - 810 / 820) < 1e-9
+    assert t1["big"]["fraction"] == 1.0 and t1["small"]["fraction"] == 1.0
+    # T=0.3 up-weights the small source
+    t3 = {r["source"]: r for r in temperature_mixture(
+        docs, temperature=0.3).collect()}
+    s, b = 10 / 820, 810 / 820
+    z = s ** 0.3 + b ** 0.3
+    assert abs(t3["small"]["target_share"] - s ** 0.3 / z) < 1e-9
+    assert t3["small"]["target_share"] > t1["small"]["target_share"]
+    # most over-demanded keeps 1.0; the other scales down
+    assert t3["small"]["fraction"] == 1.0
+    assert 0 < t3["big"]["fraction"] < 1.0
+    expect_big = (b ** 0.3 / z / b) / (s ** 0.3 / z / s)
+    assert math.isclose(t3["big"]["fraction"], expect_big, rel_tol=1e-6)
+    import pytest as _pt
+    for bad in (0.0, 1.5, -0.2):
+        with _pt.raises(ValueError):
+            temperature_mixture(docs, temperature=bad)
+
+
 def test_normalize_text_chain(spark):
     from nested_pandas_spark.pipeline.text import normalize_text
 
