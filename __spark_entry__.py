@@ -3995,6 +3995,56 @@ def q192_registrable_domain(spark, sf):
     )
 
 
+def q194_web_pipeline(spark, sf):
+    """The RefinedWeb-style front end COMPOSED in one query
+    (pipeline/web.py + pipeline/dedup.py): synthetic HTML pages with
+    PSL-schedule URLs -> visible-text extraction (regexp chain) ->
+    eTLD+1 domain cap (25 per registrable site, md5(seed:id)
+    tournament) -> exact dedup on the extracted text (keep-min) ->
+    survivors with their registrable domain and text digest. Every
+    stage is separately gated (q157/q192/q151/q18); this gate proves
+    the stages compose without re-deriving each other's inputs. The
+    oracle replays the full chain: the generated HTML-strip SQL (single
+    pattern source), the q192 ground-truth domain CASE, the cap rank,
+    and the fingerprint dedup."""
+    from nested_pandas_spark.pipeline import dedup as dd
+    from nested_pandas_spark.pipeline.web import (
+        domain_caps,
+        extract_text_html,
+        with_registrable_domain,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"concat('https://', {_PSL_HOST}, '/p/', "
+            "CAST(doc_id AS STRING))"
+        ).alias("url"),
+        F.expr(
+            "concat('<html><head><title>D</title>"
+            "<style>p{margin:0}</style></head><body><p>', "
+            "substring(coalesce(text, ''), 1, 80), "
+            "' <b>bold</b> &amp; rest</p><script>var x = 1;</script>"
+            "<div>', substring(coalesce(text, ''), 81, 120), "
+            "'</div></body></html>')"
+        ).alias("html"),
+    )
+    staged = docs.select(
+        "doc_id", "url", extract_text_html("html", alias="extracted")
+    )
+    capped = domain_caps(staged, "url", 25, grain="registrable")
+    survivors = dd.exact_dedup(capped, "doc_id", "extracted").select(
+        "doc_id"
+    )
+    out = with_registrable_domain(
+        capped.join(survivors, on="doc_id"), url_col="url"
+    )
+    return out.select(
+        "doc_id", "registrable_domain",
+        F.md5(F.col("extracted")).alias("text_md5"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4559,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_byte_bpe_encode": q191_byte_bpe_encode,
         "q192_registrable_domain": q192_registrable_domain,
         "q193_temperature_mixture": q193_temperature_mixture,
+        "q194_web_pipeline": q194_web_pipeline,
     }
 
 
@@ -8821,6 +8872,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST((e - tok) // 1024 AS BIGINT) AS bin_id,
                    CAST((e - tok) % 1024 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "q194_web_pipeline": f"""
+            -- full front-end replay: HTML wrap, the generated strip
+            -- chain (single pattern source), q192's ground-truth
+            -- registrable CASE, the md5(seed:id) cap rank, fingerprint
+            -- keep-min dedup
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><head><title>D</title><style>p{{margin:0}}'
+                       || '</style></head><body><p>'
+                       || substring(coalesce(text, ''), 1, 80)
+                       || ' <b>bold</b> &amp; rest</p>'
+                       || '<script>var x = 1;</script><div>'
+                       || substring(coalesce(text, ''), 81, 120)
+                       || '</div></body></html>' AS html
+                FROM documents
+            ), x AS (
+                SELECT doc_id, {_html_extract_sql('html')} AS extracted
+                FROM h
+            ), reg AS (
+                SELECT doc_id, extracted,
+                       CASE doc_id % 8
+                           WHEN 0 THEN 'example' || (doc_id % 5) || '.co.uk'
+                           WHEN 1 THEN 'example' || (doc_id % 5) || '.com.au'
+                           WHEN 2 THEN NULL
+                           WHEN 3 THEN 'site' || (doc_id % 7) || '.org'
+                           WHEN 4 THEN 'www.ck'
+                           WHEN 5 THEN 'www.ck'
+                           WHEN 6 THEN 'z' || doc_id || '.foo.ck'
+                           ELSE NULL
+                       END AS registrable_domain
+                FROM x
+            ), capped AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY registrable_domain
+                        ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS rn
+                    FROM reg)
+                WHERE rn <= 25
+            ), kept AS (
+                SELECT min(doc_id) AS doc_id
+                FROM capped
+                GROUP BY md5(trim(regexp_replace(lower(extracted),
+                                                 '\\s+', ' ', 'g')))
+            )
+            SELECT c.doc_id, c.registrable_domain,
+                   md5(c.extracted) AS text_md5
+            FROM capped c JOIN kept k USING (doc_id)
         """,
         "q193_temperature_mixture": f"""
             WITH per AS (

@@ -224,10 +224,23 @@ def with_registrable_domain(
     so a 100 TB corpus pays one map-side projection."""
     if (url_col is None) == (host_col is None):
         raise ValueError("pass exactly one of url_col / host_col")
-    host = (
-        url_domain(F.col(url_col)) if url_col is not None
-        else F.lower(F.col(host_col))
-    )
+    if url_col is not None:
+        # RAW host (no www-strip): the PSL algorithm treats 'www' as an
+        # ordinary label — registrable('www.foo.com') is foo.com via the
+        # default rule anyway, and stripping it first would corrupt the
+        # exception-rule class where the registrable domain itself is
+        # www-prefixed (PSL '!www.ck': host www.ck must stay www.ck).
+        u = F.trim(F.col(url_col))
+        host = F.nullif(
+            F.lower(
+                F.regexp_extract(
+                    u, _SCHEME_RE + "(?:[^@/?#]*@)?([^/?#:]*)", 1
+                )
+            ),
+            F.lit(""),
+        )
+    else:
+        host = F.lower(F.col(host_col))
     m, maxk = _psl_rules(suffixes)
     if len(m) <= _LITERAL_SUFFIX_MAX:
         lit_map = F.create_map(
