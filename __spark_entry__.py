@@ -4045,6 +4045,63 @@ def q194_web_pipeline(spark, sf):
     )
 
 
+def q195_wordpiece_train(spark, sf):
+    """WordPiece merge training (pipeline/wordpiece.py wordpiece_train —
+    the BERT tokenizer family): symbols are first-char + ##continuations,
+    each step merges the pair maximizing the LIKELIHOOD score
+    n/(lc*rc) (HF tokenizers WordPiece trainer rule), not raw count.
+    Returns exact integers only (pair count + operand symbol counts),
+    so the hash compare never touches a float. The oracle unrolls three
+    training steps as CTEs — pair counts, symbol counts, score argmax,
+    doubled-boundary merge replace (q117's shape, WordPiece-scored)."""
+    from nested_pandas_spark.pipeline.wordpiece import wordpiece_train
+
+    docs = _t(spark, sf, "documents")
+    merges, vocab = wordpiece_train(docs, 3)
+    vocab.unpersist()
+    return merges
+
+
+def q196_wordpiece_encode(spark, sf):
+    """WordPiece greedy encoding (pipeline/wordpiece.py
+    wordpiece_encode — BERT WordpieceTokenizer semantics): longest-
+    match-first against a FIXED piece inventory (all letters bare and
+    ##-continuation except ##m, plus multi-char pieces exercising the
+    greedy preference), whole-word [UNK] on any miss — words with a
+    non-initial 'm' (small, customer, stream) must collapse to [UNK]
+    as one token. One shuffle-free projection; the vocabulary is ONE
+    let-bound map literal probed O(len * max_piece) times. The oracle
+    replays the greedy match as a RECURSIVE CTE over distinct words
+    (cursor + token list state), then reassembles documents in word
+    order."""
+    from nested_pandas_spark.pipeline.wordpiece import wordpiece_encode
+
+    docs = _t(spark, sf, "documents")
+    out = wordpiece_encode(docs.select("doc_id", "text"), _WP_PIECES)
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join(F.col("tokens"), " ")).alias("tokens_md5"),
+        F.col("tokens_n"),
+        F.col("tokens_unk"),
+    )
+
+
+# q196's fixed piece inventory: every lowercase letter bare; every
+# continuation except '##m' (forces whole-word UNK on small/customer/
+# stream/...); four longer pieces so greedy longest-first is exercised.
+_WP_PIECES = sorted(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1) if chr(c) != "m"]
+    + ["##ue", "##ow", "val", "the"]
+)
+
+
+def _wp_pieces_sql() -> str:
+    """q196's piece inventory as a DuckDB list literal — single-sourced
+    from _WP_PIECES so the Spark query and the oracle can never skew."""
+    return "[" + ", ".join("'" + p + "'" for p in _WP_PIECES) + "]"
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4610,6 +4667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_registrable_domain": q192_registrable_domain,
         "q193_temperature_mixture": q193_temperature_mixture,
         "q194_web_pipeline": q194_web_pipeline,
+        "q195_wordpiece_train": q195_wordpiece_train,
+        "q196_wordpiece_encode": q196_wordpiece_encode,
     }
 
 
@@ -5193,6 +5252,67 @@ _BPE_TRAIN_CTES = """ws AS (
             ), m3 AS (
                 SELECT l, r, n FROM p3 ORDER BY n DESC, l ASC, r ASC LIMIT 1
             )"""
+
+
+def _wp_train_ctes(n_steps: int) -> str:
+    """Unrolled WordPiece training as DuckDB CTEs — q117's BPE shape
+    with (a) ##-continuation symbolization, (b) the likelihood argmax
+    n/(lc*rc) over pair counts joined to symbol counts, and (c) the
+    merged symbol stripping the right operand's ## prefix. Mirrors
+    pipeline/wordpiece.py wordpiece_train step for step."""
+    parts = ["""ws AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ), wcnt AS (
+                SELECT w, count(*) AS wc FROM ws GROUP BY w
+            ), v0 AS (
+                SELECT w, wc,
+                       array_to_string(list_transform(
+                           range(1, length(w) + 1),
+                           i -> CASE WHEN i = 1 THEN substr(w, 1, 1)
+                                ELSE '##' || substr(w, CAST(i AS INT), 1)
+                                END), ' ') AS syms
+                FROM wcnt
+            )"""]
+    for k in range(1, n_steps + 1):
+        parts.append(f""", p{k} AS (
+                SELECT sl[CAST(i AS INT)] AS l, sl[CAST(i AS INT) + 1] AS r,
+                       CAST(sum(wc) AS BIGINT) AS n
+                FROM (SELECT string_split(syms, ' ') AS sl, wc,
+                             unnest(range(1, len(string_split(syms, ' ')))) AS i
+                      FROM v{k - 1})
+                GROUP BY 1, 2
+            ), s{k} AS (
+                SELECT s, CAST(sum(wc) AS BIGINT) AS sc
+                FROM (SELECT unnest(string_split(syms, ' ')) AS s, wc
+                      FROM v{k - 1})
+                GROUP BY s
+            ), m{k} AS (
+                SELECT l, r,
+                       l || CASE WHEN r LIKE '##%' THEN substr(r, 3)
+                            ELSE r END AS merged,
+                       n, ls.sc AS lc, rs.sc AS rc
+                FROM p{k}
+                JOIN s{k} ls ON p{k}.l = ls.s
+                JOIN s{k} rs ON p{k}.r = rs.s
+                ORDER BY n / (ls.sc * rs.sc) DESC, n DESC, l ASC, r ASC
+                LIMIT 1
+            ), v{k} AS (
+                SELECT w, wc,
+                       trim(replace(replace(
+                           ' ' || replace(syms, ' ', '  ') || ' ',
+                           ' ' || (SELECT l FROM m{k}) || '  '
+                               || (SELECT r FROM m{k}) || ' ',
+                           ' ' || (SELECT merged FROM m{k}) || ' '),
+                           '  ', ' ')) AS syms
+                FROM v{k - 1}
+            )""")
+    return "".join(parts)
+
+
+_WP_TRAIN_CTES = _wp_train_ctes(3)
 
 
 def _gd_ctes(epochs: int, lr: float) -> tuple[str, str]:
@@ -8920,6 +9040,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.registrable_domain,
                    md5(c.extracted) AS text_md5
             FROM capped c JOIN kept k USING (doc_id)
+        """,
+        "q195_wordpiece_train": f"""
+            WITH {_WP_TRAIN_CTES}
+            SELECT CAST(1 AS INT) AS step, l AS "left", r AS "right",
+                   merged, n, lc, rc FROM m1
+            UNION ALL
+            SELECT CAST(2 AS INT), l, r, merged, n, lc, rc FROM m2
+            UNION ALL
+            SELECT CAST(3 AS INT), l, r, merged, n, lc, rc FROM m3
+        """,
+        "q196_wordpiece_encode": f"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS dws
+                FROM documents
+            ), wds AS (
+                SELECT DISTINCT unnest(dws) AS w FROM t
+            ), st AS (
+                SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks,
+                       false AS bad
+                FROM wds
+                UNION ALL
+                SELECT w,
+                       CASE WHEN ml IS NULL THEN pos ELSE pos + ml END,
+                       CASE WHEN ml IS NULL THEN toks
+                            ELSE list_append(toks,
+                                CASE WHEN pos = 1
+                                     THEN substr(w, pos, CAST(ml AS INT))
+                                     ELSE '##' || substr(w, pos,
+                                                         CAST(ml AS INT))
+                                END) END,
+                       ml IS NULL
+                FROM (
+                    SELECT w, pos, toks,
+                           list_max(list_filter(
+                               range(1, least(3, length(w) - pos + 1) + 1),
+                               l -> list_contains({_wp_pieces_sql()},
+                                   CASE WHEN pos = 1
+                                        THEN substr(w, pos, CAST(l AS INT))
+                                        ELSE '##' || substr(w, pos,
+                                                            CAST(l AS INT))
+                                   END))) AS ml
+                    FROM st
+                    WHERE NOT bad AND pos <= length(w)
+                )
+            ), fin AS (
+                SELECT w, CASE WHEN bad THEN ['[UNK]'] ELSE toks END AS toks
+                FROM st WHERE bad OR pos > length(w)
+            ), e AS (
+                SELECT doc_id, unnest(dws) AS w,
+                       generate_subscripts(dws, 1) AS i
+                FROM t
+            ), enc AS (
+                SELECT e.doc_id, flatten(list(fin.toks ORDER BY e.i)) AS toks
+                FROM e JOIN fin USING (w)
+                GROUP BY e.doc_id
+            )
+            SELECT t.doc_id,
+                   CASE WHEN t.text IS NULL THEN NULL
+                        ELSE md5(array_to_string(coalesce(enc.toks, []),
+                                                 ' ')) END AS tokens_md5,
+                   CASE WHEN t.text IS NULL THEN NULL
+                        ELSE CAST(coalesce(len(enc.toks), 0) AS BIGINT)
+                   END AS tokens_n,
+                   CASE WHEN t.text IS NULL THEN NULL
+                        ELSE CAST(coalesce(len(list_filter(enc.toks,
+                            x -> x = '[UNK]')), 0) AS BIGINT)
+                   END AS tokens_unk
+            FROM t LEFT JOIN enc USING (doc_id)
         """,
         "q193_temperature_mixture": f"""
             WITH per AS (

@@ -1,0 +1,316 @@
+"""WordPiece tokenizer family (BERT-style): likelihood-scored merge
+training and greedy longest-match-first encoding, pure JVM expressions.
+
+Completes the tokenizer triptych next to char/byte BPE
+(:mod:`.text`) and unigram-LM (:mod:`.unigram`):
+
+* **Training** is BPE-shaped (iterative pair merges over a distinct-word
+  frequency table) but the merge choice maximizes the LIKELIHOOD score
+  ``count(pair) / (count(left) * count(right))`` instead of raw pair
+  count — the WordPiece objective (Schuster & Nakajima 2012; the scoring
+  rule HuggingFace ``tokenizers`` documents for its WordPiece trainer).
+  Continuation symbols carry the BERT ``##`` prefix from symbolization
+  on, so merged pieces are word-start (``"he"``) or continuation
+  (``"##he"``) by construction.
+* **Encoding** is the BERT inference algorithm — per word, repeatedly
+  take the LONGEST vocab piece matching at the cursor (``##``-prefixed
+  off word start); any position with no match makes the whole word
+  ``[UNK]``. Implemented as one ``aggregate`` fold per word with the
+  piece set let-bound as a ``map`` column — O(len * max_piece_len) map
+  probes per word, zero shuffle, zero UDF, zero join.
+
+Scale shape: training is ONE corpus-sized word-grain shuffle (the
+distinct-word frequency table, shared with :func:`.text.bpe_train`'s
+loop) then per merge one partial-agg pair count + one tiny symbol-count
+aggregate + a one-row argmax collect. Encoding is a single shuffle-free
+projection; the vocabulary rides the plan ONCE (let-bound map), so plan
+size is O(1) in document count and O(vocab) exactly once.
+
+Reference semantics model: google-research/bert tokenization.py
+WordpieceTokenizer (greedy longest-match-first, ## continuations,
+whole-word UNK on miss) — public algorithm, reimplemented as Spark SQL
+expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..nestedframe.expr import _sql_literal
+from .text import words
+
+__all__ = [
+    "wordpiece_train",
+    "wordpiece_pieces",
+    "wordpiece_encode",
+    "wordpiece_decode",
+]
+
+
+# Word -> "h ##e ##l ##l ##o" over a bound SQL string `__w`: first char
+# bare, every later char ##-prefixed (BERT continuation convention).
+_WP_SYMS_SQL = (
+    "array_join(transform(sequence(1, length(__w)), __i -> "
+    "CASE WHEN __i = 1 THEN substr(__w, 1, 1) "
+    "ELSE '##' || substr(__w, __i, 1) END), ' ')"
+)
+
+
+def _wp_merge_sql(syms_sql: str, left: str, right: str, merged: str) -> str:
+    """One WordPiece merge over a single-spaced symbol string — the same
+    doubled-boundary replace as :func:`.text._merge_sql` (Sennrich
+    re.sub semantics, exact under adjacent repeats), except the
+    replacement is the ``##``-stripped concatenation ``merged`` rather
+    than ``left || right``."""
+    return (
+        f"trim(replace(replace(' ' || replace({syms_sql}, ' ', '  ') || ' ', "
+        f"' ' || {_sql_literal(left)} || '  ' || {_sql_literal(right)} || ' ', "
+        f"' ' || {_sql_literal(merged)} || ' '), "
+        f"'  ', ' '))"
+    )
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 1,
+    checkpoint_every: int = 8,
+):
+    """Train ``n_merges`` WordPiece merges. Returns ``(merges, vocab)``:
+
+    * ``merges``: DataFrame ``(step, left, right, merged, n, lc, rc)``
+      — the chosen pair per step with its pair count ``n`` and the
+      operand symbol counts ``lc``/``rc`` (all exact longs; the score
+      that was maximized is ``n / (lc * rc)``, reconstructible and
+      engine-portable without shipping a float).
+    * ``vocab``: the persisted ``(word, wc, syms)`` frame after all
+      merges — the caller owns the cache handle (``vocab.unpersist()``).
+
+    Per step the argmax runs DISTRIBUTED: pair counts are a partial
+    aggregation over the word table, symbol counts are a tiny broadcast
+    side (alphabet + merges so far), and only the single winning row is
+    collected. Ties break deterministically (score desc, pair count
+    desc, left asc, right asc) — the same ORDER BY the DuckDB oracle
+    replays."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    vocab_df = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .withColumn("syms", F.expr(_WP_SYMS_SQL.replace("__w", "word")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        exploded = vocab_df.select(
+            F.expr("split(syms, ' ')").alias("sl"), F.col("wc")
+        )
+        sym_counts = (
+            exploded.select(F.explode("sl").alias("s"), F.col("wc"))
+            .groupBy("s")
+            .agg(F.sum("wc").cast("long").alias("sc"))
+        )
+        pair_counts = (
+            exploded.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(sl) >= 2 THEN transform("
+                        "sequence(1, size(sl) - 1), __i -> "
+                        "struct(element_at(sl, __i) AS l, "
+                        "element_at(sl, __i + 1) AS r)) "
+                        "ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
+                    )
+                ).alias("p"),
+                F.col("wc"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").cast("long").alias("n"))
+        )
+        best = (
+            pair_counts.join(
+                F.broadcast(
+                    sym_counts.select(
+                        F.col("s").alias("l"), F.col("sc").alias("lc")
+                    )
+                ),
+                on="l",
+            )
+            .join(
+                F.broadcast(
+                    sym_counts.select(
+                        F.col("s").alias("r"), F.col("sc").alias("rc")
+                    )
+                ),
+                on="r",
+            )
+            .select(
+                "l", "r", "n", "lc", "rc",
+                (F.col("n") / (F.col("lc") * F.col("rc"))).alias("score"),
+            )
+            .orderBy(
+                F.col("score").desc(), F.col("n").desc(),
+                F.col("l").asc(), F.col("r").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        l_, r_, n_ = best[0]["l"], best[0]["r"], best[0]["n"]
+        lc_, rc_ = best[0]["lc"], best[0]["rc"]
+        merged = l_ + (r_[2:] if r_.startswith("##") else r_)
+        merges.append((step, l_, r_, merged, n_, lc_, rc_))
+        old = vocab_df
+        vocab_df = vocab_df.withColumn(
+            "syms", F.expr(_wp_merge_sql("syms", l_, r_, merged))
+        )
+        if step % checkpoint_every == 0:
+            vocab_df = vocab_df.localCheckpoint(eager=True)
+        else:
+            vocab_df = vocab_df.persist(StorageLevel.MEMORY_AND_DISK)
+            vocab_df.count()  # materialize before dropping the parent
+        old.unpersist()
+    merges_df = spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, "
+        "n long, lc long, rc long",
+    )
+    return merges_df, vocab_df
+
+
+def wordpiece_pieces(merges, vocab: DataFrame) -> list[str]:
+    """The piece inventory a trained model encodes with: every single
+    character seen in training (bare + ``##`` forms, from the post-merge
+    vocab's symbols) plus each merge's ``merged`` piece, sorted. This is
+    the ``vocab.txt`` equivalent — pass it to
+    :func:`wordpiece_encode`."""
+    base = {
+        r["s"]
+        for r in vocab.select(
+            F.explode(F.expr("split(syms, ' ')")).alias("s")
+        ).distinct().collect()
+    }
+    if hasattr(merges, "collect"):
+        merges = merges.collect()
+    for m in merges:
+        base.add(m["merged"] if hasattr(m, "__fields__") else m[3])
+    return sorted(base)
+
+
+def _greedy_sql(vm_sql: str, maxp: int, unk: str) -> str:
+    """Greedy longest-match-first fold over a bound word ``__w`` with the
+    piece set bound as a map ``{vm_sql}`` (piece -> 1). One aggregate of
+    length(word) steps; each step probes at most ``maxp`` candidate
+    lengths LONGEST-FIRST (descending ``sequence`` + ``filter`` keeps
+    order, so ``element_at(.., 1)`` is the longest hit) and either
+    advances the cursor past the matched piece or poisons the word
+    (whole-word ``[UNK]`` — BERT semantics)."""
+    piece = (
+        "CASE WHEN __st.p = 1 THEN substr(__w, __st.p, __l) "
+        "ELSE '##' || substr(__w, __st.p, __l) END"
+    )
+    return (
+        "aggregate(sequence(1, length(__w)), "
+        "named_struct('p', 1, 't', CAST(array() AS array<string>), "
+        "'b', false), "
+        "(__st, __z) -> CASE WHEN __st.b OR __st.p > length(__w) THEN __st "
+        "ELSE coalesce(try_element_at(transform("
+        f"filter(sequence(least({maxp}, length(__w) - __st.p + 1), 1, -1), "
+        f"__l -> map_contains_key({vm_sql}, {piece})), "
+        f"__l -> named_struct('p', __st.p + __l, "
+        f"'t', array_append(__st.t, {piece}), 'b', false)), 1), "
+        "named_struct('p', __st.p, 't', __st.t, 'b', true)) END, "
+        f"__st -> CASE WHEN __st.b THEN array({_sql_literal(unk)}) "
+        "ELSE __st.t END)"
+    )
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    pieces,
+    text_col: str = "text",
+    out: str = "tokens",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Encode every document with a WordPiece vocabulary: adds ``out`` =
+    ``array<string>`` of pieces (greedy longest-match-first per word,
+    ``##`` continuations, whole-word ``unk`` on any miss), ``{out}_n`` =
+    token count and ``{out}_unk`` = UNK count. NULL text yields NULLs.
+
+    ``pieces``: a list of piece strings, or a DataFrame with a ``piece``
+    column (collected — vocabularies are driver-sized by definition).
+
+    One shuffle-free projection. The vocabulary becomes ONE ``map``
+    literal let-bound through a single-element ``transform`` lambda
+    (same plan-size guard as the PSL rule map, ``web.py
+    _registrable_expr``): the fold probes it O(len * max_piece_len)
+    times but the plan carries it once."""
+    if isinstance(pieces, DataFrame):
+        pieces = [r["piece"] for r in pieces.select("piece").collect()]
+    pieces = sorted(set(pieces))
+    if not pieces:
+        raise ValueError("pieces must be non-empty")
+    maxp = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in pieces
+    )
+    maxp = max(maxp, 1)
+    vm = (
+        "map_from_arrays(array("
+        + ", ".join(_sql_literal(p) for p in pieces)
+        + "), array_repeat(1, " + str(len(pieces)) + "))"
+    )
+    per_word = _greedy_sql("__b.m", maxp, unk)
+    qt = "`" + text_col.replace("`", "``") + "`"
+    w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
+    toks = (
+        f"element_at(transform(array(named_struct('m', {vm})), "
+        f"__b -> flatten(transform({w_arr}, __w -> {per_word}))), 1)"
+    )
+    out_df = docs.withColumn(
+        out,
+        F.expr(f"CASE WHEN {qt} IS NULL THEN NULL ELSE {toks} END"),
+    )
+    return (
+        out_df.withColumn(
+            f"{out}_n",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(F.size(F.col(out)).cast("long")),
+        )
+        .withColumn(
+            f"{out}_unk",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"CAST(size(filter({out}, __t -> "
+                    f"__t = {_sql_literal(unk)})) AS LONG)"
+                )
+            ),
+        )
+    )
+
+
+def wordpiece_decode(tokens: Column | str) -> Column:
+    """Inverse of :func:`wordpiece_encode` up to UNK loss: ``##`` pieces
+    concatenate onto the previous piece, bare pieces start a new
+    space-separated word. Pure JVM expression."""
+    col = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.ltrim(
+        F.array_join(
+            F.transform(
+                col,
+                lambda t: F.when(
+                    t.startswith("##"), F.substring(t, 3, 1 << 30)
+                ).otherwise(F.concat(F.lit(" "), t)),
+            ),
+            "",
+        )
+    )
