@@ -4102,6 +4102,37 @@ def _wp_pieces_sql() -> str:
     return "[" + ", ".join("'" + p + "'" for p in _WP_PIECES) + "]"
 
 
+def q197_tfrecord_roundtrip(spark, sf):
+    """TFRecord sink + source end to end (sources/tfrecord.py): write
+    documents as tf.train.Example records (pure-stdlib/NumPy codec —
+    masked-CRC32C framing, protobuf wire format, sorted feature keys for
+    deterministic bytes), then read them back through the binaryFile +
+    mapInPandas parser with CRC verification ON. The oracle reads the
+    SOURCE table directly — a hash match proves the bytes round-tripped
+    losslessly through the trainer interchange format, including NULL
+    text (absent feature -> NULL). One shard per partition; shard grain
+    is the read parallelism (the format has no split markers). The temp
+    shard dir is left for the driver's lazy collect (tmpfs-sized)."""
+    import tempfile
+
+    from nested_pandas_spark.sources.tfrecord import (
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    d = tempfile.mkdtemp(prefix="nps_tfrec_gate_")
+    write_tfrecord(docs.repartition(8), d)
+    back = read_tfrecord(
+        spark, d, {"doc_id": "int64", "lang": "string", "text": "string"}
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("text"), F.lit("<NULL>"))).alias("text_md5"),
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4669,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_web_pipeline": q194_web_pipeline,
         "q195_wordpiece_train": q195_wordpiece_train,
         "q196_wordpiece_encode": q196_wordpiece_encode,
+        "q197_tfrecord_roundtrip": q197_tfrecord_roundtrip,
     }
 
 
@@ -9110,6 +9142,11 @@ def oracle_sql() -> dict[str, str]:
                             x -> x = '[UNK]')), 0) AS BIGINT)
                    END AS tokens_unk
             FROM t LEFT JOIN enc USING (doc_id)
+        """,
+        "q197_tfrecord_roundtrip": """
+            SELECT doc_id, lang,
+                   md5(coalesce(text, '<NULL>')) AS text_md5
+            FROM documents
         """,
         "q193_temperature_mixture": f"""
             WITH per AS (

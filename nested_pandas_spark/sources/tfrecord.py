@@ -1,0 +1,467 @@
+"""TFRecord source/sink with a pure-stdlib/NumPy ``tf.train.Example``
+codec — the interchange format TensorFlow/JAX input pipelines consume,
+so a corpus curated here can feed a trainer without a conversion hop.
+
+Both halves are implemented from the PUBLIC specifications, no
+TensorFlow dependency:
+
+* **TFRecord framing** (TensorFlow docs, ``tensorflow/core/lib/io/
+  record_writer.cc`` semantics): each record is ``uint64 length (LE) +
+  uint32 masked-crc32c(length bytes) + payload + uint32
+  masked-crc32c(payload)``, where ``masked = rotr15(crc) + 0xa282ead8``.
+  CRC32C (Castagnoli, reflected 0x82F63B78) is implemented table-driven
+  with a slice-by-8 fast path (numpy uint32 tables; ~8 bytes per Python
+  step) and a bytewise reference the tests cross-check.
+* **``tf.train.Example`` wire format** (protobuf encoding spec +
+  ``tensorflow/core/example/example.proto``): Example{features=1} ->
+  Features{map<string,Feature>=1} -> Feature oneof BytesList=1 /
+  FloatList=2 / Int64List=3; numeric lists packed. Feature keys are
+  written in SORTED order — protobuf map order is unspecified, pinning
+  it makes the byte stream deterministic and oracle-replayable.
+
+Scale shape: the sink is ``mapInPandas`` writing ONE shard per
+partition (shard count = write parallelism; pre-``repartition`` to
+choose it) and returns a manifest DataFrame; the source is Spark's
+``binaryFile`` reader + an Arrow-batched per-file parser — TFRecord has
+no sync markers, so a file is one task by construction (the format's
+own limitation; shard sizing at write time IS the read parallelism,
+same contract as gzip JSONL).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "crc32c",
+    "masked_crc32c",
+    "encode_example",
+    "decode_example",
+    "write_tfrecord",
+    "read_tfrecord",
+]
+
+
+# ---------------------------------------------------------------- CRC32C
+
+_CRC32C_POLY = 0x82F63B78  # Castagnoli, reflected
+
+
+def _build_tables() -> np.ndarray:
+    t = np.zeros((8, 256), dtype=np.uint64)  # uint64 avoids overflow ops
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (_CRC32C_POLY if c & 1 else 0)
+        t[0, i] = c
+    for k in range(1, 8):
+        for i in range(256):
+            prev = int(t[k - 1, i])
+            t[k, i] = int(t[0, prev & 0xFF]) ^ (prev >> 8)
+    return t.astype(np.uint32)
+
+
+_T = _build_tables()
+
+
+def _crc32c_bytewise(data: bytes, crc: int = 0) -> int:
+    """Reference bytewise CRC32C (tests cross-check the fast path)."""
+    c = crc ^ 0xFFFFFFFF
+    t0 = _T[0]
+    for b in data:
+        c = int(t0[(c ^ b) & 0xFF]) ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC32C (Castagnoli) — slice-by-8: eight table lookups per 8 input
+    bytes. crc32c(b"123456789") == 0xE3069283 (the standard check
+    vector, pinned by tests)."""
+    c = crc ^ 0xFFFFFFFF
+    n8 = len(data) >> 3 << 3
+    if n8:
+        words = np.frombuffer(data[:n8], dtype="<u4").reshape(-1, 2)
+        t = _T
+        for lo, hi in words:
+            x = c ^ int(lo)
+            h = int(hi)
+            c = (
+                int(t[7, x & 0xFF])
+                ^ int(t[6, (x >> 8) & 0xFF])
+                ^ int(t[5, (x >> 16) & 0xFF])
+                ^ int(t[4, (x >> 24) & 0xFF])
+                ^ int(t[3, h & 0xFF])
+                ^ int(t[2, (h >> 8) & 0xFF])
+                ^ int(t[1, (h >> 16) & 0xFF])
+                ^ int(t[0, (h >> 24) & 0xFF])
+            )
+    return _crc32c_bytewise(data[n8:], (c ^ 0xFFFFFFFF)) if len(data) > n8 \
+        else c ^ 0xFFFFFFFF
+
+
+def masked_crc32c(data: bytes) -> int:
+    """TFRecord's masked CRC: rotate right 15, add the mask constant."""
+    c = crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ------------------------------------------------- protobuf wire helpers
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _feature_bytes(kind: str, values) -> bytes:
+    """Serialize one Feature message. kind: 'bytes' | 'float' | 'int64'."""
+    if kind == "bytes":
+        inner = b"".join(_len_delim(1, v) for v in values)
+        return _len_delim(1, inner)  # BytesList at field 1
+    if kind == "float":
+        packed = np.asarray(values, dtype="<f4").tobytes()
+        return _len_delim(2, _len_delim(1, packed))  # FloatList, packed
+    if kind == "int64":
+        packed = b"".join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF)
+                          for v in values)
+        return _len_delim(3, _len_delim(1, packed))  # Int64List, packed
+    raise ValueError(f"unknown feature kind: {kind!r}")
+
+
+def encode_example(features: dict[str, tuple[str, list]]) -> bytes:
+    """Serialize ``{name: (kind, values)}`` as a ``tf.train.Example``.
+    ``kind`` in {'bytes','float','int64'}; str values are UTF-8 encoded.
+    Keys are emitted sorted, making the bytes deterministic."""
+    body = bytearray()
+    for name in sorted(features):
+        kind, values = features[name]
+        if kind == "bytes":
+            values = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                      for v in values]
+        feat = _feature_bytes(kind, values)
+        entry = _len_delim(1, name.encode("utf-8")) + _len_delim(2, feat)
+        body += _len_delim(1, entry)  # map entry in Features
+    return _len_delim(1, bytes(body))  # Features at Example field 1
+
+
+def _parse_feature(buf: bytes) -> tuple[str, list]:
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire != 2:
+            raise ValueError(f"unexpected wire type {wire} in Feature")
+        ln, pos = _read_varint(buf, pos)
+        payload = buf[pos:pos + ln]
+        pos += ln
+        if field == 1:  # BytesList
+            vals, p = [], 0
+            while p < len(payload):
+                k2, p = _read_varint(payload, p)
+                if k2 >> 3 != 1 or k2 & 7 != 2:
+                    raise ValueError("bad BytesList entry")
+                l2, p = _read_varint(payload, p)
+                vals.append(payload[p:p + l2])
+                p += l2
+            return "bytes", vals
+        if field == 2:  # FloatList
+            vals, p = [], 0
+            while p < len(payload):
+                k2, p = _read_varint(payload, p)
+                if k2 >> 3 != 1:
+                    raise ValueError("bad FloatList entry")
+                if k2 & 7 == 2:  # packed
+                    l2, p = _read_varint(payload, p)
+                    vals.extend(
+                        np.frombuffer(payload[p:p + l2], dtype="<f4")
+                        .astype(float).tolist()
+                    )
+                    p += l2
+                elif k2 & 7 == 5:  # unpacked fixed32
+                    vals.append(float(
+                        np.frombuffer(payload[p:p + 4], dtype="<f4")[0]
+                    ))
+                    p += 4
+                else:
+                    raise ValueError("bad FloatList wire type")
+            return "float", vals
+        if field == 3:  # Int64List
+            vals, p = [], 0
+            while p < len(payload):
+                k2, p = _read_varint(payload, p)
+                if k2 >> 3 != 1:
+                    raise ValueError("bad Int64List entry")
+                if k2 & 7 == 2:  # packed
+                    l2, p = _read_varint(payload, p)
+                    end = p + l2
+                    while p < end:
+                        v, p = _read_varint(payload, p)
+                        vals.append(v - (1 << 64) if v >> 63 else v)
+                elif k2 & 7 == 0:
+                    v, p = _read_varint(payload, p)
+                    vals.append(v - (1 << 64) if v >> 63 else v)
+                else:
+                    raise ValueError("bad Int64List wire type")
+            return "int64", vals
+    raise ValueError("empty Feature message")
+
+
+def decode_example(buf: bytes) -> dict[str, tuple[str, list]]:
+    """Inverse of :func:`encode_example` (also accepts unpacked numeric
+    lists, which other writers may emit)."""
+    out: dict[str, tuple[str, list]] = {}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        if key >> 3 != 1 or key & 7 != 2:
+            raise ValueError("expected Example.features")
+        ln, pos = _read_varint(buf, pos)
+        features = buf[pos:pos + ln]
+        pos += ln
+        fpos = 0
+        while fpos < len(features):
+            k2, fpos = _read_varint(features, fpos)
+            if k2 >> 3 != 1 or k2 & 7 != 2:
+                raise ValueError("expected Features.feature map entry")
+            l2, fpos = _read_varint(features, fpos)
+            entry = features[fpos:fpos + l2]
+            fpos += l2
+            name, feat = None, None
+            p = 0
+            while p < len(entry):
+                k3, p = _read_varint(entry, p)
+                l3, p = _read_varint(entry, p)
+                if k3 >> 3 == 1:
+                    name = entry[p:p + l3].decode("utf-8")
+                elif k3 >> 3 == 2:
+                    feat = entry[p:p + l3]
+                p += l3
+            if name is None or feat is None:
+                raise ValueError("map entry missing key or value")
+            out[name] = _parse_feature(feat)
+    return out
+
+
+# ------------------------------------------------------- record framing
+
+
+def write_record(fh, payload: bytes) -> None:
+    header = struct.pack("<Q", len(payload))
+    fh.write(header)
+    fh.write(struct.pack("<I", masked_crc32c(header)))
+    fh.write(payload)
+    fh.write(struct.pack("<I", masked_crc32c(payload)))
+
+
+def iter_records(data: bytes, verify_crc: bool = True) -> Iterator[bytes]:
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 12 > n:
+            raise ValueError(f"truncated record header at byte {pos}")
+        (length,) = struct.unpack_from("<Q", data, pos)
+        (hcrc,) = struct.unpack_from("<I", data, pos + 8)
+        if verify_crc and masked_crc32c(data[pos:pos + 8]) != hcrc:
+            raise ValueError(f"corrupt length CRC at byte {pos}")
+        start = pos + 12
+        end = start + length
+        if end + 4 > n:
+            raise ValueError(f"truncated record payload at byte {pos}")
+        payload = data[start:end]
+        (pcrc,) = struct.unpack_from("<I", data, end)
+        if verify_crc and masked_crc32c(payload) != pcrc:
+            raise ValueError(f"corrupt payload CRC at byte {pos}")
+        yield payload
+        pos = end + 4
+
+
+# ----------------------------------------------------------- Spark sink
+
+_KIND_BY_SPARK = {
+    T.LongType: "int64", T.IntegerType: "int64", T.ShortType: "int64",
+    T.ByteType: "int64", T.BooleanType: "int64",
+    T.FloatType: "float", T.DoubleType: "float",
+    T.StringType: "bytes", T.BinaryType: "bytes",
+}
+
+
+def _column_kinds(schema: T.StructType) -> dict[str, tuple[str, bool]]:
+    """name -> (feature kind, is_list). Raises on unsupported types."""
+    kinds = {}
+    for f in schema.fields:
+        dt, is_list = f.dataType, False
+        if isinstance(dt, T.ArrayType):
+            dt, is_list = dt.elementType, True
+        k = _KIND_BY_SPARK.get(type(dt))
+        if k is None:
+            raise ValueError(
+                f"column {f.name!r}: {f.dataType.simpleString()} has no "
+                "tf.train.Example mapping (nested structs: flatten or "
+                "serialize to binary first)"
+            )
+        kinds[f.name] = (k, is_list)
+    return kinds
+
+
+def write_tfrecord(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` as TFRecord shards of ``tf.train.Example`` records,
+    one shard per partition (``repartition(n)`` first to pick the shard
+    count — shard grain is the read parallelism). Returns the manifest
+    as a DataFrame ``(file, n_records)`` (already materialized).
+
+    Column mapping: integral/boolean -> Int64List, float/double ->
+    FloatList (float32 — the Example wire type; doubles lose precision
+    by format design), string (UTF-8) / binary -> BytesList, arrays
+    thereof -> multi-valued lists. NULL cells OMIT the feature (proto3
+    absence); NULL inside arrays is rejected (no wire representation).
+    """
+    if mode not in ("overwrite", "error"):
+        raise ValueError("mode must be 'overwrite' or 'error'")
+    if os.path.exists(path):
+        if mode == "error":
+            raise FileExistsError(path)
+        for name in os.listdir(path):
+            if name.endswith(".tfrecord"):
+                os.remove(os.path.join(path, name))
+    os.makedirs(path, exist_ok=True)
+    kinds = _column_kinds(df.schema)
+    cols = list(df.columns)
+    run = uuid.uuid4().hex[:8]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}-{run}.tfrecord")
+        n = 0
+        fh = None
+        for pdf in batches:
+            if fh is None:
+                fh = open(fname, "wb")
+            for row in pdf.itertuples(index=False):
+                feats = {}
+                for c, v in zip(cols, row):
+                    if v is None or (np.isscalar(v) and pd.isna(v)):
+                        continue
+                    kind, is_list = kinds[c]
+                    vals = list(v) if is_list else [v]
+                    if any(x is None for x in vals):
+                        raise ValueError(
+                            f"column {c!r}: NULL inside an array has no "
+                            "tf.train.Example representation"
+                        )
+                    feats[c] = (kind, vals)
+                write_record(fh, encode_example(feats))
+                n += 1
+        if fh is not None:
+            fh.close()
+            yield pd.DataFrame({"file": [fname], "n_records": [n]})
+
+    manifest = df.mapInPandas(gen, schema="file string, n_records long")
+    rows = manifest.collect()  # the action that performs the write
+    return df.sparkSession.createDataFrame(
+        rows or [], "file string, n_records long"
+    )
+
+
+def read_tfrecord(
+    spark: SparkSession,
+    path: str,
+    features: dict[str, str],
+    verify_crc: bool = True,
+) -> DataFrame:
+    """Read TFRecord shards of ``tf.train.Example`` records.
+
+    ``features``: ``{name: kind}`` with kind in ``int64 | float |
+    string | bytes`` (scalar — first value, NULL when absent) or
+    ``int64_list | float_list | string_list | bytes_list`` (full list,
+    NULL when absent). Files parallelize at FILE grain (the format has
+    no split markers); CRC verification is on by default and raises on
+    corruption (``verify_crc=False`` to scan best-effort)."""
+    spark_t = {
+        "int64": "long", "float": "float", "string": "string",
+        "bytes": "binary", "int64_list": "array<long>",
+        "float_list": "array<float>", "string_list": "array<string>",
+        "bytes_list": "array<binary>",
+    }
+    bad = [k for k, v in features.items() if v not in spark_t]
+    if bad:
+        raise ValueError(f"unknown feature kinds: {bad}")
+    schema = ", ".join(
+        f"`{n.replace('`', '``')}` {spark_t[k]}"
+        for n, k in features.items()
+    )
+    names = list(features)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, frow in pdf.iterrows():
+                rows = []
+                for payload in iter_records(
+                    bytes(frow["content"]), verify_crc=verify_crc
+                ):
+                    ex = decode_example(payload)
+                    rec = []
+                    for n in names:
+                        kind = features[n]
+                        got = ex.get(n)
+                        if got is None:
+                            rec.append(None)
+                            continue
+                        vals = got[1]
+                        if kind.startswith("string"):
+                            vals = [v.decode("utf-8") for v in vals]
+                        elif kind.startswith("bytes"):
+                            vals = [bytes(v) for v in vals]
+                        if kind.endswith("_list"):
+                            rec.append(vals)
+                        else:
+                            rec.append(vals[0] if vals else None)
+                    rows.append(rec)
+                yield pd.DataFrame(rows, columns=names)
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tfrecord")
+    ).select("content")
+    return files.mapInPandas(gen, schema=schema)
