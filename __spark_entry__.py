@@ -4133,6 +4133,43 @@ def q197_tfrecord_roundtrip(spark, sf):
     )
 
 
+def q198_heavy_hitters(spark, sf):
+    """Exact heavy hitters over the corpus word stream
+    (pipeline/sketches.py heavy_hitters): every word covering >= 3% of
+    all word occurrences, via the fingerprint-first two-phase plan —
+    phase 1 shuffles 8-byte xxhash64 fingerprints with map-side partial
+    counts (the exchange never carries the strings), phase 2 re-counts
+    only the candidate fingerprints' rows by actual value and re-checks
+    the threshold on exact counts (collisions can inflate candidates,
+    never the answer). The oracle is the definition: GROUP BY word
+    HAVING count >= 3% of total."""
+    from nested_pandas_spark.pipeline.sketches import heavy_hitters
+    from nested_pandas_spark.pipeline.text import words
+
+    docs = _t(spark, sf, "documents")
+    w = docs.select(F.explode(words("text")).alias("w"))
+    return heavy_hitters(w, "w", min_fraction=0.03).select(
+        F.col("value").alias("word"), F.col("n")
+    )
+
+
+def q199_topk_frequent(spark, sf):
+    """Exact top-10 most frequent words (pipeline/sketches.py
+    topk_frequent) under the deterministic total order (count desc,
+    word asc): fingerprint-count phase 1, global candidate selection
+    via orderBy+limit (TakeOrderedAndProject — per-task local top-2k,
+    driver merge, NO single-partition window), exact re-count and
+    final top-k on true values. Oracle: GROUP BY / ORDER BY / LIMIT."""
+    from nested_pandas_spark.pipeline.sketches import topk_frequent
+    from nested_pandas_spark.pipeline.text import words
+
+    docs = _t(spark, sf, "documents")
+    w = docs.select(F.explode(words("text")).alias("w"))
+    return topk_frequent(w, "w", 10).select(
+        F.col("value").alias("word"), F.col("n")
+    )
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4701,6 +4738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_wordpiece_train": q195_wordpiece_train,
         "q196_wordpiece_encode": q196_wordpiece_encode,
         "q197_tfrecord_roundtrip": q197_tfrecord_roundtrip,
+        "q198_heavy_hitters": q198_heavy_hitters,
+        "q199_topk_frequent": q199_topk_frequent,
     }
 
 
@@ -9147,6 +9186,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang,
                    md5(coalesce(text, '<NULL>')) AS text_md5
             FROM documents
+        """,
+        "q198_heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            ), tot AS (SELECT count(*) AS t FROM w)
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM w, tot
+            GROUP BY word, tot.t
+            HAVING count(*) >= tot.t * 0.03
+        """,
+        "q199_topk_frequent": """
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY word
+            ORDER BY n DESC, word ASC LIMIT 10
         """,
         "q193_temperature_mixture": f"""
             WITH per AS (

@@ -42,6 +42,8 @@ __all__ = [
     "histogram_merge",
     "histogram_quantiles",
     "hll_overlap",
+    "heavy_hitters",
+    "topk_frequent",
 ]
 
 # Registers use the first 8 hex chars of md5 for the bucket index and the
@@ -385,6 +387,154 @@ def hll_overlap(
         "intersection": inter,
         "jaccard": inter / eu if eu > 0 else 0.0,
     }
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    min_count: int | None = None,
+    min_fraction: float | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (all values with count ``>= min_count``, or
+    ``>= min_fraction`` of the group's non-null rows) via the
+    fingerprint-first two-phase plan:
+
+    1. shuffle 8-byte ``xxhash64`` fingerprints with map-side partial
+       counts — the exchange never carries the values themselves (for
+       long strings/URLs this is the whole cost of a naive
+       ``GROUP BY value HAVING``);
+    2. the surviving fingerprints (heavy ones — by definition few)
+       broadcast back; only THEIR rows re-aggregate by actual value,
+       and the threshold re-checks on the exact per-value count, so a
+       fingerprint collision can inflate a candidate set but never the
+       answer.
+
+    Returns ``by..., value, n`` (+ ``frac`` when ``min_fraction``).
+    Deterministic and exact — the DuckDB oracle is a plain
+    GROUP BY/HAVING. For estimate-only monitoring over an existing
+    sketch use :func:`cms_estimate`; this is the materializing pass.
+
+    100 TB: phase-1 exchange is fingerprint+count pairs; phase-2
+    touches only candidate rows (skew IS the workload here — heavy keys
+    are exactly the ones with map-side combine leverage)."""
+    if (min_count is None) == (min_fraction is None):
+        raise ValueError("pass exactly one of min_count / min_fraction")
+    if min_count is not None and min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if min_fraction is not None and not (0.0 < min_fraction <= 1.0):
+        raise ValueError("min_fraction must be in (0, 1]")
+    c = F.col(value) if isinstance(value, str) else value
+    keys = list(by or [])
+    rows = df.where(c.isNotNull()).select(
+        *keys, c.alias("value"), F.xxhash64(c.cast("string")).alias("__fp")
+    )
+    fp_counts = rows.groupBy(*keys, "__fp").agg(
+        F.count("*").cast("long").alias("__fn")
+    )
+    if min_fraction is not None:
+        totals = rows.groupBy(*keys).agg(
+            F.count("*").cast("long").alias("__tot")
+        )
+        if keys:
+            fp_counts = fp_counts.join(F.broadcast(totals), on=keys)
+        else:
+            fp_counts = fp_counts.crossJoin(F.broadcast(totals))
+        cand_pred = F.col("__fn") >= F.col("__tot") * F.lit(min_fraction)
+    else:
+        cand_pred = F.col("__fn") >= F.lit(min_count)
+    cands = fp_counts.where(cand_pred).select(*keys, "__fp").distinct()
+    verified = (
+        rows.join(F.broadcast(cands), on=[*keys, "__fp"])
+        .groupBy(*keys, "value")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    if min_fraction is not None:
+        totals = rows.groupBy(*keys).agg(
+            F.count("*").cast("long").alias("__tot")
+        )
+        if keys:
+            verified = verified.join(F.broadcast(totals), on=keys)
+        else:
+            verified = verified.crossJoin(F.broadcast(totals))
+        return verified.where(
+            F.col("n") >= F.col("__tot") * F.lit(min_fraction)
+        ).select(
+            *keys, "value", "n",
+            (F.col("n") / F.col("__tot")).alias("frac"),
+        )
+    return verified.where(F.col("n") >= F.lit(min_count))
+
+
+def topk_frequent(
+    df: DataFrame,
+    value: Column | str,
+    k: int,
+    *,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """EXACT top-k most frequent values under the deterministic total
+    order (count desc, value asc). Same fingerprint-first shuffle as
+    :func:`heavy_hitters` phase 1, then only the top candidate
+    fingerprints' rows re-count by value. A collision MERGES two
+    values' counts into one fingerprint, so a true top-k value's fp
+    ranks at least as high as the value itself would — taking ``2k``
+    fingerprint candidates before exact verification keeps the result
+    exact under up to k colliding fingerprints inside the head (at
+    xxhash64 width, collisions are ~0 until ~2^32 distinct values).
+    Returns ``by..., value, n``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    c = F.col(value) if isinstance(value, str) else value
+    keys = list(by or [])
+    rows = df.where(c.isNotNull()).select(
+        *keys, c.alias("value"), F.xxhash64(c.cast("string")).alias("__fp")
+    )
+    fp_counts = rows.groupBy(*keys, "__fp").agg(
+        F.count("*").cast("long").alias("__fn")
+    )
+    if keys:
+        w = Window.partitionBy(*keys)
+        cands = (
+            fp_counts.withColumn(
+                "__r",
+                F.row_number().over(
+                    w.orderBy(F.col("__fn").desc(), F.col("__fp").asc())
+                ),
+            )
+            .where(F.col("__r") <= 2 * k)
+            .select(*keys, "__fp")
+        )
+    else:
+        # orderBy+limit compiles to TakeOrderedAndProject: each task
+        # keeps its local top-2k, the driver merges — no single-partition
+        # window shuffle for the global case
+        cands = (
+            fp_counts.orderBy(F.col("__fn").desc(), F.col("__fp").asc())
+            .limit(2 * k)
+            .select("__fp")
+        )
+    verified = (
+        rows.join(F.broadcast(cands), on=[*keys, "__fp"])
+        .groupBy(*keys, "value")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    if keys:
+        w2 = Window.partitionBy(*keys)
+        return (
+            verified.withColumn(
+                "__r",
+                F.row_number().over(
+                    w2.orderBy(F.col("n").desc(), F.col("value").asc())
+                ),
+            )
+            .where(F.col("__r") <= k)
+            .drop("__r")
+        )
+    return verified.orderBy(F.col("n").desc(), F.col("value").asc()).limit(k)
 
 
 def hll_estimate_py(rhos: list[int], b: int) -> float:

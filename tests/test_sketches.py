@@ -372,3 +372,95 @@ def test_histogram_streaming_equals_batch(spark, tmp_path):
         for r in histogram_sketch(src.unionAll(src), "v", 0.0, 100.0, bins=20).collect()
     )
     assert got == want
+
+
+# ------------------------------------------------- exact heavy hitters
+
+
+def test_heavy_hitters_exact_min_count(spark):
+    from collections import Counter
+
+    from nested_pandas_spark.pipeline.sketches import heavy_hitters
+
+    vals = [f"v{i % 7}" for i in range(200)] + ["rare1", "rare2"] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        (r["value"], r["n"])
+        for r in heavy_hitters(df, "s", min_count=10).collect()
+    }
+    want = {
+        (v, n) for v, n in Counter(v for v in vals if v).items() if n >= 10
+    }
+    assert got == want
+    assert ("rare1", 1) not in got
+
+
+def test_heavy_hitters_min_fraction_and_grouped(spark):
+    from nested_pandas_spark.pipeline.sketches import heavy_hitters
+
+    rows = [("a", "x")] * 60 + [("a", "y")] * 30 + [("a", "z")] * 10
+    rows += [("b", "x")] * 5 + [("b", "q")] * 95
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = {
+        (r["g"], r["value"], r["n"], round(r["frac"], 6))
+        for r in heavy_hitters(
+            df, "s", min_fraction=0.25, by=["g"]
+        ).collect()
+    }
+    assert got == {
+        ("a", "x", 60, 0.6), ("a", "y", 30, 0.3), ("b", "q", 95, 0.95)
+    }
+
+
+def test_heavy_hitters_validates_args(spark):
+    import pytest as _pt
+
+    from nested_pandas_spark.pipeline.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "s string")
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "s")
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "s", min_count=3, min_fraction=0.1)
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "s", min_count=0)
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "s", min_fraction=1.5)
+
+
+def test_topk_frequent_exact_and_deterministic(spark):
+    from collections import Counter
+
+    from nested_pandas_spark.pipeline.sketches import topk_frequent
+
+    vals = (["a"] * 50 + ["b"] * 50 + ["c"] * 30 + ["d"] * 30
+            + ["e"] * 5 + [f"tail{i}" for i in range(40)])
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [(r["value"], r["n"]) for r in topk_frequent(df, "s", 4).collect()]
+    cnt = Counter(vals)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got == want  # ties broken by value asc: a before b, c before d
+
+
+def test_topk_frequent_grouped(spark):
+    from nested_pandas_spark.pipeline.sketches import topk_frequent
+
+    rows = [("g1", "x")] * 9 + [("g1", "y")] * 5 + [("g1", "z")] * 1
+    rows += [("g2", "p")] * 2 + [("g2", "q")] * 7
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = sorted(
+        (r["g"], r["value"], r["n"])
+        for r in topk_frequent(df, "s", 2, by=["g"]).collect()
+    )
+    assert got == [("g1", "x", 9), ("g1", "y", 5),
+                   ("g2", "p", 2), ("g2", "q", 7)]
+
+
+def test_topk_global_plan_has_no_single_partition_window(spark):
+    from nested_pandas_spark.pipeline.sketches import topk_frequent
+
+    df = spark.createDataFrame([(f"v{i % 5}",) for i in range(50)],
+                               "s string")
+    plan = topk_frequent(df, "s", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
