@@ -4170,6 +4170,32 @@ def q199_topk_frequent(spark, sf):
     )
 
 
+def q200_prefix_lm(spark, sf):
+    """Prefix-LM split (pipeline/masking.py prefix_lm_split — UL2's
+    S-denoiser): deterministic pivot uniform in [0.25, 0.75) from
+    md5(seed:doc_id), clamped so both sides are non-empty at n >= 2.
+    ZERO-shuffle plan (one projection over the token array — plan-
+    audited). The oracle replays the hash, the double arithmetic
+    (bit-identical IEEE in both engines), and the list slicing."""
+    from nested_pandas_spark.pipeline.masking import prefix_lm_split
+
+    docs = _t(spark, sf, "documents")
+    return prefix_lm_split(docs.select("doc_id", "text"))
+
+
+def q201_ul2_mix(spark, sf):
+    """UL2 mixture-of-denoisers (pipeline/masking.py ul2_mix, Tay et
+    al. 2022): md5(seed:mix:doc_id) mod 3 assigns each document to
+    [R] span corruption at 0.15, [S] prefix-LM, or [X] extreme span
+    corruption at 0.5; the mode token prepends the input. The oracle
+    replays the assignment hash, BOTH span-corruption branches (q173's
+    replay at two thresholds), and the prefix split, unioned."""
+    from nested_pandas_spark.pipeline.masking import ul2_mix
+
+    docs = _t(spark, sf, "documents")
+    return ul2_mix(docs.select("doc_id", "text"))
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4740,6 +4766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_tfrecord_roundtrip": q197_tfrecord_roundtrip,
         "q198_heavy_hitters": q198_heavy_hitters,
         "q199_topk_frequent": q199_topk_frequent,
+        "q200_prefix_lm": q200_prefix_lm,
+        "q201_ul2_mix": q201_ul2_mix,
     }
 
 
@@ -5384,6 +5412,99 @@ def _wp_train_ctes(n_steps: int) -> str:
 
 
 _WP_TRAIN_CTES = _wp_train_ctes(3)
+
+
+# Prefix-LM pivot replay (q200/q201): the same IEEE double arithmetic as
+# pipeline/masking.py prefix_lm_split, bit-identical in both engines.
+_PREFIX_PIVOT_SQL = (
+    "CASE WHEN len(ws) <= 1 THEN 0 "
+    "ELSE greatest(1, least(len(ws) - 1, CAST(floor((0.25 + "
+    "(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "/ 4294967296.0) * 0.5) * len(ws)) AS INT))) END"
+)
+
+
+def _ul2_span_branch(sfx: str, token: str, thr: str, assign_idx: int) -> str:
+    """One UL2 span-corruption branch as suffixed CTEs + final SELECT —
+    q173's replay filtered to the assignment subset, with the mode token
+    prepended. Returns '(ctes, select)' to splice into one WITH."""
+    assign = (
+        "(('0x' || substr(md5('42:mix:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 3) = {assign_idx}"
+    )
+    ctes = f"""d{sfx} AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
+                FROM documents WHERE {assign}
+            ), tok{sfx} AS (
+                SELECT doc_id, t.pos AS pos, t.w AS w,
+                       substr(md5('42:' || CAST(doc_id AS VARCHAR) || ':'
+                           || CAST(t.pos AS VARCHAR)), 1, 8)
+                           < '{thr}' AS masked
+                FROM (SELECT doc_id, unnest(list_transform(
+                          range(0, len(ws)),
+                          i -> struct_pack(pos := i, w := ws[i + 1]))) AS t
+                      FROM d{sfx} WHERE len(ws) > 0)
+            ), spn{sfx} AS (
+                SELECT *, SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+                FROM (SELECT *, masked AND NOT coalesce(
+                          lag(masked) OVER (PARTITION BY doc_id
+                                            ORDER BY pos),
+                          FALSE) AS is_start
+                      FROM tok{sfx})
+            ), pieces{sfx} AS (
+                SELECT doc_id, pos,
+                    CASE WHEN NOT masked THEN w
+                         WHEN is_start THEN '<extra_id_' || span_id || '>'
+                    END AS in_piece,
+                    CASE WHEN masked AND is_start
+                         THEN '<extra_id_' || span_id || '> ' || w
+                         WHEN masked THEN w END AS tgt_piece,
+                    CASE WHEN is_start THEN 1 ELSE 0 END AS s
+                FROM spn{sfx}
+            )"""
+    select = f"""SELECT doc_id, '{token}' AS denoiser,
+                   '{token} ' || string_agg(in_piece, ' ' ORDER BY pos)
+                       AS input_text,
+                   CASE WHEN SUM(s) > 0
+                        THEN string_agg(tgt_piece, ' ' ORDER BY pos)
+                             || ' <extra_id_' || SUM(s) || '>'
+                        ELSE '<extra_id_0>' END AS target_text,
+                   CAST(SUM(s) AS INT) AS n_spans
+            FROM pieces{sfx} GROUP BY doc_id"""
+    return ctes, select
+
+
+def _ul2_oracle_sql() -> str:
+    r_ctes, r_sel = _ul2_span_branch("r", "[R]", "26666666", 0)
+    x_ctes, x_sel = _ul2_span_branch("x", "[X]", "80000000", 2)
+    prefix = f"""SELECT doc_id, '[S]' AS denoiser,
+                   '[S] ' || array_to_string(ws[1:pivot_], ' ')
+                       AS input_text,
+                   array_to_string(ws[pivot_ + 1:n_], ' ') AS target_text,
+                   CAST(NULL AS INT) AS n_spans
+            FROM (
+                SELECT doc_id, ws, len(ws) AS n_,
+                       {_PREFIX_PIVOT_SQL} AS pivot_
+                FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+                          lower(coalesce(text, '')), '\\s+'),
+                          x -> x <> '') AS ws
+                      FROM documents
+                      WHERE (('0x' || substr(md5('42:mix:'
+                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3)
+                          = 1)
+                WHERE len(ws) > 0
+            )"""
+    return f"""
+            WITH {r_ctes}, {x_ctes}
+            {r_sel}
+            UNION ALL
+            {prefix}
+            UNION ALL
+            {x_sel}
+        """
 
 
 def _gd_ctes(epochs: int, lr: float) -> tuple[str, str]:
@@ -9210,6 +9331,24 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY word
             ORDER BY n DESC, word ASC LIMIT 10
         """,
+        "q200_prefix_lm": f"""
+            WITH d AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ), p AS (
+                SELECT doc_id, ws, len(ws) AS n_,
+                       {_PREFIX_PIVOT_SQL} AS pivot_
+                FROM d WHERE len(ws) > 0
+            )
+            SELECT doc_id,
+                   array_to_string(ws[1:pivot_], ' ') AS input_text,
+                   array_to_string(ws[pivot_ + 1:n_], ' ') AS target_text,
+                   CAST(n_ AS INT) AS n_tokens,
+                   CAST(pivot_ AS INT) AS pivot
+            FROM p
+        """,
+        "q201_ul2_mix": _ul2_oracle_sql(),
         "q193_temperature_mixture": f"""
             WITH per AS (
                 SELECT source, CAST(sum(len({w})) AS BIGINT) AS n_tokens

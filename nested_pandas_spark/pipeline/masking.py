@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .text import words
 
-__all__ = ["span_corrupt"]
+__all__ = ["span_corrupt", "prefix_lm_split", "ul2_mix"]
 
 
 def _hex_threshold(p: float) -> str:
@@ -132,3 +132,144 @@ def span_corrupt(
         target.alias("target_text"),
         F.col("n_spans").cast("int").alias("n_spans"),
     )
+
+
+def prefix_lm_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    min_frac: float = 0.25,
+    max_frac: float = 0.75,
+) -> DataFrame:
+    """Prefix-LM pairs (UL2's S-denoiser, Tay et al. 2022): each
+    document's tokens split at a deterministic pivot — the input is the
+    prefix (the bidirectionally-visible context), the target is the
+    suffix to generate. The pivot fraction is uniform in
+    ``[min_frac, max_frac)`` derived from ``md5(seed:id)`` (the repo's
+    engine-portable randomness idiom), clamped so BOTH sides are
+    non-empty whenever the document has >= 2 tokens (a single-token
+    document goes entirely to the target: pivot 0).
+
+    Returns ``(id, input_text, target_text, n_tokens, pivot)``.
+    Zero-window plan: one projection computes the split per row from
+    the token array — no explode, no shuffle at all."""
+    if not 0.0 <= min_frac < max_frac <= 1.0:
+        raise ValueError("need 0 <= min_frac < max_frac <= 1")
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(int(seed))),
+                                  F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    frac = F.lit(min_frac) + u * F.lit(max_frac - min_frac)
+    pivot = F.when(n <= 1, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.least(n - 1, F.floor(frac * n.cast("double")).cast("int")),
+        )
+    )
+    out = docs.where(F.size(ws) > 0).select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        n.alias("n_tokens"),
+        pivot.alias("pivot"),
+    )
+    return out.select(
+        id_col,
+        F.array_join(F.slice(F.col("__ws"), 1, F.col("pivot")), " ")
+        .alias("input_text"),
+        F.array_join(
+            F.expr("slice(__ws, pivot + 1, n_tokens - pivot)"), " "
+        ).alias("target_text"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("pivot").cast("int").alias("pivot"),
+    )
+
+
+# (mode_token, objective, noise_density) triples; objective is "span"
+# (R/X denoisers — span corruption at the given density) or "prefix"
+# (S denoiser — prefix LM, density ignored). The UL2 defaults: regular
+# R at 0.15, extreme X at 0.5, sequential S.
+UL2_DEFAULT_MIX = (
+    ("[R]", "span", 0.15),
+    ("[S]", "prefix", None),
+    ("[X]", "span", 0.5),
+)
+
+
+def ul2_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    mix: tuple = UL2_DEFAULT_MIX,
+) -> DataFrame:
+    """Mixture-of-denoisers data prep (UL2, Tay et al. 2022): every
+    document is deterministically assigned ONE denoiser —
+    ``md5(seed:mix:id) mod len(mix)`` — and transformed by it; the
+    mode token (``[R]``/``[S]``/``[X]``) is prepended to the input so
+    the model conditions on the objective, per the paper.
+
+    Returns ``(id, denoiser, input_text, target_text, n_spans)`` —
+    ``n_spans`` is NULL for prefix-LM rows. Each branch runs only on
+    its assigned subset and the branches union: the corpus is read
+    once per branch with the assignment filter pushed to the scan
+    (len(mix) scans, each over ~1/len(mix) of the rows after the
+    filter; an alternative single-scan CASE plan would forfeit
+    span_corrupt's reusable-exchange shape)."""
+    if not mix:
+        raise ValueError("mix must be non-empty")
+    assign = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(int(seed))), F.lit("mix"),
+                                  F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(len(mix)),
+    )
+    parts = []
+    for i, (token, objective, density) in enumerate(mix):
+        sub = docs.where(assign == i)
+        if objective == "span":
+            part = span_corrupt(
+                sub, text_col, id_col=id_col,
+                noise_density=float(density), seed=seed,
+            ).select(
+                id_col,
+                F.lit(token).alias("denoiser"),
+                F.concat(F.lit(token + " "), F.col("input_text"))
+                .alias("input_text"),
+                "target_text",
+                F.col("n_spans"),
+            )
+        elif objective == "prefix":
+            part = prefix_lm_split(
+                sub, text_col, id_col=id_col, seed=seed
+            ).select(
+                id_col,
+                F.lit(token).alias("denoiser"),
+                F.concat(F.lit(token + " "), F.col("input_text"))
+                .alias("input_text"),
+                "target_text",
+                F.lit(None).cast("int").alias("n_spans"),
+            )
+        else:
+            raise ValueError(f"unknown objective {objective!r}")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
