@@ -896,6 +896,60 @@ def main() -> None:
     bench_extra("adc_scan_lut", x_adc_lut)
     bench_extra("adc_scan_recon_prefix", x_adc_recon)
 
+    def x_wordpiece():
+        from nested_pandas_spark.pipeline.wordpiece import (
+            wordpiece_encode, wordpiece_pieces, wordpiece_train,
+        )
+
+        docs = t("documents")
+        m, v = wordpiece_train(docs, 8)
+        pieces = wordpiece_pieces(m, v)
+        v.unpersist()
+        return wordpiece_encode(docs, pieces).select(
+            F.sum("tokens_n")).collect()
+
+    bench_extra("wordpiece_train_encode", x_wordpiece)
+
+    def x_heavy():
+        from nested_pandas_spark.pipeline.sketches import heavy_hitters
+
+        w = t("documents").select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        ).where(F.col("w") != "")
+        return heavy_hitters(w, "w", min_fraction=0.01).count()
+
+    bench_extra("heavy_hitters", x_heavy)
+
+    def x_tfrecord():
+        import shutil
+        import tempfile
+
+        from nested_pandas_spark.sources.tfrecord import (
+            read_tfrecord, write_tfrecord,
+        )
+
+        d = tempfile.mkdtemp(prefix="nps_bench_tfrec_")
+        try:
+            write_tfrecord(
+                t("documents").select("doc_id", "lang", "text")
+                .repartition(cpus), d)
+            return read_tfrecord(
+                spark, d,
+                {"doc_id": "int64", "lang": "string", "text": "string"},
+            ).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    bench_extra("tfrecord_roundtrip", x_tfrecord)
+
+    def x_ul2():
+        from nested_pandas_spark.pipeline.masking import ul2_mix
+
+        return ul2_mix(t("documents")).select(
+            F.count("*"), F.sum("n_spans")).collect()
+
+    bench_extra("ul2_mix", x_ul2)
+
     extras_control["post"] = _time_best(_control, runs=3)
 
     # headline total stays the round-1..3 query set so round-over-round

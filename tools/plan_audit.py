@@ -1093,6 +1093,95 @@ def main() -> int:
         )[:400],
     ))
 
+    # -- 38. WordPiece encode: zero shuffle, vocab map bound once -----------
+    from nested_pandas_spark.pipeline.wordpiece import wordpiece_encode
+
+    docs38 = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text")
+    pieces38 = (
+        [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + ["##he", "the", "##ue"]
+    )
+    wp = wordpiece_encode(docs38, pieces38)
+    p38 = explain_str(wp)
+    p38x = wp._jdf.queryExecution().executedPlan().toString()
+    check(
+        "wordpiece_encode adds no shuffle",
+        "Exchange" not in p38,
+        "greedy longest-match must be a map-only projection",
+    )
+    check(
+        "wordpiece vocab map appears once in the plan",
+        p38x.count("##he") <= 1,
+        f"vocab inlined {p38x.count('##he')} times — let-binding broken",
+    )
+    sections.append((
+        "WordPiece encode: let-bound vocab map, zero shuffle",
+        "The greedy longest-match-first fold probes the piece map "
+        "O(len * max_piece_len) times per word, but the ~60-entry map "
+        "literal is LET-BOUND through a single-element transform lambda "
+        "(the eTLD+1 plan-size guard) so it rides the plan ONCE. No "
+        "exchange, no UDF, no join: token arrays never leave the row.",
+        "\n".join(
+            ln.strip() for ln in p38.splitlines()
+            if "Project" in ln or "Scan" in ln
+        )[:400],
+    ))
+
+    # -- 39. prefix-LM split: zero shuffle ----------------------------------
+    from nested_pandas_spark.pipeline.masking import prefix_lm_split
+
+    pl = prefix_lm_split(docs38)
+    p39 = explain_str(pl)
+    check(
+        "prefix_lm_split adds no shuffle",
+        "Exchange" not in p39,
+        "the pivot is a per-row projection over the token array",
+    )
+    sections.append((
+        "UL2 prefix-LM split: single projection, zero shuffle",
+        "The S-denoiser pivot is computed per row from md5(seed:id) and "
+        "the token array sliced in place — unlike span corruption (which "
+        "needs a window over exploded tokens and costs its one exchange), "
+        "the prefix objective never leaves the row.",
+        "\n".join(
+            ln.strip() for ln in p39.splitlines()
+            if "Project" in ln or "Scan" in ln
+        )[:400],
+    ))
+
+    # -- 40. exact top-k frequent: TakeOrderedAndProject, no window --------
+    from nested_pandas_spark.pipeline.sketches import topk_frequent
+
+    w40 = docs38.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+    tk40 = topk_frequent(w40.where(F.col("w") != ""), "w", 5)
+    p40 = tk40._jdf.queryExecution().executedPlan().toString()
+    check(
+        "global top-k frequent uses TakeOrderedAndProject",
+        "TakeOrderedAndProject" in p40 and "Window" not in p40,
+        "global candidate selection must not be a single-partition window",
+    )
+    check(
+        "top-k phase-1 exchange carries fingerprints",
+        "xxhash64" in p40,
+        "expected the xxhash64 fingerprint in the aggregation key",
+    )
+    sections.append((
+        "Exact top-k frequent: fingerprint shuffle + TakeOrderedAndProject",
+        "Phase 1 aggregates 8-byte xxhash64 fingerprints (map-side "
+        "partial counts; the exchange never carries the strings); global "
+        "candidate selection compiles to TakeOrderedAndProject — each "
+        "task keeps its local top-2k and the driver merges, no "
+        "single-partition window shuffle. Phase 2 re-counts only the "
+        "broadcast candidates' rows by actual value.",
+        "\n".join(
+            ln.strip() for ln in p40.splitlines()
+            if "TakeOrdered" in ln or "Exchange" in ln
+            or "BroadcastHashJoin" in ln
+        )[:400],
+    ))
+
     # -- write PLANS.md -----------------------------------------------------
     doc = [
         "# PLANS — physical-plan evidence for the scale claims",
