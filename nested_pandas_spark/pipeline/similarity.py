@@ -162,12 +162,39 @@ def srp_bucket(
     return total
 
 
+def seed_vectors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """The ``n`` corpus vectors with the smallest md5(id) — the shared
+    deterministic seeding rule of the whole ANN family (no RNG state,
+    identical in any engine). ``orderBy(md5).limit(n)`` plans as a
+    map-side partial top-k (TakeOrderedAndProject): no full sort, no
+    extra shuffle, even over a 100 TB corpus. A PREFIX property holds:
+    the first k of ``seed_vectors(n)`` equal ``seed_vectors(k)``, so one
+    scan can seed both the IVF and the PQ codebooks (see
+    :func:`ivfpq_topk`)."""
+    rows = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n)
+        .collect()
+    )
+    return [(cid, r["__v"]) for cid, r in enumerate(rows)]
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iters: int = 0,
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic IVF centroids: seeds are the ``n_centroids`` corpus
     vectors with the smallest md5(id) — a reproducible pseudo-random sample
@@ -180,17 +207,14 @@ def ivf_centroids(
     round is one plan-literal assignment projection + one partial-agg
     shuffle of per-centroid dimension sums. Deterministic (HALF_UP-rounded
     means), so oracles can replay the refinement exactly.
+
+    ``seeds``: pre-fetched :func:`seed_vectors` rows (a prefix slice is
+    fine) — saves the seed scan when the caller already paid for one.
     """
-    rows = (
-        corpus.select(
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-        )
-        .orderBy("__h")
-        .limit(n_centroids)
-        .collect()
-    )
-    seeds = [(cid, r["__v"]) for cid, r in enumerate(rows)]
+    if seeds is None:
+        seeds = seed_vectors(corpus, id_col, vec_col, n_centroids)
+    else:
+        seeds = list(seeds[:n_centroids])
     return kmeans_refine(
         corpus, seeds, n_iters, vec_expr=vec_col, metric="cosine"
     )
@@ -558,6 +582,76 @@ def ivf_topk(
     return _per_query_topk(scored, k)
 
 
+def _pq_refine_fused(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    n_iters: int,
+    vec: Column,
+    d_sub: int,
+    decimals: int = 6,
+) -> list[list[list[float]]]:
+    """Lloyd refinement of ALL PQ subspace codebooks in ONE Spark job per
+    iteration: each row explodes into ``n_sub`` (subspace, assigned-cid,
+    subvector) entries and a single ``groupBy(s, cid)`` partial-agg
+    shuffle carries ``n_sub * n_centroids * (d_sub + 1)`` doubles per
+    input partition. Numerically identical to refining each subspace
+    with :func:`kmeans_refine` (same literal assignment expressions,
+    same HALF_UP-rounded means) — the sequential form costs ``n_sub``
+    full corpus scans per iteration instead of one, which at small data
+    is pure job-count overhead and at 100 TB is ``n_sub`` extra reads of
+    the entire vector column."""
+    from pyspark import StorageLevel
+
+    n_sub = len(books)
+    base = corpus.select(vec.alias("__v"))
+    persisted = n_iters > 1
+    if persisted:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(n_iters):
+        entries = F.array(*[
+            F.struct(
+                F.lit(s).alias("s"),
+                _nearest_l2_ids(
+                    F.slice(F.col("__v"), s * d_sub + 1, d_sub),
+                    list(enumerate(books[s])), 1,
+                )[0].alias("cid"),
+                F.slice(F.col("__v"), s * d_sub + 1, d_sub).alias("sv"),
+            )
+            for s in range(n_sub)
+        ])
+        rows = (
+            base.select(F.explode(entries).alias("e"))
+            .select(
+                F.col("e.s").alias("s"),
+                F.col("e.cid").alias("cid"),
+                F.col("e.sv").alias("sv"),
+            )
+            .groupBy("s", "cid")
+            .agg(
+                F.count("*").alias("__n"),
+                *[F.sum(F.col("sv")[i]).alias(f"s{i}")
+                  for i in range(d_sub)],
+            )
+            .collect()
+        )
+        by = {(r["s"], r["cid"]): r for r in rows}
+        for s in range(n_sub):
+            nxt = []
+            for cid, old in enumerate(books[s]):
+                r = by.get((s, cid))
+                if r and r["__n"]:
+                    nxt.append(
+                        [_round_half_up(r[f"s{i}"] / r["__n"], decimals)
+                         for i in range(d_sub)]
+                    )
+                else:
+                    nxt.append(old)
+            books[s] = nxt
+    if persisted:
+        base.unpersist()
+    return books
+
+
 def pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -565,6 +659,7 @@ def pq_codebooks(
     n_sub: int = 4,
     n_centroids: int = 8,
     n_iters: int = 0,
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: ``codebooks[s][c]``
     starts as the subspace-``s`` slice of the ``c``-th seed vector (the
@@ -573,12 +668,21 @@ def pq_codebooks(
 
     ``n_iters>0`` then refines EACH subspace codebook independently with
     that many Lloyd rounds over the corpus' subvector slices
-    (:func:`kmeans_refine`, squared-L2 assignment — the same metric
-    ``pq_encode`` uses for code assignment). Each subspace round is one
-    partial-agg shuffle of ``n_centroids x (d_sub+1)`` doubles per input
-    partition; the code layout is unchanged.
+    (squared-L2 assignment — the same metric ``pq_encode`` uses for code
+    assignment). All subspaces refine in ONE job per round
+    (:func:`_pq_refine_fused`): a single partial-agg shuffle of
+    ``n_sub x n_centroids x (d_sub+1)`` doubles per input partition —
+    the sequential per-subspace form would re-scan the corpus ``n_sub``
+    times per round. Above the plan-literal centroid tier the
+    per-subspace :func:`kmeans_refine` fallback keeps plan size bounded.
+    The code layout is unchanged either way.
+
+    ``seeds``: pre-fetched :func:`seed_vectors` (prefix slice fine).
     """
-    seeds = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    if seeds is None:
+        seeds = seed_vectors(corpus, id_col, vec_col, n_centroids)
+    else:
+        seeds = list(seeds[:n_centroids])
     dim = len(seeds[0][1])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -589,14 +693,17 @@ def pq_codebooks(
     ]
     if n_iters > 0:
         vec = F.col(vec_col).cast("array<double>")
-        for s in range(n_sub):
-            sub_seeds = list(enumerate(books[s]))
-            refined = kmeans_refine(
-                corpus, sub_seeds, n_iters,
-                vec_expr=F.slice(vec, s * d_sub + 1, d_sub),
-                metric="l2",
-            )
-            books[s] = [cv for _, cv in refined]
+        if n_centroids <= _LITERAL_CENTROID_MAX:
+            books = _pq_refine_fused(corpus, books, n_iters, vec, d_sub)
+        else:
+            for s in range(n_sub):
+                sub_seeds = list(enumerate(books[s]))
+                refined = kmeans_refine(
+                    corpus, sub_seeds, n_iters,
+                    vec_expr=F.slice(vec, s * d_sub + 1, d_sub),
+                    metric="l2",
+                )
+                books[s] = [cv for _, cv in refined]
     return books
 
 
@@ -1523,7 +1630,14 @@ def ivfpq_topk(
     touches raw vectors until the final re-rank of ~refine*k rows per
     query.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    # one seed scan serves both trainings (seed_vectors' prefix property);
+    # the residual path still seeds its PQ on the residual frame itself
+    shared_seeds = seed_vectors(
+        corpus, id_col, vec_col, max(n_centroids, pq_centroids)
+    )
+    cents = ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, n_iters, seeds=shared_seeds
+    )
     if residual:
         resid = with_ivf_residuals(
             corpus.select(
@@ -1558,7 +1672,7 @@ def ivfpq_topk(
         )
     else:
         cbs = pq_codebooks(corpus, id_col, vec_col, n_sub,
-                           pq_centroids, pq_iters)
+                           pq_centroids, pq_iters, seeds=shared_seeds)
         c = with_nearest_ids(
             pq_encode(corpus, cbs, vec_col).select(
                 F.col(id_col).alias("neighbor_id"),
