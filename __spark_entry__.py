@@ -4196,6 +4196,21 @@ def q201_ul2_mix(spark, sf):
     return ul2_mix(docs.select("doc_id", "text"))
 
 
+def q202_corpus_report(spark, sf):
+    """Data-card summary in one aggregation pass (pipeline/corpus.py
+    corpus_report): volume (docs/tokens/chars), shape (mean/median/max
+    tokens), exact duplication (distinct normalized fingerprints ->
+    dup_rate), mean heuristic quality, language and source cardinality —
+    (metric, value) rows, every value a deterministic double. The oracle
+    replays each stat: the q64 quality formula, the fingerprint
+    normalization, interpolated median (quantile_cont == Spark
+    percentile), and the distinct counts."""
+    from nested_pandas_spark.pipeline.corpus import corpus_report
+
+    docs = _t(spark, sf, "documents")
+    return corpus_report(docs, lang_col="lang", source_col="source")
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4768,6 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_topk_frequent": q199_topk_frequent,
         "q200_prefix_lm": q200_prefix_lm,
         "q201_ul2_mix": q201_ul2_mix,
+        "q202_corpus_report": q202_corpus_report,
     }
 
 
@@ -9349,6 +9365,59 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "q201_ul2_mix": _ul2_oracle_sql(),
+        "q202_corpus_report": f"""
+            WITH per AS (
+                SELECT CASE WHEN len({w}) > 0 THEN len({w}) END AS tok,
+                       length(coalesce(text, '')) AS chars,
+                       ((CASE WHEN length(text) >= 200 AND length(text) <= 50000
+                              THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN length(text) > 0 AND
+                                len(regexp_extract_all(text, '[,.!?;:]')) / length(text) <= 0.1
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN len({w}) > 0 AND {hits['en']} / len({w}) >= 0.05
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN len({w}) > 0
+                                AND length(text) / len({w}) >= 3
+                                AND length(text) / len({w}) <= 12
+                                THEN 1.0 ELSE 0.0 END)) / 4.0 AS q,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                           AS fp,
+                       lang, source
+                FROM documents
+            ), agg AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS n_empty,
+                       CAST(sum(coalesce(tok, 0)) AS DOUBLE) AS total_tokens,
+                       CAST(sum(chars) AS DOUBLE) AS total_chars,
+                       round(avg(tok), 6) AS tokens_mean,
+                       round(quantile_cont(tok, 0.5), 6) AS tokens_p50,
+                       CAST(max(coalesce(tok, 0)) AS DOUBLE) AS tokens_max,
+                       CAST(count(DISTINCT CASE WHEN tok IS NOT NULL
+                                                THEN fp END) AS DOUBLE)
+                           AS distinct_docs,
+                       round(avg(CASE WHEN tok IS NOT NULL THEN q END), 6)
+                           AS quality_mean,
+                       CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+                       CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+                FROM per
+            )
+            SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+            UNION ALL SELECT 'n_empty', n_empty FROM agg
+            UNION ALL SELECT 'total_tokens', total_tokens FROM agg
+            UNION ALL SELECT 'total_chars', total_chars FROM agg
+            UNION ALL SELECT 'tokens_mean', tokens_mean FROM agg
+            UNION ALL SELECT 'tokens_p50', tokens_p50 FROM agg
+            UNION ALL SELECT 'tokens_max', tokens_max FROM agg
+            UNION ALL SELECT 'distinct_docs', distinct_docs FROM agg
+            UNION ALL SELECT 'dup_rate',
+                CASE WHEN n_docs - n_empty > 0
+                     THEN round(1.0 - distinct_docs / (n_docs - n_empty), 6)
+                END FROM agg
+            UNION ALL SELECT 'quality_mean', quality_mean FROM agg
+            UNION ALL SELECT 'n_langs', n_langs FROM agg
+            UNION ALL SELECT 'n_sources', n_sources FROM agg
+        """,
         "q193_temperature_mixture": f"""
             WITH per AS (
                 SELECT source, CAST(sum(len({w})) AS BIGINT) AS n_tokens

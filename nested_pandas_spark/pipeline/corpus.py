@@ -36,6 +36,7 @@ __all__ = [
     "build_mixture",
     "chunk_documents",
     "corpus_diff",
+    "corpus_report",
     "quality_bins",
     "sample_per_group",
     "dsir_weights",
@@ -1507,3 +1508,93 @@ def build_mixture(
     return docs.join(
         kept, on=docs[id_col] == kept["__keep_id"], how="inner"
     ).drop("__keep_id")
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    source_col: str | None = None,
+) -> DataFrame:
+    """The data-card summary every corpus release ships with, in ONE
+    aggregation pass: ``(metric, value)`` rows covering volume
+    (documents, tokens, chars), shape (mean/median/max tokens per doc),
+    exact duplication (distinct normalized fingerprints -> dup_rate),
+    mean heuristic quality, and — when the columns exist — language and
+    source cardinality.
+
+    All values are deterministic doubles (fractional metrics rounded to
+    6 decimals; the median is the interpolated percentile both engines
+    share), so the whole card is oracle-replayable.
+
+    Scale shape: one projection computes per-doc stats (token count,
+    quality, fingerprint — text never leaves the row), then ONE global
+    aggregate with map-side partials; the two count-distincts
+    (fingerprints, and languages/sources) expand it to Spark's standard
+    multi-distinct plan — still fingerprint-grain exchanges, never text.
+    The result is a handful of rows.
+    """
+    from .text import fingerprint, quality_score, words
+
+    c = F.col(text_col)
+    per = docs.select(
+        F.size(words(c)).alias("__tok"),  # NULL text -> -1? size(NULL)=-1
+        F.length(F.coalesce(c, F.lit(""))).alias("__chars"),
+        quality_score(c).alias("__q"),
+        fingerprint(c).alias("__fp"),
+        *([F.col(lang_col).alias("__lang")] if lang_col else []),
+        *([F.col(source_col).alias("__src")] if source_col else []),
+    ).withColumn(
+        "__tok",
+        F.when(F.col("__tok") > 0, F.col("__tok")).otherwise(F.lit(None)),
+    )
+    aggs = [
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.when(F.col("__tok").isNull(), 1).otherwise(0))
+        .cast("double").alias("n_empty"),
+        F.sum(F.coalesce(F.col("__tok"), F.lit(0)))
+        .cast("double").alias("total_tokens"),
+        F.sum("__chars").cast("double").alias("total_chars"),
+        F.round(F.avg("__tok"), 6).alias("tokens_mean"),
+        F.round(F.percentile(F.col("__tok"), F.lit(0.5)), 6)
+        .alias("tokens_p50"),
+        F.max(F.coalesce(F.col("__tok"), F.lit(0)))
+        .cast("double").alias("tokens_max"),
+        F.countDistinct(
+            F.when(F.col("__tok").isNotNull(), F.col("__fp"))
+        ).cast("double").alias("distinct_docs"),
+        F.round(F.avg(F.when(F.col("__tok").isNotNull(), F.col("__q"))), 6)
+        .alias("quality_mean"),
+    ]
+    if lang_col:
+        aggs.append(F.countDistinct("__lang").cast("double")
+                    .alias("n_langs"))
+    if source_col:
+        aggs.append(F.countDistinct("__src").cast("double")
+                    .alias("n_sources"))
+    one = per.agg(*aggs)
+    one = one.withColumn(
+        "dup_rate",
+        F.when(
+            F.col("n_docs") - F.col("n_empty") > 0,
+            F.round(
+                1.0 - F.col("distinct_docs")
+                / (F.col("n_docs") - F.col("n_empty")), 6,
+            ),
+        ).otherwise(F.lit(None).cast("double")),
+    )
+    names = ["n_docs", "n_empty", "total_tokens", "total_chars",
+             "tokens_mean", "tokens_p50", "tokens_max", "distinct_docs",
+             "dup_rate", "quality_mean"]
+    if lang_col:
+        names.append("n_langs")
+    if source_col:
+        names.append("n_sources")
+    entries = F.array(*[
+        F.struct(F.lit(n).alias("metric"),
+                 F.col(n).cast("double").alias("value"))
+        for n in names
+    ])
+    return one.select(F.explode(entries).alias("m")).select(
+        "m.metric", "m.value"
+    )

@@ -3738,3 +3738,45 @@ def test_encode_wav_roundtrip(spark):
     assert rate == 16000 and len(x) == 256
     # quantization error bounded by one LSB of int16
     np.testing.assert_allclose(x, np.clip(vals, -1, 1), atol=1.5 / 32767)
+
+
+# ----------------------------------------------------- corpus_report
+
+
+def test_corpus_report_values(spark):
+    from nested_pandas_spark.pipeline.corpus import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "web"),
+            (1, "alpha  beta GAMMA ", "en", "web"),   # dup after normalize
+            (2, "one two", "fr", "books"),
+            (3, None, "fr", "web"),
+            (4, "", "de", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["metric"]: r["value"]
+           for r in corpus_report(df, lang_col="lang",
+                                  source_col="source").collect()}
+    assert got["n_docs"] == 5.0
+    assert got["n_empty"] == 2.0
+    assert got["total_tokens"] == 8.0
+    assert got["tokens_max"] == 3.0
+    assert got["tokens_mean"] == round(8 / 3, 6)
+    assert got["tokens_p50"] == 3.0
+    assert got["distinct_docs"] == 2.0       # doc 1 normalizes onto doc 0
+    assert got["dup_rate"] == round(1 - 2 / 3, 6)
+    assert got["n_langs"] == 3.0
+    assert got["n_sources"] == 2.0
+    assert 0.0 <= got["quality_mean"] <= 1.0
+
+
+def test_corpus_report_empty_and_optional_cols(spark):
+    from nested_pandas_spark.pipeline.corpus import corpus_report
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    assert got["n_docs"] == 1.0 and got["n_empty"] == 1.0
+    assert got["tokens_mean"] is None and got["dup_rate"] is None
+    assert "n_langs" not in got and "n_sources" not in got

@@ -419,6 +419,50 @@ def main() -> int:
                 docs.withColumn("q", (F.col("doc_id") % 101).cast("double")),
                 "doc_id", "q").count()
 
+        def wp_encode():
+            from nested_pandas_spark.pipeline.wordpiece import (
+                wordpiece_encode,
+            )
+            pieces = (
+                [chr(c) for c in range(ord("a"), ord("z") + 1)]
+                + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+                + [str(i) for i in range(10)]
+                + ["##" + str(i) for i in range(10)]
+                + ["##he", "the", "##ue", "val"]
+            )
+            wordpiece_encode(t(d, "documents"), pieces).agg(
+                F.sum("tokens_n")).collect()
+
+        def heavy():
+            from nested_pandas_spark.pipeline.sketches import heavy_hitters
+            w = t(d, "documents").select(
+                F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+            ).where(F.col("w") != "")
+            heavy_hitters(w, "w", min_fraction=0.01).count()
+
+        def prefix_lm():
+            from nested_pandas_spark.pipeline.masking import prefix_lm_split
+            prefix_lm_split(t(d, "documents")).agg(
+                F.sum("pivot")).collect()
+
+        def tfrec():
+            import shutil as _sh
+            import tempfile as _tf
+
+            from nested_pandas_spark.sources.tfrecord import (
+                read_tfrecord, write_tfrecord,
+            )
+            out = _tf.mkdtemp(prefix="nps_scale_tfrec_")
+            try:
+                write_tfrecord(
+                    t(d, "documents").select("doc_id", "text")
+                    .repartition(spark.sparkContext.defaultParallelism),
+                    out)
+                read_tfrecord(spark, out,
+                              {"doc_id": "int64", "text": "string"}).count()
+            finally:
+                _sh.rmtree(out, ignore_errors=True)
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
@@ -464,6 +508,10 @@ def main() -> int:
             "unigram_encode": unigram_enc,
             "histogram_quantiles": hist,
             "dedup_keep_best": keep_best,
+            "wordpiece_encode": wp_encode,
+            "heavy_hitters": heavy,
+            "prefix_lm_split": prefix_lm,
+            "tfrecord_roundtrip": tfrec,
         }
 
     # warm-up
