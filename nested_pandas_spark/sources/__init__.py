@@ -5,3 +5,4 @@ from .ivf_store import ivfpq_search, write_ivfpq_index
 from .lsh_store import lsh_search, read_lsh_params, write_lsh_index
 from .warc import parse_warc_bytes, read_warc, read_wet
 from .sizing import estimate_bytes_per_row, write_sized_parquet
+from .tfrecord import read_tfrecord, write_tfrecord
