@@ -35,6 +35,8 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "lsh_candidate_pairs_between",
+    "lsh_candidate_probability",
+    "lsh_tuning",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
@@ -1472,3 +1474,58 @@ def bloom_dedup_against(
     ref_fp = ref.select(fingerprint(text_col).alias("__fp")).distinct()
     survivors = candidates.join(ref_fp, on="__fp", how="left_anti")
     return definite_new.unionByName(survivors).drop("__fp")
+
+
+def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(two documents with Jaccard similarity ``s`` become an LSH
+    candidate pair) under banding: ``1 - (1 - s^rows)^bands`` — the
+    S-curve every MinHash-LSH textbook plots (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets ch. 3, public formula)."""
+    if not 0.0 <= s <= 1.0:
+        raise ValueError("s must be in [0, 1]")
+    if bands < 1 or rows < 1:
+        raise ValueError("bands and rows must be >= 1")
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_tuning(
+    threshold: float,
+    num_hashes: int = 16,
+    eps: float = 0.05,
+) -> dict:
+    """Pick the banding of ``num_hashes`` MinHash rows whose S-curve
+    inflection ``(1/bands)^(1/rows)`` sits closest to the target Jaccard
+    ``threshold`` — the knob-setting step before
+    :func:`lsh_candidate_pairs`, usually done by hand-waving; this makes
+    it a computed, documented choice.
+
+    Returns ``{"bands", "rows", "inflection", "p_at_threshold",
+    "p_below", "p_above"}`` where ``p_below``/``p_above`` are the
+    candidate probabilities at ``threshold ∓ eps`` — the false-positive
+    and false-negative pressure at the chosen operating point. Driver
+    arithmetic only."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        score = abs(inflection - threshold)
+        if best is None or score < best[0]:
+            best = (score, bands, rows, inflection)
+    _, bands, rows, inflection = best
+    lo = max(0.0, threshold - eps)
+    hi = min(1.0, threshold + eps)
+    return {
+        "bands": bands,
+        "rows": rows,
+        "inflection": round(inflection, 6),
+        "p_at_threshold": round(
+            lsh_candidate_probability(threshold, bands, rows), 6),
+        "p_below": round(lsh_candidate_probability(lo, bands, rows), 6),
+        "p_above": round(lsh_candidate_probability(hi, bands, rows), 6),
+    }

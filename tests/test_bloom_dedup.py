@@ -69,3 +69,41 @@ def test_bad_num_bits():
 
     with pytest.raises(ValueError, match="multiple of 64"):
         BloomBitmap([0], 100, 3)
+
+
+# ------------------------------------------------- LSH knob tuning
+
+
+def test_lsh_tuning_picks_closest_inflection():
+    from nested_pandas_spark.pipeline.dedup import (
+        lsh_candidate_probability, lsh_tuning,
+    )
+
+    for thr, n in [(0.5, 16), (0.8, 16), (0.9, 64), (0.3, 32)]:
+        t = lsh_tuning(thr, n)
+        assert t["bands"] * t["rows"] == n
+        # no other divisor banding sits closer to the threshold
+        best = min(
+            abs((1.0 / b) ** (b / n) - thr)
+            for b in range(1, n + 1) if n % b == 0
+        )
+        assert abs(abs(t["inflection"] - thr) - best) < 1e-6
+        # S-curve is monotone around the operating point
+        assert t["p_below"] <= t["p_at_threshold"] <= t["p_above"]
+    assert lsh_candidate_probability(1.0, 4, 4) == 1.0
+    assert lsh_candidate_probability(0.0, 4, 4) == 0.0
+
+
+def test_lsh_tuning_validates():
+    import pytest as _pt
+
+    from nested_pandas_spark.pipeline.dedup import (
+        lsh_candidate_probability, lsh_tuning,
+    )
+
+    with _pt.raises(ValueError):
+        lsh_tuning(0.0)
+    with _pt.raises(ValueError):
+        lsh_tuning(0.5, 1)
+    with _pt.raises(ValueError):
+        lsh_candidate_probability(1.5, 2, 2)
