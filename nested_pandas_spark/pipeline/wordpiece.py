@@ -253,7 +253,13 @@ def wordpiece_encode(
     literal let-bound through a single-element ``transform`` lambda
     (same plan-size guard as the PSL rule map, ``web.py
     _registrable_expr``): the fold probes it O(len * max_piece_len)
-    times but the plan carries it once."""
+    times but the plan carries it once.
+
+    >>> df = spark.createDataFrame([(0, "unaffable")],
+    ...                            "id long, text string")
+    >>> wordpiece_encode(df, ["un", "##aff", "##able"]).collect()[0]["tokens"]
+    ['un', '##aff', '##able']
+    """
     if isinstance(pieces, DataFrame):
         pieces = [r["piece"] for r in pieces.select("piece").collect()]
     pieces = sorted(set(pieces))

@@ -21,15 +21,17 @@ import nested_pandas_spark.pipeline.corpus as corpus
 import nested_pandas_spark.pipeline.dedup as dedup
 import nested_pandas_spark.pipeline.similarity as similarity
 import nested_pandas_spark.pipeline.text as text
+import nested_pandas_spark.pipeline.wordpiece as wordpiece
 import nested_pandas_spark.plans.inspect as plan_inspect
 import nested_pandas_spark.tuning as tuning
 
 MODULES = [core, packer, asof, dedup, text, corpus, similarity, tuning,
-           map_rows, plan_inspect, timeseries, crossmatch, aggregates]
+           map_rows, plan_inspect, timeseries, crossmatch, aggregates,
+           wordpiece]
 
 # examples must exist where users look first; grow this floor as docstrings
 # gain examples, never shrink it
-MIN_EXAMPLED_DOCSTRINGS = 14
+MIN_EXAMPLED_DOCSTRINGS = 15
 
 
 def test_package_doctests(spark):
