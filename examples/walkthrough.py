@@ -379,6 +379,44 @@ def main() -> None:
           [r["registrable_domain"] for r in
            with_registrable_domain(urls, url_col="url").collect()])
 
+    # -- 12e. WordPiece: train, persist, reload, tokenize --------------------
+    import tempfile
+
+    from nested_pandas_spark.pipeline.tokenizer_io import (
+        load_tokenizer, save_tokenizer,
+    )
+    from nested_pandas_spark.pipeline.wordpiece import (
+        wordpiece_encode, wordpiece_pieces, wordpiece_train,
+    )
+
+    wp_m, wp_v = wordpiece_train(docs.limit(200), n_merges=6)
+    pieces = wordpiece_pieces(wp_m, wp_v)
+    wp_v.unpersist()
+    art = os.path.join(tempfile.gettempdir(), "walkthrough_wp.json")
+    save_tokenizer(art, "wordpiece", pieces)
+    _, payload = load_tokenizer(art)
+    wp = wordpiece_encode(docs.limit(5), payload["pieces"])
+    print("WordPiece tokens on 5 docs:",
+          wp.agg(F.sum("tokens_n")).collect()[0][0])
+
+    # -- 12f. TFRecord round trip: feed a TF/JAX trainer ---------------------
+    from nested_pandas_spark.sources import read_tfrecord, write_tfrecord
+
+    tfdir = tempfile.mkdtemp(prefix="walkthrough_tfrec_")
+    write_tfrecord(docs.limit(50).select("doc_id", "text"), tfdir)
+    back = read_tfrecord(spark, tfdir,
+                         {"doc_id": "int64", "text": "string"})
+    print("TFRecord round trip rows:", back.count())
+
+    # -- 12g. data card in one pass ------------------------------------------
+    from nested_pandas_spark.pipeline.corpus import corpus_report
+
+    card = {r["metric"]: r["value"]
+            for r in corpus_report(docs, lang_col="lang",
+                                   source_col="source").collect()}
+    print("corpus data card: docs=%d dup_rate=%s quality=%s" % (
+        int(card["n_docs"]), card["dup_rate"], card["quality_mean"]))
+
     # -- 13. per-key custom logic without a pack round trip -----------------
     from nested_pandas_spark.operators.map_rows import map_groups
 

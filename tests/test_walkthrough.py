@@ -34,5 +34,7 @@ def test_walkthrough_runs_end_to_end():
     for marker in ("packed:", "flat rows:", "near-dup candidate pairs:",
                    "clicks with a prior signup:",
                    "refined-IVF neighbor pairs:", "IVF-store neighbor pairs:",
-                   "multi-probe LSH pairs:", "context-window bins:"):
+                   "multi-probe LSH pairs:", "context-window bins:",
+                   "WordPiece tokens on 5 docs:", "TFRecord round trip rows:",
+                   "corpus data card:"):
         assert marker in out, f"missing '{marker}' in walkthrough output"
