@@ -72,12 +72,18 @@ def _wp_merge_sql(syms_sql: str, left: str, right: str, merged: str) -> str:
 
 def wordpiece_train(
     docs: DataFrame,
-    n_merges: int,
+    n_merges: int | None = None,
     text_col: str = "text",
     min_pair_count: int = 1,
     checkpoint_every: int = 8,
+    vocab_size: int | None = None,
 ):
-    """Train ``n_merges`` WordPiece merges. Returns ``(merges, vocab)``:
+    """Train ``n_merges`` WordPiece merges — or, like the HF trainer,
+    pass ``vocab_size=`` instead and the merge budget becomes
+    ``vocab_size - |base alphabet|`` (bare + ``##`` single-char symbols
+    actually seen in the corpus; one tiny distinct-count job). Training
+    may stop early when no pair clears ``min_pair_count``, so
+    ``vocab_size`` is a cap, not a promise. Returns ``(merges, vocab)``:
 
     * ``merges``: DataFrame ``(step, left, right, merged, n, lc, rc)``
       — the chosen pair per step with its pair count ``n`` and the
@@ -93,7 +99,9 @@ def wordpiece_train(
     collected. Ties break deterministically (score desc, pair count
     desc, left asc, right asc) — the same ORDER BY the DuckDB oracle
     replays."""
-    if n_merges < 1:
+    if (n_merges is None) == (vocab_size is None):
+        raise ValueError("pass exactly one of n_merges / vocab_size")
+    if n_merges is not None and n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
@@ -109,6 +117,18 @@ def wordpiece_train(
         .withColumn("syms", F.expr(_WP_SYMS_SQL.replace("__w", "word")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if vocab_size is not None:
+        n_base = (
+            vocab_df.select(
+                F.explode(F.expr("split(syms, ' ')")).alias("s")
+            ).distinct().count()
+        )
+        n_merges = vocab_size - n_base
+        if n_merges < 1:
+            vocab_df.unpersist()
+            raise ValueError(
+                f"vocab_size {vocab_size} <= base alphabet {n_base}"
+            )
     merges = []
     for step in range(1, n_merges + 1):
         exploded = vocab_df.select(

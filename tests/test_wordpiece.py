@@ -245,3 +245,29 @@ def test_train_validates_args(spark, docs):
         wordpiece_train(docs, 1, min_pair_count=0)
     with pytest.raises(ValueError):
         wordpiece_encode(docs, [])
+
+
+def test_vocab_size_budget(spark, docs):
+    from nested_pandas_spark.pipeline.wordpiece import (
+        wordpiece_pieces, wordpiece_train,
+    )
+
+    # base alphabet of TEXTS, as the trainer counts it
+    base = set()
+    for t in TEXTS:
+        for w in re.split(r"\s+", (t or "").lower()):
+            if w:
+                base.add(w[0])
+                base.update("##" + c for c in w[1:])
+    m, v = wordpiece_train(docs, vocab_size=len(base) + 3)
+    pieces = wordpiece_pieces(m, v)
+    v.unpersist()
+    assert m.count() == 3
+    assert len(pieces) <= len(base) + 3  # merges can erase a symbol's
+    # last free occurrence, so <= not ==
+    with pytest.raises(ValueError, match="base alphabet"):
+        m2, v2 = wordpiece_train(docs, vocab_size=3)
+    with pytest.raises(ValueError, match="exactly one"):
+        wordpiece_train(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        wordpiece_train(docs, 3, vocab_size=50)
