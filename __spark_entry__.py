@@ -4211,6 +4211,21 @@ def q202_corpus_report(spark, sf):
     return corpus_report(docs, lang_col="lang", source_col="source")
 
 
+def q203_pack_whole_docs(spark, sf):
+    """Whole-document sequence packing (pipeline/corpus.py
+    pack_whole_docs — the encoder/T5/eval-harness discipline where
+    documents never split): deterministic next-fit over 128-document
+    shards at capacity 512, oversize docs flagged in their own bin.
+    The recurrence runs per shard in Arrow-batched applyInPandas
+    (next-fit cannot be a prefix sum); shard boundaries are doc-COUNT
+    grain so the oracle can replay them — which it does, as a RECURSIVE
+    CTE stepping all shards in lockstep one document per iteration."""
+    from nested_pandas_spark.pipeline.corpus import pack_whole_docs
+
+    docs = _t(spark, sf, "documents")
+    return pack_whole_docs(docs, 512, shard_docs=128)
+
+
 def q120_dsir_weights(spark, sf):
     """DSIR importance weights (pipeline/corpus.py dsir_weights, Xie et
     al. 2023): score every document by hashed unigram+bigram likelihood
@@ -4784,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_prefix_lm": q200_prefix_lm,
         "q201_ul2_mix": q201_ul2_mix,
         "q202_corpus_report": q202_corpus_report,
+        "q203_pack_whole_docs": q203_pack_whole_docs,
     }
 
 
@@ -9365,6 +9381,36 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "q201_ul2_mix": _ul2_oracle_sql(),
+        "q203_pack_whole_docs": f"""
+            WITH RECURSIVE sized AS (
+                SELECT doc_id, CAST(len({w}) AS BIGINT) AS sz
+                FROM documents WHERE len({w}) > 0
+            ), sh AS (
+                SELECT doc_id, sz,
+                       (dense_rank() OVER (ORDER BY doc_id) - 1) // 128
+                           AS shard,
+                       (dense_rank() OVER (ORDER BY doc_id) - 1) % 128
+                           AS pos
+                FROM sized
+            ), st AS (
+                SELECT shard, pos, doc_id, sz, sz AS fill,
+                       CAST(0 AS BIGINT) AS loc
+                FROM sh WHERE pos = 0
+                UNION ALL
+                SELECT n.shard, n.pos, n.doc_id, n.sz,
+                       CASE WHEN st.fill + n.sz > 512 THEN n.sz
+                            ELSE st.fill + n.sz END,
+                       CASE WHEN st.fill + n.sz > 512 THEN st.loc + 1
+                            ELSE st.loc END
+                FROM st JOIN sh n
+                  ON n.shard = st.shard AND n.pos = st.pos + 1
+            )
+            SELECT doc_id, sz AS n_tokens,
+                   CAST(shard * 4294967296 + loc AS BIGINT) AS bin_id,
+                   fill AS bin_fill,
+                   sz > 512 AS oversize
+            FROM st
+        """,
         "q202_corpus_report": f"""
             WITH per AS (
                 SELECT CASE WHEN len({w}) > 0 THEN len({w}) END AS tok,

@@ -50,6 +50,7 @@ __all__ = [
     "temperature_mixture",
     "pack_segments",
     "pack_sequences",
+    "pack_whole_docs",
     "source_stats",
     "split_by_cluster",
     "hash_sample",
@@ -1598,3 +1599,88 @@ def corpus_report(
     return one.select(F.explode(entries).alias("m")).select(
         "m.metric", "m.value"
     )
+
+
+def pack_whole_docs(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    shard_docs: int = 512,
+) -> DataFrame:
+    """Whole-document sequence packing (the encoder/T5/eval-harness
+    discipline — documents are NEVER split across context windows;
+    contrast :func:`pack_sequences`, the GPT concat-and-chunk planner
+    where they are): next-fit in ``id_col`` order — a document joins the
+    current bin when it fits, else opens a new one. A document LONGER
+    than ``capacity`` gets a bin of its own and is flagged ``oversize``
+    (the caller truncates or re-chunks; silently splitting would defeat
+    the whole point of this packing style). Zero-token documents are
+    dropped (nothing to pack).
+
+    Returns ``(id_col, n_tokens, bin_id, bin_fill, oversize)`` —
+    ``bin_fill`` is the bin's running total AFTER this document, so
+    ``max(bin_fill) per bin`` is the bin's load and
+    ``avg(load) / capacity`` the packing efficiency.
+
+    Scale shape: next-fit is a sequential recurrence (each decision
+    depends on the running fill), which cannot be a prefix sum — so the
+    stream is cut into DETERMINISTIC shards of ``shard_docs`` documents
+    (``dense_rank DIV shard_docs`` — data-independent boundaries, which
+    keeps the op oracle-replayable) and the recurrence runs per shard in
+    an Arrow-batched ``applyInPandas``. Bins never cross shards: the
+    cost is at most one partial bin per ``shard_docs`` documents —
+    bounded, documented waste in exchange for full parallelism. Bin ids
+    are globally unique (``shard * 2^32 + local``)."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if shard_docs < 1:
+        raise ValueError("shard_docs must be >= 1")
+    import pandas as pd
+
+    tok = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    w = Window.orderBy(F.col(id_col))
+    # dense_rank over id is deterministic; the global-window shuffle
+    # carries (id, size) pairs only — same trade as _stream_starts'
+    # range partitioning, but here boundaries must be data-independent
+    # (doc COUNT grain, not token grain) so the oracle can replay them.
+    sized = (
+        docs.select(F.col(id_col), tok.alias("__sz"))
+        .where(F.col("__sz") > 0)
+        .withColumn("__rn", F.dense_rank().over(w) - 1)
+        .withColumn("__shard", F.expr(f"__rn DIV {int(shard_docs)}"))
+    )
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn")
+        shard = int(pdf["__shard"].iloc[0])
+        fills, bins, overs = [], [], []
+        fill, local = 0, -1
+        for sz in pdf["__sz"]:
+            sz = int(sz)
+            if local < 0 or fill + sz > cap:
+                local += 1
+                fill = sz
+            else:
+                fill += sz
+            fills.append(fill)
+            bins.append((shard << 32) + local)
+            overs.append(sz > cap)
+        out = pdf[[id_col, "__sz"]].copy()
+        out.columns = ["__id", "n_tokens"]
+        out["bin_id"] = bins
+        out["bin_fill"] = fills
+        out["oversize"] = overs
+        return out
+
+    id_type = dict(docs.select(id_col).dtypes)[id_col]
+    out = sized.groupBy("__shard").applyInPandas(
+        pack,
+        schema=(f"__id {id_type}, n_tokens long, bin_id long, "
+                "bin_fill long, oversize boolean"),
+    )
+    return out.withColumnRenamed("__id", id_col)

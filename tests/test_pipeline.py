@@ -3780,3 +3780,60 @@ def test_corpus_report_empty_and_optional_cols(spark):
     assert got["n_docs"] == 1.0 and got["n_empty"] == 1.0
     assert got["tokens_mean"] is None and got["dup_rate"] is None
     assert "n_langs" not in got and "n_sources" not in got
+
+
+# ----------------------------------------------------- pack_whole_docs
+
+
+def test_pack_whole_docs_matches_python_nextfit(spark):
+    import re as _re
+
+    from nested_pandas_spark.pipeline.corpus import pack_whole_docs
+
+    texts = {i: " ".join(f"w{j}" for j in range((i * 7) % 13))
+             for i in range(40)}
+    texts[40] = None
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    cap, shard = 10, 8
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_fill"],
+                         r["oversize"])
+           for r in pack_whole_docs(df, cap, shard_docs=shard).collect()}
+    # python reference
+    sized = sorted(
+        (i, len([w for w in _re.split(r"\s+", t or "") if w]))
+        for i, t in texts.items()
+    )
+    sized = [(i, n) for i, n in sized if n > 0]
+    want = {}
+    for rn, (i, n) in enumerate(sized):
+        sh, pos = rn // shard, rn % shard
+        if pos == 0:
+            fill, local = n, 0
+        elif fill + n > cap:
+            local += 1
+            fill = n
+        else:
+            fill += n
+        want[i] = (n, (sh << 32) + local, fill, n > cap)
+    assert got == want
+
+
+def test_pack_whole_docs_invariants(spark):
+    from nested_pandas_spark.pipeline.corpus import pack_whole_docs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap = 128
+    out = pack_whole_docs(df, cap, shard_docs=64).cache()
+    # every non-oversize bin's load fits the capacity
+    loads = out.groupBy("bin_id").agg(
+        F.max("bin_fill").alias("load"),
+        F.max(F.col("oversize").cast("int")).alias("over"))
+    assert loads.where("over = 0 AND load > 128").count() == 0
+    # every non-empty doc appears exactly once
+    n = df.where(
+        F.size(F.expr(
+            "filter(split(lower(coalesce(text, '')), '\\\\s+'), x -> x <> '')"
+        )) > 0).count()
+    assert out.count() == n
+    out.unpersist()
