@@ -4049,7 +4049,8 @@ def q195_wordpiece_train(spark, sf):
     """WordPiece merge training (pipeline/wordpiece.py wordpiece_train —
     the BERT tokenizer family): symbols are first-char + ##continuations,
     each step merges the pair maximizing the LIKELIHOOD score
-    n/(lc*rc) (HF tokenizers WordPiece trainer rule), not raw count.
+    (n/lc)/rc (HF tokenizers WordPiece trainer rule; two-division form
+    so the int64 product lc*rc is never formed), not raw count.
     Returns exact integers only (pair count + operand symbol counts),
     so the hash compare never touches a float. The oracle unrolls three
     training steps as CTEs — pair counts, symbol counts, score argmax,
@@ -4224,6 +4225,28 @@ def q203_pack_whole_docs(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return pack_whole_docs(docs, 512, shard_docs=128)
+
+
+def q204_wordpiece_encode_vocab(spark, sf):
+    """WordPiece scale-path encoding (pipeline/wordpiece.py
+    wordpiece_encode_vocab): identical semantics to q196 but through the
+    DISTINCT-WORD cache — the greedy longest-match fold runs once per
+    distinct word and a word-grain join reattaches token arrays
+    positionally (the HF word-cache trick; the same stamped assembly as
+    bpe_encode_vocab). Same oracle as q196 — a hash match proves the
+    two physical paths agree to the token."""
+    from nested_pandas_spark.pipeline.wordpiece import (
+        wordpiece_encode_vocab,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = wordpiece_encode_vocab(docs.select("doc_id", "text"), _WP_PIECES)
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join(F.col("tokens"), " ")).alias("tokens_md5"),
+        F.col("tokens_n"),
+        F.col("tokens_unk"),
+    )
 
 
 def q120_dsir_weights(spark, sf):
@@ -4800,6 +4823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_ul2_mix": q201_ul2_mix,
         "q202_corpus_report": q202_corpus_report,
         "q203_pack_whole_docs": q203_pack_whole_docs,
+        "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
     }
 
 
@@ -5428,7 +5452,7 @@ def _wp_train_ctes(n_steps: int) -> str:
                 FROM p{k}
                 JOIN s{k} ls ON p{k}.l = ls.s
                 JOIN s{k} rs ON p{k}.r = rs.s
-                ORDER BY n / (ls.sc * rs.sc) DESC, n DESC, l ASC, r ASC
+                ORDER BY n / ls.sc / rs.sc DESC, n DESC, l ASC, r ASC
                 LIMIT 1
             ), v{k} AS (
                 SELECT w, wc,
@@ -9757,4 +9781,7 @@ def oracle_sql() -> dict[str, str]:
     # q139 drives the materialized IVF+PQ store; its relational answer is
     # q138's by construction (same centroids, codebooks, probes, rerank)
     out["q139_ivfpq_store"] = out["q138_ivfpq_topk"]
+    # q204 is q196 through the distinct-word-cache physical path; the
+    # relational answer is identical by construction
+    out["q204_wordpiece_encode_vocab"] = out["q196_wordpiece_encode"]
     return out

@@ -902,14 +902,21 @@ def main() -> None:
 
     def x_wordpiece():
         from nested_pandas_spark.pipeline.wordpiece import (
-            wordpiece_encode, wordpiece_pieces, wordpiece_train,
+            wordpiece_encode_vocab, wordpiece_pieces, wordpiece_train,
         )
 
-        docs = t("documents")
+        # documents.parquet is ONE undersized row group locally, so the
+        # scan is a single task; a real corpus scan has thousands. The
+        # repartition (~600 KB shuffle, milliseconds) restores the
+        # parallelism the op would have at scale. Encode goes through
+        # the distinct-word cache (wordpiece_encode_vocab) — the
+        # production path; train finishes on the driver (small-vocab
+        # fast path) after the one distributed word-count pass.
+        docs = t("documents").repartition(cpus)
         m, v = wordpiece_train(docs, 8)
         pieces = wordpiece_pieces(m, v)
         v.unpersist()
-        return wordpiece_encode(docs, pieces).select(
+        return wordpiece_encode_vocab(docs, pieces).select(
             F.sum("tokens_n")).collect()
 
     bench_extra("wordpiece_train_encode", x_wordpiece)

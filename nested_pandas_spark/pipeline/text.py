@@ -626,6 +626,116 @@ def _merge_sql(syms_sql: str, left: str, right: str) -> str:
     )
 
 
+def _apply_merge_syms(
+    syms: list[str], left: str, right: str, merged: str
+) -> list[str]:
+    """One merge over a symbol LIST with Sennrich re.sub semantics:
+    left-to-right, non-overlapping, adjacent repeats all consume
+    ('a a a a' -> 'aa aa') — the list-form equivalent of
+    :func:`_merge_sql`'s doubled-boundary replace."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _driver_merge_loop(
+    rows, n_merges: int, min_pair_count: int, wordpiece: bool = False
+):
+    """Finish BPE/WordPiece training on the DRIVER from a collected
+    ``(word, wc, syms)`` table — the small-table fast path (the same
+    shape as ``dedup.connected_components``'s small-graph union-find):
+    the distinct-word frequency table is tiny relative to the corpus, so
+    once the ONE distributed count/collapse pass has produced it, running
+    the merge recurrence locally replaces ``n_merges`` sequential Spark
+    jobs (scheduler latency x vocab budget) with zero jobs. This is what
+    production subword trainers do after the corpus-sized count.
+
+    Incremental bookkeeping (textbook efficient-BPE): pair counts, symbol
+    counts, and a pair -> word-index inverted index are maintained so a
+    merge touches only the words that contain the winning pair; stale
+    index entries are harmless (their subtract/re-add is a no-op).
+
+    Argmax parity with the distributed loop is exact: BPE key
+    ``(n desc, l asc, r asc)``; WordPiece key ``(score desc, n desc,
+    l asc, r asc)`` with ``score = (n / lc) / rc`` in IEEE double — the
+    same two-division form the distributed path and the DuckDB oracle
+    compute, so the three engines can never skew (and the product
+    ``lc * rc`` is never formed, so there is no int64 overflow at
+    large corpora).
+
+    Returns ``(merges, words)``: merge tuples shaped per family and the
+    post-merge ``(word, wc, syms_str)`` rows."""
+    from collections import Counter, defaultdict
+
+    words_l: list[tuple[str, int, list[str]]] = [
+        (r["word"], int(r["wc"]), r["syms"].split(" ")) for r in rows
+    ]
+    sym_n: Counter = Counter()
+    pair_n: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for idx, (_w, wc, syms) in enumerate(words_l):
+        if wordpiece:
+            for s in syms:
+                sym_n[s] += wc
+        for a, b in zip(syms, syms[1:]):
+            pair_n[(a, b)] += wc
+            pair_words[(a, b)].add(idx)
+    merges = []
+    for step in range(1, n_merges + 1):
+        best = None
+        for (l_, r_), n in pair_n.items():
+            if n <= 0:
+                continue
+            if wordpiece:
+                key = (-((n / sym_n[l_]) / sym_n[r_]), -n, l_, r_)
+            else:
+                key = (-n, l_, r_)
+            if best is None or key < best[0]:
+                best = (key, l_, r_, n)
+        if best is None or best[3] < min_pair_count:
+            break
+        _, l_, r_, n_ = best
+        if wordpiece:
+            merged = l_ + (r_[2:] if r_.startswith("##") else r_)
+            merges.append((step, l_, r_, merged, n_, sym_n[l_], sym_n[r_]))
+        else:
+            merged = l_ + r_
+            merges.append((step, l_, r_, n_))
+        for idx in list(pair_words.get((l_, r_), ())):
+            w, wc, syms = words_l[idx]
+            if wordpiece:
+                for s in syms:
+                    sym_n[s] -= wc
+            for a, b in zip(syms, syms[1:]):
+                pair_n[(a, b)] -= wc
+            new = _apply_merge_syms(syms, l_, r_, merged)
+            words_l[idx] = (w, wc, new)
+            if wordpiece:
+                for s in new:
+                    sym_n[s] += wc
+            for a, b in zip(new, new[1:]):
+                pair_n[(a, b)] += wc
+                pair_words[(a, b)].add(idx)
+        # every boundary occurrence of the pair merged -> exact zero
+        pair_n.pop((l_, r_), None)
+        pair_words.pop((l_, r_), None)
+    return merges, [(w, wc, " ".join(syms)) for w, wc, syms in words_l]
+
+
+# Collect-and-finish threshold for the trainers' driver fast path: a
+# distinct-word table at or below this many rows (tens of MB of (word,
+# wc, syms) strings) collects once and the merge loop runs locally.
+DRIVER_VOCAB_THRESHOLD = 200_000
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
@@ -633,6 +743,7 @@ def bpe_train(
     end_marker: str = "</w>",
     min_pair_count: int = 1,
     checkpoint_every: int = 8,
+    driver_threshold: int = DRIVER_VOCAB_THRESHOLD,
 ):
     """Train ``n_merges`` BPE merge steps over the corpus (Sennrich et al.
     2016) and return ``(merges, vocab)``:
@@ -703,19 +814,43 @@ def bpe_train(
     )
     return _bpe_merge_loop(
         docs.sparkSession, vocab_df, n_merges, min_pair_count,
-        checkpoint_every,
+        checkpoint_every, driver_threshold,
     )
 
 
 def _bpe_merge_loop(
-    spark, vocab_df, n_merges: int, min_pair_count: int, checkpoint_every: int
+    spark, vocab_df, n_merges: int, min_pair_count: int,
+    checkpoint_every: int, driver_threshold: int = DRIVER_VOCAB_THRESHOLD,
 ):
     """The shared BPE training loop over a persisted ``(word, wc, syms)``
     vocab frame — see :func:`bpe_train` for the scale shape. Symbol
     GRAIN is whatever the caller's symbolization produced (characters
     for :func:`bpe_train`, hex byte pairs for :func:`byte_bpe_train`);
-    the loop only assumes space-joined symbols without spaces inside."""
+    the loop only assumes space-joined symbols without spaces inside.
+
+    Small-vocab fast path: when the distinct-word table has at most
+    ``driver_threshold`` rows (a bounded ``limit(t+1).count()`` probe),
+    it collects ONCE and :func:`_driver_merge_loop` finishes every merge
+    locally — identical merges (same argmax, same tie-breaks), zero
+    per-step Spark jobs. Pass ``driver_threshold=0`` to force the
+    distributed loop (vocabularies too large to collect)."""
     from pyspark import StorageLevel
+
+    if driver_threshold > 0:
+        probe = vocab_df.limit(driver_threshold + 1).count()
+        if probe <= driver_threshold:
+            rows = vocab_df.collect()
+            vocab_df.unpersist()
+            merges, words_out = _driver_merge_loop(
+                rows, n_merges, min_pair_count
+            )
+            merges_df = spark.createDataFrame(
+                merges, "step int, left string, right string, n long"
+            )
+            vocab_out = spark.createDataFrame(
+                words_out, "word string, wc long, syms string"
+            )
+            return merges_df, vocab_out
 
     merges = []
     for step in range(1, n_merges + 1):
@@ -892,6 +1027,7 @@ def byte_bpe_train(
     text_col: str = "text",
     min_pair_count: int = 1,
     checkpoint_every: int = 8,
+    driver_threshold: int = DRIVER_VOCAB_THRESHOLD,
 ):
     """Train ``n_merges`` BYTE-level BPE merges (the GPT-2/LLaMA-class
     tokenizer family): text splits into case-preserving pretokens
@@ -926,7 +1062,7 @@ def byte_bpe_train(
     )
     return _bpe_merge_loop(
         docs.sparkSession, vocab_df, n_merges, min_pair_count,
-        checkpoint_every,
+        checkpoint_every, driver_threshold,
     )
 
 

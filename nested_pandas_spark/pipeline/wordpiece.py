@@ -43,6 +43,7 @@ __all__ = [
     "wordpiece_train",
     "wordpiece_pieces",
     "wordpiece_encode",
+    "wordpiece_encode_vocab",
     "wordpiece_decode",
 ]
 
@@ -77,6 +78,7 @@ def wordpiece_train(
     min_pair_count: int = 1,
     checkpoint_every: int = 8,
     vocab_size: int | None = None,
+    driver_threshold: int | None = None,
 ):
     """Train ``n_merges`` WordPiece merges — or, like the HF trainer,
     pass ``vocab_size=`` instead and the merge budget becomes
@@ -93,12 +95,25 @@ def wordpiece_train(
     * ``vocab``: the persisted ``(word, wc, syms)`` frame after all
       merges — the caller owns the cache handle (``vocab.unpersist()``).
 
-    Per step the argmax runs DISTRIBUTED: pair counts are a partial
-    aggregation over the word table, symbol counts are a tiny broadcast
-    side (alphabet + merges so far), and only the single winning row is
-    collected. Ties break deterministically (score desc, pair count
-    desc, left asc, right asc) — the same ORDER BY the DuckDB oracle
-    replays."""
+    Small-vocab fast path (``driver_threshold``, default
+    :data:`.text.DRIVER_VOCAB_THRESHOLD`): when the distinct-word table
+    has at most that many rows (bounded ``limit(t+1).count()`` probe),
+    it collects once and :func:`.text._driver_merge_loop` finishes every
+    merge locally with incremental pair/symbol bookkeeping — identical
+    merges, zero per-step Spark jobs. This is the production-trainer
+    shape: ONE corpus-sized distributed count/collapse, then a local
+    merge recurrence over the (tiny) vocabulary table. Pass
+    ``driver_threshold=0`` to force the distributed loop.
+
+    In the distributed path the per-step argmax runs DISTRIBUTED: pair
+    counts are a partial aggregation over the word table, symbol counts
+    are a tiny broadcast side (alphabet + merges so far), and only the
+    single winning row is collected. Ties break deterministically
+    (score desc, pair count desc, left asc, right asc) — the same ORDER
+    BY the DuckDB oracle replays. Both paths score with the two-division
+    form ``(n / lc) / rc`` in double, never the int64 product
+    ``lc * rc`` (which would silently overflow at symbol counts beyond
+    ~3e9 in non-ANSI Spark)."""
     if (n_merges is None) == (vocab_size is None):
         raise ValueError("pass exactly one of n_merges / vocab_size")
     if n_merges is not None and n_merges < 1:
@@ -129,6 +144,27 @@ def wordpiece_train(
             raise ValueError(
                 f"vocab_size {vocab_size} <= base alphabet {n_base}"
             )
+    from .text import DRIVER_VOCAB_THRESHOLD, _driver_merge_loop
+
+    if driver_threshold is None:
+        driver_threshold = DRIVER_VOCAB_THRESHOLD
+    if driver_threshold > 0:
+        probe = vocab_df.limit(driver_threshold + 1).count()
+        if probe <= driver_threshold:
+            rows = vocab_df.collect()
+            vocab_df.unpersist()
+            merges, words_out = _driver_merge_loop(
+                rows, n_merges, min_pair_count, wordpiece=True
+            )
+            merges_df = spark.createDataFrame(
+                merges,
+                "step int, left string, right string, merged string, "
+                "n long, lc long, rc long",
+            )
+            vocab_out = spark.createDataFrame(
+                words_out, "word string, wc long, syms string"
+            )
+            return merges_df, vocab_out
     merges = []
     for step in range(1, n_merges + 1):
         exploded = vocab_df.select(
@@ -174,7 +210,9 @@ def wordpiece_train(
             )
             .select(
                 "l", "r", "n", "lc", "rc",
-                (F.col("n") / (F.col("lc") * F.col("rc"))).alias("score"),
+                # two divisions, never the lc*rc long product: long*long
+                # silently overflows past ~3e9 counts in non-ANSI Spark
+                (F.col("n") / F.col("lc") / F.col("rc")).alias("score"),
             )
             .orderBy(
                 F.col("score").desc(), F.col("n").desc(),
@@ -208,15 +246,26 @@ def wordpiece_train(
 
 
 def wordpiece_pieces(merges, vocab: DataFrame) -> list[str]:
-    """The piece inventory a trained model encodes with: every single
-    character seen in training (bare + ``##`` forms, from the post-merge
-    vocab's symbols) plus each merge's ``merged`` piece, sorted. This is
-    the ``vocab.txt`` equivalent — pass it to
-    :func:`wordpiece_encode`."""
+    """The piece inventory a trained model encodes with: the full base
+    alphabet (bare + ``##`` single-char forms from the PRE-merge
+    symbolization of every training word) plus each merge's ``merged``
+    piece, sorted. This is the ``vocab.txt`` equivalent — pass it to
+    :func:`wordpiece_encode`.
+
+    The alphabet comes from re-symbolizing ``vocab``'s ``word`` column,
+    NOT from the post-merge ``syms``: a character whose every occurrence
+    was absorbed into merges would be missing from the post-merge
+    symbols, and dropping it would make any unseen word containing it a
+    whole-word ``[UNK]`` — HF/BERT trainers always retain the initial
+    alphabet."""
     base = {
         r["s"]
         for r in vocab.select(
-            F.explode(F.expr("split(syms, ' ')")).alias("s")
+            F.explode(
+                F.expr(
+                    "split(" + _WP_SYMS_SQL.replace("__w", "word") + ", ' ')"
+                )
+            ).alias("s")
         ).distinct().collect()
     }
     if hasattr(merges, "collect"):
@@ -304,6 +353,97 @@ def wordpiece_encode(
     out_df = docs.withColumn(
         out,
         F.expr(f"CASE WHEN {qt} IS NULL THEN NULL ELSE {toks} END"),
+    )
+    return (
+        out_df.withColumn(
+            f"{out}_n",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(F.size(F.col(out)).cast("long")),
+        )
+        .withColumn(
+            f"{out}_unk",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(
+                F.expr(
+                    f"CAST(size(filter({out}, __t -> "
+                    f"__t = {_sql_literal(unk)})) AS LONG)"
+                )
+            ),
+        )
+    )
+
+
+def wordpiece_encode_vocab(
+    docs: DataFrame,
+    pieces,
+    text_col: str = "text",
+    out: str = "tokens",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """:func:`wordpiece_encode` through a DISTINCT-WORD cache — identical
+    output, the scale path for corpora where per-occurrence DP work
+    dominates: the greedy longest-match fold runs ONCE per distinct word
+    (the same word-cache trick HF tokenizers use and the same stamped
+    assembly as :func:`.text.bpe_encode_vocab` / ``unigram_encode``),
+    then a word-grain join reattaches token arrays positionally. The
+    corpus is typically 20-100x its distinct vocabulary, so the
+    interpreted-HOF fold cost drops by that factor; what's paid instead
+    is one word-grain shuffle carrying only (row_id, pos, tokens)
+    triples — document text never rides it."""
+    if isinstance(pieces, DataFrame):
+        pieces = [r["piece"] for r in pieces.select("piece").collect()]
+    pieces = sorted(set(pieces))
+    if not pieces:
+        raise ValueError("pieces must be non-empty")
+    maxp = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in pieces
+    )
+    maxp = max(maxp, 1)
+    vm = (
+        "map_from_arrays(array("
+        + ", ".join(_sql_literal(p) for p in pieces)
+        + "), array_repeat(1, " + str(len(pieces)) + "))"
+    )
+    per_word = _greedy_sql("__b.m", maxp, unk)
+    qt = "`" + text_col.replace("`", "``") + "`"
+    w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
+    # same monotonically_increasing_id hazard + remedy as
+    # text._encode_with_vocab: materialize before branching
+    stamped = docs.withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    exploded = stamped.where(F.col(text_col).isNotNull()).select(
+        F.col("__row_id"),
+        F.posexplode(F.expr(w_arr)).alias("__pos", "__w"),
+    )
+    word_df = exploded.select("__w").distinct()
+    seg = word_df.withColumn(
+        "__wt",
+        F.expr(
+            f"element_at(transform(array(named_struct('m', {vm})), "
+            f"__b -> {per_word}), 1)"
+        ),
+    )
+    assembled = (
+        exploded.join(seg, on="__w", how="left")
+        .groupBy("__row_id")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(__pos, __wt))), __s -> __s.__wt))"
+            ).alias("__tokens")
+        )
+    )
+    out_df = (
+        stamped.join(assembled, on="__row_id", how="left")
+        .withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN {qt} IS NULL THEN NULL "
+                f"ELSE coalesce(__tokens, array()) END"
+            ),
+        )
+        .drop("__row_id", "__tokens")
     )
     return (
         out_df.withColumn(

@@ -52,7 +52,8 @@ def _py_train(texts, n_merges, min_pair_count=1):
         cands = sorted(
             pair_n.items(),
             key=lambda kv: (
-                -(kv[1] / (sym_n[kv[0][0]] * sym_n[kv[0][1]])),
+                # two-division form, same IEEE ops as the engine/oracle
+                -((kv[1] / sym_n[kv[0][0]]) / sym_n[kv[0][1]]),
                 -kv[1],
                 kv[0][0],
                 kv[0][1],
@@ -236,6 +237,29 @@ def test_encode_accepts_piece_dataframe(spark, docs):
     a = wordpiece_encode(docs, pieces).select("id", "tokens").collect()
     b = wordpiece_encode(docs, pdf).select("id", "tokens").collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_encode_vocab_matches_literal(spark, docs):
+    # the distinct-word-cache path must equal wordpiece_encode exactly,
+    # including NULL text, empty text, and whole-word UNKs
+    from nested_pandas_spark.pipeline.wordpiece import (
+        wordpiece_encode_vocab,
+    )
+
+    m, v = wordpiece_train(docs, 5)
+    pieces = [p for p in wordpiece_pieces(m, v) if "z" not in p]
+    v.unpersist()
+    a = {
+        r["id"]: (r["tokens"], r["tokens_n"], r["tokens_unk"])
+        for r in wordpiece_encode(docs, pieces).collect()
+    }
+    b = {
+        r["id"]: (r["tokens"], r["tokens_n"], r["tokens_unk"])
+        for r in wordpiece_encode_vocab(docs, pieces).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        wordpiece_encode_vocab(docs, [])
 
 
 def test_train_validates_args(spark, docs):
