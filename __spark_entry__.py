@@ -9411,9 +9411,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE len({w}) > 0
             ), sh AS (
                 SELECT doc_id, sz,
-                       (dense_rank() OVER (ORDER BY doc_id) - 1) // 128
+                       (row_number() OVER (ORDER BY doc_id) - 1) // 128
                            AS shard,
-                       (dense_rank() OVER (ORDER BY doc_id) - 1) % 128
+                       (row_number() OVER (ORDER BY doc_id) - 1) % 128
                            AS pos
                 FROM sized
             ), st AS (

@@ -62,10 +62,13 @@ __all__ = [
 
 def _stream_starts(
     docs: DataFrame, id_col: str, size_expr, order_expr,
-    checkpoint: bool = False,
+    checkpoint: bool = False, carry: tuple = (),
 ) -> DataFrame:
     """(id, __sz, __start): each row's exclusive running-sum position in the
-    ``order_expr``-ordered stream of ``size_expr`` weights.
+    ``order_expr``-ordered stream of ``size_expr`` weights. ``carry``
+    adds extra aliased Column expressions to the partitioned projection
+    (evaluated once, cached with it) — e.g. a token size riding along a
+    unit-weight rank computation.
 
     The distributed prefix sum shared by :func:`pack_sequences` and
     :func:`assign_shards` — a global ``sum() OVER (ORDER BY k)`` WITHOUT a
@@ -99,7 +102,7 @@ def _stream_starts(
     par = default_parallelism(spark)
     base = (
         docs.select(F.col(id_col), size_expr.cast("long").alias("__sz"),
-                    order_expr.alias("__k"))
+                    order_expr.alias("__k"), *carry)
         .repartitionByRange(max(par, 2), F.col("__k"))
         .withColumn("__pid", F.spark_partition_id())
     )
@@ -1627,12 +1630,23 @@ def pack_whole_docs(
     Scale shape: next-fit is a sequential recurrence (each decision
     depends on the running fill), which cannot be a prefix sum — so the
     stream is cut into DETERMINISTIC shards of ``shard_docs`` documents
-    (``dense_rank DIV shard_docs`` — data-independent boundaries, which
-    keeps the op oracle-replayable) and the recurrence runs per shard in
-    an Arrow-batched ``applyInPandas``. Bins never cross shards: the
-    cost is at most one partial bin per ``shard_docs`` documents —
-    bounded, documented waste in exchange for full parallelism. Bin ids
-    are globally unique (``shard * 2^32 + local``)."""
+    (0-based rank in ``id_col`` order, DIV ``shard_docs`` —
+    data-independent boundaries, which keeps the op oracle-replayable)
+    and the recurrence runs per shard in an Arrow-batched
+    ``applyInPandas``. The rank itself comes from
+    :func:`_stream_starts` with UNIT weights — the distributed
+    prefix-sum (range-partition by id, per-partition running count,
+    driver-lifted per-partition offsets), never a global single-task
+    ``Window.orderBy``; every stage stays parallel at any corpus size.
+    Bins never cross shards: the cost is at most one partial bin per
+    ``shard_docs`` documents — bounded, documented waste in exchange
+    for full parallelism. Bin ids are globally unique
+    (``shard * 2^32 + local``).
+
+    ``id_col`` values should be unique: rank positions are unique
+    regardless (running count, not dense_rank), but the relative order
+    of EQUAL ids follows the persisted physical partitioning rather
+    than a stable total order."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     if shard_docs < 1:
@@ -1642,17 +1656,15 @@ def pack_whole_docs(
     tok = (
         F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
     ).cast("long")
-    w = Window.orderBy(F.col(id_col))
-    # dense_rank over id is deterministic; the global-window shuffle
-    # carries (id, size) pairs only — same trade as _stream_starts'
-    # range partitioning, but here boundaries must be data-independent
-    # (doc COUNT grain, not token grain) so the oracle can replay them.
-    sized = (
-        docs.select(F.col(id_col), tok.alias("__sz"))
-        .where(F.col("__sz") > 0)
-        .withColumn("__rn", F.dense_rank().over(w) - 1)
-        .withColumn("__shard", F.expr(f"__rn DIV {int(shard_docs)}"))
+    nz = docs.where(tok > 0)
+    ranked = _stream_starts(
+        nz, id_col, F.lit(1), F.col(id_col), carry=(tok.alias("__tok"),)
     )
+    sized = ranked.select(
+        F.col(id_col),
+        F.col("__tok").alias("__sz"),
+        F.col("__start").alias("__rn"),
+    ).withColumn("__shard", F.expr(f"__rn DIV {int(shard_docs)}"))
     cap = int(capacity)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

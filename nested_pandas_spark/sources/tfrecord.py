@@ -355,6 +355,20 @@ def write_tfrecord(
     by format design), string (UTF-8) / binary -> BytesList, arrays
     thereof -> multi-valued lists. NULL cells OMIT the feature (proto3
     absence); NULL inside arrays is rejected (no wire representation).
+
+    .. warning:: **Filesystem requirement.** Shards are written with
+       plain ``open()`` from inside ``mapInPandas`` tasks and the
+       manifest paths are read back by whoever consumes them — so
+       ``path`` must be on a filesystem shared between executors and
+       readers: local disk in local-mode Spark (this container), or a
+       shared mount (NFS/FUSE-mounted object store) on a cluster. On a
+       multi-node cluster WITHOUT a shared mount the shards would land
+       on executor-local disks and a subsequent :func:`read_tfrecord`
+       would silently see nothing. A cluster-safe variant would stream
+       through the Hadoop FileSystem API (executor-side JVM access to
+       ``hdfs://``/``s3a://``), which plain Python file handles cannot
+       reach — out of scope for this container-local build, documented
+       here so the boundary is explicit.
     """
     if mode not in ("overwrite", "error"):
         raise ValueError("mode must be 'overwrite' or 'error'")
