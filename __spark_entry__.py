@@ -3568,11 +3568,15 @@ def q176_unigram_seed(spark, sf):
 def q177_unigram_encode(spark, sf):
     """Unigram-LM tokenization end-to-end (pipeline/unigram.py): hard-EM
     training over the distinct-word table (2 iterations, vocab 200) then
-    Viterbi encoding through the stamped-row assembly. EM is iterative
-    and Viterbi a per-word DP — the documented non-SQL-expressible case,
-    so this entry is rows-only; bit-level correctness is pinned by the
-    pure-Python reference parity suite (tests/test_unigram.py, 8 tests
-    incl. full train/encode equality)."""
+    Viterbi encoding through the stamped-row assembly. FULLY oracled
+    since round 9: the oracle unrolls the entire pipeline — seed counts,
+    ln-normalized logprobs, Viterbi pass A, recount + min_count filter,
+    renormalize, Viterbi pass B, final prune to vocab 200, Viterbi
+    pass C, per-doc reassembly (_unigram_em_oracle; three _viterbi_sql
+    DP unrolls chained by suffix). Logprobs are ln(n/total) of exact
+    integer counts, bit-identical in both engines (the q188-proven
+    property), so the hash compare covers TRAINING as well as decode.
+    Bit-level parity is additionally pinned by tests/test_unigram.py."""
     from nested_pandas_spark.pipeline.unigram import (
         unigram_encode,
         unigram_train,
@@ -3877,9 +3881,10 @@ def q188_unigram_viterbi(spark, sf):
     carrying the argmin path; see _viterbi_sql). Seed logprobs are
     ln(n/total) of exact integer counts — bit-identical doubles in both
     engines — so costs, tie-breaks (min cost, earliest start), and the
-    final segmentations replay exactly. This upgrades the tokenizer's
-    decode path from q177's rows-only check to hash-level verification;
-    only EM TRAINING (q177) remains pytest-parity-pinned."""
+    final segmentations replay exactly. Round 8 upgraded the decode
+    path to hash-level verification; round 9 chained the same DP unroll
+    through both EM iterations, so q177 (training included) is now
+    hash-gated too."""
     import math
 
     from nested_pandas_spark.pipeline.unigram import (
@@ -4975,17 +4980,23 @@ def _srp_bucket_sql(vcol: str, offset: int, n_planes: int = 8) -> str:
              THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)"""
 
 
-def _viterbi_sql(max_word: int, max_piece: int) -> str:
+def _viterbi_sql(
+    max_word: int, max_piece: int, sfx: str = "",
+    lp: str = "lp", wds: str = "wds",
+) -> str:
     """Unrolled Viterbi DP as chained CTEs (no recursion needed: word
     length is bounded, so level p's best cost/path joins levels
     p-max_piece..p-1 against the piece table). Requires CTEs ``lp``
-    (piece, lp double) and ``wds`` (w) upstream; yields ``seg(w, path)``
-    with the space-joined best segmentation per word. Tie-break matches
+    (piece, lp double) and ``wds`` (w) upstream; yields ``seg{sfx}(w,
+    path)`` with the space-joined best segmentation per word. ``sfx``
+    suffixes every generated CTE name so several DP passes (e.g. the
+    q177 EM unroll's three) can chain in one WITH. Tie-break matches
     pipeline/unigram.py viterbi_segment exactly: min cost, then
     SMALLEST start (the strict-less ascending scan keeps the earliest
     predecessor); unknown single chars cost -100.0."""
     parts = [
-        "c0 AS MATERIALIZED (SELECT w, CAST(0 AS DOUBLE) AS cost, '' AS path FROM wds)"
+        f"c0{sfx} AS MATERIALIZED (SELECT w, CAST(0 AS DOUBLE) AS cost, "
+        f"'' AS path FROM {wds})"
     ]
     for p in range(1, max_word + 1):
         cands = []
@@ -4998,11 +5009,11 @@ def _viterbi_sql(max_word: int, max_piece: int) -> str:
                        CASE WHEN c.path = '' THEN c.piece
                             ELSE c.path || ' ' || c.piece END AS path
                 FROM (SELECT w, cost, path, substr(w, {s + 1}, {ln}) AS piece
-                      FROM c{s} WHERE length(w) >= {p}) c
-                LEFT JOIN lp l ON l.piece = c.piece
+                      FROM c{s}{sfx} WHERE length(w) >= {p}) c
+                LEFT JOIN {lp} l ON l.piece = c.piece
                 WHERE {guard}""")
         union = " UNION ALL ".join(cands)
-        parts.append(f"""c{p} AS MATERIALIZED (
+        parts.append(f"""c{p}{sfx} AS MATERIALIZED (
             SELECT w, cost, path FROM (
                 SELECT w, cost, path, row_number() OVER (
                     PARTITION BY w ORDER BY cost ASC, s ASC) AS rn
@@ -5010,11 +5021,115 @@ def _viterbi_sql(max_word: int, max_piece: int) -> str:
             ) WHERE rn = 1
         )""")
     finals = " UNION ALL ".join(
-        f"SELECT w, path FROM c{p} WHERE length(w) = {p}"
+        f"SELECT w, path FROM c{p}{sfx} WHERE length(w) = {p}"
         for p in range(1, max_word + 1)
     )
-    parts.append(f"seg AS ({finals})")
+    parts.append(f"seg{sfx} AS ({finals})")
     return ", ".join(parts)
+
+
+def _unigram_em_oracle() -> str:
+    """q177's full oracle: pipeline/unigram.py unigram_train(vocab_size=
+    200, n_iters=2, min_count=2, seed 800, max_piece_len 6) +
+    unigram_encode, unrolled — seed counts -> ln-normalized logprobs ->
+    Viterbi pass A over the distinct-word table -> piece recount ->
+    min_count filter -> renormalize -> Viterbi pass B -> recount/filter
+    -> final prune (single chars + top multi to vocab 200) -> Viterbi
+    pass C -> per-doc reassembly. Each Viterbi pass is _viterbi_sql's
+    unrolled DP with a distinct suffix; all logprobs are ln(n/total) of
+    exact integer counts, so costs and tie-breaks replay bit-identically
+    (the q188-proven property, chained twice more)."""
+    recount = (
+        "SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n FROM ("
+        "SELECT unnest(string_split(s.path, ' ')) AS piece, wc.wcnt "
+        "FROM seg{sfx} s JOIN wc ON wc.word = s.w) GROUP BY piece"
+    )
+    return f"""
+            WITH wc AS MATERIALIZED (
+                SELECT w AS word, count(*) AS wcnt FROM (
+                    SELECT unnest(list_filter(regexp_split_to_array(
+                        lower(coalesce(text, '')), '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents
+                ) GROUP BY w
+            ), subs AS (
+                SELECT unnest(list_transform(range(1, length(word) + 1),
+                    i -> list_transform(
+                        range(i, least(length(word), i + 5) + 1),
+                        j -> word[i:j]))) AS pl, wcnt
+                FROM wc
+            ), cnt AS (
+                SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n
+                FROM (SELECT unnest(pl) AS piece, wcnt FROM subs)
+                GROUP BY piece
+            ), seedcnt AS (
+                SELECT piece, n FROM cnt WHERE length(piece) = 1
+                UNION ALL
+                SELECT piece, n FROM (
+                    SELECT piece, n FROM cnt WHERE length(piece) > 1
+                    ORDER BY n DESC, piece LIMIT 800
+                )
+            ), tot0 AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM seedcnt),
+            lp0 AS MATERIALIZED (
+                SELECT piece, ln(n / t) AS lp FROM seedcnt, tot0
+            ), wds AS MATERIALIZED (
+                SELECT DISTINCT word AS w FROM wc
+            ), {_viterbi_sql(16, 6, sfx="_a", lp="lp0", wds="wds")},
+            cnt1 AS ({recount.format(sfx="_a")}),
+            kept1 AS (
+                SELECT piece, n FROM cnt1
+                WHERE length(piece) = 1 OR n >= 2
+            ), tot1 AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM kept1),
+            lp1 AS MATERIALIZED (
+                SELECT piece, ln(n / t) AS lp FROM kept1, tot1
+            ), {_viterbi_sql(16, 6, sfx="_b", lp="lp1", wds="wds")},
+            cnt2 AS ({recount.format(sfx="_b")}),
+            kept2 AS (
+                SELECT piece, n FROM cnt2
+                WHERE length(piece) = 1 OR n >= 2
+            ), chars2 AS (
+                SELECT piece, n FROM kept2 WHERE length(piece) = 1
+            ), nchars AS (SELECT count(*) AS c FROM chars2),
+            multi2 AS (
+                SELECT piece, n FROM (
+                    SELECT piece, n, row_number() OVER (
+                        ORDER BY n DESC, piece ASC) AS rk
+                    FROM kept2 WHERE length(piece) > 1
+                ), nchars WHERE rk <= greatest(0, 200 - nchars.c)
+            ), finalv AS (
+                SELECT piece, n FROM chars2 UNION ALL
+                SELECT piece, n FROM multi2
+            ), totf AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM finalv),
+            lpf AS MATERIALIZED (
+                SELECT piece, ln(n / t) AS lp FROM finalv, totf
+            ), {_viterbi_sql(16, 6, sfx="_c", lp="lpf", wds="wds")},
+            dd0 AS (
+                SELECT doc_id, text, list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(0, len(ws)), i -> struct_pack(
+                            pos := i, w := ws[i + 1]))) AS t
+                    FROM dd0 WHERE len(ws) > 0
+                )
+            ), agg AS (
+                SELECT tok.doc_id,
+                       CAST(sum(len(string_split(s.path, ' '))) AS BIGINT)
+                           AS n,
+                       md5(string_agg(s.path, ' ' ORDER BY tok.pos)) AS h
+                FROM tok JOIN seg_c s ON s.w = tok.w
+                GROUP BY tok.doc_id
+            )
+            SELECT d2.doc_id,
+                   CASE WHEN d2.text IS NULL THEN NULL
+                        ELSE coalesce(a.n, 0) END AS pieces_n,
+                   CASE WHEN d2.text IS NULL THEN NULL
+                        ELSE coalesce(a.h, md5('')) END AS pieces_md5
+            FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
+        """
 
 
 def _cc_sql(pairs_cte: str) -> str:
@@ -9784,4 +9899,8 @@ def oracle_sql() -> dict[str, str]:
     # q204 is q196 through the distinct-word-cache physical path; the
     # relational answer is identical by construction
     out["q204_wordpiece_encode_vocab"] = out["q196_wordpiece_encode"]
+    # q177: the full hard-EM unroll (two training Viterbi passes + the
+    # encode pass, chained via _viterbi_sql suffixes) — the last
+    # rows-only query gains a hash-level oracle
+    out["q177_unigram_encode"] = _unigram_em_oracle()
     return out

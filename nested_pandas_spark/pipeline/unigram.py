@@ -23,10 +23,14 @@ own distinct words and joins the (word -> pieces) table back through
 the stamped-row assembly used by ``bpe_encode_vocab`` — document text
 never rides a word-grain shuffle.
 
-EM is iterative and Viterbi is a per-word DP: not expressible in one
-SQL statement, so the driver gate for encode is rows-only; correctness
-is pinned by the Python-reference parity suite in
-``tests/test_unigram.py`` and the fully SQL-oracled seed stage.
+EM is iterative and Viterbi is a per-word DP, but word length is
+bounded — so the whole train+encode pipeline IS SQL-replayable by
+unrolling: the driver gate runs a DuckDB oracle that chains three
+unrolled Viterbi DP passes (two EM iterations + the final encode)
+with ln-normalized integer counts, hash-comparing every document's
+segmentation (``__spark_entry__._unigram_em_oracle``). Bit-level
+correctness is additionally pinned by the Python-reference parity
+suite in ``tests/test_unigram.py``.
 """
 
 from __future__ import annotations
