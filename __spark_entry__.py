@@ -4232,6 +4232,46 @@ def q203_pack_whole_docs(spark, sf):
     return pack_whole_docs(docs, 512, shard_docs=128)
 
 
+def q205_ivf_append(spark, sf):
+    """Incremental IVF index maintenance (sources/ivf_store.py
+    append_ivf_index): write HALF the embeddings with centroids trained
+    on the full corpus (bring-your-own centroids=), append the other
+    half without re-training — new vectors assign to the stored sidecar
+    centroids and land only in their cells' partition directories —
+    then search. Assignment depends only on the centroid set, so the
+    result is bit-identical to q56's write-all-at-once store and the
+    oracle is q31's inline SQL. The append-touches-only-assigned-
+    partitions proof lives in tests/test_index_append.py and the plan
+    audit."""
+    import shutil
+    import tempfile
+
+    from nested_pandas_spark.pipeline.similarity import ivf_centroids
+    from nested_pandas_spark.sources.ivf_store import (
+        append_ivf_index,
+        ivf_search,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, n_centroids=8, n_iters=2)
+    d = tempfile.mkdtemp(prefix="q205_ivf_")
+    try:
+        write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), d,
+                        centroids=cents)
+        append_ivf_index(emb.where(F.col("vec_id") % 2 == 1), d)
+        out = ivf_search(spark, d, q, k=3, n_probe=3)
+        out = out.select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q204_wordpiece_encode_vocab(spark, sf):
     """WordPiece scale-path encoding (pipeline/wordpiece.py
     wordpiece_encode_vocab): identical semantics to q196 but through the
@@ -4829,6 +4869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_corpus_report": q202_corpus_report,
         "q203_pack_whole_docs": q203_pack_whole_docs,
         "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
+        "q205_ivf_append": q205_ivf_append,
     }
 
 
@@ -9903,4 +9944,7 @@ def oracle_sql() -> dict[str, str]:
     # encode pass, chained via _viterbi_sql suffixes) — the last
     # rows-only query gains a hash-level oracle
     out["q177_unigram_encode"] = _unigram_em_oracle()
+    # q205 is q56's store grown by append instead of written at once —
+    # same centroids, same assignment, same relational answer (q31's)
+    out["q205_ivf_append"] = out["q31_ivf_topk"]
     return out

@@ -32,7 +32,9 @@ from ..pipeline.similarity import (
 )
 
 __all__ = ["write_ivf_index", "read_ivf_centroids", "ivf_search",
-           "write_ivfpq_index", "read_ivfpq_meta", "ivfpq_search"]
+           "append_ivf_index", "ivf_cell_stats",
+           "write_ivfpq_index", "read_ivfpq_meta", "ivfpq_search",
+           "append_ivfpq_index"]
 
 _SIDECAR = "_ivf_centroids.json"
 
@@ -45,6 +47,7 @@ def write_ivf_index(
     n_centroids: int = 16,
     n_iters: int = 2,
     mode: str = "overwrite",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Write ``corpus`` as an IVF-partitioned parquet index at ``path``.
 
@@ -54,8 +57,16 @@ def write_ivf_index(
     one-per-input-task fragments. Returns the centroids (also persisted in
     the ``_ivf_centroids.json`` sidecar; underscore-prefixed files are
     ignored by Spark's scans, same convention as ``_SUCCESS``).
+
+    ``centroids=`` skips training and partitions by the GIVEN centroid
+    set (bring-your-own: train on a sample, reuse across stores, or
+    seed an index that :func:`append_ivf_index` will grow).
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    )
     vec = F.col(vec_col).cast("array<double>")
     (
         with_nearest_ids(corpus, vec, cents, 1)
@@ -75,6 +86,60 @@ def read_ivf_centroids(path: str) -> list[tuple[int, list[float]]]:
     with open(os.path.join(path, _SIDECAR)) as f:
         data = json.load(f)
     return [(int(cid), list(map(float, cv))) for cid, cv in data["centroids"]]
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int]]:
+    """Append ``new_vectors`` to an existing :func:`write_ivf_index`
+    store WITHOUT re-training: each vector is assigned to its nearest
+    STORED centroid (sidecar) by the same plan-literal projection the
+    writer used, and the rows are appended into exactly the matching
+    ``__cid=`` partition directories (``mode("append")`` +
+    ``partitionBy`` touch only directories that receive data — the
+    plan-audit proof checks no other partition gains files). Search
+    results after (write A, append B) are identical to (write A∪B with
+    the same centroids): assignment depends only on the centroid set,
+    which append never changes. Returns per-cell appended counts
+    ``[(cid, n), ...]``.
+
+    **Re-train trigger**: appends track the corpus drift but the
+    centroids don't move, so recall decays as the appended mass shifts
+    away from the trained cells — the observable symptom is CELL-SIZE
+    SKEW (a few cells absorbing most appends, growing scan cost per
+    probe). Monitor :func:`ivf_cell_stats`; re-train (fresh
+    ``write_ivf_index`` on the full corpus) when ``max/mean`` cell size
+    exceeds ~4x its post-train value or any probed cell stops fitting
+    an executor's scan budget.
+    """
+    cents = read_ivf_centroids(path)
+    vec = F.col(vec_col).cast("array<double>")
+    staged = (
+        with_nearest_ids(new_vectors, vec, cents, 1)
+        .withColumn("__cid", F.col("__cids")[0])
+        .drop("__cids")
+        .repartition(F.col("__cid"))
+    )
+    staged.write.mode("append").partitionBy("__cid").parquet(path)
+    counts = (
+        staged.groupBy("__cid").count().collect()
+    )
+    return sorted((int(r["__cid"]), int(r["count"])) for r in counts)
+
+
+def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell row counts of an IVF/IVFPQ store — the append-skew
+    monitor for :func:`append_ivf_index` / :func:`append_ivfpq_index`.
+    One count aggregation over the partition column only (parquet
+    footer/metadata scan grain, no vector bytes read)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("__cid").cast("long").alias("cid"))
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def ivf_search(
@@ -141,6 +206,8 @@ def write_ivfpq_index(
     pq_iters: int = 0,
     mode: str = "overwrite",
     residual: bool = False,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks=None,
 ):
     """Write an IVF+PQ index: corpus parquet partitioned by centroid id
     (planning-time partition pruning, as :func:`write_ivf_index`) with the
@@ -155,6 +222,10 @@ def write_ivfpq_index(
     same code budget; see ``ivfpq_topk(residual=True)``); the flag rides
     in the sidecar so :func:`ivfpq_search` picks the matching query path
     automatically.
+
+    ``centroids=`` / ``codebooks=`` skip the respective training and use
+    the given tables (bring-your-own; both or either — e.g. seed an
+    index that :func:`append_ivfpq_index` will grow).
     """
     from ..pipeline.similarity import (
         pq_codebooks,
@@ -162,19 +233,31 @@ def write_ivfpq_index(
         with_ivf_residuals,
     )
 
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    )
     vec = F.col(vec_col).cast("array<double>")
     if residual:
         staged = with_ivf_residuals(
             corpus, cents, vec_col=vec_col, cid_col="__cid",
             residual_col="__rv",
         )
-        cbs = pq_codebooks(staged, id_col, "__rv", n_sub, pq_centroids,
-                           pq_iters)
+        cbs = (
+            codebooks
+            if codebooks is not None
+            else pq_codebooks(staged, id_col, "__rv", n_sub, pq_centroids,
+                              pq_iters)
+        )
         staged = pq_encode(staged, cbs, "__rv").drop("__rv")
     else:
-        cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids,
-                           pq_iters)
+        cbs = (
+            codebooks
+            if codebooks is not None
+            else pq_codebooks(corpus, id_col, vec_col, n_sub, pq_centroids,
+                              pq_iters)
+        )
         staged = (
             with_nearest_ids(pq_encode(corpus, cbs, vec_col), vec, cents, 1)
             .withColumn("__cid", F.col("__cids")[0])
@@ -193,6 +276,49 @@ def write_ivfpq_index(
             "residual": bool(residual),
         }, f)
     return cents, cbs
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int]]:
+    """Append ``new_vectors`` to an existing :func:`write_ivfpq_index`
+    store without re-training: assign to the STORED centroids, PQ-encode
+    with the STORED codebooks (residual-aware — the sidecar flag picks
+    the matching encode path), append into the assigned ``__cid=``
+    partitions only. (write A, append B) searches identically to
+    (write A∪B with the same centroids+codebooks). Returns per-cell
+    appended counts. Re-train trigger: see :func:`append_ivf_index`
+    (monitor :func:`ivf_cell_stats` for cell skew; PQ codebooks
+    additionally stale as the appended distribution drifts — re-train
+    when ADC-vs-exact rank agreement drops on a held-out probe set).
+    """
+    from ..pipeline.similarity import pq_encode, with_ivf_residuals
+
+    meta = _read_sidecar(path)
+    cents, cbs = read_ivfpq_meta(path)
+    residual = bool(meta.get("residual"))
+    vec = F.col(vec_col).cast("array<double>")
+    if residual:
+        staged = with_ivf_residuals(
+            new_vectors, cents, vec_col=vec_col, cid_col="__cid",
+            residual_col="__rv",
+        )
+        staged = pq_encode(staged, cbs, "__rv").drop("__rv")
+    else:
+        staged = (
+            with_nearest_ids(
+                pq_encode(new_vectors, cbs, vec_col), vec, cents, 1
+            )
+            .withColumn("__cid", F.col("__cids")[0])
+            .drop("__cids")
+        )
+    staged = staged.repartition(F.col("__cid"))
+    staged.write.mode("append").partitionBy("__cid").parquet(path)
+    counts = staged.groupBy("__cid").count().collect()
+    return sorted((int(r["__cid"]), int(r["count"])) for r in counts)
 
 
 def _read_sidecar(path: str) -> dict:

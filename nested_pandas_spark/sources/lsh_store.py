@@ -37,7 +37,8 @@ from ..pipeline.similarity import (
     srp_probe_buckets,
 )
 
-__all__ = ["write_lsh_index", "read_lsh_params", "lsh_search"]
+__all__ = ["write_lsh_index", "read_lsh_params", "lsh_search",
+           "append_lsh_index"]
 
 _SIDECAR = "_lsh_params.json"
 
@@ -87,6 +88,43 @@ def write_lsh_index(
 def read_lsh_params(path: str) -> dict:
     with open(os.path.join(path, _SIDECAR)) as f:
         return json.load(f)
+
+
+def append_lsh_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append ``new_vectors`` to an existing :func:`write_lsh_index`
+    store: bucket with the STORED hash parameters (sidecar — the ±1
+    plane matrix is derived from them deterministically, so appended
+    rows land in exactly the posting lists a full re-write would have
+    put them in) and append into the matching ``__tbl=/__bucket=``
+    partition directories only. (write A, append B) searches identically
+    to (write A∪B): SRP bucketing depends only on the plane parameters,
+    which append never changes — LSH needs no re-train trigger, only the
+    usual small-file compaction as appends accumulate. Returns the
+    number of (row, table) postings appended."""
+    params = read_lsh_params(path)
+    num_planes, num_tables = params["num_planes"], params["num_tables"]
+    tables = F.array(
+        *[
+            srp_bucket(
+                F.col(vec_col).cast("array<double>"), num_planes,
+                dim=params["dim"], plane_offset=t * num_planes,
+            )
+            for t in range(num_tables)
+        ]
+    )
+    staged = (
+        new_vectors.select(
+            "*", F.posexplode(tables).alias("__tbl", "__bucket")
+        )
+        .repartition(F.col("__tbl"), F.col("__bucket"))
+    )
+    staged.write.mode("append").partitionBy("__tbl", "__bucket").parquet(path)
+    return staged.count()
 
 
 def lsh_search(
