@@ -3107,6 +3107,72 @@ def test_registrable_domain_psl_cases(spark):
     assert got == cases
 
 
+def test_registrable_domain_expanded_snapshot(spark):
+    """Rules that arrived with the round-9 snapshot expansion (~560
+    rules): deeper UK entries, TR k12, the US-state / CA-province / CN-
+    province grids, NZ sector domains, and the wildcard-TLD class beyond
+    ck (*.bd, *.np) — each resolves at the correct depth."""
+    from nested_pandas_spark.pipeline.web import registrable_domain
+
+    cases = {
+        "trust.nhs.uk": "trust.nhs.uk",
+        "dept.police.uk": "dept.police.uk",
+        "okul.k12.tr": "okul.k12.tr",
+        "a.b.city.ca.us": "city.ca.us",
+        "agency.gc.ca": "agency.gc.ca",
+        "ville.qc.ca": "ville.qc.ca",
+        "firm.bj.cn": "firm.bj.cn",
+        "x.parliament.nz": "x.parliament.nz",
+        "uni.ac.at": "uni.ac.at",
+        "shop.com.bd": "shop.com.bd",     # *.bd: com.bd is a suffix
+        "com.bd": None,                    # ... and not itself registrable
+        "x.anything.bd": "x.anything.bd",  # wildcard covers ANY label
+        "site.com.np": "site.com.np",      # *.np
+        "k12.tr": None,                    # suffix itself -> NULL
+    }
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "id long, host string"
+    )
+    hosts = list(cases)
+    got = {hosts[r["id"]]: r["rd"] for r in df.select(
+        "id", registrable_domain("host", alias="rd")).collect()}
+    assert got == cases
+
+
+def test_load_psl_rules_official_format(tmp_path):
+    """The official public_suffix_list.dat format parses: // comments,
+    blank lines, whitespace-terminated rules, wildcard/exception
+    syntax — and the shipped snapshot file itself loads to the exported
+    PUBLIC_SUFFIXES list."""
+    from nested_pandas_spark.pipeline.web import (
+        PUBLIC_SUFFIXES,
+        load_psl_rules,
+    )
+
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "// ac : https://example.org\n"
+        "ac\n"
+        "com.ac\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "  edu.ac   // trailing comment style (whitespace-terminated)\n"
+        "// ===END ICANN DOMAINS===\n"
+    )
+    assert load_psl_rules(str(p)) == [
+        "ac", "com.ac", "*.ck", "!www.ck", "edu.ac"
+    ]
+    assert len(PUBLIC_SUFFIXES) > 500
+    assert "co.uk" in PUBLIC_SUFFIXES and "!www.ck" in PUBLIC_SUFFIXES
+    # well-formed: every rule is lowercase, no spaces, valid syntax
+    for r in PUBLIC_SUFFIXES:
+        body = r[1:] if r.startswith("!") else r
+        body = body[2:] if body.startswith("*.") else body
+        assert body and " " not in body and body == body.lower()
+
+
 def test_with_registrable_domain_tiers_agree(spark):
     """Literal-map and broadcast-map tiers must return identical results
     for the same rule set."""
