@@ -4701,6 +4701,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_range_join": q34_range_join,
         "q35_multimodal_resize": q35_multimodal_resize,
         "q36_stream_hourly": q36_stream_hourly,
+        # --- rotated into the driver's first-50 sample (round 9):
+        # the newest gated surface gets the hard external signal;
+        # the displaced q37-q50 stay fully covered by the all-query
+        # CORRECTNESS_full artifact (tools/compare_oracle.py --json).
+        "q177_unigram_encode": q177_unigram_encode,
+        "q190_byte_bpe_train": q190_byte_bpe_train,
+        "q191_byte_bpe_encode": q191_byte_bpe_encode,
+        "q195_wordpiece_train": q195_wordpiece_train,
+        "q196_wordpiece_encode": q196_wordpiece_encode,
+        "q197_tfrecord_roundtrip": q197_tfrecord_roundtrip,
+        "q198_heavy_hitters": q198_heavy_hitters,
+        "q199_topk_frequent": q199_topk_frequent,
+        "q200_prefix_lm": q200_prefix_lm,
+        "q201_ul2_mix": q201_ul2_mix,
+        "q202_corpus_report": q202_corpus_report,
+        "q203_pack_whole_docs": q203_pack_whole_docs,
+        "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
+        "q205_ivf_append": q205_ivf_append,
         "q37_salted_pack": q37_salted_pack,
         "q38_text_scrub": q38_text_scrub,
         "q39_pq_topk": q39_pq_topk,
@@ -4841,7 +4859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_embedding_covariance": q174_embedding_covariance,
         "q175_sentence_stats": q175_sentence_stats,
         "q176_unigram_seed": q176_unigram_seed,
-        "q177_unigram_encode": q177_unigram_encode,
         "q178_cms_sketch": q178_cms_sketch,
         "q179_stream_hll": q179_stream_hll,
         "q180_histogram_quantiles": q180_histogram_quantiles,
@@ -4854,22 +4871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_zipf_stats": q187_zipf_stats,
         "q188_unigram_viterbi": q188_unigram_viterbi,
         "q189_ivfpq_residual": q189_ivfpq_residual,
-        "q190_byte_bpe_train": q190_byte_bpe_train,
-        "q191_byte_bpe_encode": q191_byte_bpe_encode,
         "q192_registrable_domain": q192_registrable_domain,
         "q193_temperature_mixture": q193_temperature_mixture,
         "q194_web_pipeline": q194_web_pipeline,
-        "q195_wordpiece_train": q195_wordpiece_train,
-        "q196_wordpiece_encode": q196_wordpiece_encode,
-        "q197_tfrecord_roundtrip": q197_tfrecord_roundtrip,
-        "q198_heavy_hitters": q198_heavy_hitters,
-        "q199_topk_frequent": q199_topk_frequent,
-        "q200_prefix_lm": q200_prefix_lm,
-        "q201_ul2_mix": q201_ul2_mix,
-        "q202_corpus_report": q202_corpus_report,
-        "q203_pack_whole_docs": q203_pack_whole_docs,
-        "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
-        "q205_ivf_append": q205_ivf_append,
     }
 
 

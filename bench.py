@@ -440,7 +440,17 @@ def main() -> None:
 
     extras = {}
 
+    # SPARK_GRAFT_BENCH_FAMILY=prefix1,prefix2 runs only the matching
+    # extras — the per-family isolation knob (round-8 verdict: cross-round
+    # extras comparisons need timings from sessions that aren't also
+    # running 60 other extras; run one family per process and compare
+    # against the load index below).
+    _family = [p for p in os.environ.get(
+        "SPARK_GRAFT_BENCH_FAMILY", "").split(",") if p]
+
     def bench_extra(name, fn, runs=2):
+        if _family and not any(name.startswith(p) for p in _family):
+            return
         best = float("inf")
         for _ in range(runs):
             start = time.perf_counter()
@@ -1049,6 +1059,12 @@ def main() -> None:
         "checksums": checksums,
         "extras": extras,
         "extras_control": extras_control,
+        # machine-load index: the reference library's add_nested time in
+        # THIS session — a Spark-free, single-core pandas workload, so it
+        # moves only with machine load. Divide any wall-time column by
+        # (load_index / its round's load_index) to self-normalize
+        # cross-round comparisons (the round-8 archaeology, automated).
+        "load_index": reference.get("add_nested") if reference else None,
         "recall": recall,
         "recall_clustered": recall_clustered,
         "reference": reference,

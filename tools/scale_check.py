@@ -567,6 +567,30 @@ def main() -> int:
         "fixed-cost amortization; the only data-sized stage is the "
         "hash-grain exchange, which is the operator's designed shape.",
         "",
+        "Round-9 re-measurement of the round-8 table's three worst "
+        "entries (unigram_encode 8.3x, profile 7.6x, dedup_keep_best "
+        "3.9x), isolated session, stage-decomposed best-of-2:",
+        "",
+        "- **unigram_encode**: train 2.22s -> 2.15s, encode 2.54s -> "
+        "2.42s at 10x data — FLAT. The 10x union duplicates document "
+        "text under shifted ids, so the distinct-word table (which both "
+        "EM and the Viterbi word cache key on) is constant; the "
+        "corpus-grain stages (stamp checkpoint, posexplode, reassembly) "
+        "grow with data but are absorbed by spare cores at this volume. "
+        "The round-8 8.3x was machine load, not a super-linear stage.",
+        "- **profile**: 1.00s -> 0.86s full, raw scan 0.14s -> 0.16s, "
+        "all-column countDistinct 0.29s -> 0.46s — the only stage that "
+        "grows is the distinct-count exchange (1.6x at 10x), exactly "
+        "its designed hash-grain shape. Round-8 7.6x: machine load.",
+        "- **dedup_keep_best**: 0.34s -> 0.46s full (1.4x), fingerprint "
+        "scan 0.11s -> 0.15s. Same fixed-cost amortization as the "
+        "round-7 analysis above. Round-8 3.9x: machine load.",
+        "",
+        "Consequence: SCALE.md must be regenerated in an ISOLATED "
+        "session (no concurrent bench/test runs) — ratios at this data "
+        "size are fixed-cost dominated and a loaded machine inflates "
+        "exactly the entries whose absolute times are smallest.",
+        "",
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
