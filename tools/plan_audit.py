@@ -1082,11 +1082,12 @@ def main() -> int:
         "eTLD+1 registrable domains: let-bound rule map, zero shuffle",
         "The public-suffix lookup is O(max_rule_depth) map probes per "
         "row with the rule map and label array LET-BOUND through a "
-        "single-element transform lambda, so the ~120-entry map appears "
-        "ONCE in the plan (inlining it at each of ~3*depth references "
-        "overflowed the JVM 64KB codegen method limit and dropped the "
-        "stage to interpreted mode). Above 1k rules the map ships as "
-        "one broadcast row instead. Either way: map-only, no exchange.",
+        "single-element transform lambda, so the ~560-entry snapshot "
+        "map appears ONCE in the plan (inlining it at each of ~3*depth "
+        "references overflowed the JVM 64KB codegen method limit and "
+        "dropped the stage to interpreted mode). Above 1k rules (the "
+        "full PSL via load_psl_rules) the map ships as one broadcast "
+        "row instead. Either way: map-only, no exchange.",
         "\n".join(
             ln.strip() for ln in p37.splitlines()
             if "Project" in ln or "Scan" in ln
@@ -1181,6 +1182,73 @@ def main() -> int:
             or "BroadcastHashJoin" in ln
         )[:400],
     ))
+
+    # -- 41. IVF append: only assigned partition dirs gain files; search
+    #        over the grown store still partition-prunes ------------------
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from nested_pandas_spark.pipeline.similarity import ivf_centroids
+    from nested_pandas_spark.sources.ivf_store import (
+        append_ivf_index,
+        ivf_search,
+        write_ivf_index,
+    )
+
+    emb41 = spark.read.parquet(f"{sf}/embeddings.parquet")
+    d41 = _tempfile.mkdtemp(prefix="plan41_ivf_")
+    try:
+        cents41 = ivf_centroids(emb41, n_centroids=4, n_iters=1)
+        write_ivf_index(emb41.where(F.col("vec_id") % 2 == 0), d41,
+                        centroids=cents41)
+        before41 = {
+            d: sorted(_os.listdir(_os.path.join(d41, d)))
+            for d in _os.listdir(d41) if d.startswith("__cid=")
+        }
+        counts41 = append_ivf_index(
+            emb41.where(F.col("vec_id") % 2 == 1), d41)
+        touched = {f"__cid={cid}" for cid, _ in counts41}
+        after41 = {
+            d: sorted(_os.listdir(_os.path.join(d41, d)))
+            for d in _os.listdir(d41) if d.startswith("__cid=")
+        }
+        untouched_ok = all(
+            after41[d] == before41.get(d, []) for d in after41
+            if d not in touched
+        )
+        check(
+            "ivf append writes only the assigned partition dirs",
+            set(after41) == set(before41) | touched and untouched_ok,
+            f"dirs before={sorted(before41)} touched={sorted(touched)} "
+            f"after={sorted(after41)}",
+        )
+        q41 = emb41.where(F.col("vec_id") == 0)
+        s41 = ivf_search(spark, d41, q41, k=2, n_probe=1)
+        p41 = s41._jdf.queryExecution().executedPlan().toString()
+        check(
+            "search over an appended store still partition-prunes",
+            "PartitionFilters" in p41
+            and "__cid" in p41.split("PartitionFilters")[1][:200],
+            "expected a __cid PartitionFilter on the grown store's scan",
+        )
+        sections.append((
+            "Incremental IVF append: partition-dir discipline + pruned search",
+            "append_ivf_index assigns new vectors to the STORED sidecar "
+            "centroids and appends with mode('append') + partitionBy — "
+            "only directories that receive data are touched (verified "
+            "above on the actual filesystem), so a daily append to a "
+            "100 TB index rewrites nothing and invalidates no existing "
+            "files. A search over the grown store plans the same literal "
+            "__cid PartitionFilters as a freshly-written one: appends "
+            "never degrade the planning-time pruning.",
+            "\n".join(
+                ln.strip() for ln in p41.splitlines()
+                if "PartitionFilters" in ln or "Scan" in ln
+            )[:400],
+        ))
+    finally:
+        _shutil.rmtree(d41, ignore_errors=True)
 
     # -- write PLANS.md -----------------------------------------------------
     doc = [
