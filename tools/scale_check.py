@@ -419,6 +419,18 @@ def main() -> int:
                 docs.withColumn("q", (F.col("doc_id") % 101).cast("double")),
                 "doc_id", "q").count()
 
+        def wp_train():
+            # the round-9 trainer shape at 10x words: ONE distributed
+            # word-count collapse, then the driver merge loop (the 10x
+            # union duplicates texts under shifted ids, so distinct words
+            # are constant — the collapse is the only data-sized stage)
+            from nested_pandas_spark.pipeline.wordpiece import (
+                wordpiece_train,
+            )
+            m, v = wordpiece_train(t(d, "documents"), 8)
+            m.count()
+            v.unpersist()
+
         def wp_encode():
             from nested_pandas_spark.pipeline.wordpiece import (
                 wordpiece_encode,
@@ -508,6 +520,7 @@ def main() -> int:
             "unigram_encode": unigram_enc,
             "histogram_quantiles": hist,
             "dedup_keep_best": keep_best,
+            "wordpiece_train": wp_train,
             "wordpiece_encode": wp_encode,
             "heavy_hitters": heavy,
             "prefix_lm_split": prefix_lm,
