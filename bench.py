@@ -880,35 +880,31 @@ def main() -> None:
 
     bench_extra("sentence_stats", x_sentences)
 
-    # -- before/after for the round-6/8 PQ fix (round-7 verdict ask):
-    # the SAME probed codes scored two ways in the SAME session, seconds
-    # apart — immune to cross-round session drift. 'recon' is the
-    # pre-fix formulation (O(dim) reconstruction distance per pair),
-    # 'lut' is the shipped ADC path (n_sub lookups per pair).
+    # -- ADC scan measurement surface (pq_adc_scores: the scan phase of
+    # pq_topk/ivfpq_topk without top-k truncation). Round-10 rerouting:
+    # adc_scan_lut / adc_scan_recon_prefix now measure the SHIPPED Arrow
+    # kernel (method=lut vs method=recon at the same engine — the
+    # LUT-vs-reconstruction comparison the round-7 verdict asked for,
+    # preserved at the kernel level); the *_sqltwin entries keep the
+    # round-9-comparable pure-expression numbers measurable (r9's
+    # adc_scan_lut == r10's adc_scan_lut_sqltwin workload). All four
+    # produce bit-identical distances per method (test_adc_arrow.py).
     _adc_cbs = sim.pq_codebooks(t("embeddings"), n_sub=8, n_centroids=16)
     _adc_enc = sim.pq_encode(t("embeddings"), _adc_cbs).select(
         "vec_id", "pq_code")
-    _adc_q = t("embeddings").where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-    )
+    _adc_q = t("embeddings").where(F.col("vec_id") < 10)
 
-    def x_adc_lut():
-        ql = sim._with_pq_lut(_adc_q, F.col("qv"), _adc_cbs, "lut").select(
-            "qid", "lut")
-        scored = _adc_enc.crossJoin(F.broadcast(ql)).select(
-            sim._pq_adc_expr(F.col("lut"), F.col("pq_code")).alias("d"))
-        return scored.agg(F.sum("d")).collect()
+    def x_adc(method, impl):
+        def run():
+            return sim.pq_adc_scores(
+                _adc_enc, _adc_q, _adc_cbs, method=method, impl=impl,
+            ).agg(F.sum("adc_dist")).collect()
+        return run
 
-    def x_adc_recon():
-        recon = _adc_enc.withColumn(
-            "rv", sim.pq_decode(F.col("pq_code"), _adc_cbs))
-        scored = recon.crossJoin(F.broadcast(_adc_q)).select(
-            sim._l2sq(F.col("qv"), F.col("rv")).alias("d"))
-        return scored.agg(F.sum("d")).collect()
-
-    bench_extra("adc_scan_lut", x_adc_lut)
-    bench_extra("adc_scan_recon_prefix", x_adc_recon)
+    bench_extra("adc_scan_lut", x_adc("lut", "arrow"))
+    bench_extra("adc_scan_recon_prefix", x_adc("recon", "arrow"))
+    bench_extra("adc_scan_lut_sqltwin", x_adc("lut", "sql"))
+    bench_extra("adc_scan_recon_sqltwin", x_adc("recon", "sql"))
 
     def x_wordpiece():
         from nested_pandas_spark.pipeline.wordpiece import (

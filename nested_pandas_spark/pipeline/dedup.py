@@ -573,19 +573,13 @@ def embedding_neardup(
     Output: (id_a, id_b, cos_sim) with cos_sim rounded to 6 digits; the
     threshold is applied to the unrounded double.
     """
-    from .similarity import cosine, srp_bucket
+    from .similarity import _srp_tables_expr, cosine
 
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    tables = F.array(
-        *[
-            srp_bucket(F.col("__v"), num_planes, dim=dim,
-                       plane_offset=t * num_planes)
-            for t in range(num_tables)
-        ]
-    )
+    tables = _srp_tables_expr("`__v`", num_planes, num_tables, dim=dim)
     blocked = v.select("__id", "__v", F.posexplode(tables).alias("tbl", "bucket"))
     buckets = (
         blocked.groupBy("tbl", "bucket")

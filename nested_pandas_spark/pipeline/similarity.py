@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -24,6 +26,7 @@ __all__ = [
     "srp_probe_buckets", "lsh_topk",
     "ivf_centroids", "ivf_topk", "kmeans_refine",
     "pq_codebooks", "pq_encode", "pq_decode", "pq_topk", "ivfpq_topk",
+    "pq_adc_scores",
     "with_ivf_residuals",
     "knn_join", "hard_negatives", "recall_at_k", "semantic_decontaminate",
 ]
@@ -115,6 +118,29 @@ def brute_force_topk(
     return _per_query_topk(scored, k, partial_buckets)
 
 
+def _lit_double_array(values) -> Column:
+    """Literal ``array<double>`` in ONE py4j call (a parsed SQL
+    expression). Building constant arrays element-by-element
+    (``F.array(*[F.lit(x) ...])``) costs a py4j round trip per element —
+    a 16-plane x 256-dim SRP plane set is ~8000 round trips, seconds of
+    DRIVER time per query build before Spark ever sees the plan. ``repr``
+    of a Python float round-trips exactly and Java's Double.parseDouble
+    is correctly rounded, so the literal doubles are bit-identical to the
+    F.lit formulation."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+
+
+def _lit_double_matrix(rows) -> Column:
+    """Literal ``array<array<double>>`` in one py4j call (see
+    :func:`_lit_double_array`)."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+            for row in rows
+        ) + ")")
+
+
 def plane_component(plane: int, dim_idx: int) -> float:
     """Deterministic ±1 hyperplane entry from md5('plane:dim') parity.
 
@@ -125,6 +151,90 @@ def plane_component(plane: int, dim_idx: int) -> float:
 
     h = int(hashlib.md5(f"{plane}:{dim_idx}".encode()).hexdigest()[:4], 16)
     return 1.0 if h % 2 == 0 else -1.0
+
+
+@functools.lru_cache(maxsize=4096)
+def _plane_literal(plane: int, n_dims: int) -> Column:
+    """Cached literal array for SRP plane ``plane`` over ``n_dims``
+    dimensions. The plane set is deterministic (md5 parity), so the
+    Column is memoized — repeated LSH query builds (every lsh_topk /
+    knn_join / hard_negatives call) pay the md5 loop and expression
+    parse once per (plane, n_dims) per process instead of per build."""
+    return _lit_double_array(
+        [plane_component(plane, i) for i in range(n_dims)])
+
+
+@functools.lru_cache(maxsize=4096)
+def _plane_sql(plane: int, n_dims: int) -> str:
+    return ("array(" + ",".join(
+        repr(plane_component(plane, i)) + "D" for i in range(n_dims)) + ")")
+
+
+def _srp_bucket_sql(
+    vec_sql: str, num_planes: int, n_dims: int, plane_offset: int,
+) -> str:
+    """The :func:`srp_bucket` expression as SQL TEXT over a column
+    reference — parsed JVM-side in ONE py4j round trip. Column-object
+    construction costs a round trip per node (~2-8 ms each on this
+    gateway): a 2-table 8-plane bucket pair was multiple SECONDS of
+    driver time per query build. The parsed tree is node-for-node the
+    expression the Column form builds (same zip_with/aggregate fold,
+    same casts), so values — and the DuckDB oracles — are unchanged."""
+    bits = []
+    for p in range(num_planes):
+        d = (
+            f"aggregate(zip_with({vec_sql}, "
+            f"slice({_plane_sql(plane_offset + p, n_dims)}, 1, "
+            f"size({vec_sql})), (v, c) -> CAST(v AS DOUBLE) * c), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {d} > 0 THEN {1 << p}L ELSE 0L END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _srp_tables_expr(
+    vec_sql: str, num_planes: int, num_tables: int, dim: int | None = None,
+) -> Column:
+    """``array<long>`` of one SRP bucket per table (what every LSH
+    corpus/self-join side explodes), as one parsed expression."""
+    n_dims = dim or 256
+    return F.expr(
+        "array(" + ",".join(
+            _srp_bucket_sql(vec_sql, num_planes, n_dims, t * num_planes)
+            for t in range(num_tables)
+        ) + ")")
+
+
+def _srp_probe_sql(
+    vec_sql: str, num_planes: int, multi_probe: int, n_dims: int,
+    plane_offset: int,
+) -> str:
+    """:func:`srp_probe_buckets` as SQL text (see
+    :func:`_srp_bucket_sql`): own bucket plus the ``multi_probe``
+    smallest-margin bit flips."""
+    dots = []
+    for p in range(num_planes):
+        dots.append(
+            f"aggregate(zip_with({vec_sql}, "
+            f"slice({_plane_sql(plane_offset + p, n_dims)}, 1, "
+            f"size({vec_sql})), (v, c) -> CAST(v AS DOUBLE) * c), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    bucket = "(" + " + ".join(
+        f"(CASE WHEN {dots[p]} > 0 THEN {1 << p}L ELSE 0L END)"
+        for p in range(num_planes)
+    ) + ")"
+    if multi_probe <= 0:
+        return f"array({bucket})"
+    flips = "array(" + ",".join(
+        f"named_struct('m', abs({dots[p]}), 'b', ({bucket} ^ {1 << p}L))"
+        for p in range(num_planes)
+    ) + ")"
+    probed = (
+        f"transform(slice(array_sort({flips}), 1, "
+        f"{min(multi_probe, num_planes)}), s -> s.b)"
+    )
+    return f"concat(array({bucket}), {probed})"
 
 
 def srp_bucket(
@@ -144,9 +254,7 @@ def srp_bucket(
     n_dims = dim or 256
     bits = []
     for p in range(num_planes):
-        plane = F.array(
-            *[F.lit(plane_component(plane_offset + p, i)) for i in range(n_dims)]
-        )
+        plane = _plane_literal(plane_offset + p, n_dims)
         d = F.aggregate(
             F.zip_with(vec, F.slice(plane, 1, F.size(vec)),
                        lambda v, c: v.cast("double") * c),
@@ -315,7 +423,7 @@ def _nearest_centroids(
     scored = F.array(
         *[
             F.struct(
-                cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("cs"),
+                cosine(vec, _lit_double_array(cv)).alias("cs"),
                 F.lit(-cid).cast("long").alias("ncid"),
             )
             for cid, cv in centroids
@@ -335,6 +443,18 @@ def _nearest_centroids(
 # out_dim x dim matrix). Below the threshold the literal path wins: the
 # constants fold straight into codegen with no extra join node.
 _LITERAL_CENTROID_MAX = 32
+
+
+def _centroid_tbl_literal(centroids: list[tuple[int, list[float]]]) -> Column:
+    """The centroid table (``array<struct<cid: long, v: array<double>>>``)
+    as ONE parsed literal expression — the plan-literal twin of
+    :func:`_centroid_table_df`'s broadcast row."""
+    return F.expr(
+        "array(" + ",".join(
+            f"named_struct('cid', {int(cid)}L, 'v', array("
+            + ",".join(repr(float(x)) + "D" for x in cv) + "))"
+            for cid, cv in centroids
+        ) + ")")
 
 
 def _centroid_table_df(spark, centroids: list[tuple[int, list[float]]]):
@@ -476,7 +596,7 @@ def _nearest_l2_ids(
     scored = F.array(
         *[
             F.struct(
-                _l2sq(vec, F.array(*[F.lit(x) for x in cv])).alias("d2"),
+                _l2sq(vec, _lit_double_array(cv)).alias("d2"),
                 F.lit(cid).cast("long").alias("cid"),
             )
             for cid, cv in centroids
@@ -510,12 +630,16 @@ def with_nearest_ids(
       which at 10^4+ centroids dominates the whole scan.
     """
     if len(centroids) <= _LITERAL_CENTROID_MAX:
-        col = (
-            _nearest_l2_ids(vec, centroids, n)
-            if metric == "l2"
-            else _nearest_centroids(vec, centroids, n)
+        # literal tier through the SAME HOF expression as the broadcast
+        # tier, with the centroid table as ONE parsed literal — the
+        # unrolled per-centroid expressions (_nearest_centroids /
+        # _nearest_l2_ids) are bit-identical but cost a py4j round trip
+        # per Column node to BUILD (~2-8 ms each on this gateway; dozens
+        # of centroids = seconds of driver time per query construction)
+        return df.withColumn(
+            out, _nearest_ids_tbl(vec, _centroid_tbl_literal(centroids),
+                                  n, metric)
         )
-        return df.withColumn(out, col)
     if len(centroids) <= _HOF_CENTROID_MAX:
         tbl = _centroid_table_df(df.sparkSession, centroids)
         return (
@@ -611,9 +735,10 @@ def _pq_refine_fused(
         entries = F.array(*[
             F.struct(
                 F.lit(s).alias("s"),
-                _nearest_l2_ids(
+                _nearest_ids_tbl(
                     F.slice(F.col("__v"), s * d_sub + 1, d_sub),
-                    list(enumerate(books[s])), 1,
+                    _centroid_tbl_literal(list(enumerate(books[s]))),
+                    1, "l2",
                 )[0].alias("cid"),
                 F.slice(F.col("__v"), s * d_sub + 1, d_sub).alias("sv"),
             )
@@ -721,7 +846,7 @@ def _pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
                 F.struct(
                     F.aggregate(
                         F.zip_with(
-                            sub, F.array(*[F.lit(x) for x in cvec]),
+                            sub, _lit_double_array(cvec),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0).cast("double"),
@@ -754,12 +879,17 @@ def _codebook_table_df(spark, codebooks: list[list[list[float]]]):
 
 
 def _cb_literal(codebooks: list[list[list[float]]]) -> Column:
-    """The codebooks as one literal nested-array expression."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in cvec]) for cvec in cb])
+    """The codebooks as one literal nested-array expression (single
+    parsed expression — one py4j call for the whole
+    subspace x centroid x dim tensor)."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in cvec) + ")"
+                for cvec in cb
+            ) + ")"
             for cb in codebooks
-        ]
+        ) + ")"
     )
 
 
@@ -795,10 +925,16 @@ def _with_pq_codes(
     or below ``_LITERAL_CENTROID_MAX`` centroids per codebook, ONE
     broadcast single-row codebook table above (see
     :func:`with_nearest_ids` for why)."""
-    if len(codebooks[0]) <= _LITERAL_CENTROID_MAX:
-        return df.withColumn(out, _pq_code_expr(vec, codebooks))
     n_sub = len(codebooks)
     d_sub = len(codebooks[0][0])
+    if len(codebooks[0]) <= _LITERAL_CENTROID_MAX:
+        # same HOF expression as the broadcast tier over a ONE-call
+        # parsed codebook literal (see with_nearest_ids' literal tier) —
+        # bit-identical codes, O(py4j calls) = O(1) instead of
+        # O(n_sub * n_centroids)
+        return df.withColumn(
+            out, _pq_code_expr_tbl(vec, _cb_literal(codebooks),
+                                   n_sub, d_sub))
     tbl = _codebook_table_df(df.sparkSession, codebooks)
     return (
         df.crossJoin(F.broadcast(tbl))
@@ -825,9 +961,7 @@ def _with_centroid_vec(
         raise ValueError("centroid ids must be dense 0..n-1")
     idx = (cid + 1).cast("int")
     if len(ordered) <= _LITERAL_CENTROID_MAX:
-        lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered]
-        )
+        lit = _lit_double_matrix([cv for _, cv in ordered])
         return df.withColumn(out, F.element_at(lit, idx))
     tbl = _centroid_table_df(df.sparkSession, ordered)
     return (
@@ -951,6 +1085,257 @@ def _pq_adc_expr(lut: Column, codes: Column) -> Column:
     )
 
 
+# Default implementation for the PQ ADC scan phase. "arrow" scans codes
+# in NumPy batches against driver-computed LUTs (bit-identical doubles,
+# see _lut_numpy) — the shipped hot path; "sql" is the pure-expression
+# twin the DuckDB oracles replay, kept selectable everywhere for the
+# equality gate and as the plan-audit LUT proof.
+_ADC_IMPL = "arrow"
+
+
+def _lut_numpy(qv, codebooks: list[list[list[float]]]):
+    """ADC lookup table for ONE query vector as a ``(n_sub, n_centroids)``
+    float64 array — the NumPy twin of :func:`_with_pq_lut`'s SQL
+    expression. Accumulates ``(q_j - c_j)^2`` per subspace dimension in
+    the SAME left-to-right order as the SQL ``_l2sq`` fold (acc starts at
+    0.0, one add per dimension), so every entry is bit-identical to what
+    the expression path (and therefore the unrolled SQL oracle) computes.
+    """
+    import numpy as np
+
+    n_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    q = np.asarray(qv, np.float64)
+    cb = np.asarray(codebooks, np.float64)  # (n_sub, n_cent, d_sub)
+    lut = np.zeros((n_sub, cb.shape[1]), np.float64)
+    for s in range(n_sub):
+        acc = np.zeros(cb.shape[1], np.float64)
+        base = s * d_sub
+        for j in range(d_sub):
+            d = q[base + j] - cb[s, :, j]
+            acc = acc + d * d
+        lut[s] = acc
+    return lut
+
+
+def _adc_scan_topk_arrow(
+    codes_df: DataFrame,
+    entries: list[tuple[object, int | None, "object"]],
+    per_q: int,
+    id_col: str = "neighbor_id",
+    code_col: str = "pq_code",
+    cell_col: str | None = None,
+    qid_type=None,
+) -> DataFrame:
+    """Arrow-batched ADC candidate scan: NumPy gather-adds over PQ codes
+    against driver-shipped per-query LUTs, keeping only each batch's
+    top-``per_q`` candidates per query.
+
+    ``entries`` is the (small-by-contract) query side, collected on the
+    driver: ``(query_id, cell_or_None, lut)`` with ``lut`` from
+    :func:`_lut_numpy`. With ``cell_col`` set, a query scores only the
+    batch rows in its probed cells (the IVFPQ shape — the broadcast
+    ``__cid`` join becomes a closure lookup); without it every query
+    scores every row (the flat PQ shape — the crossJoin disappears).
+
+    Numbers are bit-identical to the SQL twin (:func:`_pq_adc_expr`):
+    per pair the subspace terms accumulate left-to-right from 0.0 exactly
+    like the fold, on the same LUT doubles. Candidate selection replays
+    :func:`_per_query_topk`'s total order (distance asc, id asc), and
+    per-batch truncation is tournament-exact: the global top-``per_q``
+    is invariant as long as every batch keeps ``per_q`` survivors.
+
+    At 100 TB this is the FAISS ADC scan shape: the scan reads
+    (id, code[, cell]) only — never a raw vector — each Arrow batch costs
+    ``n_sub`` vectorized gathers instead of interpreted per-row HOF
+    folds, and ~``per_q`` rows per (query, batch) leave the scan instead
+    of the full |queries| x |codes| pair blow-up.
+
+    Rows with a NULL code or (when ``cell_col`` is set) a NULL cell are
+    skipped — the SQL twin never ranks them either (null scores sort
+    last; null cells don't survive the cid equi-join).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    nid_field0 = next(f for f in codes_df.schema.fields if f.name == id_col)
+    if not entries:
+        empty = T.StructType([
+            T.StructField("query_id", qid_type or nid_field0.dataType),
+            T.StructField("neighbor_id", nid_field0.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ])
+        return codes_df.sparkSession.createDataFrame([], empty)
+    luts = np.stack([lut for _, _, lut in entries])
+    qids = [qid for qid, _, _ in entries]
+    n_sub = luts.shape[1]
+    by_cell = cell_col is not None
+    if by_cell:
+        cell_entries: dict[int, list[int]] = {}
+        for i, (_, cell, _) in enumerate(entries):
+            cell_entries.setdefault(int(cell), []).append(i)
+        cell_idx = {c: np.asarray(v, np.int64)
+                    for c, v in cell_entries.items()}
+
+    schema = T.StructType([
+        T.StructField("query_id", qid_type or nid_field0.dataType),
+        T.StructField("neighbor_id", nid_field0.dataType),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    cols = [id_col, code_col] + ([cell_col] if by_cell else [])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf[code_col].notna()
+            if by_cell:
+                ok &= pdf[cell_col].notna()
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            codes = np.asarray(
+                [np.asarray(c, np.int64) for c in pdf[code_col]])
+            ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+
+            def block(es, rows):
+                sub = codes[rows]
+                d = np.zeros((len(es), len(rows)), np.float64)
+                ls = luts[es]
+                for s in range(n_sub):
+                    d += ls[:, s][:, sub[:, s]]
+                rid = ids[rows]
+                order_id = np.argsort(rid, kind="stable")
+                for ei in range(len(es)):
+                    sel = order_id[np.argsort(d[ei][order_id],
+                                              kind="stable")]
+                    qid = qids[int(es[ei])]
+                    sel = sel[rid[sel] != qid][:per_q]
+                    out_q.extend([qid] * len(sel))
+                    out_n.extend(rid[sel].tolist())
+                    out_s.extend((-d[ei][sel]).tolist())
+
+            if by_cell:
+                cells = pdf[cell_col].to_numpy()
+                for c in np.unique(cells):
+                    es = cell_idx.get(int(c))
+                    if es is not None:
+                        block(es, np.nonzero(cells == c)[0])
+            else:
+                block(np.arange(len(entries)), np.arange(len(pdf)))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
+
+    return codes_df.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def pq_adc_scores(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lut",
+    impl: str | None = None,
+) -> DataFrame:
+    """All-pairs ADC distances between encoded corpus rows and query
+    vectors — the scan phase of :func:`pq_topk` exposed on its own (no
+    top-k truncation), for ADC-quality evaluation and as the bench /
+    oracle measurement surface. Output ``(query_id, neighbor_id,
+    adc_dist)`` over every (query, code row) pair.
+
+    ``method="lut"`` scores via per-query lookup tables (Jégou 2011 ADC
+    — n_sub lookups per pair); ``method="recon"`` reconstructs each
+    code's vector and takes a full O(dim) squared-L2 (the pre-LUT
+    formulation, kept as the efficiency comparator). ``impl="arrow"``
+    runs NumPy Arrow batches (shipped path), ``impl="sql"`` the pure
+    expression twin. For each method the two impls produce bit-identical
+    distances (same fold orders; a test asserts it); lut and recon differ
+    from each other only by FP association (subspace-grouped vs full-dim
+    summation, ~1e-15 relative).
+    """
+    import numpy as np
+
+    impl = impl or _ADC_IMPL
+    codes = codes_df.select(
+        F.col(id_col).alias("neighbor_id"), "pq_code")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    if impl == "arrow":
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        qrows = q.collect()
+        nid_field = next(
+            f for f in codes.schema.fields if f.name == "neighbor_id")
+        qid_field = next(
+            f for f in q.schema.fields if f.name == "query_id")
+        schema = T.StructType([
+            T.StructField("query_id", qid_field.dataType),
+            T.StructField("neighbor_id", nid_field.dataType),
+            T.StructField("adc_dist", T.DoubleType()),
+        ])
+        if method == "lut":
+            luts = np.stack(
+                [_lut_numpy(r["__qv"], codebooks) for r in qrows])
+            n_sub = luts.shape[1]
+        else:
+            cb = np.asarray(codebooks, np.float64)  # (n_sub, n_cent, d_sub)
+            qmat = np.asarray([r["__qv"] for r in qrows], np.float64)
+        qids = [r["query_id"] for r in qrows]
+
+        def gen(batches):
+            for pdf in batches:
+                pdf = pdf[pdf["pq_code"].notna()]
+                if not len(pdf):
+                    continue
+                c = np.asarray(
+                    [np.asarray(x, np.int64) for x in pdf["pq_code"]])
+                ids = pdf["neighbor_id"].to_numpy()
+                if method == "lut":
+                    d = np.zeros((len(qids), len(pdf)), np.float64)
+                    for s in range(n_sub):
+                        d += luts[:, s][:, c[:, s]]
+                else:
+                    # reconstruct then fold (q_j - r_j)^2 in dim order —
+                    # the same association as the SQL _l2sq twin
+                    recon = np.concatenate(
+                        [cb[s][c[:, s]] for s in range(cb.shape[0])],
+                        axis=1)  # (B, dim)
+                    d = np.zeros((len(qids), len(pdf)), np.float64)
+                    for j in range(recon.shape[1]):
+                        dj = qmat[:, j][:, None] - recon[:, j][None, :]
+                        d += dj * dj
+                out = pd.DataFrame({
+                    "query_id": np.repeat(qids, len(pdf)),
+                    "neighbor_id": np.tile(ids, len(qids)),
+                    "adc_dist": d.reshape(-1),
+                })
+                yield out
+
+        return codes.mapInPandas(gen, schema=schema)
+
+    if method == "lut":
+        ql = _with_pq_lut(q, F.col("__qv"), codebooks, "__lut").select(
+            "query_id", "__lut")
+        return codes.crossJoin(F.broadcast(ql)).select(
+            "query_id", "neighbor_id",
+            _pq_adc_expr(F.col("__lut"), F.col("pq_code")).alias("adc_dist"),
+        )
+    recon = codes.withColumn(
+        "__rv", pq_decode(F.col("pq_code"), codebooks))
+    return recon.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id",
+        _l2sq(F.col("__qv"), F.col("__rv")).alias("adc_dist"),
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -962,6 +1347,7 @@ def pq_topk(
     refine: int = 4,
     partial_buckets: int | None = None,
     n_iters: int = 0,
+    impl: str | None = None,
 ) -> DataFrame:
     """PQ approximate top-k with exact re-rank (asymmetric distance via
     per-query LUTs): each query row precomputes the ``n_sub x
@@ -976,20 +1362,41 @@ def pq_topk(
     At scale the corpus stores ``pq_code`` at ingest (pq_encode) and this
     search touches ~n_sub bytes/row instead of the full vector — the
     standard memory-bound ANN formulation alongside IVF's compute-bound one.
+
+    ``impl`` selects the ADC scan engine: ``"arrow"`` (default — NumPy
+    Arrow batches against driver-computed LUTs, bit-identical doubles,
+    see :func:`_adc_scan_topk_arrow`) or ``"sql"`` (the pure-expression
+    oracle twin). Both return the same rows.
     """
+    impl = impl or _ADC_IMPL
     cbs = pq_codebooks(corpus, id_col, vec_col, n_sub, n_centroids, n_iters)
     encoded = pq_encode(corpus, cbs, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "pq_code"
     )
-    q = _with_pq_lut(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        ),
-        F.col("__qv"),
-        cbs,
-        "__lut",
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
     )
+    if impl == "arrow":
+        qrows = qv.collect()
+        entries = [
+            (r["query_id"], None, _lut_numpy(r["__qv"], cbs)) for r in qrows
+        ]
+        adc = _adc_scan_topk_arrow(
+            encoded, entries, refine * k,
+            qid_type=qv.schema["query_id"].dataType,
+        )
+    else:
+        q = _with_pq_lut(qv, F.col("__qv"), cbs, "__lut")
+        adc = encoded.crossJoin(
+            F.broadcast(q.select("query_id", "__lut"))
+        ).where(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select(
+            "query_id",
+            "neighbor_id",
+            (-_pq_adc_expr(F.col("__lut"), F.col("pq_code"))).alias("cos_sim"),
+        )
 
     def l2sq(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -998,13 +1405,6 @@ def pq_topk(
             lambda acc, v: acc + v,
         )
 
-    adc = encoded.crossJoin(F.broadcast(q.select("query_id", "__lut"))).where(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        (-_pq_adc_expr(F.col("__lut"), F.col("pq_code"))).alias("cos_sim"),
-    )
     cand = _per_query_topk(adc, refine * k, partial_buckets).select(
         "query_id", "neighbor_id"
     )
@@ -1016,7 +1416,7 @@ def pq_topk(
             ),
             on="neighbor_id",
         )
-        .join(F.broadcast(q.select("query_id", "__qv")), on="query_id")
+        .join(F.broadcast(qv), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1046,9 +1446,7 @@ def srp_probe_buckets(
     n_dims = dim or 256
     dots = []
     for p in range(num_planes):
-        plane = F.array(
-            *[F.lit(plane_component(plane_offset + p, i)) for i in range(n_dims)]
-        )
+        plane = _plane_literal(plane_offset + p, n_dims)
         dots.append(
             F.aggregate(
                 F.zip_with(vec, F.slice(plane, 1, F.size(vec)),
@@ -1103,32 +1501,22 @@ def lsh_topk(
     buckets (partition pruning instead of a full scan).
     """
 
-    def buckets(vec: Column) -> Column:
-        return F.array(
-            *[
-                srp_bucket(vec, num_planes, plane_offset=t * num_planes)
-                for t in range(num_tables)
-            ]
-        )
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+        F.posexplode(
+            _srp_tables_expr(quote(vec_col), num_planes, num_tables)
+        ).alias("__tbl", "__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.posexplode(
-            F.array(
-                *[
-                    srp_probe_buckets(
-                        F.col(vec_col), num_planes, multi_probe,
-                        plane_offset=t * num_planes,
-                    )
-                    for t in range(num_tables)
-                ]
-            )
+            F.expr("array(" + ",".join(
+                _srp_probe_sql(quote(vec_col), num_planes, multi_probe,
+                               256, t * num_planes)
+                for t in range(num_tables)
+            ) + ")")
         ).alias("__tbl", "__probes"),
     ).select(
         "query_id", "__qv", "__tbl", F.explode("__probes").alias("__bucket")
@@ -1173,24 +1561,16 @@ def knn_join(
 
     Returns ``(query_id, neighbor_id, cos_sim, rank)`` with rank 1..k.
     """
-
-    def buckets(vec: Column) -> Column:
-        return F.array(
-            *[
-                srp_bucket(vec, num_planes, plane_offset=t * num_planes)
-                for t in range(num_tables)
-            ]
-        )
-
+    buckets = _srp_tables_expr(quote(vec_col), num_planes, num_tables)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+        F.posexplode(buckets).alias("__tbl", "__bucket"),
     )
     q = corpus.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+        F.posexplode(buckets).alias("__tbl", "__bucket"),
     )
     scored = (
         q.join(c, on=["__tbl", "__bucket"])
@@ -1240,24 +1620,17 @@ def hard_negatives(
     if max_sim is not None and not (-1.0 <= max_sim <= 1.0):
         raise ValueError("max_sim must be within [-1, 1]")
 
-    def buckets(vec: Column) -> Column:
-        return F.array(
-            *[
-                srp_bucket(vec, num_planes, plane_offset=t * num_planes)
-                for t in range(num_tables)
-            ]
-        )
-
+    buckets = _srp_tables_expr(quote(vec_col), num_planes, num_tables)
     labeled = corpus.where(F.col(label_col).isNotNull())
     c = labeled.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
-        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+        F.posexplode(buckets).alias("__tbl", "__bucket"),
     )
     q = labeled.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
-        F.posexplode(buckets(F.col(vec_col))).alias("__tbl", "__bucket"),
+        F.posexplode(buckets).alias("__tbl", "__bucket"),
     )
     # dedup BEFORE scoring: a pair can collide in several LSH tables, so
     # distinct-ing first means (a) each surviving pair's cosine is
@@ -1604,6 +1977,7 @@ def ivfpq_topk(
     n_iters: int = 0,
     pq_iters: int = 0,
     residual: bool = False,
+    impl: str | None = None,
 ) -> DataFrame:
     """IVF + PQ composed ANN — the standard billion-scale index shape
     (FAISS ``IVFx,PQy``; Jégou et al. 2011): the inverted file prunes
@@ -1630,6 +2004,7 @@ def ivfpq_topk(
     touches raw vectors until the final re-rank of ~refine*k rows per
     query.
     """
+    impl = impl or _ADC_IMPL
     # one seed scan serves both trainings (seed_vectors' prefix property);
     # the residual path still seeds its PQ on the residual frame itself
     shared_seeds = seed_vectors(
@@ -1637,6 +2012,13 @@ def ivfpq_topk(
     )
     cents = ivf_centroids(
         corpus, id_col, vec_col, n_centroids, n_iters, seeds=shared_seeds
+    )
+    probed0 = with_nearest_ids(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        ),
+        F.col("__qv"), cents, n_probe,
     )
     if residual:
         resid = with_ivf_residuals(
@@ -1651,25 +2033,6 @@ def ivfpq_topk(
         c = pq_encode(resid, cbs, "__rv").select(
             "neighbor_id", "pq_code", "__cid"
         )
-        # per-(query, probed-cell) LUT over the query's own residual in
-        # that cell — the residual IVFADC query path
-        probed = with_nearest_ids(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).cast("array<double>").alias("__qv"),
-            ),
-            F.col("__qv"), cents, n_probe,
-        ).select(
-            "query_id", "__qv", F.explode(F.col("__cids")).alias("__cid")
-        )
-        probed = _with_centroid_vec(probed, F.col("__cid"), cents, "__cc")
-        probed = probed.withColumn(
-            "__qres", F.zip_with(F.col("__qv"), F.col("__cc"),
-                                 lambda a, b: a - b)
-        )
-        q = _with_pq_lut(probed, F.col("__qres"), cbs, "__lut").select(
-            "query_id", "__lut", "__cid"
-        )
     else:
         cbs = pq_codebooks(corpus, id_col, vec_col, n_sub,
                            pq_centroids, pq_iters, seeds=shared_seeds)
@@ -1681,16 +2044,49 @@ def ivfpq_topk(
             ),
             F.col("__cv"), cents, 1,
         ).select("neighbor_id", "pq_code", F.col("__cids")[0].alias("__cid"))
-        q = _with_pq_lut(
-            with_nearest_ids(
-                queries.select(
-                    F.col(id_col).alias("query_id"),
-                    F.col(vec_col).cast("array<double>").alias("__qv"),
-                ),
-                F.col("__qv"), cents, n_probe,
-            ),
-            F.col("__qv"), cbs, "__lut",
-        ).select(
+
+    if impl == "arrow":
+        # query side to the driver (small by contract): one LUT per
+        # (query, probed cell) — residual LUTs over q - centroid[cid],
+        # with the same elementwise subtraction the zip_with twin does
+        import numpy as np
+
+        rows = probed0.select("query_id", "__qv", "__cids").collect()
+        centd = {cid: np.asarray(cv, np.float64) for cid, cv in cents}
+        entries = []
+        for r in rows:
+            if not r["__cids"]:
+                continue
+            if residual:
+                qvn = np.asarray(r["__qv"], np.float64)
+                for cid in r["__cids"]:
+                    entries.append(
+                        (r["query_id"], cid,
+                         _lut_numpy(qvn - centd[cid], cbs)))
+            else:
+                lut = _lut_numpy(r["__qv"], cbs)
+                for cid in r["__cids"]:
+                    entries.append((r["query_id"], cid, lut))
+        adc = _adc_scan_topk_arrow(
+            c, entries, refine * k, cell_col="__cid",
+            qid_type=probed0.schema["query_id"].dataType,
+        )
+    elif residual:
+        # per-(query, probed-cell) LUT over the query's own residual in
+        # that cell — the residual IVFADC query path
+        probed = probed0.select(
+            "query_id", "__qv", F.explode(F.col("__cids")).alias("__cid")
+        )
+        probed = _with_centroid_vec(probed, F.col("__cid"), cents, "__cc")
+        probed = probed.withColumn(
+            "__qres", F.zip_with(F.col("__qv"), F.col("__cc"),
+                                 lambda a, b: a - b)
+        )
+        q = _with_pq_lut(probed, F.col("__qres"), cbs, "__lut").select(
+            "query_id", "__lut", "__cid"
+        )
+    else:
+        q = _with_pq_lut(probed0, F.col("__qv"), cbs, "__lut").select(
             "query_id", "__lut", F.explode(F.col("__cids")).alias("__cid")
         )
 
@@ -1702,15 +2098,17 @@ def ivfpq_topk(
     # LUT-based: the probed scan reads only (id, pq_code, cid) — never a
     # vector — and each pair costs n_sub lookups, not an O(dim) fold over
     # a pq_decode reconstruction.
-    adc = (
-        c.join(F.broadcast(q), on="__cid")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (-_pq_adc_expr(F.col("__lut"), F.col("pq_code"))).alias("cos_sim"),
+    if impl != "arrow":
+        adc = (
+            c.join(F.broadcast(q), on="__cid")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (-_pq_adc_expr(F.col("__lut"),
+                               F.col("pq_code"))).alias("cos_sim"),
+            )
         )
-    )
     cand = _per_query_topk(adc, refine * k).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"),

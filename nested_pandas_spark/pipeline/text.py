@@ -108,8 +108,16 @@ def _ngrams_from_words(w: Column, n: int) -> Column:
     return F.when(F.size(w) >= n, joined).otherwise(F.array().cast("array<string>"))
 
 
+def _stopword_array(lang: str) -> Column:
+    """Literal stopword array in ONE parsed expression (py4j round trip)
+    instead of one F.lit call per word — lang_id builds one of these per
+    language per query otherwise."""
+    return F.expr(
+        "array(" + ",".join(_sql_literal(s) for s in STOPWORDS[lang]) + ")")
+
+
 def _stopword_hits(w: Column, lang: str) -> Column:
-    arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    arr = _stopword_array(lang)
     return F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
 
 
@@ -144,7 +152,7 @@ def quality_score(text: Column | str, alias: str = "quality",
     n_words = F.size(w)
     n_punct = F.size(F.regexp_extract_all(c, F.lit("[,.!?;:]"), F.lit(0)))
     sw = F.size(F.filter(w, lambda t: F.array_contains(
-        F.array(*[F.lit(s) for s in STOPWORDS["en"]]), t)))
+        _stopword_array("en"), t)))
     mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
     len_ok = F.when((n_chars >= 200) & (n_chars <= 50000), 1.0).otherwise(0.0)
     punct_ok = F.when((n_chars > 0) & (n_punct / n_chars <= 0.1), 1.0).otherwise(0.0)

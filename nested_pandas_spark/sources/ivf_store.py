@@ -39,6 +39,56 @@ __all__ = ["write_ivf_index", "read_ivf_centroids", "ivf_search",
 _SIDECAR = "_ivf_centroids.json"
 
 
+def _check_append_compat(
+    new_vectors: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    path: str,
+    computed: tuple[str, ...] = (),
+) -> None:
+    """Fail-fast guards for the append paths: a frame whose vectors don't
+    match the stored centroid dimensionality, or whose columns don't match
+    the originally-written corpus, would otherwise append silently
+    (parquet unions by name) and only surface as NULLs or wrong distances
+    at search time. One ``first()`` probe for the dim (reads one row from
+    one partition), one footer-only schema read for the columns."""
+    dim = len(cents[0][1])
+    row = new_vectors.select(
+        F.size(F.col(vec_col)).alias("__n")).first()
+    if row is not None and row["__n"] is not None and row["__n"] != dim:
+        raise ValueError(
+            f"append: {vec_col!r} has {row['__n']} dimensions but the "
+            f"store at {path!r} was trained with {dim}-dim centroids — "
+            "re-train a new index for a different embedding space"
+        )
+    store_fields = {
+        f.name for f in new_vectors.sparkSession.read.parquet(path).schema
+        if not f.name.startswith("__") and f.name not in computed
+    }
+    new_fields = {f.name for f in new_vectors.schema}
+    if new_fields != store_fields:
+        raise ValueError(
+            f"append: column set {sorted(new_fields)} does not match the "
+            f"store's {sorted(store_fields)} at {path!r} — appends must "
+            "carry exactly the originally-written columns"
+        )
+
+
+def _write_append_counts(staged: DataFrame, path: str) -> list[tuple[int, int]]:
+    """Write staged rows into their ``__cid=`` partitions and report
+    per-cell counts from the SAME materialization: ``staged`` is persisted
+    so the write and the count observe one evaluation (a nondeterministic
+    input — sample/limit — can't make the reported counts diverge from
+    the rows actually appended)."""
+    staged = staged.persist()
+    try:
+        staged.write.mode("append").partitionBy("__cid").parquet(path)
+        counts = staged.groupBy("__cid").count().collect()
+    finally:
+        staged.unpersist()
+    return sorted((int(r["__cid"]), int(r["count"])) for r in counts)
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -116,6 +166,7 @@ def append_ivf_index(
     an executor's scan budget.
     """
     cents = read_ivf_centroids(path)
+    _check_append_compat(new_vectors, vec_col, cents, path)
     vec = F.col(vec_col).cast("array<double>")
     staged = (
         with_nearest_ids(new_vectors, vec, cents, 1)
@@ -123,11 +174,7 @@ def append_ivf_index(
         .drop("__cids")
         .repartition(F.col("__cid"))
     )
-    staged.write.mode("append").partitionBy("__cid").parquet(path)
-    counts = (
-        staged.groupBy("__cid").count().collect()
-    )
-    return sorted((int(r["__cid"]), int(r["count"])) for r in counts)
+    return _write_append_counts(staged, path)
 
 
 def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -299,6 +346,8 @@ def append_ivfpq_index(
 
     meta = _read_sidecar(path)
     cents, cbs = read_ivfpq_meta(path)
+    _check_append_compat(new_vectors, vec_col, cents, path,
+                         computed=("pq_code",))
     residual = bool(meta.get("residual"))
     vec = F.col(vec_col).cast("array<double>")
     if residual:
@@ -315,10 +364,7 @@ def append_ivfpq_index(
             .withColumn("__cid", F.col("__cids")[0])
             .drop("__cids")
         )
-    staged = staged.repartition(F.col("__cid"))
-    staged.write.mode("append").partitionBy("__cid").parquet(path)
-    counts = staged.groupBy("__cid").count().collect()
-    return sorted((int(r["__cid"]), int(r["count"])) for r in counts)
+    return _write_append_counts(staged.repartition(F.col("__cid")), path)
 
 
 def _read_sidecar(path: str) -> dict:
@@ -342,6 +388,7 @@ def ivfpq_search(
     k: int = 10,
     n_probe: int = 4,
     refine: int = 4,
+    impl: str | None = None,
 ) -> DataFrame:
     """Approximate top-k against a :func:`write_ivfpq_index` store —
     identical math (and output) to
@@ -353,49 +400,73 @@ def ivfpq_search(
     A residual-coded store (``write_ivfpq_index(residual=True)``, flag in
     the sidecar) automatically gets the residual query path: one LUT per
     (query, probed cell) against ``q - centroid[cid]``.
+
+    ``impl="arrow"`` (default) runs the ADC scan as NumPy Arrow batches
+    against driver-computed LUTs — bit-identical distances, same rows;
+    ``impl="sql"`` is the pure-expression oracle twin. Partition pruning
+    is identical either way: the probe set is a literal ``isin`` on the
+    partition column BEFORE the scan engine sees a row.
     """
     from ..pipeline.similarity import (
+        _ADC_IMPL,
+        _adc_scan_topk_arrow,
         _l2sq,
+        _lut_numpy,
         _pq_adc_expr,
         _with_centroid_vec,
         _with_pq_lut,
     )
 
+    impl = impl or _ADC_IMPL
     meta = _read_sidecar(path)
     cents, cbs = read_ivfpq_meta(path)
     residual = bool(meta.get("residual"))
     vec = F.col(vec_col).cast("array<double>")
-    if residual:
-        probed = with_nearest_ids(
-            queries.select(
-                F.col(id_col).alias("query_id"), vec.alias("__qv")
-            ),
-            F.col("__qv"), cents, n_probe,
-        ).select(
-            "query_id", "__qv", F.explode(F.col("__cids")).alias("__cid")
-        )
-        probed = _with_centroid_vec(probed, F.col("__cid"), cents, "__cc")
-        probed = probed.withColumn(
-            "__qres",
-            F.zip_with(F.col("__qv"), F.col("__cc"), lambda a, b: a - b),
-        )
-        q = _with_pq_lut(probed, F.col("__qres"), cbs, "__lut").select(
-            "query_id", "__lut", "__cid"
-        )
+    probed0 = with_nearest_ids(
+        queries.select(
+            F.col(id_col).alias("query_id"), vec.alias("__qv")
+        ),
+        F.col("__qv"), cents, n_probe,
+    )
+    if impl == "arrow":
+        import numpy as np
+
+        rows = probed0.select("query_id", "__qv", "__cids").collect()
+        centd = {cid: np.asarray(cv, np.float64) for cid, cv in cents}
+        entries = []
+        for r in rows:
+            if not r["__cids"]:
+                continue
+            if residual:
+                qvn = np.asarray(r["__qv"], np.float64)
+                for cid in r["__cids"]:
+                    entries.append(
+                        (r["query_id"], cid,
+                         _lut_numpy(qvn - centd[cid], cbs)))
+            else:
+                lut = _lut_numpy(r["__qv"], cbs)
+                for cid in r["__cids"]:
+                    entries.append((r["query_id"], cid, lut))
+        probe_cids = sorted({int(cid) for _, cid, _ in entries})
     else:
-        q = _with_pq_lut(
-            with_nearest_ids(
-                queries.select(
-                    F.col(id_col).alias("query_id"), vec.alias("__qv")
-                ),
-                F.col("__qv"), cents, n_probe,
-            ),
-            F.col("__qv"), cbs, "__lut",
-        ).select(
-            "query_id", "__lut", F.explode(F.col("__cids")).alias("__cid")
-        )
-    probe_cids = sorted(
-        {r["__cid"] for r in q.select("__cid").distinct().collect()})
+        if residual:
+            probed = probed0.select(
+                "query_id", "__qv", F.explode(F.col("__cids")).alias("__cid")
+            )
+            probed = _with_centroid_vec(probed, F.col("__cid"), cents, "__cc")
+            probed = probed.withColumn(
+                "__qres",
+                F.zip_with(F.col("__qv"), F.col("__cc"), lambda a, b: a - b),
+            )
+            q = _with_pq_lut(probed, F.col("__qres"), cbs, "__lut").select(
+                "query_id", "__lut", "__cid"
+            )
+        else:
+            q = _with_pq_lut(probed0, F.col("__qv"), cbs, "__lut").select(
+                "query_id", "__lut", F.explode(F.col("__cids")).alias("__cid")
+            )
+        probe_cids = sorted(
+            {r["__cid"] for r in q.select("__cid").distinct().collect()})
     store = spark.read.parquet(path).where(F.col("__cid").isin(probe_cids))
 
     def l2sq(a, b):
@@ -410,15 +481,22 @@ def ivfpq_search(
         F.col("pq_code"),
         F.col("__cid").cast("long").alias("__cid"),
     )
-    adc = (
-        codes.join(F.broadcast(q), on="__cid")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (-_pq_adc_expr(F.col("__lut"), F.col("pq_code"))).alias("cos_sim"),
+    if impl == "arrow":
+        adc = _adc_scan_topk_arrow(
+            codes, entries, refine * k, cell_col="__cid",
+            qid_type=probed0.schema["query_id"].dataType,
         )
-    )
+    else:
+        adc = (
+            codes.join(F.broadcast(q), on="__cid")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (-_pq_adc_expr(F.col("__lut"),
+                               F.col("pq_code"))).alias("cos_sim"),
+            )
+        )
     cand = _per_query_topk(adc, refine * k).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), vec.alias("__qv"))

@@ -30,11 +30,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.nested import quote
 from ..pipeline.similarity import (
     _per_query_topk,
+    _srp_probe_sql,
+    _srp_tables_expr,
     cosine,
-    srp_bucket,
-    srp_probe_buckets,
 )
 
 __all__ = ["write_lsh_index", "read_lsh_params", "lsh_search",
@@ -62,14 +63,9 @@ def write_lsh_index(
     repartition on (table, bucket) so each posting-list directory is a few
     well-sized files instead of one-per-input-task fragments.
     """
-    tables = F.array(
-        *[
-            srp_bucket(
-                F.col(vec_col).cast("array<double>"), num_planes,
-                dim=dim, plane_offset=t * num_planes,
-            )
-            for t in range(num_tables)
-        ]
+    tables = _srp_tables_expr(
+        f"CAST({quote(vec_col)} AS ARRAY<DOUBLE>)", num_planes, num_tables,
+        dim=dim,
     )
     (
         corpus.select("*", F.posexplode(tables).alias("__tbl", "__bucket"))
@@ -108,14 +104,27 @@ def append_lsh_index(
     number of (row, table) postings appended."""
     params = read_lsh_params(path)
     num_planes, num_tables = params["num_planes"], params["num_tables"]
-    tables = F.array(
-        *[
-            srp_bucket(
-                F.col(vec_col).cast("array<double>"), num_planes,
-                dim=params["dim"], plane_offset=t * num_planes,
-            )
-            for t in range(num_tables)
-        ]
+    # fail fast on a frame from a different embedding space / layout —
+    # same guards as the IVF appends (dim probe + column-set check)
+    row = new_vectors.select(F.size(F.col(vec_col)).alias("__n")).first()
+    if (params.get("dim") is not None and row is not None
+            and row["__n"] is not None and row["__n"] != params["dim"]):
+        raise ValueError(
+            f"append: {vec_col!r} has {row['__n']} dimensions but the "
+            f"store at {path!r} was hashed with dim={params['dim']}"
+        )
+    store_fields = {
+        f.name for f in new_vectors.sparkSession.read.parquet(path).schema
+        if not f.name.startswith("__")
+    }
+    if {f.name for f in new_vectors.schema} != store_fields:
+        raise ValueError(
+            f"append: column set {sorted(f.name for f in new_vectors.schema)} "
+            f"does not match the store's {sorted(store_fields)} at {path!r}"
+        )
+    tables = _srp_tables_expr(
+        f"CAST({quote(vec_col)} AS ARRAY<DOUBLE>)", num_planes, num_tables,
+        dim=params["dim"],
     )
     staged = (
         new_vectors.select(
@@ -123,8 +132,16 @@ def append_lsh_index(
         )
         .repartition(F.col("__tbl"), F.col("__bucket"))
     )
-    staged.write.mode("append").partitionBy("__tbl", "__bucket").parquet(path)
-    return staged.count()
+    # persist so the write and the returned count observe ONE evaluation
+    # (a nondeterministic input can't desynchronize them)
+    staged = staged.persist()
+    try:
+        staged.write.mode("append").partitionBy(
+            "__tbl", "__bucket").parquet(path)
+        n = staged.count()
+    finally:
+        staged.unpersist()
+    return n
 
 
 def lsh_search(
@@ -159,15 +176,14 @@ def lsh_search(
             F.col(id_col).alias("query_id"),
             vec.alias("__qv"),
             F.posexplode(
-                F.array(
-                    *[
-                        srp_probe_buckets(
-                            vec, num_planes, multi_probe,
-                            dim=params["dim"], plane_offset=t * num_planes,
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
+                F.expr("array(" + ",".join(
+                    _srp_probe_sql(
+                        f"CAST({quote(vec_col)} AS ARRAY<DOUBLE>)",
+                        num_planes, multi_probe,
+                        params["dim"] or 256, t * num_planes,
+                    )
+                    for t in range(num_tables)
+                ) + ")")
             ).alias("__tbl", "__probes"),
         )
         .select("query_id", "__qv", "__tbl",

@@ -1036,12 +1036,22 @@ def main() -> int:
 
     # -- 36. pq_topk ADC scan: LUT lookups over codes, no reconstruction ----
     q36 = emb.where(F.col("vec_id") < 10)
-    pq_df = sim.pq_topk(emb, q36, k=3, n_sub=4, n_centroids=8, refine=4)
-    p36a = pq_df._jdf.queryExecution().analyzed().toString()
+    pq_sql = sim.pq_topk(emb, q36, k=3, n_sub=4, n_centroids=8, refine=4,
+                         impl="sql")
+    p36a = pq_sql._jdf.queryExecution().analyzed().toString()
     check(
-        "pq_topk scan scores via per-query LUT, not reconstructions",
+        "pq_topk SQL twin scores via per-query LUT, not reconstructions",
         "__lut" in p36a and "__recon" not in p36a,
         "expected a __lut column in the analyzed plan and no __recon",
+    )
+    pq_df = sim.pq_topk(emb, q36, k=3, n_sub=4, n_centroids=8, refine=4)
+    p36b = pq_df._jdf.queryExecution().analyzed().toString()
+    check(
+        "pq_topk shipped scan is the Arrow kernel (no LUT expression tree,"
+        " no code crossJoin)",
+        "MapInPandas" in p36b and "__lut" not in p36b,
+        "expected a MapInPandas ADC scan and no __lut column in the "
+        "default plan",
     )
     sections.append((
         "PQ top-k: ADC scan reads codes only (per-query LUT)",
@@ -1050,10 +1060,16 @@ def main() -> int:
         "same machinery as ivfpq_topk) — the scan never materializes an "
         "O(dim) reconstruction per (query, candidate) pair, so at 100 TB "
         "it touches ~n_sub bytes per corpus row. Raw vectors are read "
-        "only for the refine*k exact re-rank per query.",
+        "only for the refine*k exact re-rank per query. The shipped scan "
+        "engine is an Arrow-batched NumPy kernel (MapInPandas: LUT "
+        "gather-adds, per-batch tournament truncation — bit-identical "
+        "doubles to the SQL twin, which stays selectable via impl='sql' "
+        "as the oracle-replayable formulation).",
         "\n".join(
             ln.strip() for ln in p36a.splitlines() if "__lut" in ln
-        )[:400],
+        )[:300] + "\n--- default (arrow) ---\n" + "\n".join(
+            ln.strip() for ln in p36b.splitlines() if "MapInPandas" in ln
+        )[:200],
     ))
 
     # -- 37. eTLD+1 lookup: zero shuffle, one literal map, codegen-sized ----
