@@ -628,8 +628,11 @@ class NestedFrame:
         return self._wrap(restructure.to_lists(self._df, nest, columns))
 
     def split(self, nest: str, by: str, values: list[str] | None = None,
-              drop_by_col: bool = False, drop_nested: bool = True) -> "NestedFrame":
-        return self._wrap(restructure.split(self._df, nest, by, values, drop_by_col, drop_nested))
+              drop_by_col: bool = False, drop_nested: bool = True,
+              max_values: int | None = None) -> "NestedFrame":
+        return self._wrap(restructure.split(
+            self._df, nest, by, values, drop_by_col, drop_nested,
+            max_values=max_values))
 
     def to_flatten_inner(self, nest: str, inner: str) -> "NestedFrame":
         return self._wrap(restructure.to_flatten_inner(self._df, nest, inner))
@@ -901,7 +904,8 @@ class NestedFrame:
 
     # -- aggregation ------------------------------------------------------
     def count_nested(self, nest: str, by: str | None = None,
-                     values: list[str] | None = None, join: bool = True) -> "NestedFrame":
+                     values: list[str] | None = None, join: bool = True,
+                     max_values: int | None = None) -> "NestedFrame":
         if nest in self._pending and join:
             # compute counts in the pack's own groupBy (collect_list prunes
             # away if the array itself is never consumed downstream)
@@ -917,9 +921,9 @@ class NestedFrame:
                     disc = spec.child
                     if spec.preds:
                         disc = disc.where(" AND ".join(f"({p})" for p in spec.preds))
-                    values = sorted(
-                        r[0] for r in disc.select(quote(by)).distinct().collect()
-                        if r[0] is not None
+                    values = aggregates.discover_values(
+                        disc, F.col(quote(by)),
+                        f"count_nested(by={by!r})", max_values,
                     )
                 for v in values:
                     lit = _sql_literal(str(v))
@@ -929,7 +933,8 @@ class NestedFrame:
                         True,
                     )
             return NestedFrame(self._base_df, {**self._pending, nest: spec})
-        return self._wrap(aggregates.count_nested(self._df, nest, by, values, join))
+        return self._wrap(aggregates.count_nested(
+            self._df, nest, by, values, join, max_values=max_values))
 
     def min(self, columns: list[str] | None = None,
             exclude_nest: bool = False) -> DataFrame:

@@ -24,10 +24,40 @@ from pyspark.sql import types as T
 from ..functions.nested import is_nested_type, nested_field_names, quote
 from ..nestedframe.expr import _sql_literal
 
-__all__ = ["count_nested", "nest_lengths", "minmax", "describe", "nest_agg", "profile", "group_describe", "value_counts", "histogram"]
+__all__ = ["count_nested", "nest_lengths", "minmax", "describe", "nest_agg", "profile", "group_describe", "value_counts", "histogram", "discover_values"]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
             T.DecimalType)
+
+#: cap on auto-discovered pivot categories (count_nested(by=...) /
+#: split(values=None)) — each discovered value becomes a COLUMN, so a
+#: mistakenly-pivoted high-cardinality field would otherwise build a
+#: million-column frame. Generous for real categoricals (bands, labels,
+#: flags); override per call with max_values=.
+DEFAULT_MAX_PIVOT_VALUES = 256
+
+
+def discover_values(df: DataFrame, col, what: str,
+                    max_values: int | None) -> list:
+    """Distinct non-null values of ``col``, sorted — the category set for
+    a pivot-to-columns operator. Fetches at most ``max_values + 1``
+    distinct values (LIMIT is pushed below the collect, so a runaway
+    column never floods the driver) and raises with guidance when the cap
+    is exceeded."""
+    limit = DEFAULT_MAX_PIVOT_VALUES if max_values is None else int(max_values)
+    if limit < 1:
+        raise ValueError("max_values must be >= 1")
+    rows = df.select(col).distinct().limit(limit + 1).collect()
+    vals = sorted(r[0] for r in rows if r[0] is not None)
+    if len(vals) > limit:
+        raise ValueError(
+            f"{what}: more than {limit} distinct categories discovered — "
+            "each one becomes a column, so this is almost always a "
+            "mistakenly-pivoted high-cardinality field. Pass values=[...] "
+            "to pivot a chosen subset, or raise max_values= if the "
+            "cardinality is intentional."
+        )
+    return vals
 
 
 def count_nested(
@@ -36,6 +66,7 @@ def count_nested(
     by: str | None = None,
     values: list[str] | None = None,
     join: bool = True,
+    max_values: int | None = None,
 ) -> DataFrame:
     """Per-row element count of a nested column, optionally split by a
     categorical sub-column (one zero-filled count column per category).
@@ -51,12 +82,11 @@ def count_nested(
     if by not in fields:
         raise KeyError(f"Nested column '{nest}' has no field '{by}'")
     if values is None:
-        values = sorted(
-            r[0]
-            for r in df.select(
-                F.explode(F.expr(f"transform({quote(nest)}, __x -> __x.{quote(by)})"))
-            ).distinct().collect()
-            if r[0] is not None
+        values = discover_values(
+            df,
+            F.explode(F.expr(f"transform({quote(nest)}, __x -> __x.{quote(by)})")),
+            f"count_nested(by={by!r})",
+            max_values,
         )
     for v in values:
         lit = _sql_literal(str(v))

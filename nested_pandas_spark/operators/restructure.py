@@ -144,6 +144,7 @@ def split(
     drop_by_col: bool = False,
     drop_nested: bool = True,
     empty_as_null: bool = True,
+    max_values: int | None = None,
 ) -> DataFrame:
     """Split one nested column into several by a categorical sub-column.
 
@@ -160,14 +161,14 @@ def split(
     if by not in fields:
         raise KeyError(f"Nested column '{nest}' has no field '{by}'")
     if values is None:
-        values = [
-            r[0]
-            for r in df.select(F.explode(F.expr(f"transform({quote(nest)}, __x -> __x.{quote(by)})")))
-            .distinct()
-            .collect()
-            if r[0] is not None
-        ]
-        values = sorted(values)
+        from .aggregates import discover_values
+
+        values = discover_values(
+            df,
+            F.explode(F.expr(f"transform({quote(nest)}, __x -> __x.{quote(by)})")),
+            f"split(by={by!r})",
+            max_values,
+        )
     out = df
     for v in values:
         lit = _sql_literal(str(v))

@@ -79,6 +79,29 @@ def test_count_nested_by(packed):
     assert rows[0]["n_nested_g"] == 1
 
 
+def test_count_nested_by_max_values_guard(spark):
+    """Auto-discovered pivot categories are capped (each becomes a COLUMN;
+    a mistakenly-pivoted high-cardinality field must raise, not build a
+    million-column frame). Explicit values= or a raised cap still work."""
+    base = spark.createDataFrame(
+        [(i, [(f"cat{j}",) for j in range(4)]) for i in range(3)],
+        "id long, nested array<struct<band string>>",
+    )
+    ndf = NestedFrame(base)
+    with pytest.raises(ValueError, match="max_values"):
+        ndf.count_nested("nested", by="band", max_values=3).collect()
+    ok = ndf.count_nested("nested", by="band", max_values=4)
+    assert sorted(c for c in ok.columns if c.startswith("n_")) == [
+        f"n_nested_cat{j}" for j in range(4)
+    ]
+    # eager path (no pending pack) takes the operators.aggregates route
+    from nested_pandas_spark.operators.restructure import split as split_op
+
+    with pytest.raises(ValueError, match="max_values"):
+        split_op(base, "nested", "band", max_values=2)
+    assert len(split_op(base, "nested", "band", max_values=8).columns) == 5
+
+
 def test_count_nested_null_cell(spark, sources):
     base = spark.createDataFrame([(0, 1.0, 1.0), (99, 1.0, 1.0)], "id long, a double, b double")
     ndf = NestedFrame(base).join_nested(sources, "nested", on="id")
