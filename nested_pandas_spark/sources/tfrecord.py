@@ -340,6 +340,22 @@ def _column_kinds(schema: T.StructType) -> dict[str, tuple[str, bool]]:
     return kinds
 
 
+def _tfrecord_fs(path: str):
+    """``(filesystem, fs_path)`` for a sink/source path: a plain path
+    maps to the local filesystem (zero-overhead fast path), a URI
+    resolves through ``pyarrow.fs.FileSystem.from_uri`` — the Arrow
+    filesystem layer speaks ``file:``, ``s3://`` (built-in), and
+    ``hdfs://``-class Hadoop URIs (libhdfs), so executor tasks can
+    stream shards straight to cluster storage without a JVM hop or a
+    shared mount. Resolved INSIDE each task from the path string (no
+    filesystem handles ride the closure)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def write_tfrecord(
     df: DataFrame,
     path: str,
@@ -350,35 +366,33 @@ def write_tfrecord(
     count — shard grain is the read parallelism). Returns the manifest
     as a DataFrame ``(file, n_records)`` (already materialized).
 
+    ``path`` may be a local path or any filesystem URI the Arrow
+    filesystem layer resolves (``file:``, ``s3://``, ``hdfs://`` with
+    libhdfs — see :func:`_tfrecord_fs`): each task opens its shard's
+    output stream directly against that filesystem, so shards land on
+    cluster storage, not executor-local disk. Manifest paths keep the
+    caller's scheme, ready for :func:`read_tfrecord` (which reads via
+    Spark's ``binaryFile`` and already speaks Hadoop URIs).
+
     Column mapping: integral/boolean -> Int64List, float/double ->
     FloatList (float32 — the Example wire type; doubles lose precision
     by format design), string (UTF-8) / binary -> BytesList, arrays
     thereof -> multi-valued lists. NULL cells OMIT the feature (proto3
     absence); NULL inside arrays is rejected (no wire representation).
-
-    .. warning:: **Filesystem requirement.** Shards are written with
-       plain ``open()`` from inside ``mapInPandas`` tasks and the
-       manifest paths are read back by whoever consumes them — so
-       ``path`` must be on a filesystem shared between executors and
-       readers: local disk in local-mode Spark (this container), or a
-       shared mount (NFS/FUSE-mounted object store) on a cluster. On a
-       multi-node cluster WITHOUT a shared mount the shards would land
-       on executor-local disks and a subsequent :func:`read_tfrecord`
-       would silently see nothing. A cluster-safe variant would stream
-       through the Hadoop FileSystem API (executor-side JVM access to
-       ``hdfs://``/``s3a://``), which plain Python file handles cannot
-       reach — out of scope for this container-local build, documented
-       here so the boundary is explicit.
     """
+    from pyarrow import fs as pafs
+
     if mode not in ("overwrite", "error"):
         raise ValueError("mode must be 'overwrite' or 'error'")
-    if os.path.exists(path):
+    fs, fs_path = _tfrecord_fs(path)
+    info = fs.get_file_info(fs_path)
+    if info.type != pafs.FileType.NotFound:
         if mode == "error":
             raise FileExistsError(path)
-        for name in os.listdir(path):
-            if name.endswith(".tfrecord"):
-                os.remove(os.path.join(path, name))
-    os.makedirs(path, exist_ok=True)
+        for fi in fs.get_file_info(pafs.FileSelector(fs_path)):
+            if fi.base_name.endswith(".tfrecord"):
+                fs.delete_file(fi.path)
+    fs.create_dir(fs_path, recursive=True)
     kinds = _column_kinds(df.schema)
     cols = list(df.columns)
     run = uuid.uuid4().hex[:8]
@@ -387,12 +401,14 @@ def write_tfrecord(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}-{run}.tfrecord")
+        shard = f"part-{pid:05d}-{run}.tfrecord"
+        fname = path.rstrip("/") + "/" + shard
         n = 0
         fh = None
         for pdf in batches:
             if fh is None:
-                fh = open(fname, "wb")
+                tfs, tdir = _tfrecord_fs(path)
+                fh = tfs.open_output_stream(tdir.rstrip("/") + "/" + shard)
             for row in pdf.itertuples(index=False):
                 feats = {}
                 for c, v in zip(cols, row):

@@ -204,6 +204,30 @@ def test_spark_overwrite_and_error_modes(spark, tmpdir_path):
     assert first  # sanity
 
 
+def test_spark_write_through_filesystem_uri(spark, tmpdir_path):
+    """Cluster-safe sink contract: a filesystem URI (here ``file:``, the
+    scheme this container can exercise; same pyarrow.fs resolution layer
+    serves s3:// and hdfs://) is resolved INSIDE each task and shards
+    stream through that filesystem — manifest paths keep the caller's
+    scheme and read back through Spark's binaryFile reader."""
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "doc_id long, text string")
+    uri = "file://" + tmpdir_path
+    man = write_tfrecord(df.repartition(2), uri)
+    files = [r["file"] for r in man.collect()]
+    assert files and all(f.startswith("file://") for f in files)
+    assert sorted(os.listdir(tmpdir_path)) == sorted(
+        os.path.basename(f) for f in files)
+    back = read_tfrecord(spark, uri, {"doc_id": "int64", "text": "string"})
+    assert {r["doc_id"]: r["text"] for r in back.collect()} == {
+        0: "a", 1: "b", 2: "c"}
+    # overwrite + error modes work through the URI path too
+    write_tfrecord(df, uri)
+    assert read_tfrecord(spark, uri, {"doc_id": "int64"}).count() == 3
+    with pytest.raises(FileExistsError):
+        write_tfrecord(df, uri, mode="error")
+
+
 def test_spark_rejects_unsupported_types(spark, tmpdir_path):
     df = spark.createDataFrame(
         [(1, {"a": 1})], "id long, s struct<a: long>"
