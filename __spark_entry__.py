@@ -9565,6 +9565,11 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "q201_ul2_mix": _ul2_oracle_sql(),
+        # NOTE: row_number() OVER (ORDER BY doc_id) mirrors the engine's
+        # _stream_starts unit-weight rank. Both sides assume doc_id is
+        # UNIQUE (true for the documents table): with duplicate ids each
+        # side breaks the tie by its own physical order, so agreement on
+        # dup-id data would be coincidental (see pack_whole_docs docstring).
         "q203_pack_whole_docs": f"""
             WITH RECURSIVE sized AS (
                 SELECT doc_id, CAST(len({w}) AS BIGINT) AS sz

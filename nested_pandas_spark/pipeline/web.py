@@ -103,17 +103,44 @@ def load_psl_rules(path: str) -> list[str]:
 # load the real public_suffix_list.dat with :func:`load_psl_rules` and
 # pass it via ``suffixes=`` for production coverage. Single-label TLDs
 # need no entry (the PSL default rule "*" covers them).
-PUBLIC_SUFFIXES: list[str] = load_psl_rules(
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "data", "public_suffix_snapshot.dat",
-    )
-)
+def _default_psl_path() -> str:
+    """Resolve the shipped snapshot via importlib.resources so the file is
+    found in wheels/zipped installs, not only source checkouts (falls back
+    to __file__ path math for exotic loaders without resource support)."""
+    try:
+        from importlib.resources import files
+
+        return str(files("nested_pandas_spark") / "data"
+                   / "public_suffix_snapshot.dat")
+    except Exception:  # pragma: no cover - non-standard loaders only
+        return os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "public_suffix_snapshot.dat",
+        )
+
+
+PUBLIC_SUFFIXES: list[str] = load_psl_rules(_default_psl_path())
 
 # Above this many rules the plan-literal map would bloat the query plan
 # (same rationale as similarity._LITERAL_CENTROID_MAX) — the frame-level
 # API switches to ONE broadcast single-row map table.
 _LITERAL_SUFFIX_MAX = 1024
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _lit_string_map(m: dict[str, str]) -> Column:
+    """Literal ``map<string,string>`` built as ONE parsed SQL expression
+    — a single py4j round trip. The element-wise
+    ``F.create_map(*[F.lit(x) ...])`` form costs a round trip per entry
+    (~1.1 ms each): the 561-rule PSL snapshot was ~1.2 s of driver time
+    per query build before Spark ever saw the plan."""
+    return F.expr(
+        "map(" + ",".join(
+            _sql_str(k) + "," + _sql_str(v) for k, v in m.items()
+        ) + ")")
 
 
 def _psl_rules(suffixes: list[str] | None) -> tuple[dict[str, str], int]:
@@ -213,9 +240,7 @@ def registrable_domain(
     ~1k rules; use :func:`with_registrable_domain` for the full list
     (one broadcast row instead of plan literals)."""
     m, maxk = _psl_rules(suffixes)
-    lit_map = F.create_map(
-        *[F.lit(x) for kv in m.items() for x in kv]
-    )
+    lit_map = _lit_string_map(m)
     return _registrable_expr(_col(host), lit_map, maxk).alias(alias)
 
 
@@ -253,9 +278,7 @@ def with_registrable_domain(
         host = F.lower(F.col(host_col))
     m, maxk = _psl_rules(suffixes)
     if len(m) <= _LITERAL_SUFFIX_MAX:
-        lit_map = F.create_map(
-            *[F.lit(x) for kv in m.items() for x in kv]
-        )
+        lit_map = _lit_string_map(m)
         return docs.withColumn(out, _registrable_expr(host, lit_map, maxk))
     from pyspark.sql import types as T
 

@@ -3173,6 +3173,51 @@ def test_load_psl_rules_official_format(tmp_path):
         assert body and " " not in body and body == body.lower()
 
 
+def test_load_psl_rules_committed_excerpt(spark):
+    """The loader parses a committed 50-rule excerpt in the EXACT official
+    file syntax tools/fetch_psl.py vendors (section markers, per-TLD
+    comment blocks, wildcard + exception rules, IDN rules, the PRIVATE
+    DOMAINS section) and the resulting rule set drives
+    registrable_domain correctly — the end-to-end shape of a production
+    PSL upgrade, minus the network fetch."""
+    import os as _os
+
+    from nested_pandas_spark.pipeline.web import (
+        load_psl_rules,
+        registrable_domain,
+    )
+    from tools.fetch_psl import validate
+
+    path = _os.path.join(_os.path.dirname(__file__), "data",
+                         "psl_excerpt.dat")
+    rules = load_psl_rules(path)
+    assert len(rules) == 50
+    assert "*.ck" in rules and "!www.ck" in rules and "*.sch.uk" in rules
+    assert "公司.cn" in rules            # IDN rule survives UTF-8 load
+    assert "s3.amazonaws.com" in rules   # PRIVATE DOMAINS section included
+    # fetch_psl's post-download validation accepts the same syntax
+    with open(path, encoding="utf-8") as f:
+        assert validate(f.read(), min_rules=50) == 50
+
+    df = spark.createDataFrame(
+        [(0, "a.b.co.uk"), (1, "x.mysch.sch.uk"), (2, "www.ck"),
+         (3, "shop.example.ck"), (4, "bucket.s3.amazonaws.com"),
+         (5, "foo.github.io"), (6, "baz.公司.cn")],
+        "id long, host string",
+    )
+    got = {r["id"]: r["rd"] for r in df.select(
+        "id", registrable_domain("host", suffixes=rules, alias="rd")
+    ).collect()}
+    assert got[0] == "b.co.uk"
+    assert got[1] == "x.mysch.sch.uk"      # *.sch.uk wildcard: eTLD is
+    #                                        mysch.sch.uk, +1 is the host
+    assert got[2] == "www.ck"              # !www.ck exception
+    assert got[3] == "shop.example.ck"     # *.ck wildcard: eTLD example.ck
+    assert got[4] == "bucket.s3.amazonaws.com"  # private-domain suffix
+    assert got[5] == "foo.github.io"
+    assert got[6] == "baz.公司.cn"
+
+
 def test_with_registrable_domain_tiers_agree(spark):
     """Literal-map and broadcast-map tiers must return identical results
     for the same rule set."""
