@@ -967,6 +967,35 @@ def main() -> None:
 
     bench_extra("ul2_mix", x_ul2)
 
+    # -- cold query_nested attribution (round-9 verdict ask): split the
+    # non-bucketed query_nested lambda into driver plan BUILD (Python +
+    # py4j Column/DataFrame construction), Catalyst COMPILE (analysis ->
+    # optimization -> physical planning, forced via executedPlan), FIRST
+    # execution (includes whole-stage codegen + scan + shuffle), and a
+    # WARM re-run of the very same DataFrame (plan and codegen cached —
+    # pure scan+shuffle+agg). first_exec - warm_exec ~ fixed JVM/codegen
+    # cost per NEW plan; warm_exec is the data-proportional part that
+    # scales with SF; plan_build + catalyst_compile is the driver-side
+    # latency that would grow with expression count.
+    def _cold_decomp():
+        d = {}
+        t0 = time.perf_counter()
+        dfq = (packed().query("items.l_quantity > 30")
+               .df.select(F.sum(F.size("items"))))
+        d["plan_build"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        dfq._jdf.queryExecution().executedPlan()
+        d["catalyst_compile"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        dfq.collect()
+        d["first_exec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        dfq.collect()
+        d["warm_exec"] = round(time.perf_counter() - t0, 4)
+        return d
+
+    cold_decomposition = _cold_decomp()
+
     extras_control["post"] = _time_best(_control, runs=3)
 
     # headline total stays the round-1..3 query set so round-over-round
@@ -1055,6 +1084,7 @@ def main() -> None:
         "checksums": checksums,
         "extras": extras,
         "extras_control": extras_control,
+        "cold_decomposition": cold_decomposition,
         # machine-load index: the reference library's add_nested time in
         # THIS session — a Spark-free, single-core pandas workload, so it
         # moves only with machine load. Divide any wall-time column by
