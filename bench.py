@@ -972,11 +972,14 @@ def main() -> None:
     # py4j Column/DataFrame construction), Catalyst COMPILE (analysis ->
     # optimization -> physical planning, forced via executedPlan), FIRST
     # execution (includes whole-stage codegen + scan + shuffle), and a
-    # WARM re-run of the very same DataFrame (plan and codegen cached —
-    # pure scan+shuffle+agg). first_exec - warm_exec ~ fixed JVM/codegen
-    # cost per NEW plan; warm_exec is the data-proportional part that
-    # scales with SF; plan_build + catalyst_compile is the driver-side
-    # latency that would grow with expression count.
+    # WARM re-run of the very same DataFrame (plan, codegen, AND shuffle
+    # map output reused — Spark keeps map output for an unchanged RDD
+    # lineage, so warm_exec is the reduce-side final stage only).
+    # first_exec - warm_exec ~ per-NEW-plan codegen + scan + shuffle-map
+    # cost; plan_build + catalyst_compile is the driver-side latency
+    # that would grow with expression count. Measured round 10 at sf0.1:
+    # 0.21 / 0.015 / 1.38 / 0.03 — the cold query_nested gap is fixed
+    # per-plan JVM work, not expression analysis.
     def _cold_decomp():
         d = {}
         t0 = time.perf_counter()
