@@ -4272,6 +4272,35 @@ def q205_ivf_append(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q206_pq_adc_scores(spark, sf):
+    """The PQ ADC scan phase on its own (pipeline/similarity.py
+    pq_adc_scores — the Arrow-batched NumPy kernel that round 10 made
+    the default engine under pq_topk/ivfpq_topk): every (query, code
+    row) pair scored via per-query lookup tables, here ranked per query
+    with no truncation. Rank-only output (the q39 float policy: the
+    kernel's doubles are bit-identical to the SQL expression twin —
+    pinned by tests/test_adc_arrow.py — but cross-engine raw-double
+    hashing is boundary-fragile, while ranks are stable). Same PQ
+    operating point as q39 so the oracle reuses its unrolled k-means
+    CTEs. The per-query Window is the eval-surface formulation; the
+    production scan truncates per batch inside the kernel (see
+    _adc_scan_topk_arrow)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    cbs = sim.pq_codebooks(emb, n_sub=4, n_centroids=8, n_iters=2)
+    enc = sim.pq_encode(emb, cbs).select("vec_id", "pq_code")
+    scores = sim.pq_adc_scores(enc, q, cbs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scores.where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.row_number().over(w).cast("long").alias("adc_rank"))
+    )
+
+
 def q204_wordpiece_encode_vocab(spark, sf):
     """WordPiece scale-path encoding (pipeline/wordpiece.py
     wordpiece_encode_vocab): identical semantics to q196 but through the
@@ -4719,6 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_pack_whole_docs": q203_pack_whole_docs,
         "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
         "q205_ivf_append": q205_ivf_append,
+        "q206_pq_adc_scores": q206_pq_adc_scores,
         "q37_salted_pack": q37_salted_pack,
         "q38_text_scrub": q38_text_scrub,
         "q39_pq_topk": q39_pq_topk,
@@ -9866,6 +9896,44 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
             FROM exact
             QUALIFY rank <= 3
+        """,
+        "q206_pq_adc_scores": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            {pq_km},
+            codes AS (
+                SELECT e.vec_id, b.s, b.cid,
+                       row_number() OVER (PARTITION BY e.vec_id, b.s
+                           ORDER BY list_sum(list_transform(range(0, 16), i ->
+                               (e.v[b.s * 16 + i + 1] - b.cv[i + 1])
+                               * (e.v[b.s * 16 + i + 1] - b.cv[i + 1])))
+                               ASC, b.cid ASC) AS rn
+                FROM e, {pq_books} b
+                QUALIFY rn = 1
+            ),
+            -- ADC with the LUT association (subspace-grouped s-major sums,
+            -- similarity.py _pq_adc_expr == _lut_numpy == the Arrow kernel)
+            adc_sub AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.s,
+                       list_sum(list_transform(range(0, 16), i ->
+                           (q.v[c.s * 16 + i + 1] - b.cv[i + 1])
+                           * (q.v[c.s * 16 + i + 1] - b.cv[i + 1])))
+                           AS d2s
+                FROM e q
+                JOIN codes c ON c.vec_id <> q.vec_id
+                JOIN {pq_books} b ON b.s = c.s AND b.cid = c.cid
+                WHERE q.vec_id < 5
+            ),
+            adc AS (
+                SELECT query_id, neighbor_id,
+                       list_sum(list(d2s ORDER BY s)) AS d2
+                FROM adc_sub
+                GROUP BY query_id, neighbor_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT)
+                       AS adc_rank
+            FROM adc
         """,
         "q38_text_scrub": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS x FROM documents),
