@@ -21,6 +21,15 @@ cold-scan variants time parquet scan + shuffle + pack end-to-end — work
 the reference never performs inside its timed region — and are reported
 as ratio.per_query_cold / ratio.matched_cold_* so the fixed-cost gap
 stays visible without skewing the apples-to-apples number.
+
+One fixture property bounds the cold rows: the testdata parquet files are
+single-row-group, and a parquet row group is the unit of split — so every
+cold scan's map side is ONE data-carrying task no matter how many byte-
+range splits the planner makes (decomposed round 10: scan-metadata count
+0.3 s, narrow groupBy 0.75 s, full-width pack shuffle 1.9 s, all gated by
+that one task). Real inputs carry many row groups / files and fan out;
+the engine's session defaults (files.minPartitionNum, openCostInBytes)
+already request one split per core on small inputs.
   count_by          ~ CountNestedBy          (per-category counts)
   reduce_hof        ~ NestedFrameReduce      (per-row mean, HOF fast path)
   reduce_udf        ~ NestedFrameReduce      (per-row mean via pandas UDF)
