@@ -123,6 +123,12 @@ def nest_select_fields(df: DataFrame, nest: str, keep: list[str]) -> Column:
 
 def nest_drop_fields(df: DataFrame, nest: str, drop: list[str]) -> Column:
     fields = nested_field_names(df, nest)
+    missing = [f for f in drop if f not in fields]
+    if missing:
+        # reference parity: `del nf["nested.not_a_field"]` / drop of a
+        # missing sub-column raises KeyError (test_nestedframe.py
+        # test_delitem_base_and_nested)
+        raise KeyError(f"Nested column '{nest}' has no fields {missing}")
     keep = [f for f in fields if f not in set(drop)]
     if not keep:
         raise ValueError(f"Cannot drop all fields of nested column '{nest}'")

@@ -32,7 +32,8 @@ from ..functions.nested import (
     struct_sql,
 )
 from ..operators import aggregates, cleaning, packer, restructure, sorting
-from .expr import QueryCompileError, _sql_literal, compile_expr, split_assignment
+from .expr import (QueryCompileError, _sql_literal, compile_expr,
+                   reduction_literal, split_assignment)
 from ..plans.lazy_pack import PendingPack as _PendingPack
 
 __all__ = ["NestedFrame"]
@@ -637,6 +638,43 @@ class NestedFrame:
     def to_flatten_inner(self, nest: str, inner: str) -> "NestedFrame":
         return self._wrap(restructure.to_flatten_inner(self._df, nest, inner))
 
+    def _bind_reductions(self, compiled):
+        """Fold global Series reductions (``nested.c.median()``, ``a.max()``
+        — reference pandas-eval semantics, test_eval_funcs /
+        test_mixed_eval_funcs) into the compiled expression as literals.
+
+        The scalars come from ONE distributed aggregation job per source
+        layer (map-side partial aggregation; the driver receives a single
+        row), and literal substitution keeps every downstream pushdown
+        intact — an element predicate comparing against a global mean still
+        reaches the parquet scan as a plain literal comparison.
+        """
+        from dataclasses import replace as _dc_replace
+
+        by_nest: dict[str | None, list[tuple[str, str, str]]] = {}
+        for token, (agg, nest, colname) in compiled.reductions.items():
+            by_nest.setdefault(nest, []).append((token, agg, colname))
+        df = self.df
+        values: dict[str, object] = {}
+        for nest, items in by_nest.items():
+            if nest is None:
+                src = df
+                aggs = [F.expr(f"{agg}({quote(c)})").alias(f"r{i}")
+                        for i, (_t, agg, c) in enumerate(items)]
+            else:
+                # flat-series view of the nest: NULL/empty cells contribute
+                # no elements, same as the reference's flat series
+                src = df.select(F.explode(df[nest]).alias("__e"))
+                aggs = [F.expr(f"{agg}(__e.{quote(c)})").alias(f"r{i}")
+                        for i, (_t, agg, c) in enumerate(items)]
+            row = src.agg(*aggs).first()
+            for i, (token, _agg, _c) in enumerate(items):
+                values[token] = row[f"r{i}"]
+        sql = compiled.sql
+        for token, v in values.items():
+            sql = sql.replace(token, reduction_literal(v))
+        return _dc_replace(compiled, sql=sql, reductions={})
+
     # -- query / eval -----------------------------------------------------
     def query(self, expr: str, env: dict[str, object] | None = None) -> "NestedFrame":
         """Row filter (base expression) or element filter (nested expression).
@@ -660,6 +698,8 @@ class NestedFrame:
         [(1, [20.0]), (2, None)]
         """
         compiled = compile_expr(expr, self._nested_field_map(), self._known_columns(), env)
+        if compiled.reductions:
+            compiled = self._bind_reductions(compiled)
         if not compiled.nests:
             # base predicate: with only pending left-packs outstanding it is
             # safe (and cheaper) to filter the base BEFORE the joins — unless
@@ -736,6 +776,8 @@ class NestedFrame:
         target, rhs = split_assignment(expr)
         fieldmap = self._nested_field_map()
         compiled = compile_expr(rhs, fieldmap, self._known_columns(), env)
+        if compiled.reductions:
+            compiled = self._bind_reductions(compiled)
 
         if target is None:
             if compiled.nests:

@@ -57,6 +57,22 @@ _FUNC_MAP = {
 _BACKTICK_RE = re.compile(r"`([^`]*)`")
 _AT_RE = re.compile(r"@([A-Za-z_][A-Za-z0-9_]*)")
 
+# pandas Series reduction methods usable in query/eval strings (the reference
+# evaluates `nested.a.max()` / `a + packed.c.median()` as GLOBAL reductions
+# over the flat series, broadcast back to every row — reference
+# test_nestedframe.py test_eval_funcs / test_mixed_eval_funcs). Values are the
+# Spark SQL aggregate each compiles to (std/var use pandas' sample ddof=1).
+_REDUCTION_MAP = {
+    "min": "min",
+    "max": "max",
+    "sum": "sum",
+    "mean": "avg",
+    "median": "median",
+    "std": "stddev_samp",
+    "var": "var_samp",
+    "count": "count",
+}
+
 
 def _quote_ident(name: str) -> str:
     """Quote an identifier for Spark SQL (backticks, with escaping)."""
@@ -75,6 +91,30 @@ def _sql_literal(value: object) -> str:
     raise QueryCompileError(f"Unsupported literal in expression: {value!r}")
 
 
+def reduction_literal(value: object) -> str:
+    """SQL literal for a computed reduction scalar (floats incl. NaN/inf,
+    ints, strings, NULL, datetimes)."""
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "double('NaN')"
+        if math.isinf(value):
+            return "double('Infinity')" if value > 0 else "double('-Infinity')"
+        # NB: a bare `3.0` literal is DECIMAL in Spark SQL — keep the scalar
+        # DOUBLE so arithmetic matches the reference's float64
+        return f"CAST({value!r} AS DOUBLE)"
+    if isinstance(value, decimal.Decimal):
+        return str(value)
+    if isinstance(value, datetime.datetime):
+        return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
+    if isinstance(value, datetime.date):
+        return f"DATE '{value.isoformat()}'"
+    return _sql_literal(value)
+
+
 @dataclass
 class CompiledExpr:
     """Result of compiling one expression string.
@@ -86,6 +126,10 @@ class CompiledExpr:
     sql: str
     nests: set[str] = field(default_factory=set)
     base_cols: set[str] = field(default_factory=set)
+    # placeholder token -> (sql aggregate, nest name or None for base, column)
+    # for global Series reductions; the frame binds them to literal scalars
+    # (computed in one distributed agg job) before rendering
+    reductions: dict[str, tuple[str, str | None, str]] = field(default_factory=dict)
 
     @property
     def nest(self) -> str | None:
@@ -114,6 +158,35 @@ class _Compiler(ast.NodeVisitor):
         self.alias_map = alias_map  # placeholder ident -> original (possibly non-identifier) name
         self.nests_used: set[str] = set()
         self.base_used: set[str] = set()
+        self.reductions: dict[str, tuple[str, str | None, str]] = {}
+
+    def _try_reduction(self, meth: str, target: ast.AST) -> str | None:
+        """`nested.c.median()` / `a.max()` — global reduction over the flat
+        series (all elements of all rows) or the base column. Returns a
+        placeholder token the frame later binds to the computed scalar; the
+        reduction target does NOT count toward the single-layer rule (the
+        result is a broadcast scalar, so `a + packed.c.median()` is a pure
+        base-level expression, as in the reference)."""
+        agg = _REDUCTION_MAP[meth]
+        if isinstance(target, ast.Attribute) and isinstance(target.value, ast.Name):
+            holder = self.alias_map.get(target.value.id, target.value.id)
+            fld = self.alias_map.get(target.attr, target.attr)
+            if holder in self.nested_fields:
+                if fld not in self.nested_fields[holder]:
+                    raise QueryCompileError(
+                        f"Nested column '{holder}' has no field '{fld}'"
+                    )
+                token = f"\x00RED{len(self.reductions)}\x00"
+                self.reductions[token] = (agg, holder, fld)
+                return token
+            return None
+        if isinstance(target, ast.Name):
+            original = self.alias_map.get(target.id, target.id)
+            if original in self.base_columns:
+                token = f"\x00RED{len(self.reductions)}\x00"
+                self.reductions[token] = (agg, None, original)
+                return token
+        return None
 
     # -- helpers ---------------------------------------------------------
     def _resolve_name(self, name: str) -> str:
@@ -248,6 +321,10 @@ class _Compiler(ast.NodeVisitor):
         if isinstance(node.func, ast.Attribute):
             meth = node.func.attr
             target = node.func.value
+            if meth in _REDUCTION_MAP and not node.args and not node.keywords:
+                token = self._try_reduction(meth, target)
+                if token is not None:
+                    return token
             # pandas-style `.str.xxx(...)`: unwrap the `.str` accessor
             if (
                 isinstance(target, ast.Attribute)
@@ -373,4 +450,6 @@ def compile_expr(
         raise QueryCompileError(f"Cannot parse expression: {expr!r}") from exc
     compiler = _Compiler(nested_fields, base_columns, env or {}, alias_map)
     sql = compiler.visit(tree)
-    return CompiledExpr(sql=sql, nests=compiler.nests_used, base_cols=compiler.base_used)
+    return CompiledExpr(sql=sql, nests=compiler.nests_used,
+                        base_cols=compiler.base_used,
+                        reductions=compiler.reductions)

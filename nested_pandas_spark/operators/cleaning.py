@@ -30,7 +30,11 @@ def _split_subset(df: DataFrame, subset: list[str]) -> tuple[list[str], dict[str
             nest, fld = s.split(".", 1)
             per_nest.setdefault(nest, []).append(fld)
         elif s in nested:
-            per_nest.setdefault(s, [])
+            # a bare nest name in subset treats the layer as a base column:
+            # ROW removal where the cell is NULL (reference
+            # test_dropna_layer_as_base_column); element-level dropna over
+            # all fields is requested via on_nested= instead
+            base.append(s)
         else:
             base.append(s)
     return base, per_nest

@@ -298,6 +298,19 @@ def from_lists(
         ]
     if not list_columns:
         raise ValueError("No list columns to pack")
+    non_list = [
+        c for c in list_columns
+        if c in df.columns
+        and not isinstance(df.schema[c].dataType, T.ArrayType)
+    ]
+    if non_list:
+        # reference parity: nest_lists/from_lists raise ValueError when a
+        # named column is not list-valued (test_nest_lists), rather than
+        # surfacing Spark's arrays_zip type-mismatch AnalysisException
+        raise ValueError(
+            f"Columns {non_list} are not list-valued; nest_lists/from_lists "
+            "pack array columns only"
+        )
     if validate and len(list_columns) > 1:
         df = equal_length_guard(df, list_columns, "from_lists")
     keep = base_columns if base_columns is not None else [

@@ -160,3 +160,55 @@ def test_from_flat_empty_child(spark):
     nf = NestedFrame(from_flat(empty, base_columns=[], on=["k"], name="new"))
     assert nf.count() == 0
     assert "new" in nf.nested_columns
+
+
+def test_eval_global_reduction_scalar(packed):
+    """`nested.f.max()` in eval is a GLOBAL reduction over the flat series,
+    broadcast to every row (reference test_nestedframe.py:2406
+    test_eval_funcs)."""
+    out = packed.eval("m = nested.flux.max()")
+    vals = {r["m"] for r in out.df.select("m").collect()}
+    assert vals == {22.0}
+
+
+def test_eval_base_plus_nested_reduction(packed):
+    """`a + nested.t.median()` is a pure base-level expression (reference
+    test_mixed_eval_funcs): the reduction does not trip the single-layer
+    rule and the result dtype is double, not decimal."""
+    out = packed.eval("s = a + nested.t.median()")
+    rows = {r["id"]: r["s"] for r in out.df.select("id", "s").collect()}
+    # median(t) over all elements = 1.0
+    assert rows == {0: pytest.approx(1.1), 1: pytest.approx(1.5), 2: pytest.approx(1.9)}
+    assert dict(out.df.dtypes)["s"] == "double"
+
+
+def test_query_elements_above_global_mean(packed):
+    """Element filter comparing against a global reduction of the same
+    nest: the scalar binds as a literal, so the filter still pushes down."""
+    out = packed.query("nested.flux > nested.flux.mean()")  # mean = 11
+    rows = {r["id"]: r["nested"] for r in out.df.collect()}
+    assert rows[0] is None
+    assert [e["flux"] for e in rows[1]] == [12.0]
+    assert len(rows[2]) == 3
+
+
+def test_reduction_on_base_column(packed):
+    out = packed.eval("m = b.sum()")
+    vals = [r["m"] for r in out.df.select("m").collect()]
+    assert vals == pytest.approx([3.0, 3.0, 3.0])
+
+
+def test_reduction_unknown_field_raises(packed):
+    with pytest.raises(QueryCompileError):
+        packed.eval("m = nested.nope.max()")
+
+
+def test_reduction_composes_with_pending_pack(spark, objects, sources):
+    """A reduction query on a PENDING pack still works and the element
+    predicate (now a plain literal compare) still pushes to the child."""
+    from nested_pandas_spark import NestedFrame
+
+    nf = NestedFrame(objects).join_nested(sources, "nested", on="id")
+    out = nf.query("nested.flux > nested.flux.mean()")
+    rows = {r["id"]: r["nested"] for r in out.df.collect()}
+    assert rows[0] is None and len(rows[2]) == 3

@@ -663,3 +663,105 @@ def test_accessor_with_field_parity(ref, pair):
     got = _sp_cells(sp_doubled)
     norm = lambda cells: {k: (v or None) for k, v in cells.items()}  # noqa: E731
     assert norm(got) == norm(ref_cells)
+
+
+def test_eval_global_reduction_parity(pair):
+    """`a + nested.t.median()` — global flat-series reduction broadcast into
+    a base expression (reference test_nestedframe.py:2420
+    test_mixed_eval_funcs)."""
+    ref_packed, sp_packed = pair
+    r = {k: float(v) for k, v in ref_packed.eval("a + nested.t.median()").items()}
+    sf = sp_packed.eval("s = a + nested.t.median()")
+    s = {row["id"]: row["s"] for row in sf.df.select("id", "s").collect()}
+    assert set(r) == set(s)
+    for k in r:
+        assert s[k] == pytest.approx(r[k])
+
+
+def test_eval_reduction_scalar_matches_flat_series(pair):
+    """`nested.t.max()` equals the reference's flat-series max (reference
+    test_eval_funcs: nf.eval('nested.a.max()') == nf['nested.a'].max())."""
+    ref_packed, sp_packed = pair
+    want = float(ref_packed["nested.t"].max())
+    got = {row["m"] for row in
+           sp_packed.eval("m = nested.t.max()").df.select("m").collect()}
+    assert got == {want}
+
+
+def test_query_element_isna_parity(pair):
+    """`nested.f.isna()` element filter (reference test_eval_funcs)."""
+    ref_packed, sp_packed = pair
+    r = _ref_cells(ref_packed.query("nested.f.isna()"))
+    s = _sp_cells(sp_packed.query("nested.f.isna()"))
+    assert r == s
+
+
+def test_dropna_nested_layer_as_base_parity(pair):
+    """A nested column works as a top-level dropna target (reference
+    test_dropna_layer_as_base_column): rows whose cell is NULL drop."""
+    ref_packed, sp_packed = pair
+    rf = ref_packed.query("nested.t > 2").dropna(subset=["nested"])
+    sf = sp_packed.query("nested.t > 2").dropna(subset=["nested"])
+    r = _ref_cells(rf)
+    s = _sp_cells(sf)
+    assert r == s
+    assert len(r) == 2  # keys 0 (emptied) and 3 (childless) dropped
+
+
+def test_drop_missing_nested_field_raises_parity(ref, pair):
+    """Dropping a missing sub-column raises KeyError in BOTH engines
+    (reference test_delitem_base_and_nested)."""
+    ref_packed, sp_packed = pair
+    with pytest.raises(KeyError):
+        rf = ref_packed.copy()
+        del rf["nested.not_a_field"]
+    with pytest.raises(KeyError):
+        sp_packed.drop("nested.not_a_field")
+    with pytest.raises(KeyError):
+        sp_packed.drop("not_a_column")
+
+
+def test_nest_lists_non_list_raises_parity(ref, spark):
+    """nest_lists of a non-list column raises ValueError in BOTH engines
+    (reference test_nest_lists)."""
+    import pandas as _pd
+
+    rnf = ref.NestedFrame({"a": [1], "b": [[1, 2]], "d": ["dog"]})
+    with pytest.raises(ValueError):
+        rnf.nest_lists(columns=["b", "d"], name="nested")
+
+    from nested_pandas_spark import NestedFrame
+    from nested_pandas_spark.operators.packer import nest_lists
+
+    sdf = spark.createDataFrame([(1.0, [1.0, 2.0], "dog")],
+                                "a double, b array<double>, d string")
+    with pytest.raises(ValueError):
+        nest_lists(sdf, columns=["b", "d"], name="nested")
+
+
+def test_query_backtick_special_nested_field_parity(ref, spark):
+    """Backticked non-identifier nested field names in query (reference
+    test_query_on_non_identifier_columns, GH#176)."""
+    import pandas as _pd
+
+    rnf = ref.NestedFrame({"dog": [1, 2, 3], "good dog": [2, 4, 6]},
+                          index=[0, 1, 2])
+    rchild = _pd.DataFrame(
+        {"n/a": [0, 2, 4, 1, 4, 3, 1, 4, 1], "n/b": [5, 4, 7, 5, 3, 1, 9, 3, 4]},
+        index=[0, 0, 0, 1, 1, 1, 2, 2, 2])
+    rnf = rnf.join_nested(rchild, "bad dog")
+    r_kept = int(rnf.query("`bad dog`.`n/a` > 2")["bad dog"].nest["n/a"].size)
+
+    from nested_pandas_spark import NestedFrame
+
+    sbase = spark.createDataFrame([(0, 1, 2), (1, 2, 4), (2, 3, 6)],
+                                  "id long, dog long, `good dog` long")
+    schild = spark.createDataFrame(
+        [(0, 0, 5), (0, 2, 4), (0, 4, 7), (1, 1, 5), (1, 4, 3), (1, 3, 1),
+         (2, 1, 9), (2, 4, 3), (2, 1, 4)],
+        "id long, `n/a` long, `n/b` long")
+    snf = NestedFrame(sbase).join_nested(schild, "bad dog", on="id")
+    out = snf.query("`bad dog`.`n/a` > 2")
+    s_kept = sum(0 if r["bad dog"] is None else len(r["bad dog"])
+                 for r in out.df.collect())
+    assert s_kept == r_kept == 4
