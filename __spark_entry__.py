@@ -4301,6 +4301,30 @@ def q206_pq_adc_scores(spark, sf):
     )
 
 
+def q207_reduction_filter(spark, sf):
+    """Global Series reductions in the expression language
+    (``nestedframe/expr.py`` ``_REDUCTION_MAP`` +
+    ``core._bind_reductions``; reference pandas-eval semantics,
+    test_nestedframe.py:2406 test_eval_funcs / :2420
+    test_mixed_eval_funcs): ``items.l_quantity.mean()`` runs ONE
+    distributed aggregate over the flat series (map-side partials) and
+    folds the scalar into the element predicate as a literal — so the
+    filter still pushes down to the lineitem scan under the pending
+    pack. ``o_orderkey.count()`` exercises the base-column reduction."""
+    ndf = _orders_items(spark, sf)
+    ndf = ndf.query("items.l_quantity > items.l_quantity.mean()")
+    ndf = ndf.eval("n_ord = o_orderkey.count()")
+    return ndf.df.select(
+        "o_orderkey",
+        F.size("items").cast("long").alias("n_above"),
+        F.expr(
+            "CAST(ROUND(aggregate(items, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x.l_quantity) * 100) AS BIGINT)"
+        ).alias("qty_sum"),
+        F.col("n_ord").cast("long").alias("n_ord"),
+    )
+
+
 def q204_wordpiece_encode_vocab(spark, sf):
     """WordPiece scale-path encoding (pipeline/wordpiece.py
     wordpiece_encode_vocab): identical semantics to q196 but through the
@@ -4749,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
         "q205_ivf_append": q205_ivf_append,
         "q206_pq_adc_scores": q206_pq_adc_scores,
+        "q207_reduction_filter": q207_reduction_filter,
         "q37_salted_pack": q37_salted_pack,
         "q38_text_scrub": q38_text_scrub,
         "q39_pq_topk": q39_pq_topk,
@@ -9934,6 +9959,21 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT)
                        AS adc_rank
             FROM adc
+        """,
+        "q207_reduction_filter": """
+            WITH m AS (SELECT avg(l_quantity) AS mq FROM lineitem),
+                 n AS (SELECT count(o_orderkey) AS n_ord FROM orders)
+            SELECT o.o_orderkey,
+                   CAST(NULLIF(count(CASE WHEN l.l_quantity > m.mq
+                                          THEN 1 END), 0) AS BIGINT)
+                       AS n_above,
+                   CAST(ROUND(sum(CASE WHEN l.l_quantity > m.mq
+                                       THEN l.l_quantity END) * 100)
+                        AS BIGINT) AS qty_sum,
+                   CAST(n.n_ord AS BIGINT) AS n_ord
+            FROM orders o LEFT JOIN lineitem l ON o_orderkey = l_orderkey,
+                 m, n
+            GROUP BY o.o_orderkey, n.n_ord
         """,
         "q38_text_scrub": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS x FROM documents),
