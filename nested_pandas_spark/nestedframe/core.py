@@ -947,7 +947,8 @@ class NestedFrame:
     # -- aggregation ------------------------------------------------------
     def count_nested(self, nest: str, by: str | None = None,
                      values: list[str] | None = None, join: bool = True,
-                     max_values: int | None = None) -> "NestedFrame":
+                     max_values: int | None = None,
+                     dropna: bool = False) -> "NestedFrame":
         if nest in self._pending and join:
             # compute counts in the pack's own groupBy (collect_list prunes
             # away if the array itself is never consumed downstream)
@@ -966,6 +967,7 @@ class NestedFrame:
                     values = aggregates.discover_values(
                         disc, F.col(quote(by)),
                         f"count_nested(by={by!r})", max_values,
+                        on_null="ignore" if dropna else "raise",
                     )
                 for v in values:
                     lit = _sql_literal(str(v))
@@ -976,7 +978,8 @@ class NestedFrame:
                     )
             return NestedFrame(self._base_df, {**self._pending, nest: spec})
         return self._wrap(aggregates.count_nested(
-            self._df, nest, by, values, join, max_values=max_values))
+            self._df, nest, by, values, join, max_values=max_values,
+            dropna=dropna))
 
     def min(self, columns: list[str] | None = None,
             exclude_nest: bool = False) -> DataFrame:

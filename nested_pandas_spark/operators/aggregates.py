@@ -38,16 +38,24 @@ DEFAULT_MAX_PIVOT_VALUES = 256
 
 
 def discover_values(df: DataFrame, col, what: str,
-                    max_values: int | None) -> list:
+                    max_values: int | None,
+                    on_null: str = "ignore") -> list:
     """Distinct non-null values of ``col``, sorted — the category set for
     a pivot-to-columns operator. Fetches at most ``max_values + 1``
     distinct values (LIMIT is pushed below the collect, so a runaway
     column never floods the driver) and raises with guidance when the cap
-    is exceeded."""
+    is exceeded. ``on_null="raise"`` reports a NULL category value instead
+    of silently skipping it (reference count_nested dropna semantics,
+    GH#494)."""
     limit = DEFAULT_MAX_PIVOT_VALUES if max_values is None else int(max_values)
     if limit < 1:
         raise ValueError("max_values must be >= 1")
     rows = df.select(col).distinct().limit(limit + 1).collect()
+    if on_null == "raise" and any(r[0] is None for r in rows):
+        raise ValueError(
+            f"{what}: the by-column contains null values — pass dropna=True "
+            "to ignore them (reference nested-pandas GH#494 semantics)"
+        )
     vals = sorted(r[0] for r in rows if r[0] is not None)
     if len(vals) > limit:
         raise ValueError(
@@ -67,6 +75,7 @@ def count_nested(
     values: list[str] | None = None,
     join: bool = True,
     max_values: int | None = None,
+    dropna: bool = False,
 ) -> DataFrame:
     """Per-row element count of a nested column, optionally split by a
     categorical sub-column (one zero-filled count column per category).
@@ -87,6 +96,7 @@ def count_nested(
             F.explode(F.expr(f"transform({quote(nest)}, __x -> __x.{quote(by)})")),
             f"count_nested(by={by!r})",
             max_values,
+            on_null="ignore" if dropna else "raise",
         )
     for v in values:
         lit = _sql_literal(str(v))

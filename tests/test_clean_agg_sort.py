@@ -346,3 +346,33 @@ def test_percentile_label_collision_raises(spark):
         describe(df, columns=["v"], percentiles=[0.124, 0.125])
     with _pytest.raises(ValueError):
         group_describe(df, by="g", percentiles=[0.124, 0.125])
+
+
+def test_count_nested_null_by_raises_and_dropna(spark):
+    """NULL values in the by-column are reported, not silently dropped;
+    dropna=True opts into ignoring them (reference utils test
+    test_count_nested_by_with_nulls, GH#494)."""
+    from nested_pandas_spark import NestedFrame
+
+    base = spark.createDataFrame([(0, 1), (1, 2)], "id long, a long")
+    child = spark.createDataFrame(
+        [(0, 1.0, None), (0, 2.0, "g"), (0, 3.0, "r"),
+         (1, 4.0, "g"), (1, 5.0, "r"), (1, 6.0, "g")],
+        "id long, flux double, band string")
+    nf = NestedFrame(base).join_nested(child, "nested", on="id")
+    with pytest.raises(ValueError, match="null values"):
+        nf.count_nested("nested", by="band")
+    out = nf.count_nested("nested", by="band", dropna=True)
+    rows = {r["id"]: (r["n_nested_g"], r["n_nested_r"])
+            for r in out.df.collect()}
+    assert rows == {0: (1, 1), 1: (2, 1)}
+    # the lazy (pending-pack) path enforces the same contract
+    lazy = NestedFrame(base).join_nested(child, "nested", on="id")
+    assert lazy._pending  # still pending
+    with pytest.raises(ValueError, match="null values"):
+        lazy.count_nested("nested", by="band").df.columns
+    lazy2 = NestedFrame(base).join_nested(child, "nested", on="id")
+    out2 = lazy2.count_nested("nested", by="band", dropna=True)
+    rows2 = {r["id"]: (r["n_nested_g"], r["n_nested_r"])
+             for r in out2.df.collect()}
+    assert rows2 == rows
