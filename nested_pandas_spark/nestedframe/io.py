@@ -309,19 +309,53 @@ def to_struct_of_lists(df: DataFrame, columns: list[str] | None = None) -> DataF
     return df
 
 
+def _dnf_filters_to_sql(filters) -> str:
+    """pyarrow DNF filter tuples -> one SQL predicate.
+
+    ``[(col, op, val), ...]`` is a conjunction; ``[[...], [...]]`` is an
+    OR of conjunctions (the exact grammar pyarrow's ``filters=`` takes,
+    which the reference forwards — reference ``io.py:344``).
+    """
+    from .expr import _sql_literal
+
+    def _one(t) -> str:
+        if not (isinstance(t, (list, tuple)) and len(t) == 3):
+            raise ValueError(f"filters: expected (column, op, value), got {t!r}")
+        col, op, val = t
+        q = "`" + str(col).replace("`", "``") + "`"
+        op = {"=": "=", "==": "=", "!=": "!=", "<": "<", "<=": "<=",
+              ">": ">", ">=": ">="}.get(op, op)
+        if op in ("in", "not in"):
+            items = ", ".join(_sql_literal(v) for v in val)
+            return f"({q} {'NOT ' if op == 'not in' else ''}IN ({items}))"
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"filters: unsupported op {op!r}")
+        return f"({q} {op} {_sql_literal(val)})"
+
+    conj = lambda ts: "(" + " AND ".join(_one(t) for t in ts) + ")"  # noqa: E731
+    if all(isinstance(t, (list, tuple)) and len(t) == 3
+           and isinstance(t[0], str) for t in filters):
+        return conj(filters)
+    return "(" + " OR ".join(conj(group) for group in filters) + ")"
+
+
 def read_parquet(
     spark: SparkSession,
     path: str | list[str],
     columns: list[str] | None = None,
     reject_nesting: str | list[str] | None = None,
     autocast_list: bool = False,
-    filters: str | None = None,
+    filters: object = None,
     cache_dir: str | None = None,
 ) -> DataFrame:
     """Read parquet with nested-column selection and auto-casting.
 
-    ``filters``: SQL predicate applied right after the scan (reference
-    ``io.py:344`` filters kwarg); Catalyst pushes it into the parquet read.
+    ``filters``: SQL predicate string OR pyarrow-style DNF tuples —
+    ``[("z", "<", 0.5)]`` (conjunction) or ``[[(...), (...)], [...]]``
+    (OR of conjunctions), exactly what the reference's ``read_parquet``
+    accepts (reference ``io.py:344`` filters kwarg, GH#492 allows
+    filtering on columns NOT in ``columns=``); applied right after the
+    scan, so Catalyst pushes it into the parquet read.
 
     ``columns`` may mix base names and dotted ``"nested.field"`` selections;
     dotted selections are re-packed under their nest (partial load,
@@ -346,8 +380,10 @@ def read_parquet(
         [path] if isinstance(path, str) else list(path), cache_dir, top_cols
     )
     df = _read_with_fs_hint(spark, paths)
-    if filters:
-        df = df.where(filters)
+    if filters is not None and not (isinstance(filters, (list, tuple))
+                                    and len(filters) == 0):
+        df = df.where(filters if isinstance(filters, str)
+                      else _dnf_filters_to_sql(filters))
 
     # auto-cast nested-pandas struct-of-lists layout
     sol = _struct_of_lists_cols(df, reject)

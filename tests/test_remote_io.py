@@ -174,3 +174,57 @@ def test_local_paths_untouched(spark, objects, tmp_path):
     p = str(tmp_path / "local.parquet")
     objects.write.mode("overwrite").parquet(p)
     assert read_parquet(spark, p).count() == objects.count()
+
+
+def test_read_parquet_dnf_filters(spark, tmp_path):
+    """pyarrow-style DNF tuple filters (reference io.py:344 / GH#492):
+    filtering works on columns NOT in columns=, conjunctions AND,
+    list-of-lists OR, and the predicate reaches the scan."""
+    import pyspark.sql.functions as F
+
+    from nested_pandas_spark.nestedframe.io import read_parquet
+
+    p = str(tmp_path / "f.parquet")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("z"),
+        (F.col("id") * 2).alias("a"),
+    ).write.parquet(p)
+
+    out = read_parquet(spark, p, columns=["a"], filters=[("z", "<", 5)])
+    assert out.columns == ["a"]
+    assert out.count() == 50
+
+    out2 = read_parquet(
+        spark, p, columns=["a"],
+        filters=[[("z", "<", 2)], [("z", ">", 7), ("id", "<", 50)]])
+    # z in {0,1}: 20 rows; z in {8,9} and id<50: 10 rows
+    assert out2.count() == 30
+
+    out3 = read_parquet(spark, p, filters=[("z", "in", [3, 4])])
+    assert out3.count() == 20
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(z,5)" in plan
+
+
+def test_read_reference_fixed_size_list_files(spark):
+    """The reference's own fixed-size-list test fixtures load with the
+    same nested-column detection (reference test_io.py
+    test_read_parquet_with_fixed_length_struct_list / _list_struct)."""
+    import os
+
+    from nested_pandas_spark import NestedFrame
+    from nested_pandas_spark.nestedframe.io import read_parquet
+
+    base = "/root/reference/tests/fixed_size_list_data"
+    if not os.path.isdir(base):
+        import pytest as _pytest
+
+        _pytest.skip("reference fixtures not present")
+    nf = NestedFrame(read_parquet(spark, f"{base}/mmu-desi.parquet"))
+    assert nf.df.count() == 2 and len(nf.df.columns) == 18
+    assert nf.nested_columns == ["spectrum"]
+    nf2 = NestedFrame(read_parquet(
+        spark, f"{base}/fixed-size-list-struct.parquet"))
+    assert nf2.df.count() == 5 and len(nf2.df.columns) == 3
+    assert nf2.nested_columns == ["fixed_nested"]
