@@ -347,6 +347,7 @@ def read_parquet(
     autocast_list: bool = False,
     filters: object = None,
     cache_dir: str | None = None,
+    use_pandas_metadata: bool = True,
 ) -> DataFrame:
     """Read parquet with nested-column selection and auto-casting.
 
@@ -380,6 +381,21 @@ def read_parquet(
         [path] if isinstance(path, str) else list(path), cache_dir, top_cols
     )
     df = _read_with_fs_hint(spark, paths)
+    if use_pandas_metadata:
+        # Spark has no row index; "the pandas index becomes an explicit key
+        # column" (docs/migration.md). A pandas-written file with an UNNAMED
+        # index serializes it as __index_level_N__ — surface it under
+        # pandas' own reset_index() naming instead of the serialization
+        # artifact (reference restores it as the index,
+        # test_io.py test_use_pandas_metadata / GH#460; named index columns
+        # already carry their name; a metadata-only RangeIndex has no
+        # column at all). use_pandas_metadata=False keeps raw names.
+        levels = [c for c in df.columns
+                  if c.startswith("__index_level_") and c.endswith("__")]
+        for i, c in enumerate(sorted(levels)):
+            new = "index" if len(levels) == 1 else f"level_{i}"
+            if new not in df.columns:
+                df = df.withColumnRenamed(c, new)
     if filters is not None and not (isinstance(filters, (list, tuple))
                                     and len(filters) == 0):
         df = df.where(filters if isinstance(filters, str)

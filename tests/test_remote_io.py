@@ -228,3 +228,35 @@ def test_read_reference_fixed_size_list_files(spark):
         spark, f"{base}/fixed-size-list-struct.parquet"))
     assert nf2.df.count() == 5 and len(nf2.df.columns) == 3
     assert nf2.nested_columns == ["fixed_nested"]
+
+
+def test_read_parquet_pandas_unnamed_index(spark, tmp_path):
+    """A pandas-written file with an unnamed index surfaces it as an
+    'index' column (pandas reset_index naming), not __index_level_0__
+    (reference test_use_pandas_metadata / GH#460: 'the pandas index
+    becomes an explicit key column')."""
+    import pandas as pd
+
+    from nested_pandas_spark.nestedframe.io import read_parquet
+
+    p = str(tmp_path / "u.parquet")
+    df = pd.DataFrame({"a": [1, 2, 3]})
+    df.index = [5, 6, 7]
+    df.to_parquet(p)
+    out = read_parquet(spark, p)
+    assert sorted(out.columns) == ["a", "index"]
+    assert sorted(r["index"] for r in out.collect()) == [5, 6, 7]
+    raw = read_parquet(spark, p, use_pandas_metadata=False)
+    assert "__index_level_0__" in raw.columns
+
+    # named custom index: column keeps its own name in both modes
+    p2 = str(tmp_path / "n.parquet")
+    pd.DataFrame({"a": [1, 2], "custom_idx": [10, 20]}
+                 ).set_index("custom_idx").to_parquet(p2)
+    out2 = read_parquet(spark, p2)
+    assert sorted(out2.columns) == ["a", "custom_idx"]
+
+    # default RangeIndex is metadata-only: nothing leaks
+    p3 = str(tmp_path / "r.parquet")
+    pd.DataFrame({"a": [1, 2]}).to_parquet(p3)
+    assert read_parquet(spark, p3).columns == ["a"]
