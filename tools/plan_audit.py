@@ -101,6 +101,31 @@ def main() -> int:
         "\n".join(pushed[:2]),
     ))
 
+    # -- 2b. reduction-literal pushdown ------------------------------------
+    # a global Series reduction (`items.l_quantity.mean()`) binds to a
+    # literal scalar BEFORE compilation finishes, so the element predicate
+    # it appears in is still an ordinary literal compare — and still pushes
+    # through the pending pack into the child scan
+    nf_red = NestedFrame(orders).join_nested(li, "items", on="o_orderkey")
+    q_red = nf_red.query("items.l_quantity > items.l_quantity.mean()")
+    p2b = explain_str(q_red.df)
+    pushed_red = [
+        ln for ln in p2b.splitlines()
+        if "PushedFilters" in ln and "GreaterThan(l_quantity" in ln
+    ]
+    check("reduction-literal pushdown", bool(pushed_red),
+          "no PushedFilters with GreaterThan(l_quantity,...)")
+    sections.append((
+        "Reduction-literal pushdown",
+        "`query('items.l_quantity > items.l_quantity.mean()')` — the global "
+        "reduction runs as ONE separate distributed aggregate (map-side "
+        "partials, one row to the driver) and folds into the predicate as a "
+        "literal, so the element filter STILL reaches the child parquet "
+        "scan's PushedFilters. A correlated-subquery formulation would have "
+        "blocked pushdown and re-planned the aggregate under the join.",
+        "\n".join(pushed_red[:2]),
+    ))
+
     # -- 3. single-shuffle pack + 4. aggregate pruning ---------------------
     # count-only projection: the nested array itself is unused, so the lazy
     # pack's collect_list must be pruned away entirely
