@@ -4325,6 +4325,31 @@ def q207_reduction_filter(spark, sf):
     )
 
 
+def q208_groupby_agg(spark, sf):
+    """Grouped nested aggregation WITHOUT exploding
+    (``operators/groupby.py`` NestedGroupBy.agg; reference groupby
+    tutorial — where pandas groupby min/mean FAIL on nested columns,
+    this is the Spark-first declarative path): per-row HOF partials
+    (array_min / aggregate / size inside the projection) combine in ONE
+    hash aggregation on the group key — the packed data never explodes
+    and the only shuffle is the groupBy (plan-asserted no-Generate in
+    tests/test_groupby.py)."""
+    ndf = _orders_items(spark, sf)
+    out = ndf.groupby("o_orderpriority").agg({
+        "items.l_quantity": ["min", "max", "mean", "count"],
+        "o_totalprice": "max",
+    })
+    return out.select(
+        "o_orderpriority",
+        "items_l_quantity_min",
+        "items_l_quantity_max",
+        F.round("items_l_quantity_mean", 6).alias("items_l_quantity_mean"),
+        F.col("items_l_quantity_count").cast("long")
+         .alias("items_l_quantity_count"),
+        _e("o_totalprice_max").alias("o_totalprice_max"),
+    )
+
+
 def q204_wordpiece_encode_vocab(spark, sf):
     """WordPiece scale-path encoding (pipeline/wordpiece.py
     wordpiece_encode_vocab): identical semantics to q196 but through the
@@ -4774,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_ivf_append": q205_ivf_append,
         "q206_pq_adc_scores": q206_pq_adc_scores,
         "q207_reduction_filter": q207_reduction_filter,
+        "q208_groupby_agg": q208_groupby_agg,
         "q37_salted_pack": q37_salted_pack,
         "q38_text_scrub": q38_text_scrub,
         "q39_pq_topk": q39_pq_topk,
@@ -9974,6 +10000,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN lineitem l ON o_orderkey = l_orderkey,
                  m, n
             GROUP BY o.o_orderkey, n.n_ord
+        """,
+        "q208_groupby_agg": """
+            SELECT o_orderpriority,
+                   min(l_quantity) AS items_l_quantity_min,
+                   max(l_quantity) AS items_l_quantity_max,
+                   ROUND(sum(l_quantity) / count(l_quantity), 6)
+                       AS items_l_quantity_mean,
+                   CAST(count(l_quantity) AS BIGINT)
+                       AS items_l_quantity_count,
+                   CAST(ROUND(max(o_totalprice) * 100) AS BIGINT)
+                       AS o_totalprice_max
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
         """,
         "q38_text_scrub": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS x FROM documents),

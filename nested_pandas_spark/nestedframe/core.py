@@ -994,6 +994,19 @@ class NestedFrame:
                  exclude_nest: bool = False) -> DataFrame:
         return aggregates.describe(self._df, columns, exact, percentiles, exclude_nest)
 
+    def groupby(self, keys: str | list[str]):
+        """Grouped operations on base-column keys (reference groupby
+        tutorial, ``docs/tutorials/groupby_doc.ipynb``): ``count`` /
+        ``describe`` / ``apply`` match the pandas behaviors; ``min`` /
+        ``max`` / ``mean`` raise TypeError on nested columns exactly as
+        pandas does, with ``agg({'nest.field': 'mean'})`` as the
+        Spark-first alternative that aggregates flat elements per group
+        WITHOUT exploding (per-row HOF partials in one group agg).
+        """
+        from ..operators.groupby import NestedGroupBy
+
+        return NestedGroupBy(self, keys)
+
     def profile(self, columns: list[str] | None = None,
                 exact: bool = True) -> DataFrame:
         """Per-column (dtype, rows, nulls, distinct) in one aggregation
