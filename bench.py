@@ -658,7 +658,14 @@ def main() -> None:
 
     def x_train_clf():
         # distributed full-batch GD: per epoch, one broadcast of dim+1
-        # weights out and one map-side-combined dim+1-row gradient back
+        # weights out and one map-side-combined dim+1-row gradient back.
+        # r8->r10 drift (1.83 -> ~2.5 s) is NOT a code change —
+        # classifier.py has zero commits since r8; at this toy scale the
+        # ~6 chained jobs (feature build + count + 2x(margins, gradient))
+        # are dominated by per-job fixed overhead, which moved with the
+        # host and the round-10 scan-parallelism floor (more, smaller
+        # tasks on an 11 MB input). The scale shape — features built once,
+        # cached, dim+1-row gradients — is unchanged.
         from nested_pandas_spark.pipeline.classifier import (
             train_quality_classifier,
         )
