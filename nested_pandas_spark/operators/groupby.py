@@ -62,19 +62,24 @@ class NestedGroupBy:
     def __init__(self, nf, keys: str | list[str]):
         self._nf = nf
         self._keys = [keys] if isinstance(keys, str) else list(keys)
-        df = nf.df
-        nested = {f.name for f in df.schema.fields if is_nested_type(f.dataType)}
+        nested = set(nf.nested_columns)
         bad = [k for k in self._keys if k in nested]
         if bad:
             raise TypeError(
                 f"Cannot group by nested column(s) {bad} — group by base "
                 "columns, or extract a scalar first (reference groupby rule)"
             )
-        missing = [k for k in self._keys if k not in df.columns]
+        known = set(nf.base_columns) | nested | nf._pending_agg_aliases()
+        missing = [k for k in self._keys if k not in known]
         if missing:
             raise KeyError(f"No such columns: {missing}")
-        self._df = df
         self._nested = nested
+
+    @property
+    def _df(self) -> DataFrame:
+        # materializes pending packs at PLAN level; agg() avoids touching
+        # this entirely when every nested target is still pending
+        return self._nf.df
 
     # -- pandas-parity built-ins ------------------------------------------
     def count(self) -> DataFrame:
@@ -130,26 +135,111 @@ class NestedGroupBy:
         aggregation (the operation pandas groupby fails on for nested
         columns). Output columns are ``{col}_{func}`` with dots as ``_``.
         """
-        aggs: list[Column] = []
+        parsed: list[tuple[str, str, str]] = []  # (col, func, alias)
         for col, funcs in spec.items():
             for func in [funcs] if isinstance(funcs, str) else list(funcs):
                 if func not in _AGG_FUNCS:
                     raise ValueError(
                         f"Unsupported aggregate '{func}' (use one of "
                         f"{_AGG_FUNCS})")
-                alias = f"{col.replace('.', '_')}_{func}"
-                if "." in col and col.split(".", 1)[0] in self._nested:
-                    nest, fld = col.split(".", 1)
-                    aggs.append(
-                        F.expr(_flat_agg_expr(nest, fld, func)).alias(alias))
-                elif col in self._df.columns:
-                    fn = {"mean": "avg"}.get(func, func)
-                    aggs.append(F.expr(f"{fn}({quote(col)})").alias(alias))
-                else:
-                    raise KeyError(f"No such column: {col}")
-        if not aggs:
+                parsed.append((col, func, f"{col.replace('.', '_')}_{func}"))
+        if not parsed:
             raise ValueError("agg spec is empty")
+        flat = self._pending_flat_agg(parsed)
+        if flat is not None:
+            return flat
+        aggs: list[Column] = []
+        for col, func, alias in parsed:
+            if "." in col and col.split(".", 1)[0] in self._nested:
+                nest, fld = col.split(".", 1)
+                if fld not in self._nf.nested_fields(nest):
+                    raise KeyError(
+                        f"Nested column '{nest}' has no field '{fld}'")
+                aggs.append(
+                    F.expr(_flat_agg_expr(nest, fld, func)).alias(alias))
+            elif col in self._df.columns:
+                fn = {"mean": "avg"}.get(func, func)
+                aggs.append(F.expr(f"{fn}({quote(col)})").alias(alias))
+            else:
+                raise KeyError(f"No such column: {col}")
         return self._df.groupBy(*[self._df[k] for k in self._keys]).agg(*aggs)
+
+    def _pending_flat_agg(self, parsed) -> DataFrame | None:
+        """PENDING-pack rewrite: when every nested target's pack is still
+        deferred, aggregate the FLAT child directly — the collect_list
+        arrays are never built at all. Plan: child (pushed preds kept,
+        null-key contract kept) JOIN base(join keys + group keys) →
+        ONE hash agg on the group keys; base-column targets aggregate
+        the base alone (no fan-out through the join); a left join on the
+        group keys stitches the small grouped results. Cell semantics
+        are identical to the packed HOF path — childless groups yield
+        NULL aggregates either way (tests pin both paths equal)."""
+        from .packer import null_key_guard
+
+        nf = self._nf
+        pending = dict(getattr(nf, "_pending", {}) or {})
+        base_df = nf._base_df
+        nested_targets = [(c, f, a) for c, f, a in parsed if "." in c
+                          and c.split(".", 1)[0] in self._nested]
+        base_targets = [(c, f, a) for c, f, a in parsed
+                        if (c, f, a) not in nested_targets]
+        if not nested_targets:
+            return None
+        by_nest: dict[str, list[tuple[str, str, str]]] = {}
+        for c, f, a in nested_targets:
+            by_nest.setdefault(c.split(".", 1)[0], []).append((c, f, a))
+        if not all(n in pending for n in by_nest):
+            return None  # some target already materialized — single-agg path
+        if any(k not in base_df.columns for k in self._keys):
+            return None  # group key is a pending-agg alias etc.
+        if any(c not in base_df.columns for c, _f, _a in base_targets):
+            return None
+        for nest, items in by_nest.items():
+            fields = set(pending[nest].fields())
+            for c, _f, _a in items:
+                fld = c.split(".", 1)[1]
+                if fld not in fields:
+                    raise KeyError(
+                        f"Nested column '{nest}' has no field '{fld}'")
+
+        keys = self._keys
+        if base_targets:
+            spine = base_df.groupBy(*[base_df[k] for k in keys]).agg(*[
+                F.expr(f"{({'mean': 'avg'}.get(f, f))}({quote(c)})").alias(a)
+                for c, f, a in base_targets
+            ])
+        else:
+            spine = base_df.select(*[base_df[k] for k in keys]).distinct()
+        out = spine
+        for nest, items in by_nest.items():
+            sp = pending[nest]
+            child = null_key_guard(sp.child, sp.keys, sp.drop_null_keys)
+            if sp.preds:
+                child = child.where(
+                    " AND ".join(f"({p})" for p in sp.preds))
+            sel = list(dict.fromkeys(list(sp.keys) + keys))
+            joined = child.join(base_df.select(*sel), on=list(sp.keys))
+            aggs = []
+            for c, func, alias in items:
+                fld = quote(c.split(".", 1)[1])
+                dbl = f"sum(CAST({fld} AS DOUBLE))"
+                # NULL alignment with the packed HOF path (pandas
+                # conventions): a group whose elements are all NULL sums
+                # to 0.0 and means to NaN; an entirely childless group is
+                # absent here and arrives NULL via the left join, exactly
+                # like a NULL cell in the packed path
+                expr = {
+                    "min": f"min({fld})",
+                    "max": f"max({fld})",
+                    "sum": f"coalesce({dbl}, CAST(0.0 AS DOUBLE))",
+                    "count": f"count({fld})",
+                    "mean": (f"CASE WHEN count({fld}) = 0 THEN double('NaN') "
+                             f"ELSE {dbl} / count({fld}) END"),
+                }[func]
+                aggs.append(F.expr(expr).alias(alias))
+            grouped = joined.groupBy(*keys).agg(*aggs)
+            out = out.join(grouped, on=keys, how="left")
+        return out.select(*keys, *[a for _c, _f, a in parsed])
 
     def apply(self, func: Callable, schema: str | T.StructType) -> DataFrame:
         """Custom per-group function via ``applyInPandas`` (the tutorial's

@@ -91,3 +91,73 @@ def test_groupby_apply(grouped_frame):
 def test_groupby_missing_key_raises(grouped_frame):
     with pytest.raises(KeyError):
         grouped_frame.groupby("nope")
+
+
+def test_groupby_agg_pending_flat_path(spark):
+    """On a PENDING pack, agg aggregates the flat child directly — the
+    plan contains NO collect_list — and every value (incl. the all-NULL
+    and childless edge groups) equals the materialized HOF path."""
+    import math
+
+    base = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)], "id long, c long")
+    child = spark.createDataFrame(
+        [(0, 5.0), (0, 6.0), (1, None), (2, 8.0), (3, None)],
+        "id long, flux double")
+    # group 2 (id 4) is entirely childless; group 1 has id3 all-null
+    lazy = NestedFrame(base).join_nested(child, "nested", on="id")
+    assert lazy._pending
+    flat_out = lazy.groupby("c").agg(
+        {"nested.flux": ["min", "max", "sum", "mean", "count"]})
+    plan = flat_out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+    eager = NestedFrame(lazy.df)  # materialized packs -> HOF path
+    hof_out = eager.groupby("c").agg(
+        {"nested.flux": ["min", "max", "sum", "mean", "count"]})
+
+    def norm(df):
+        rows = {}
+        for r in df.collect():
+            rows[r["c"]] = tuple(
+                "NaN" if isinstance(v, float) and math.isnan(v) else v
+                for v in (r["nested_flux_min"], r["nested_flux_max"],
+                          r["nested_flux_sum"], r["nested_flux_mean"],
+                          r["nested_flux_count"]))
+        return rows
+
+    f, h = norm(flat_out), norm(hof_out)
+    assert f == h
+    assert f[0] == (5.0, 6.0, 11.0, 5.5, 2)
+    assert f[1] == (8.0, 8.0, 8.0, 8.0, 1)
+    assert f[2] == (None, None, None, None, None)  # childless group
+
+
+def test_groupby_agg_pending_with_pushed_pred(spark):
+    """Pushed query() predicates on the pending pack are honored by the
+    flat path."""
+    base = spark.createDataFrame([(0, 0), (1, 0), (2, 1)], "id long, c long")
+    child = spark.createDataFrame(
+        [(0, 1.0), (0, 10.0), (1, 20.0), (2, 2.0)], "id long, flux double")
+    lazy = (NestedFrame(base).join_nested(child, "nested", on="id")
+            .query("nested.flux > 5"))
+    out = {r["c"]: (r["nested_flux_count"], r["nested_flux_sum"])
+           for r in lazy.groupby("c").agg(
+               {"nested.flux": ["count", "sum"]}).collect()}
+    assert out == {0: (2, 30.0), 1: (None, None)}
+
+
+def test_groupby_agg_pending_mixed_base_targets(spark):
+    """Base-column aggregates ride the base alone (no fan-out through the
+    child join), stitched to the flat nested aggs."""
+    base = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, 3.0), (2, 1, 5.0)], "id long, c long, a double")
+    child = spark.createDataFrame(
+        [(0, 2.0), (0, 4.0), (1, 6.0)], "id long, flux double")
+    lazy = NestedFrame(base).join_nested(child, "nested", on="id")
+    out = {r["c"]: (r["a_mean"], r["nested_flux_mean"])
+           for r in lazy.groupby("c").agg(
+               {"a": "mean", "nested.flux": "mean"}).collect()}
+    # a_mean group 0 = (1+3)/2 = 2.0 (NOT weighted by child count)
+    assert out[0] == (2.0, 4.0)
+    assert out[1][0] == 5.0 and out[1][1] is None

@@ -475,9 +475,25 @@ def main() -> int:
             finally:
                 _sh.rmtree(out, ignore_errors=True)
 
+        def groupby_nested_agg():
+            li = t(d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+            ndf = NestedFrame(t(d, "orders")).join_nested(li, "items",
+                                                          on="o_orderkey")
+            ndf.groupby("o_orderpriority").agg(
+                {"items.l_quantity": ["min", "mean", "count"]}).collect()
+
+        def reduction_filter():
+            li = t(d, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+            ndf = NestedFrame(t(d, "orders")).join_nested(li, "items",
+                                                          on="o_orderkey")
+            ndf.query("items.l_quantity > items.l_quantity.mean()") \
+                .df.select(F.sum(F.size("items"))).collect()
+
         return {
             "pack_count": pack_count,
             "element_filter": element_filter,
+            "groupby_nested_agg": groupby_nested_agg,
+            "reduction_filter": reduction_filter,
             "exact_dedup": exact_dd,
             "minhash_lsh": minhash,
             "strip_lines": strip_lines,
