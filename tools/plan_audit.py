@@ -126,6 +126,28 @@ def main() -> int:
         "\n".join(pushed_red[:2]),
     ))
 
+    # -- 2c. grouped nested aggregation without arrays ---------------------
+    # groupby(...).agg({'items.l_quantity': 'mean'}) on a PENDING pack must
+    # aggregate the flat child directly: no collect_list anywhere in the plan
+    nf_gb = NestedFrame(orders).join_nested(li, "items", on="o_orderkey")
+    gb_df = nf_gb.groupby("o_orderpriority").agg(
+        {"items.l_quantity": ["min", "mean", "count"]})
+    p2c = explain_str(gb_df)
+    check("groupby flat-path no arrays", "collect_list" not in p2c,
+          "collect_list present in grouped-agg plan")
+    sections.append((
+        "Grouped nested aggregation without arrays",
+        "`groupby('o_orderpriority').agg({'items.l_quantity': 'mean'})` on a "
+        "pending pack never builds the packed arrays: the flat child joins "
+        "the base keys and ONE hash aggregation computes every statistic — "
+        "no collect_list in the plan. At 100 TB this removes the pack "
+        "shuffle's array materialization entirely for aggregate-only "
+        "consumers.",
+        "\n".join(ln for ln in p2c.splitlines()
+                  if "HashAggregate" in ln or "Exchange" in ln)[:900]
+        or "(no aggregate/exchange lines captured)",
+    ))
+
     # -- 3. single-shuffle pack + 4. aggregate pruning ---------------------
     # count-only projection: the nested array itself is unused, so the lazy
     # pack's collect_list must be pruned away entirely
