@@ -4783,6 +4783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the newest gated surface gets the hard external signal;
         # the displaced q37-q50 stay fully covered by the all-query
         # CORRECTNESS_full artifact (tools/compare_oracle.py --json).
+        # round-10 continuation: newest gated surfaces rotated into the
+        # driver's first-50 sample (the full gate covers all queries)
+        "q206_pq_adc_scores": q206_pq_adc_scores,
+        "q207_reduction_filter": q207_reduction_filter,
+        "q208_groupby_agg": q208_groupby_agg,
         "q177_unigram_encode": q177_unigram_encode,
         "q190_byte_bpe_train": q190_byte_bpe_train,
         "q191_byte_bpe_encode": q191_byte_bpe_encode,
@@ -4797,9 +4802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_pack_whole_docs": q203_pack_whole_docs,
         "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
         "q205_ivf_append": q205_ivf_append,
-        "q206_pq_adc_scores": q206_pq_adc_scores,
-        "q207_reduction_filter": q207_reduction_filter,
-        "q208_groupby_agg": q208_groupby_agg,
         "q37_salted_pack": q37_salted_pack,
         "q38_text_scrub": q38_text_scrub,
         "q39_pq_topk": q39_pq_topk,
