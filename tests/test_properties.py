@@ -444,3 +444,62 @@ def test_span_corrupt_reconstruction_property(spark):
                    .collect()[0]["text"].lower().split() if w]
             assert rebuilt == doc
     df.unpersist()
+
+
+@given(rows=child_rows)
+@SETTINGS
+def test_global_reduction_matches_python(spark, rows):
+    """eval('m = nested.v.mean()') equals the Python mean of ALL elements,
+    and the reduction-literal query equals prefiltering with that mean."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, v double, band string")
+    nf = NestedFrame(pack(df, "nested", on="id"))
+    vals = [v for _k, v, _b in rows]
+    want_mean = sum(vals) / len(vals)
+    got = {r["m"] for r in nf.eval("m = nested.v.mean()").df
+           .select("m").collect()}
+    assert len(got) == 1
+    assert next(iter(got)) == pytest.approx(want_mean)
+
+    kept = nf.query("nested.v > nested.v.mean()")
+    got_elems = sorted(
+        round(e["v"], 9)
+        for r in kept.df.collect() if r["nested"] is not None
+        for e in r["nested"])
+    want_elems = sorted(round(v, 9) for v in vals if v > want_mean)
+    assert got_elems == want_elems
+
+
+@given(rows=child_rows)
+@SETTINGS
+def test_groupby_flat_path_equals_hof_path(spark, rows):
+    """groupby().agg on a PENDING pack (flat-child path) is value-identical
+    to the materialized HOF path for every aggregate, on arbitrary data —
+    including childless groups and every group-cardinality shape."""
+    if not rows:
+        return
+    base = spark.createDataFrame(
+        [(k, k % 2) for k in range(5)], "id long, grp long")
+    child = spark.createDataFrame(rows, "id long, v double, band string")
+    spec = {"nested.v": ["min", "max", "sum", "mean", "count"]}
+
+    lazy = NestedFrame(base).join_nested(child, "nested", on="id")
+    assert lazy._pending
+    flat_rows = lazy.groupby("grp").agg(spec).collect()
+
+    eager = NestedFrame(lazy.df)
+    hof_rows = eager.groupby("grp").agg(spec).collect()
+
+    def norm(rs):
+        out = {}
+        for r in rs:
+            out[r["grp"]] = tuple(
+                "NaN" if isinstance(x, float) and math.isnan(x)
+                else (round(x, 9) if isinstance(x, float) else x)
+                for x in (r["nested_v_min"], r["nested_v_max"],
+                          r["nested_v_sum"], r["nested_v_mean"],
+                          r["nested_v_count"]))
+        return out
+
+    assert norm(flat_rows) == norm(hof_rows)
