@@ -4350,6 +4350,29 @@ def q208_groupby_agg(spark, sf):
     )
 
 
+def q209_dnf_filters(spark, sf):
+    """pyarrow-style DNF tuple filters on read_parquet
+    (``nestedframe/io.py::_dnf_filters_to_sql``; the reference forwards
+    pyarrow's filters= grammar, GH#492 allows filtering on columns NOT
+    in columns=): OR of conjunctions translated to ONE SQL predicate
+    that Catalyst pushes into the parquet scan (PushedFilters-asserted
+    in tests/test_remote_io.py). l_returnflag is filtered but NOT
+    loaded."""
+    from nested_pandas_spark.nestedframe.io import read_parquet as _rp
+
+    out = _rp(
+        spark, f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        filters=[[("l_quantity", "<", 5.0)],
+                 [("l_quantity", ">", 45.0), ("l_returnflag", "==", "A")]],
+    )
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_quantity",
+    )
+
+
 def q204_wordpiece_encode_vocab(spark, sf):
     """WordPiece scale-path encoding (pipeline/wordpiece.py
     wordpiece_encode_vocab): identical semantics to q196 but through the
@@ -4788,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_pq_adc_scores": q206_pq_adc_scores,
         "q207_reduction_filter": q207_reduction_filter,
         "q208_groupby_agg": q208_groupby_agg,
+        "q209_dnf_filters": q209_dnf_filters,
         "q177_unigram_encode": q177_unigram_encode,
         "q190_byte_bpe_train": q190_byte_bpe_train,
         "q191_byte_bpe_encode": q191_byte_bpe_encode,
@@ -10015,6 +10039,13 @@ def oracle_sql() -> dict[str, str]:
                        AS o_totalprice_max
             FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "q209_dnf_filters": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity
+            FROM lineitem
+            WHERE l_quantity < 5.0
+               OR (l_quantity > 45.0 AND l_returnflag = 'A')
         """,
         "q38_text_scrub": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS x FROM documents),
