@@ -384,6 +384,15 @@ def kmeans_refine(
     if persisted:
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cents = seeds
+    # the per-dimension sums ride in ONE parsed expression: dim separate
+    # F.sum(F.col("__v")[i]) Columns cost a py4j round trip each (~0.6 s
+    # of pure driver time per round at dim=64) and re-enter analysis as
+    # dim independent aggregate columns. array(sum(...), ...) is the same
+    # dim aggregate functions (bit-identical per-sum folds) assembled
+    # into one result array by a single driver call.
+    sums_expr = F.expr(
+        "array(" + ",".join(f"sum(__v[{i}])" for i in range(dim)) + ")"
+    ).alias("__sums")
     for _ in range(n_iters):
         assigned = with_nearest_ids(
             base, F.col("__v"), cents, 1, "__cids", metric
@@ -391,10 +400,7 @@ def kmeans_refine(
         rows = (
             assigned
             .groupBy("__cid")
-            .agg(
-                F.count("*").alias("__n"),
-                *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)],
-            )
+            .agg(F.count("*").alias("__n"), sums_expr)
             .collect()
         )
         by_cid = {r["__cid"]: r for r in rows}
@@ -403,8 +409,8 @@ def kmeans_refine(
             r = by_cid.get(c)
             if r and r["__n"]:
                 nxt.append(
-                    (c, [_round_half_up(r[f"s{i}"] / r["__n"], decimals)
-                         for i in range(dim)])
+                    (c, [_round_half_up(s / r["__n"], decimals)
+                         for s in r["__sums"]])
                 )
             else:
                 nxt.append((c, old))
@@ -754,8 +760,13 @@ def _pq_refine_fused(
             .groupBy("s", "cid")
             .agg(
                 F.count("*").alias("__n"),
-                *[F.sum(F.col("sv")[i]).alias(f"s{i}")
-                  for i in range(d_sub)],
+                # one parsed expression for all d_sub sums (the
+                # kmeans_refine py4j lesson); per-sum folds unchanged
+                F.expr(
+                    "array("
+                    + ",".join(f"sum(sv[{i}])" for i in range(d_sub))
+                    + ")"
+                ).alias("__sums"),
             )
             .collect()
         )
@@ -766,8 +777,8 @@ def _pq_refine_fused(
                 r = by.get((s, cid))
                 if r and r["__n"]:
                     nxt.append(
-                        [_round_half_up(r[f"s{i}"] / r["__n"], decimals)
-                         for i in range(d_sub)]
+                        [_round_half_up(sv / r["__n"], decimals)
+                         for sv in r["__sums"]]
                     )
                 else:
                     nxt.append(old)
