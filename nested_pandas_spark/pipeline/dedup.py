@@ -1329,18 +1329,30 @@ def winnow_near_pairs(
                             id_col=id_col, text_col=text_col)
         .select(F.col(id_col), "fp").distinct()
     )
+    # group-and-enumerate instead of a posting self-join (the
+    # lsh_candidate_pairs shape): a join would scan the corpus and run
+    # the winnowing HOF pass TWICE (once per side, no exchange reuse),
+    # and the max_posting pre-count was a third pass. One aggregation
+    # per fingerprint folds all three: the posting list is the group,
+    # its size is the max_posting guard, and in-array enumeration emits
+    # each shared-fingerprint pair exactly once (ids are distinct within
+    # a posting because fps is distinct). Posting sizes are bounded by
+    # max_posting, so the quadratic enumeration stays per-posting-tiny.
+    groups = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     if max_posting is not None:
-        ok = (fps.groupBy("fp")
-              .agg(F.count(F.lit(1)).alias("__df"))
-              .where(F.col("__df") <= int(max_posting))
-              .select("fp"))
-        fps = fps.join(ok, "fp", "left_semi")
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+        groups = groups.where(F.size("ids") <= int(max_posting))
+    pairs_sql = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, "fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        groups.select(F.explode(F.expr(pairs_sql)).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
