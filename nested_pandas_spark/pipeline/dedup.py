@@ -223,6 +223,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """
     import os
 
+    if df.isStreaming:
+        # no inputFiles() on a streaming frame, and micro-batch
+        # parallelism is the source's concern — leave it alone
+        return df
     spark = df.sparkSession
     from ..session import default_parallelism
 

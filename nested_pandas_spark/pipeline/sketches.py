@@ -103,10 +103,19 @@ def hll_registers(
     """
     c = F.col(value) if isinstance(value, str) else value
     keys = list(by or [])
-    idx, rho = _hll_cols(c, b)
+    # widen BEFORE hashing: the md5/conv/regexp register computation is
+    # CPU-bound per row, and a small parquet arrives as one split — the
+    # same guard the dedup shingle stages use (_ensure_parallelism is a
+    # no-op once the scan splits naturally). Projected to (keys, value)
+    # first so the rescue shuffle carries narrow rows only.
+    from .dedup import _ensure_parallelism
+
+    rows = _ensure_parallelism(
+        df.where(c.isNotNull()).select(*keys, c.alias("__hll_v"))
+    )
+    idx, rho = _hll_cols(F.col("__hll_v"), b)
     return (
-        df.where(c.isNotNull())
-        .select(*keys, idx, rho)
+        rows.select(*keys, idx, rho)
         .groupBy(*keys, "reg_idx")
         .agg(F.max("rho").alias("rho"))
     )
@@ -210,10 +219,18 @@ def cms_sketch(
         raise ValueError("depth and width must be >= 1")
     c = F.col(value) if isinstance(value, str) else value
     keys = list(by or [])
-    rows = df.where(c.isNotNull()).select(
+    # widen BEFORE hashing (the hll_registers guard): depth md5s per row
+    # on a single-split input would run one-wide — measured 5x at sf0.1
+    from .dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(
+        df.where(c.isNotNull()).select(*keys, c.alias("__cms_v"))
+    )
+    cv = F.col("__cms_v")
+    rows = base.select(
         *keys,
         F.posexplode(
-            F.array(*[_cms_idx(c, d, width) for d in range(depth)])
+            F.array(*[_cms_idx(cv, d, width) for d in range(depth)])
         ).alias("d", "w_idx"),
     )
     return rows.groupBy(*keys, "d", "w_idx").agg(
