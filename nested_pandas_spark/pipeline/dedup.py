@@ -1144,16 +1144,11 @@ def dedup_passages(
 
     Scale shape: the corpus expands to ~``n_tokens/stride`` occurrence
     rows of (id, start, 32-char hash) — hashes shuffle, text never does.
-    Passage count and canonical owner are WINDOW aggregates over the
-    passage hash — ONE shuffle and ONE expansion pass (the former
-    groupBy + join-back shuffled the occurrences twice and ran the
-    tokenize+md5 expansion once per join side); the final span join is
-    doc-grain. A passage repeated millions of times serializes its
-    occurrence rows through one window task (~50 B each, spilling
-    ExternalAppendOnlyUnsafeRowArray — a straggler, not an OOM);
-    boilerplate that hot should be stripped first
-    (``strip_boilerplate_lines``), the same valve as ``max_posting``
-    elsewhere. The 128-bit key is deliberate: at 10^12 windows a 64-bit
+    The passage-count aggregation is a partial-agg ``groupBy`` (map-side
+    combine keeps a boilerplate passage repeated millions of times from
+    hot-spotting one reducer); the occurrence->dup join re-shuffles on the
+    same key (AQE splits residual skew), and the final span join is
+    doc-grain. The 128-bit key is deliberate: at 10^12 windows a 64-bit
     key would birthday-collide and silently delete non-duplicate text.
     ``stride > 1`` divides the expansion cost but only catches passages
     aligned to the stride — the standard recall/cost dial.
@@ -1194,25 +1189,20 @@ def dedup_passages(
             F.expr(f"array_join(slice(__toks, __start + 1, {window}), ' ')")
         ).alias("__h"),
     )
-    # passage count and canonical owner as WINDOW aggregates over the
-    # same key the old groupBy used: a groupBy + join-back shuffles occ
-    # twice AND re-runs the tokenize+md5 expansion once per side (the
-    # occurrence sub-plan is not reused across a self-join). One window
-    # partitioned by __h computes the identical per-passage count and
-    # min(struct) with a single expansion pass and a single shuffle
-    # (guide: a window keyed like the preceding aggregation needs no
-    # second exchange). Occurrence rows are (id, start, hash) only --
-    # text never enters the window shuffle, same as before.
-    from pyspark.sql import Window
-
-    wh = Window.partitionBy("__h")
+    agg = (
+        occ.groupBy("__h")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min(F.struct("__id", "__start")).alias("__owner"),
+        )
+        .where(F.col("__c") >= min_count)
+        .select("__h", "__owner")
+    )
     removed = (
-        occ.withColumn("__c", F.count("*").over(wh))
-        .withColumn("__owner", F.min(F.struct("__id", "__start")).over(wh))
+        occ.join(agg, "__h")
         .where(
-            (F.col("__c") >= min_count)
-            & ~((F.col("__id") == F.col("__owner.__id"))
-                & (F.col("__start") == F.col("__owner.__start")))
+            ~((F.col("__id") == F.col("__owner.__id"))
+              & (F.col("__start") == F.col("__owner.__start")))
         )
         .groupBy("__id")
         .agg(F.collect_list("__start").alias("__starts"))
