@@ -13,15 +13,18 @@ Adjacent masked tokens merge into one span (the run-collapse that makes
 this *span* corruption rather than i.i.d. token masking). Everything is
 replayable bit-for-bit in DuckDB, so the operator is oracle-gated.
 
-Scale: one exchange. Tokens are windowed and re-grouped on the SAME key
-(``id_col``), so Catalyst reuses the window's hash partitioning for the
-final ``groupBy`` — the plan has a single Exchange regardless of corpus
-size, and state per document is its own token list only.
+Scale: ZERO exchanges. The whole computation is per-document, so it runs
+as array higher-order functions over each document's own token list — no
+explode, no window, no re-group, nothing shuffles (round 10 rewrote the
+original explode + window + collect_list plan, which pushed the corpus's
+full token volume through one Exchange). Per-document cost is O(tokens):
+masked runs are enumerated once (``__starts``) and each inter-start
+segment is sliced exactly once.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import words
@@ -49,83 +52,89 @@ def span_corrupt(
     ``<extra_id_k>`` (k in document order, 0-based).
     ``target_text``: ``<extra_id_0> hid tokens <extra_id_1> ... <extra_id_n>``
     — the final sentinel closes the target, per the T5 convention.
+
+    Zero-shuffle: every value depends only on the document's own token
+    list, so the masked flags, span starts and both output strings are
+    array-HOF projections — no explode, no window, no Exchange. A run of
+    masked tokens can only start at position 0 or right after an unmasked
+    token, and every token before the first start is unmasked, so the
+    document splits into disjoint inter-start segments each sliced once:
+    O(tokens) per document.
     """
     thr = _hex_threshold(noise_density)
-    tk = docs.select(
-        F.col(id_col),
-        F.posexplode(words(F.col(text_col))).alias("pos", "w"),
-    ).withColumn(
-        "masked",
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(str(int(seed))),
-                    F.col(id_col).cast("string"),
-                    F.col("pos").cast("string"),
-                )
-            ),
-            1,
-            8,
-        )
-        < F.lit(thr),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tk = tk.withColumn(
-        "is_start",
-        F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
-    ).withColumn(
-        "span_id", F.sum(F.col("is_start").cast("int")).over(run) - F.lit(1)
-    )
-    sentinel = F.concat(
-        F.lit("<extra_id_"), F.col("span_id").cast("string"), F.lit(">")
-    )
-    in_piece = (
-        F.when(~F.col("masked"), F.col("w"))
-        .when(F.col("is_start"), sentinel)
-        .otherwise(F.lit(None))
-    )
-    tgt_piece = F.when(
-        F.col("masked") & F.col("is_start"), F.concat(sentinel, F.lit(" "), F.col("w"))
-    ).when(F.col("masked"), F.col("w"))
-    pieces = tk.select(
+    ws = words(F.col(text_col))
+    base = docs.where(F.size(ws) > 0).select(F.col(id_col), ws.alias("__ws"))
+    # masked flag per 0-based position — the same md5(seed:id:pos) rule the
+    # exploded plan used, evaluated in place via transform's index lambda
+    m = base.select(
         id_col,
-        "pos",
-        in_piece.alias("in_piece"),
-        tgt_piece.alias("tgt_piece"),
-        F.col("masked").cast("int").alias("m"),
-        F.col("is_start").cast("int").alias("s"),
-    )
-
-    def _joined(col: str):
-        # order by pos, drop the unmasked/skipped NULL slots, then join
-        return F.array_join(
-            F.filter(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col(col).alias("p")))
-                    ),
-                    lambda x: x["p"],
+        "__ws",
+        F.transform(
+            "__ws",
+            lambda _, i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(int(seed))),
+                        F.col(id_col).cast("string"),
+                        i.cast("string"),
+                    )
                 ),
-                lambda p: p.isNotNull(),
-            ),
-            " ",
-        )
-
-    agg = pieces.groupBy(id_col).agg(
-        _joined("in_piece").alias("input_text"),
-        _joined("tgt_piece").alias("__tgt_body"),
-        F.sum("s").alias("n_spans"),
+                1,
+                8,
+            )
+            < F.lit(thr),
+        ).alias("__m"),
+    )
+    # 0-based positions where a masked run starts (masked, and not
+    # preceded by a masked token); __seq = [0 .. n-1] reused for slicing
+    s = m.select(
+        id_col,
+        "__ws",
+        "__m",
+        F.expr("sequence(0, size(__ws) - 1)").alias("__seq"),
+    ).select(
+        id_col,
+        "__ws",
+        "__m",
+        "__seq",
+        F.expr(
+            "filter(__seq, i -> __m[i] and if(i = 0, true, not __m[i - 1]))"
+        ).alias("__starts"),
+    )
+    # Per start j (0-based sentinel number): the segment runs from the
+    # start to the next start (or end of document). Input keeps one
+    # sentinel plus the segment's unmasked tail; target keeps the
+    # sentinel + first hidden token plus the rest of the masked run.
+    seg_end = "if(j + 1 < size(__starts), __starts[j + 1], size(__ws))"
+    in_arr = (
+        "concat("
+        "  if(size(__starts) = 0, __ws, slice(__ws, 1, __starts[0])),"
+        "  flatten(transform(__starts, (s, j) -> concat("
+        "    array(concat('<extra_id_', cast(j as string), '>')),"
+        f"   transform(filter(slice(__seq, s + 2, {seg_end} - s - 1),"
+        "                     i -> not __m[i]),"
+        "              i -> __ws[i])))))"
+    )
+    tgt_arr = (
+        "flatten(transform(__starts, (s, j) -> concat("
+        "  array(concat('<extra_id_', cast(j as string), '> ', __ws[s])),"
+        f" transform(filter(slice(__seq, s + 2, {seg_end} - s - 1),"
+        "                   i -> __m[i]),"
+        "            i -> __ws[i]))))"
+    )
+    agg = s.select(
+        id_col,
+        F.expr(f"array_join({in_arr}, ' ')").alias("input_text"),
+        F.expr(f"array_join({tgt_arr}, ' ')").alias("__tgt_body"),
+        F.size("__starts").alias("n_spans"),
     )
     closing = F.concat(
         F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
     )
-    target = F.when(F.col("n_spans") > 0, F.concat(F.col("__tgt_body"), F.lit(" "), closing)).otherwise(
-        closing
-    )
+    target = F.when(
+        F.col("n_spans") > 0, F.concat(F.col("__tgt_body"), F.lit(" "), closing)
+    ).otherwise(closing)
     return agg.select(
         id_col,
         "input_text",
