@@ -1568,24 +1568,40 @@ def knn_join(
     tables — ``num_planes`` controls bucket granularity (more planes →
     smaller buckets → cheaper join, lower recall; add tables to buy
     recall back). AQE splits skewed mega-buckets. Never all-pairs: the
-    plan must contain no CartesianProduct (plan-audited).
+    plan must contain no CartesianProduct (plan-audited). Like
+    :func:`hard_negatives`, the bucket self-join and the collision dedup
+    shuffle only (id, table, bucket) — embeddings never ride the
+    ``num_tables``-way bucket explosion; they are fetched once, by
+    id-keyed joins, for the (much smaller) deduped pair set, and each
+    surviving pair's cosine is evaluated exactly once instead of once
+    per colliding table (round 10, guide-§8 decide-small/move-big).
 
     Returns ``(query_id, neighbor_id, cos_sim, rank)`` with rank 1..k.
     """
     buckets = _srp_tables_expr(quote(vec_col), num_planes, num_tables)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
         F.posexplode(buckets).alias("__tbl", "__bucket"),
     )
     q = corpus.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
         F.posexplode(buckets).alias("__tbl", "__bucket"),
     )
-    scored = (
+    cand = (
         q.join(c, on=["__tbl", "__bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # a pair can collide in several tables
+    )
+    qv = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        cand.join(qv, on="query_id")
+        .join(cv, on="neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1594,7 +1610,6 @@ def knn_join(
                 F.col("__cv").cast("array<double>"),
             ).alias("cos_sim"),
         )
-        .distinct()  # a pair can collide in several tables
     )
     return _per_query_topk(scored, k)
 
