@@ -83,18 +83,25 @@ def pagerank(
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     e = _clean_edges(edges, src, dst)
+    deg = e.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("__outdeg")
+    )
+    # node set with its dangling flag (no out-edges), decided ONCE — the
+    # per-iteration dangling mass is then a filter + sum over the rank
+    # frame instead of an anti-join that would re-derive the edge
+    # distinct and the degree aggregation (3 shuffles + an edge rescan
+    # per iteration, round 10)
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
         .distinct()
+        .join(deg.select("node", F.lit(False).alias("__nd")), "node", "left")
+        .select("node", F.coalesce("__nd", F.lit(True)).alias("__dangling"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn(out, F.lit(0.0))
-    deg = e.groupBy(F.col(src).alias("node")).agg(
-        F.count("*").alias("__outdeg")
-    )
+        return nodes.select("node").withColumn(out, F.lit(0.0))
     # (src, dst, outdeg) reused every iteration — materialize once
     links = (
         e.join(deg, e[src] == deg["node"])
@@ -112,15 +119,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__contrib"))
         )
-        dangling = (
-            ranks.join(deg, on="node", how="left_anti")
-            .agg(F.coalesce(F.sum(out), F.lit(0.0)).alias("__dang"))
+        dangling = ranks.where(F.col("__dangling")).agg(
+            F.coalesce(F.sum(out), F.lit(0.0)).alias("__dang")
         )
         ranks = (
             nodes.join(contribs, on="node", how="left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__dangling",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -132,4 +139,5 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    ranks = ranks.select("node", out)
     return ranks
