@@ -1026,7 +1026,7 @@ def main() -> int:
         )[:400],
     ))
 
-    # -- 34. span_corrupt: window + groupBy share ONE exchange --------------
+    # -- 34. span_corrupt: zero shuffles (round-10 array-HOF rewrite) -------
     from nested_pandas_spark.pipeline.masking import span_corrupt
 
     p34 = explain_str(
@@ -1034,19 +1034,21 @@ def main() -> int:
     )
     n_ex34 = p34.count("Arguments: hashpartitioning")
     check(
-        "span_corrupt plans exactly one hash exchange",
-        n_ex34 == 1,
-        f"expected 1 hash exchange (window+groupBy shared), saw {n_ex34}",
+        "span_corrupt plans zero exchanges",
+        n_ex34 == 0,
+        f"expected 0 hash exchanges (per-row array HOFs), saw {n_ex34}",
     )
     sections.append((
-        "T5 span corruption: one doc_id exchange for window AND re-group",
-        "The token window (lag/running-sum span ids) and the final "
-        "per-document string assembly groupBy both key on doc_id, so "
-        "Catalyst reuses one hashpartitioning exchange for the whole "
-        "operator — corpus text crosses the wire once.",
+        "T5 span corruption: zero exchanges, pure per-row array HOFs",
+        "Every output value depends only on the document's own token "
+        "list, so masked flags, span starts and both output strings are "
+        "array higher-order functions over the tokenized text — no "
+        "posexplode, no window, no re-group. Corpus text never crosses "
+        "the wire at all (round 10; previously one shared doc_id "
+        "exchange).",
         "\n".join(
             ln.strip() for ln in p34.splitlines()
-            if "Exchange" in ln or "Window" in ln or "Aggregate" in ln
+            if "Exchange" in ln or "Project" in ln or "Scan" in ln
         )[:400],
     ))
 
