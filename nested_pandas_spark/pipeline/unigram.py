@@ -18,10 +18,10 @@ never a single-partition sort). Each EM iteration is one Arrow-batched
 pass over the persisted word table with the current piece table riding
 in the task closure (vocab-sized, ~10^4 entries), followed by a
 piece-grain count aggregation; the driver only ever collects
-vocab-sized count rows. Encoding Viterbi-segments the document corpus's
-own distinct words and joins the (word -> pieces) table back through
-the stamped-row assembly used by ``bpe_encode_vocab`` — document text
-never rides a word-grain shuffle.
+vocab-sized count rows. Encoding is a single zero-shuffle Arrow pass:
+tokenization stays in SQL and each task Viterbi-segments its own
+documents with a per-word memo (the in-task analogue of the distinct
+word table) — document text never rides ANY shuffle.
 
 EM is iterative and Viterbi is a per-word DP, but word length is
 bounded — so the whole train+encode pipeline IS SQL-replayable by
@@ -107,9 +107,19 @@ def unigram_seed(
 
     One corpus-sized shuffle (word counts) + one piece-grain count +
     one distributed top-k. Fully SQL-replayable (oracle-gated)."""
+    return _seed_from_word_counts(
+        _word_counts(docs, text_col), seed_size, max_piece_len
+    )
+
+
+def _seed_from_word_counts(
+    wc: DataFrame, seed_size: int, max_piece_len: int
+) -> DataFrame:
+    """Seed pieces from an existing (word, wc) table — lets the trainer
+    reuse its persisted word-count table instead of re-scanning the
+    corpus (the seed derives from word counts alone)."""
     if seed_size < 1:
         raise ValueError("seed_size must be >= 1")
-    wc = _word_counts(docs, text_col)
     # substring(word, i, l) with column start/len needs the expr form
     subs = F.expr(
         f"flatten(transform(sequence(1, length(word)), i -> "
@@ -184,7 +194,10 @@ def unigram_train(
     spark = docs.sparkSession
     word_df = _word_counts(docs, text_col).persist()
     try:
-        seed = unigram_seed(docs, seed_size, text_col, max_piece_len)
+        # seed from the persisted word table: the corpus is scanned and
+        # word-count-shuffled exactly ONCE for the whole training run
+        # (round 10; previously the seed re-derived word counts from docs)
+        seed = _seed_from_word_counts(word_df, seed_size, max_piece_len)
         counts = {r["piece"]: int(r["n"]) for r in seed.collect()}
         logp = _normalize(counts)
         for _ in range(n_iters):
@@ -239,47 +252,69 @@ def unigram_encode(
 ) -> DataFrame:
     """Viterbi-encode documents against a trained (piece, logprob) table.
 
-    The corpus's own distinct words are segmented once (word-grain
-    Arrow pass, piece table in the closure), then joined back through
-    the stamped-row assembly of ``bpe_encode_vocab`` (text.py): stamp,
-    posexplode, join on word, ``collect_list`` on the synthetic row id,
-    one join back. NULL text -> NULL pieces; empty -> empty array."""
+    Zero-shuffle shape (round 10): tokenization stays in SQL
+    (``words()`` — the exact expression the trainer and the oracle use),
+    and one Arrow-batched pass maps each document's word list to its
+    concatenated piece list, memoizing the per-word Viterbi DP so a word
+    repeated across a task's documents is segmented once (the in-task
+    analogue of the old distinct-word table). The piece table rides in
+    the task closure (vocab-sized). This replaces the previous
+    stamp/localCheckpoint + posexplode + word-grain join + collect_list
+    assembly — four token-grain exchanges — with zero exchanges:
+    document text never crosses the wire at all, only the JVM->Python
+    Arrow boundary, once. NULL text -> NULL pieces; empty -> empty
+    array."""
+    import pyarrow as pa
+
     logp = {r["piece"]: float(r["logprob"]) for r in vocab.collect()}
     if not logp:
         raise ValueError("empty vocab")
-    stamped = docs.withColumn(
-        "__row_id", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
-    exploded = stamped.where(F.col(text_col).isNotNull()).select(
-        "__row_id", F.posexplode(words(F.col(text_col))).alias("__pos", "__w")
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
     )
-    word_df = exploded.groupBy(F.col("__w").alias("word")).agg(
-        F.count("*").alias("wc")
+
+    n_col = f"{out}_n"
+    base_names = [f.name for f in docs.schema.fields]
+    base = docs
+    if out in base_names or n_col in base_names:
+        # an existing output column is replaced (old withColumn semantics)
+        base = docs.drop(out, n_col)
+    keep = list(base.schema.fields)
+    keep_names = [f.name for f in keep]
+    out_schema = StructType(
+        keep + [
+            StructField(out, ArrayType(StringType())),
+            StructField(n_col, LongType()),
+        ]
     )
-    seg = _viterbi_table(word_df, logp, max_piece_len).select(
-        F.col("word").alias("__w"), F.col("pieces").alias("__wp")
-    )
-    per_word = exploded.join(seg, on="__w", how="left")
-    assembled = per_word.groupBy("__row_id").agg(
-        F.expr(
-            "flatten(transform(array_sort(collect_list(struct(__pos, __wp))), "
-            "s -> s.__wp))"
-        ).alias("__pieces")
-    )
-    qt = "`" + text_col.replace("`", "``") + "`"
-    return (
-        stamped.join(assembled, on="__row_id", how="left")
-        .withColumn(
-            out,
-            F.expr(
-                f"CASE WHEN {qt} IS NULL THEN NULL "
-                f"ELSE coalesce(__pieces, array()) END"
-            ),
-        )
-        .withColumn(
-            f"{out}_n",
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
-            .otherwise(F.size(F.col(out)).cast("long")),
-        )
-        .drop("__row_id", "__pieces")
-    )
+    ws_col = "__unigram_ws"
+    with_ws = base.withColumn(ws_col, words(F.col(text_col)))
+    max_len = max_piece_len
+
+    def gen(batches):
+        memo: dict[str, list[str]] = {}
+        for batch in batches:
+            cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            pieces: list[list[str] | None] = []
+            ns: list[int | None] = []
+            for ws in cols[ws_col].to_pylist():
+                if ws is None:
+                    pieces.append(None)
+                    ns.append(None)
+                    continue
+                acc: list[str] = []
+                for w in ws:
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = viterbi_segment(w, logp, max_len)
+                        memo[w] = seg
+                    acc.extend(seg)
+                pieces.append(acc)
+                ns.append(len(acc))
+            arrays = [cols[n] for n in keep_names]
+            arrays.append(pa.array(pieces, pa.list_(pa.string())))
+            arrays.append(pa.array(ns, pa.int64()))
+            yield pa.RecordBatch.from_arrays(arrays, keep_names + [out, n_col])
+
+    return with_ws.mapInArrow(gen, out_schema)
