@@ -171,42 +171,64 @@ def _canonical_codes(counts: list[int], symbols: list[int]):
 
 
 def _decode_table(counts, symbols):
-    """Decode tables in the T.81 F.2.2.3 form — per-length MAXCODE /
-    MINCODE / VALPTR arrays plus the symbol list in code order — so
-    :meth:`_BitReader.read_huff` resolves a whole code from ONE 16-bit
-    peek with <= 16 integer comparisons instead of one ``read(1)`` call
-    per bit (the round-8 profile put ~97% of decode time in that
-    per-bit loop). Canonical property used: all codes of length L
-    occupy [MINCODE[L], MAXCODE[L]], and any longer code's L-bit prefix
-    exceeds MAXCODE[L]."""
+    """Decode tables for :meth:`_BitReader.read_huff`: a full 16-bit
+    lookup pair ``(lut_sym, lut_len)`` — every 16-bit window whose prefix
+    is a valid code of length L maps to (symbol, L); windows starting
+    with no valid prefix map to length 0 (invalid-code error). One peek,
+    two list indexings per symbol, versus the per-length MAXCODE scan of
+    rounds 8-9 (and the per-bit loop before that). Tables are CACHED on
+    the DHT byte spec — identical tables across a corpus of same-encoder
+    images (the common case, and every standard-table JPEG) build the
+    LUT exactly once per process."""
+    key = (bytes(counts), bytes(symbols))
+    cached = _DECODE_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     codes = _canonical_codes(counts, symbols)
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
-    syms = [s for s, _, _ in codes]
-    k = 0
-    for ln in range(1, 17):
-        cnt = counts[ln - 1]
-        if cnt:
-            valptr[ln] = k
-            mincode[ln] = codes[k][1]
-            maxcode[ln] = codes[k + cnt - 1][1]
-            k += cnt
-    return maxcode, mincode, valptr, syms
+    sym = np.zeros(65536, np.int32)
+    ln_arr = np.zeros(65536, np.int32)
+    for s, code, length in codes:
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln_arr[lo:hi] = length
+    table = (sym.tolist(), ln_arr.tolist())
+    if len(_DECODE_TABLE_CACHE) >= 64:  # bound: 64 tables x ~1 MB of lists
+        _DECODE_TABLE_CACHE.clear()
+    _DECODE_TABLE_CACHE[key] = table
+    return table
+
+
+_DECODE_TABLE_CACHE: dict = {}
 
 
 def _encode_table(counts, symbols) -> dict:
     return {sym: (code, ln) for sym, code, ln in _canonical_codes(counts, symbols)}
 
 
+# the four standard encode tables are fixed module constants — build their
+# symbol->(code, length) dicts once, not once per encoded image
+_ENC_DC_LUMA = _encode_table(*_DC_LUMA)
+_ENC_AC_LUMA = _encode_table(*_AC_LUMA)
+_ENC_DC_CHROMA = _encode_table(*_DC_CHROMA)
+_ENC_AC_CHROMA = _encode_table(*_AC_CHROMA)
+
+_QUALITY_TABLE_CACHE: dict = {}
+
+
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """IJG quality scaling of the Annex K base tables."""
+    """IJG quality scaling of the Annex K base tables (memoized; callers
+    must not mutate the returned arrays — they .astype()-copy anyway)."""
     q = min(100, max(1, int(quality)))
+    cached = _QUALITY_TABLE_CACHE.get(q)
+    if cached is not None:
+        return cached
     scale = 5000 // q if q < 50 else 200 - 2 * q
     out = []
     for base in (_QUANT_LUMA, _QUANT_CHROMA):
         t = (base * scale + 50) // 100
         out.append(np.clip(t, 1, 255).astype(np.int64))
+    _QUALITY_TABLE_CACHE[q] = (out[0], out[1])
     return out[0], out[1]
 
 
@@ -264,7 +286,10 @@ class _BitReader:
     def read(self, nbits: int) -> int:
         n = self.n
         if n < nbits:
-            self._fill(nbits)
+            # refill deep (not just to nbits): _fill can never cross a
+            # marker, so over-buffering is safe, and it amortizes the
+            # per-call overhead over ~6x more symbol reads
+            self._fill(48)
             n = self.n
             if n < nbits:
                 self._stall()
@@ -273,10 +298,10 @@ class _BitReader:
         return (self.cur >> n) & ((1 << nbits) - 1)
 
     def read_huff(self, table) -> int:
-        maxcode, mincode, valptr, syms = table
+        syms, lens = table
         n = self.n
         if n < 16:
-            self._fill(16)
+            self._fill(48)  # deep refill; see read()
             n = self.n
         cur = self.cur
         # 16-bit window, zero-padded past stream end; garbage above bit
@@ -286,14 +311,13 @@ class _BitReader:
             if n >= 16
             else (cur << (16 - n)) & 0xFFFF
         )
-        for length in range(1, 17):
-            c = v >> (16 - length)
-            if c <= maxcode[length]:
-                if length > n:
-                    self._stall()  # code ran past the stream's last bit
-                self.n = n - length
-                return syms[valptr[length] + c - mincode[length]]
-        raise ValueError("invalid Huffman code in JPEG entropy data")
+        length = lens[v]
+        if length == 0:
+            raise ValueError("invalid Huffman code in JPEG entropy data")
+        if length > n:
+            self._stall()  # code ran past the stream's last bit
+        self.n = n - length
+        return syms[v]
 
     def skip_rst(self, index: int) -> None:
         """Byte-align (discarding pad bits) and consume the expected
@@ -671,6 +695,23 @@ class _BitWriter:
                 self.out.append(0x00)  # byte stuffing
         self.cur &= (1 << self.n) - 1
 
+    def write_long(self, code: int, nbits: int) -> None:
+        """Bulk :meth:`write`: emit whole bytes via int.to_bytes and do
+        the 0xFF00 stuffing with one bytes.replace — byte-identical to a
+        sequence of write() calls carrying the same bits, at C speed for
+        the per-byte part. ``nbits`` may be arbitrarily large."""
+        cur = (self.cur << nbits) | (code & ((1 << nbits) - 1))
+        n = self.n + nbits
+        rem = n & 7
+        nbytes = n >> 3
+        if nbytes:
+            chunk = (cur >> rem).to_bytes(nbytes, "big")
+            if 0xFF in chunk:
+                chunk = chunk.replace(b"\xff", b"\xff\x00")
+            self.out += chunk
+        self.cur = cur & ((1 << rem) - 1)
+        self.n = rem
+
     def align(self) -> None:
         if self.n:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
@@ -681,34 +722,42 @@ class _BitWriter:
 
 
 def _encode_block(bw, coeff_zz, pred, dc_tbl, ac_tbl) -> int:
-    diff = int(coeff_zz[0]) - pred
+    # accumulate the whole block's bit string in one Python int (a block
+    # is a few hundred bits at most, so big-int shifts stay cheap) and
+    # flush it with ONE write_long — same bits, ~6x fewer bit-I/O calls
+    zz = coeff_zz.tolist() if hasattr(coeff_zz, "tolist") else list(coeff_zz)
+    diff = zz[0] - pred
     t = abs(diff).bit_length()
     code, ln = dc_tbl[t]
-    bw.write(code, ln)
+    acc, bits = code, ln
     if t:
-        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        acc = (acc << t) | ((diff if diff > 0 else diff + (1 << t) - 1) & ((1 << t) - 1))
+        bits += t
     run = 0
     last = 63
-    while last > 0 and coeff_zz[last] == 0:
+    while last > 0 and zz[last] == 0:
         last -= 1
+    zrl_code, zrl_ln = ac_tbl[0xF0]
     for k in range(1, last + 1):
-        v = int(coeff_zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            code, ln = ac_tbl[0xF0]  # ZRL
-            bw.write(code, ln)
+            acc = (acc << zrl_ln) | zrl_code
+            bits += zrl_ln
             run -= 16
         s = abs(v).bit_length()
         code, ln = ac_tbl[(run << 4) | s]
-        bw.write(code, ln)
-        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        acc = (acc << (ln + s)) | (code << s) | ((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1))
+        bits += ln + s
         run = 0
     if last < 63:
         code, ln = ac_tbl[0x00]  # EOB
-        bw.write(code, ln)
-    return int(coeff_zz[0])
+        acc = (acc << ln) | code
+        bits += ln
+    bw.write_long(acc, bits)
+    return zz[0]
 
 
 def _to_zigzag(nat64: np.ndarray) -> np.ndarray:
@@ -781,10 +830,9 @@ def encode_jpeg(
         f = np.einsum("ux,ijxy,vy->ijuv", _A, blocks - 128.0, _A)
         qd = np.round(f / q).astype(np.int64).reshape(hh // 8, ww // 8, 64)
         comp_blocks.append(_to_zigzag(qd))
-    dc_l = _encode_table(*_DC_LUMA)
-    ac_l = _encode_table(*_AC_LUMA)
-    dc_c = _encode_table(*_DC_CHROMA)
-    ac_c = _encode_table(*_AC_CHROMA)
+    dc_l, ac_l, dc_c, ac_c = (
+        _ENC_DC_LUMA, _ENC_AC_LUMA, _ENC_DC_CHROMA, _ENC_AC_CHROMA,
+    )
     # ---- headers ----
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(

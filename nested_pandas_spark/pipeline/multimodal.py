@@ -107,6 +107,22 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
     return np.asarray(vals, dtype=np.uint8).reshape(h, w, c)
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Parallelism rescue before a CPU-bound Python codec boundary.
+
+    Codec work (Huffman, DCT, zlib, FFT) costs milliseconds per row; a
+    small parquet input arrives as ONE split, so the whole decode pass
+    would run single-threaded. Delegates to the shared
+    ``_ensure_parallelism`` heuristic: round-robin repartition only when
+    the scan yields fewer splits than half the cores — at real scale the
+    files split naturally and this is a no-op, preserving the module's
+    payloads-never-shuffle property where it matters. Streaming frames
+    and in-memory relations are left untouched."""
+    from .dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df)
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """REAL decoder: uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB.
 
@@ -379,7 +395,7 @@ def decode_image(
             out[out_col] = [_decode_one(p) for p in pdf[payload_col]]
             yield out
 
-    return df.mapInPandas(gen, schema=out_schema)
+    return _widen(df).mapInPandas(gen, schema=out_schema)
 
 
 def encode_image(
@@ -439,7 +455,7 @@ def encode_image(
             out[out_col] = [_encode_one(p) for p in pdf[pixels_col]]
             yield out
 
-    return df.mapInPandas(gen, schema=out_schema)
+    return _widen(df).mapInPandas(gen, schema=out_schema)
 
 
 def image_features(
@@ -570,7 +586,7 @@ def sample_video_frames(
             out["frames"] = [_frames_of(p) for p in pdf[payload_col]]
             yield out
 
-    return df.mapInPandas(gen, schema=out_schema)
+    return _widen(df).mapInPandas(gen, schema=out_schema)
 
 
 def audio_features(
@@ -616,7 +632,7 @@ def audio_features(
             out["zcr"] = [f[1] for f in feats]
             yield out
 
-    return df.mapInPandas(gen, schema=out_schema)
+    return _widen(df).mapInPandas(gen, schema=out_schema)
 
 
 def audio_spectrum(
@@ -689,7 +705,7 @@ def audio_spectrum(
             out["centroid_hz"] = [f[2] for f in feats]
             yield out
 
-    return df.mapInPandas(gen, schema=out_schema)
+    return _widen(df).mapInPandas(gen, schema=out_schema)
 
 
 def _grid_gray_sql(
@@ -869,7 +885,7 @@ def audio_fingerprint(
             )
             yield o
 
-    return df.mapInPandas(gen, schema=out_schema)
+    return _widen(df).mapInPandas(gen, schema=out_schema)
 
 
 def audio_near_pairs(
@@ -942,4 +958,4 @@ def encode_wav(
             o[out_col] = [_enc(v) for v in pdf[samples_col]]
             yield o
 
-    return df.mapInPandas(gen, schema=out_schema)
+    return _widen(df).mapInPandas(gen, schema=out_schema)
