@@ -171,9 +171,14 @@ def train_quality_classifier(
         .persist()
     )
     try:
-        n = feats.where(F.col("bucket") == INTERCEPT_BUCKET).count()
-        if n == 0:
-            raise ValueError("no documents to train on")
+        # n (the document count) is NOT computed by a separate count()
+        # job: every document carries exactly one intercept feature row,
+        # so the intercept bucket's row count inside the gradient
+        # aggregation IS n. Epoch 1's collect therefore also materializes
+        # the persisted features — one action per epoch, nothing else.
+        # The division by n moves to the driver: same two IEEE doubles,
+        # bit-identical g (the trained weights stay value-gated).
+        n = 0
         w: dict[int, float] = {}
         for _ in range(epochs):
             if w:
@@ -204,13 +209,23 @@ def train_quality_classifier(
             grad_rows = (
                 feats.join(resid, on="__id")
                 .groupBy("bucket")
-                .agg((F.sum(F.col("__r") * F.col("x")) / n).alias("g"))
+                .agg(
+                    F.sum(F.col("__r") * F.col("x")).alias("gsum"),
+                    F.count("*").alias("cnt"),
+                )
                 .collect()
             )
+            if not n:
+                by_b = {int(r["bucket"]): r for r in grad_rows}
+                icpt = by_b.get(INTERCEPT_BUCKET)
+                n = int(icpt["cnt"]) if icpt is not None else 0
+                if n == 0:
+                    raise ValueError("no documents to train on")
             for row in grad_rows:
                 b = int(row["bucket"])
+                g = float(row["gsum"]) / n
                 decay = 1.0 if b == INTERCEPT_BUCKET else (1.0 - lr * l2)
-                w[b] = w.get(b, 0.0) * decay - lr * float(row["g"])
+                w[b] = w.get(b, 0.0) * decay - lr * g
     finally:
         feats.unpersist()
     return _weights_df(spark, w)
