@@ -44,16 +44,45 @@ def _moment_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         f"n long, s array<double>, g array<double>"
     )
 
+    def _batch_matrix(col):
+        """(rows, dim) float64 view of a CLEAN batch — no null rows, no
+        null elements, every list exactly ``dim`` long — built from the
+        Arrow values buffer without per-row Python. Returns None when the
+        batch needs the filtering row loop. Same values in the same row
+        order as the loop, so the numpy reductions below are
+        bit-identical either way."""
+        import pyarrow.compute as pc
+
+        try:
+            if col.null_count != 0:
+                return None
+            lengths = pc.list_value_length(col)
+            if lengths.null_count != 0:
+                return None
+            ln = lengths.to_numpy(zero_copy_only=False)
+            if ln.size == 0 or not (ln == dim).all():
+                return None
+            flat = col.flatten()
+            if flat.null_count != 0:
+                return None
+            vals = flat.to_numpy(zero_copy_only=False)
+        except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError,
+                NotImplementedError):
+            return None
+        return vals.astype(np.float64, copy=False).reshape(-1, dim)
+
     def gen(batches):
         for batch in batches:
             col = batch.column(0)
-            mat = []
-            for v in col.to_pylist():
-                if v is not None and len(v) == dim:
-                    mat.append(v)
-            if not mat:
-                continue
-            X = np.asarray(mat, dtype=np.float64)
+            X = _batch_matrix(col)
+            if X is None:
+                mat = []
+                for v in col.to_pylist():
+                    if v is not None and len(v) == dim:
+                        mat.append(v)
+                if not mat:
+                    continue
+                X = np.asarray(mat, dtype=np.float64)
             s = X.sum(axis=0)
             g = X.T @ X
             yield pa.RecordBatch.from_pydict(

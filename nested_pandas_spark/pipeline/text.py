@@ -338,12 +338,12 @@ def unigram_logprob(
     Output: (``id_col``, ``n_tokens``, ``mean_logp``) — every input doc
     appears, token-less docs with n_tokens = 0 and NULL mean_logp.
 
-    Scale shape: tokens shuffle once on the term for the model counts and
-    once for the (doc token) x (vocab) equi-join; T and V ride along as a
-    broadcast one-row aggregate, never a driver collect. The final per-doc
-    mean is one more partial-agg shuffle on the doc id. No Python, no
-    all-pairs, no skew beyond natural term frequency (AQE splits hot
-    terms).
+    Scale shape: the model corpus is tokenized ONCE into a persisted
+    word-count table (vocabulary-bounded); the broadcast T/V totals
+    re-aggregate that cache. Doc tokens shuffle once for the
+    (doc token) x (vocab) equi-join, and the final per-doc mean is one
+    more partial-agg shuffle on the doc id. No Python, no all-pairs, no
+    skew beyond natural term frequency (AQE splits hot terms).
     """
     model_docs = docs if model_docs is None else model_docs
     toks = docs.select(
@@ -355,6 +355,16 @@ def unigram_logprob(
         .groupBy("__term")
         .agg(F.count("*").alias("__c"))
     )
+    if not model_docs.isStreaming:
+        # the model table is consumed twice (the broadcast totals AND the
+        # scoring join); Spark's exchange reuse does not deduplicate the
+        # two branches (the tokenizer's HOF lambdas defeat plan
+        # canonicalization), so without a persist each consumer
+        # re-tokenizes and re-shuffles the ENTIRE model corpus. The cache
+        # is word grain — bounded by vocabulary, tiny vs the corpus.
+        from pyspark import StorageLevel
+
+        vocab_counts = vocab_counts.persist(StorageLevel.MEMORY_AND_DISK)
     totals = vocab_counts.agg(
         F.sum("__c").alias("__T"), F.count("*").alias("__V")
     )
@@ -1448,11 +1458,12 @@ def bigram_logprob(
     Output: (``id_col``, ``n_bigrams``, ``mean_logp``) — every input doc
     appears; docs with < 2 tokens get ``n_bigrams = 0`` and NULL mean.
 
-    Scale shape (same as the unigram scorer): the model is one
-    partial-agg shuffle at bigram grain and one at context grain; the
-    doc side joins on (w1, w2) then w1 (AQE splits hot words), V rides
-    along broadcast, and the per-doc mean is a final partial agg. No
-    Python, no all-pairs.
+    Scale shape (same as the unigram scorer): the model corpus is
+    tokenized ONCE into a persisted bigram-count table (vocabulary-
+    bounded); the context table re-aggregates that cache. The doc side
+    joins on (w1, w2) then w1 (AQE splits hot words), V rides along
+    broadcast, and the per-doc mean is a final partial agg. No Python,
+    no all-pairs.
     """
     model_docs = docs if model_docs is None else model_docs
 
@@ -1480,7 +1491,20 @@ def bigram_logprob(
     model_bi = bigrams(model_docs, with_id=False)
     bi_counts = model_bi.groupBy("__w1", "__w2").agg(
         F.count("*").alias("__c12"))
-    ctx_counts = model_bi.groupBy("__w1").agg(F.count("*").alias("__c1"))
+    if not model_docs.isStreaming:
+        # bi_counts feeds the context table AND the scoring join; exchange
+        # reuse does not deduplicate the branches (HOF lambdas defeat plan
+        # canonicalization), so each consumer would re-tokenize and
+        # re-shuffle the model corpus at bigram grain. Bigram-type grain —
+        # vocabulary-bounded, far smaller than the corpus.
+        from pyspark import StorageLevel
+
+        bi_counts = bi_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    # ctx(w1) = number of bigrams with context w1 = sum of its per-bigram
+    # counts: a re-aggregation of the cached bigram table (exact longs,
+    # identical values), not another pass over the model corpus
+    ctx_counts = bi_counts.groupBy("__w1").agg(
+        F.sum("__c12").alias("__c1"))
     v = (
         model_docs.select(F.explode(words(F.col(text_col))).alias("__t"))
         .agg(F.countDistinct("__t").alias("__V"))
@@ -1549,11 +1573,13 @@ def kn_bigram_logprob(
     Output: (``id_col``, ``n_bigrams``, ``mean_logp``) — every input doc
     appears; docs with < 2 tokens get ``n_bigrams = 0`` and NULL mean.
 
-    Scale shape: identical to :func:`bigram_logprob` — the model is three
-    partial-agg shuffles at bigram / context / continuation grain; the
-    counts-of-counts totals ride as ONE broadcast row; the doc side joins
-    on (w1, w2) then w1 then w2 (AQE splits hot words) and finishes with
-    a per-doc partial agg.  No Python, no all-pairs, no driver loop.
+    Scale shape: identical to :func:`bigram_logprob` — the model corpus
+    is tokenized ONCE into a persisted bigram-count table; the context /
+    continuation / counts-of-counts tables are re-aggregations of that
+    cache (vocabulary-bounded), and the totals ride as ONE broadcast
+    row; the doc side joins on (w1, w2) then w1 then w2 (AQE splits hot
+    words) and finishes with a per-doc partial agg.  No Python, no
+    all-pairs, no driver loop.
     """
     if discount is not None and not (0.0 <= discount < 1.0):
         raise ValueError("discount must be within [0, 1)")
@@ -1583,6 +1609,16 @@ def kn_bigram_logprob(
     model_bi = bigrams(model_docs, with_id=False)
     bi_counts = model_bi.groupBy("__w1", "__w2").agg(
         F.count("*").alias("__c12"))
+    if not model_docs.isStreaming:
+        # bi_counts feeds FOUR consumers (ctx, cont, the discount totals,
+        # and the scoring join); exchange reuse does not deduplicate them
+        # (HOF lambdas defeat plan canonicalization), so without a persist
+        # every consumer re-tokenizes and re-shuffles the model corpus at
+        # bigram grain. Bigram-type grain — vocabulary-bounded, far
+        # smaller than the corpus.
+        from pyspark import StorageLevel
+
+        bi_counts = bi_counts.persist(StorageLevel.MEMORY_AND_DISK)
     ctx = bi_counts.groupBy("__w1").agg(
         F.sum("__c12").alias("__c1"),
         F.count("*").alias("__nfwd"),   # N1+(w1, .)

@@ -101,3 +101,36 @@ def test_k_validation(spark, vecs):
         pca_fit(vecs, k=0, vec_col="embedding", dim=8)
     with pytest.raises(ValueError):
         pca_fit(vecs, k=9, vec_col="embedding", dim=8)
+
+
+def test_moments_clean_batch_fast_path_bit_exact(spark, vecs_np):
+    """A batch with no nulls and uniform dim takes the vectorized
+    Arrow-buffer path in _moment_partials; its (n, sum, gram) must be
+    BIT-identical to the per-row loop's float64 reductions (same values,
+    same row order, same numpy pairwise folds)."""
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs_np)]
+    clean = spark.createDataFrame(
+        rows, "id long, embedding array<double>").coalesce(1)
+    n, mean, cov = embedding_moments(clean, "embedding", dim=8)
+    X = np.asarray([v for _, v in rows], dtype=np.float64)
+    s = X.sum(axis=0)
+    g = X.T @ X
+    assert n == X.shape[0]
+    exp_mean = s / n
+    exp_cov = g / n - np.outer(exp_mean, exp_mean)
+    assert (np.asarray(mean) == exp_mean).all()
+    assert (np.asarray(cov) == exp_cov).all()
+
+
+def test_moments_float32_and_fixed_width_inputs(spark, vecs_np):
+    """float32 storage upcasts exactly; the fast path must accept it."""
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs_np)]
+    f32 = spark.createDataFrame(
+        rows, "id long, embedding array<float>").coalesce(1)
+    n, mean, cov = embedding_moments(f32, "embedding", dim=8)
+    X = np.asarray(
+        [v for _, v in rows], dtype=np.float32).astype(np.float64)
+    assert n == X.shape[0]
+    s = X.sum(axis=0)
+    exp_mean = s / n
+    assert (np.asarray(mean) == exp_mean).all()
