@@ -57,6 +57,25 @@ _WP_SYMS_SQL = (
 )
 
 
+def _local_merges_df(spark, merges) -> DataFrame:
+    """(step, left, right, merged, n, lc, rc) as a LocalRelation: the
+    merge list always lives on the driver, and an Arrow-table
+    createDataFrame keeps its collects driver-only (the classic tuple
+    path plans a LogicalRDD — every downstream collect is a cluster
+    job)."""
+    import pyarrow as pa
+
+    return spark.createDataFrame(pa.table({
+        "step": pa.array([m[0] for m in merges], pa.int32()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "n": pa.array([m[4] for m in merges], pa.int64()),
+        "lc": pa.array([m[5] for m in merges], pa.int64()),
+        "rc": pa.array([m[6] for m in merges], pa.int64()),
+    }))
+
+
 def _wp_merge_sql(syms_sql: str, left: str, right: str, merged: str) -> str:
     """One WordPiece merge over a single-spaced symbol string — the same
     doubled-boundary replace as :func:`.text._merge_sql` (Sennrich
@@ -151,20 +170,28 @@ def wordpiece_train(
     if driver_threshold > 0:
         probe = vocab_df.limit(driver_threshold + 1).count()
         if probe <= driver_threshold:
+            import pyarrow as pa
+
             rows = vocab_df.collect()
             vocab_df.unpersist()
             merges, words_out = _driver_merge_loop(
                 rows, n_merges, min_pair_count, wordpiece=True
             )
-            merges_df = spark.createDataFrame(
-                merges,
-                "step int, left string, right string, merged string, "
-                "n long, lc long, rc long",
+            # Arrow-table construction -> a true LocalRelation (the
+            # classic tuple path plans a LogicalRDD whose every collect
+            # is a cluster job); downstream wordpiece_pieces /
+            # piece-collects then stay driver-only
+            return (
+                _local_merges_df(spark, merges),
+                spark.createDataFrame(pa.table({
+                    "word": pa.array(
+                        [w[0] for w in words_out], pa.string()),
+                    "wc": pa.array(
+                        [w[1] for w in words_out], pa.int64()),
+                    "syms": pa.array(
+                        [w[2] for w in words_out], pa.string()),
+                })),
             )
-            vocab_out = spark.createDataFrame(
-                words_out, "word string, wc long, syms string"
-            )
-            return merges_df, vocab_out
     merges = []
     for step in range(1, n_merges + 1):
         exploded = vocab_df.select(
@@ -237,12 +264,7 @@ def wordpiece_train(
             vocab_df = vocab_df.persist(StorageLevel.MEMORY_AND_DISK)
             vocab_df.count()  # materialize before dropping the parent
         old.unpersist()
-    merges_df = spark.createDataFrame(
-        merges,
-        "step int, left string, right string, merged string, "
-        "n long, lc long, rc long",
-    )
-    return merges_df, vocab_df
+    return _local_merges_df(spark, merges), vocab_df
 
 
 def wordpiece_pieces(merges, vocab: DataFrame) -> list[str]:
@@ -258,16 +280,39 @@ def wordpiece_pieces(merges, vocab: DataFrame) -> list[str]:
     symbols, and dropping it would make any unseen word containing it a
     whole-word ``[UNK]`` — HF/BERT trainers always retain the initial
     alphabet."""
-    base = {
-        r["s"]
-        for r in vocab.select(
-            F.explode(
-                F.expr(
-                    "split(" + _WP_SYMS_SQL.replace("__w", "word") + ", ' ')"
-                )
-            ).alias("s")
-        ).distinct().collect()
-    }
+    # Driver-local vocab (the small-vocab trainer fast path hands back a
+    # createDataFrame LocalRelation): symbolize on the driver — the
+    # distributed explode+distinct below would spend two exchanges and a
+    # cluster job re-deriving an alphabet from rows that already live in
+    # driver memory. Python twin of _WP_SYMS_SQL: first char bare, later
+    # chars ##-prefixed (both sides index by code point).
+    is_local = False
+    try:
+        plan = vocab._jdf.queryExecution().optimizedPlan()
+        is_local = plan.getClass().getSimpleName() == "LocalRelation"
+    except Exception:
+        is_local = False
+    if is_local:
+        base = set()
+        for r in vocab.select("word").collect():
+            w = r["word"]
+            if not w:
+                continue
+            base.add(w[0])
+            base.update("##" + c for c in w[1:])
+    else:
+        base = {
+            r["s"]
+            for r in vocab.select(
+                F.explode(
+                    F.expr(
+                        "split("
+                        + _WP_SYMS_SQL.replace("__w", "word")
+                        + ", ' ')"
+                    )
+                ).alias("s")
+            ).distinct().collect()
+        }
     if hasattr(merges, "collect"):
         merges = merges.collect()
     for m in merges:
@@ -382,14 +427,24 @@ def wordpiece_encode_vocab(
 ) -> DataFrame:
     """:func:`wordpiece_encode` through a DISTINCT-WORD cache — identical
     output, the scale path for corpora where per-occurrence DP work
-    dominates: the greedy longest-match fold runs ONCE per distinct word
-    (the same word-cache trick HF tokenizers use and the same stamped
-    assembly as :func:`.text.bpe_encode_vocab` / ``unigram_encode``),
-    then a word-grain join reattaches token arrays positionally. The
-    corpus is typically 20-100x its distinct vocabulary, so the
-    interpreted-HOF fold cost drops by that factor; what's paid instead
-    is one word-grain shuffle carrying only (row_id, pos, tokens)
-    triples — document text never rides it."""
+    dominates: the greedy longest-match fold runs ONCE per distinct word.
+
+    Zero-shuffle shape (round 10, the ``unigram_encode`` pattern):
+    tokenization stays in SQL (the exact ``words()`` expression the
+    oracle replays) and one Arrow-batched pass maps each document's word
+    list to its token list, memoizing the per-word greedy fold so a word
+    repeated across a task's documents is segmented once (the in-task
+    analogue of the old distinct-word table). The piece set rides in the
+    task closure (vocab-sized). This replaces the previous
+    stamp/localCheckpoint + posexplode + word-grain join + collect_list
+    assembly — token-grain exchanges — with zero exchanges: document
+    text never crosses the wire, only the JVM->Python Arrow boundary,
+    once. The greedy fold is the bit-exact Python twin of
+    :func:`_greedy_sql` (same longest-match-first probe order, same
+    whole-word UNK poisoning; both sides index by code point). NULL text
+    -> NULL tokens/counts; token-less text -> empty array."""
+    import pyarrow as pa
+
     if isinstance(pieces, DataFrame):
         pieces = [r["piece"] for r in pieces.select("piece").collect()]
     pieces = sorted(set(pieces))
@@ -399,69 +454,87 @@ def wordpiece_encode_vocab(
         (len(p) - 2 if p.startswith("##") else len(p)) for p in pieces
     )
     maxp = max(maxp, 1)
-    vm = (
-        "map_from_arrays(array("
-        + ", ".join(_sql_literal(p) for p in pieces)
-        + "), array_repeat(1, " + str(len(pieces)) + "))"
-    )
-    per_word = _greedy_sql("__b.m", maxp, unk)
-    qt = "`" + text_col.replace("`", "``") + "`"
-    w_arr = f"filter(split(lower({qt}), '\\\\s+'), __t -> __t <> '')"
-    # same monotonically_increasing_id hazard + remedy as
-    # text._encode_with_vocab: materialize before branching
-    stamped = docs.withColumn(
-        "__row_id", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
-    exploded = stamped.where(F.col(text_col).isNotNull()).select(
-        F.col("__row_id"),
-        F.posexplode(F.expr(w_arr)).alias("__pos", "__w"),
-    )
-    word_df = exploded.select("__w").distinct()
-    seg = word_df.withColumn(
-        "__wt",
-        F.expr(
-            f"element_at(transform(array(named_struct('m', {vm})), "
-            f"__b -> {per_word}), 1)"
-        ),
-    )
-    assembled = (
-        exploded.join(seg, on="__w", how="left")
-        .groupBy("__row_id")
-        .agg(
-            F.expr(
-                "flatten(transform(array_sort(collect_list("
-                "struct(__pos, __wt))), __s -> __s.__wt))"
-            ).alias("__tokens")
-        )
-    )
-    out_df = (
-        stamped.join(assembled, on="__row_id", how="left")
-        .withColumn(
-            out,
-            F.expr(
-                f"CASE WHEN {qt} IS NULL THEN NULL "
-                f"ELSE coalesce(__tokens, array()) END"
-            ),
-        )
-        .drop("__row_id", "__tokens")
-    )
-    return (
-        out_df.withColumn(
-            f"{out}_n",
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
-            .otherwise(F.size(F.col(out)).cast("long")),
-        )
-        .withColumn(
-            f"{out}_unk",
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
-            .otherwise(
-                F.expr(
-                    f"CAST(size(filter({out}, __t -> "
-                    f"__t = {_sql_literal(unk)})) AS LONG)"
+    piece_set = frozenset(pieces)
+
+    def greedy(w: str) -> list[str]:
+        # Python twin of _greedy_sql: longest-match-first at each cursor,
+        # ##-prefixed off word start, whole-word UNK when no piece fits
+        n = len(w)
+        toks: list[str] = []
+        p = 0
+        while p < n:
+            hit = None
+            for ln in range(min(maxp, n - p), 0, -1):
+                cand = (
+                    w[p:p + ln] if p == 0 else "##" + w[p:p + ln]
                 )
-            ),
-        )
+                if cand in piece_set:
+                    hit = (cand, ln)
+                    break
+            if hit is None:
+                return [unk]
+            toks.append(hit[0])
+            p += hit[1]
+        return toks
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
     )
+
+    n_col, unk_col = f"{out}_n", f"{out}_unk"
+    base = docs
+    base_names = [f.name for f in base.schema.fields]
+    drop = [c for c in (out, n_col, unk_col) if c in base_names]
+    if drop:
+        # an existing output column is replaced (old withColumn semantics)
+        base = base.drop(*drop)
+    keep = list(base.schema.fields)
+    keep_names = [f.name for f in keep]
+    out_schema = StructType(
+        keep + [
+            StructField(out, ArrayType(StringType())),
+            StructField(n_col, LongType()),
+            StructField(unk_col, LongType()),
+        ]
+    )
+    ws_col = "__wp_ws"
+    with_ws = base.withColumn(ws_col, words(F.col(text_col)))
+
+    def gen(batches):
+        memo: dict[str, list[str]] = {}
+        for batch in batches:
+            cols = {
+                n: batch.column(i)
+                for i, n in enumerate(batch.schema.names)
+            }
+            toks_out: list[list[str] | None] = []
+            ns: list[int | None] = []
+            unks: list[int | None] = []
+            for ws in cols[ws_col].to_pylist():
+                if ws is None:
+                    toks_out.append(None)
+                    ns.append(None)
+                    unks.append(None)
+                    continue
+                acc: list[str] = []
+                for w in ws:
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = greedy(w)
+                        memo[w] = seg
+                    acc.extend(seg)
+                toks_out.append(acc)
+                ns.append(len(acc))
+                unks.append(sum(1 for t in acc if t == unk))
+            arrays = [cols[n] for n in keep_names]
+            arrays.append(pa.array(toks_out, pa.list_(pa.string())))
+            arrays.append(pa.array(ns, pa.int64()))
+            arrays.append(pa.array(unks, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, keep_names + [out, n_col, unk_col]
+            )
+
+    return with_ws.mapInArrow(gen, out_schema)
 
 
 def wordpiece_decode(tokens: Column | str) -> Column:
