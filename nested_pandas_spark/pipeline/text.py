@@ -862,12 +862,23 @@ def _bpe_merge_loop(
             merges, words_out = _driver_merge_loop(
                 rows, n_merges, min_pair_count
             )
-            merges_df = spark.createDataFrame(
-                merges, "step int, left string, right string, n long"
-            )
-            vocab_out = spark.createDataFrame(
-                words_out, "word string, wc long, syms string"
-            )
+            # Arrow-table construction -> a true LocalRelation, so
+            # downstream piece/vocab collects stay driver-only (the
+            # classic tuple path plans a LogicalRDD whose every collect
+            # is a cluster job)
+            import pyarrow as pa
+
+            merges_df = spark.createDataFrame(pa.table({
+                "step": pa.array([m[0] for m in merges], pa.int32()),
+                "left": pa.array([m[1] for m in merges], pa.string()),
+                "right": pa.array([m[2] for m in merges], pa.string()),
+                "n": pa.array([m[3] for m in merges], pa.int64()),
+            }))
+            vocab_out = spark.createDataFrame(pa.table({
+                "word": pa.array([w[0] for w in words_out], pa.string()),
+                "wc": pa.array([w[1] for w in words_out], pa.int64()),
+                "syms": pa.array([w[2] for w in words_out], pa.string()),
+            }))
             return merges_df, vocab_out
 
     merges = []
@@ -908,9 +919,15 @@ def _bpe_merge_loop(
             vocab_df = vocab_df.persist(StorageLevel.MEMORY_AND_DISK)
             vocab_df.count()  # materialize before dropping the parent
         old.unpersist()
-    merges_df = spark.createDataFrame(
-        merges, "step int, left string, right string, n long"
-    )
+    # LocalRelation for the driver-side merge list (see fast path above)
+    import pyarrow as pa
+
+    merges_df = spark.createDataFrame(pa.table({
+        "step": pa.array([m[0] for m in merges], pa.int32()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "n": pa.array([m[3] for m in merges], pa.int64()),
+    }))
     # Return the persisted/checkpointed frame itself (columns are already
     # exactly (word, wc, syms)): the CALLER owns the cached copy and can
     # release it with `vocab.unpersist()` when done — a projection wrapper

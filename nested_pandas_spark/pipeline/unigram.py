@@ -224,13 +224,21 @@ def unigram_train(
         final = dict(chars)
         final.update(dict(multi))
         logp = _normalize(final)
-        return spark.createDataFrame(
-            sorted(
-                ((p, logp[p], n) for p, n in final.items()),
-                key=lambda t: (-t[2], t[0]),
-            ),
-            "piece string, logprob double, count long",
+        out_rows = sorted(
+            ((p, logp[p], n) for p, n in final.items()),
+            key=lambda t: (-t[2], t[0]),
         )
+        # Arrow-table construction -> a true LocalRelation: every
+        # unigram_encode call collects this vocab, and a LocalRelation
+        # collect is driver-only (the classic tuple path plans a
+        # LogicalRDD whose every collect is a cluster job)
+        import pyarrow as pa
+
+        return spark.createDataFrame(pa.table({
+            "piece": pa.array([r[0] for r in out_rows], pa.string()),
+            "logprob": pa.array([r[1] for r in out_rows], pa.float64()),
+            "count": pa.array([r[2] for r in out_rows], pa.int64()),
+        }))
     finally:
         word_df.unpersist()
 
