@@ -931,9 +931,10 @@ def main() -> None:
         # scan is a single task; a real corpus scan has thousands. The
         # repartition (~600 KB shuffle, milliseconds) restores the
         # parallelism the op would have at scale. Encode goes through
-        # the distinct-word cache (wordpiece_encode_vocab) — the
-        # production path; train finishes on the driver (small-vocab
-        # fast path) after the one distributed word-count pass.
+        # wordpiece_encode_vocab — the production path (round 10: one
+        # Arrow-batched pass with an in-task per-word memo); train
+        # finishes on the driver (small-vocab fast path) after the one
+        # distributed word-count pass.
         docs = t("documents").repartition(cpus)
         m, v = wordpiece_train(docs, 8)
         pieces = wordpiece_pieces(m, v)
