@@ -4777,11 +4777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_dropna": q09_dropna,
         "q10_fillna": q10_fillna,
         "q11_lists_roundtrip": q11_lists_roundtrip,
-        "q12_minmax": q12_minmax,
-        "q13_describe": q13_describe,
         "q14_double_nested": q14_double_nested,
         "q15_query_base": q15_query_base,
-        "q16_sort_limit": q16_sort_limit,
         "q17_text_stats": q17_text_stats,
         "q18_exact_dedup": q18_exact_dedup,
         "q19_minhash_lsh": q19_minhash_lsh,
@@ -4792,7 +4789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_sessionize": q24_sessionize,
         "q25_srp_bucket": q25_srp_bucket,
         "q26_asof_join": q26_asof_join,
-        "q27_rollup": q27_rollup,
         "q28_window_topk": q28_window_topk,
         "q29_clean_corpus": q29_clean_corpus,
         "q30_embedding_neardup": q30_embedding_neardup,
@@ -4808,6 +4804,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_full artifact (tools/compare_oracle.py --json).
         # round-10 continuation: newest gated surfaces rotated into the
         # driver's first-50 sample (the full gate covers all queries)
+        # round-11 (per the round-10 verdict's top instruction): q202-q205
+        # RESTORED to the first-50 sample — the q206-q209 insertion had
+        # pushed them past position 50 and out of the driver's verification
+        # sample; the four displaced instead are q12/q13/q16/q27, thin
+        # round-1-era aggregate/ordering variants whose operator families
+        # stay sampled via q04/q05/q06/q22/q28 and fully gated by
+        # CORRECTNESS_full (sf0.01) + CORRECTNESS_sf01 (sf0.1).
+        "q202_corpus_report": q202_corpus_report,
+        "q203_pack_whole_docs": q203_pack_whole_docs,
+        "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
+        "q205_ivf_append": q205_ivf_append,
         "q206_pq_adc_scores": q206_pq_adc_scores,
         "q207_reduction_filter": q207_reduction_filter,
         "q208_groupby_agg": q208_groupby_agg,
@@ -4822,10 +4829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_topk_frequent": q199_topk_frequent,
         "q200_prefix_lm": q200_prefix_lm,
         "q201_ul2_mix": q201_ul2_mix,
-        "q202_corpus_report": q202_corpus_report,
-        "q203_pack_whole_docs": q203_pack_whole_docs,
-        "q204_wordpiece_encode_vocab": q204_wordpiece_encode_vocab,
-        "q205_ivf_append": q205_ivf_append,
+        # displaced from the first-50 sample in round 11 (see note above);
+        # still fully gated by the all-query CORRECTNESS artifacts
+        "q12_minmax": q12_minmax,
+        "q13_describe": q13_describe,
+        "q16_sort_limit": q16_sort_limit,
+        "q27_rollup": q27_rollup,
         "q37_salted_pack": q37_salted_pack,
         "q38_text_scrub": q38_text_scrub,
         "q39_pq_topk": q39_pq_topk,

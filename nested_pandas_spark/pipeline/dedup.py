@@ -215,6 +215,15 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     files exceed maxPartitionBytes and split naturally — this only rescues
     the small-input case, at the cost of one cheap shuffle of raw text.
 
+    The rescue width is DATA-sized, not cluster-sized
+    (:func:`~nested_pandas_spark.tuning.rescue_width_for`): a repartition
+    to the full core count schedules ``cores`` map+reduce tasks however
+    little work exists, and the round-10 driver bench showed that tax
+    exceeding the win on a contended 32-core host. One task per ~64 KiB
+    of compressed input keeps every rescued stage's per-task slice heavy
+    enough to pay for its own scheduling
+    (``spark.nested_pandas.rescue.bytesPerTask`` overrides at runtime).
+
     Connect-safe: estimates the scan's split count from ``df.inputFiles()``
     + driver-visible file sizes instead of probing ``df.rdd`` (which forces
     a plan->RDD conversion and does not exist under Spark Connect).
@@ -229,6 +238,7 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     spark = df.sparkSession
     from ..session import default_parallelism
+    from ..tuning import rescue_width_for
 
     target = default_parallelism(spark)
     files = df.inputFiles()
@@ -238,6 +248,7 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     est_splits = 0
+    total_bytes = 0
     for f in files:
         path = f.removeprefix("file:")
         if "://" in f and not f.startswith("file:"):
@@ -246,10 +257,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
             size = os.path.getsize(path)
         except OSError:
             size = max_pb
+        total_bytes += size
         est_splits += max(1, -(-size // max_pb))
         if est_splits >= max(2, target // 2):
             return df
-    return df.repartition(target)
+    bpt = int(spark.conf.get(
+        "spark.nested_pandas.rescue.bytesPerTask", str(64 * 1024)))
+    width = rescue_width_for(total_bytes, target, bytes_per_task=bpt)
+    if width <= est_splits:
+        return df  # the scan already yields that many data-carrying splits
+    return df.repartition(width)
 
 
 def staged_shingle_hashes(

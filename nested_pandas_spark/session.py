@@ -35,19 +35,21 @@ def get_spark(app_name: str = "nested-pandas-spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # parallelism FLOOR for splittable scans: when a table is small
-        # relative to the cluster (one 11 MB parquet on 32 cores = 3
-        # scan tasks under the default maxPartitionBytes/openCost alone,
-        # so the whole scan->shuffle-write runs 3-wide), ask for at
-        # least one split per core. minPartitionNum scales with CLUSTER
-        # size, not data size; openCostInBytes must drop with it or its
-        # 4 MB floor re-caps the split size (maxSplitBytes =
-        # min(maxPartitionBytes, max(openCost, bytes/minPartitionNum))).
-        # Both are no-ops at 100 TB — size-based splitting already
-        # yields orders of magnitude more partitions than cores and the
-        # 128 MB cap dominates; they only widen the small-input case.
-        .config("spark.sql.files.minPartitionNum", str(cpus))
-        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # NOTE (round 11): round 10 floored scan parallelism here
+        # (files.minPartitionNum = cores, openCostInBytes = 512 KiB) so
+        # small-relative-to-cluster tables fanned out to ~one split per
+        # core. The driver's round-10 32-core bench regressed ~21%
+        # geomean against round 9 across DOZENS of small-input queries
+        # (untouched zero-shuffle ones included) while its 8-core run
+        # was healthy — a cluster-wide floor multiplies every tiny scan
+        # into `cores` near-empty tasks, and on a contended host that
+        # scheduling tax dwarfs the work. REVERTED: operators whose
+        # per-row work is heavy enough to justify widening a tiny scan
+        # (codecs, register hashing, shingling) apply the data-aware
+        # `_ensure_parallelism` rescue at their own boundary instead
+        # (pipeline/dedup.py), sized by input bytes, not cluster width.
+        # At 100 TB both choices are identical no-ops: size-based
+        # splitting already yields far more splits than cores.
         # session contract: parquet TIMESTAMP(NANOS) columns (one testdata
         # layout of events.ts) read as int64 nanos instead of erroring.
         # Set HERE, at session build, never inside an operator — flipping it

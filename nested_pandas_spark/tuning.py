@@ -23,8 +23,43 @@ __all__ = [
     "max_partition_bytes_for",
     "salt_factor_for",
     "arrow_batch_rows_for",
+    "rescue_width_for",
     "apply_scale_conf",
 ]
+
+
+def rescue_width_for(
+    input_bytes: int,
+    total_cores: int,
+    bytes_per_task: int = 64 * 1024,
+) -> int:
+    """Width of the small-input parallelism rescue (``_ensure_parallelism``).
+
+    A tiny splittable input (one undersized parquet row group) arrives as
+    ONE scan task; CPU-heavy per-row stages (codecs, register hashing,
+    shingling) then run single-threaded. The rescue round-robins the rows
+    wider — but a repartition to the FULL core count schedules
+    ``total_cores`` map+reduce tasks regardless of how little work there
+    is, and the round-10 driver bench showed that tax exceeding the win on
+    a contended 32-core host (cms_sketch 1.18 -> 7.25 s). So the width is
+    sized by the DATA: one task per ~``bytes_per_task`` of compressed
+    input (64 KiB default — these stages do 10-100x more per-byte work
+    than a plain scan, so even small slices keep a core busy), floored at
+    2, capped at the core count. At scale the rescue never fires at all
+    (inputs split naturally), so this heuristic only shapes the
+    small-input case it exists for.
+
+    Examples
+    --------
+    >>> rescue_width_for(600 * 1024, 32)  # 600 KiB corpus -> ~10 tasks
+    10
+    >>> rescue_width_for(64 * 2**20, 32)  # big input: full width
+    32
+    >>> rescue_width_for(10, 32)  # floor
+    2
+    """
+    want = -(-input_bytes // max(bytes_per_task, 1))  # ceil div
+    return int(max(2, min(want, max(total_cores, 2))))
 
 
 def shuffle_partitions_for(
